@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Canonical readers for the driver testdata tables (TESTDATA.md).
+  *
+  * Every `SparkEntry.queries` builder reads through here so that scan-level
+  * concerns (vectorized parquet reader, column pruning, partition sizing)
+  * are applied uniformly. At 100 TB these would be external catalog tables
+  * (partitioned + bucketed); at test scale they are single parquet files —
+  * the query code is identical either way because everything downstream is
+  * declarative DataFrame API.
+  */
+object Tables {
+  /** All table names present in a testdata sf directory. */
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]). Sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see Verify/Bench), the
+    * column then arrives as LongType nanos and is truncated here to a
+    * proper microsecond TimestampType — the same truncation DuckDB applies
+    * casting TIMESTAMP_NS → TIMESTAMP, so oracle comparisons line up.
+    */
+  private def eventsWithTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => df
+    }
+
+  def customer(spark: SparkSession, sfDir: String): DataFrame   = read(spark, sfDir, "customer")
+  def orders(spark: SparkSession, sfDir: String): DataFrame     = read(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame   = read(spark, sfDir, "lineitem")
+  def events(spark: SparkSession, sfDir: String): DataFrame     = eventsWithTs(read(spark, sfDir, "events"))
+  def documents(spark: SparkSession, sfDir: String): DataFrame  = read(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
+  def nation(spark: SparkSession, sfDir: String): DataFrame     = read(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame     = read(spark, sfDir, "region")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame   = read(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame       = read(spark, sfDir, "part")
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream analytics (SURVEY.md §2b): JSON column extraction,
+  * event-time tumbling windows (batch form — the streaming form in
+  * graft.streaming shares the same transform), and gap-based
+  * sessionization.
+  *
+  * Scale notes:
+  *  - JSON extraction is a row-local codegen'd expression (no shuffle).
+  *    At 100 TB prefer `from_json` with an explicit schema once per row
+  *    over repeated `get_json_object` calls (single parse).
+  *  - Tumbling windows via `window()` are a plain hash aggregate on the
+  *    derived window struct — same shuffle shape as any groupBy; in
+  *    streaming mode the same expression becomes an incremental stateful
+  *    agg with watermark-based state eviction.
+  *  - Sessionization is one shuffle on user_id (window partition); the
+  *    per-user sort is partition-local. Skewed users (bots) would be the
+  *    scale risk — mitigate by capping session length or salting the
+  *    heavy keys; AQE skew-join handling does not apply to window
+  *    functions, so this is the one operator where a manual
+  *    repartition-by-range fallback is documented.
+  */
+object EventOps {
+
+  /** JSON extraction + per-type rollup: parse `props` (e.g. {"k": 87}),
+    * aggregate k by event_type. Uses from_json (one parse per row).
+    */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+      .getField("k")
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).cast("long").as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .orderBy(col("event_type"))
+  }
+
+  val jsonExtractSql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+      |  CAST(MIN(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS k_min,
+      |  CAST(MAX(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS k_max
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Tumbling 1-hour event-time windows: count + exact decimal sum of
+    * value per window. Batch analog of the streaming windowed agg.
+    */
+  def eventWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .select(
+        col("window.start").as("window_start"),
+        col("n_events"), col("value_sum"))
+      .orderBy(col("window_start"))
+  }
+
+  val eventWindowsSql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY window_start""".stripMargin
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event of the same user exceeds 30 minutes. Classic
+    * lag → flag → running-sum window pattern; session stats per
+    * (user_id, session_id).
+    */
+  def userSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val userSessionsSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |), flagged AS (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM sess
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+}

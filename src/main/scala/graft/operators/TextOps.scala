@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for an LLM-data pipeline (SURVEY.md §2b):
+  * tokenization + corpus token counts, per-document quality scoring,
+  * document fingerprinting, and marker-based language ID.
+  *
+  * Scale notes:
+  *  - Tokenization uses codegen'd `split`/higher-order functions; the
+  *    per-document scoring queries are shuffle-free (row-local) and
+  *    pipeline straight out of the parquet scan.
+  *  - Corpus token counts shuffle once on the token key with map-side
+  *    partial aggregation; token frequency follows Zipf's law so the hot
+  *    tokens ("the") are exactly the partial-agg best case — each mapper
+  *    emits one row per distinct token, not per occurrence.
+  *  - All tokenization is lowercase-ASCII regex ([^a-z0-9]+ split),
+  *    deliberately identical across Spark (Java regex) and the DuckDB
+  *    oracle (RE2) — the class has no engine-divergent metacharacters.
+  */
+object TextOps {
+
+  /** Lowercased ASCII tokens of `text` as an array column (no shuffle). */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Corpus-wide token frequencies, top 100 by (count desc, token) —
+    * total order, stable under LIMIT.
+    */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(100)
+  }
+
+  val tokenCountsSql: String =
+    """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      |  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+      |  FROM documents)
+      |WHERE token <> ''
+      |GROUP BY token
+      |ORDER BY cnt DESC, token
+      |LIMIT 100""".stripMargin
+
+  /** Per-document quality signals: token count, character count, mean
+    * token length, stopword ratio, punctuation ratio. Ratios are IEEE
+    * double divisions of exact integer counts — deterministic across
+    * engines.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin(stop: _*))).cast("long")
+    val charLen = length(col("text")).cast("long")
+    val tokChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    val nPunct = charLen - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")).cast("long")
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        charLen.as("n_chars_actual"),
+        when(nTok > 0, tokChars.cast("double") / nTok.cast("double")).otherwise(lit(0d))
+          .as("mean_token_len"),
+        when(nTok > 0, nStop.cast("double") / nTok.cast("double")).otherwise(lit(0d))
+          .as("stopword_ratio"),
+        when(charLen > 0, nPunct.cast("double") / charLen.cast("double")).otherwise(lit(0d))
+          .as("punct_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                x -> x <> '') AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+      |  CASE WHEN len(toks) > 0 THEN
+      |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+      |      / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS mean_token_len,
+      |  CASE WHEN len(toks) > 0 THEN
+      |    CAST(len(list_filter(toks, x -> x IN
+      |      ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+      |      / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+      |  CASE WHEN length(text) > 0 THEN
+      |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+      |      AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text.
+    * The cheap exact-dup key for cross-corpus joins (md5 is identical in
+    * every engine; a rolling/Rabin fingerprint variant lives in
+    * functions.Fingerprints for the streaming path).
+    */
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Marker-token language ID: score each language by hits of its marker
+    * tokens, predict argmax (ties broken by language code), fall back to
+    * 'und'. N-gram-profile language ID reduced to its join-aggregate
+    * skeleton — the marker table is a broadcast dimension at any scale.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val markers = Seq(
+      ("the", "en"), ("and", "en"), ("of", "en"), ("is", "en"),
+      ("le", "fr"), ("la", "fr"), ("et", "fr"), ("est", "fr"),
+      ("el", "es"), ("los", "es"), ("es", "es"), ("y", "es"),
+      ("der", "de"), ("die", "de"), ("und", "de"), ("ist", "de"),
+      ("de", "zh"), ("shi", "zh"), ("he", "zh"), ("zai", "zh"),
+    ).toDF("token", "marker_lang")
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val scores = toks.join(broadcast(markers), Seq("token"))
+      .groupBy(col("doc_id"), col("marker_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("marker_lang"))
+    val best = scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("marker_lang"))
+    docs.select(col("doc_id"), col("lang").as("labeled_lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("labeled_lang"),
+        coalesce(col("marker_lang"), lit("und")).as("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String =
+    """WITH markers(token, marker_lang) AS (VALUES
+      |  ('the','en'),('and','en'),('of','en'),('is','en'),
+      |  ('le','fr'),('la','fr'),('et','fr'),('est','fr'),
+      |  ('el','es'),('los','es'),('es','es'),('y','es'),
+      |  ('der','de'),('die','de'),('und','de'),('ist','de'),
+      |  ('de','zh'),('shi','zh'),('he','zh'),('zai','zh')
+      |), toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+      |  FROM documents
+      |), scores AS (
+      |  SELECT doc_id, marker_lang, COUNT(*) AS hits
+      |  FROM toks JOIN markers USING (token)
+      |  WHERE token <> ''
+      |  GROUP BY doc_id, marker_lang
+      |), best AS (
+      |  SELECT doc_id, marker_lang,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY hits DESC, marker_lang) AS rn
+      |  FROM scores)
+      |SELECT d.doc_id, d.lang AS labeled_lang,
+      |  COALESCE(b.marker_lang, 'und') AS predicted_lang
+      |FROM documents d
+      |LEFT JOIN (SELECT doc_id, marker_lang FROM best WHERE rn = 1) b
+      |  USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+}
