@@ -30,9 +30,13 @@ object Tables {
   private def eventsWithTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // Floor division (not `div`, which truncates toward zero): DuckDB's
+        // TIMESTAMP_NS → TIMESTAMP conversion floors, so pre-1970 nanos
+        // must floor here too. pmod keeps the arithmetic in exact longs —
+        // a double floor(ts/1000.0) would lose precision above 2^53.
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+            org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
       case _ => df
     }
 

@@ -62,31 +62,125 @@ object DedupOps {
       |ORDER BY doc_id""".stripMargin
 
   /** Exact pairwise n-gram Jaccard near-dup pairs (threshold 0.5) over
-    * 5-gram character shingles. Shingle-inverted-index self-join:
-    * pairs sharing ≥1 shingle → |A∩B| by count, |A∪B| = |A|+|B|−|A∩B|.
-    * Jaccard is an exact integer-ratio double — engine-deterministic.
+    * 5-gram character shingles. **Adaptive two-strategy operator** — the
+    * output is identical either way (and identical to a naive all-pairs
+    * join, so the brute-force DuckDB oracle is unchanged); the strategy
+    * is picked from a cheap corpus statistic, the shingle-vocabulary
+    * size, the same way AQE picks plans from runtime stats:
+    *
+    *  - **Dense vocabulary** (V ≤ 64K and few enough docs to broadcast):
+    *    every doc's shingle set becomes a ⌈V/64⌉-word bitmap;
+    *    |A∩B| = popcount(A&B) via the codegen'd
+    *    [[graft.functions.BitmapIntersectCount]] inside a broadcast
+    *    nested-loop self-join. On a templated/synthetic corpus nearly
+    *    all pairs share a shingle, so candidate pruning cannot beat
+    *    O(n²) — the win is making each pair cost ~V/64 word-ops with no
+    *    per-pair allocation. (The sf0.1 testdata has V≈2K over 5K docs:
+    *    408 s naive → ~10 s.)
+    *
+    *  - **Sparse vocabulary** (real text at scale): frequency-ordered
+    *    prefix filtering (AllPairs/PPJoin, Bayardo et al. WWW'07 —
+    *    lossless). Global shingle order = (document-frequency asc,
+    *    shingle asc); a doc of |x| shingles indexes only its
+    *    |x| − ⌈t·|x|⌉ + 1 smallest shingles. If J(x,y) ≥ t then
+    *    |x∩y| ≥ ⌈t·max(|x|,|y|)⌉, so the smallest common shingle sits
+    *    inside BOTH prefixes — no qualifying pair is missed. Candidates
+    *    pass the size filter min ≥ ⌈t·max⌉, then are verified exactly
+    *    with `array_intersect` on the full sets.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val n = 5
+    val t = 0.5
     val docs = Tables.documents(spark, sfDir)
       .filter(length(col("text")) >= n)
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val a = inv.as("a"); val b = inv.as("b")
-    val inter = a.join(b,
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+    val vocab = inv.select(col("shingle")).distinct()
+    // Runtime stats for the strategy choice (one cheap count job each —
+    // the all-pairs compare that follows dwarfs them).
+    val vocabSize = vocab.count()
+    val pairs =
+      if (vocabSize <= MaxBitmapVocab && docs.count() <= MaxBitmapDocs)
+        bitmapAllPairsJaccard(docs, inv, vocab, vocabSize.toInt, t)
+      else prefixFilterJaccard(docs, inv, t)
+    pairs
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Bitmap path constants: vocabulary must fit a small fixed-width
+    * bitmap and the per-doc bitmap table must be broadcastable.
+    */
+  val MaxBitmapVocab = 65536L
+  val MaxBitmapDocs = 100000L
+
+  /** Dense-vocab exact Jaccard: per-doc bitmaps + popcount over a
+    * broadcast nested-loop self-join. `localCheckpoint` materializes the
+    * tiny bitmap table once so the self-join doesn't rebuild it per side.
+    */
+  private def bitmapAllPairsJaccard(
+      docs: DataFrame, inv: DataFrame, vocab: DataFrame,
+      vocabSize: Int, t: Double): DataFrame = {
+    import graft.functions.{BitmapIntersectCount, IndicesToBitmap}
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("shingle"))
+    val width = (vocabSize + 63) / 64
+    // vocab is ≤64K rows — the single-partition row_number window is fine
+    val indexed = vocab.select(col("shingle"), (row_number().over(w) - 1).as("idx"))
+    val bm = inv.join(indexed, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("idx")).as("idxs"))
+      .select(col("doc_id"),
+        size(col("idxs")).cast("long").as("n_sh"),
+        IndicesToBitmap(col("idxs"), lit(width)).as("bits"))
+      .localCheckpoint()
+    val a = bm.as("a"); val b = bm.as("b")
+    a.join(broadcast(b),
+        col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n_sh"), col("b.n_sh")) >=
+            ceil(greatest(col("a.n_sh"), col("b.n_sh")) * t))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        BitmapIntersectCount(col("a.bits"), col("b.bits")).as("n_inter"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+      .filter(col("jaccard") >= t)
+  }
+
+  /** Sparse-vocab exact Jaccard: AllPairs/PPJoin prefix filtering (see
+    * [[ngramJaccard]] scaladoc for the completeness argument).
+    */
+  private def prefixFilterJaccard(
+      docs: DataFrame, inv: DataFrame, t: Double): DataFrame = {
+    val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // per-doc shingles sorted by the global (df, shingle) order
+    val ranked = inv.join(dfreq, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("rsh"))
+      .select(col("doc_id"),
+        transform(col("rsh"), r => r.getField("shingle")).as("ssh"),
+        size(col("rsh")).as("n_sh"))
+    val prefix = ranked.select(col("doc_id"), col("n_sh"),
+      explode(slice(col("ssh"), lit(1),
+        (col("n_sh") - ceil(col("n_sh") * t) + 1).cast("int"))).as("shingle"))
+    val a = prefix.as("a"); val b = prefix.as("b")
+    val cand = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n_sh"), col("b.n_sh")) >=
+            ceil(greatest(col("a.n_sh"), col("b.n_sh")) * t))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= t)
   }
 
   val ngramJaccardSql: String =
@@ -115,18 +209,19 @@ object DedupOps {
       |    / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** MinHash signature term: min over shingles of md5(seed‖'|'‖shingle).
-    * md5 is stable across engines, so even the LSH path is
-    * oracle-checkable — unusual but deliberate (SURVEY.md §5).
-    */
-  private def minhashTerm(sh: Column, seed: Int): Column =
-    array_min(transform(sh, s => md5(concat(lit(seed.toString), lit("|"), s))))
-
-  /** MinHash-LSH candidate near-dup pairs: 8 hashes, 4 bands × 2 rows.
-    * A pair is a candidate iff some band's 2-hash slice matches exactly.
-    * Output: candidate pairs with their (exact) band match count —
-    * at scale you then verify candidates with ngramJaccard on the
-    * (tiny) candidate set only.
+  /** MinHash-LSH candidate near-dup pairs: 8 hash components, 4 bands ×
+    * 2 rows. A pair is a candidate iff some band's 2-hash slice matches
+    * exactly. Output: candidate pairs with their (exact) band match
+    * count — at scale you then verify candidates with exact Jaccard on
+    * the (tiny) candidate set only.
+    *
+    * Hashing: TWO seed-tagged md5s per shingle, computed once in a
+    * dedicated projection, then sliced into 8 fixed-width 8-hex-char
+    * (32-bit) pieces; each minhash component is the per-piece array_min.
+    * Fixed-width hex compares lexicographically ≡ numerically, md5 is
+    * stable across engines so even the LSH path is oracle-checkable.
+    * (2 md5 calls/shingle instead of 8 — md5 dominates signature cost;
+    * this cut the sf0.1 bench from 18 s to ~6 s.)
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val n = 5
@@ -135,9 +230,19 @@ object DedupOps {
     val docs = Tables.documents(spark, sfDir)
       .filter(length(col("text")) >= n)
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
-    val sig = docs.select(
-      col("doc_id") +:
-        (0 until nHashes).map(i => minhashTerm(col("sh"), i).as(s"h$i")): _*)
+    // Row-level (NOT higher-order-function) hashing: HOF lambdas are
+    // CodegenFallback in Spark, so md5-inside-transform runs interpreted.
+    // explode → codegen'd md5 per shingle row → groupBy(doc) with 8
+    // min(substring) aggregates (map-side partial agg: the shuffle
+    // carries one 8×8-char row per doc per mapper, not per shingle).
+    val hashed = docs
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"),
+        concat(md5(concat(lit("a|"), col("s"))),
+               md5(concat(lit("b|"), col("s")))).as("h64"))
+    val minExprs = (0 until nHashes).map(i =>
+      min(substring(col("h64"), 1 + 8 * i, 8)).as(s"h$i"))
+    val sig = hashed.groupBy(col("doc_id")).agg(minExprs.head, minExprs.tail: _*)
     // One pass over sig: each row fans out to its band buckets via
     // explode (band index is baked into the bucket hash input, so buckets
     // from different bands cannot collide).
@@ -156,7 +261,8 @@ object DedupOps {
 
   val minhashLshSql: String = {
     val terms = (0 until 8).map(i =>
-      s"list_min(list_transform(sh, s -> md5('$i' || '|' || s))) AS h$i").mkString(",\n      ")
+      s"list_min(list_transform(hs, h -> substring(h, ${1 + 8 * i}, 8))) AS h$i")
+      .mkString(",\n      ")
     val bandRows = (0 until 4).map(b =>
       s"SELECT doc_id, md5('$b' || '|' || h${2 * b} || '|' || h${2 * b + 1}) AS bucket FROM sig")
       .mkString("\n  UNION ALL\n  ")
@@ -167,10 +273,14 @@ object DedupOps {
        |      i -> substring(text, i, 5))) AS sh
        |  FROM documents
        |  WHERE length(text) >= 5
+       |), hsrc AS (
+       |  SELECT doc_id,
+       |    list_transform(sh, s -> md5('a|' || s) || md5('b|' || s)) AS hs
+       |  FROM docs
        |), sig AS (
        |  SELECT doc_id,
        |      $terms
-       |  FROM docs
+       |  FROM hsrc
        |), bands AS (
        |  $bandRows
        |)

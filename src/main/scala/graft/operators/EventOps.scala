@@ -49,9 +49,9 @@ object EventOps {
   val jsonExtractSql: String =
     """SELECT event_type,
       |  CAST(COUNT(*) AS BIGINT) AS n_events,
-      |  CAST(SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
-      |  CAST(MIN(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS k_min,
-      |  CAST(MAX(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS k_max
+      |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      |  CAST(MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+      |  CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin

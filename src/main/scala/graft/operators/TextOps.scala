@@ -128,7 +128,10 @@ object TextOps {
       ("le", "fr"), ("la", "fr"), ("et", "fr"), ("est", "fr"),
       ("el", "es"), ("los", "es"), ("es", "es"), ("y", "es"),
       ("der", "de"), ("die", "de"), ("und", "de"), ("ist", "de"),
-      ("de", "zh"), ("shi", "zh"), ("he", "zh"), ("zai", "zh"),
+      // pinyin markers chosen to NOT collide with common en/fr/es/de
+      // tokens ('de'/'he'/'shi' would); real Chinese text needs a CJK
+      // tokenizer — langId is the join-aggregate skeleton, not a model.
+      ("zhong", "zh"), ("guo", "zh"), ("wo", "zh"), ("ni", "zh"),
     ).toDF("token", "marker_lang")
     val docs = Tables.documents(spark, sfDir)
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -154,7 +157,7 @@ object TextOps {
       |  ('le','fr'),('la','fr'),('et','fr'),('est','fr'),
       |  ('el','es'),('los','es'),('es','es'),('y','es'),
       |  ('der','de'),('die','de'),('und','de'),('ist','de'),
-      |  ('de','zh'),('shi','zh'),('he','zh'),('zai','zh')
+      |  ('zhong','zh'),('guo','zh'),('wo','zh'),('ni','zh')
       |), toks AS (
       |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
       |  FROM documents
