@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,6 +29,25 @@ import graft.Tables
   */
 object Cleaning {
 
+  /** Core first-wins dedup: keep, per distinct `keys` tuple, the row with
+    * the smallest `arrival` value (pandas drop_duplicates keep='first'
+    * semantics made deterministic — main.py:123). One shuffle on the key
+    * columns; per-key ordering is partition-local.
+    */
+  def dedupFirstKeepFirst(df: DataFrame, keys: Seq[String], arrival: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(arrival))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Core coerce-else-zero (pd.to_numeric(errors='coerce').fillna(0),
+    * main.py:124-125): parse failures become 0, rows are never dropped.
+    */
+  def coerceDecimalElseZero(c: Column, precision: Int = 10, scale: Int = 2): Column =
+    coalesce(c.try_cast(s"decimal($precision,$scale)"),
+      lit(0).cast(s"decimal($precision,$scale)"))
+
   /** First-wins dedup by (hour-truncated ts, user_id), arrival order =
     * event_id. Hour truncation exists to make real duplicate groups in the
     * testdata (raw ns timestamps are unique).
@@ -38,10 +57,7 @@ object Cleaning {
       .select(col("event_id"), col("user_id"),
         date_trunc("hour", col("ts")).as("hour_ts"),
         col("event_type"), col("value"))
-    val w = Window.partitionBy(col("hour_ts"), col("user_id")).orderBy(col("event_id"))
-    e.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    dedupFirstKeepFirst(e, Seq("hour_ts", "user_id"), "event_id")
       .orderBy(col("event_id"))
   }
 
@@ -68,8 +84,7 @@ object Cleaning {
     Tables.events(spark, sfDir)
       .select(
         col("event_id"),
-        coalesce(raw.try_cast("decimal(10,2)"), lit(0).cast("decimal(10,2)"))
-          .cast("double").as("amount"))
+        coerceDecimalElseZero(raw).cast("double").as("amount"))
       .orderBy(col("event_id"))
   }
 

@@ -90,22 +90,27 @@ object DedupOps {
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val n = 5
-    val t = 0.5
     val docs = Tables.documents(spark, sfDir)
       .filter(length(col("text")) >= n)
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    jaccardNearDupPairs(docs, 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Library surface: exact Jaccard ≥ t pairs for any `docs` frame of
+    * (doc_id: long, sh: array<string> — a distinct shingle set), with
+    * the adaptive strategy choice described on [[ngramJaccard]].
+    */
+  def jaccardNearDupPairs(docs: DataFrame, t: Double): DataFrame = {
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val vocab = inv.select(col("shingle")).distinct()
     // Runtime stats for the strategy choice (one cheap count job each —
     // the all-pairs compare that follows dwarfs them).
     val vocabSize = vocab.count()
-    val pairs =
-      if (vocabSize <= MaxBitmapVocab && docs.count() <= MaxBitmapDocs)
-        bitmapAllPairsJaccard(docs, inv, vocab, vocabSize.toInt, t)
-      else prefixFilterJaccard(docs, inv, t)
-    pairs
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    if (vocabSize <= MaxBitmapVocab && docs.count() <= MaxBitmapDocs)
+      bitmapAllPairsJaccard(docs, inv, vocab, vocabSize.toInt, t)
+    else prefixFilterJaccard(docs, inv, t)
   }
 
   /** Bitmap path constants: vocabulary must fit a small fixed-width
@@ -118,7 +123,7 @@ object DedupOps {
     * broadcast nested-loop self-join. `localCheckpoint` materializes the
     * tiny bitmap table once so the self-join doesn't rebuild it per side.
     */
-  private def bitmapAllPairsJaccard(
+  private[graft] def bitmapAllPairsJaccard(
       docs: DataFrame, inv: DataFrame, vocab: DataFrame,
       vocabSize: Int, t: Double): DataFrame = {
     import graft.functions.{BitmapIntersectCount, IndicesToBitmap}
@@ -150,7 +155,7 @@ object DedupOps {
   /** Sparse-vocab exact Jaccard: AllPairs/PPJoin prefix filtering (see
     * [[ngramJaccard]] scaladoc for the completeness argument).
     */
-  private def prefixFilterJaccard(
+  private[graft] def prefixFilterJaccard(
       docs: DataFrame, inv: DataFrame, t: Double): DataFrame = {
     val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // per-doc shingles sorted by the global (df, shingle) order

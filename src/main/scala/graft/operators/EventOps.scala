@@ -84,17 +84,30 @@ object EventOps {
     * lag → flag → running-sum window pattern; session stats per
     * (user_id, session_id).
     */
-  def userSessions(spark: SparkSession, sfDir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, sfDir)
-      .select(col("event_id"), col("user_id"), col("ts"))
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      .withColumn("new_session",
-        when(col("prev_ts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+  /** Core gap sessionization: append a per-user `session_id` (1-based,
+    * increasing in event order) to `df`. A new session starts when the
+    * event-time gap to the user's previous event exceeds `gapMicros`.
+    * `order` breaks ts ties so the assignment is deterministic.
+    */
+  def sessionize(df: DataFrame, user: String, ts: String,
+                 order: Seq[String], gapMicros: Long): DataFrame = {
+    val byUser = Window.partitionBy(col(user))
+      .orderBy((ts +: order).map(col): _*)
+    df
+      .withColumn("__prev_ts", lag(col(ts), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev_ts").isNull ||
+          unix_micros(col(ts)) - unix_micros(col("__prev_ts")) > gapMicros, 1L)
           .otherwise(0L))
-      .withColumn("session_id", sum(col("new_session")).over(
+      .withColumn("session_id", sum(col("__new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev_ts", "__new_session")
+  }
+
+  def userSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    sessionize(e, "user_id", "ts", Seq("event_id"), 1800000000L)
       .groupBy(col("user_id"), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DedupOps
+
+class DedupOpsSpec extends SparkSpec {
+
+  test("shingles: 5-grams of a short string, distinct, order-preserving") {
+    val s = spark; import s.implicits._
+    val got = Seq("abcdef", "aaaaaa")
+      .toDF("t").select(DedupOps.shingles(col("t"), 5).as("sh"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(got(0) === Seq("abcde", "bcdef"))
+    assert(got(1) === Seq("aaaaa")) // distinct collapses repeats
+  }
+
+  test("bitmap and prefix-filter strategies produce identical pairs (sf0.001)") {
+    val n = 5
+    val docs = Tables.documents(spark, sf)
+      .filter(length(col("text")) >= n)
+      .select(col("doc_id"), DedupOps.shingles(col("text"), n).as("sh"))
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val vocab = inv.select(col("shingle")).distinct()
+    val v = vocab.count().toInt
+    val out = Seq("doc_a", "doc_b", "n_inter", "jaccard")
+    val bitmap = DedupOps.bitmapAllPairsJaccard(docs, inv, vocab, v, 0.5)
+      .select(out.head, out.tail: _*).orderBy("doc_a", "doc_b").collect().toSeq
+    val prefix = DedupOps.prefixFilterJaccard(docs, inv, 0.5)
+      .select(out.head, out.tail: _*).orderBy("doc_a", "doc_b").collect().toSeq
+    assert(bitmap.nonEmpty)
+    assert(bitmap === prefix)
+  }
+
+  test("jaccardNearDupPairs matches a naive all-pairs cross join (crafted)") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, Seq("aa", "bb", "cc", "dd")),
+      (2L, Seq("aa", "bb", "cc", "ee")),   // J(1,2)=3/5=0.6 ✓
+      (3L, Seq("aa", "xx", "yy", "zz")),   // J(1,3)=1/7 ✗
+      (4L, Seq("aa", "bb", "cc", "dd")),   // J(1,4)=1.0 ✓, J(2,4)=0.6 ✓
+    ).toDF("doc_id", "sh")
+    val got = DedupOps.jaccardNearDupPairs(docs, 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, 2L, 0.6), (1L, 4L, 1.0), (2L, 4L, 0.6)))
+  }
+
+  test("minhashLsh is deterministic and pairs are ordered doc_a < doc_b") {
+    val a = graft.operators.DedupOps.minhashLsh(spark, sf).collect()
+    val b = graft.operators.DedupOps.minhashLsh(spark, sf).collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("docDedup groups exact prefix-dups and keeps min doc_id") {
+    val d = graft.operators.DedupOps.docDedup(spark, sf)
+    val total = d.agg(sum("dup_count")).head().getLong(0)
+    val docs = Tables.documents(spark, sf).count()
+    assert(total === docs)           // partition of the corpus
+    assert(d.filter(col("dup_count") > 1).count() > 0) // testdata plants dups
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.EventOps
+
+class EventOpsSpec extends SparkSpec {
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("sessionize splits on gaps > threshold, per user") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("u1", ts(0), 1L), ("u1", ts(10), 2L),   // same session (10 min gap)
+      ("u1", ts(50), 3L),                       // new session (40 min gap)
+      ("u2", ts(0), 4L),                        // separate user
+    ).toDF("user_id", "ts", "event_id")
+    val got = EventOps.sessionize(df, "user_id", "ts", Seq("event_id"), 1800000000L)
+      .select("user_id", "event_id", "session_id")
+      .orderBy("user_id", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(("u1", 1L, 1L), ("u1", 2L, 1L), ("u1", 3L, 2L), ("u2", 4L, 1L)))
+  }
+
+  test("sessionize tie-break on order column is deterministic") {
+    val s = spark; import s.implicits._
+    val df = Seq(("u", ts(0), 2L), ("u", ts(0), 1L)).toDF("user_id", "ts", "event_id")
+    val got = EventOps.sessionize(df, "user_id", "ts", Seq("event_id"), 1L)
+      .orderBy("event_id").select("event_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // zero gap → same session regardless of tie order
+    assert(got === Seq((1L, 1L), (2L, 1L)))
+  }
+
+  test("eventWindows covers every event exactly once") {
+    val w = EventOps.eventWindows(spark, sf)
+    val total = w.agg(sum("n_events")).head().getLong(0)
+    assert(total === Tables.events(spark, sf).count())
+  }
+
+  test("jsonExtract aggregates per event_type with non-null counts") {
+    val j = EventOps.jsonExtract(spark, sf).collect()
+    assert(j.nonEmpty)
+    assert(j.forall(r => r.getLong(1) > 0))
+  }
+}

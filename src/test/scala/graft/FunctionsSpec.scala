@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.functions.{BitmapIntersectCount, IndicesToBitmap}
+
+class FunctionsSpec extends SparkSpec {
+
+  test("IndicesToBitmap sets the right bits, ignores out-of-range") {
+    val s = spark; import s.implicits._
+    val df = Seq((Seq(0, 1, 64, 127, -1, 128), 2)).toDF("idxs", "w")
+    val bits = df.select(IndicesToBitmap(col("idxs"), col("w")).as("b"))
+      .head().getSeq[Long](0)
+    assert(bits === Seq(3L, 1L | (1L << 63)))
+  }
+
+  test("BitmapIntersectCount counts shared bits; shorter width wins") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (Seq(3L, 5L), Seq(1L, 4L), 2L),       // bits {0,1}∩{0}=1 + {0,2}∩{2}=1
+      (Seq(-1L), Seq(-1L), 64L),            // full word overlap
+      (Seq(0L, 0L), Seq(-1L, -1L), 0L),     // disjoint
+      (Seq(7L, 7L, 7L), Seq(7L), 3L),       // width mismatch → min width
+    ).toDF("a", "b", "expect")
+    val bad = df.filter(
+      BitmapIntersectCount(col("a"), col("b")) =!= col("expect")).count()
+    assert(bad === 0)
+  }
+
+  test("BitmapIntersectCount null propagates") {
+    val s = spark; import s.implicits._
+    val df = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+    assert(df.select(BitmapIntersectCount(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("codegen and interpreted paths agree") {
+    val s = spark; import s.implicits._
+    val df = (0 until 1000).map { i =>
+      (Seq(i.toLong, (i * 31).toLong), Seq((i * 17).toLong, i.toLong))
+    }.toDF("a", "b")
+    val expr = BitmapIntersectCount(col("a"), col("b")).as("c")
+    val withCodegen = df.select(expr).collect().map(_.getLong(0)).toSeq
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interpreted = df.select(expr).collect().map(_.getLong(0)).toSeq
+      assert(withCodegen === interpreted)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("BitmapIntersectCount equals the higher-order-function fold") {
+    val s = spark; import s.implicits._
+    val df = (0 until 500).map { i =>
+      (Seq(i.toLong, i.toLong * 1234567, -i.toLong),
+       Seq(i.toLong * 7, i.toLong, i.toLong << 3))
+    }.toDF("a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => bit_count(x.bitwiseAND(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    assert(df.filter(BitmapIntersectCount(col("a"), col("b")) =!= hof).count() === 0)
+  }
+}

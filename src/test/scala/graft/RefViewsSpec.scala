@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RefViews
+
+class RefViewsSpec extends SparkSpec {
+
+  test("importCounts equals actual table counts") {
+    val r = RefViews.importCounts(spark, sf).head()
+    assert(r.getLong(0) === Tables.customer(spark, sf).count())
+    assert(r.getLong(1) === Tables.orders(spark, sf).count())
+    assert(r.getLong(2) === Tables.lineitem(spark, sf).count())
+  }
+
+  test("clientTransactionCounts: inner-join semantics, counts sum to joined rows") {
+    val v = RefViews.clientTransactionCounts(spark, sf)
+    val joined = Tables.customer(spark, sf).select(col("c_custkey"))
+      .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .count()
+    assert(v.agg(sum("transaction_count")).head().getLong(0) === joined)
+    // no zero-count rows (INNER join is load-bearing — SURVEY.md Q1)
+    assert(v.filter(col("transaction_count") <= 0).count() === 0)
+  }
+
+  test("monthlyTransactionSummary month format is yyyy-MM-01") {
+    val m = RefViews.monthlyTransactionSummary(spark, sf)
+    assert(m.filter(!col("month").rlike("^\\d{4}-\\d{2}-01$")).count() === 0)
+  }
+
+  test("highTransactionAccounts: HAVING > 2 enforced, date is month start") {
+    val h = RefViews.highTransactionAccounts(spark, sf)
+    assert(h.filter(col("transaction_count") <= 2).count() === 0)
+    assert(h.filter(!col("date").rlike("^\\d{4}-\\d{2}-01$")).count() === 0)
+  }
+
+  test("entry smoke: flagship query returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every queries key has an oracle") {
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
+  }
+}

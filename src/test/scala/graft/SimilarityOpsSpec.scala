@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SimilarityOps
+
+class SimilarityOpsSpec extends SparkSpec {
+
+  test("dot / norm / cosine on known vectors") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f), 0.0),   // orthogonal
+      (Seq(1f, 0f), Seq(1f, 0f), 1.0),   // identical
+      (Seq(1f, 1f), Seq(1f, 1f), 1.0),
+      (Seq(3f, 4f), Seq(3f, 4f), 1.0),
+    ).toDF("a", "b", "expect")
+    val bad = df.filter(
+      abs(SimilarityOps.cosine(col("a"), col("b")) - col("expect")) > 1e-12).count()
+    assert(bad === 0)
+    val Seq(n) = df.limit(1).select(SimilarityOps.norm(typedLit(Seq(3f, 4f))))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(math.abs(n - 5.0) < 1e-12)
+  }
+
+  test("knnCosine returns 10 rows, scores descending, excludes the query") {
+    val k = SimilarityOps.knnCosine(spark, sf).collect()
+    assert(k.length === 10)
+    val scores = k.map(_.getDouble(1)).toSeq
+    assert(scores === scores.sorted.reverse)
+    assert(!k.map(_.getLong(0)).contains(0L))
+  }
+
+  test("annLshTopK results are a subset of exact brute-force ranking") {
+    val ann = SimilarityOps.annLshTopK(spark, sf).collect().map(_.getLong(0)).toSet
+    // every ANN hit must be a real vector (exactness of scoring is
+    // oracle-checked; here we check the candidate plumbing)
+    val all = Tables.embeddings(spark, sf).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ann.subsetOf(all - 0L))
+  }
+
+  test("embeddingStats covers every vector exactly once") {
+    val st = SimilarityOps.embeddingStats(spark, sf)
+    val total = st.agg(sum("n_vecs")).head().getLong(0)
+    assert(total === Tables.embeddings(spark, sf).count())
+  }
+}
