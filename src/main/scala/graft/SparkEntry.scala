@@ -42,10 +42,16 @@ object SparkEntry {
     "q_doc_dedup"         -> (DedupOps.docDedup _),
     "q_ngram_jaccard"     -> (DedupOps.ngramJaccard _),
     "q_minhash_lsh"       -> (DedupOps.minhashLsh _),
+    "q_simhash"           -> (DedupOps.simhash _),
+    "q_simhash_neardup"   -> (DedupOps.simhashNearDup _),
     // §2b — similarity search
     "q_knn_cosine"        -> (SimilarityOps.knnCosine _),
     "q_ann_lsh_topk"      -> (SimilarityOps.annLshTopK _),
     "q_embedding_stats"   -> (SimilarityOps.embeddingStats _),
+    "q_embedding_neardup" -> (SimilarityOps.embeddingNearDup _),
+    "q_ivf_topk"          -> (SimilarityOps.ivfTopK _),
+    // §2b — multimodal columns
+    "q_multimodal_meta"   -> (MultimodalOps.multimodalMeta _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -69,8 +75,13 @@ object SparkEntry {
     "q_doc_dedup"         -> DedupOps.docDedupSql,
     "q_ngram_jaccard"     -> DedupOps.ngramJaccardSql,
     "q_minhash_lsh"       -> DedupOps.minhashLshSql,
+    "q_simhash"           -> DedupOps.simhashSql,
+    "q_simhash_neardup"   -> DedupOps.simhashNearDupSql,
     "q_knn_cosine"        -> SimilarityOps.knnCosineSql,
     "q_ann_lsh_topk"      -> SimilarityOps.annLshTopKSql,
     "q_embedding_stats"   -> SimilarityOps.embeddingStatsSql,
+    "q_embedding_neardup" -> SimilarityOps.embeddingNearDupSql,
+    "q_ivf_topk"          -> SimilarityOps.ivfTopKSql,
+    "q_multimodal_meta"   -> MultimodalOps.multimodalMetaSql,
   )
 }

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Fused cosine similarity over two `array<float>` embedding columns:
+  * one pass accumulating dot product and both squared norms in doubles,
+  * then `dot / (√na·√nb)`.
+  *
+  * Numerically identical to the composed higher-order-function form
+  * `aggregate(zip_with(a,b,(x,y)->x*y),0d,+) / (sqrt(Σx²)·sqrt(Σy²))`
+  * for equal-length inputs: same sequential fold order, same
+  * float→double widening per element (asserted by SimilarityOpsSpec),
+  * so swapping it into an oracle-checked query cannot change results.
+  *
+  * Why native: HOF lambdas are CodegenFallback (interpreted per
+  * element); in an all-pairs or top-k scoring loop over millions of
+  * pairs × 64 dims that interpretation dominates the stage. `doGenCode`
+  * emits a branch-free primitive loop that whole-stage codegen inlines
+  * into the join/scoring stage. Unequal lengths score the common prefix
+  * (callers share one embedding dim; documented, deterministic).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> arguments, got $l / $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $a.getFloat($i);
+         |  double $yv = (double) $b.getFloat($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  def apply(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineSimilarity(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}

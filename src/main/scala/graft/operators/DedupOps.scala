@@ -214,6 +214,96 @@ object DedupOps {
       |    / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** 32-bit SimHash signatures over token features (Charikar '02):
+    * token hash = first 8 hex chars of md5 (engine-portable); each of
+    * the 32 bit positions accumulates +tf when the token hash has the
+    * bit set, −tf otherwise; signature bit j = [Σ_j ≥ 0].
+    *
+    * Shape: one explode + two hash aggregates — map-side partial agg
+    * makes the shuffle carry (doc, token) pairs then one 32-column row
+    * per doc; no join, no skew risk (doc_id keys are unique).
+    */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashSignatures(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))
+
+  /** Core: (doc_id, simhash: long) for a (doc_id, text) frame. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val hashed = toks.select(col("doc_id"), col("tf"),
+      conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long").as("h"))
+    val sumExprs = (0 until 32).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("tf"))
+        .otherwise(-col("tf"))).as(s"s$j"))
+    val sums = hashed.groupBy(col("doc_id")).agg(sumExprs.head, sumExprs.tail: _*)
+    val sig = (0 until 32)
+      .map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  val simhashSql: String = {
+    val sums = (0 until 32).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN tf ELSE -tf END) AS s$j").mkString(",\n      ")
+    val bits = (0 until 32).map(j =>
+      s"(CASE WHEN s$j >= 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+       |    FROM documents) WHERE token <> '' GROUP BY doc_id, token
+       |), hashed AS (
+       |  SELECT doc_id, tf,
+       |    CAST(CONCAT('0x', substring(md5(token), 1, 8)) AS BIGINT) AS h
+       |  FROM toks
+       |), sums AS (
+       |  SELECT doc_id,
+       |      $sums
+       |  FROM hashed GROUP BY doc_id
+       |)
+       |SELECT doc_id, $bits AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash near-dup pairs (hamming ≤ 2) via **banded bucketing**, not
+    * an all-pairs join: the 32-bit signature splits into 3 bands
+    * (11/11/10 bits); by pigeonhole, ≤2 differing bits can spoil at
+    * most 2 bands, so every qualifying pair shares ≥1 intact band —
+    * exact candidate generation with one shuffle on (band, value),
+    * then hamming verification on the candidates only. Same shape as
+    * MinHash-LSH banding, but lossless for the hamming threshold.
+    */
+  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxHamming = 2
+    val sig = simhashSignatures(Tables.documents(spark, sfDir))
+    // 3 bands: bits [0,11), [11,22), [22,32)
+    val bandsOf = Seq((0, 11), (11, 11), (22, 10))
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      explode(array(bandsOf.zipWithIndex.map { case ((off, len), i) =>
+        struct(lit(i).as("band"),
+          shiftright(col("simhash"), off).bitwiseAND(lit((1L << len) - 1)).as("v"))
+      }: _*)).as("bv"))
+      .select(col("doc_id"), col("simhash"),
+        col("bv.band").as("band"), col("bv.v").as("v"))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val simhashNearDupSql: String =
+    s"""WITH sh AS (${simhashSql.replace("ORDER BY doc_id", "")})
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** MinHash-LSH candidate near-dup pairs: 8 hash components, 4 bands ×
     * 2 rows. A pair is a candidate iff some band's 2-hash slice matches
     * exactly. Output: candidate pairs with their (exact) band match

@@ -34,7 +34,16 @@ object SimilarityOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via the native fused expression (codegen'd single pass) —
+    * numerically identical to [[cosineHof]] (spec-asserted), 10-50×
+    * faster in pair-scoring loops because HOF lambdas are interpreted.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
+
+  /** Reference composed form, kept for the equivalence spec. */
+  private[graft] def cosineHof(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-10 nearest neighbors (cosine) of vec_id=0's embedding
     * among all other vectors. Scores rounded to 4 decimals in the output
@@ -143,6 +152,110 @@ object SimilarityOps {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(10)
   }
+
+  /** Embedding-cosine near-duplicate pairs: all (a < b) vector pairs
+    * with cosine ≥ 0.4, scored by the fused native expression inside a
+    * broadcast nested-loop self-join. Scores rounded to 4 decimals in
+    * output AND sort key (cross-engine FP-noise immunity, as knnCosine).
+    *
+    * Scale: brute force is O(n²·d) — right up to ~10⁵ vectors per
+    * executor-broadcast; beyond that, pre-bucket with sign-LSH
+    * ([[annBucket]]) or IVF cells ([[ivfTopK]]) and run this within
+    * buckets: same scoring code, one shuffle on the bucket key.
+    */
+  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val a = e.as("a"); val b = e.as("b")
+    a.join(broadcast(b), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 4).as("score"))
+      .filter(col("score") >= 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val embeddingNearDupSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    ROUND(SUM(a.v*b.v) / (SQRT(SUM(a.v*a.v)) * SQRT(SUM(b.v*b.v))), 4) AS score
+      |  FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT vec_a, vec_b, score FROM p
+      |WHERE score >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** IVF (inverted-file) ANN: vectors with vec_id 1..16 double as the
+    * coarse quantizer's centroids (deterministic "training" — at scale
+    * you'd k-means a sample and broadcast the result; the cell-routing
+    * plumbing is identical). Every vector is assigned to its best cell
+    * by cosine (rank ties broken by centroid id); query vec 0 probes its
+    * nprobe=2 best cells and exact-scores only those cells' members.
+    * Assignment ranks use round(cos, 6) so the cross-engine compare
+    * cannot flip a near-tie cell choice.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val nProbe = 2
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        round(cosine(col("embedding"), col("cemb")), 6).as("ccos"))
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val ranked = scored.withColumn("rn", row_number().over(byVec))
+    val cells = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+    val probes = ranked.filter(col("vec_id") === 0 && col("rn") <= nProbe)
+      .select(col("cid").as("cell"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
+    cells.filter(col("vec_id") =!= 0)
+      .join(broadcast(probes), "cell")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_embedding")), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val ivfTopKSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), c AS (
+      |  SELECT vec_id AS cid, v AS cv, i FROM x WHERE vec_id BETWEEN 1 AND 16
+      |), scored AS (
+      |  SELECT x.vec_id, c.cid,
+      |    ROUND(SUM(x.v*c.cv) / (SQRT(SUM(x.v*x.v)) * SQRT(SUM(c.cv*c.cv))), 6) AS ccos
+      |  FROM x JOIN c ON x.i = c.i
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+      |  FROM scored
+      |), cells AS (
+      |  SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1
+      |), probes AS (
+      |  SELECT cid AS cell FROM ranked WHERE vec_id = 0 AND rn <= 2
+      |), qx AS (SELECT v, i FROM x WHERE vec_id = 0),
+      |cand AS (
+      |  SELECT cells.vec_id FROM cells JOIN probes ON cells.cell = probes.cell
+      |  WHERE cells.vec_id <> 0
+      |), s AS (
+      |  SELECT x.vec_id,
+      |    ROUND(SUM(x.v*qx.v) / (SQRT(SUM(x.v*x.v)) * SQRT(SUM(qx.v*qx.v))), 4) AS score
+      |  FROM x JOIN qx ON x.i = qx.i
+      |  WHERE x.vec_id IN (SELECT vec_id FROM cand)
+      |  GROUP BY 1
+      |)
+      |SELECT vec_id, score FROM s
+      |ORDER BY score DESC, vec_id
+      |LIMIT 10""".stripMargin
 
   val annLshTopKSql: String = {
     // identical ±1 weights as literal DOUBLE lists so both engines

@@ -53,6 +53,35 @@ class DedupOpsSpec extends SparkSpec {
     assert(a.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("simhash: identical texts get identical signatures, all 32-bit") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "utterly different content entirely"),
+    ).toDF("doc_id", "text")
+    val sigs = DedupOps.simhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+    assert(sigs.values.forall(v => v >= 0 && v <= 0xffffffffL))
+  }
+
+  test("banded simhashNearDup equals brute-force hamming pairs (sf0.001)") {
+    val banded = DedupOps.simhashNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val sig = DedupOps.simhashSignatures(Tables.documents(spark, sf))
+    val a = sig.as("a"); val b = sig.as("b")
+    val brute = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("h"))
+      .filter(col("h") <= 2)
+      .orderBy(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(banded === brute) // pigeonhole banding is lossless for ham<=2
+    assert(banded.nonEmpty)
+  }
+
   test("docDedup groups exact prefix-dups and keeps min doc_id") {
     val d = graft.operators.DedupOps.docDedup(spark, sf)
     val total = d.agg(sum("dup_count")).head().getLong(0)

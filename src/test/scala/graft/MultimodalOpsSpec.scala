@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.MultimodalOps
+
+class MultimodalOpsSpec extends SparkSpec {
+
+  test("decodeImageStub: deterministic dims from payload bytes, typed schema") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Array[Byte](0, 0)), (2L, Array[Byte](63, 127)), (3L, Array.empty[Byte]))
+      .toDF("doc_id", "payload")
+    val got = MultimodalOps.decodeImageStub(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))).toSeq
+    assert(got === Seq(
+      (1L, 16, 16, 3, 16L * 16 * 3),
+      (2L, 16 + 63, 16 + 63 % 64, 3, 79L * 79 * 3),
+      (3L, 16, 16, 3, 16L * 16 * 3)))
+    // batch shape: rerun gives identical output (stateless partitions)
+    val again = MultimodalOps.decodeImageStub(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))).toSeq
+    assert(got === again)
+  }
+
+  test("sampleFrames emits every k-th frame index") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 10), (2L, 1), (3L, 0)).toDF("item", "n_frames")
+    val got = MultimodalOps.sampleFrames(df, "n_frames", 4)
+      .groupBy("item").agg(collect_list("frame_idx").as("f"))
+      .orderBy("item").collect().map(_.getSeq[Int](1)).toSeq
+    assert(got === Seq(Seq(0, 4, 8), Seq(0), Seq(0)))
+  }
+
+  test("multimodalMeta: payload bytes length matches text length for ASCII") {
+    val m = MultimodalOps.multimodalMeta(spark, sf)
+    assert(m.count() === Tables.documents(spark, sf).count())
+    assert(m.filter(col("n_bytes") <= 0).count() === 0)
+  }
+}

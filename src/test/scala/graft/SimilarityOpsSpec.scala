@@ -38,6 +38,31 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(ann.subsetOf(all - 0L))
   }
 
+  test("native CosineSimilarity is bitwise-equal to the HOF composition") {
+    val e = Tables.embeddings(spark, sf).limit(200)
+    val pairs = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(e.select(col("embedding").as("e2")).limit(5))
+    val diff = pairs.filter(
+      SimilarityOps.cosine(col("embedding"), col("e2")) =!=
+        SimilarityOps.cosineHof(col("embedding"), col("e2"))).count()
+    assert(diff === 0)
+  }
+
+  test("embeddingNearDup: pairs ordered, scores >= threshold") {
+    val nd = SimilarityOps.embeddingNearDup(spark, sf).collect()
+    assert(nd.nonEmpty)
+    assert(nd.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(nd.forall(r => r.getDouble(2) >= 0.4))
+  }
+
+  test("ivfTopK returns 10 candidates from probed cells only") {
+    val k = SimilarityOps.ivfTopK(spark, sf).collect()
+    assert(k.length === 10)
+    assert(!k.map(_.getLong(0)).contains(0L))
+    val scores = k.map(_.getDouble(1)).toSeq
+    assert(scores === scores.sorted.reverse)
+  }
+
   test("embeddingStats covers every vector exactly once") {
     val st = SimilarityOps.embeddingStats(spark, sf)
     val total = st.agg(sum("n_vecs")).head().getLong(0)
