@@ -59,8 +59,14 @@ object EventOps {
   /** Tumbling 1-hour event-time windows: count + exact decimal sum of
     * value per window. Batch analog of the streaming windowed agg.
     */
-  def eventWindows(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.events(spark, sfDir)
+  /** Shared batch/streaming transform: the SAME function runs as a batch
+    * hash aggregate here and as an incremental stateful aggregation when
+    * the input is a streaming DataFrame (graft.streaming.EventStream
+    * adds the watermark and calls this) — one code path, two execution
+    * modes, which is the point of Structured Streaming.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 hour"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -68,8 +74,9 @@ object EventOps {
       .select(
         col("window.start").as("window_start"),
         col("n_events"), col("value_sum"))
-      .orderBy(col("window_start"))
-  }
+
+  def eventWindows(spark: SparkSession, sfDir: String): DataFrame =
+    windowedAgg(Tables.events(spark, sfDir)).orderBy(col("window_start"))
 
   val eventWindowsSql: String =
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,

@@ -1,0 +1,51 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** HTTP CSV ingestion (SURVEY.md S1/S2, main.py:62-87): one driver-side
+  * GET (the reference's CSVs are single small files — accounts/clients),
+  * spill to a temp file, then `spark.read.csv` with header + either an
+  * explicit pinned schema or inference.
+  *
+  * Failure semantics reproduce S4 (main.py:71-73): any ingest error
+  * degrades to an EMPTY relation with the pinned schema and the
+  * pipeline continues — `readOrEmpty`. The throwing form is `read`.
+  *
+  * Scale note: a driver-side fetch is correct for dimension-table-sized
+  * CSVs. Large CSV corpora should land on shared storage and be read
+  * directly by executors (`spark.read.csv(path)` scales with splits);
+  * an HTTP endpoint can't seek, so it can never split — that's a
+  * property of the transport, not this code.
+  */
+object CsvHttpSource {
+
+  def read(spark: SparkSession, url: String, schema: Option[StructType],
+           fetch: HttpFetch): DataFrame = {
+    val bytes = fetch.get(url)
+    val tmp = Files.createTempFile("graft-csv-", ".csv")
+    tmp.toFile.deleteOnExit()
+    Files.write(tmp, bytes)
+    val reader = spark.read.option("header", "true")
+    schema match {
+      case Some(s) => reader.schema(s).csv(tmp.toString)
+      case None    => reader.option("inferSchema", "true").csv(tmp.toString)
+    }
+  }
+
+  /** S4: errors → empty relation with the pinned schema (pipeline
+    * continues); logs to stderr like the reference's print (main.py:72).
+    */
+  def readOrEmpty(spark: SparkSession, url: String, schema: StructType,
+                  fetch: HttpFetch): DataFrame =
+    Try(read(spark, url, Some(schema), fetch)) match {
+      case Success(df) => df
+      case Failure(e) =>
+        System.err.println(s"[graft] csv ingest failed for $url: ${e.getMessage}")
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.EventOps
+
+/** Structured Streaming forms of the event analytics (SURVEY.md §7 step
+  * 6): the batch operators' transforms re-run incrementally over an
+  * unbounded source — `readStream` → transform → `writeStream`.
+  *
+  * Scale notes:
+  *  - Watermarks bound state: a window/session older than the watermark
+  *    is finalized and evicted, so state size tracks the out-of-orderness
+  *    budget, not stream length.
+  *  - The windowed agg IS the batch transform (EventOps.windowedAgg) —
+  *    Catalyst plans it as StateStoreSave/Restore around the same hash
+  *    aggregate; nothing is reimplemented.
+  *  - Sessionization uses the native `session_window` (gap-merging is
+  *    in the state store, not user code); the custom-state variant
+  *    below shows the `flatMapGroupsWithState` escape hatch for logic
+  *    the built-ins can't express.
+  */
+object EventStream {
+
+  /** Event row for the typed custom-state operator. */
+  case class StreamEvent(event_id: Long, user_id: String,
+                         ts: Timestamp, value: Double)
+
+  /** Streaming tumbling 1-hour windows with a watermark; same transform
+    * as the batch q_event_windows.
+    */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    EventOps.windowedAgg(events.withWatermark("ts", watermark))
+
+  /** Gap-based session aggregation on the native session_window. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("value_sum"))
+
+  /** Custom-state streaming first-wins dedup (the streaming analog of
+    * Cleaning.dedupFirstKeepFirst): per key, emit only the first event
+    * ever seen; state is one boolean per key. Production configs should
+    * pair this with a watermark + EventTimeTimeout so finalized keys
+    * evict; NoTimeout keeps the demo deterministic under TriggerOnce.
+    */
+  def dedupFirstStream(events: Dataset[StreamEvent]): Dataset[StreamEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Boolean, StreamEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[StreamEvent], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // within a micro-batch, "first" = smallest (ts, event_id)
+            Iterator(it.minBy(e => (e.ts.getTime, e.event_id)))
+          }
+      }
+  }
+}
