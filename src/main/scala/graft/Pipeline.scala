@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Cleaning
+import graft.sources._
+
+/** The reference's end-to-end batch pipeline (SURVEY.md §3 EP1,
+  * main.py:41-59) re-expressed on Spark: ingest three datasets over
+  * HTTP (two CSVs + one paginated JSON), clean transactions
+  * (first-wins dedup on (timestamp, account_id) + amount
+  * coerce-else-zero), register the three analytics views, and return
+  * the `ZYLYTY Data Import Completed [clients, accounts, transactions]`
+  * counts (main.py:58-59).
+  *
+  * Differences from the reference, by design:
+  *  - dedup "first" is pinned to the explicit `arrival_idx` the
+  *    paginated source assigns (the reference relies on implicit pandas
+  *    row order, which no distributed engine preserves — SURVEY.md §7);
+  *  - the Postgres load becomes `saveTables` (parquet or JDBC via
+  *    [[graft.sources.JdbcSink]]) — views run on the engine itself;
+  *  - ingest failures degrade to typed EMPTY relations (S4) and the
+  *    pipeline still completes, like the reference.
+  */
+object Pipeline {
+
+  case class Result(clients: Long, accounts: Long, transactions: Long) {
+    /** main.py:58's completion line, verbatim format. */
+    def completionLine: String =
+      s"ZYLYTY Data Import Completed [$clients, $accounts, $transactions]"
+  }
+
+  /** Ingest + clean + register temp views (`accounts`, `clients`,
+    * `transactions` + the three analytics views). Returns the counts.
+    */
+  def run(spark: SparkSession, baseUrl: String, token: Option[String],
+          limit: Int = 1000, maxPages: Int = 300,
+          retrySleepMillis: Long = 2000): Result = {
+    val fetch = new HttpFetch(bearerToken = token)
+    val accounts = CsvHttpSource.readOrEmpty(
+      spark, s"$baseUrl/download/accounts.csv", RefSchemas.accounts, fetch)
+    val clients = CsvHttpSource.readOrEmpty(
+      spark, s"$baseUrl/download/clients.csv", RefSchemas.clients, fetch)
+    val rawTx = scala.util.Try(
+      PaginatedJsonSource.read(spark, s"$baseUrl/transactions", fetch,
+        limit = limit, maxPages = maxPages, retrySleepMillis = retrySleepMillis))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq())))
+    val transactions = cleanTransactions(spark, rawTx)
+
+    accounts.createOrReplaceTempView("accounts")
+    clients.createOrReplaceTempView("clients")
+    transactions.createOrReplaceTempView("transactions")
+    createViews(spark)
+
+    Result(clients.count(), accounts.count(), transactions.count())
+  }
+
+  /** clean_transactions_data (main.py:121-126): typed projection,
+    * first-wins dedup on (timestamp, account_id) by arrival order,
+    * amount coerce-else-zero. Empty/short inputs pass through (T4).
+    */
+  def cleanTransactions(spark: SparkSession, raw: DataFrame): DataFrame = {
+    if (raw.schema.isEmpty || raw.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], RefSchemas.transactions)
+    val typed = raw.select(
+      col("arrival_idx"),
+      col("transaction_id").cast("long"),
+      col("timestamp").cast("timestamp"),
+      col("account_id").cast("long"),
+      Cleaning.coerceDecimalElseZero(col("amount")).as("amount"),
+      col("type").cast("string"),
+      col("medium").cast("string"))
+    Cleaning.dedupFirstKeepFirst(typed, Seq("timestamp", "account_id"), "arrival_idx")
+      .drop("arrival_idx")
+  }
+
+  /** create_views (main.py:175-223): the three analytics views as
+    * engine temp views over the ingested temp tables — same SQL shape
+    * the reference ships to Postgres, executed by Catalyst instead.
+    */
+  def createViews(spark: SparkSession): Unit = {
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY VIEW client_transaction_counts AS
+      SELECT c.client_id, COUNT(tr.transaction_id) AS transaction_count
+      FROM clients c
+      JOIN accounts a ON c.client_id = a.client_id
+      JOIN transactions tr ON a.account_id = tr.account_id
+      GROUP BY c.client_id
+      ORDER BY c.client_id""")
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY VIEW monthly_transaction_summary AS
+      SELECT date_format(date_trunc('month', tr.timestamp), 'yyyy-MM-01') AS month,
+             c.client_email,
+             COUNT(tr.transaction_id) AS transaction_count,
+             SUM(tr.amount) AS total_amount
+      FROM clients c
+      JOIN accounts a ON c.client_id = a.client_id
+      JOIN transactions tr ON a.account_id = tr.account_id
+      GROUP BY 1, 2
+      ORDER BY month, client_email""")
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY VIEW high_transaction_accounts AS
+      SELECT date_format(date_trunc('month', tr.timestamp), 'yyyy-MM-dd') AS date,
+             tr.account_id,
+             COUNT(tr.transaction_id) AS transaction_count
+      FROM transactions tr
+      GROUP BY 1, 2
+      HAVING COUNT(tr.transaction_id) > 2
+      ORDER BY date, account_id""")
+  }
+
+  /** Persist the three tables (K1/K2 analog when no JDBC target exists:
+    * parquet lake layout; JDBC via [[graft.sources.JdbcSink.write]]).
+    */
+  def saveTables(spark: SparkSession, outDir: String): Unit =
+    Seq("accounts", "clients", "transactions").foreach { t =>
+      spark.table(t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.net.InetSocketAddress
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** End-to-end pipeline spec: a stub challenge API (two CSVs + paginated
+  * transactions with planted duplicates and dirty amounts) → Pipeline.run
+  * → assert the completion line, dedup/coercion semantics, and all three
+  * views through spark.sql.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def serve(body: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def reply(ex: HttpExchange, code: Int, resp: String): Unit = {
+      val b = resp.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    }
+    server.createContext("/download/accounts.csv", (ex: HttpExchange) =>
+      reply(ex, 200, "account_id,client_id\n10,c1\n11,c1\n12,c2\n13,c3\n"))
+    server.createContext("/download/clients.csv", (ex: HttpExchange) =>
+      reply(ex, 200,
+        "client_id,client_name,client_email,client_birth_date\n" +
+          "c1,Ann,ann@x.io,1990-01-01\nc2,Bob,bob@x.io,1985-05-05\nc3,Cyd,cyd@x.io,2000-12-31\n"))
+    server.createContext("/transactions", (ex: HttpExchange) => {
+      val page = ex.getRequestURI.getQuery.split("&")
+        .find(_.startsWith("page=")).get.drop(5).toInt
+      // 5 rows page 0, 2 rows page 1 (short → stop). Duplicate key
+      // (timestamp, account_id) across rows 1/2 — first (arrival) wins.
+      // Row 4 has a dirty amount → coerced to 0.
+      val rows = Seq(
+        """{"transaction_id": 1, "timestamp": "2024-01-01 10:00:00", "account_id": 10, "amount": "5.00", "type": "buy", "medium": "card"}""",
+        """{"transaction_id": 2, "timestamp": "2024-01-01 10:00:00", "account_id": 10, "amount": "9.99", "type": "buy", "medium": "card"}""",
+        """{"transaction_id": 3, "timestamp": "2024-01-02 11:00:00", "account_id": 11, "amount": "7.25", "type": "sell", "medium": "app"}""",
+        """{"transaction_id": 4, "timestamp": "2024-01-03 12:00:00", "account_id": 12, "amount": "garbage", "type": "buy", "medium": "card"}""",
+        """{"transaction_id": 5, "timestamp": "2024-02-05 09:00:00", "account_id": 10, "amount": "1.10", "type": "buy", "medium": "app"}""",
+        """{"transaction_id": 6, "timestamp": "2024-02-06 09:00:00", "account_id": 10, "amount": "2.20", "type": "buy", "medium": "app"}""",
+        """{"transaction_id": 7, "timestamp": "2024-02-07 09:00:00", "account_id": 10, "amount": "3.30", "type": "buy", "medium": "app"}""")
+      val pageRows = rows.slice(page * 5, page * 5 + 5)
+      reply(ex, 200, s"""{"results": [${pageRows.mkString(",")}]}""")
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("full pipeline: ingest, clean, views, completion line") {
+    serve { base =>
+      val r = Pipeline.run(spark, base, Some("tok"), limit = 5, retrySleepMillis = 1)
+      // tx 2 dropped as duplicate of (ts, account) key; 7 raw → 6 clean
+      assert(r === Pipeline.Result(clients = 3, accounts = 4, transactions = 6))
+      assert(r.completionLine === "ZYLYTY Data Import Completed [3, 4, 6]")
+
+      // dedup kept the FIRST arrival (amount 5.00, not 9.99)
+      val kept = spark.sql(
+        "SELECT amount FROM transactions WHERE transaction_id = 1").collect()
+      assert(kept.map(_.getDecimal(0).toString).toSeq === Seq("5.00"))
+      assert(spark.sql("SELECT * FROM transactions WHERE transaction_id = 2").count() === 0)
+      // dirty amount coerced to zero, row kept
+      assert(spark.sql("SELECT amount FROM transactions WHERE transaction_id = 4")
+        .head().getDecimal(0).toString === "0.00")
+
+      // view 1: per-client counts over the inner-join chain
+      val v1 = spark.sql("SELECT * FROM client_transaction_counts").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(v1 === Seq(("c1", 5L), ("c2", 1L))) // c3 has no transactions → excluded
+      // view 2: month rendered yyyy-MM-01
+      val v2 = spark.sql("SELECT month, client_email, total_amount FROM monthly_transaction_summary").collect()
+      assert(v2.forall(_.getString(0).endsWith("-01")))
+      // view 3: HAVING > 2 — account 10 has 3 tx in 2024-02? no: 3 in Feb
+      val v3 = spark.sql("SELECT * FROM high_transaction_accounts").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(v3 === Seq(("2024-02-01", 10L, 3L)))
+    }
+  }
+
+  test("pipeline survives a dead transactions endpoint (S4 empty fallback)") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      ex.sendResponseHeaders(500, -1); ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val r = Pipeline.run(spark, base, None, limit = 5,
+        maxPages = 1, retrySleepMillis = 1)
+      assert(r === Pipeline.Result(0, 0, 0))
+      assert(r.completionLine === "ZYLYTY Data Import Completed [0, 0, 0]")
+    } finally server.stop(0)
+  }
+}
