@@ -12,6 +12,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JVM/codegen/classloader + parquet footer reads land
+    // here instead of inside whichever query happens to run first.
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      SparkEntry.queries.get("q_count").foreach(f => f(spark, sfDir).count())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

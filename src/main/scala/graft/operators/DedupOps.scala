@@ -103,14 +103,18 @@ object DedupOps {
     * the adaptive strategy choice described on [[ngramJaccard]].
     */
   def jaccardNearDupPairs(docs: DataFrame, t: Double): DataFrame = {
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // Materialize the shingle sets once: every consumer below (vocab
+    // stat, inverted index, bitmap build, pair verification) would
+    // otherwise re-run the interpreted shingling HOF over the corpus.
+    val d = docs.localCheckpoint()
+    val inv = d.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val vocab = inv.select(col("shingle")).distinct()
     // Runtime stats for the strategy choice (one cheap count job each —
     // the all-pairs compare that follows dwarfs them).
     val vocabSize = vocab.count()
-    if (vocabSize <= MaxBitmapVocab && docs.count() <= MaxBitmapDocs)
-      bitmapAllPairsJaccard(docs, inv, vocab, vocabSize.toInt, t)
-    else prefixFilterJaccard(docs, inv, t)
+    if (vocabSize <= MaxBitmapVocab && d.count() <= MaxBitmapDocs)
+      bitmapAllPairsJaccard(d, inv, vocab, vocabSize.toInt, t)
+    else prefixFilterJaccard(d, inv, t)
   }
 
   /** Bitmap path constants: vocabulary must fit a small fixed-width
@@ -275,7 +279,8 @@ object DedupOps {
     */
   def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val maxHamming = 2
-    val sig = simhashSignatures(Tables.documents(spark, sfDir))
+    // materialized: the band self-join reads the signatures twice
+    val sig = simhashSignatures(Tables.documents(spark, sfDir)).localCheckpoint()
     // 3 bands: bits [0,11), [11,22), [22,32)
     val bandsOf = Seq((0, 11), (11, 11), (22, 10))
     val bands = sig.select(col("doc_id"), col("simhash"),
@@ -286,13 +291,16 @@ object DedupOps {
       .select(col("doc_id"), col("simhash"),
         col("bv.band").as("band"), col("bv.v").as("v"))
     val a = bands.as("a"); val b = bands.as("b")
+    // hamming filter INSIDE the join condition: band collisions between
+    // dissimilar docs (11-bit band values collide often on a clustered
+    // corpus) die before the dedup shuffle ever sees them
     a.join(b,
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -337,7 +345,10 @@ object DedupOps {
                md5(concat(lit("b|"), col("s")))).as("h64"))
     val minExprs = (0 until nHashes).map(i =>
       min(substring(col("h64"), 1 + 8 * i, 8)).as(s"h$i"))
+    // one signature row per doc; materialized so the band self-join
+    // below doesn't re-run the md5 pass per side
     val sig = hashed.groupBy(col("doc_id")).agg(minExprs.head, minExprs.tail: _*)
+      .localCheckpoint()
     // One pass over sig: each row fans out to its band buckets via
     // explode (band index is baked into the bucket hash input, so buckets
     // from different bands cannot collide).

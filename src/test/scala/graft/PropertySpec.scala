@@ -1,0 +1,71 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Cleaning, DedupOps}
+
+/** Property-based invariants (SURVEY.md §5 item 3) over generated
+  * frames — the laws the cleaning/dedup operators must hold for ANY
+  * input, not just the fixtures. Raw ScalaCheck generators with fixed
+  * seeds (the scalatest bridge isn't in the offline dep cache), so
+  * every run checks the same deterministic sample set.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(0xC0FFEEL + i)))
+
+  test("dedupFirstKeepFirst: idempotent, one row per key, keeps min arrival") {
+    val s = spark; import s.implicits._
+    val gen = Gen.listOfN(30, Gen.zip(Gen.oneOf("a", "b", "c", "d"), Gen.chooseNum(0, 1000)))
+    for (rows <- samples(gen, 8) if rows.nonEmpty) {
+      val df = rows.toDF("k", "arrival")
+      val once = Cleaning.dedupFirstKeepFirst(df, Seq("k"), "arrival")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+      val twice = Cleaning.dedupFirstKeepFirst(
+        Cleaning.dedupFirstKeepFirst(df, Seq("k"), "arrival"), Seq("k"), "arrival")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+      assert(once === twice)                            // idempotence
+      assert(once.map(_._1).distinct === once.map(_._1)) // one row per key
+      val minByKey = rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+      assert(once.toMap === minByKey)                   // first-wins = min arrival
+    }
+  }
+
+  test("coerceDecimalElseZero: never drops rows, never yields null") {
+    val s = spark; import s.implicits._
+    val gen = Gen.listOfN(25, Gen.oneOf(
+      Gen.const("abc"), Gen.const(""), Gen.const("12.345"),
+      Gen.chooseNum(-99999, 99999).map(_.toString),
+      Gen.chooseNum(0, 9999999).map(n => s"$n.${n % 100}")))
+    for (rows <- samples(gen, 8) if rows.nonEmpty) {
+      val df = rows.toDF("raw")
+        .select(Cleaning.coerceDecimalElseZero(col("raw")).as("v"))
+      assert(df.count() === rows.size)
+      assert(df.filter(col("v").isNull).count() === 0)
+    }
+  }
+
+  test("jaccardNearDupPairs: pairs a<b, values match exact set arithmetic") {
+    val s = spark; import s.implicits._
+    val shingle = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val gen = Gen.listOfN(8, Gen.nonEmptyListOf(shingle).map(_.distinct))
+      .map(_.zipWithIndex.map { case (sh, i) => (i.toLong, sh) })
+    for (docs <- samples(gen, 5) if docs.nonEmpty) {
+      val df = docs.toDF("doc_id", "sh")
+      val got = DedupOps.jaccardNearDupPairs(df, 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val expect = (for {
+        (ia, sa) <- docs; (ib, sb) <- docs if ia < ib
+        inter = sa.toSet.intersect(sb.toSet).size
+        j = inter.toDouble / (sa.toSet ++ sb.toSet).size
+        if j >= 0.5
+      } yield (ia, ib, j)).sorted
+      assert(got.sorted === expect)
+    }
+  }
+}
