@@ -20,6 +20,23 @@ object Tables {
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Parquet splits at row-group boundaries, so a small single-row-group
+    * file scans as ONE partition — and every row-local heavy stage
+    * downstream (shingling, md5 signatures, tokenization) then runs on
+    * one core regardless of cluster size. When the file is small enough
+    * that the scan must be that narrow, fan out once to the session's
+    * parallelism. The check is one filesystem metadata call (NOT
+    * `df.rdd.getNumPartitions`, which compiles the whole plan); at real
+    * scale tables are far over the threshold and this is a no-op.
+    */
+  private def ensureParallelism(spark: SparkSession, path: String, df: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val small = scala.util.Try(fs.getContentSummary(p).getLength < 32L * 1024 * 1024)
+      .getOrElse(false)
+    if (small) df.repartition(spark.sparkContext.defaultParallelism) else df
+  }
+
   /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's reader
     * rejects ([PARQUET_TYPE_ILLEGAL]). Sessions set
     * `spark.sql.legacy.parquet.nanosAsLong=true` (see Verify/Bench), the
@@ -43,9 +60,12 @@ object Tables {
   def customer(spark: SparkSession, sfDir: String): DataFrame   = read(spark, sfDir, "customer")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = read(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = read(spark, sfDir, "lineitem")
-  def events(spark: SparkSession, sfDir: String): DataFrame     = eventsWithTs(read(spark, sfDir, "events"))
-  def documents(spark: SparkSession, sfDir: String): DataFrame  = read(spark, sfDir, "documents")
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    eventsWithTs(ensureParallelism(spark, s"$sfDir/events.parquet", read(spark, sfDir, "events")))
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    ensureParallelism(spark, s"$sfDir/documents.parquet", read(spark, sfDir, "documents"))
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    ensureParallelism(spark, s"$sfDir/embeddings.parquet", read(spark, sfDir, "embeddings"))
   def nation(spark: SparkSession, sfDir: String): DataFrame     = read(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame     = read(spark, sfDir, "region")
   def supplier(spark: SparkSession, sfDir: String): DataFrame   = read(spark, sfDir, "supplier")
