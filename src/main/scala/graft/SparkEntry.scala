@@ -37,7 +37,10 @@ object SparkEntry {
     "q_token_counts"      -> (TextOps.tokenCounts _),
     "q_quality_score"     -> (TextOps.qualityScore _),
     "q_doc_fingerprint"   -> (TextOps.docFingerprint _),
+    "q_rolling_fingerprint" -> (TextOps.rollingFingerprint _),
+    "q_bpe_tokens"        -> (TextOps.bpeTokenCounts _),
     "q_lang_id"           -> (TextOps.langId _),
+    "q_lang_ngram"        -> (TextOps.langNgram _),
     // §2b — dedup
     "q_doc_dedup"         -> (DedupOps.docDedup _),
     "q_ngram_jaccard"     -> (DedupOps.ngramJaccard _),
@@ -71,7 +74,10 @@ object SparkEntry {
     "q_token_counts"      -> TextOps.tokenCountsSql,
     "q_quality_score"     -> TextOps.qualityScoreSql,
     "q_doc_fingerprint"   -> TextOps.docFingerprintSql,
+    "q_rolling_fingerprint" -> TextOps.rollingFingerprintSql,
+    "q_bpe_tokens"        -> TextOps.bpeTokenCountsSql,
     "q_lang_id"           -> TextOps.langIdSql,
+    "q_lang_ngram"        -> TextOps.langNgramSql,
     "q_doc_dedup"         -> DedupOps.docDedupSql,
     "q_ngram_jaccard"     -> DedupOps.ngramJaccardSql,
     "q_minhash_lsh"       -> DedupOps.minhashLshSql,

@@ -99,8 +99,8 @@ object TextOps {
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text.
     * The cheap exact-dup key for cross-corpus joins (md5 is identical in
-    * every engine; a rolling/Rabin fingerprint variant lives in
-    * functions.Fingerprints for the streaming path).
+    * every engine); the ~10×-cheaper Rabin rolling-hash variant is
+    * [[rollingFingerprint]] via [[graft.functions.RollingHash]].
     */
   def docFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.documents(spark, sfDir)
@@ -115,6 +115,125 @@ object TextOps {
       |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  /** Rabin polynomial rolling fingerprint over ASCII-normalized text
+    * (lowercase, [a-z0-9 ] only — byte == codepoint so the per-codepoint
+    * DuckDB oracle folds the identical sequence). Base 31, mod 1e9+7.
+    */
+  def rollingFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.RollingHash(norm).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val rollingFingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(
+      |        string_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ''),
+      |        x -> CAST(ascii(x) AS BIGINT))),
+      |    (h, c) -> (h * 31 + c) % 1000000007) AS fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** BPE-style pre-tokenizer counts: the GPT-2 pre-tokenization regex
+    * family (contraction suffixes | space-prefixed letter runs | digit
+    * runs | punctuation runs | whitespace), restricted to RE2-safe
+    * syntax (no lookahead) so Spark's Java regex and the DuckDB oracle's
+    * RE2 match identically. Counting pre-tokens ≈ the upper bound on
+    * BPE tokens — the standard cheap length signal for data curation.
+    */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+|\\s+"
+
+  def bpeTokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bpeTokenCountsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text,
+      |    '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+|\s+'))
+      |    AS BIGINT) AS n_bpe_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Character n-grams WITH multiplicity (frequency matters for profile
+    * scoring, unlike the dedup shingle sets). Caller guards length ≥ n.
+    */
+  def charNgrams(c: Column, n: Int): Column =
+    transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n)))
+
+  /** Character-trigram-profile language ID — the actual n-gram heuristic
+    * (Cavnar-Trenkle style, reduced to a compact hand profile): count
+    * profile-trigram occurrences per language over the raw lowercased
+    * text, argmax wins (ties → lang asc), no hits → 'und'. The profile
+    * is a broadcast dimension at any scale; scoring is one explode +
+    * broadcast join + two aggregates.
+    */
+  def langNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val profile = Seq(
+      ("the", "en"), ("and", "en"), ("ing", "en"), ("ion", "en"),
+      ("les", "fr"), ("ent", "fr"), ("que", "fr"), ("eur", "fr"),
+      ("los", "es"), ("ado", "es"), ("cio", "es"), ("ien", "es"),
+      ("der", "de"), ("ein", "de"), ("und", "de"), ("sch", "de"),
+    ).toDF("trigram", "profile_lang")
+    val docs = Tables.documents(spark, sfDir)
+    val grams = docs
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        explode(charNgrams(lower(col("text")), 3)).as("trigram"))
+    val scores = grams.join(broadcast(profile), Seq("trigram"))
+      .groupBy(col("doc_id"), col("profile_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("profile_lang"))
+    val best = scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("profile_lang"), col("hits"))
+    docs.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("profile_lang"), lit("und")).as("predicted_lang"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langNgramSql: String =
+    """WITH profile(trigram, profile_lang) AS (VALUES
+      |  ('the','en'),('and','en'),('ing','en'),('ion','en'),
+      |  ('les','fr'),('ent','fr'),('que','fr'),('eur','fr'),
+      |  ('los','es'),('ado','es'),('cio','es'),('ien','es'),
+      |  ('der','de'),('ein','de'),('und','de'),('sch','de')
+      |), grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, length(text) - 2),
+      |      i -> substring(lower(text), i, 3))) AS trigram
+      |  FROM documents WHERE length(text) >= 3
+      |), scores AS (
+      |  SELECT doc_id, profile_lang, CAST(COUNT(*) AS BIGINT) AS hits
+      |  FROM grams JOIN profile USING (trigram)
+      |  GROUP BY doc_id, profile_lang
+      |), best AS (
+      |  SELECT doc_id, profile_lang, hits,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY hits DESC, profile_lang) AS rn
+      |  FROM scores)
+      |SELECT d.doc_id,
+      |  COALESCE(b.profile_lang, 'und') AS predicted_lang,
+      |  COALESCE(b.hits, 0) AS hits
+      |FROM documents d
+      |LEFT JOIN (SELECT doc_id, profile_lang, hits FROM best WHERE rn = 1) b
+      |  USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   /** Marker-token language ID: score each language by hits of its marker
     * tokens, predict argmax (ties broken by language code), fall back to

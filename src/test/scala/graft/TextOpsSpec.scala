@@ -37,6 +37,50 @@ class TextOpsSpec extends SparkSpec {
     assert(fp(1L) !== fp(3L))
   }
 
+  test("RollingHash: known polynomial values, empty → 0") {
+    val s = spark; import s.implicits._
+    val got = Seq("a", "ab", "").toDF("t")
+      .select(graft.functions.RollingHash(col("t")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    // 'a'=97; "ab" = 97*31 + 98 = 3105
+    assert(got === Seq(97L, 3105L, 0L))
+  }
+
+  test("RollingHash codegen equals interpreted") {
+    val s = spark; import s.implicits._
+    val df = (0 until 300).map(i => s"doc text $i " * (i % 7)).toDF("t")
+    val expr = graft.functions.RollingHash(col("t")).as("h")
+    val codegen = df.select(expr).collect().map(_.getLong(0)).toSeq
+    val interpreted = df.collect().map(r =>
+      graft.functions.RollingHash.hashBytes(
+        r.getString(0).getBytes("UTF-8"), 31, 1000000007L)).toSeq
+    assert(codegen === interpreted)
+  }
+
+  test("BPE-ish pre-tokenizer counts known strings") {
+    val s = spark; import s.implicits._
+    val got = Seq(
+      "it's fine",        // [it]['s][ fine] = 3
+      "abc 123 x!!",      // [abc][ 123][ x][!!] = 4
+      "",                 // 0
+    ).toDF("text").withColumn("doc_id", monotonically_increasing_id())
+      .select(size(regexp_extract_all(col("text"), lit(TextOps.bpePattern), lit(0))))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(3, 4, 0))
+  }
+
+  test("langNgram scores trigram profiles, und on no hits") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the thing and the rest"),    // en trigrams dominate
+      (2L, "zzz qqq xxx"),               // no profile hits → und
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ignored")
+    val grams = docs.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(TextOps.charNgrams(lower(col("text")), 3)).as("g"))
+    assert(grams.filter(col("doc_id") === 1 && col("g") === "the").count() === 2L)
+  }
+
   test("langId predicts a language (or und) for every doc") {
     val l = TextOps.langId(spark, sf)
     assert(l.count() === Tables.documents(spark, sf).count())
