@@ -55,6 +55,10 @@ object SparkEntry {
     "q_ivf_topk"          -> (SimilarityOps.ivfTopK _),
     // §2b — multimodal columns
     "q_multimodal_meta"   -> (MultimodalOps.multimodalMeta _),
+    // §2b — curation (sampling / packing / scrubbing)
+    "q_sample_stratified" -> (CurationOps.sampleStratified _),
+    "q_pack_sequences"    -> (CurationOps.packSequences _),
+    "q_pii_scrub"         -> (CurationOps.piiScrub _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -89,5 +93,8 @@ object SparkEntry {
     "q_embedding_neardup" -> SimilarityOps.embeddingNearDupSql,
     "q_ivf_topk"          -> SimilarityOps.ivfTopKSql,
     "q_multimodal_meta"   -> MultimodalOps.multimodalMetaSql,
+    "q_sample_stratified" -> CurationOps.sampleStratifiedSql,
+    "q_pack_sequences"    -> CurationOps.packSequencesSql,
+    "q_pii_scrub"         -> CurationOps.piiScrubSql,
   )
 }

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data curation operators: deterministic stratified sampling
+  * (data mixing), concat-and-chunk sequence packing, and PII scrubbing
+  * — the steps between "deduped corpus" and "training batches".
+  *
+  * Scale notes:
+  *  - Sampling is a row-local hash predicate — no shuffle, no RNG
+  *    state, reproducible on any cluster layout, and resample-stable
+  *    (changing one stratum's rate doesn't reshuffle the others).
+  *  - Packing as implemented uses one global ordered window (fine to
+  *    ~10⁷ docs); the 100 TB form is identical math over a two-pass
+  *    distributed prefix sum: per-partition token totals → exclusive
+  *    scan on the driver (one row per partition) → broadcast offsets.
+  *  - Scrubbing is row-local regexp work that pipelines in the scan
+  *    stage; patterns are RE2-safe so the oracle matches byte-for-byte.
+  */
+object CurationOps {
+
+  /** Deterministic stratified sampling by language: keep a doc when
+    * md5(doc_id)'s first 32 bits mod 100 falls under its stratum's
+    * keep-rate (en 50%, others 20%) — hash-based quota mixing.
+    */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    val rate = when(col("lang") === "en", 50L).otherwise(20L)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .filter(col("bucket") < rate)
+      .orderBy(col("doc_id"))
+  }
+
+  val sampleStratifiedSql: String =
+    """SELECT doc_id, lang,
+      |  CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      |FROM documents
+      |WHERE CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+      |  < (CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Concat-and-chunk sequence packing (the GPT-style pretraining
+    * layout): documents concatenate in doc_id order into one token
+    * stream chunked into fixed 2048-token sequences; each doc gets the
+    * bin its FIRST token lands in plus its offset there. Token count =
+    * whitespace-ish tokens (TextOps.tokens).
+    */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 2048L
+    val byDoc = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("stream_start", sum(col("n_tokens")).over(byDoc) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("stream_start") / budget).cast("long").as("bin_id"),
+        (col("stream_start") % budget).as("bin_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  val packSequencesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |      x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS stream_start
+      |  FROM t)
+      |SELECT doc_id, n_tokens,
+      |  CAST(stream_start // 2048 AS BIGINT) AS bin_id,
+      |  stream_start % 2048 AS bin_offset
+      |FROM s
+      |ORDER BY doc_id""".stripMargin
+
+  /** RE2-safe PII patterns (no lookahead — Java regex and RE2 agree). */
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val longNumberPattern = "[0-9]{7,}"
+
+  /** PII scrub: redact emails and 7+-digit number runs, report match
+    * counts and the scrubbed content hash (the auditable artifact a
+    * curation pipeline logs per document).
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(col("text"), emailPattern, "<EMAIL>"),
+      longNumberPattern, "<NUM>")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailPattern), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(longNumberPattern), lit(0)))
+          .cast("long").as("n_long_numbers"),
+        md5(scrubbed).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiScrubSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_long_numbers,
+      |  md5(regexp_replace(
+      |    regexp_replace(text,
+      |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |    '[0-9]{7,}', '<NUM>', 'g')) AS scrubbed_md5
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CurationOps
+
+class CurationOpsSpec extends SparkSpec {
+
+  test("sampleStratified: deterministic, bucket bound respected per stratum") {
+    val a = CurationOps.sampleStratified(spark, sf).collect()
+    val b = CurationOps.sampleStratified(spark, sf).collect()
+    assert(a.toSeq === b.toSeq) // hash sampling is reproducible
+    assert(a.forall { r =>
+      val bucket = r.getLong(2)
+      bucket < (if (r.getString(1) == "en") 50 else 20)
+    })
+    assert(a.nonEmpty && a.length < 500) // actually sampled
+  }
+
+  test("packSequences: offsets within budget, stream positions contiguous") {
+    val p = CurationOps.packSequences(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(p.forall { case (_, _, _, off) => off >= 0 && off < 2048 })
+    // reconstruct stream starts; must equal running sum of predecessors
+    var expectedStart = 0L
+    p.sortBy(_._1).foreach { case (_, n, bin, off) =>
+      assert(bin * 2048 + off === expectedStart)
+      expectedStart += n
+    }
+    // bins are non-decreasing in doc order
+    val bins = p.sortBy(_._1).map(_._3)
+    assert(bins === bins.sorted)
+  }
+
+  test("PII patterns: emails and long numbers redacted, short numbers kept") {
+    val s = spark; import s.implicits._
+    val got = Seq("mail me: a.b+c@x-corp.io or call 12345678 ext 42")
+      .toDF("text")
+      .select(
+        size(regexp_extract_all(col("text"), lit(CurationOps.emailPattern), lit(0))).as("e"),
+        size(regexp_extract_all(col("text"), lit(CurationOps.longNumberPattern), lit(0))).as("n"),
+        regexp_replace(
+          regexp_replace(col("text"), CurationOps.emailPattern, "<EMAIL>"),
+          CurationOps.longNumberPattern, "<NUM>").as("scrubbed"))
+      .head()
+    assert(got.getInt(0) === 1)
+    assert(got.getInt(1) === 1)
+    assert(got.getString(2) === "mail me: <EMAIL> or call <NUM> ext 42")
+  }
+}
