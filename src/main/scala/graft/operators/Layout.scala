@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout and shuffle-shaping utilities — the techniques that
+  * decide whether a 100 TB join is one pass or a meltdown:
+  *
+  *  - **Bucketing** pre-shuffles a table ONCE at write time; two tables
+  *    bucketed by the same key into the same bucket count then
+  *    sort-merge-join with NO exchange on either side (asserted by
+  *    LayoutSpec on the physical plan). The write cost amortizes over
+  *    every subsequent join/aggregation on that key.
+  *  - **Salting** breaks a skewed join key into `salt` sub-keys: the
+  *    dimension side replicates ×salt (cheap — dims are small), the
+  *    fact side picks a deterministic pseudo-random salt per row, so a
+  *    hot key's rows spread over `salt` reducers instead of one. AQE's
+  *    skew-join handles moderate skew automatically; explicit salting
+  *    is for the pathological keys AQE's split granularity can't fix.
+  */
+object Layout {
+
+  /** Write `df` bucketed + sorted by `key` as a saved table — the
+    * co-location contract later joins rely on.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Inner equi-join of a skewed fact table against a dimension with
+    * key salting. Results are identical to `fact.join(dim, key)` —
+    * every fact row matches exactly one replicated dim row (the one
+    * sharing its salt). The salt is a deterministic hash of the whole
+    * fact row, so the operator stays reproducible.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int): DataFrame = {
+    val factSalted = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col): _*), lit(salt.toLong)))
+    val dimSalted = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salt.toLong - 1))))
+    factSalted.join(dimSalted, Seq(key, "__salt")).drop("__salt")
+  }
+}

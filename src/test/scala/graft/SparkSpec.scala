@@ -15,6 +15,9 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static conf — needed by LayoutSpec's saveAsTable bucketing test
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
