@@ -29,6 +29,14 @@ object SparkEntry {
     "q_dedup_first"       -> (Cleaning.dedupFirst _),
     "q_coerce_fill"       -> (Cleaning.coerceFill _),
     "q_union_pages"       -> (Cleaning.unionPages _),
+    // relational breadth (categories absent from the reference)
+    "q_outer_counts"      -> (RelOps.outerOrderCounts _),
+    "q_anti_clients"      -> (RelOps.clientsWithoutOrders _),
+    "q_semi_urgent"       -> (RelOps.clientsWithUrgentOrders _),
+    "q_distinct_users"    -> (RelOps.distinctUsers _),
+    "q_rollup_orders"     -> (RelOps.rollupOrders _),
+    "q_intersect_users"   -> (RelOps.usersClickAndPurchase _),
+    "q_running_totals"    -> (RelOps.runningLineTotals _),
     // §2b — event analytics
     "q_json_extract"      -> (EventOps.jsonExtract _),
     "q_event_windows"     -> (EventOps.eventWindows _),
@@ -72,6 +80,13 @@ object SparkEntry {
     "q_dedup_first"       -> Cleaning.dedupFirstSql,
     "q_coerce_fill"       -> Cleaning.coerceFillSql,
     "q_union_pages"       -> Cleaning.unionPagesSql,
+    "q_outer_counts"      -> RelOps.outerOrderCountsSql,
+    "q_anti_clients"      -> RelOps.clientsWithoutOrdersSql,
+    "q_semi_urgent"       -> RelOps.clientsWithUrgentOrdersSql,
+    "q_distinct_users"    -> RelOps.distinctUsersSql,
+    "q_rollup_orders"     -> RelOps.rollupOrdersSql,
+    "q_intersect_users"   -> RelOps.usersClickAndPurchaseSql,
+    "q_running_totals"    -> RelOps.runningLineTotalsSql,
     "q_json_extract"      -> EventOps.jsonExtractSql,
     "q_event_windows"     -> EventOps.eventWindowsSql,
     "q_user_sessions"     -> EventOps.userSessionsSql,

@@ -15,6 +15,11 @@ object Verify {
       // events.ts is TIMESTAMP(NANOS) parquet — read as long, converted
       // to µs TimestampType in Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // RAM-backed shuffle dirs — this host's virtual disk stalls (see
+      // BASELINE.md measurement caveat)
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark" else
+          System.getProperty("java.io.tmpdir"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

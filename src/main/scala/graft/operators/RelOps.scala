@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational-algebra breadth queries: the categories the reference
+  * lacks entirely (SURVEY.md §2a "explicitly absent" list) exercised
+  * through Spark built-ins, so "we get these for free from Catalyst"
+  * is a verified claim, not an assertion — outer/semi/anti joins,
+  * distinct aggregation, ROLLUP grouping sets, set operations, and
+  * aggregation window frames.
+  *
+  * Scale notes: all of these plan as ordinary shuffled hash/sort-merge
+  * operators with map-side partials where applicable; semi/anti joins
+  * broadcast their lookup side exactly like inner joins. ROLLUP
+  * duplicates input once per grouping-set level in the Expand operator
+  * — at 100 TB prefer two-level partial rollups (agg fine, then agg
+  * the aggregate) when the level count is large; at 2 levels Expand
+  * is the right plan.
+  */
+object RelOps {
+
+  /** LEFT OUTER contrast to the reference's inner-join view: clients
+    * with NO orders appear with order_count = 0 (COUNT(col) skips the
+    * null-extended rows).
+    */
+  def outerOrderCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"))
+    val o = Tables.orders(spark, sfDir).select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_custkey").as("client_id"))
+      .agg(count(col("o_orderkey")).as("order_count"))
+      .orderBy(col("client_id"))
+  }
+
+  val outerOrderCountsSql: String =
+    """SELECT c.c_custkey AS client_id,
+      |  CAST(COUNT(a.o_orderkey) AS BIGINT) AS order_count
+      |FROM customer c LEFT JOIN orders a ON c.c_custkey = a.o_custkey
+      |GROUP BY c.c_custkey
+      |ORDER BY client_id""".stripMargin
+
+  /** LEFT ANTI: customers with no urgent-priority order (every customer
+    * has SOME order in the fixtures, so the anti join filters on the
+    * urgent subset to produce a non-trivial result).
+    */
+  def clientsWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"))
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("client_id"))
+      .orderBy(col("client_id"))
+  }
+
+  val clientsWithoutOrdersSql: String =
+    """SELECT c_custkey AS client_id FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders a
+      |  WHERE a.o_custkey = c.c_custkey AND a.o_orderpriority = '1-URGENT')
+      |ORDER BY client_id""".stripMargin
+
+  /** LEFT SEMI: customers having ≥1 urgent-priority order (semi join
+    * yields each customer at most once regardless of match count).
+    */
+  def clientsWithUrgentOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"))
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey").as("client_id"))
+      .orderBy(col("client_id"))
+  }
+
+  val clientsWithUrgentOrdersSql: String =
+    """SELECT c_custkey AS client_id FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders a
+      |  WHERE a.o_custkey = c.c_custkey AND a.o_orderpriority = '1-URGENT')
+      |ORDER BY client_id""".stripMargin
+
+  /** Distinct aggregation: unique users + events per event_type. */
+  def distinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  val distinctUsersSql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** ROLLUP over (status, priority): per-combination, per-status
+    * subtotal, and grand-total rows; GROUPING() flags disambiguate the
+    * NULLs so the sort is total and engine-portable.
+    */
+  def rollupOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        // grouping() is only valid inside the rollup's own Aggregate
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+      .select(
+        col("g_status"), col("g_priority"),
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("g_status"), col("g_priority"), col("status"), col("priority"))
+
+  val rollupOrdersSql: String =
+    """SELECT
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+      |  o_orderstatus AS status,
+      |  o_orderpriority AS priority,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_priority, status, priority""".stripMargin
+
+  /** INTERSECT (distinct set semantics): users who both clicked and
+    * purchased.
+    */
+  def usersClickAndPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    e.filter(col("event_type") === "click").select(col("user_id"))
+      .intersect(e.filter(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  val usersClickAndPurchaseSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |INTERSECT
+      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin
+
+  /** Aggregation window frame: per-order running total of quantity in
+    * line-number order (ROWS UNBOUNDED PRECEDING..CURRENT), the frame
+    * shape the reference never uses.
+    */
+  def runningLineTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") <= 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("qty"))
+      .withColumn("running_qty", sum(col("qty")).over(w))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val runningLineTotalsSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_quantity AS DOUBLE) AS qty,
+      |  SUM(CAST(l_quantity AS DOUBLE)) OVER (
+      |    PARTITION BY l_orderkey ORDER BY l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+      |FROM lineitem
+      |WHERE l_orderkey <= 100
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+}

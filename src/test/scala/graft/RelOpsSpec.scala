@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RelOps
+
+class RelOpsSpec extends SparkSpec {
+
+  test("outer join keeps every client; positive counts match distinct order owners") {
+    val outer = RelOps.outerOrderCounts(spark, sf)
+    assert(outer.count() === Tables.customer(spark, sf).count()) // every client
+    val withOrders = outer.filter(col("order_count") > 0).count()
+    val ordering = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(withOrders === ordering)
+    // count(col) semantics: total equals the orders row count
+    assert(outer.agg(sum("order_count")).head().getLong(0) ===
+      Tables.orders(spark, sf).count())
+  }
+
+  test("semi + anti partition the customer set on the urgent predicate") {
+    val semi = RelOps.clientsWithUrgentOrders(spark, sf).count()
+    val anti = RelOps.clientsWithoutOrders(spark, sf).count()
+    assert(semi + anti === Tables.customer(spark, sf).count())
+    assert(semi > 0 && anti > 0)
+  }
+
+  test("rollup has per-pair rows, per-status subtotals, one grand total") {
+    val r = RelOps.rollupOrders(spark, sf).collect()
+    val grand = r.filter(x => x.getLong(0) == 1 && x.getLong(1) == 1)
+    assert(grand.length === 1)
+    assert(grand.head.getLong(4) === Tables.orders(spark, sf).count())
+    val statusSubtotals = r.filter(x => x.getLong(0) == 0 && x.getLong(1) == 1)
+    val detail = r.filter(x => x.getLong(0) == 0 && x.getLong(1) == 0)
+    assert(statusSubtotals.map(_.getLong(4)).sum === grand.head.getLong(4))
+    assert(detail.map(_.getLong(4)).sum === grand.head.getLong(4))
+  }
+
+  test("running totals end at the per-order sum") {
+    val rt = RelOps.runningLineTotals(spark, sf)
+    val last = rt.groupBy("l_orderkey").agg(
+      max(col("running_qty")).as("final_run"), sum(col("qty")).as("total"))
+    assert(last.filter(abs(col("final_run") - col("total")) > 1e-9).count() === 0)
+  }
+
+  test("intersect users appear in both event types") {
+    val both = RelOps.usersClickAndPurchase(spark, sf).collect().map(_.getLong(0)).toSet
+    val e = Tables.events(spark, sf)
+    val click = e.filter(col("event_type") === "click")
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    val buy = e.filter(col("event_type") === "purchase")
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(both === click.intersect(buy))
+  }
+}
