@@ -58,6 +58,41 @@ object Pipeline {
     Result(clients.count(), accounts.count(), transactions.count())
   }
 
+  /** Scale variant of [[run]]: transactions ingest goes through the
+    * DataSourceV2 paginated-HTTP connector — executors fetch page
+    * ranges in parallel and `from_json` applies the pinned schema
+    * declaratively — instead of the driver-side loop. Same cleaning,
+    * views, and completion line.
+    */
+  def runWithConnector(spark: SparkSession, baseUrl: String, token: Option[String],
+                       limit: Int = 1000, maxPages: Int = 300): Result = {
+    val fetch = new HttpFetch(bearerToken = token)
+    val accounts = CsvHttpSource.readOrEmpty(
+      spark, s"$baseUrl/download/accounts.csv", RefSchemas.accounts, fetch)
+    val clients = CsvHttpSource.readOrEmpty(
+      spark, s"$baseUrl/download/clients.csv", RefSchemas.clients, fetch)
+    val reader = spark.read
+      .format("graft.sources.v2.PaginatedHttpTableProvider")
+      .option("url", s"$baseUrl/transactions")
+      .option("pages", maxPages + 1)
+      .option("limit", limit)
+    val raw = token.foldLeft(reader)((r, t) => r.option("token", t)).load()
+    // pinned-schema declarative parse of the connector's raw JSON rows
+    val txSchema = org.apache.spark.sql.types.StructType(
+      RefSchemas.transactions.fields.map(f =>
+        f.copy(dataType = org.apache.spark.sql.types.StringType)))
+    val parsed = raw.select(col("arrival_idx"),
+        from_json(col("raw"), txSchema).as("r"))
+      .select(col("arrival_idx") +: RefSchemas.transactions.fieldNames
+        .map(n => col(s"r.$n").as(n)): _*)
+    val transactions = cleanTransactions(spark, parsed)
+    accounts.createOrReplaceTempView("accounts")
+    clients.createOrReplaceTempView("clients")
+    transactions.createOrReplaceTempView("transactions")
+    createViews(spark)
+    Result(clients.count(), accounts.count(), transactions.count())
+  }
+
   /** clean_transactions_data (main.py:121-126): typed projection,
     * first-wins dedup on (timestamp, account_id) by arrival order,
     * amount coerce-else-zero. Empty/short inputs pass through (T4).

@@ -76,6 +76,19 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("DSv2-connector pipeline variant matches the driver-side pipeline") {
+    serve { base =>
+      val r1 = Pipeline.run(spark, base, Some("tok"), limit = 5, retrySleepMillis = 1)
+      val views = Seq("client_transaction_counts", "monthly_transaction_summary",
+        "high_transaction_accounts").map(v => spark.sql(s"SELECT * FROM $v").collect().toSeq)
+      val r2 = Pipeline.runWithConnector(spark, base, Some("tok"), limit = 5)
+      val views2 = Seq("client_transaction_counts", "monthly_transaction_summary",
+        "high_transaction_accounts").map(v => spark.sql(s"SELECT * FROM $v").collect().toSeq)
+      assert(r2 === r1)
+      assert(views2 === views)
+    }
+  }
+
   test("pipeline survives a dead transactions endpoint (S4 empty fallback)") {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: HttpExchange) => {
