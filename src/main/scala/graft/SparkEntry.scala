@@ -36,6 +36,7 @@ object SparkEntry {
     "q_distinct_users"    -> (RelOps.distinctUsers _),
     "q_rollup_orders"     -> (RelOps.rollupOrders _),
     "q_intersect_users"   -> (RelOps.usersClickAndPurchase _),
+    "q_except_users"      -> (RelOps.usersClickNoPurchase _),
     "q_running_totals"    -> (RelOps.runningLineTotals _),
     // §2b — event analytics
     "q_json_extract"      -> (EventOps.jsonExtract _),
@@ -86,6 +87,7 @@ object SparkEntry {
     "q_distinct_users"    -> RelOps.distinctUsersSql,
     "q_rollup_orders"     -> RelOps.rollupOrdersSql,
     "q_intersect_users"   -> RelOps.usersClickAndPurchaseSql,
+    "q_except_users"      -> RelOps.usersClickNoPurchaseSql,
     "q_running_totals"    -> RelOps.runningLineTotalsSql,
     "q_json_extract"      -> EventOps.jsonExtractSql,
     "q_event_windows"     -> EventOps.eventWindowsSql,

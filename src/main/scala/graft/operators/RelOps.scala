@@ -147,6 +147,23 @@ object RelOps {
       |SELECT user_id FROM events WHERE event_type = 'purchase'
       |ORDER BY user_id""".stripMargin
 
+  /** EXCEPT (distinct): users who clicked but never purchased —
+    * completes the set-operation trio with T1's UNION ALL and
+    * [[usersClickAndPurchase]]'s INTERSECT.
+    */
+  def usersClickNoPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    e.filter(col("event_type") === "click").select(col("user_id"))
+      .except(e.filter(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  val usersClickNoPurchaseSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin
+
   /** Aggregation window frame: per-order running total of quantity in
     * line-number order (ROWS UNBOUNDED PRECEDING..CURRENT), the frame
     * shape the reference never uses.

@@ -49,6 +49,30 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("n_events"), col("value_sum"))
 
+  /** Stream-stream inner join: match each user's click to their
+    * purchases within the next `joinWindow` (event time). Both sides
+    * carry watermarks, and the join condition bounds purchase time
+    * relative to click time — the two constraints together let the
+    * state store evict rows once they can no longer match, so state
+    * size tracks the time bound, not stream length.
+    */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+                      joinWindow: String = "30 minutes",
+                      watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $joinWindow"))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Custom-state streaming first-wins dedup (the streaming analog of
     * Cleaning.dedupFirstKeepFirst): per key, emit only the first event
     * ever seen; state is one boolean per key. Production configs should

@@ -59,6 +59,28 @@ class EventStreamSpec extends SparkSpec {
     assert(rows === Seq(("u1", 2L), ("u1", 1L), ("u2", 1L)))
   }
 
+  test("stream-stream join matches purchases within the click window") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[StreamEvent]
+    val purchases = MemoryStream[StreamEvent]
+    val out = EventStream.clickToPurchase(clicks.toDF(), purchases.toDF(),
+      joinWindow = "30 minutes", watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    clicks.addData(ev(1, "u1", 10, 0), ev(2, "u2", 10, 0))
+    purchases.addData(
+      ev(10, "u1", 25, 9.99),   // 15 min after u1 click → match
+      ev(11, "u1", 100, 5.0),   // 90 min after → outside window
+      ev(12, "u3", 12, 1.0))    // no click → no match
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_join")
+      .select("user_id", "click_id", "purchase_value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows === Seq(("u1", 1L, 9.99)))
+  }
+
   test("dedupFirstStream emits only the first event per key across batches") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext
