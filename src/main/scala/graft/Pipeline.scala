@@ -85,6 +85,10 @@ object Pipeline {
         from_json(col("raw"), txSchema).as("r"))
       .select(col("arrival_idx") +: RefSchemas.transactions.fieldNames
         .map(n => col(s"r.$n").as(n)): _*)
+      // materialize ONE fetch pass: isEmpty, the counts, and every later
+      // view query would otherwise re-issue all HTTP page fetches (and a
+      // live endpoint could change between actions)
+      .localCheckpoint()
     val transactions = cleanTransactions(spark, parsed)
     accounts.createOrReplaceTempView("accounts")
     clients.createOrReplaceTempView("clients")

@@ -38,6 +38,15 @@ case class BitmapIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "bitmap_intersect_count"
 
+  // a null ELEMENT nulls the result (a bitmap with a missing word has
+  // no well-defined intersection; silently reading 0 would undercount)
+  override def nullable: Boolean = super.nullable || elementsNullable
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -45,6 +54,7 @@ case class BitmapIntersectCount(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += java.lang.Long.bitCount(x.getLong(i) & y.getLong(i))
       i += 1
     }
@@ -56,13 +66,17 @@ case class BitmapIntersectCount(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck = if (elementsNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += java.lang.Long.bitCount($a.getLong($i) & $b.getLong($i));
          |}
-         |${ev.value} = $acc;
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
        """.stripMargin
     })
 

@@ -38,6 +38,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
 
+  // a null ELEMENT nulls the result (matching the HOF composition, where
+  // a null product poisons the fold) — so the expression is nullable
+  // even over non-null array columns when elements may be null
+  override def nullable: Boolean = super.nullable || elementsNullable
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -45,6 +55,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv; na += xv * xv; nb += yv * yv
@@ -62,15 +73,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      // element null-checks only emitted when the schema allows nulls —
+      // the common non-null embedding case keeps the branch-free loop
+      val nullCheck = if (elementsNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double $xv = (double) $a.getFloat($i);
          |  double $yv = (double) $b.getFloat($i);
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

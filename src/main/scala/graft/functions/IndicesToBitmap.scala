@@ -39,7 +39,8 @@ case class IndicesToBitmap(left: Expression, right: Expression)
     while (i < n) {
       if (!xs.isNullAt(i)) {
         val idx = xs.getInt(i)
-        if (idx >= 0 && idx < width * 64) {
+        // long bound: width * 64 overflows Int for width > 2^25
+        if (idx >= 0 && idx.toLong < width.toLong * 64) {
           words(idx >>> 6) |= 1L << (idx & 63)
         }
       }

@@ -30,16 +30,8 @@ case class RollingHash(child: Expression, base: Int, mod: Long)
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    var h = 0L
-    var i = 0
-    while (i < bytes.length) {
-      h = (h * base + (bytes(i) & 0xff)) % mod
-      i += 1
-    }
-    h
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash.hashBytes(input.asInstanceOf[UTF8String].getBytes, base, mod)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>

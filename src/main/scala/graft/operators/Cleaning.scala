@@ -33,6 +33,11 @@ object Cleaning {
     * the smallest `arrival` value (pandas drop_duplicates keep='first'
     * semantics made deterministic — main.py:123). One shuffle on the key
     * columns; per-key ordering is partition-local.
+    *
+    * CONTRACT: `arrival` must be unique within each key group (an
+    * ingestion-assigned index like arrival_idx/event_id). With duplicate
+    * arrival values the surviving row is partition-order dependent —
+    * exactly the nondeterminism this operator exists to remove.
     */
   def dedupFirstKeepFirst(df: DataFrame, keys: Seq[String], arrival: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(arrival))

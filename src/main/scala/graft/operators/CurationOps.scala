@@ -60,7 +60,9 @@ object CurationOps {
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("stream_start", sum(col("n_tokens")).over(byDoc) - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
-        (col("stream_start") / budget).cast("long").as("bin_id"),
+        // integer `div`, not `/` + cast: double division loses exactness
+        // above 2^53 (same rule as the nanos floor in Tables.scala)
+        expr(s"stream_start div $budget").as("bin_id"),
         (col("stream_start") % budget).as("bin_offset"))
       .orderBy(col("doc_id"))
   }

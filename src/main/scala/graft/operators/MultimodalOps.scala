@@ -79,5 +79,8 @@ object MultimodalOps {
     */
   def sampleFrames(df: DataFrame, frameCountCol: String, every: Int): DataFrame =
     df.withColumn("frame_idx",
-      explode(sequence(lit(0), greatest(col(frameCountCol) - 1, lit(0)), lit(every))))
+      // zero-frame items contribute NO rows (explode drops empty arrays)
+      explode(when(col(frameCountCol) > 0,
+        sequence(lit(0), col(frameCountCol) - 1, lit(every)))
+        .otherwise(array())))
 }

@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.nio.file.Files
-
 import scala.util.{Failure, Success, Try}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -9,8 +7,13 @@ import org.apache.spark.sql.types.StructType
 
 /** HTTP CSV ingestion (SURVEY.md S1/S2, main.py:62-87): one driver-side
   * GET (the reference's CSVs are single small files — accounts/clients),
-  * spill to a temp file, then `spark.read.csv` with header + either an
-  * explicit pinned schema or inference.
+  * then `spark.read.csv` over a `Dataset[String]` of the lines with
+  * header + either an explicit pinned schema or inference. The dataset
+  * route (not a driver-local temp file) keeps the parse cluster-safe —
+  * executors can't read the driver's /tmp on a real deployment.
+  * Limitation vs file-based reads: quoted fields with EMBEDDED NEWLINES
+  * aren't reassembled (each dataset element is one record line); the
+  * reference's account/client exports are single-line records.
   *
   * Failure semantics reproduce S4 (main.py:71-73): any ingest error
   * degrades to an EMPTY relation with the pinned schema and the
@@ -26,14 +29,13 @@ object CsvHttpSource {
 
   def read(spark: SparkSession, url: String, schema: Option[StructType],
            fetch: HttpFetch): DataFrame = {
-    val bytes = fetch.get(url)
-    val tmp = Files.createTempFile("graft-csv-", ".csv")
-    tmp.toFile.deleteOnExit()
-    Files.write(tmp, bytes)
+    import spark.implicits._
+    val text = fetch.getString(url)
+    val lines = text.split("\r?\n").toIndexedSeq.filter(_.nonEmpty).toDS()
     val reader = spark.read.option("header", "true")
     schema match {
-      case Some(s) => reader.schema(s).csv(tmp.toString)
-      case None    => reader.option("inferSchema", "true").csv(tmp.toString)
+      case Some(s) => reader.schema(s).csv(lines)
+      case None    => reader.option("inferSchema", "true").csv(lines)
     }
   }
 

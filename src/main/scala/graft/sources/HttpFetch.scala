@@ -14,7 +14,11 @@ class HttpFetch(timeoutSeconds: Int = 10, bearerToken: Option[String] = None)
     extends Serializable {
 
   @transient private lazy val client: HttpClient =
-    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(timeoutSeconds)).build()
+    HttpClient.newBuilder()
+      .connectTimeout(Duration.ofSeconds(timeoutSeconds))
+      // requests.get follows redirects; HttpClient's default is NEVER
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .build()
 
   def get(url: String): Array[Byte] = {
     val builder = HttpRequest.newBuilder(URI.create(url))

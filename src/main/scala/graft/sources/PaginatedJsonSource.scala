@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
 object PaginatedJsonSource {
 
   /** Split the elements of the page's results array, as raw JSON
-    * strings. Handles nested objects/arrays and quoted strings with
-    * escapes; tolerates a bare top-level array payload.
+    * strings — objects, arrays, AND scalars (comma-split at array
+    * depth, string/escape-aware). Tolerates a bare top-level array
+    * payload.
     */
   def pageElements(body: String): Seq[String] = {
     val trimmed = body.trim
@@ -38,30 +39,33 @@ object PaginatedJsonSource {
     }
     if (arrStart < 0) return Seq.empty
     val out = Seq.newBuilder[String]
-    var depth = 0
+    val sb = new StringBuilder
+    var depth = 1 // inside the results '['
     var inStr = false
     var esc = false
-    var elemStart = -1
-    var i = arrStart
+    var i = arrStart + 1
     var done = false
+    def flush(): Unit = {
+      val s = sb.toString.trim
+      if (s.nonEmpty) out += s
+      sb.clear()
+    }
     while (i < trimmed.length && !done) {
       val c = trimmed.charAt(i)
       if (inStr) {
+        sb.append(c)
         if (esc) esc = false
         else if (c == '\\') esc = true
         else if (c == '"') inStr = false
       } else c match {
-        case '"' => inStr = true
-        case '[' | '{' =>
-          depth += 1
-          if (depth == 2 && elemStart < 0) elemStart = i
+        case '"' => inStr = true; sb.append(c)
+        case '[' | '{' => depth += 1; sb.append(c)
         case ']' | '}' =>
           depth -= 1
-          if (depth == 1 && elemStart >= 0) {
-            out += trimmed.substring(elemStart, i + 1)
-            elemStart = -1
-          } else if (depth == 0) done = true // end of results array
-        case _ =>
+          if (depth == 0) { flush(); done = true } // end of results array
+          else sb.append(c)
+        case ',' if depth == 1 => flush()
+        case other => sb.append(other)
       }
       i += 1
     }

@@ -27,10 +27,23 @@ class FunctionsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
-  test("BitmapIntersectCount null propagates") {
+  test("BitmapIntersectCount null propagates (whole array AND elements)") {
     val s = spark; import s.implicits._
     val df = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
     assert(df.select(BitmapIntersectCount(col("a"), col("b"))).head().isNullAt(0))
+    val withNullElem = Seq((Seq(Some(1L), None), Seq(Some(1L), Some(2L))))
+      .toDF("a", "b")
+    assert(withNullElem.select(BitmapIntersectCount(col("a"), col("b")))
+      .head().isNullAt(0))
+  }
+
+  test("CosineSimilarity: null element nulls the result, like the HOF form") {
+    val s = spark; import s.implicits._
+    val df = Seq((Seq(Option(1f), None), Seq(Option(1f), Option(0f))))
+      .toDF("a", "b")
+    val native = df.select(graft.functions.CosineSimilarity(col("a"), col("b"))).head()
+    val hof = df.select(graft.operators.SimilarityOps.cosineHof(col("a"), col("b"))).head()
+    assert(native.isNullAt(0) && hof.isNullAt(0))
   }
 
   test("codegen and interpreted paths agree") {

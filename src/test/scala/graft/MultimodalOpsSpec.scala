@@ -21,13 +21,14 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(got === again)
   }
 
-  test("sampleFrames emits every k-th frame index") {
+  test("sampleFrames emits every k-th frame index; zero-frame items emit none") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 10), (2L, 1), (3L, 0)).toDF("item", "n_frames")
     val got = MultimodalOps.sampleFrames(df, "n_frames", 4)
       .groupBy("item").agg(collect_list("frame_idx").as("f"))
-      .orderBy("item").collect().map(_.getSeq[Int](1)).toSeq
-    assert(got === Seq(Seq(0, 4, 8), Seq(0), Seq(0)))
+      .orderBy("item").collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    assert(got === Map(1L -> Seq(0, 4, 8), 2L -> Seq(0)))
+    assert(!got.contains(3L)) // corrupt/zero-frame item → no phantom frame 0
   }
 
   test("multimodalMeta: payload bytes length matches text length for ASCII") {

@@ -103,12 +103,17 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
-  test("pageElements handles nesting, escapes, and bare arrays") {
+  test("pageElements handles nesting, escapes, bare arrays, and scalars") {
     assert(PaginatedJsonSource.pageElements("""{"results": []}""") === Seq.empty)
     assert(PaginatedJsonSource.pageElements(
       """{"results": [{"a": "x,]}\" y", "b": {"c": [1,2]}}, {"d": 2}]}""")
       === Seq("""{"a": "x,]}\" y", "b": {"c": [1,2]}}""", """{"d": 2}"""))
     assert(PaginatedJsonSource.pageElements("""[{"a": 1}]""") === Seq("""{"a": 1}"""))
+    // scalar elements must not be dropped (pd.DataFrame accepts them)
+    assert(PaginatedJsonSource.pageElements("""{"results": [1, 2, 3]}""")
+      === Seq("1", "2", "3"))
+    assert(PaginatedJsonSource.pageElements("""{"results": ["a,b", true, null]}""")
+      === Seq("\"a,b\"", "true", "null"))
   }
 
   test("DSv2 connector: page ranges fetched by executors, parsed declaratively") {
