@@ -27,14 +27,18 @@ class FunctionsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
-  test("BitmapIntersectCount null propagates (whole array AND elements)") {
+  test("BitmapIntersectCount: whole-array null propagates; nullable ELEMENTS rejected") {
     val s = spark; import s.implicits._
     val df = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
     assert(df.select(BitmapIntersectCount(col("a"), col("b"))).head().isNullAt(0))
+    // nullable elements fail at ANALYSIS time (no silent undercount, no
+    // per-element branch in the hot pair loop)
     val withNullElem = Seq((Seq(Some(1L), None), Seq(Some(1L), Some(2L))))
       .toDF("a", "b")
-    assert(withNullElem.select(BitmapIntersectCount(col("a"), col("b")))
-      .head().isNullAt(0))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      withNullElem.select(BitmapIntersectCount(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("indices_to_bitmap"))
   }
 
   test("CosineSimilarity: null element nulls the result, like the HOF form") {
