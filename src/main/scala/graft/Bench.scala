@@ -1,6 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Round-2 per-query best-of-2 minima (BENCH_r02.json, sf0.1,
+    * local[32]) — the regression reference: any query whose current min
+    * exceeds 1.5× its entry here is flagged in the output instead of
+    * being silently absorbed into the total.
+    */
+  private val r2Min: Map[String, Double] = Map(
+    "q_event_windows" -> 1.861, "q_user_sessions" -> 2.285,
+    "q_pack_sequences" -> 0.472, "q_client_txn_counts" -> 0.991,
+    "q_doc_fingerprint" -> 0.336, "q_dedup_first" -> 1.618,
+    "q_json_extract" -> 2.992, "q_embedding_stats" -> 0.450,
+    "q_rolling_fingerprint" -> 0.323, "q_monthly_summary" -> 6.311,
+    "q_except_users" -> 0.622, "q_semi_urgent" -> 0.336,
+    "q_union_pages" -> 0.481, "q_multimodal_meta" -> 0.249,
+    "q_simhash_neardup" -> 5.884, "q_anti_clients" -> 0.314,
+    "q_embedding_neardup" -> 1.060, "q_simhash" -> 0.709,
+    "q_doc_dedup" -> 0.655, "q_running_totals" -> 0.190,
+    "q_ann_lsh_topk" -> 0.585, "q_count" -> 0.356,
+    "q_intersect_users" -> 0.778, "q_lang_ngram" -> 2.255,
+    "q_coerce_fill" -> 1.291, "q_sample_stratified" -> 1.001,
+    "q_high_txn_accounts" -> 1.114, "q_quality_score" -> 0.384,
+    "q_rollup_orders" -> 0.238, "q_outer_counts" -> 0.245,
+    "q_minhash_lsh" -> 4.617, "q_pii_scrub" -> 0.175,
+    "q_ivf_topk" -> 0.724, "q_bpe_tokens" -> 0.214,
+    "q_distinct_users" -> 0.366, "q_ngram_jaccard" -> 9.130,
+    "q_knn_cosine" -> 3.722, "q_token_counts" -> 4.512,
+    "q_lang_id" -> 1.089)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -28,18 +56,42 @@ object Bench {
     // Best-of-2 per query: this host's virtual disk has intermittent
     // multi-second IO stalls that would otherwise be attributed to
     // whichever query they land on; min-of-two reflects the plan cost.
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed run records its error — NOT the elapsed time of the
+    // failure, which would masquerade as a speedup.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(once(fn), once(fn))
+    val runs = SparkEntry.queries.map { case (name, fn) =>
+      name -> (once(fn), once(fn))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = runs.collect {
+      case (name, (Left(e), Left(_))) => name -> e
+      case (name, (Left(e), Right(_))) => name -> e
+      case (name, (Right(_), Left(e))) => name -> e
+    }
+    val times = runs.collect { case (name, (a, b)) =>
+      val ok = Seq(a, b).collect { case Right(t) => t }
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
+    val regressions = times.collect {
+      case (name, t) if t > 0 && r2Min.get(name).exists(prev => t > 1.5 * prev) =>
+        name -> (t / r2Min(name))
+    }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = times.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val regJson = regressions.map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val total = times.values.filter(_ > 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errJson,"regressions_vs_r2":$regJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

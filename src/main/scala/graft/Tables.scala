@@ -28,6 +28,13 @@ object Tables {
     * parallelism. The check is one filesystem metadata call (NOT
     * `df.rdd.getNumPartitions`, which compiles the whole plan); at real
     * scale tables are far over the threshold and this is a no-op.
+    *
+    * OPT-IN at the operator layer (the `*Fanned` readers), never baked
+    * into every read: cheap aggregation queries whose first shuffle
+    * redistributes anyway (e.g. a 5-group json_extract) only pay for the
+    * extra exchange — baking it in regressed such queries 8× in round 2.
+    * Catalyst's ColumnPruning pushes projections below the round-robin
+    * Repartition, so fanning never shuffles columns the query drops.
     */
   private def ensureParallelism(spark: SparkSession, path: String, df: DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -36,6 +43,19 @@ object Tables {
       .getOrElse(false)
     if (small) df.repartition(spark.sparkContext.defaultParallelism) else df
   }
+
+  /** `documents` fanned to full parallelism — for operators whose
+    * row-local work (shingling, signature hashing, regex scoring)
+    * dominates and happens BEFORE any shuffle.
+    */
+  def documentsFanned(spark: SparkSession, sfDir: String): DataFrame =
+    ensureParallelism(spark, s"$sfDir/documents.parquet", documents(spark, sfDir))
+
+  /** `embeddings` fanned to full parallelism — for vector-scoring
+    * operators (the O(d) per-row arithmetic runs pre-shuffle).
+    */
+  def embeddingsFanned(spark: SparkSession, sfDir: String): DataFrame =
+    ensureParallelism(spark, s"$sfDir/embeddings.parquet", embeddings(spark, sfDir))
 
   /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's reader
     * rejects ([PARQUET_TYPE_ILLEGAL]). Sessions set
@@ -61,11 +81,11 @@ object Tables {
   def orders(spark: SparkSession, sfDir: String): DataFrame     = read(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = read(spark, sfDir, "lineitem")
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    eventsWithTs(ensureParallelism(spark, s"$sfDir/events.parquet", read(spark, sfDir, "events")))
+    eventsWithTs(read(spark, sfDir, "events"))
   def documents(spark: SparkSession, sfDir: String): DataFrame =
-    ensureParallelism(spark, s"$sfDir/documents.parquet", read(spark, sfDir, "documents"))
+    read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
-    ensureParallelism(spark, s"$sfDir/embeddings.parquet", read(spark, sfDir, "embeddings"))
+    read(spark, sfDir, "embeddings")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = read(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame     = read(spark, sfDir, "region")
   def supplier(spark: SparkSession, sfDir: String): DataFrame   = read(spark, sfDir, "supplier")

@@ -50,15 +50,51 @@ object CurationOps {
     * stream chunked into fixed 2048-token sequences; each doc gets the
     * bin its FIRST token lands in plus its offset there. Token count =
     * whitespace-ish tokens (TextOps.tokens).
+    *
+    * The global prefix sum is a **two-pass distributed scan**, never a
+    * single global window (a `Window.orderBy` with no partitionBy drags
+    * the whole corpus to ONE partition — an OOM at scale):
+    *
+    *  1. docs bucket into fixed doc_id ranges (`chunk = doc_id div W`,
+    *     ≤ W docs per chunk by construction, so no skew); per-chunk
+    *     token totals aggregate distributed (map-side partial agg) and
+    *     collect to the driver — ONE small row per chunk, ~n/W rows
+    *     (at 10⁹ docs and W=4096 that is ~250K rows ≈ a few MB).
+    *  2. the driver runs the exclusive scan over chunk totals (trivial
+    *     sequential loop), the resulting per-chunk stream offsets
+    *     broadcast-join back, and the within-chunk prefix sum is a
+    *     `Window.partitionBy(chunk).orderBy(doc_id)` — fully parallel,
+    *     bounded partitions.
+    *
+    * stream_start = chunk_offset + within-chunk prefix. Identical math
+    * to the naive global window; the oracle is unchanged.
     */
   def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
     val budget = 2048L
-    val byDoc = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, sfDir)
+    val chunkWidth = 4096L
+    // (doc_id, n_tokens, chunk) is three longs/row — materialize once so
+    // the totals pass and the final pass don't both re-tokenize the corpus
+    val toks = Tables.documentsFanned(spark, sfDir)
       .select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("stream_start", sum(col("n_tokens")).over(byDoc) - col("n_tokens"))
+      .withColumn("chunk", expr(s"doc_id div $chunkWidth"))
+      .localCheckpoint()
+    // Pass 1: per-chunk totals → driver-side exclusive scan.
+    val totals = toks.groupBy(col("chunk")).agg(sum(col("n_tokens")).as("tot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val exclusive = totals.map { case (chunk, tot) =>
+      val off = acc; acc += tot; (chunk, off)
+    }
+    val offsetsDf = spark.createDataFrame(exclusive.toSeq)
+      .toDF("chunk", "chunk_offset")
+    // Pass 2: within-chunk prefix sum (partitioned window) + broadcast
+    // chunk offsets.
+    val withinChunk = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(broadcast(offsetsDf), "chunk")
+      .withColumn("stream_start",
+        col("chunk_offset") + sum(col("n_tokens")).over(withinChunk) - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
         // integer `div`, not `/` + cast: double division loses exactness
         // above 2^53 (same rule as the nanos floor in Tables.scala)
@@ -80,7 +116,9 @@ object CurationOps {
       |  FROM t)
       |SELECT doc_id, n_tokens,
       |  CAST(stream_start // 2048 AS BIGINT) AS bin_id,
-      |  stream_start % 2048 AS bin_offset
+      |  -- CAST matters: DuckDB's window SUM(BIGINT) widens to HUGEINT, so
+      |  -- without it bin_offset hashes as HUGEINT vs Spark's BIGINT
+      |  CAST(stream_start % 2048 AS BIGINT) AS bin_offset
       |FROM s
       |ORDER BY doc_id""".stripMargin
 
@@ -96,7 +134,7 @@ object CurationOps {
     val scrubbed = regexp_replace(
       regexp_replace(col("text"), emailPattern, "<EMAIL>"),
       longNumberPattern, "<NUM>")
-    Tables.documents(spark, sfDir)
+    Tables.documentsFanned(spark, sfDir)
       .select(col("doc_id"),
         size(regexp_extract_all(col("text"), lit(emailPattern), lit(0)))
           .cast("long").as("n_emails"),

@@ -90,7 +90,7 @@ object DedupOps {
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val n = 5
-    val docs = Tables.documents(spark, sfDir)
+    val docs = Tables.documentsFanned(spark, sfDir)
       .filter(length(col("text")) >= n)
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
     jaccardNearDupPairs(docs, 0.5)
@@ -112,16 +112,24 @@ object DedupOps {
     // Runtime stats for the strategy choice (one cheap count job each —
     // the all-pairs compare that follows dwarfs them).
     val vocabSize = vocab.count()
-    if (vocabSize <= MaxBitmapVocab && d.count() <= MaxBitmapDocs)
+    if (useBitmapStrategy(vocabSize, d.count()))
       bitmapAllPairsJaccard(d, inv, vocab, vocabSize.toInt, t)
     else prefixFilterJaccard(d, inv, t)
   }
 
+  /** Strategy gate, factored out so the crossover is unit-testable. */
+  private[graft] def useBitmapStrategy(vocabSize: Long, nDocs: Long): Boolean =
+    vocabSize <= MaxBitmapVocab && nDocs * (nDocs - 1) / 2 <= MaxBitmapPairs
+
   /** Bitmap path constants: vocabulary must fit a small fixed-width
-    * bitmap and the per-doc bitmap table must be broadcastable.
+    * bitmap, and — since the bitmap path compares EVERY doc pair — the
+    * gate is a **pair budget**, not a doc count: n·(n−1)/2 ≤ 10⁸ keeps
+    * the BNLJ under ~10⁸ popcount loops (~seconds across a cluster,
+    * and the ≲14K-row bitmap side trivially broadcastable). A raw doc
+    * cap of 10⁵ would have admitted 5×10⁹ pairs — 50× over budget.
     */
   val MaxBitmapVocab = 65536L
-  val MaxBitmapDocs = 100000L
+  val MaxBitmapPairs = 100000000L
 
   /** Dense-vocab exact Jaccard: per-doc bitmaps + popcount over a
     * broadcast nested-loop self-join. `localCheckpoint` materializes the
@@ -131,11 +139,16 @@ object DedupOps {
       docs: DataFrame, inv: DataFrame, vocab: DataFrame,
       vocabSize: Int, t: Double): DataFrame = {
     import graft.functions.{BitmapIntersectCount, IndicesToBitmap}
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("shingle"))
     val width = (vocabSize + 63) / 64
-    // vocab is ≤64K rows — the single-partition row_number window is fine
-    val indexed = vocab.select(col("shingle"), (row_number().over(w) - 1).as("idx"))
-    val bm = inv.join(indexed, "shingle")
+    // vocab is ≤64K rows (strategy gate) — index it on the driver and
+    // broadcast, rather than an unpartitioned row_number window (which
+    // would drag the frame to one partition and warn in every run)
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val idxRows = vocab.orderBy(col("shingle")).collect()
+      .map(_.getString(0)).zipWithIndex.toSeq
+    val indexed = idxRows.toDF("shingle", "idx")
+    val bm = inv.join(broadcast(indexed), "shingle")
       .groupBy(col("doc_id"))
       .agg(collect_list(col("idx")).as("idxs"))
       .select(col("doc_id"),
@@ -228,7 +241,7 @@ object DedupOps {
     * per doc; no join, no skew risk (doc_id keys are unique).
     */
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
-    simhashSignatures(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))
+    simhashSignatures(Tables.documentsFanned(spark, sfDir)).orderBy(col("doc_id"))
 
   /** Core: (doc_id, simhash: long) for a (doc_id, text) frame. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
@@ -280,7 +293,7 @@ object DedupOps {
   def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val maxHamming = 2
     // materialized: the band self-join reads the signatures twice
-    val sig = simhashSignatures(Tables.documents(spark, sfDir)).localCheckpoint()
+    val sig = simhashSignatures(Tables.documentsFanned(spark, sfDir)).localCheckpoint()
     // 3 bands: bits [0,11), [11,22), [22,32)
     val bandsOf = Seq((0, 11), (11, 11), (22, 10))
     val bands = sig.select(col("doc_id"), col("simhash"),
@@ -330,7 +343,7 @@ object DedupOps {
     val n = 5
     val nHashes = 8
     val rowsPerBand = 2
-    val docs = Tables.documents(spark, sfDir)
+    val docs = Tables.documentsFanned(spark, sfDir)
       .filter(length(col("text")) >= n)
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
     // Row-level (NOT higher-order-function) hashing: HOF lambdas are

@@ -27,7 +27,7 @@ object MultimodalOps {
     * query is the oracle-checked surface: byte length + content md5.
     */
   def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.documents(spark, sfDir)
+    Tables.documentsFanned(spark, sfDir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .select(
         col("doc_id"),

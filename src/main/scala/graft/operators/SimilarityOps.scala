@@ -51,7 +51,7 @@ object SimilarityOps {
     * ~1e-13 float-accumulation-order noise.
     */
   def knnCosine(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
+    val e = Tables.embeddingsFanned(spark, sfDir)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
@@ -86,7 +86,7 @@ object SimilarityOps {
     * agree at 4 decimals.
     */
   def embeddingStats(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.embeddings(spark, sfDir)
+    Tables.embeddingsFanned(spark, sfDir)
       .select(col("label"), round(norm(col("embedding")), 6).as("nrm"))
       .groupBy(col("label"))
       .agg(
@@ -140,7 +140,7 @@ object SimilarityOps {
     */
   def annLshTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val nPlanes = 8; val dim = 64
-    val e = Tables.embeddings(spark, sfDir)
+    val e = Tables.embeddingsFanned(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         annBucket(col("embedding"), nPlanes, dim).as("bucket"))
     val q = e.filter(col("vec_id") === 0)
@@ -164,7 +164,7 @@ object SimilarityOps {
     * buckets: same scoring code, one shuffle on the bucket key.
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val e = Tables.embeddingsFanned(spark, sfDir).select(col("vec_id"), col("embedding"))
     val a = e.as("a"); val b = e.as("b")
     a.join(broadcast(b), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -199,7 +199,7 @@ object SimilarityOps {
     */
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val nProbe = 2
-    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val e = Tables.embeddingsFanned(spark, sfDir).select(col("vec_id"), col("embedding"))
     val cents = e.filter(col("vec_id").between(1, 16))
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
     val scored = e.crossJoin(broadcast(cents))

@@ -31,7 +31,7 @@ object TextOps {
     * total order, stable under LIMIT.
     */
   def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.documents(spark, sfDir)
+    Tables.documentsFanned(spark, sfDir)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
@@ -61,7 +61,7 @@ object TextOps {
     val charLen = length(col("text")).cast("long")
     val tokChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
     val nPunct = charLen - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")).cast("long")
-    Tables.documents(spark, sfDir)
+    Tables.documentsFanned(spark, sfDir)
       .select(
         col("doc_id"),
         nTok.as("n_tokens"),
@@ -103,7 +103,7 @@ object TextOps {
     * [[rollingFingerprint]] via [[graft.functions.RollingHash]].
     */
   def docFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.documents(spark, sfDir)
+    Tables.documentsFanned(spark, sfDir)
       .select(
         col("doc_id"),
         md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fingerprint"))
@@ -122,7 +122,7 @@ object TextOps {
     */
   def rollingFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
-    Tables.documents(spark, sfDir)
+    Tables.documentsFanned(spark, sfDir)
       .select(col("doc_id"),
         graft.functions.RollingHash(norm).as("fp"))
       .orderBy(col("doc_id"))
@@ -150,7 +150,7 @@ object TextOps {
     "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+|\\s+"
 
   def bpeTokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.documents(spark, sfDir)
+    Tables.documentsFanned(spark, sfDir)
       .select(col("doc_id"),
         size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
           .cast("long").as("n_bpe_tokens"))
@@ -186,7 +186,7 @@ object TextOps {
       ("los", "es"), ("ado", "es"), ("cio", "es"), ("ien", "es"),
       ("der", "de"), ("ein", "de"), ("und", "de"), ("sch", "de"),
     ).toDF("trigram", "profile_lang")
-    val docs = Tables.documents(spark, sfDir)
+    val docs = Tables.documentsFanned(spark, sfDir)
     val grams = docs
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"),
@@ -252,7 +252,7 @@ object TextOps {
       // tokenizer — langId is the join-aggregate skeleton, not a model.
       ("zhong", "zh"), ("guo", "zh"), ("wo", "zh"), ("ni", "zh"),
     ).toDF("token", "marker_lang")
-    val docs = Tables.documents(spark, sfDir)
+    val docs = Tables.documentsFanned(spark, sfDir)
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val scores = toks.join(broadcast(markers), Seq("token"))
       .groupBy(col("doc_id"), col("marker_lang"))

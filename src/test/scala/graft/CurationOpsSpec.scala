@@ -31,6 +31,16 @@ class CurationOpsSpec extends SparkSpec {
     assert(bins === bins.sorted)
   }
 
+  test("packSequences: plan has no single-partition (unpartitioned) window") {
+    val plan = CurationOps.packSequences(spark, sf).queryExecution.optimizedPlan
+    val unpartitioned = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      "global Window.orderBy with no partitionBy drags the corpus to one partition")
+  }
+
   test("PII patterns: emails and long numbers redacted, short numbers kept") {
     val s = spark; import s.implicits._
     val got = Seq("mail me: a.b+c@x-corp.io or call 12345678 ext 42")

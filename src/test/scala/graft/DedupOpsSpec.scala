@@ -31,6 +31,16 @@ class DedupOpsSpec extends SparkSpec {
     assert(bitmap === prefix)
   }
 
+  test("strategy gate is a pair budget, not a doc-count cap") {
+    // crossover at n(n-1)/2 = 1e8 → n ≈ 14143
+    assert(DedupOps.useBitmapStrategy(2000L, 14000L))
+    assert(!DedupOps.useBitmapStrategy(2000L, 15000L))
+    // a raw 100k-doc cap would have admitted 5e9 pairs
+    assert(!DedupOps.useBitmapStrategy(2000L, 100000L))
+    // vocabulary must also fit the fixed-width bitmap
+    assert(!DedupOps.useBitmapStrategy(DedupOps.MaxBitmapVocab + 1, 10L))
+  }
+
   test("jaccardNearDupPairs matches a naive all-pairs cross join (crafted)") {
     val s = spark; import s.implicits._
     val docs = Seq(
