@@ -341,11 +341,19 @@ object DedupOps {
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val n = 5
-    val nHashes = 8
-    val rowsPerBand = 2
     val docs = Tables.documentsFanned(spark, sfDir)
       .filter(length(col("text")) >= n)
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    minhashCandidates(docs).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Library surface: LSH candidate pairs (doc_a, doc_b, n_bands) for any
+    * (doc_id, sh: array<string>) frame — the banding stage of the Broder
+    * pipeline, reusable by [[minhashVerified]].
+    */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val nHashes = 8
+    val rowsPerBand = 2
     // Row-level (NOT higher-order-function) hashing: HOF lambdas are
     // CodegenFallback in Spark, so md5-inside-transform runs interpreted.
     // explode → codegen'd md5 per shingle row → groupBy(doc) with 8
@@ -375,7 +383,66 @@ object DedupOps {
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** The full Broder MinHash pipeline: LSH candidates verified with EXACT
+    * Jaccard on the candidate set only — survivors are pairs with true
+    * J ≥ t. This is the 100 TB near-dup operator: the quadratic work is
+    * confined to bucket-local candidate pairs (linear-ish on real
+    * corpora), and the verification join touches only candidate rows.
+    */
+  def minhashVerified(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = 5
+    val t = 0.5
+    // one materialization feeds both the signature pass and the
+    // verification joins (self-joins recompute upstream per side)
+    val docs = Tables.documentsFanned(spark, sfDir)
+      .filter(length(col("text")) >= n)
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .localCheckpoint()
+    val cand = minhashCandidates(docs).select(col("doc_a"), col("doc_b"))
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= t)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val minhashVerifiedSql: String = {
+    val candCte = minhashLshSql
+      .replace("ORDER BY doc_a, doc_b", "")
+      .stripPrefix("WITH ")
+    s"""WITH $candCte, cand AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2
+       |), sizes AS (
+       |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM docs
+       |), inter AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter
+       |  FROM cand c
+       |  JOIN docs a ON a.doc_id = c.doc_a
+       |  JOIN docs b ON b.doc_id = c.doc_b
+       |)
+       |SELECT i.doc_a, i.doc_b, i.n_inter,
+       |  CAST(i.n_inter AS DOUBLE)
+       |    / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON i.doc_a = sa.doc_id
+       |JOIN sizes sb ON i.doc_b = sb.doc_id
+       |WHERE CAST(i.n_inter AS DOUBLE)
+       |    / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   val minhashLshSql: String = {
