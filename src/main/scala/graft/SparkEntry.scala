@@ -54,6 +54,7 @@ object SparkEntry {
     "q_doc_dedup"         -> (DedupOps.docDedup _),
     "q_ngram_jaccard"     -> (DedupOps.ngramJaccard _),
     "q_minhash_lsh"       -> (DedupOps.minhashLsh _),
+    "q_minhash_verified"  -> (DedupOps.minhashVerified _),
     "q_simhash"           -> (DedupOps.simhash _),
     "q_simhash_neardup"   -> (DedupOps.simhashNearDup _),
     // §2b — similarity search
@@ -102,6 +103,7 @@ object SparkEntry {
     "q_doc_dedup"         -> DedupOps.docDedupSql,
     "q_ngram_jaccard"     -> DedupOps.ngramJaccardSql,
     "q_minhash_lsh"       -> DedupOps.minhashLshSql,
+    "q_minhash_verified"  -> DedupOps.minhashVerifiedSql,
     "q_simhash"           -> DedupOps.simhashSql,
     "q_simhash_neardup"   -> DedupOps.simhashNearDupSql,
     "q_knn_cosine"        -> SimilarityOps.knnCosineSql,

@@ -57,6 +57,13 @@ object Tables {
   def embeddingsFanned(spark: SparkSession, sfDir: String): DataFrame =
     ensureParallelism(spark, s"$sfDir/embeddings.parquet", embeddings(spark, sfDir))
 
+  /** `events` fanned to full parallelism — for operators whose pre-shuffle
+    * row-local work (JSON parsing, regex, per-row ts arithmetic) dominates.
+    * Cheap few-group aggregations should read [[events]] instead.
+    */
+  def eventsFanned(spark: SparkSession, sfDir: String): DataFrame =
+    ensureParallelism(spark, s"$sfDir/events.parquet", events(spark, sfDir))
+
   /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's reader
     * rejects ([PARQUET_TYPE_ILLEGAL]). Sessions set
     * `spark.sql.legacy.parquet.nanosAsLong=true` (see Verify/Bench), the

@@ -416,11 +416,49 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val minhashVerifiedSql: String = {
-    val candCte = minhashLshSql
-      .replace("ORDER BY doc_a, doc_b", "")
-      .stripPrefix("WITH ")
-    s"""WITH $candCte, cand AS (
+  /** Shared oracle CTE chain (docs → hsrc → sig → bands) for the two
+    * minhash oracles below. Factored so [[minhashVerifiedSql]] composes
+    * by CTE list, not by string surgery on a complete statement (and so
+    * declaration order carries no hidden init dependency).
+    */
+  private val minhashBandCtes: String = {
+    val terms = (0 until 8).map(i =>
+      s"list_min(list_transform(hs, h -> substring(h, ${1 + 8 * i}, 8))) AS h$i")
+      .mkString(",\n      ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, md5('$b' || '|' || h${2 * b} || '|' || h${2 * b + 1}) AS bucket FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""docs AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      generate_series(1, greatest(length(text) - 4, 0)),
+       |      i -> substring(text, i, 5))) AS sh
+       |  FROM documents
+       |  WHERE length(text) >= 5
+       |), hsrc AS (
+       |  SELECT doc_id,
+       |    list_transform(sh, s -> md5('a|' || s) || md5('b|' || s)) AS hs
+       |  FROM docs
+       |), sig AS (
+       |  SELECT doc_id,
+       |      $terms
+       |  FROM hsrc
+       |), bands AS (
+       |  $bandRows
+       |)""".stripMargin
+  }
+
+  val minhashLshSql: String =
+    s"""WITH $minhashBandCtes
+       |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_bands
+       |FROM bands l JOIN bands r
+       |  ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |GROUP BY l.doc_id, r.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val minhashVerifiedSql: String =
+    s"""WITH $minhashBandCtes, cand AS (
        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r
        |    ON l.bucket = r.bucket AND l.doc_id < r.doc_id
@@ -443,38 +481,4 @@ object DedupOps {
        |WHERE CAST(i.n_inter AS DOUBLE)
        |    / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
-
-  val minhashLshSql: String = {
-    val terms = (0 until 8).map(i =>
-      s"list_min(list_transform(hs, h -> substring(h, ${1 + 8 * i}, 8))) AS h$i")
-      .mkString(",\n      ")
-    val bandRows = (0 until 4).map(b =>
-      s"SELECT doc_id, md5('$b' || '|' || h${2 * b} || '|' || h${2 * b + 1}) AS bucket FROM sig")
-      .mkString("\n  UNION ALL\n  ")
-    s"""WITH docs AS (
-       |  SELECT doc_id,
-       |    list_distinct(list_transform(
-       |      generate_series(1, greatest(length(text) - 4, 0)),
-       |      i -> substring(text, i, 5))) AS sh
-       |  FROM documents
-       |  WHERE length(text) >= 5
-       |), hsrc AS (
-       |  SELECT doc_id,
-       |    list_transform(sh, s -> md5('a|' || s) || md5('b|' || s)) AS hs
-       |  FROM docs
-       |), sig AS (
-       |  SELECT doc_id,
-       |      $terms
-       |  FROM hsrc
-       |), bands AS (
-       |  $bandRows
-       |)
-       |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
-       |  CAST(COUNT(*) AS BIGINT) AS n_bands
-       |FROM bands l JOIN bands r
-       |  ON l.bucket = r.bucket AND l.doc_id < r.doc_id
-       |GROUP BY l.doc_id, r.doc_id
-       |ORDER BY doc_a, doc_b""".stripMargin
-  }
 }
