@@ -69,7 +69,14 @@ object Bench {
           Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       }
     }
-    val runs = SparkEntry.queries.map { case (name, fn) =>
+    // Optional narrowing for local iteration: SPARK_GRAFT_QUERIES=q_a,q_b
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = subset match {
+      case Some(s) => SparkEntry.queries.filter { case (n, _) => s(n) }
+      case None    => SparkEntry.queries
+    }
+    val runs = selected.map { case (name, fn) =>
       name -> (once(fn), once(fn))
     }
     val errors = runs.collect {

@@ -55,6 +55,7 @@ object SparkEntry {
     "q_ngram_jaccard"     -> (DedupOps.ngramJaccard _),
     "q_minhash_lsh"       -> (DedupOps.minhashLsh _),
     "q_minhash_verified"  -> (DedupOps.minhashVerified _),
+    "q_neardup_groups"    -> (DedupOps.neardupGroups _),
     "q_simhash"           -> (DedupOps.simhash _),
     "q_simhash_neardup"   -> (DedupOps.simhashNearDup _),
     // §2b — similarity search
@@ -104,6 +105,7 @@ object SparkEntry {
     "q_ngram_jaccard"     -> DedupOps.ngramJaccardSql,
     "q_minhash_lsh"       -> DedupOps.minhashLshSql,
     "q_minhash_verified"  -> DedupOps.minhashVerifiedSql,
+    "q_neardup_groups"    -> DedupOps.neardupGroupsSql,
     "q_simhash"           -> DedupOps.simhashSql,
     "q_simhash_neardup"   -> DedupOps.simhashNearDupSql,
     "q_knn_cosine"        -> SimilarityOps.knnCosineSql,

