@@ -11,9 +11,10 @@ import org.apache.spark.sql.types.StructType
   * header + either an explicit pinned schema or inference. The dataset
   * route (not a driver-local temp file) keeps the parse cluster-safe —
   * executors can't read the driver's /tmp on a real deployment.
-  * Limitation vs file-based reads: quoted fields with EMBEDDED NEWLINES
-  * aren't reassembled (each dataset element is one record line); the
-  * reference's account/client exports are single-line records.
+  * Records split quote-aware (RFC 4180): a newline inside a
+  * double-quoted field stays part of its record, so multi-line fields
+  * (an address with an embedded newline, as pandas' read_csv accepts —
+  * main.py:68-69) parse identically here.
   *
   * Failure semantics reproduce S4 (main.py:71-73): any ingest error
   * degrades to an EMPTY relation with the pinned schema and the
@@ -31,12 +32,41 @@ object CsvHttpSource {
            fetch: HttpFetch): DataFrame = {
     import spark.implicits._
     val text = fetch.getString(url)
-    val lines = text.split("\r?\n").toIndexedSeq.filter(_.nonEmpty).toDS()
+    val lines = splitRecords(text).filter(_.nonEmpty).toDS()
     val reader = spark.read.option("header", "true")
     schema match {
       case Some(s) => reader.schema(s).csv(lines)
       case None    => reader.option("inferSchema", "true").csv(lines)
     }
+  }
+
+  /** RFC 4180 record split: a newline terminates a record only OUTSIDE
+    * double quotes; `""` inside a quoted field is an escaped quote (the
+    * two toggles cancel, so plain state-flipping handles it). One linear
+    * driver-side pass over a dimension-table-sized payload.
+    */
+  private[graft] def splitRecords(text: String): IndexedSeq[String] = {
+    val out = IndexedSeq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      text.charAt(i) match {
+        case '"' =>
+          inQuotes = !inQuotes
+          cur.append('"')
+        case '\r' if !inQuotes && i + 1 < n && text.charAt(i + 1) == '\n' =>
+          out += cur.result(); cur.clear(); i += 1
+        case '\n' if !inQuotes =>
+          out += cur.result(); cur.clear()
+        case c =>
+          cur.append(c)
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.result()
   }
 
   /** S4: errors → empty relation with the pinned schema (pipeline

@@ -75,22 +75,39 @@ object EventStream {
 
   /** Custom-state streaming first-wins dedup (the streaming analog of
     * Cleaning.dedupFirstKeepFirst): per key, emit only the first event
-    * ever seen; state is one boolean per key. Production configs should
-    * pair this with a watermark + EventTimeTimeout so finalized keys
-    * evict; NoTimeout keeps the demo deterministic under TriggerOnce.
+    * seen; state is one boolean per key, and — crucially for an
+    * unbounded key space — state is BOUNDED: each key's flag carries an
+    * event-time timeout of `stateTtl` past the first event, so once the
+    * watermark passes that horizon the flag evicts. A duplicate arriving
+    * later than that would be older than the watermark and is dropped
+    * upstream, so eviction never re-admits a dup it could have caught —
+    * the semantics are "first event per key within the event-time
+    * horizon", which is the only dedup an unbounded stream can promise
+    * with finite state.
     */
-  def dedupFirstStream(events: Dataset[StreamEvent]): Dataset[StreamEvent] = {
+  def dedupFirstStream(events: Dataset[StreamEvent],
+                       watermark: String = "10 minutes",
+                       stateTtl: String = "30 minutes"): Dataset[StreamEvent] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Boolean, StreamEvent](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: String, it: Iterator[StreamEvent], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed the horizon: evict the flag
+            Iterator.empty
+          } else if (state.exists) Iterator.empty
           else {
             state.update(true)
             // within a micro-batch, "first" = smallest (ts, event_id)
-            Iterator(it.minBy(e => (e.ts.getTime, e.event_id)))
+            val first = it.minBy(e => (e.ts.getTime, e.event_id))
+            // timeout base must sit above the current watermark or Spark
+            // rejects it; the +1 ms covers an event exactly at the mark
+            val base = math.max(first.ts.getTime, state.getCurrentWatermarkMs() + 1)
+            state.setTimeoutTimestamp(base, stateTtl)
+            Iterator(first)
           }
       }
   }

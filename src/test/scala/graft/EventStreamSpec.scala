@@ -97,4 +97,28 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(rows === Seq((2L, "u1"), (7L, "u2")))
   }
+
+  test("dedupFirstStream evicts state once the watermark passes the TTL") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    val out = EventStream.dedupFirstStream(mem.toDS(),
+      watermark = "10 minutes", stateTtl = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_ttl")
+      .outputMode("append").start()
+    mem.addData(ev(1, "u1", 50, 1.0))     // u1 first seen; horizon = min 80
+    q.processAllAvailable()
+    mem.addData(ev(2, "u3", 200, 1.0))    // advances watermark to min 190
+    q.processAllAvailable()
+    mem.addData(ev(3, "u2", 195, 1.0))    // batch where u1's timeout fires
+    q.processAllAvailable()
+    mem.addData(ev(4, "u1", 220, 1.0))    // u1 state evicted → re-emitted
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_ttl").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // id 4 proves eviction: with NoTimeout semantics u1 would stay
+    // suppressed forever
+    assert(rows === Seq((1L, "u1"), (2L, "u3"), (3L, "u2"), (4L, "u1")))
+  }
 }

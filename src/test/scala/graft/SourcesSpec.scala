@@ -55,6 +55,29 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("CSV source: quoted embedded newlines stay inside their record") {
+    // pandas.read_csv parses this as TWO records, the first with a
+    // multi-line address — the rebuild must agree (VERDICT round-2 §gap 1)
+    val csv = "client_id,address\n" +
+      "c1,\"12 Main St\nApt 4\"\n" +
+      "c2,\"plain\"\n"
+    withServer(Map("/clients.csv" -> { _ => (200, csv) })) { base =>
+      val schema = StructType(Seq(
+        StructField("client_id", StringType), StructField("address", StringType)))
+      val df = CsvHttpSource.read(spark, s"$base/clients.csv",
+        Some(schema), new HttpFetch())
+      val rows = df.orderBy("client_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(rows === Seq(("c1", "12 Main St\nApt 4"), ("c2", "plain")))
+    }
+  }
+
+  test("splitRecords: RFC 4180 quote/newline/CRLF handling") {
+    val got = CsvHttpSource.splitRecords(
+      "a,b\r\n1,\"x\r\ny \"\"q\"\"\"\r\n2,z\n")
+    assert(got === IndexedSeq("a,b", "1,\"x\r\ny \"\"q\"\"\"", "2,z"))
+  }
+
   test("CSV source: failure degrades to empty relation with schema (S4)") {
     withServer(Map("/bad.csv" -> { _ => (500, "boom") })) { base =>
       val df = CsvHttpSource.readOrEmpty(spark, s"$base/bad.csv",
