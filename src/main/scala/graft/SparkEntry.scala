@@ -64,6 +64,7 @@ object SparkEntry {
     "q_embedding_stats"   -> (SimilarityOps.embeddingStats _),
     "q_embedding_neardup" -> (SimilarityOps.embeddingNearDup _),
     "q_ivf_topk"          -> (SimilarityOps.ivfTopK _),
+    "q_ivf_kmeans"        -> (SimilarityOps.ivfKmeans _),
     // §2b — multimodal columns
     "q_multimodal_meta"   -> (MultimodalOps.multimodalMeta _),
     // §2b — curation (sampling / packing / scrubbing)
@@ -113,6 +114,7 @@ object SparkEntry {
     "q_embedding_stats"   -> SimilarityOps.embeddingStatsSql,
     "q_embedding_neardup" -> SimilarityOps.embeddingNearDupSql,
     "q_ivf_topk"          -> SimilarityOps.ivfTopKSql,
+    "q_ivf_kmeans"        -> SimilarityOps.ivfKmeansSql,
     "q_multimodal_meta"   -> MultimodalOps.multimodalMetaSql,
     "q_sample_stratified" -> CurationOps.sampleStratifiedSql,
     "q_pack_sequences"    -> CurationOps.packSequencesSql,

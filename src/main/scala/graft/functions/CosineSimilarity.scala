@@ -28,13 +28,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // each side independently accepts array<float> or array<double> — the
+  // element accessor is picked PER SIDE at codegen time, so the common
+  // float/float scoring loop emits exactly the code it always did
+  private def floatOrDouble(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def sideIsDouble(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires two array<float> arguments, got $l / $r")
-    }
+    if (floatOrDouble(left.dataType) && floatOrDouble(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> arguments, got " +
+        s"${left.dataType} / ${right.dataType}")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
 
@@ -51,13 +62,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val lDouble = sideIsDouble(left.dataType)
+    val rDouble = sideIsDouble(right.dataType)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xv = x.getFloat(i).toDouble
-      val yv = y.getFloat(i).toDouble
+      val xv = if (lDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (rDouble) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
@@ -78,13 +91,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nullCheck = if (elementsNullable)
         s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
       else ""
+      val xAcc = if (sideIsDouble(left.dataType)) s"$a.getDouble($i)"
+        else s"(double) $a.getFloat($i)"
+      val yAcc = if (sideIsDouble(right.dataType)) s"$b.getDouble($i)"
+        else s"(double) $b.getFloat($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $nullCheck
-         |  double $xv = (double) $a.getFloat($i);
-         |  double $yv = (double) $b.getFloat($i);
+         |  double $xv = $xAcc;
+         |  double $yv = $yAcc;
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
          |if (!${ev.isNull}) {

@@ -222,6 +222,96 @@ object SimilarityOps {
       .limit(10)
   }
 
+  /** Distributed spherical k-means training for the IVF coarse quantizer
+    * — the "real index build" [[ivfTopK]]'s scaladoc defers to. Lloyd's
+    * iterations, fully declarative and unrolled into one DAG:
+    *
+    *  - **assign**: every vector scores against the broadcast k-row
+    *    codebook (the native fused cosine), argmax by
+    *    `row_number() over (partition by vec_id order by ccos desc, cid)`
+    *    on a NARROW (vec_id, cid, ccos) frame — embeddings never ride
+    *    the window shuffle;
+    *  - **update**: pre-exploded components join the assignment and
+    *    partial-agg a per-(cell, dim) mean. The sum runs in
+    *    `decimal(27,10)` — exact, order-independent — so both engines
+    *    produce bit-identical centroids regardless of partitioning;
+    *    cosine for ASSIGNMENT needs no centroid normalization (argmax
+    *    over cosine is scale-invariant in the centroid), which is what
+    *    makes plain means correct for spherical k-means.
+    *
+    * Deterministic seeding (vectors 1..k), fixed iteration count, and
+    * per-step rounding to 6 decimals keep the whole training loop
+    * oracle-checkable in DuckDB — an unusual property for an ML
+    * training job, and exactly why the update avoids FP accumulation.
+    * At 100 TB you train on a sample (k-means cost is per-row·k), then
+    * broadcast this codebook to route the full corpus — the routing is
+    * [[ivfTopK]]'s cell assignment, unchanged.
+    */
+  def ivfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 8
+    val iters = 2
+    val e = Tables.embeddingsFanned(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    // 1-based dim index matches DuckDB's generate_subscripts
+    val ex = e.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").cast("double").as("v"))
+      .localCheckpoint()
+    var cents = e.filter(col("vec_id").between(1, k))
+      .select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("cemb"))
+    for (_ <- 1 to iters) {
+      val scored = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          round(cosine(col("embedding"), col("cemb")), 6).as("ccos"))
+      val byVec = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      val assign = scored.withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1).select(col("vec_id"), col("cid").as("cell"))
+      cents = ex.join(assign, "vec_id")
+        .groupBy(col("cell"), col("i"))
+        .agg((sum(col("v").cast("decimal(27,10)")).cast("double")
+          / count(lit(1))).as("cv_raw"))
+        .select(col("cell"), col("i"), round(col("cv_raw"), 6).as("cv"))
+        .groupBy(col("cell").as("cid"))
+        .agg(array_sort(collect_list(struct(col("i"), col("cv")))).as("pairs"))
+        .select(col("cid"),
+          transform(col("pairs"), s => s.getField("cv")).as("cemb"))
+    }
+    cents.select(col("cid"), posexplode(col("cemb")))
+      .select(col("cid"), (col("pos") + 1).as("i"), col("col").as("comp"))
+      .orderBy(col("cid"), col("i"))
+  }
+
+  /** DuckDB form: the same two Lloyd's iterations unrolled as CTEs. */
+  val ivfKmeansSql: String = {
+    def iter(n: Int): String =
+      s"""s$n AS (
+         |  SELECT x.vec_id, c.cid,
+         |    ROUND(SUM(x.v*c.cv) / (SQRT(SUM(x.v*x.v)) * SQRT(SUM(c.cv*c.cv))), 6) AS ccos
+         |  FROM x JOIN c$n c ON x.i = c.i
+         |  GROUP BY 1, 2
+         |), a$n AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM s$n) WHERE rn = 1
+         |), c${n + 1} AS (
+         |  SELECT a.cell AS cid, x.i,
+         |    ROUND(CAST(SUM(CAST(x.v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS cv
+         |  FROM x JOIN a$n a ON x.vec_id = a.vec_id
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+    s"""WITH x AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), c1 AS (
+       |  SELECT vec_id AS cid, i, v AS cv FROM x WHERE vec_id BETWEEN 1 AND 8
+       |), ${iter(1)}, ${iter(2)}
+       |SELECT cid, i, cv AS comp FROM c3
+       |ORDER BY cid, i""".stripMargin
+  }
+
   val ivfTopKSql: String =
     """WITH x AS (
       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,

@@ -87,7 +87,10 @@ object PaginatedJsonSource {
           case Success(body) => fetched = Some(pageElements(body))
           case Failure(e) =>
             attempts += 1
-            if (attempts > maxRetriesPerPage)
+            // maxRetriesPerPage < 0 = retry forever — strict parity with
+            // the reference's unbounded loop (main.py:113-116); the
+            // bounded default is a deliberate improvement
+            if (maxRetriesPerPage >= 0 && attempts > maxRetriesPerPage)
               throw new RuntimeException(
                 s"page $page failed after $maxRetriesPerPage retries", e)
             Thread.sleep(retrySleepMillis) // retry SAME page (main.py:113-116)
