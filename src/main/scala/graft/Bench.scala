@@ -2,32 +2,33 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
-  /** Round-2 per-query best-of-2 minima (BENCH_r02.json, sf0.1,
+  /** Per-query best-known minima (lower of rounds 2 and 4, sf0.1,
     * local[32]) — the regression reference: any query whose current min
     * exceeds 1.5× its entry here is flagged in the output instead of
     * being silently absorbed into the total.
     */
-  private val r2Min: Map[String, Double] = Map(
-    "q_event_windows" -> 1.861, "q_user_sessions" -> 2.285,
-    "q_pack_sequences" -> 0.472, "q_client_txn_counts" -> 0.991,
-    "q_doc_fingerprint" -> 0.336, "q_dedup_first" -> 1.618,
-    "q_json_extract" -> 2.992, "q_embedding_stats" -> 0.450,
-    "q_rolling_fingerprint" -> 0.323, "q_monthly_summary" -> 6.311,
-    "q_except_users" -> 0.622, "q_semi_urgent" -> 0.336,
-    "q_union_pages" -> 0.481, "q_multimodal_meta" -> 0.249,
-    "q_simhash_neardup" -> 5.884, "q_anti_clients" -> 0.314,
-    "q_embedding_neardup" -> 1.060, "q_simhash" -> 0.709,
-    "q_doc_dedup" -> 0.655, "q_running_totals" -> 0.190,
-    "q_ann_lsh_topk" -> 0.585, "q_count" -> 0.356,
-    "q_intersect_users" -> 0.778, "q_lang_ngram" -> 2.255,
-    "q_coerce_fill" -> 1.291, "q_sample_stratified" -> 1.001,
-    "q_high_txn_accounts" -> 1.114, "q_quality_score" -> 0.384,
-    "q_rollup_orders" -> 0.238, "q_outer_counts" -> 0.245,
-    "q_minhash_lsh" -> 4.617, "q_pii_scrub" -> 0.175,
-    "q_ivf_topk" -> 0.724, "q_bpe_tokens" -> 0.214,
-    "q_distinct_users" -> 0.366, "q_ngram_jaccard" -> 9.130,
-    "q_knn_cosine" -> 3.722, "q_token_counts" -> 4.512,
-    "q_lang_id" -> 1.089)
+  private val refMin: Map[String, Double] = Map(
+    "q_ann_lsh_topk" -> 0.355, "q_anti_clients" -> 0.31,
+    "q_bpe_tokens" -> 0.144, "q_client_txn_counts" -> 0.952,
+    "q_coerce_fill" -> 0.109, "q_count" -> 0.312,
+    "q_dedup_first" -> 0.528, "q_distinct_users" -> 0.161,
+    "q_doc_dedup" -> 0.242, "q_doc_fingerprint" -> 0.198,
+    "q_embedding_neardup" -> 0.462, "q_embedding_stats" -> 0.359,
+    "q_event_windows" -> 0.517, "q_except_users" -> 0.357,
+    "q_high_txn_accounts" -> 0.985, "q_intersect_users" -> 0.355,
+    "q_ivf_kmeans" -> 1.396, "q_ivf_topk" -> 0.479,
+    "q_json_extract" -> 0.184, "q_knn_cosine" -> 0.222,
+    "q_lang_id" -> 0.527, "q_lang_ngram" -> 0.691,
+    "q_minhash_lsh" -> 3.49, "q_minhash_verified" -> 3.658,
+    "q_monthly_summary" -> 2.281, "q_multimodal_meta" -> 0.208,
+    "q_neardup_groups" -> 5.462, "q_ngram_jaccard" -> 2.473,
+    "q_outer_counts" -> 0.208, "q_pack_sequences" -> 0.472,
+    "q_pii_scrub" -> 0.139, "q_quality_score" -> 0.162,
+    "q_rolling_fingerprint" -> 0.229, "q_rollup_orders" -> 0.197,
+    "q_running_totals" -> 0.168, "q_sample_stratified" -> 0.146,
+    "q_semi_urgent" -> 0.336, "q_simhash" -> 0.47,
+    "q_simhash_neardup" -> 1.229, "q_token_counts" -> 0.289,
+    "q_union_pages" -> 0.285, "q_user_sessions" -> 0.678)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -89,15 +90,15 @@ object Bench {
       name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val regressions = times.collect {
-      case (name, t) if t > 0 && r2Min.get(name).exists(prev => t > 1.5 * prev) =>
-        name -> (t / r2Min(name))
+      case (name, t) if t > 0 && refMin.get(name).exists(prev => t > 1.5 * prev) =>
+        name -> (t / refMin(name))
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = times.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val regJson = regressions.map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
     val total = times.values.filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errJson,"regressions_vs_r2":$regJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errJson,"regressions_vs_ref":$regJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -523,7 +523,17 @@ object DedupOps {
     val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var labels = vertices
+    // Iterate over edge ENDPOINTS only: near-dup graphs are sparse
+    // relative to the corpus, so the label frame the rounds churn on is
+    // a sliver of the vertex set; every vertex not touching an edge is
+    // trivially its own component and unions back in at the end without
+    // ever paying a propagation round. When the endpoint set is small,
+    // broadcast the per-round label frames — the rounds then run with
+    // no shuffle except the tiny neighbor-min aggregation.
+    val endpoints = edges.select(col("src").as("doc_id")).distinct().localCheckpoint()
+    val bcastLabels = endpoints.count() <= 5000000L
+    def maybeB(df: DataFrame): DataFrame = if (bcastLabels) broadcast(df) else df
+    var labels = endpoints
       .select(col("doc_id"), col("doc_id").as("group_id"))
       .localCheckpoint()
     var converged = false
@@ -531,7 +541,7 @@ object DedupOps {
     val maxRounds = 50 // backstop only: diameter bound, hit never in practice
     while (!converged && rounds < maxRounds) {
       val neighborMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("group_id").as("dst_label")), "dst")
+        .join(maybeB(labels.select(col("doc_id").as("dst"), col("group_id").as("dst_label"))), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("dst_label")).as("nmin"))
       // lazy persist + a convergence count that joins back to the previous
@@ -540,20 +550,24 @@ object DedupOps {
       // count; every 8th round still checkpoints to truncate the
       // accumulated iterative-join lineage before planning cost shows)
       val updatedRaw = labels
-        .join(neighborMin, Seq("doc_id"), "left")
+        .join(maybeB(neighborMin), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("group_id"), coalesce(col("nmin"), col("group_id"))).as("group_id"))
       val updated =
         if (rounds % 8 == 7) updatedRaw.localCheckpoint() else updatedRaw.persist()
       val changed = updated.select(col("doc_id"), col("group_id").as("new_label"))
-        .join(labels, Seq("doc_id"))
+        .join(maybeB(labels), Seq("doc_id"))
         .filter(col("new_label") < col("group_id"))
         .count()
       labels = updated
       converged = changed == 0
       rounds += 1
     }
-    labels
+    // singletons: every vertex with no incident edge is its own group
+    val singletons = vertices
+      .join(maybeB(endpoints), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("group_id"))
+    labels.union(singletons)
   }
 
   /** Shared oracle CTE chain (docs → hsrc → sig → bands) for the two
