@@ -63,6 +63,7 @@ object SparkEntry {
     "q_ann_lsh_topk"      -> (SimilarityOps.annLshTopK _),
     "q_embedding_stats"   -> (SimilarityOps.embeddingStats _),
     "q_embedding_neardup" -> (SimilarityOps.embeddingNearDup _),
+    "q_embedding_neardup_lsh" -> (SimilarityOps.embeddingNearDupLsh _),
     "q_ivf_topk"          -> (SimilarityOps.ivfTopK _),
     "q_ivf_kmeans"        -> (SimilarityOps.ivfKmeans _),
     // §2b — multimodal columns
@@ -113,6 +114,7 @@ object SparkEntry {
     "q_ann_lsh_topk"      -> SimilarityOps.annLshTopKSql,
     "q_embedding_stats"   -> SimilarityOps.embeddingStatsSql,
     "q_embedding_neardup" -> SimilarityOps.embeddingNearDupSql,
+    "q_embedding_neardup_lsh" -> SimilarityOps.embeddingNearDupLshSql,
     "q_ivf_topk"          -> SimilarityOps.ivfTopKSql,
     "q_ivf_kmeans"        -> SimilarityOps.ivfKmeansSql,
     "q_multimodal_meta"   -> MultimodalOps.multimodalMetaSql,

@@ -347,13 +347,16 @@ object SimilarityOps {
       |ORDER BY score DESC, vec_id
       |LIMIT 10""".stripMargin
 
-  val annLshTopKSql: String = {
-    // identical ±1 weights as literal DOUBLE lists so both engines
-    // evaluate the same constants in the same fold order
+  /** Shared oracle CTE chain — seeded ±1 hyperplanes as literal DOUBLE
+    * lists (both engines evaluate the same constants), exploded
+    * components `x`, and per-vector sign-LSH `b(vec_id, bucket)` — used
+    * by [[annLshTopKSql]] and [[embeddingNearDupLshSql]].
+    */
+  private val lshBucketCtes: String = {
     val planeRows = (0 until 8).map { p =>
       s"($p, [${planeWeights(p, 64).map(w => if (w > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
     }.mkString(",\n  ")
-    s"""WITH planes(p, w) AS (VALUES
+    s"""planes(p, w) AS (VALUES
        |  $planeRows
        |), x AS (
        |  SELECT vec_id,
@@ -367,7 +370,11 @@ object SimilarityOps {
        |    SELECT x.vec_id, planes.p, SUM(x.v * planes.w[x.i]) AS s
        |    FROM x, planes GROUP BY x.vec_id, planes.p)
        |  GROUP BY vec_id
-       |), e AS (
+       |)""".stripMargin
+  }
+
+  val annLshTopKSql: String = {
+    s"""WITH $lshBucketCtes, e AS (
        |  SELECT emb.vec_id, emb.embedding, b.bucket
        |  FROM embeddings emb JOIN b ON emb.vec_id = b.vec_id
        |), q AS (SELECT embedding AS qe, bucket AS qb FROM e WHERE vec_id = 0),
@@ -383,4 +390,48 @@ object SimilarityOps {
        |SELECT vec_id, ROUND(score, 4) AS score
        |FROM s ORDER BY ROUND(score, 4) DESC, vec_id LIMIT 10""".stripMargin
   }
+
+  /** Embedding near-dup, LSH-BUCKETED — the 100 TB path
+    * [[embeddingNearDup]]'s scaladoc defers to, as a first-class
+    * operator: vectors shuffle ONCE on their 8-bit sign-LSH bucket and
+    * pairwise cosine runs within buckets only, so the quadratic work is
+    * n²/2ᵖ-ish per bucket instead of n² overall, and no side needs to
+    * broadcast. Approximate by construction (a true pair split across
+    * buckets is missed — the brute-force operator is the recall
+    * baseline); the oracle mirrors the exact bucketing, so correctness
+    * of the plumbing is still hash-checked.
+    */
+  def embeddingNearDupLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val nPlanes = 8; val dim = 64
+    // bucket signatures are interpreted-HOF work — compute once, reuse
+    // on both self-join sides
+    val e = Tables.embeddingsFanned(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        annBucket(col("embedding"), nPlanes, dim).as("bucket"))
+      .localCheckpoint()
+    val a = e.as("a"); val b = e.as("b")
+    a.join(b,
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 4).as("score"))
+      .filter(col("score") >= 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val embeddingNearDupLshSql: String =
+    s"""WITH $lshBucketCtes, pr AS (
+       |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b
+       |  FROM b l JOIN b r
+       |    ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |), s AS (
+       |  SELECT pr.vec_a, pr.vec_b,
+       |    ROUND(SUM(xa.v*xb.v) / (SQRT(SUM(xa.v*xa.v)) * SQRT(SUM(xb.v*xb.v))), 4) AS score
+       |  FROM pr
+       |  JOIN x xa ON xa.vec_id = pr.vec_a
+       |  JOIN x xb ON xb.vec_id = pr.vec_b AND xb.i = xa.i
+       |  GROUP BY pr.vec_a, pr.vec_b
+       |)
+       |SELECT vec_a, vec_b, score FROM s
+       |WHERE score >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
 }

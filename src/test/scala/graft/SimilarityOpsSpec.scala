@@ -68,4 +68,26 @@ class SimilarityOpsSpec extends SparkSpec {
     val total = st.agg(sum("n_vecs")).head().getLong(0)
     assert(total === Tables.embeddings(spark, sf).count())
   }
+
+  test("LSH-bucketed near-dup pairs are a subset of brute-force pairs") {
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    val brute = SimilarityOps.embeddingNearDup(spark, sf).collect().map(key).toSet
+    val lsh = SimilarityOps.embeddingNearDupLsh(spark, sf).collect().map(key).toSet
+    assert(lsh.subsetOf(brute)) // bucketing prunes, never invents pairs
+    assert(lsh.nonEmpty)        // near-identical planted dups collide buckets
+  }
+
+  test("ivfKmeans: k codebook rows, full dim, members pull centroids off seeds") {
+    val c = SimilarityOps.ivfKmeans(spark, sf)
+    assert(c.select("cid").distinct().count() === 8)
+    assert(c.groupBy("cid").count().agg(min("count")).head().getLong(0) === 64)
+    // training moved at least one centroid away from its seed vector
+    val seeds = Tables.embeddings(spark, sf)
+      .filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("cid"), posexplode(col("embedding")))
+      .select(col("cid"), (col("pos") + 1).as("i"), col("col").cast("double").as("sv"))
+    val moved = c.join(seeds, Seq("cid", "i"))
+      .filter(abs(col("comp") - col("sv")) > 1e-9).count()
+    assert(moved > 0)
+  }
 }
