@@ -57,12 +57,14 @@ object Tables {
   def embeddingsFanned(spark: SparkSession, sfDir: String): DataFrame =
     ensureParallelism(spark, s"$sfDir/embeddings.parquet", embeddings(spark, sfDir))
 
-  /** `events` fanned to full parallelism — for operators whose pre-shuffle
-    * row-local work (JSON parsing, regex, per-row ts arithmetic) dominates.
-    * Cheap few-group aggregations should read [[events]] instead.
-    */
-  def eventsFanned(spark: SparkSession, sfDir: String): DataFrame =
-    ensureParallelism(spark, s"$sfDir/events.parquet", events(spark, sfDir))
+  // There is deliberately NO eventsFanned: every event operator was
+  // benched both ways at sf0.1 and the unfanned reads win — the event
+  // queries shuffle almost immediately (windowed agg, per-user window,
+  // 5-group json rollup), so a read-side fan-out only adds an exchange
+  // (q_event_windows 1.86 s fanned → 0.44 s unfanned; q_user_sessions
+  // 2.29 s → 0.67 s). Revisit only for an operator with heavy row-local
+  // work BEFORE its first shuffle, which is what documentsFanned /
+  // embeddingsFanned exist for.
 
   /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's reader
     * rejects ([PARQUET_TYPE_ILLEGAL]). Sessions set

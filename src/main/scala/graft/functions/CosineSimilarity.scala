@@ -59,11 +59,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case _ => false
   })
 
+  // types are fixed after analysis — resolve once, not per row
+  private lazy val leftIsDouble = sideIsDouble(left.dataType)
+  private lazy val rightIsDouble = sideIsDouble(right.dataType)
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val lDouble = sideIsDouble(left.dataType)
-    val rDouble = sideIsDouble(right.dataType)
+    val lDouble = leftIsDouble
+    val rDouble = rightIsDouble
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0

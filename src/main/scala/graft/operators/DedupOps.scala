@@ -531,7 +531,7 @@ object DedupOps {
     // broadcast the per-round label frames — the rounds then run with
     // no shuffle except the tiny neighbor-min aggregation.
     val endpoints = edges.select(col("src").as("doc_id")).distinct().localCheckpoint()
-    val bcastLabels = endpoints.count() <= 5000000L
+    val bcastLabels = endpoints.count() <= 1000000L // ≈16 MB of (long,long) rows
     def maybeB(df: DataFrame): DataFrame = if (bcastLabels) broadcast(df) else df
     var labels = endpoints
       .select(col("doc_id"), col("doc_id").as("group_id"))
@@ -559,10 +559,20 @@ object DedupOps {
         .join(maybeB(labels), Seq("doc_id"))
         .filter(col("new_label") < col("group_id"))
         .count()
+      // the count job materialized `updated`'s cache; the superseded
+      // frame is never read again — release it instead of waiting on LRU
+      labels.unpersist()
       labels = updated
       converged = changed == 0
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds — " +
+          "component diameter exceeds the backstop; silently returning " +
+          "partial labels would split real groups. For adversarial " +
+          "long-chain graphs use a diameter-halving scheme " +
+          "(large-star/small-star, Kiveris et al. SoCC'14).")
     // singletons: every vertex with no incident edge is its own group
     val singletons = vertices
       .join(maybeB(endpoints), Seq("doc_id"), "left_anti")

@@ -41,27 +41,40 @@ object CsvHttpSource {
   }
 
   /** RFC 4180 record split: a newline terminates a record only OUTSIDE
-    * double quotes; `""` inside a quoted field is an escaped quote (the
-    * two toggles cancel, so plain state-flipping handles it). One linear
-    * driver-side pass over a dimension-table-sized payload.
+    * a quoted field. Quoting opens only when a quote is the FIRST
+    * character of a field (matching pandas/univocity — a stray quote
+    * inside an unquoted field like `5" nail` is literal data, not a
+    * quote opener); inside a quoted field `""` is an escaped quote and
+    * consumed as a pair. One linear driver-side pass over a
+    * dimension-table-sized payload.
     */
   private[graft] def splitRecords(text: String): IndexedSeq[String] = {
     val out = IndexedSeq.newBuilder[String]
     val cur = new StringBuilder
     var inQuotes = false
+    var fieldStart = true
     var i = 0
     val n = text.length
     while (i < n) {
       text.charAt(i) match {
-        case '"' =>
-          inQuotes = !inQuotes
+        case '"' if inQuotes =>
+          if (i + 1 < n && text.charAt(i + 1) == '"') {
+            cur.append("\"\""); i += 1 // escaped quote, stay quoted
+          } else {
+            inQuotes = false // closing quote
+            cur.append('"')
+          }
+        case '"' if fieldStart =>
+          inQuotes = true; fieldStart = false
           cur.append('"')
+        case ',' if !inQuotes =>
+          cur.append(','); fieldStart = true
         case '\r' if !inQuotes && i + 1 < n && text.charAt(i + 1) == '\n' =>
-          out += cur.result(); cur.clear(); i += 1
+          out += cur.result(); cur.clear(); fieldStart = true; i += 1
         case '\n' if !inQuotes =>
-          out += cur.result(); cur.clear()
+          out += cur.result(); cur.clear(); fieldStart = true
         case c =>
-          cur.append(c)
+          cur.append(c); fieldStart = false
       }
       i += 1
     }

@@ -78,6 +78,13 @@ class SourcesSpec extends SparkSpec {
     assert(got === IndexedSeq("a,b", "1,\"x\r\ny \"\"q\"\"\"", "2,z"))
   }
 
+  test("splitRecords: stray quote in an unquoted field stays literal") {
+    // pandas parses desc='5\" nail' as plain data — a mid-field quote
+    // must not open quoting and swallow the following newline
+    val got = CsvHttpSource.splitRecords("id,desc\nc1,5\" nail\nc2,x\n")
+    assert(got === IndexedSeq("id,desc", "c1,5\" nail", "c2,x"))
+  }
+
   test("CSV source: failure degrades to empty relation with schema (S4)") {
     withServer(Map("/bad.csv" -> { _ => (500, "boom") })) { base =>
       val df = CsvHttpSource.readOrEmpty(spark, s"$base/bad.csv",
