@@ -13,6 +13,7 @@ object Bench {
     "q_coerce_fill" -> 0.109, "q_count" -> 0.312,
     "q_dedup_first" -> 0.528, "q_distinct_users" -> 0.161,
     "q_doc_dedup" -> 0.242, "q_doc_fingerprint" -> 0.198,
+    "q_doc_quantiles" -> 0.382,
     "q_embedding_neardup" -> 0.462, "q_embedding_neardup_lsh" -> 1.022,
     "q_embedding_stats" -> 0.359,
     "q_event_windows" -> 0.517, "q_except_users" -> 0.357,

@@ -50,6 +50,7 @@ object SparkEntry {
     "q_bpe_tokens"        -> (TextOps.bpeTokenCounts _),
     "q_lang_id"           -> (TextOps.langId _),
     "q_lang_ngram"        -> (TextOps.langNgram _),
+    "q_doc_quantiles"     -> (TextOps.docQuantiles _),
     // §2b — dedup
     "q_doc_dedup"         -> (DedupOps.docDedup _),
     "q_ngram_jaccard"     -> (DedupOps.ngramJaccard _),
@@ -103,6 +104,7 @@ object SparkEntry {
     "q_bpe_tokens"        -> TextOps.bpeTokenCountsSql,
     "q_lang_id"           -> TextOps.langIdSql,
     "q_lang_ngram"        -> TextOps.langNgramSql,
+    "q_doc_quantiles"     -> TextOps.docQuantilesSql,
     "q_doc_dedup"         -> DedupOps.docDedupSql,
     "q_ngram_jaccard"     -> DedupOps.ngramJaccardSql,
     "q_minhash_lsh"       -> DedupOps.minhashLshSql,

@@ -296,4 +296,51 @@ object TextOps {
       |LEFT JOIN (SELECT doc_id, marker_lang FROM best WHERE rn = 1) b
       |  USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Corpus profiling per language stratum — the distribution stats a
+    * curation pipeline reads before choosing mixing rates and packing
+    * budgets: doc counts, length quantiles, token-count median.
+    *
+    * Quantiles are EXACT interpolated percentiles (Spark `percentile`,
+    * DuckDB `quantile_cont` — the same (n−1)·p definition in both
+    * engines), not an approx sketch, so the result is oracle-checkable.
+    * Shape: one shuffle on the low-cardinality `lang` key with map-side
+    * partial aggregation; exact percentile state is per-group value
+    * counts, fine for per-stratum profiling (at 100 TB switch to
+    * `percentile_approx` and drop the oracle, or profile on a sample —
+    * the query shape is unchanged).
+    */
+  def docQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), length(col("text")).as("len"),
+        size(tokens(col("text"))).as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("len")).cast("long").as("len_min"),
+        round(expr("percentile(len, 0.25)"), 6).as("len_p25"),
+        round(expr("percentile(len, 0.5)"), 6).as("len_p50"),
+        round(expr("percentile(len, 0.75)"), 6).as("len_p75"),
+        max(col("len")).cast("long").as("len_max"),
+        round(expr("percentile(n_tok, 0.5)"), 6).as("tok_p50"))
+      .orderBy(col("lang"))
+
+  val docQuantilesSql: String =
+    """WITH d AS (
+      |  SELECT lang, length(text) AS len,
+      |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |      x -> x <> '')) AS n_tok
+      |  FROM documents
+      |)
+      |SELECT lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(MIN(len) AS BIGINT) AS len_min,
+      |  ROUND(quantile_cont(len, 0.25), 6) AS len_p25,
+      |  ROUND(quantile_cont(len, 0.5), 6) AS len_p50,
+      |  ROUND(quantile_cont(len, 0.75), 6) AS len_p75,
+      |  CAST(MAX(len) AS BIGINT) AS len_max,
+      |  ROUND(quantile_cont(n_tok, 0.5), 6) AS tok_p50
+      |FROM d
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
 }
