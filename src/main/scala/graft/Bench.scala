@@ -23,7 +23,7 @@ object Bench {
     "q_lang_id" -> 0.527, "q_lang_ngram" -> 0.691,
     "q_minhash_lsh" -> 3.49, "q_minhash_verified" -> 3.658,
     "q_monthly_summary" -> 2.281, "q_multimodal_meta" -> 0.208,
-    "q_neardup_groups" -> 5.462, "q_ngram_jaccard" -> 2.473,
+    "q_neardup_groups" -> 4.940, "q_ngram_jaccard" -> 2.473,
     "q_outer_counts" -> 0.208, "q_pack_sequences" -> 0.472,
     "q_pii_scrub" -> 0.139, "q_quality_score" -> 0.162,
     "q_rolling_fingerprint" -> 0.229, "q_rollup_orders" -> 0.197,

@@ -505,21 +505,44 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Min-label-propagation connected components over (doc_id) vertices
-    * and (doc_a, doc_b) undirected edges → (doc_id, group_id = min id in
-    * component).
+  /** Connected components over (doc_id) vertices and (doc_a, doc_b)
+    * undirected edges → (doc_id, group_id = min id in component).
     *
-    * Each round is fully distributed: join labels to the edge list,
-    * map-side partial-agg min per neighbor, one driver-side scalar count
-    * for the convergence test. Labels only ever decrease, so `changed =
-    * rows where new < old` reaching 0 is a fixpoint. Every round
-    * `localCheckpoint`s the (long, long) label frame — iterative joins
-    * otherwise stack lineage until planning itself dominates.
+    * **Adaptive two-strategy operator**, same posture as
+    * [[jaccardNearDupPairs]]: the strategy is picked from the edge
+    * count, the output is identical either way.
+    *
+    *  - **Small edge set** (≤ [[MaxDriverEdges]], ~32 MB of long pairs):
+    *    collect the PAIR LIST — not the corpus — to the driver and run
+    *    path-compressed union-find in milliseconds. This is the same
+    *    collect-small-state pattern as the k-means codebook and the
+    *    bitmap vocabulary index: iterative shuffle rounds on a
+    *    few-hundred-row graph cost more in job scheduling than the
+    *    whole answer.
+    *  - **Large edge set**: distributed min-label propagation, one
+    *    shuffle join + partial-agg min per round, label frames persisted
+    *    per round and released when superseded. Labels only ever
+    *    decrease, so `changed = rows where new < old` reaching 0 is a
+    *    fixpoint; non-convergence inside the diameter backstop throws
+    *    rather than returning silently split groups.
+    *
+    * Either path emits labels for edge ENDPOINTS only; vertices with no
+    * incident edge are trivially their own component and union back in
+    * at the end without paying any propagation.
     */
-  def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+  val MaxDriverEdges = 2000000L
+
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame =
+    connectedComponents(vertices, pairs, MaxDriverEdges)
+
+  /** `maxDriverEdges` is injectable so specs can force the distributed
+    * path on small graphs; production callers use the default. */
+  private[graft] def connectedComponents(
+      vertices: DataFrame, pairs: DataFrame, maxDriverEdges: Long): DataFrame = {
     // checkpoint BEFORE the union self-reference: both union branches read
     // the materialized pair list instead of re-running its pipeline twice
     val p = pairs.localCheckpoint()
+    if (p.count() <= maxDriverEdges) return driverUnionFind(vertices, p)
     val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -578,6 +601,37 @@ object DedupOps {
       .join(maybeB(endpoints), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("group_id"))
     labels.union(singletons)
+  }
+
+  /** Small-graph path: collected pair list → path-compressed union-find
+    * with union-by-min (root = smallest member, matching the
+    * distributed fixpoint exactly); endpoint labels broadcast back and
+    * singletons join untouched.
+    */
+  private def driverUnionFind(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    pairs.select(col("doc_a"), col("doc_b")).collect().foreach { row =>
+      val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+      if (ra != rb) { // union-by-min keeps the smallest id as root
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val keys = parent.keySet.toSeq
+    val labels = (keys ++ keys.map(find)).distinct.map(k => (k, find(k)))
+    val labelDf = labels.toDF("doc_id", "group_id")
+    val singletons = vertices
+      .join(broadcast(labelDf.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("group_id"))
+    labelDf.union(singletons)
   }
 
   /** Shared oracle CTE chain (docs → hsrc → sig → bands) for the two

@@ -100,16 +100,23 @@ class DedupOpsSpec extends SparkSpec {
     assert(d.filter(col("dup_count") > 1).count() > 0) // testdata plants dups
   }
 
-  test("connectedComponents: min-label fixpoint on a known graph") {
+  test("connectedComponents: both strategies agree on a known graph") {
     val s = spark; import s.implicits._
     // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; {20} isolated
     val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
-    val got = DedupOps.connectedComponents(vertices, pairs)
+    val expect = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L)
+    // default gate: 4 edges → driver union-find path
+    val viaDriver = DedupOps.connectedComponents(vertices, pairs)
       .orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    assert(viaDriver === expect)
+    // forced distributed path: maxDriverEdges = 0
+    val viaPropagation = DedupOps.connectedComponents(vertices, pairs, 0L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaPropagation === expect)
   }
 
   test("neardupGroups: partition of the corpus, keep iff group root") {
