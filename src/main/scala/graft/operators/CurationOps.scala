@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,14 +27,19 @@ object CurationOps {
     * md5(doc_id)'s first 32 bits mod 100 falls under its stratum's
     * keep-rate (en 50%, others 20%) — hash-based quota mixing.
     */
-  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
+    stratifiedFilter(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+
+  /** Library core: rows of `docs` surviving the hash-quota mix, with
+    * their `bucket` attached — all original columns preserved so the
+    * filter composes mid-pipeline. */
+  def stratifiedFilter(docs: DataFrame): DataFrame = {
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("long") % 100
     val rate = when(col("lang") === "en", 50L).otherwise(20L)
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
-      .filter(col("bucket") < rate)
-      .orderBy(col("doc_id"))
+    docs.withColumn("bucket", bucket).filter(col("bucket") < rate)
   }
 
   val sampleStratifiedSql: String =
@@ -69,7 +74,12 @@ object CurationOps {
     * stream_start = chunk_offset + within-chunk prefix. Identical math
     * to the naive global window; the oracle is unchanged.
     */
-  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame =
+    packSequencesFor(Tables.documentsFanned(spark, sfDir))
+
+  /** Library core: packing for any (doc_id, text, …) frame. */
+  def packSequencesFor(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     val budget = 2048L
     val chunkWidth = 4096L
     // (doc_id, n_tokens, chunk) is three longs/row — cache (lazily) so the
@@ -77,7 +87,7 @@ object CurationOps {
     // persist, NOT localCheckpoint: checkpoint materializes with an extra
     // eager job, while the pass-1 collect below populates this cache as a
     // side effect of work it does anyway (2.5 s → ~1 s at sf0.1).
-    val toks = Tables.documentsFanned(spark, sfDir)
+    val toks = docs
       .select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("chunk", expr(s"doc_id div $chunkWidth"))
@@ -133,10 +143,13 @@ object CurationOps {
     * counts and the scrubbed content hash (the auditable artifact a
     * curation pipeline logs per document).
     */
-  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
-    val scrubbed = regexp_replace(
-      regexp_replace(col("text"), emailPattern, "<EMAIL>"),
+  /** Library core: the scrubbed form of a text column. */
+  def scrubbedText(c: Column): Column =
+    regexp_replace(regexp_replace(c, emailPattern, "<EMAIL>"),
       longNumberPattern, "<NUM>")
+
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val scrubbed = scrubbedText(col("text"))
     Tables.documentsFanned(spark, sfDir)
       .select(col("doc_id"),
         size(regexp_extract_all(col("text"), lit(emailPattern), lit(0)))

@@ -73,6 +73,17 @@ object EventStream {
         col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Engine-managed streaming exact dedup: `dropDuplicatesWithinWatermark`
+    * keeps one row per `event_id` and lets the state store evict a key
+    * once the watermark passes its event time plus the delay — the
+    * built-in analog of [[dedupFirstStream]]'s custom TTL state. Prefer
+    * this form when the semantics are exactly keep-one-per-key-set;
+    * the flatMapGroupsWithState form below exists for richer emission
+    * logic (min-by ordering, custom payloads).
+    */
+  def dedupExactStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
   /** Custom-state streaming first-wins dedup (the streaming analog of
     * Cleaning.dedupFirstKeepFirst): per key, emit only the first event
     * seen; state is one boolean per key, and — crucially for an

@@ -31,6 +31,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(bins === bins.sorted)
   }
 
+  test("CurationPipeline: funnel shrinks monotonically, packing covers the survivors") {
+    val flow = graft.operators.CurationPipeline.run(spark, sf)
+    val nRaw = flow.raw.count()
+    val nExact = flow.exactKept.count()
+    val nNd = flow.neardupKept.count()
+    val nSampled = flow.sampled.count()
+    assert(nRaw >= nExact && nExact >= nNd && nNd >= nSampled)
+    assert(nExact < nRaw) // testdata plants exact dups
+    assert(nSampled > 0)
+    // packed output: exactly one row per curated doc, offsets in budget
+    assert(flow.packed.count() === nSampled)
+    assert(flow.packed.filter(col("bin_offset") >= 2048 || col("bin_offset") < 0).count() === 0)
+    // stream is contiguous: total tokens == final doc's start + its tokens
+    val last = flow.packed.orderBy(col("doc_id").desc).limit(1)
+      .select(col("bin_id") * 2048 + col("bin_offset") + col("n_tokens")).head().getLong(0)
+    val total = flow.packed.agg(sum("n_tokens")).head().getLong(0)
+    assert(last === total)
+  }
+
   test("packSequences: plan has no single-partition (unpartitioned) window") {
     val plan = CurationOps.packSequences(spark, sf).queryExecution.optimizedPlan
     val unpartitioned = plan.collect {

@@ -98,6 +98,23 @@ class EventStreamSpec extends SparkSpec {
     assert(rows === Seq((2L, "u1"), (7L, "u2")))
   }
 
+  test("dedupExactStream keeps one row per event_id across batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    val out = EventStream.dedupExactStream(mem.toDF(), watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_exact")
+      .outputMode("append").start()
+    mem.addData(ev(1, "u1", 50, 1.0), ev(1, "u1", 50, 1.0)) // in-batch dup
+    q.processAllAvailable()
+    mem.addData(ev(1, "u1", 51, 1.0), ev(2, "u2", 52, 1.0)) // cross-batch dup
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_exact")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids === Seq(1L, 2L))
+  }
+
   test("dedupFirstStream evicts state once the watermark passes the TTL") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext
