@@ -424,9 +424,17 @@ object DedupOps {
     val rowsPerBand = 2
     // Row-level (NOT higher-order-function) hashing: HOF lambdas are
     // CodegenFallback in Spark, so md5-inside-transform runs interpreted.
-    // explode → codegen'd md5 per shingle row → groupBy(doc) with 8
-    // min(substring) aggregates (map-side partial agg: the shuffle
-    // carries one 8×8-char row per doc per mapper, not per shingle).
+    // explode → codegen'd md5 → groupBy(doc) with 8 min(substring)
+    // aggregates (map-side partial agg: the shuffle carries one
+    // 8×8-char row per doc per mapper, not per shingle).
+    //
+    // Measured negative result, recorded so it isn't retried: hashing a
+    // broadcast DISTINCT-shingle dictionary and probing it per instance
+    // (5000× fewer md5 calls on this corpus) benched SLOWER than inline
+    // hashing at sf0.1 (6.0 s vs 3.5 s for q_minhash_lsh) — the join
+    // probe + extra stat/distinct jobs cost more than the two codegen'd
+    // md5 calls they replace, and the join breaks the single
+    // explode→hash→partial-agg codegen pipeline.
     val hashed = docs
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"),
