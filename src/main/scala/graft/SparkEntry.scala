@@ -42,6 +42,7 @@ object SparkEntry {
     "q_json_extract"      -> (EventOps.jsonExtract _),
     "q_event_windows"     -> (EventOps.eventWindows _),
     "q_user_sessions"     -> (EventOps.userSessions _),
+    "q_asof_join"         -> (EventOps.asofClickPurchase _),
     // §2b — text analysis
     "q_token_counts"      -> (TextOps.tokenCounts _),
     "q_quality_score"     -> (TextOps.qualityScore _),
@@ -97,6 +98,7 @@ object SparkEntry {
     "q_json_extract"      -> EventOps.jsonExtractSql,
     "q_event_windows"     -> EventOps.eventWindowsSql,
     "q_user_sessions"     -> EventOps.userSessionsSql,
+    "q_asof_join"         -> EventOps.asofClickPurchaseSql,
     "q_token_counts"      -> TextOps.tokenCountsSql,
     "q_quality_score"     -> TextOps.qualityScoreSql,
     "q_doc_fingerprint"   -> TextOps.docFingerprintSql,

@@ -145,4 +145,63 @@ object EventOps {
       |FROM sess
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
+
+  /** As-of join — the time-series operator Spark has no built-in for,
+    * composed from existing ops per the preference order (a): each
+    * purchase joins the latest click of the same user at or before its
+    * event time. Formulation: union both sides with marker columns,
+    * then an ignore-nulls running `last` over the per-user event-time
+    * order — ONE shuffle+sort on user_id, no row explosion, no range
+    * cross-product; this is the scalable shape (a naive `p.ts >= c.ts`
+    * theta-join explodes quadratically per user).
+    *
+    * Ties: clicks sort before purchases at equal ts (`is_p` in the sort
+    * key) so "at or before" includes the boundary, matching ASOF's
+    * `>=`; clicks are pre-reduced to one per (user, ts) (max event_id)
+    * so the pick under ts ties is deterministic in both engines.
+    *
+    * The oracle is DuckDB's native `ASOF LEFT JOIN` — an independent
+    * implementation of the semantics agreeing row-for-row.
+    */
+  def asofClickPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val tagged = clicks
+      .select(col("user_id"), col("ts"), lit(0).as("is_p"),
+        lit(null).cast("long").as("purchase_id"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .unionByName(purchases
+        .select(col("user_id"), col("ts"), lit(1).as("is_p"),
+          col("event_id").as("purchase_id"),
+          lit(null).cast("long").as("click_id"),
+          lit(null).cast("timestamp").as("click_ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 1)
+      .select(col("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("asof_click_id").as("click_id"), col("asof_click_ts").as("click_ts"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val asofClickPurchaseSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+      |), c AS (
+      |  SELECT user_id, ts, MAX(event_id) AS event_id
+      |  FROM e WHERE event_type = 'click' GROUP BY 1, 2
+      |), p AS (
+      |  SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'
+      |)
+      |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+      |  c.event_id AS click_id, c.ts AS click_ts
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY purchase_id""".stripMargin
 }
