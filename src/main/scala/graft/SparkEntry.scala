@@ -43,6 +43,7 @@ object SparkEntry {
     "q_event_windows"     -> (EventOps.eventWindows _),
     "q_user_sessions"     -> (EventOps.userSessions _),
     "q_asof_join"         -> (EventOps.asofClickPurchase _),
+    "q_range_join"        -> (EventOps.rangeJoinErrorViews _),
     // §2b — text analysis
     "q_token_counts"      -> (TextOps.tokenCounts _),
     "q_quality_score"     -> (TextOps.qualityScore _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "q_event_windows"     -> EventOps.eventWindowsSql,
     "q_user_sessions"     -> EventOps.userSessionsSql,
     "q_asof_join"         -> EventOps.asofClickPurchaseSql,
+    "q_range_join"        -> EventOps.rangeJoinErrorViewsSql,
     "q_token_counts"      -> TextOps.tokenCountsSql,
     "q_quality_score"     -> TextOps.qualityScoreSql,
     "q_doc_fingerprint"   -> TextOps.docFingerprintSql,

@@ -204,4 +204,52 @@ object EventOps {
       |  c.event_id AS click_id, c.ts AS click_ts
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY purchase_id""".stripMargin
+
+  /** Range join — the other relational shape Spark's optimizer turns
+    * into a quadratic theta join when written naively: for each error
+    * event, count the same user's view events in the preceding 5
+    * minutes. Scalable formulation: bucket event time into Δ-wide bins
+    * and equi-join on (user, bin) with each view exploded into its own
+    * bin and the next — every candidate pair lands on exactly one join
+    * key, the exact range predicate filters inside the join output, and
+    * the plan is a plain hash join instead of a per-user cross product.
+    * (Bin arithmetic is a long floor-div on unix micros; event times
+    * are post-epoch so `div` == floor here.)
+    */
+  def rangeJoinErrorViews(spark: SparkSession, sfDir: String): DataFrame = {
+    val deltaUs = 5L * 60 * 1000000
+    val ev = Tables.events(spark, sfDir)
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("error_ts"), unix_micros(col("ts")).as("e_us"))
+      .withColumn("bin", expr(s"e_us div $deltaUs"))
+    val viewsExp = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("v_us"))
+      .withColumn("vbin", expr(s"v_us div $deltaUs"))
+      .select(col("user_id"), col("v_us"),
+        explode(array(col("vbin"), col("vbin") + 1)).as("bin"))
+    errs.join(viewsExp, Seq("user_id", "bin"), "left")
+      .withColumn("hit",
+        col("v_us").isNotNull &&
+          col("v_us") >= col("e_us") - deltaUs && col("v_us") < col("e_us"))
+      .groupBy(col("error_id"), col("user_id"), col("error_ts"))
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_views_5min"))
+      .orderBy(col("error_id"))
+  }
+
+  val rangeJoinErrorViewsSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+      |), er AS (
+      |  SELECT event_id AS error_id, user_id, ts AS error_ts
+      |  FROM e WHERE event_type = 'error'
+      |), v AS (
+      |  SELECT user_id, ts AS v_ts FROM e WHERE event_type = 'view'
+      |)
+      |SELECT er.error_id, er.user_id, er.error_ts,
+      |  CAST(COUNT(v.v_ts) AS BIGINT) AS n_views_5min
+      |FROM er LEFT JOIN v ON er.user_id = v.user_id
+      |  AND v.v_ts >= er.error_ts - INTERVAL 5 MINUTE AND v.v_ts < er.error_ts
+      |GROUP BY 1, 2, 3
+      |ORDER BY error_id""".stripMargin
 }
