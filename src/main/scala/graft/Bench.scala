@@ -26,8 +26,9 @@ object Bench {
     "q_monthly_summary" -> 2.281, "q_multimodal_meta" -> 0.208,
     "q_neardup_groups" -> 4.940, "q_ngram_jaccard" -> 2.473,
     "q_outer_counts" -> 0.208, "q_pack_sequences" -> 0.472,
-    "q_pii_scrub" -> 0.139, "q_quality_score" -> 0.162,
-    "q_range_join" -> 0.689,
+    "q_pii_scrub" -> 0.139, "q_pivot_events" -> 0.403,
+    "q_quality_score" -> 0.162, "q_range_join" -> 0.689,
+    "q_unpivot_events" -> 0.698,
     "q_rolling_fingerprint" -> 0.229, "q_rollup_orders" -> 0.197,
     "q_running_totals" -> 0.168, "q_sample_stratified" -> 0.146,
     "q_semi_urgent" -> 0.336, "q_simhash" -> 0.47,

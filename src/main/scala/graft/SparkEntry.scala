@@ -38,6 +38,8 @@ object SparkEntry {
     "q_intersect_users"   -> (RelOps.usersClickAndPurchase _),
     "q_except_users"      -> (RelOps.usersClickNoPurchase _),
     "q_running_totals"    -> (RelOps.runningLineTotals _),
+    "q_pivot_events"      -> (RelOps.pivotEventCounts _),
+    "q_unpivot_events"    -> (RelOps.unpivotEventCounts _),
     // §2b — event analytics
     "q_json_extract"      -> (EventOps.jsonExtract _),
     "q_event_windows"     -> (EventOps.eventWindows _),
@@ -96,6 +98,8 @@ object SparkEntry {
     "q_intersect_users"   -> RelOps.usersClickAndPurchaseSql,
     "q_except_users"      -> RelOps.usersClickNoPurchaseSql,
     "q_running_totals"    -> RelOps.runningLineTotalsSql,
+    "q_pivot_events"      -> RelOps.pivotEventCountsSql,
+    "q_unpivot_events"    -> RelOps.unpivotEventCountsSql,
     "q_json_extract"      -> EventOps.jsonExtractSql,
     "q_event_windows"     -> EventOps.eventWindowsSql,
     "q_user_sessions"     -> EventOps.userSessionsSql,

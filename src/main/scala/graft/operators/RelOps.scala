@@ -188,4 +188,53 @@ object RelOps {
       |FROM lineitem
       |WHERE l_orderkey <= 100
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Pivot: per-user event counts with one column per event type. The
+    * value list is EXPLICIT — with it, `pivot` is a single hash
+    * aggregate over (user, 5 conditional counts) and needs no
+    * distinct-values pre-query; an implicit pivot would scan twice and
+    * produce a nondeterministic column order. The oracle is the
+    * portable conditional-aggregation form (identical semantics; SQL
+    * PIVOT syntax varies by engine).
+    */
+  def pivotEventCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  val pivotEventCountsSql: String =
+    """SELECT user_id,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Unpivot (melt) back to long form via `unpivot` — the inverse
+    * surface, wide metric columns → (user, metric, value) rows.
+    */
+  def unpivotEventCounts(spark: SparkSession, sfDir: String): DataFrame =
+    pivotEventCounts(spark, sfDir)
+      .unpivot(Array(col("user_id")),
+        Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+        "event_type", "n_events")
+      .filter(col("n_events") > 0)
+      .orderBy(col("user_id"), col("event_type"))
+
+  val unpivotEventCountsSql: String =
+    s"""WITH wide AS (${pivotEventCountsSql.replace("ORDER BY user_id", "")})
+       |SELECT user_id, event_type, n_events FROM (
+       |  SELECT user_id, 'click' AS event_type, click AS n_events FROM wide
+       |  UNION ALL SELECT user_id, 'error', error FROM wide
+       |  UNION ALL SELECT user_id, 'purchase', purchase FROM wide
+       |  UNION ALL SELECT user_id, 'signup', signup FROM wide
+       |  UNION ALL SELECT user_id, 'view', view FROM wide)
+       |WHERE n_events > 0
+       |ORDER BY user_id, event_type""".stripMargin
 }
