@@ -8,31 +8,31 @@ object Bench {
     * being silently absorbed into the total.
     */
   private val refMin: Map[String, Double] = Map(
-    "q_ann_lsh_topk" -> 0.355, "q_anti_clients" -> 0.31,
-    "q_asof_join" -> 0.387,
+    "q_ann_lsh_topk" -> 0.355, "q_anti_clients" -> 0.307,
+    "q_asof_join" -> 0.22,
     "q_bpe_tokens" -> 0.144, "q_client_txn_counts" -> 0.952,
     "q_coerce_fill" -> 0.109, "q_count" -> 0.312,
     "q_dedup_first" -> 0.528, "q_distinct_users" -> 0.161,
     "q_doc_dedup" -> 0.242, "q_doc_fingerprint" -> 0.198,
-    "q_doc_quantiles" -> 0.382,
-    "q_embedding_neardup" -> 0.462, "q_embedding_neardup_lsh" -> 1.022,
-    "q_embedding_stats" -> 0.359,
-    "q_event_windows" -> 0.517, "q_except_users" -> 0.357,
-    "q_high_txn_accounts" -> 0.985, "q_intersect_users" -> 0.355,
+    "q_doc_quantiles" -> 0.199,
+    "q_embedding_neardup" -> 0.402, "q_embedding_neardup_lsh" -> 0.508,
+    "q_embedding_stats" -> 0.343,
+    "q_event_windows" -> 0.517, "q_except_users" -> 0.344,
+    "q_high_txn_accounts" -> 0.985, "q_intersect_users" -> 0.333,
     "q_ivf_kmeans" -> 1.396, "q_ivf_topk" -> 0.479,
     "q_json_extract" -> 0.184, "q_knn_cosine" -> 0.222,
     "q_lang_id" -> 0.527, "q_lang_ngram" -> 0.691,
     "q_minhash_lsh" -> 3.49, "q_minhash_verified" -> 3.658,
-    "q_monthly_summary" -> 2.281, "q_multimodal_meta" -> 0.208,
-    "q_neardup_groups" -> 4.940, "q_ngram_jaccard" -> 2.473,
+    "q_monthly_summary" -> 2.018, "q_multimodal_meta" -> 0.195,
+    "q_neardup_groups" -> 3.885, "q_ngram_jaccard" -> 2.473,
     "q_outer_counts" -> 0.208, "q_pack_sequences" -> 0.472,
-    "q_pii_scrub" -> 0.139, "q_pivot_events" -> 0.403,
-    "q_quality_score" -> 0.162, "q_range_join" -> 0.689,
+    "q_pii_scrub" -> 0.139, "q_pivot_events" -> 0.231,
+    "q_quality_score" -> 0.162, "q_range_join" -> 0.362,
     "q_unpivot_events" -> 0.698,
     "q_rolling_fingerprint" -> 0.229, "q_rollup_orders" -> 0.197,
     "q_running_totals" -> 0.168, "q_sample_stratified" -> 0.146,
     "q_semi_urgent" -> 0.336, "q_simhash" -> 0.47,
-    "q_simhash_neardup" -> 1.229, "q_token_counts" -> 0.289,
+    "q_simhash_neardup" -> 1.169, "q_token_counts" -> 0.289,
     "q_union_pages" -> 0.285, "q_user_sessions" -> 0.678)
 
   def main(args: Array[String]): Unit = {
