@@ -43,4 +43,46 @@ class EventOpsSpec extends SparkSpec {
     assert(j.nonEmpty)
     assert(j.forall(r => r.getLong(1) > 0))
   }
+
+  test("asofClickPurchase agrees with the naive greatest-prior-click join") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("c_id"))
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("c_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    // naive theta join + argmax — quadratic, fine at sf0.001
+    val naive = purchases
+      .join(clicks, col("user_id") === col("c_user") && col("c_ts") <= col("ts"), "left")
+      .groupBy(col("purchase_id"))
+      .agg(max(struct(col("c_ts"), col("c_id"))).as("best"))
+      .select(col("purchase_id"), col("best.c_id").as("click_id"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val asof = EventOps.asofClickPurchase(spark, sf)
+      .select(col("purchase_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(asof === naive)
+  }
+
+  test("rangeJoinErrorViews agrees with the naive theta join") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
+        unix_micros(col("ts")).as("e_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("v_us"))
+    val d = 5L * 60 * 1000000
+    val naive = errs
+      .join(views, col("e_user") === col("v_user") &&
+        col("v_us") >= col("e_us") - d && col("v_us") < col("e_us"), "left")
+      .groupBy(col("error_id"))
+      .agg(count(col("v_us")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val binned = EventOps.rangeJoinErrorViews(spark, sf)
+      .select(col("error_id"), col("n_views_5min"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(binned === naive)
+  }
 }
