@@ -9,6 +9,7 @@ object Bench {
     */
   private val refMin: Map[String, Double] = Map(
     "q_ann_lsh_topk" -> 0.355, "q_anti_clients" -> 0.307,
+    "q_approx_distinct" -> 0.392,
     "q_asof_join" -> 0.22,
     "q_bpe_tokens" -> 0.144, "q_client_txn_counts" -> 0.952,
     "q_coerce_fill" -> 0.109, "q_count" -> 0.312,

@@ -39,6 +39,8 @@ object SparkEntry {
     "q_except_users"      -> (RelOps.usersClickNoPurchase _),
     "q_running_totals"    -> (RelOps.runningLineTotals _),
     "q_pivot_events"      -> (RelOps.pivotEventCounts _),
+    // no oracle entry: HLL estimates are engine-specific → rows-only check
+    "q_approx_distinct"   -> (RelOps.approxDistinctUsers _),
     "q_unpivot_events"    -> (RelOps.unpivotEventCounts _),
     // §2b — event analytics
     "q_json_extract"      -> (EventOps.jsonExtract _),

@@ -99,6 +99,23 @@ object RelOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Sketch-based distinct counting: HLL `approx_count_distinct` per
+    * event_type — the at-scale replacement for [[distinctUsers]]' exact
+    * COUNT(DISTINCT). Exact distinct shuffles every distinct key; the
+    * HLL sketch is a fixed-size mergeable state, so the shuffle carries
+    * one sketch per group per mapper regardless of cardinality. No
+    * DuckDB oracle (HLL estimates are engine-specific by construction)
+    * — the driver records the rows-only check, and the spec bounds the
+    * estimate against the exact count within 3× the configured rsd.
+    */
+  def approxDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   /** ROLLUP over (status, priority): per-combination, per-status
     * subtotal, and grand-total rows; GROUPING() flags disambiguate the
     * NULLs so the sort is total and engine-portable.

@@ -69,6 +69,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("packSequencesFor: matches a sequential scan for gappy doc_id sets") {
+    val s = spark; import s.implicits._
+    // doc_ids with big gaps straddle chunk boundaries (chunk = id div 4096)
+    // — exactly where the two-pass prefix sum could misalign
+    val idGen = Gen.listOfN(40, Gen.chooseNum(0L, 50000L)).map(_.distinct.sorted)
+    val txtGen = Gen.listOfN(40, Gen.chooseNum(0, 12).map(n => Seq.fill(n)("tok").mkString(" ")))
+    for (seed <- 0 until 6) {
+      val ids = samples(idGen, 1)(0)
+      val txts = samples(txtGen, seed + 1).last
+      val rows = ids.zip(txts)
+      val df = rows.toDF("doc_id", "text")
+      val got = graft.operators.CurationOps.packSequencesFor(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      // sequential reference: running token offset in doc_id order
+      var off = 0L
+      val expect = rows.sortBy(_._1).map { case (id, t) =>
+        val n = t.split("\\s+").count(_.nonEmpty).toLong
+        val r = (id, n, off / 2048, off % 2048)
+        off += n
+        r
+      }
+      assert(got === expect, s"seed=$seed ids=${ids.take(5)}…")
+    }
+  }
+
   test("splitRecords: inverts RFC 4180 encoding for arbitrary fields") {
     // encode arbitrary field values exactly as a standards-compliant CSV
     // writer would, then assert the splitter recovers record boundaries

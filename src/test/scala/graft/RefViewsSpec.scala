@@ -38,7 +38,12 @@ class RefViewsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every queries key has an oracle") {
-    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
+  test("every queries key has an oracle, except the declared rows-only keys") {
+    // rows-only keys get the driver's weaker check by DESIGN (engine-
+    // specific estimates can't hash-match an oracle) — keep this list
+    // explicit so a forgotten oracle still fails the build
+    val rowsOnly = Set("q_approx_distinct")
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
+    assert(rowsOnly.subsetOf(SparkEntry.queries.keySet))
   }
 }
