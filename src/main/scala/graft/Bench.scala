@@ -7,7 +7,7 @@ object Bench {
     * exceeds 1.5× its entry here is flagged in the output instead of
     * being silently absorbed into the total.
     */
-  private val refMin: Map[String, Double] = Map(
+  private[graft] val refMin: Map[String, Double] = Map(
     "q_ann_lsh_topk" -> 0.355, "q_anti_clients" -> 0.307,
     "q_approx_distinct" -> 0.392,
     "q_asof_join" -> 0.22,

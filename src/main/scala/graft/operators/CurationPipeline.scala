@@ -33,13 +33,11 @@ object CurationPipeline {
   def run(spark: SparkSession, sfDir: String): Flow = {
     val raw = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text"))
 
-    // 1. exact dedup: one shuffle on the 128-bit content-prefix hash,
-    //    min(doc_id) survivor per group, semi-joined back for full rows
-    val exactIds = raw
-      .groupBy(md5(substring(col("text"), 1, 40)).as("key_hash"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val exactKept = raw.join(exactIds, Seq("doc_id"), "left_semi")
+    // 1. exact dedup: one shuffle on the 128-bit content-key hash,
+    //    min(doc_id) survivor per group, semi-joined back for full rows —
+    //    the SAME keying as the oracle-gated docDedup, via the shared core
+    val exactKept = raw.join(
+      DedupOps.exactDedupSurvivorIds(raw), Seq("doc_id"), "left_semi")
 
     // 2. near-dup resolution among exact survivors: adaptive exact-
     //    Jaccard pairs → connected components → keep group roots

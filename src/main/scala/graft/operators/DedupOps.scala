@@ -42,16 +42,25 @@ object DedupOps {
     * `md5(normalized text)` — see TextOps.docFingerprint). Keeps the
     * first (min doc_id) representative per group, reports group size.
     */
-  def docDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val key = substring(col("text"), 1, 40)
+  /** Shared exact-dedup content key — [[docDedup]] and
+    * [[exactDedupSurvivorIds]] must always agree on it. */
+  def exactKey(text: Column): Column = md5(substring(text, 1, 40))
+
+  def docDedup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .groupBy(md5(key).as("key_hash"))
+      .groupBy(exactKey(col("text")).as("key_hash"))
       .agg(
         min(col("doc_id")).as("doc_id"),
         count(lit(1)).as("dup_count"))
       .select(col("doc_id"), col("key_hash"), col("dup_count"))
       .orderBy(col("doc_id"))
-  }
+
+  /** Library core: the keep-first survivor ids of exact dedup, for
+    * composition (one shuffle, min per content-key group). */
+  def exactDedupSurvivorIds(docs: DataFrame): DataFrame =
+    docs.groupBy(exactKey(col("text")).as("key_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
 
   val docDedupSql: String =
     """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
@@ -615,11 +624,18 @@ object DedupOps {
     * with union-by-min (root = smallest member, matching the
     * distributed fixpoint exactly); endpoint labels broadcast back and
     * singletons join untouched.
+    *
+    * Memory honesty at the [[MaxDriverEdges]] gate: the collect
+    * deserializes to `(Long, Long)` tuples (~56 B each, ≈110 MB
+    * transient at 2M edges, freed after the union loop) and the
+    * parent map is a primitive-keyed `LongMap` (≈40 B/entry, bounded
+    * by endpoint count ≤ 2·edges) — hundreds of MB worst-case on a
+    * default 1 GB driver would be the naive Row-collect cost, not this.
     */
   private def driverUnionFind(vertices: DataFrame, pairs: DataFrame): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
@@ -627,11 +643,12 @@ object DedupOps {
       while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
       r
     }
-    pairs.select(col("doc_a"), col("doc_b")).collect().foreach { row =>
-      val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
-      if (ra != rb) { // union-by-min keeps the smallest id as root
-        if (ra < rb) parent(rb) = ra else parent(ra) = rb
-      }
+    pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().foreach {
+      case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union-by-min keeps the smallest id as root
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
     }
     val keys = parent.keySet.toSeq
     val labels = (keys ++ keys.map(find)).distinct.map(k => (k, find(k)))

@@ -75,9 +75,12 @@ class PropertySpec extends SparkSpec {
     // — exactly where the two-pass prefix sum could misalign
     val idGen = Gen.listOfN(40, Gen.chooseNum(0L, 50000L)).map(_.distinct.sorted)
     val txtGen = Gen.listOfN(40, Gen.chooseNum(0, 12).map(n => Seq.fill(n)("tok").mkString(" ")))
+    // 6 genuinely distinct id layouts AND text sets (samples seeds by index)
+    val idSets = samples(idGen, 6)
+    val txtSets = samples(txtGen, 6)
     for (seed <- 0 until 6) {
-      val ids = samples(idGen, 1)(0)
-      val txts = samples(txtGen, seed + 1).last
+      val ids = idSets(seed)
+      val txts = txtSets(seed)
       val rows = ids.zip(txts)
       val df = rows.toDF("doc_id", "text")
       val got = graft.operators.CurationOps.packSequencesFor(df)

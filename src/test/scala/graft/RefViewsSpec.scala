@@ -46,4 +46,10 @@ class RefViewsSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
     assert(rowsOnly.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("every queries key has a bench regression floor") {
+    // a key missing from refMin silently escapes regression flagging —
+    // the exact gap the map exists to close
+    assert(Bench.refMin.keySet === SparkEntry.queries.keySet)
+  }
 }
