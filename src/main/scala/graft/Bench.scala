@@ -33,7 +33,8 @@ object Bench {
     "q_rolling_fingerprint" -> 0.229, "q_rollup_orders" -> 0.197,
     "q_running_totals" -> 0.168, "q_sample_stratified" -> 0.146,
     "q_semi_urgent" -> 0.336, "q_simhash" -> 0.47,
-    "q_simhash_neardup" -> 1.169, "q_token_counts" -> 0.289,
+    "q_simhash_neardup" -> 1.169, "q_skew_agg" -> 0.478,
+    "q_token_counts" -> 0.289,
     "q_union_pages" -> 0.285, "q_user_sessions" -> 0.678)
 
   def main(args: Array[String]): Unit = {

@@ -41,6 +41,7 @@ object SparkEntry {
     "q_pivot_events"      -> (RelOps.pivotEventCounts _),
     // no oracle entry: HLL estimates are engine-specific → rows-only check
     "q_approx_distinct"   -> (RelOps.approxDistinctUsers _),
+    "q_skew_agg"          -> (RelOps.skewAggTwoPhase _),
     "q_unpivot_events"    -> (RelOps.unpivotEventCounts _),
     // §2b — event analytics
     "q_json_extract"      -> (EventOps.jsonExtract _),
@@ -101,6 +102,7 @@ object SparkEntry {
     "q_except_users"      -> RelOps.usersClickNoPurchaseSql,
     "q_running_totals"    -> RelOps.runningLineTotalsSql,
     "q_pivot_events"      -> RelOps.pivotEventCountsSql,
+    "q_skew_agg"          -> RelOps.skewAggTwoPhaseSql,
     "q_unpivot_events"    -> RelOps.unpivotEventCountsSql,
     "q_json_extract"      -> EventOps.jsonExtractSql,
     "q_event_windows"     -> EventOps.eventWindowsSql,

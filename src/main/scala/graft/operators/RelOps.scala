@@ -99,6 +99,37 @@ object RelOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Two-phase SALTED aggregation — the skew defeat for hot grouping
+    * keys, as an oracle-gated query so "identical result, rebalanced
+    * shuffle" is a verified claim: phase 1 groups on (key, salt) —
+    * 16-way splitting any hot key across reducers — phase 2 re-groups
+    * the 16 partials per key. Counts re-sum exactly; the value sum runs
+    * in decimal so the extra aggregation level cannot introduce FP
+    * reassociation drift vs the oracle's single-level SUM. (Spark's own
+    * AQE skew handling covers JOINS; hot-key AGGREGATION still needs
+    * manual salting — this is that operator. Salt = pmod(event_id, 16)
+    * is deterministic, so the oracle is the PLAIN single-level GROUP BY:
+    * same rows, same values, different shuffle shape.)
+    */
+  def skewAggTwoPhase(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("v")).cast("double").as("value_sum"))
+      .orderBy(col("event_type"))
+
+  val skewAggTwoPhaseSql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Sketch-based distinct counting: HLL `approx_count_distinct` per
     * event_type — the at-scale replacement for [[distinctUsers]]' exact
     * COUNT(DISTINCT). Exact distinct shuffles every distinct key; the
