@@ -44,4 +44,20 @@ object Layout {
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     factSalted.join(dimSalted, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Hive-style partitioned write — the third layout lever beside
+    * bucketing and salting: `partitionBy(col)` turns a predicate on the
+    * partition column into DIRECTORY pruning, so a scan filtered to one
+    * partition value never opens the other partitions' files at all
+    * (`PartitionFilters` in the plan, asserted by LayoutSpec). At
+    * 100 TB this is the difference between reading one day/language
+    * shard and reading the lake; low-cardinality columns only — a
+    * high-cardinality partition key produces millions of tiny files.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write
+      .format("parquet")
+      .partitionBy(partitionCol)
+      .mode("overwrite")
+      .save(path)
 }
