@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical
+
+/** Systematic scale-hygiene audit over the ENTIRE query surface: every
+  * `SparkEntry.queries` plan is checked for the two accidental
+  * scale-killers this codebase has to guard against —
+  *
+  *  1. an unpartitioned Window (drags the whole input to ONE partition;
+  *     the round-2 packSequences bug class) — allowed NOWHERE;
+  *  2. a nested-loop / cartesian join — allowed ONLY for the documented
+  *     bounded brute-force operators (bitmap all-pairs, broadcast-query
+  *     scoring, broadcast-codebook assignment), where the quadratic or
+  *     cross shape IS the algorithm and its bound is written in the
+  *     operator's scaladoc.
+  *
+  * A new query that accidentally plans a cross join or a global window
+  * fails here by default and must either fix the plan or argue its way
+  * onto the allowlist in review.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Operators whose plans intentionally contain a broadcast
+    * nested-loop or cross join (see each operator's scaladoc for the
+    * size bound that makes it safe). */
+  private val nestedLoopByDesign = Set(
+    "q_ngram_jaccard",      // bitmap all-pairs popcount BNLJ (dense-vocab path)
+    "q_neardup_groups",     // consumes the same all-pairs pair generator
+    "q_knn_cosine",         // crossJoin(broadcast(single query vector))
+    "q_embedding_neardup",  // documented bounded brute-force baseline
+    "q_ivf_topk",           // crossJoin(broadcast(16-row centroid table))
+    "q_ivf_kmeans",         // crossJoin(broadcast(k-row codebook)) per iteration
+    "q_count"               // cross of three 1-row count aggregates (1×1×1)
+  )
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"plan audit: $name") {
+      val df = fn(spark, sf)
+      val globalWindows = df.queryExecution.optimizedPlan.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty,
+        s"$name plans an unpartitioned Window — single-partition scale killer")
+      val physical = df.queryExecution.executedPlan.toString
+      if (!nestedLoopByDesign(name)) {
+        assert(!physical.contains("BroadcastNestedLoopJoin") &&
+          !physical.contains("CartesianProduct"),
+          s"$name plans a nested-loop/cartesian join but is not on the " +
+            "documented brute-force allowlist")
+      }
+    }
+  }
+}
