@@ -34,7 +34,7 @@ object Bench {
     "q_running_totals" -> 0.168, "q_sample_stratified" -> 0.146,
     "q_semi_urgent" -> 0.336, "q_simhash" -> 0.47,
     "q_simhash_neardup" -> 1.169, "q_skew_agg" -> 0.27,
-    "q_token_counts" -> 0.289,
+    "q_token_counts" -> 0.289, "q_topk_per_lang" -> 0.731,
     "q_union_pages" -> 0.285, "q_user_sessions" -> 0.678)
 
   def main(args: Array[String]): Unit = {

@@ -58,6 +58,7 @@ object SparkEntry {
     "q_lang_id"           -> (TextOps.langId _),
     "q_lang_ngram"        -> (TextOps.langNgram _),
     "q_doc_quantiles"     -> (TextOps.docQuantiles _),
+    "q_topk_per_lang"     -> (TextOps.topkPerLang _),
     // §2b — dedup
     "q_doc_dedup"         -> (DedupOps.docDedup _),
     "q_ngram_jaccard"     -> (DedupOps.ngramJaccard _),
@@ -117,6 +118,7 @@ object SparkEntry {
     "q_lang_id"           -> TextOps.langIdSql,
     "q_lang_ngram"        -> TextOps.langNgramSql,
     "q_doc_quantiles"     -> TextOps.docQuantilesSql,
+    "q_topk_per_lang"     -> TextOps.topkPerLangSql,
     "q_doc_dedup"         -> DedupOps.docDedupSql,
     "q_ngram_jaccard"     -> DedupOps.ngramJaccardSql,
     "q_minhash_lsh"       -> DedupOps.minhashLshSql,

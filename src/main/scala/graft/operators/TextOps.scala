@@ -297,6 +297,46 @@ object TextOps {
       |  USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Group-wise top-k: the k longest documents per language — the
+    * "pick the best exemplars per stratum" curation shape. Ranking by
+    * (n_tokens DESC, doc_id) makes the cut deterministic under ties in
+    * both engines. Spark 4 plans the `row_number() ≤ k` filter as
+    * WindowGroupLimit: a PARTIAL per-partition top-k heap runs before
+    * the window shuffle, so the exchange carries k rows per (partition,
+    * group) instead of the corpus — per-group top-k at 100 TB without a
+    * global sort (same Partial/Final shape as TakeOrderedAndProject,
+    * but per group).
+    */
+  def topkPerLang(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 3
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_tokens").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("doc_id"), col("n_tokens"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val topkPerLangSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |      x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), r AS (
+      |  SELECT lang, doc_id, n_tokens,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rank
+      |  FROM t
+      |)
+      |SELECT lang, rank, doc_id, n_tokens FROM r
+      |WHERE rank <= 3
+      |ORDER BY lang, rank""".stripMargin
+
   /** Corpus profiling per language stratum — the distribution stats a
     * curation pipeline reads before choosing mixing rates and packing
     * budgets: doc counts, length quantiles, token-count median.
