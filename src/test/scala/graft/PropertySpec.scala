@@ -69,6 +69,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: union-find and label propagation agree on random graphs") {
+    val s = spark; import s.implicits._
+    val vGen = Gen.listOfN(30, Gen.chooseNum(0L, 60L)).map(_.distinct)
+    for (seed <- 0 until 4) {
+      val verts = samples(vGen, 4)(seed)
+      if (verts.size >= 2) {
+        val pairGen = Gen.listOfN(20,
+          Gen.zip(Gen.oneOf(verts), Gen.oneOf(verts))).map(_.collect {
+          case (a, b) if a < b => (a, b)
+        }.distinct)
+        val pairs = samples(pairGen, 4)(seed)
+        val vDf = verts.toDF("doc_id")
+        val pDf = pairs.toDF("doc_a", "doc_b")
+        def run(threshold: Long) = graft.operators.DedupOps
+          .connectedComponents(vDf, pDf, threshold)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        assert(run(Long.MaxValue) === run(0L), s"strategy mismatch seed=$seed")
+      }
+    }
+  }
+
   test("packSequencesFor: matches a sequential scan for gappy doc_id sets") {
     val s = spark; import s.implicits._
     // doc_ids with big gaps straddle chunk boundaries (chunk = id div 4096)
