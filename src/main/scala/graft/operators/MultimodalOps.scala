@@ -83,4 +83,30 @@ object MultimodalOps {
       explode(when(col(frameCountCol) > 0,
         sequence(lit(0), col(frameCountCol) - 1, lit(every)))
         .otherwise(array())))
+
+  /** STUB feature extraction: payload bytes → fixed-`dim` float vector,
+    * the shape that feeds [[SimilarityOps]]' ANN/dedup operators. A real
+    * pipeline loads a vision/audio encoder ONCE per partition and runs
+    * batched inference over the iterator; the stub derives a
+    * deterministic pseudo-embedding from the payload hash so everything
+    * around the model call is real and testable: the schema contract
+    * (`item_id`, `feature: array<float>` of static length), the
+    * partition-local init point, one output row per item, no driver
+    * round-trips.
+    */
+  def extractFeaturesStub(payloads: DataFrame, dim: Int = 64): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // (a real encoder loads here — once per partition, not per row)
+        it.map { case (id, bytes) =>
+          val rnd = new scala.util.Random(java.util.Arrays.hashCode(bytes))
+          (id, Array.fill(dim)(rnd.nextFloat()))
+        }
+      }
+      .toDF("item_id", "feature")
+  }
 }

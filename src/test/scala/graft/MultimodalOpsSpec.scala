@@ -36,4 +36,21 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(m.count() === Tables.documents(spark, sf).count())
     assert(m.filter(col("n_bytes") <= 0).count() === 0)
   }
+
+  test("extractFeaturesStub: one fixed-dim vector per item, deterministic, ANN-composable") {
+    val payloads = Tables.documents(spark, sf)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val f = MultimodalOps.extractFeaturesStub(payloads, dim = 16)
+    assert(f.count() === payloads.count())
+    assert(f.filter(size(col("feature")) =!= 16).count() === 0)
+    // deterministic across runs (same payload → same pseudo-embedding)
+    val a = f.orderBy("item_id").limit(3).collect().map(_.getSeq[Float](1)).toSeq
+    val b = MultimodalOps.extractFeaturesStub(payloads, dim = 16)
+      .orderBy("item_id").limit(3).collect().map(_.getSeq[Float](1)).toSeq
+    assert(a === b)
+    // the output schema composes directly with the similarity operators
+    assert(f.schema("feature").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false))
+  }
 }
