@@ -13,6 +13,7 @@ object Bench {
     "q_asof_join" -> 0.203,
     "q_bpe_tokens" -> 0.144, "q_client_txn_counts" -> 0.952,
     "q_coerce_fill" -> 0.109, "q_count" -> 0.312,
+    "q_curation_funnel" -> 5.545,
     "q_dedup_first" -> 0.528, "q_distinct_users" -> 0.161,
     "q_doc_dedup" -> 0.242, "q_doc_fingerprint" -> 0.19,
     "q_doc_quantiles" -> 0.172,

@@ -81,6 +81,7 @@ object SparkEntry {
     "q_sample_stratified" -> (CurationOps.sampleStratified _),
     "q_pack_sequences"    -> (CurationOps.packSequences _),
     "q_pii_scrub"         -> (CurationOps.piiScrub _),
+    "q_curation_funnel"   -> (CurationPipeline.curationFunnel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -137,5 +138,6 @@ object SparkEntry {
     "q_sample_stratified" -> CurationOps.sampleStratifiedSql,
     "q_pack_sequences"    -> CurationOps.packSequencesSql,
     "q_pii_scrub"         -> CurationOps.piiScrubSql,
+    "q_curation_funnel"   -> CurationPipeline.curationFunnelSql,
   )
 }

@@ -59,4 +59,86 @@ object CurationPipeline {
     val packed = CurationOps.packSequencesFor(scrubbed)
     Flow(raw, exactKept, neardupKept, sampled, scrubbed, packed)
   }
+
+  /** The pipeline's ORACLE surface: one row of funnel counts plus the
+    * final token total — the whole five-stage flow hash-verified
+    * against a single DuckDB statement that reproduces it (exact-dedup
+    * grouping, Jaccard pairs, recursive-CTE components, hash-quota
+    * sampling, scrub, tokenize). Stage frames are persisted so the five
+    * aggregate branches share work instead of re-running the near-dup
+    * pipeline per branch.
+    */
+  def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = run(spark, sfDir)
+    val exact = f.exactKept.persist()
+    val nd = f.neardupKept.persist()
+    val sampled = f.sampled.persist()
+    f.raw.agg(count(lit(1)).as("n_raw"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(nd.agg(count(lit(1)).as("n_neardup")))
+      .crossJoin(sampled.agg(count(lit(1)).as("n_sampled")))
+      .crossJoin(f.packed.agg(sum(col("n_tokens")).as("n_total_tokens")))
+  }
+
+  val curationFunnelSql: String =
+    """WITH RECURSIVE raw AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |), ex AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM raw GROUP BY md5(substring(text, 1, 40))
+      |), exd AS (
+      |  SELECT r.* FROM raw r JOIN ex USING (doc_id)
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, length(text) - 4),
+      |    i -> substring(text, i, 5)))) AS shingle
+      |  FROM exd
+      |  WHERE length(text) >= 5
+      |), sizes AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         CAST(COUNT(*) AS BIGINT) AS n_inter
+      |  FROM sh a JOIN sh b
+      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |), jp AS (
+      |  SELECT i.doc_a, i.doc_b FROM inter i
+      |  JOIN sizes sa ON i.doc_a = sa.doc_id
+      |  JOIN sizes sb ON i.doc_b = sb.doc_id
+      |  WHERE CAST(i.n_inter AS DOUBLE)
+      |      / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM jp
+      |  UNION ALL SELECT doc_b, doc_a FROM jp
+      |), walk(doc_id, label) AS (
+      |  SELECT doc_id, doc_id FROM exd
+      |  UNION
+      |  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.doc_id
+      |), roots AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, MIN(label) AS g FROM walk GROUP BY doc_id)
+      |  WHERE doc_id = g
+      |), nd AS (
+      |  SELECT exd.* FROM exd JOIN roots USING (doc_id)
+      |), samp AS (
+      |  SELECT * FROM nd
+      |  WHERE CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+      |    < (CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
+      |), scr AS (
+      |  SELECT doc_id, regexp_replace(
+      |    regexp_replace(text,
+      |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |    '[0-9]{7,}', '<NUM>', 'g') AS text
+      |  FROM samp
+      |), toks AS (
+      |  SELECT CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |    x -> x <> '')) AS BIGINT) AS n
+      |  FROM scr
+      |)
+      |SELECT
+      |  CAST((SELECT COUNT(*) FROM raw) AS BIGINT) AS n_raw,
+      |  CAST((SELECT COUNT(*) FROM exd) AS BIGINT) AS n_exact,
+      |  CAST((SELECT COUNT(*) FROM nd) AS BIGINT) AS n_neardup,
+      |  CAST((SELECT COUNT(*) FROM samp) AS BIGINT) AS n_sampled,
+      |  CAST((SELECT SUM(n) FROM toks) AS BIGINT) AS n_total_tokens""".stripMargin
 }
