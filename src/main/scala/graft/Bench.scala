@@ -8,34 +8,34 @@ object Bench {
     * being silently absorbed into the total.
     */
   private[graft] val refMin: Map[String, Double] = Map(
-    "q_ann_lsh_topk" -> 0.355, "q_anti_clients" -> 0.304,
-    "q_approx_distinct" -> 0.161,
-    "q_asof_join" -> 0.203,
-    "q_bpe_tokens" -> 0.144, "q_client_txn_counts" -> 0.952,
+    "q_ann_lsh_topk" -> 0.355, "q_anti_clients" -> 0.25,
+    "q_approx_distinct" -> 0.137,
+    "q_asof_join" -> 0.18,
+    "q_bpe_tokens" -> 0.124, "q_client_txn_counts" -> 0.952,
     "q_coerce_fill" -> 0.109, "q_count" -> 0.312,
-    "q_curation_funnel" -> 5.545,
-    "q_dedup_first" -> 0.528, "q_distinct_users" -> 0.161,
-    "q_doc_dedup" -> 0.242, "q_doc_fingerprint" -> 0.19,
+    "q_curation_funnel" -> 5.418,
+    "q_dedup_first" -> 0.528, "q_distinct_users" -> 0.154,
+    "q_doc_dedup" -> 0.179, "q_doc_fingerprint" -> 0.183,
     "q_doc_quantiles" -> 0.172,
-    "q_embedding_neardup" -> 0.402, "q_embedding_neardup_lsh" -> 0.452,
-    "q_embedding_stats" -> 0.308,
-    "q_event_windows" -> 0.453, "q_except_users" -> 0.344,
+    "q_embedding_neardup" -> 0.402, "q_embedding_neardup_lsh" -> 0.358,
+    "q_embedding_stats" -> 0.298,
+    "q_event_windows" -> 0.453, "q_except_users" -> 0.32,
     "q_high_txn_accounts" -> 0.985, "q_intersect_users" -> 0.317,
-    "q_ivf_kmeans" -> 1.376, "q_ivf_topk" -> 0.479,
-    "q_json_extract" -> 0.184, "q_knn_cosine" -> 0.222,
+    "q_ivf_kmeans" -> 1.239, "q_ivf_topk" -> 0.479,
+    "q_json_extract" -> 0.184, "q_knn_cosine" -> 0.185,
     "q_lang_id" -> 0.527, "q_lang_ngram" -> 0.691,
     "q_minhash_lsh" -> 3.49, "q_minhash_verified" -> 3.658,
     "q_monthly_summary" -> 2.018, "q_multimodal_meta" -> 0.195,
-    "q_neardup_groups" -> 3.583, "q_ngram_jaccard" -> 2.362,
+    "q_neardup_groups" -> 3.583, "q_ngram_jaccard" -> 2.254,
     "q_outer_counts" -> 0.208, "q_pack_sequences" -> 0.472,
-    "q_pii_scrub" -> 0.139, "q_pivot_events" -> 0.218,
-    "q_quality_score" -> 0.162, "q_range_join" -> 0.362,
-    "q_unpivot_events" -> 0.597,
-    "q_rolling_fingerprint" -> 0.229, "q_rollup_orders" -> 0.197,
+    "q_pii_scrub" -> 0.136, "q_pivot_events" -> 0.218,
+    "q_quality_score" -> 0.154, "q_range_join" -> 0.313,
+    "q_unpivot_events" -> 0.376,
+    "q_rolling_fingerprint" -> 0.229, "q_rollup_orders" -> 0.18,
     "q_running_totals" -> 0.168, "q_sample_stratified" -> 0.146,
-    "q_semi_urgent" -> 0.336, "q_simhash" -> 0.47,
-    "q_simhash_neardup" -> 1.169, "q_skew_agg" -> 0.27,
-    "q_token_counts" -> 0.289, "q_topk_per_lang" -> 0.731,
+    "q_semi_urgent" -> 0.336, "q_simhash" -> 0.424,
+    "q_simhash_neardup" -> 1.034, "q_skew_agg" -> 0.226,
+    "q_token_counts" -> 0.285, "q_topk_per_lang" -> 0.306,
     "q_union_pages" -> 0.285, "q_user_sessions" -> 0.678)
 
   def main(args: Array[String]): Unit = {
