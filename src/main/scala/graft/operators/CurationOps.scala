@@ -87,6 +87,11 @@ object CurationOps {
     // persist, NOT localCheckpoint: checkpoint materializes with an extra
     // eager job, while the pass-1 collect below populates this cache as a
     // side effect of work it does anyway (2.5 s → ~1 s at sf0.1).
+    // The cache is deliberately NOT unpersisted here: the returned frame
+    // still reads it (an unpersist at function exit would force pass 2 to
+    // re-tokenize, undoing the optimization). Once the caller drops the
+    // returned frame, ContextCleaner reclaims the blocks (three longs/row,
+    // so even a 10⁹-doc corpus caches ~24 GB cluster-wide, transiently).
     val toks = docs
       .select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))

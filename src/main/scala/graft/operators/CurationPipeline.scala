@@ -73,11 +73,20 @@ object CurationPipeline {
     val exact = f.exactKept.persist()
     val nd = f.neardupKept.persist()
     val sampled = f.sampled.persist()
-    f.raw.agg(count(lit(1)).as("n_raw"))
-      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-      .crossJoin(nd.agg(count(lit(1)).as("n_neardup")))
-      .crossJoin(sampled.agg(count(lit(1)).as("n_sampled")))
-      .crossJoin(f.packed.agg(sum(col("n_tokens")).as("n_total_tokens")))
+    try {
+      // localCheckpoint(eager): materialize the 1-row funnel result NOW so
+      // the stage caches can be released in the finally below instead of
+      // accumulating across repeated invocations (Bench runs every query
+      // twice per process). The extra job is over one row.
+      f.raw.agg(count(lit(1)).as("n_raw"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(nd.agg(count(lit(1)).as("n_neardup")))
+        .crossJoin(sampled.agg(count(lit(1)).as("n_sampled")))
+        .crossJoin(f.packed.agg(sum(col("n_tokens")).as("n_total_tokens")))
+        .localCheckpoint(true)
+    } finally {
+      exact.unpersist(); nd.unpersist(); sampled.unpersist()
+    }
   }
 
   val curationFunnelSql: String =

@@ -600,7 +600,15 @@ object DedupOps {
         .filter(col("new_label") < col("group_id"))
         .count()
       // the count job materialized `updated`'s cache; the superseded
-      // frame is never read again — release it instead of waiting on LRU
+      // frame is never read again — release it instead of waiting on LRU.
+      // Fault-tolerance note: when the superseded frame was a
+      // localCheckpoint, its blocks are lineage-free — if `updated`'s
+      // cached partitions were later LOST (executor failure in cluster
+      // mode) recomputation would reach the freed blocks and fail. Fine
+      // in local mode (no block loss without process death); on a real
+      // cluster use reliable `checkpoint()` to HDFS/S3 for the 8-round
+      // lineage cuts, or re-run the round on failure (labels-only state,
+      // cheap to rebuild from the still-materialized edge list).
       labels.unpersist()
       labels = updated
       converged = changed == 0

@@ -83,7 +83,11 @@ object RefViews {
       .groupBy(col("month"), col("client_email"))
       .agg(
         count(lit(1)).as("transaction_count"),
-        sum(col("amount")).cast("double").as("total_amount"))
+        // NUMERIC fidelity: the reference's Postgres view returns numeric
+        // (SUM over NUMERIC(10,2), main.py:202) — emit decimal(20,2), not
+        // double. The sum itself runs in Spark's widened decimal(28,2);
+        // 20,2 is the declared view-output contract (SURVEY.md §1).
+        sum(col("amount")).cast("decimal(20,2)").as("total_amount"))
       .orderBy(col("month"), col("client_email"))
   }
 
@@ -92,7 +96,7 @@ object RefViews {
       |  strftime(date_trunc('month', t.l_shipdate), '%Y-%m') || '-01' AS month,
       |  c.c_name AS client_email,
       |  CAST(COUNT(*) AS BIGINT) AS transaction_count,
-      |  CAST(SUM(CAST(t.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+      |  CAST(SUM(CAST(t.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(20,2)) AS total_amount
       |FROM customer c
       |JOIN orders a ON c.c_custkey = a.o_custkey
       |JOIN lineitem t ON a.o_orderkey = t.l_orderkey

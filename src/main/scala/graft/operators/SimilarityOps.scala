@@ -243,6 +243,14 @@ object SimilarityOps {
     * per-step rounding to 6 decimals keep the whole training loop
     * oracle-checkable in DuckDB — an unusual property for an ML
     * training job, and exactly why the update avoids FP accumulation.
+    * Accepted-risk note: cross-engine equality of the ASSIGNMENT step
+    * relies on `round(ccos, 6)` absorbing FP summation-order differences
+    * (Spark's sequential fused loop vs DuckDB's unordered SUM over join
+    * rows). A dot product landing within ~1e-13 of a rounding boundary
+    * could flip the rounded value, hence an argmax, hence a centroid —
+    * never observed across sf0.001/0.01/0.1; if flakiness appears,
+    * compute the Spark-side assignment cosine from the same exploded
+    * frame (`ex`) as the update so both engines share one operand set.
     * At 100 TB you train on a sample (k-means cost is per-row·k), then
     * broadcast this codebook to route the full corpus — the routing is
     * [[ivfTopK]]'s cell assignment, unchanged.

@@ -33,7 +33,11 @@ object CsvHttpSource {
     import spark.implicits._
     val text = fetch.getString(url)
     val lines = splitRecords(text).filter(_.nonEmpty).toDS()
-    val reader = spark.read.option("header", "true")
+    // escape = quote: RFC 4180 / pandas double a quote to escape it
+    // inside a quoted field ("y ""q""" → y "q"). Spark's univocity
+    // parser defaults to backslash-escape, which would leave the
+    // doubled quotes in the parsed value.
+    val reader = spark.read.option("header", "true").option("escape", "\"")
     schema match {
       case Some(s) => reader.schema(s).csv(lines)
       case None    => reader.option("inferSchema", "true").csv(lines)

@@ -72,6 +72,22 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("CSV source: doubled-quote escape unescapes end-to-end (ADVICE r4)") {
+    // pandas parses "y ""q""" as the VALUE y "q" — the reader must set
+    // escape=quote or the doubled quotes survive into the parsed field
+    val csv = "client_id,desc\n" +
+      "c1,\"y \"\"q\"\"\"\n" +
+      "c2,\"a\nb \"\"x\"\" c\"\n"
+    withServer(Map("/q.csv" -> { _ => (200, csv) })) { base =>
+      val schema = StructType(Seq(
+        StructField("client_id", StringType), StructField("desc", StringType)))
+      val df = CsvHttpSource.read(spark, s"$base/q.csv", Some(schema), new HttpFetch())
+      val rows = df.orderBy("client_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(rows === Seq(("c1", "y \"q\""), ("c2", "a\nb \"x\" c")))
+    }
+  }
+
   test("splitRecords: RFC 4180 quote/newline/CRLF handling") {
     val got = CsvHttpSource.splitRecords(
       "a,b\r\n1,\"x\r\ny \"\"q\"\"\"\r\n2,z\n")
