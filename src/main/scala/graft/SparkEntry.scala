@@ -74,6 +74,7 @@ object SparkEntry {
     "q_embedding_neardup" -> (SimilarityOps.embeddingNearDup _),
     "q_embedding_neardup_lsh" -> (SimilarityOps.embeddingNearDupLsh _),
     "q_ivf_topk"          -> (SimilarityOps.ivfTopK _),
+    "q_ivf_persisted"     -> (SimilarityOps.ivfPersistedTopK _),
     "q_ivf_kmeans"        -> (SimilarityOps.ivfKmeans _),
     // §2b — multimodal columns
     "q_multimodal_meta"   -> (MultimodalOps.multimodalMeta _),
@@ -133,6 +134,9 @@ object SparkEntry {
     "q_embedding_neardup" -> SimilarityOps.embeddingNearDupSql,
     "q_embedding_neardup_lsh" -> SimilarityOps.embeddingNearDupLshSql,
     "q_ivf_topk"          -> SimilarityOps.ivfTopKSql,
+    // the persisted-index probe returns exactly what the in-flight IVF
+    // query returns — one oracle statement gates both execution shapes
+    "q_ivf_persisted"     -> SimilarityOps.ivfTopKSql,
     "q_ivf_kmeans"        -> SimilarityOps.ivfKmeansSql,
     "q_multimodal_meta"   -> MultimodalOps.multimodalMetaSql,
     "q_sample_stratified" -> CurationOps.sampleStratifiedSql,

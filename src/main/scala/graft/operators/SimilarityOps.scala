@@ -197,17 +197,30 @@ object SimilarityOps {
     * Assignment ranks use round(cos, 6) so the cross-engine compare
     * cannot flip a near-tie cell choice.
     */
-  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val nProbe = 2
-    val e = Tables.embeddingsFanned(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val cents = e.filter(col("vec_id").between(1, 16))
+  /** The 16-row coarse-quantizer codebook (vectors 1..16 double as the
+    * deterministic "trained" centroids — see [[ivfTopK]] scaladoc). */
+  private def ivfCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id").between(1, 16))
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+
+  /** Every vector of `e` scored against the broadcast codebook and
+    * ranked per vector (rn=1 is its assigned cell). Shared by the
+    * in-flight [[ivfTopK]], the index build ([[ensureIvfIndex]]), and
+    * the persisted probe's query-side cell ranking.
+    */
+  private def ivfRanked(e: DataFrame, cents: DataFrame): DataFrame = {
     val scored = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cid"),
         round(cosine(col("embedding"), col("cemb")), 6).as("ccos"))
     val byVec = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-    val ranked = scored.withColumn("rn", row_number().over(byVec))
+    scored.withColumn("rn", row_number().over(byVec))
+  }
+
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val nProbe = 2
+    val e = Tables.embeddingsFanned(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val ranked = ivfRanked(e, ivfCentroids(e))
     val cells = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
     val probes = ranked.filter(col("vec_id") === 0 && col("rn") <= nProbe)
@@ -215,6 +228,73 @@ object SimilarityOps {
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
     cells.filter(col("vec_id") =!= 0)
       .join(broadcast(probes), "cell")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_embedding")), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Catalog name of the persisted IVF cell-assignment index for one
+    * corpus directory (per-corpus so sf0.01 and sf0.1 never collide). */
+  private[graft] def ivfIndexName(sfDir: String): String =
+    "graft_ivf_idx_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  private[graft] val IvfIndexBuckets = 16
+
+  /** Build-once half of the production vector-store shape: materialize
+    * the cell assignment (vec_id, embedding, cell) as a parquet table
+    * BUCKETED BY cell ([[Layout.writeBucketed]]), so every later probe
+    * reads only its nprobe cells' buckets — no shuffle, no full scan.
+    * Idempotent per session; a leftover location from a dead session
+    * (the in-memory catalog forgets tables at session end, the files
+    * remain) is cleared before rebuilding. At 100 TB this is the
+    * index-build job a vector store runs nightly: one assignment pass +
+    * one bucketed write, amortized over every query after it.
+    */
+  def ensureIvfIndex(spark: SparkSession, sfDir: String): String = {
+    val name = ivfIndexName(sfDir)
+    // Part of the index contract: Spark's DisableUnnecessaryBucketedScan
+    // demotes a bucketed scan when no downstream operator needs the
+    // bucket distribution — but a probe's literal IN(cell, …) filter
+    // needs the bucketed layout for BUCKET PRUNING (read nprobe of N
+    // buckets), which only applies while the scan stays bucketed. An
+    // index-probing session therefore pins bucketed reads on.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    if (!spark.catalog.tableExists(name)) {
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(warehouse, name.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+      val cells = ivfRanked(e, ivfCentroids(e)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+      Layout.writeBucketed(cells, name, "cell", IvfIndexBuckets)
+    }
+    name
+  }
+
+  /** Query-many half: top-k as an exchange-free PROBE of the stored
+    * index. The query vector ranks against the broadcast codebook and
+    * its nprobe cell ids collect to the driver (O(nprobe) rows — same
+    * collect-small-state pattern as the codebook itself) so the index
+    * scan can prune on LITERAL cell values: with the table bucketed by
+    * cell, the scan reads nprobe of [[IvfIndexBuckets]] buckets
+    * (`SelectedBucketsCount` in the plan, spec-asserted) and the whole
+    * probe plans scan → filter → broadcast-score → TakeOrderedAndProject
+    * with zero shuffle exchanges. Results are identical to [[ivfTopK]]
+    * (same oracle); only WHEN the assignment work happens differs.
+    */
+  def ivfPersistedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val nProbe = 2
+    val name = ensureIvfIndex(spark, sfDir)
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val probeCells = ivfRanked(e.filter(col("vec_id") === 0), ivfCentroids(e))
+      .filter(col("rn") <= nProbe)
+      .select(col("cid")).collect().map(_.getLong(0))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
+    spark.table(name)
+      .filter(col("cell").isin(probeCells.map(Long.box): _*) && col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("q_embedding")), 4).as("score"))

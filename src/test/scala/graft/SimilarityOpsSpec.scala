@@ -63,6 +63,28 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(scores === scores.sorted.reverse)
   }
 
+  test("ivfPersistedTopK: equals ivfTopK; probe is exchange-free and bucket-pruned") {
+    try {
+      val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getDouble(1))
+      val expect = SimilarityOps.ivfTopK(spark, sf).collect().map(key).toSeq
+      val probe = SimilarityOps.ivfPersistedTopK(spark, sf)
+      assert(probe.collect().map(key).toSeq === expect)
+      val plan = probe.queryExecution.executedPlan.toString
+      // build-once/query-many contract: the probe itself never shuffles —
+      // scan (bucket-pruned to the 2 probed cells) → filter →
+      // broadcast-score → TakeOrderedAndProject
+      assert(!plan.contains("Exchange hashpartitioning") &&
+        !plan.contains("Exchange rangepartitioning") &&
+        !plan.contains("Exchange SinglePartition"),
+        s"persisted-IVF probe must be exchange-free:\n$plan")
+      assert(plan.contains(
+        s"SelectedBucketsCount: 2 out of ${SimilarityOps.IvfIndexBuckets}"),
+        s"probe scan must bucket-prune to the nprobe cells:\n$plan")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${SimilarityOps.ivfIndexName(sf)}")
+    }
+  }
+
   test("embeddingStats covers every vector exactly once") {
     val st = SimilarityOps.embeddingStats(spark, sf)
     val total = st.agg(sum("n_vecs")).head().getLong(0)
