@@ -20,7 +20,8 @@ object Bench {
     "q_embedding_neardup" -> 0.402, "q_embedding_neardup_lsh" -> 0.358,
     "q_embedding_stats" -> 0.298,
     "q_event_windows" -> 0.453, "q_except_users" -> 0.32,
-    "q_high_txn_accounts" -> 0.985, "q_intersect_users" -> 0.317,
+    "q_high_txn_accounts" -> 0.985, "q_incremental_dedup" -> 0.668,
+    "q_intersect_users" -> 0.317,
     "q_ivf_kmeans" -> 1.239, "q_ivf_persisted" -> 0.572, "q_ivf_topk" -> 0.479,
     "q_json_extract" -> 0.184, "q_knn_cosine" -> 0.185,
     "q_lang_id" -> 0.527, "q_lang_ngram" -> 0.691,

@@ -61,6 +61,7 @@ object SparkEntry {
     "q_topk_per_lang"     -> (TextOps.topkPerLang _),
     // §2b — dedup
     "q_doc_dedup"         -> (DedupOps.docDedup _),
+    "q_incremental_dedup" -> (DedupOps.incrementalDedup _),
     "q_ngram_jaccard"     -> (DedupOps.ngramJaccard _),
     "q_minhash_lsh"       -> (DedupOps.minhashLsh _),
     "q_minhash_verified"  -> (DedupOps.minhashVerified _),
@@ -122,6 +123,7 @@ object SparkEntry {
     "q_doc_quantiles"     -> TextOps.docQuantilesSql,
     "q_topk_per_lang"     -> TextOps.topkPerLangSql,
     "q_doc_dedup"         -> DedupOps.docDedupSql,
+    "q_incremental_dedup" -> DedupOps.incrementalDedupSql,
     "q_ngram_jaccard"     -> DedupOps.ngramJaccardSql,
     "q_minhash_lsh"       -> DedupOps.minhashLshSql,
     "q_minhash_verified"  -> DedupOps.minhashVerifiedSql,

@@ -70,6 +70,78 @@ object DedupOps {
       |GROUP BY md5(substring(text, 1, 40))
       |ORDER BY doc_id""".stripMargin
 
+  /** Arrival-order batch cut for the incremental-dedup demonstration:
+    * docs below the midpoint id are the already-ingested corpus, the
+    * rest are "today's batch" (doc_id encodes arrival order in the
+    * testdata, as ingestion timestamps would in production).
+    */
+  private def batchCut(docs: DataFrame): Long =
+    (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) / 2L
+
+  private[graft] def dedupIndexName(sfDir: String): String =
+    "graft_dedup_idx_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  private[graft] val DedupIndexBuckets = 32
+
+  /** Persist the exact-dedup SURVIVOR INDEX of the existing corpus:
+    * one (key_hash, doc_id) row per distinct content key, bucketed by
+    * the hash ([[Layout.writeBucketed]]). This is the state a daily
+    * pretraining pipeline carries between runs — at 100 TB the corpus
+    * is petabytes but its survivor index is one narrow 48-byte row per
+    * distinct document, and it never gets re-scanned, only probed.
+    */
+  def ensureDedupIndex(spark: SparkSession, sfDir: String): String = {
+    val name = dedupIndexName(sfDir)
+    Layout.pinBucketedReads(spark)
+    if (!spark.catalog.tableExists(name)) {
+      Layout.clearStaleTableLocation(spark, name)
+      val docs = Tables.documents(spark, sfDir)
+      val old = docs.filter(col("doc_id") < batchCut(docs))
+      val idx = old.groupBy(exactKey(col("text")).as("key_hash"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      Layout.writeBucketed(idx, name, "key_hash", DedupIndexBuckets)
+    }
+    name
+  }
+
+  /** Incremental cross-batch dedup — dedup the NEW batch against the
+    * persisted survivor index WITHOUT re-scanning the old corpus:
+    * within-batch keep-first (one shuffle on the content hash), then a
+    * LEFT ANTI join against the bucketed index on its bucket key, so
+    * the index side is read co-located and never re-shuffled
+    * (spec-asserted: no ShuffleExchange above the index scan). Output:
+    * the new batch's surviving (doc_id, key_hash) rows — exactly the
+    * rows full-corpus dedup would add beyond the index, which is the
+    * composition law `dedup(batch2 | index(batch1)) ∪ index(batch1) ≡
+    * dedup(batch1 ∪ batch2)` the DedupOpsSpec proves.
+    */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = ensureDedupIndex(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val newBatch = docs.filter(col("doc_id") >= batchCut(docs))
+    newBatch.groupBy(exactKey(col("text")).as("key_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(spark.table(name).select(col("key_hash")), Seq("key_hash"), "left_anti")
+      .select(col("doc_id"), col("key_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val incrementalDedupSql: String =
+    """WITH cut AS (
+      |  SELECT (MAX(doc_id) + 1) // 2 AS c FROM documents
+      |), oldk AS (
+      |  SELECT DISTINCT md5(substring(text, 1, 40)) AS key_hash
+      |  FROM documents WHERE doc_id < (SELECT c FROM cut)
+      |), newk AS (
+      |  SELECT md5(substring(text, 1, 40)) AS key_hash,
+      |         CAST(MIN(doc_id) AS BIGINT) AS doc_id
+      |  FROM documents WHERE doc_id >= (SELECT c FROM cut)
+      |  GROUP BY 1
+      |)
+      |SELECT n.doc_id, n.key_hash FROM newk n
+      |WHERE n.key_hash NOT IN (SELECT key_hash FROM oldk)
+      |ORDER BY doc_id""".stripMargin
+
   /** Exact pairwise n-gram Jaccard near-dup pairs (threshold 0.5) over
     * 5-gram character shingles. **Adaptive two-strategy operator** — the
     * output is identical either way (and identical to a naive all-pairs

@@ -20,6 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Sessions that probe persisted bucketed indexes pin bucketed reads
+    * on: Spark's DisableUnnecessaryBucketedScan demotes a bucketed scan
+    * when no operator requires the bucket distribution, which silently
+    * drops bucket pruning (IN-filter probes) and scan-side co-location
+    * (anti-join probes) — exactly what the index exists to provide.
+    */
+  def pinBucketedReads(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+
+  /** Resolved filesystem location of a (possibly dropped) managed table
+    * — used to clear leftovers from a dead session before rebuilding:
+    * the default in-memory catalog forgets tables at session end, but
+    * their files remain in the warehouse.
+    */
+  def clearStaleTableLocation(spark: SparkSession, table: String): Unit = {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   /** Write `df` bucketed + sorted by `key` as a saved table — the
     * co-location contract later joins rely on.
     */

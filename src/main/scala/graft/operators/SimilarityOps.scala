@@ -254,18 +254,11 @@ object SimilarityOps {
     */
   def ensureIvfIndex(spark: SparkSession, sfDir: String): String = {
     val name = ivfIndexName(sfDir)
-    // Part of the index contract: Spark's DisableUnnecessaryBucketedScan
-    // demotes a bucketed scan when no downstream operator needs the
-    // bucket distribution — but a probe's literal IN(cell, …) filter
-    // needs the bucketed layout for BUCKET PRUNING (read nprobe of N
-    // buckets), which only applies while the scan stays bucketed. An
-    // index-probing session therefore pins bucketed reads on.
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    // bucket pruning on the probe's IN(cell, …) filter only applies
+    // while the scan stays bucketed — see Layout.pinBucketedReads
+    Layout.pinBucketedReads(spark)
     if (!spark.catalog.tableExists(name)) {
-      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-      val loc = new org.apache.hadoop.fs.Path(warehouse, name.toLowerCase)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      Layout.clearStaleTableLocation(spark, name)
       val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
       val cells = ivfRanked(e, ivfCentroids(e)).filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("cid").as("cell"))

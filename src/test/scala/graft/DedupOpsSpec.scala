@@ -100,6 +100,46 @@ class DedupOpsSpec extends SparkSpec {
     assert(d.filter(col("dup_count") > 1).count() > 0) // testdata plants dups
   }
 
+  test("incrementalDedup: index(batch1) ∪ incremental(batch2) == full-corpus dedup; " +
+      "index is probed, never re-shuffled") {
+    import graft.operators.DedupOps
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force SMJ so the co-location claim is exercised (at test scale the
+      // tiny index would otherwise broadcast, which shuffles nothing anyway)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val inc = DedupOps.incrementalDedup(spark, sf)
+      val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getString(1))
+      val combined =
+        (spark.table(DedupOps.dedupIndexName(sf)).select("doc_id", "key_hash")
+          .collect().map(key) ++
+          inc.select("doc_id", "key_hash").collect().map(key)).toSet
+      val full = DedupOps.docDedup(spark, sf).select("doc_id", "key_hash")
+        .collect().map(key).toSet
+      // the composition law that makes incremental dedup correct: applying
+      // batch 2 against batch 1's persisted survivor index reproduces
+      // exactly what one full-corpus dedup of batch1 ∪ batch2 produces
+      assert(combined === full)
+      // the persisted index is never re-shuffled: no ShuffleExchange sits
+      // between the index scan and the anti join (the one hash exchange in
+      // the plan belongs to the new batch's keep-first aggregation)
+      val lines = inc.queryExecution.executedPlan.toString.split("\n").toSeq
+      val smj = lines.indexWhere(_.contains("LeftAnti"))
+      val idxScan = lines.indexWhere(_.contains("graft_dedup_idx"))
+      assert(smj >= 0 && idxScan > smj, s"expected anti join over the index:\n${lines.mkString("\n")}")
+      // the index subtree is the join's RIGHT child: the lines between the
+      // join and the index scan NOT marked with the left-branch ':' rail —
+      // none of them may be an Exchange (the new-batch agg's shuffles all
+      // live on the ':' side)
+      val rightSubtree = lines.slice(smj + 1, idxScan + 1).filterNot(_.trim.startsWith(":"))
+      assert(!rightSubtree.exists(_.contains("Exchange")),
+        s"persisted index must not be re-shuffled:\n${lines.mkString("\n")}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS ${DedupOps.dedupIndexName(sf)}")
+    }
+  }
+
   test("connectedComponents: both strategies agree on a known graph") {
     val s = spark; import s.implicits._
     // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; {20} isolated
