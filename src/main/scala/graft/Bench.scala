@@ -26,7 +26,8 @@ object Bench {
     "q_json_extract" -> 0.184, "q_knn_cosine" -> 0.185,
     "q_lang_id" -> 0.527, "q_lang_ngram" -> 0.691,
     "q_minhash_lsh" -> 3.49, "q_minhash_verified" -> 3.658,
-    "q_monthly_summary" -> 2.018, "q_multimodal_meta" -> 0.195,
+    "q_monthly_summary" -> 2.018, "q_multimodal_ann" -> 1.616,
+    "q_multimodal_meta" -> 0.195,
     "q_neardup_groups" -> 3.583, "q_ngram_jaccard" -> 2.254,
     "q_outer_counts" -> 0.208, "q_pack_sequences" -> 0.472,
     "q_pii_scrub" -> 0.136, "q_pivot_events" -> 0.218,

@@ -79,6 +79,7 @@ object SparkEntry {
     "q_ivf_kmeans"        -> (SimilarityOps.ivfKmeans _),
     // §2b — multimodal columns
     "q_multimodal_meta"   -> (MultimodalOps.multimodalMeta _),
+    "q_multimodal_ann"    -> (MultimodalOps.multimodalAnn _),
     // §2b — curation (sampling / packing / scrubbing)
     "q_sample_stratified" -> (CurationOps.sampleStratified _),
     "q_pack_sequences"    -> (CurationOps.packSequences _),
@@ -141,6 +142,7 @@ object SparkEntry {
     "q_ivf_persisted"     -> SimilarityOps.ivfTopKSql,
     "q_ivf_kmeans"        -> SimilarityOps.ivfKmeansSql,
     "q_multimodal_meta"   -> MultimodalOps.multimodalMetaSql,
+    "q_multimodal_ann"    -> MultimodalOps.multimodalAnnSql,
     "q_sample_stratified" -> CurationOps.sampleStratifiedSql,
     "q_pack_sequences"    -> CurationOps.packSequencesSql,
     "q_pii_scrub"         -> CurationOps.piiScrubSql,

@@ -88,11 +88,15 @@ object MultimodalOps {
     * the shape that feeds [[SimilarityOps]]' ANN/dedup operators. A real
     * pipeline loads a vision/audio encoder ONCE per partition and runs
     * batched inference over the iterator; the stub derives a
-    * deterministic pseudo-embedding from the payload hash so everything
+    * deterministic pseudo-embedding from the payload's md5 so everything
     * around the model call is real and testable: the schema contract
     * (`item_id`, `feature: array<float>` of static length), the
     * partition-local init point, one output row per item, no driver
-    * round-trips.
+    * round-trips. Component j is the first 32 md5 bits of
+    * `hex(md5(payload)) + "-" + j` scaled to [-1, 1) — re-derivable in
+    * any engine from the payload alone, which is what lets the full
+    * payload→feature→ANN chain ([[multimodalAnn]]) run under the DuckDB
+    * oracle despite passing through a black-box-shaped mapPartitions.
     */
   def extractFeaturesStub(payloads: DataFrame, dim: Int = 64): DataFrame = {
     val spark = payloads.sparkSession
@@ -102,11 +106,83 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // (a real encoder loads here — once per partition, not per row)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]): String =
+          b.map(x => f"${x & 0xff}%02x").mkString
         it.map { case (id, bytes) =>
-          val rnd = new scala.util.Random(java.util.Arrays.hashCode(bytes))
-          (id, Array.fill(dim)(rnd.nextFloat()))
+          val base = hex(md.digest(bytes))
+          val feat = Array.tabulate(dim) { j =>
+            val h = hex(md.digest(s"$base-$j".getBytes("UTF-8"))).substring(0, 8)
+            val u = java.lang.Long.parseLong(h, 16)
+            ((u / 4294967296.0) * 2.0 - 1.0).toFloat
+          }
+          (id, feat)
         }
       }
       .toDF("item_id", "feature")
+  }
+
+  /** The full multimodal→vector pipeline under the oracle: opaque
+    * payloads → per-partition feature extraction ([[extractFeaturesStub]])
+    * → sign-LSH bucketing → bucket-local pairwise cosine — i.e. media
+    * near-dup detection the way a production pipeline runs it (identical
+    * payloads land identical features, score 1.0; the 0.25 floor keeps
+    * the incidental same-bucket pairs that make the scoring observable).
+    * One shuffle on the 8-bit bucket key; the quadratic work is confined
+    * within buckets exactly as [[SimilarityOps.embeddingNearDupLsh]].
+    */
+  def multimodalAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = 64; val nPlanes = 8
+    val payloads = Tables.documentsFanned(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    // features pass through a typed mapPartitions (no lineage-free reuse:
+    // the self-join below would re-run extraction per side) — checkpoint
+    val feats = extractFeaturesStub(payloads, dim)
+      .select(col("item_id"), col("feature"),
+        SimilarityOps.annBucket(col("feature"), nPlanes, dim).as("bucket"))
+      .localCheckpoint()
+    val a = feats.as("a"); val b = feats.as("b")
+    a.join(b,
+        col("a.bucket") === col("b.bucket") && col("a.item_id") < col("b.item_id"))
+      .select(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"),
+        round(SimilarityOps.cosine(col("a.feature"), col("b.feature")), 4).as("score"))
+      .filter(col("score") >= 0.25)
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
+  val multimodalAnnSql: String = {
+    val planeRows = (0 until 8).map { p =>
+      s"($p, [${SimilarityOps.planeWeights(p, 64).map(w => if (w > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""WITH planes(p, w) AS (VALUES
+       |  $planeRows
+       |), f AS (
+       |  SELECT doc_id, j,
+       |    CAST(CAST(CONCAT('0x', substring(md5(md5(text) || '-' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      / 4294967296.0 * 2 - 1 AS FLOAT) AS v
+       |  FROM documents, generate_series(0, 63) AS t(j)
+       |), x AS (
+       |  SELECT doc_id, j + 1 AS i, CAST(v AS DOUBLE) AS v FROM f
+       |), b AS (
+       |  SELECT doc_id,
+       |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+       |  FROM (
+       |    SELECT x.doc_id, planes.p, SUM(x.v * planes.w[x.i]) AS s
+       |    FROM x, planes GROUP BY x.doc_id, planes.p)
+       |  GROUP BY doc_id
+       |), pr AS (
+       |  SELECT l.doc_id AS item_a, r.doc_id AS item_b
+       |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |), s AS (
+       |  SELECT pr.item_a, pr.item_b,
+       |    ROUND(SUM(xa.v*xb.v) / (SQRT(SUM(xa.v*xa.v)) * SQRT(SUM(xb.v*xb.v))), 4) AS score
+       |  FROM pr
+       |  JOIN x xa ON xa.doc_id = pr.item_a
+       |  JOIN x xb ON xb.doc_id = pr.item_b AND xb.i = xa.i
+       |  GROUP BY 1, 2
+       |)
+       |SELECT item_a, item_b, score FROM s
+       |WHERE score >= 0.25
+       |ORDER BY item_a, item_b""".stripMargin
   }
 }

@@ -37,6 +37,25 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(m.filter(col("n_bytes") <= 0).count() === 0)
   }
 
+  test("multimodalAnn: identical payloads get identical features/buckets; pairs thresholded") {
+    val s = spark; import s.implicits._
+    val payloads = Seq((1L, "same text"), (2L, "same text"), (3L, "different wording entirely"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val feats = MultimodalOps.extractFeaturesStub(payloads, 64)
+      .select(col("item_id"), col("feature"),
+        graft.operators.SimilarityOps.annBucket(col("feature"), 8, 64).as("bucket"))
+    val rows = feats.collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Float](1), r.getString(2))).toMap
+    // identical media → identical pseudo-embedding → same LSH bucket
+    assert(rows(1L)._1 === rows(2L)._1)
+    assert(rows(1L)._2 === rows(2L)._2)
+    // corpus-level operator: ordered pairs, all at/above the score floor
+    val out = MultimodalOps.multimodalAnn(spark, sf).collect()
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(out.forall(r => r.getDouble(2) >= 0.25))
+  }
+
   test("extractFeaturesStub: one fixed-dim vector per item, deterministic, ANN-composable") {
     val payloads = Tables.documents(spark, sf)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
