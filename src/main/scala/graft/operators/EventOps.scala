@@ -20,11 +20,12 @@ import graft.Tables
   *    streaming mode the same expression becomes an incremental stateful
   *    agg with watermark-based state eviction.
   *  - Sessionization is one shuffle on user_id (window partition); the
-  *    per-user sort is partition-local. Skewed users (bots) would be the
-  *    scale risk — mitigate by capping session length or salting the
-  *    heavy keys; AQE skew-join handling does not apply to window
-  *    functions, so this is the one operator where a manual
-  *    repartition-by-range fallback is documented.
+  *    per-user sort is partition-local. Skewed users (bots) are the
+  *    scale risk — AQE skew handling does not apply to window
+  *    functions, so [[EventOps.sessionizeSkewSafe]] implements the
+  *    manual fallback: time-segmented local windows for detected heavy
+  *    users, stitched through a tiny per-segment summary frame, with
+  *    output identical to the plain path (spec-proven).
   */
 object EventOps {
 
@@ -109,6 +110,75 @@ object EventOps {
       .withColumn("session_id", sum(col("__new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__prev_ts", "__new_session")
+  }
+
+  /** Skew-safe sessionization — the documented fallback for bot-heavy
+    * users (see the object scaladoc: AQE's skew handling does not apply
+    * to window functions, so a user holding half the corpus turns
+    * `Window.partitionBy(user)` into one giant task).
+    *
+    * Strategy: split by a per-user event count. Light users take the
+    * plain [[sessionize]] path unchanged. Heavy users' events segment by
+    * TIME RANGE (`seg = unix_micros(ts) div segmentMicros` — no window
+    * needed to segment, and equal timestamps can never straddle a
+    * boundary), sessionize locally per (user, seg) — bounded partitions
+    * — then stitch boundaries through a per-(user, seg) summary frame
+    * (one row per segment: first/last ts + local session count), which
+    * is small enough that its per-user running window is trivial. A
+    * segment whose first event is within `gapMicros` of the previous
+    * segment's last event MERGES its first local session into the
+    * running one; the per-segment base offset is the running sum of
+    * non-merged session starts. Output is row-for-row identical to
+    * [[sessionize]] (spec-proven on a corpus where one bot holds half
+    * the events), the same two-pass decomposition as the packing prefix
+    * sum (CurationOps.packSequencesFor).
+    */
+  def sessionizeSkewSafe(df: DataFrame, user: String, ts: String,
+                         order: Seq[String], gapMicros: Long,
+                         heavyThreshold: Long, segmentMicros: Long): DataFrame = {
+    val counts = df.groupBy(col(user)).agg(count(lit(1)).as("__n"))
+    val heavyUsers = counts.filter(col("__n") >= heavyThreshold).select(col(user))
+    val light = df.join(broadcast(heavyUsers), Seq(user), "left_anti")
+    val heavy = df.join(broadcast(heavyUsers), Seq(user), "left_semi")
+
+    val lightOut = sessionize(light, user, ts, order, gapMicros)
+
+    // heavy path: local sessionization within bounded (user, seg) slices
+    val seg = heavy.withColumn("__seg",
+      expr(s"unix_micros($ts) div $segmentMicros"))
+    val bySlice = Window.partitionBy(col(user), col("__seg"))
+      .orderBy((ts +: order).map(col): _*)
+    val local = seg
+      .withColumn("__prev_ts", lag(col(ts), 1).over(bySlice))
+      .withColumn("__new_session",
+        when(col("__prev_ts").isNull ||
+          unix_micros(col(ts)) - unix_micros(col("__prev_ts")) > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("__lsess", sum(col("__new_session")).over(
+        bySlice.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev_ts", "__new_session")
+    // one row per (user, segment): the stitching state
+    val stats = local.groupBy(col(user), col("__seg"))
+      .agg(min(unix_micros(col(ts))).as("__first_us"),
+        max(unix_micros(col(ts))).as("__last_us"),
+        max(col("__lsess")).as("__n_sess"))
+    val bySeg = Window.partitionBy(col(user)).orderBy(col("__seg"))
+    val offsets = stats
+      .withColumn("__prev_last", lag(col("__last_us"), 1).over(bySeg))
+      .withColumn("__merge",
+        col("__prev_last").isNotNull &&
+          col("__first_us") - col("__prev_last") <= gapMicros)
+      .withColumn("__contrib",
+        col("__n_sess") - when(col("__merge"), 1L).otherwise(0L))
+      .withColumn("__base", coalesce(sum(col("__contrib")).over(
+        bySeg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(user), col("__seg"), col("__merge"), col("__base"))
+    val heavyOut = local.join(offsets, Seq(user, "__seg"))
+      .withColumn("session_id",
+        col("__base") + col("__lsess") - when(col("__merge"), 1L).otherwise(0L))
+      .drop("__seg", "__lsess", "__merge", "__base")
+
+    lightOut.unionByName(heavyOut.select(lightOut.columns.map(col): _*))
   }
 
   def userSessions(spark: SparkSession, sfDir: String): DataFrame = {

@@ -32,6 +32,38 @@ class EventOpsSpec extends SparkSpec {
     assert(got === Seq((1L, 1L), (2L, 1L)))
   }
 
+  test("sessionizeSkewSafe: identical output to sessionize with one bot holding half the events") {
+    val s = spark; import s.implicits._
+    // bot: 600 events, one per minute (sessions break at >30 min gaps via
+    // planted holes); 5 normal users with 120 events each → bot ≈ 50%
+    val bot = (0 until 600).map { i =>
+      val minute = i + (i / 97) * 45L // every ~97 events, a 45-min hole
+      ("bot", ts(minute), 100000L + i)
+    }
+    val normals = for (u <- 1 to 5; i <- 0 until 120)
+      yield (s"u$u", ts(i * 7L + (i / 31) * 60L), u * 1000L + i)
+    val df = s.createDataFrame(bot ++ normals).toDF("user_id", "ts", "event_id")
+    val gap = 1800000000L
+    val plain = EventOps.sessionize(df, "user_id", "ts", Seq("event_id"), gap)
+      .select("user_id", "event_id", "session_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // threshold 300 → only the bot takes the segmented path; 1-hour segments
+    val segMicros = 3600000000L
+    val safe = EventOps.sessionizeSkewSafe(df, "user_id", "ts", Seq("event_id"),
+      gap, heavyThreshold = 300L, segmentMicros = segMicros)
+    val got = safe.select("user_id", "event_id", "session_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === plain)
+    // the boundedness claim: no (user, segment) window slice on the heavy
+    // path exceeds the events that fit one segment, so the bot's 600-event
+    // partition never materializes as a single window task
+    val maxSlice = df.filter(col("user_id") === "bot")
+      .groupBy(expr(s"unix_micros(ts) div $segMicros")).count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxSlice <= 60L) // one event/min, 60-min segments (+ holes)
+    assert(maxSlice < 600L) // strictly better than the unsegmented partition
+  }
+
   test("eventWindows covers every event exactly once") {
     val w = EventOps.eventWindows(spark, sf)
     val total = w.agg(sum("n_events")).head().getLong(0)
