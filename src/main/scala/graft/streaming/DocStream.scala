@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CurationOps, DedupOps}
+
+/** Streaming curation: the batch pipeline's exact-dedup and PII-scrub
+  * stages (CurationPipeline steps 1 and 4) as ONE incremental flow over
+  * an unbounded document source — `readStream` → dedup → scrub →
+  * `writeStream`. Nothing is reimplemented: the content key is the
+  * SAME `DedupOps.exactKey` expression and the scrub the SAME
+  * `CurationOps.scrubbedText` expression the batch stages use, applied
+  * over a streaming frame; only the dedup mechanism changes, from a
+  * groupBy(min) to engine-managed `dropDuplicatesWithinWatermark`
+  * state. DocStreamSpec proves batch/stream equivalence on the
+  * documents table itself.
+  *
+  * Scale notes: dedup state is one entry per distinct content key
+  * WITHIN the watermark horizon — eviction keeps state proportional to
+  * the out-of-orderness budget, not stream length (the only dedup an
+  * unbounded stream can promise with finite state; the batch
+  * incremental form for unbounded lookback is the persisted survivor
+  * index, DedupOps.incrementalDedup). The scrub is stateless row-local
+  * regexp work that pipelines in each micro-batch.
+  */
+object DocStream {
+
+  /** `docs` must carry (doc_id, text, ts) where `ts` is the arrival
+    * event time the watermark advances on.
+    */
+  def curateDocStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .withColumn("key_hash", DedupOps.exactKey(col("text")))
+      .dropDuplicatesWithinWatermark("key_hash")
+      .withColumn("text", CurationOps.scrubbedText(col("text")))
+}

@@ -1,0 +1,52 @@
+package graft
+
+// Spark 4.1 moved MemoryStream under execution.streaming.runtime
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CurationOps, DedupOps}
+import graft.streaming.DocStream
+
+/** Batch/stream equivalence of the curation stages on the documents
+  * table itself (not a synthetic toy): the streamed dedup+scrub output
+  * must equal the batch keep-first dedup + scrub row set.
+  */
+class DocStreamSpec extends SparkSpec {
+
+  test("streaming dedup+scrub over documents equals the batch curation stages") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // feed in doc_id order, one partition per micro-batch, so the
+    // stream's first-arrival survivor IS the batch min-doc_id survivor
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val out = DocStream.curateDocStream(stream, watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("cur_stream")
+      .outputMode("append").start()
+    mem.addData(b1: _*)
+    q.processAllAvailable() // batch boundary: cross-batch dups hit state
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cur_stream")
+      .select("doc_id", "key_hash", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+    // the batch stages, composed exactly as CurationPipeline.run does
+    val raw = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val batch = raw
+      .join(DedupOps.exactDedupSurvivorIds(raw), Seq("doc_id"), "left_semi")
+      .withColumn("key_hash", DedupOps.exactKey(col("text")))
+      .withColumn("text", CurationOps.scrubbedText(col("text")))
+      .select("doc_id", "key_hash", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+    assert(streamed === batch)
+    assert(streamed.nonEmpty && streamed.size < docs.size) // dups actually removed
+  }
+}
