@@ -20,15 +20,15 @@ object Bench {
     "q_embedding_neardup" -> 0.402, "q_embedding_neardup_lsh" -> 0.358,
     "q_embedding_stats" -> 0.298,
     "q_event_windows" -> 0.453, "q_except_users" -> 0.32,
-    "q_high_txn_accounts" -> 0.985, "q_incremental_dedup" -> 0.668,
+    "q_high_txn_accounts" -> 0.985, "q_incremental_dedup" -> 0.436,
     "q_intersect_users" -> 0.317,
-    "q_ivf_kmeans" -> 1.239, "q_ivf_persisted" -> 0.572, "q_ivf_topk" -> 0.479,
+    "q_ivf_kmeans" -> 1.239, "q_ivf_persisted" -> 0.347, "q_ivf_topk" -> 0.445,
     "q_json_extract" -> 0.184, "q_knn_cosine" -> 0.185,
     "q_lang_id" -> 0.527, "q_lang_ngram" -> 0.691,
-    "q_minhash_lsh" -> 3.49, "q_minhash_verified" -> 3.658,
-    "q_monthly_summary" -> 2.018, "q_multimodal_ann" -> 1.616,
+    "q_minhash_lsh" -> 3.49, "q_minhash_verified" -> 3.051,
+    "q_monthly_summary" -> 1.773, "q_multimodal_ann" -> 0.525,
     "q_multimodal_meta" -> 0.195,
-    "q_neardup_groups" -> 3.583, "q_ngram_jaccard" -> 2.254,
+    "q_neardup_groups" -> 3.226, "q_ngram_jaccard" -> 2.254,
     "q_outer_counts" -> 0.208, "q_pack_sequences" -> 0.472,
     "q_pii_scrub" -> 0.136, "q_pivot_events" -> 0.218,
     "q_quality_score" -> 0.154, "q_range_join" -> 0.313,
