@@ -64,6 +64,7 @@ object SparkEntry {
     "q_incremental_dedup" -> (DedupOps.incrementalDedup _),
     "q_ngram_jaccard"     -> (DedupOps.ngramJaccard _),
     "q_minhash_lsh"       -> (DedupOps.minhashLsh _),
+    "q_minhash_persisted" -> (DedupOps.minhashPersisted _),
     "q_minhash_verified"  -> (DedupOps.minhashVerified _),
     "q_neardup_groups"    -> (DedupOps.neardupGroups _),
     "q_simhash"           -> (DedupOps.simhash _),
@@ -127,6 +128,8 @@ object SparkEntry {
     "q_incremental_dedup" -> DedupOps.incrementalDedupSql,
     "q_ngram_jaccard"     -> DedupOps.ngramJaccardSql,
     "q_minhash_lsh"       -> DedupOps.minhashLshSql,
+    // served from the persisted band index — same result, same oracle
+    "q_minhash_persisted" -> DedupOps.minhashLshSql,
     "q_minhash_verified"  -> DedupOps.minhashVerifiedSql,
     "q_neardup_groups"    -> DedupOps.neardupGroupsSql,
     "q_simhash"           -> DedupOps.simhashSql,

@@ -140,6 +140,33 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("minhashPersisted: equals minhashLsh; band self-join is exchange-free") {
+    import graft.operators.DedupOps
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val persisted = DedupOps.minhashPersisted(spark, sf)
+      val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getLong(2))
+      val expect = DedupOps.minhashLsh(spark, sf).collect().map(key).toSeq
+      assert(persisted.collect().map(key).toSeq === expect)
+      // both self-join sides scan the SAME bucketed table: candidate
+      // generation runs with no exchange below the join (the only
+      // shuffles are the pair-count agg and the output sort)
+      val all = persisted.queryExecution.executedPlan.toString.split("\n").toSeq
+      // AQE prints the final plan first, then "== Initial Plan ==" —
+      // analyze only the final section or the slice spans both copies
+      val lines = all.takeWhile(!_.contains("== Initial Plan =="))
+      val smj = lines.indexWhere(_.contains("SortMergeJoin"))
+      val lastScan = lines.lastIndexWhere(_.contains("graft_minhash_idx"))
+      assert(smj >= 0 && lastScan > smj, all.mkString("\n"))
+      assert(!lines.slice(smj + 1, lastScan + 1).exists(_.contains("Exchange")),
+        s"band self-join must read both sides co-located:\n${all.mkString("\n")}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS ${DedupOps.minhashIndexName(sf)}")
+    }
+  }
+
   test("connectedComponents: both strategies agree on a known graph") {
     val s = spark; import s.implicits._
     // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; {20} isolated
