@@ -678,9 +678,12 @@ object DedupOps {
     connectedComponents(vertices, pairs, MaxDriverEdges)
 
   /** `maxDriverEdges` is injectable so specs can force the distributed
-    * path on small graphs; production callers use the default. */
+    * path on small graphs; `maxPropagationRounds` so specs can trigger
+    * the diameter-halving fallback cheaply. Production callers use the
+    * defaults. */
   private[graft] def connectedComponents(
-      vertices: DataFrame, pairs: DataFrame, maxDriverEdges: Long): DataFrame = {
+      vertices: DataFrame, pairs: DataFrame, maxDriverEdges: Long,
+      maxPropagationRounds: Int = 50): DataFrame = {
     // checkpoint BEFORE the union self-reference: both union branches read
     // the materialized pair list instead of re-running its pipeline twice
     val p = pairs.localCheckpoint()
@@ -703,7 +706,7 @@ object DedupOps {
       .localCheckpoint()
     var converged = false
     var rounds = 0
-    val maxRounds = 50 // backstop only: diameter bound, hit never in practice
+    val maxRounds = maxPropagationRounds // diameter bound, hit only by adversarial chains
     while (!converged && rounds < maxRounds) {
       val neighborMin = edges
         .join(maybeB(labels.select(col("doc_id").as("dst"), col("group_id").as("dst_label"))), "dst")
@@ -739,18 +742,81 @@ object DedupOps {
       converged = changed == 0
       rounds += 1
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxRounds rounds — " +
-          "component diameter exceeds the backstop; silently returning " +
-          "partial labels would split real groups. For adversarial " +
-          "long-chain graphs use a diameter-halving scheme " +
-          "(large-star/small-star, Kiveris et al. SoCC'14).")
+    if (!converged) {
+      // component diameter exceeded the propagation backstop (an
+      // adversarial long-chain graph): switch to the diameter-halving
+      // algorithm instead of failing — O(log n) rounds on any shape
+      labels.unpersist()
+      labels = starComponents(p)
+    }
     // singletons: every vertex with no incident edge is its own group
     val singletons = vertices
       .join(maybeB(endpoints), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("group_id"))
     labels.union(singletons)
+  }
+
+  /** Diameter-halving connected components: alternating large-star /
+    * small-star contractions (Kiveris et al., SoCC'14) — O(log n)
+    * rounds on ANY graph shape, vs min-label propagation's O(diameter).
+    * Serves as [[connectedComponents]]' automatic fallback when
+    * propagation hits its round backstop; propagation stays the
+    * primary because its per-round cost is lower on the short-diameter
+    * graphs near-dup clustering actually produces (one join+agg vs the
+    * star rounds' two neighborhood mins + edge rewrite + fixpoint diff).
+    *
+    *  - large-star: every node links its LARGER neighbors to the
+    *    minimum of its closed neighborhood — long tails fold toward
+    *    small ids without ever creating an upward edge;
+    *  - small-star: every node links its smaller-or-equal neighbors
+    *    and itself to the minimum of that set — stars consolidate.
+    *
+    * Each round halves-ish the component diameter; at the fixpoint the
+    * graph is a union of stars centered at component minima, so the
+    * label of a node is just its minimum neighbor (centers label
+    * themselves). Per round: two shuffles per star op on the edge
+    * list + an exceptAll fixpoint check, every frame localCheckpoint'd
+    * (iterative joins would otherwise stack planning cost). Input:
+    * canonical (doc_a < doc_b) pair list; output: (doc_id, group_id)
+    * for every edge ENDPOINT — singletons are the caller's union, as
+    * in the propagation path.
+    */
+  private[graft] def starComponents(pairs: DataFrame): DataFrame = {
+    var edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var converged = false
+    var rounds = 0
+    val maxRounds = 100 // 2^100 nodes: unreachable; guards a logic bug only
+    while (!converged && rounds < maxRounds) {
+      val dir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      // large-star: (v, m) for every neighbor v > u, m = min(Γ(u) ∪ {u})
+      val minsL = dir.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = dir.filter(col("v") > col("u")).join(minsL, "u")
+        .select(col("m").as("u"), col("v"))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      // small-star over the large-star output: (x, m) for every
+      // neighbor x < u plus u itself, m = min of that set
+      val dir2 = large.union(large.select(col("v").as("u"), col("u").as("v")))
+      val smallN = dir2.filter(col("v") < col("u"))
+      val minsS = smallN.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = smallN.join(minsS, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("u"), col("v"))
+        .union(minsS.select(col("m").as("u"), col("u").as("v")))
+        .distinct().localCheckpoint()
+      converged =
+        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"starComponents did not reach a fixpoint within $maxRounds rounds")
+    val dirF = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    dirF.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("mv"))
+      .select(col("doc_id"), least(col("mv"), col("doc_id")).as("group_id"))
   }
 
   /** Small-graph path: collected pair list → path-compressed union-find

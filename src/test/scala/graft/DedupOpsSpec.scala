@@ -167,6 +167,32 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("starComponents: agrees with union-find; rescues the propagation backstop on a long chain") {
+    import graft.operators.DedupOps
+    val s = spark; import s.implicits._
+    // adversarial chain: diameter 149 ≫ a 5-round propagation budget —
+    // the distributed path must fall back to diameter-halving, not throw
+    val n = 150L
+    val verts = (0L until n).toDF("doc_id")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = DedupOps.connectedComponents(verts, chain, 0L, maxPropagationRounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === (0L until n).map(i => (i, 0L)).toSet)
+    // random graph: star labels equal driver union-find labels exactly
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val pdf = pairs.toDF("doc_a", "doc_b")
+    val vdf = (0L until 200).toDF("doc_id")
+    val star = DedupOps.starComponents(pdf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uf = DedupOps.connectedComponents(vdf, pdf) // driver path at this size
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val endpoints = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(star === uf.filter { case (d, _) => endpoints(d) }) // star covers endpoints
+  }
+
   test("connectedComponents: both strategies agree on a known graph") {
     val s = spark; import s.implicits._
     // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; {20} isolated
