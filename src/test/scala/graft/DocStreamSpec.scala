@@ -49,4 +49,39 @@ class DocStreamSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.nonEmpty && streamed.size < docs.size) // dups actually removed
   }
+
+  test("curateDocStream over a real file source: one survivor per key, scrub applied") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_docs_in").toString
+    try {
+      val docs = Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text"))
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      docs.write.mode("overwrite").parquet(inDir)
+      // file-at-a-time micro-batches: survivor per key is whichever file
+      // arrives first (arrival-order semantics — the MemoryStream test
+      // above pins the deterministic-order case)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val out = DocStream.curateDocStream(stream)
+      val q = out.writeStream.format("memory").queryName("cur_file")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("cur_file").select("doc_id", "key_hash", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      // exactly one survivor per content key, covering every key
+      assert(got.map(_._2).distinct.length === got.length)
+      val expectKeys = docs.select(DedupOps.exactKey(col("text")).as("k"))
+        .distinct().collect().map(_.getString(0)).toSet
+      assert(got.map(_._2).toSet === expectKeys)
+      // each survivor's emitted text is the scrub of ITS OWN input text
+      val scrubbed = docs
+        .withColumn("scr", CurationOps.scrubbedText(col("text")))
+        .select("doc_id", "scr").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got.forall { case (id, _, text) => text == scrubbed(id) })
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(inDir))
+    }
+  }
 }
