@@ -25,11 +25,11 @@ object Bench {
     "q_ivf_kmeans" -> 1.239, "q_ivf_persisted" -> 0.347, "q_ivf_topk" -> 0.445,
     "q_json_extract" -> 0.184, "q_knn_cosine" -> 0.185,
     "q_lang_id" -> 0.527, "q_lang_ngram" -> 0.691,
-    "q_minhash_lsh" -> 3.49, "q_minhash_persisted" -> 0.791,
+    "q_minhash_lsh" -> 3.49, "q_minhash_persisted" -> 0.719,
     "q_minhash_verified" -> 3.051,
-    "q_monthly_summary" -> 1.773, "q_multimodal_ann" -> 0.525,
+    "q_monthly_summary" -> 1.773, "q_multimodal_ann" -> 0.483,
     "q_multimodal_meta" -> 0.195,
-    "q_neardup_groups" -> 3.226, "q_ngram_jaccard" -> 2.254,
+    "q_neardup_groups" -> 3.187, "q_ngram_jaccard" -> 2.254,
     "q_outer_counts" -> 0.208, "q_pack_sequences" -> 0.472,
     "q_pii_scrub" -> 0.136, "q_pivot_events" -> 0.218,
     "q_quality_score" -> 0.154, "q_range_join" -> 0.313,
