@@ -36,7 +36,8 @@ object Bench {
     "q_unpivot_events" -> 0.376,
     "q_rolling_fingerprint" -> 0.229, "q_rollup_orders" -> 0.18,
     "q_running_totals" -> 0.168, "q_sample_stratified" -> 0.146,
-    "q_semi_urgent" -> 0.336, "q_simhash" -> 0.424,
+    "q_semi_urgent" -> 0.336, "q_sessions_skewsafe" -> 1.772,
+    "q_simhash" -> 0.424,
     "q_simhash_neardup" -> 1.034, "q_skew_agg" -> 0.226,
     "q_token_counts" -> 0.285, "q_topk_per_lang" -> 0.306,
     "q_union_pages" -> 0.285, "q_user_sessions" -> 0.678)

@@ -47,6 +47,7 @@ object SparkEntry {
     "q_json_extract"      -> (EventOps.jsonExtract _),
     "q_event_windows"     -> (EventOps.eventWindows _),
     "q_user_sessions"     -> (EventOps.userSessions _),
+    "q_sessions_skewsafe" -> (EventOps.userSessionsSkewSafe _),
     "q_asof_join"         -> (EventOps.asofClickPurchase _),
     "q_range_join"        -> (EventOps.rangeJoinErrorViews _),
     // §2b — text analysis
@@ -113,6 +114,9 @@ object SparkEntry {
     "q_json_extract"      -> EventOps.jsonExtractSql,
     "q_event_windows"     -> EventOps.eventWindowsSql,
     "q_user_sessions"     -> EventOps.userSessionsSql,
+    // the skew-safe segmented path must produce the same sessions —
+    // one oracle statement gates both execution shapes
+    "q_sessions_skewsafe" -> EventOps.userSessionsSql,
     "q_asof_join"         -> EventOps.asofClickPurchaseSql,
     "q_range_join"        -> EventOps.rangeJoinErrorViewsSql,
     "q_token_counts"      -> TextOps.tokenCountsSql,

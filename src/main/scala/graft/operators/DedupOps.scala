@@ -104,6 +104,29 @@ object DedupOps {
     name
   }
 
+  /** Library core: keep-first survivors of `batch` (doc_id, text, …)
+    * against a persisted survivor index — within-batch min per content
+    * key, then a left-anti probe of the bucketed index. */
+  def dedupBatchAgainstIndex(spark: SparkSession, name: String, batch: DataFrame): DataFrame =
+    batch.groupBy(exactKey(col("text")).as("key_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(spark.table(name).select(col("key_hash")), Seq("key_hash"), "left_anti")
+      .select(col("doc_id"), col("key_hash"))
+
+  /** The WRITE half of the daily dedup loop: append a processed batch's
+    * surviving keys to the index. The append uses the index's own
+    * bucket spec, so new files land in the same bucket layout and
+    * every later probe stays co-located — the index grows by one
+    * narrow row per new distinct document per day, never rewritten.
+    * DedupOpsSpec proves the three-batch loop (bootstrap → dedup+append
+    * → dedup+append) reproduces full-corpus dedup exactly.
+    */
+  def appendToDedupIndex(name: String, survivors: DataFrame): Unit =
+    survivors.select(col("key_hash"), col("doc_id"))
+      .write.format("parquet")
+      .bucketBy(DedupIndexBuckets, "key_hash").sortBy("key_hash")
+      .mode("append").saveAsTable(name)
+
   /** Incremental cross-batch dedup — dedup the NEW batch against the
     * persisted survivor index WITHOUT re-scanning the old corpus:
     * within-batch keep-first (one shuffle on the content hash), then a
@@ -119,11 +142,7 @@ object DedupOps {
     val name = ensureDedupIndex(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
     val newBatch = docs.filter(col("doc_id") >= batchCut(docs))
-    newBatch.groupBy(exactKey(col("text")).as("key_hash"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .join(spark.table(name).select(col("key_hash")), Seq("key_hash"), "left_anti")
-      .select(col("doc_id"), col("key_hash"))
-      .orderBy(col("doc_id"))
+    dedupBatchAgainstIndex(spark, name, newBatch).orderBy(col("doc_id"))
   }
 
   val incrementalDedupSql: String =

@@ -193,6 +193,26 @@ object EventOps {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** The skew-safe sessionizer under the ORACLE: every user forced onto
+    * the segmented path (heavyThreshold = 1), same aggregation — and
+    * the same DuckDB oracle — as q_user_sessions. The toy-corpus spec
+    * proves plain/skew-safe equivalence with a planted bot; this key
+    * proves the segmented/stitched decomposition value-identical on the
+    * full events table under the hash gate.
+    */
+  def userSessionsSkewSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    sessionizeSkewSafe(e, "user_id", "ts", Seq("event_id"), 1800000000L,
+      heavyThreshold = 1L, segmentMicros = 6L * 3600000000L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   val userSessionsSql: String =
     """WITH e AS (
       |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
