@@ -29,14 +29,14 @@ object Bench {
     "q_minhash_verified" -> 3.051,
     "q_monthly_summary" -> 1.773, "q_multimodal_ann" -> 0.483,
     "q_multimodal_meta" -> 0.195,
-    "q_neardup_groups" -> 3.187, "q_ngram_jaccard" -> 2.254,
+    "q_neardup_groups" -> 2.967, "q_ngram_jaccard" -> 2.254,
     "q_outer_counts" -> 0.208, "q_pack_sequences" -> 0.472,
     "q_pii_scrub" -> 0.136, "q_pivot_events" -> 0.218,
     "q_quality_score" -> 0.154, "q_range_join" -> 0.313,
     "q_unpivot_events" -> 0.376,
     "q_rolling_fingerprint" -> 0.229, "q_rollup_orders" -> 0.18,
     "q_running_totals" -> 0.168, "q_sample_stratified" -> 0.146,
-    "q_semi_urgent" -> 0.336, "q_sessions_skewsafe" -> 1.772,
+    "q_semi_urgent" -> 0.336, "q_sessions_skewsafe" -> 1.24,
     "q_simhash" -> 0.424,
     "q_simhash_neardup" -> 1.034, "q_skew_agg" -> 0.226,
     "q_token_counts" -> 0.285, "q_topk_per_lang" -> 0.306,
