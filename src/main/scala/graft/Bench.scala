@@ -22,7 +22,8 @@ object Bench {
     "q_event_windows" -> 0.453, "q_except_users" -> 0.32,
     "q_high_txn_accounts" -> 0.985, "q_incremental_dedup" -> 0.436,
     "q_intersect_users" -> 0.317,
-    "q_ivf_kmeans" -> 1.239, "q_ivf_persisted" -> 0.347, "q_ivf_topk" -> 0.445,
+    "q_ivf_kmeans" -> 1.239, "q_ivf_persisted" -> 0.347,
+    "q_ivf_trained" -> 0.628, "q_ivf_topk" -> 0.445,
     "q_json_extract" -> 0.184, "q_knn_cosine" -> 0.185,
     "q_lang_id" -> 0.527, "q_lang_ngram" -> 0.691,
     "q_minhash_lsh" -> 3.49, "q_minhash_persisted" -> 0.719,

@@ -78,6 +78,7 @@ object SparkEntry {
     "q_embedding_neardup_lsh" -> (SimilarityOps.embeddingNearDupLsh _),
     "q_ivf_topk"          -> (SimilarityOps.ivfTopK _),
     "q_ivf_persisted"     -> (SimilarityOps.ivfPersistedTopK _),
+    "q_ivf_trained"       -> (SimilarityOps.ivfTrainedTopK _),
     "q_ivf_kmeans"        -> (SimilarityOps.ivfKmeans _),
     // §2b — multimodal columns
     "q_multimodal_meta"   -> (MultimodalOps.multimodalMeta _),
@@ -147,6 +148,7 @@ object SparkEntry {
     // the persisted-index probe returns exactly what the in-flight IVF
     // query returns — one oracle statement gates both execution shapes
     "q_ivf_persisted"     -> SimilarityOps.ivfTopKSql,
+    "q_ivf_trained"       -> SimilarityOps.ivfTrainedTopKSql,
     "q_ivf_kmeans"        -> SimilarityOps.ivfKmeansSql,
     "q_multimodal_meta"   -> MultimodalOps.multimodalMetaSql,
     "q_multimodal_ann"    -> MultimodalOps.multimodalAnnSql,

@@ -52,6 +52,24 @@ object Layout {
       .mode("overwrite")
       .saveAsTable(table)
 
+  /** Rewrite a bucketed table in place with the same bucket spec — the
+    * small-files compaction an append-maintained index needs
+    * periodically (every `mode("append")` lands one new file per
+    * non-empty bucket per batch; after N appends each bucket is N
+    * files and scan/open overhead grows linearly). The snapshot
+    * materializes eagerly (localCheckpoint) BEFORE the original
+    * location is cleared, so the rewrite never reads files it is
+    * deleting. Content and bucket layout are unchanged — spec-asserted
+    * along with the file-count drop.
+    */
+  def compactBucketed(spark: SparkSession, table: String, key: String, buckets: Int): Unit = {
+    val snapshot = spark.table(table).localCheckpoint()
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    clearStaleTableLocation(spark, table)
+    writeBucketed(snapshot, table, key, buckets)
+    snapshot.unpersist()
+  }
+
   /** Inner equi-join of a skewed fact table against a dimension with
     * key salting. Results are identical to `fact.join(dim, key)` —
     * every fact row matches exactly one replicated dim row (the one

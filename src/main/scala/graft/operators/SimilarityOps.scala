@@ -363,8 +363,13 @@ object SimilarityOps {
       .orderBy(col("cid"), col("i"))
   }
 
-  /** DuckDB form: the same two Lloyd's iterations unrolled as CTEs. */
-  val ivfKmeansSql: String = {
+  /** Shared oracle CTE chain for the two trained-codebook oracles:
+    * exploded components `x`, seed codebook `c1`, and two unrolled
+    * Lloyd's iterations ending in the trained codebook `c3`. Declared
+    * BEFORE every val that interpolates it (object vals initialize in
+    * declaration order).
+    */
+  private val ivfKmeansCtes: String = {
     def iter(n: Int): String =
       s"""s$n AS (
          |  SELECT x.vec_id, c.cid,
@@ -382,15 +387,117 @@ object SimilarityOps {
          |  FROM x JOIN a$n a ON x.vec_id = a.vec_id
          |  GROUP BY 1, 2
          |)""".stripMargin
-    s"""WITH x AS (
+    s"""x AS (
        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
        |         generate_subscripts(embedding, 1) AS i
        |  FROM embeddings
        |), c1 AS (
        |  SELECT vec_id AS cid, i, v AS cv FROM x WHERE vec_id BETWEEN 1 AND 8
-       |), ${iter(1)}, ${iter(2)}
+       |), ${iter(1)}, ${iter(2)}""".stripMargin
+  }
+
+  /** DuckDB form: the same two Lloyd's iterations unrolled as CTEs. */
+  val ivfKmeansSql: String =
+    s"""WITH $ivfKmeansCtes
        |SELECT cid, i, cv AS comp FROM c3
        |ORDER BY cid, i""".stripMargin
+
+  /** [[ivfKmeansCtes]] extended through assignment and probe: route
+    * every vector to its best TRAINED centroid, probe the query's 2
+    * best cells, exact-score the candidates — the oracle for
+    * [[ivfTrainedTopK]].
+    */
+  val ivfTrainedTopKSql: String =
+    s"""WITH $ivfKmeansCtes, scored AS (
+       |  SELECT x.vec_id, c.cid,
+       |    ROUND(SUM(x.v*c.cv) / (SQRT(SUM(x.v*x.v)) * SQRT(SUM(c.cv*c.cv))), 6) AS ccos
+       |  FROM x JOIN c3 c ON x.i = c.i
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |  FROM scored
+       |), cells AS (
+       |  SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1
+       |), probes AS (
+       |  SELECT cid AS cell FROM ranked WHERE vec_id = 0 AND rn <= 2
+       |), qx AS (SELECT v, i FROM x WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT cells.vec_id FROM cells JOIN probes ON cells.cell = probes.cell
+       |  WHERE cells.vec_id <> 0
+       |), s AS (
+       |  SELECT x.vec_id,
+       |    ROUND(SUM(x.v*qx.v) / (SQRT(SUM(x.v*x.v)) * SQRT(SUM(qx.v*qx.v))), 4) AS score
+       |  FROM x JOIN qx ON x.i = qx.i
+       |  WHERE x.vec_id IN (SELECT vec_id FROM cand)
+       |  GROUP BY 1
+       |)
+       |SELECT vec_id, score FROM s
+       |ORDER BY score DESC, vec_id
+       |LIMIT 10""".stripMargin
+
+  /** The k-means output re-assembled into (cid, cemb: array<double>)
+    * codebook rows — the broadcastable quantizer the routing stage
+    * consumes. */
+  private def trainedCodebook(spark: SparkSession, sfDir: String): DataFrame =
+    ivfKmeans(spark, sfDir)
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("i"), col("comp")))).as("pairs"))
+      .select(col("cid"),
+        transform(col("pairs"), s => s.getField("comp")).as("cemb"))
+
+  private[graft] def ivfTrainedIndexName(sfDir: String): String =
+    "graft_ivft_idx_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  private[graft] val IvfTrainedBuckets = 8
+
+  /** The COMPLETE production IVF lifecycle, persisted: TRAIN the coarse
+    * quantizer on the corpus ([[ivfKmeans]] — at 100 TB, on a sample),
+    * route every vector to its trained cell, and persist the
+    * assignments bucketed by cell. [[ensureIvfIndex]]'s seed-vector
+    * variant demonstrates the probe mechanics; this one runs the real
+    * index build a vector store ships — and stays oracle-checkable
+    * because the training itself is (decimal-exact means).
+    */
+  def ensureIvfTrainedIndex(spark: SparkSession, sfDir: String): String = {
+    val name = ivfTrainedIndexName(sfDir)
+    Layout.pinBucketedReads(spark)
+    if (!spark.catalog.tableExists(name)) {
+      Layout.clearStaleTableLocation(spark, name)
+      Layout.clearStaleTableLocation(spark, name + "_codebook")
+      val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+      // train ONCE; the codebook persists beside the assignments (it IS
+      // part of the index — probes read it instead of retraining)
+      val cb = trainedCodebook(spark, sfDir).localCheckpoint()
+      cb.write.format("parquet").mode("overwrite").saveAsTable(name + "_codebook")
+      val cells = ivfRanked(e, cb).filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+      Layout.writeBucketed(cells, name, "cell", IvfTrainedBuckets)
+    }
+    name
+  }
+
+  /** Top-k probe of the TRAINED persisted index — same exchange-free
+    * bucket-pruned shape as [[ivfPersistedTopK]], but the cells come
+    * from the k-means codebook, closing the train → persist → probe
+    * loop under one oracle statement ([[ivfTrainedTopKSql]]).
+    */
+  def ivfTrainedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val nProbe = 2
+    val name = ensureIvfTrainedIndex(spark, sfDir)
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val probeCells = ivfRanked(e.filter(col("vec_id") === 0),
+        spark.table(name + "_codebook"))
+      .filter(col("rn") <= nProbe)
+      .select(col("cid")).collect().map(_.getLong(0))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
+    spark.table(name)
+      .filter(col("cell").isin(probeCells.map(Long.box): _*) && col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_embedding")), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
   }
 
   val ivfTopKSql: String =

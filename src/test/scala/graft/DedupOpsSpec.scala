@@ -168,6 +168,17 @@ class DedupOpsSpec extends SparkSpec {
       val full = DedupOps.docDedup(spark, sf).select("doc_id", "key_hash")
         .collect().map(key).toSet
       assert(got === full)
+      // the appends left one file per non-empty bucket per batch —
+      // compaction rewrites to one file per bucket, content unchanged
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def dataFiles: Int = new java.io.File(warehouse, name)
+        .listFiles().count(_.getName.startsWith("part-"))
+      val before = dataFiles
+      Layout.compactBucketed(spark, name, "key_hash", 32)
+      assert(dataFiles < before, s"compaction must reduce files ($before before)")
+      val gotAfter = spark.table(name).select("doc_id", "key_hash")
+        .collect().map(key).toSet
+      assert(gotAfter === full)
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $name")
     }

@@ -30,6 +30,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_embedding_neardup",  // documented bounded brute-force baseline
     "q_ivf_topk",           // crossJoin(broadcast(16-row centroid table))
     "q_ivf_persisted",      // crossJoin(broadcast(1-row query vector)) over the pruned index scan
+    "q_ivf_trained",        // same probe shape over the trained-codebook index
     "q_ivf_kmeans",         // crossJoin(broadcast(k-row codebook)) per iteration
     "q_count",              // cross of three 1-row count aggregates (1×1×1)
     "q_curation_funnel"     // crosses five 1-row stage aggregates; pair stage is the allowed bitmap BNLJ

@@ -85,6 +85,24 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfTrainedTopK: bucket-pruned probe of the k-means-trained index") {
+    try {
+      val k = SimilarityOps.ivfTrainedTopK(spark, sf).collect()
+      assert(k.length === 10)
+      assert(!k.map(_.getLong(0)).contains(0L))
+      val scores = k.map(_.getDouble(1)).toSeq
+      assert(scores === scores.sorted.reverse)
+      val plan = SimilarityOps.ivfTrainedTopK(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains(
+        s"SelectedBucketsCount: 2 out of ${SimilarityOps.IvfTrainedBuckets}"),
+        s"trained probe must bucket-prune to the nprobe cells:\n$plan")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${SimilarityOps.ivfTrainedIndexName(sf)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${SimilarityOps.ivfTrainedIndexName(sf)}_codebook")
+    }
+  }
+
   test("embeddingStats covers every vector exactly once") {
     val st = SimilarityOps.embeddingStats(spark, sf)
     val total = st.agg(sum("n_vecs")).head().getLong(0)
