@@ -14,6 +14,7 @@ object Bench {
     "q_bpe_tokens" -> 0.124, "q_client_txn_counts" -> 0.952,
     "q_coerce_fill" -> 0.109, "q_count" -> 0.312,
     "q_curation_funnel" -> 5.418,
+    "q_decontaminate" -> 1.455,
     "q_dedup_first" -> 0.528, "q_distinct_users" -> 0.154,
     "q_doc_dedup" -> 0.179, "q_doc_fingerprint" -> 0.183,
     "q_doc_quantiles" -> 0.172,

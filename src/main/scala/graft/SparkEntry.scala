@@ -87,6 +87,7 @@ object SparkEntry {
     "q_sample_stratified" -> (CurationOps.sampleStratified _),
     "q_pack_sequences"    -> (CurationOps.packSequences _),
     "q_pii_scrub"         -> (CurationOps.piiScrub _),
+    "q_decontaminate"     -> (CurationOps.decontaminate _),
     "q_curation_funnel"   -> (CurationPipeline.curationFunnel _),
   )
 
@@ -155,6 +156,7 @@ object SparkEntry {
     "q_sample_stratified" -> CurationOps.sampleStratifiedSql,
     "q_pack_sequences"    -> CurationOps.packSequencesSql,
     "q_pii_scrub"         -> CurationOps.piiScrubSql,
+    "q_decontaminate"     -> CurationOps.decontaminateSql,
     "q_curation_funnel"   -> CurationPipeline.curationFunnelSql,
   )
 }

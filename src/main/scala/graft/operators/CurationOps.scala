@@ -140,6 +140,48 @@ object CurationOps {
       |FROM s
       |ORDER BY doc_id""".stripMargin
 
+  /** Benchmark decontamination — the train/test-overlap check a
+    * pretraining pipeline runs before shipping data: flag every corpus
+    * document sharing at least one 13-char shingle with the benchmark
+    * set (the n-gram-collision method used for GPT-style training-set
+    * decontamination; 13 chars stands in for the usual 13 tokens at
+    * this corpus's scale). The benchmark here is a deterministic
+    * stand-in slice (doc_id ≡ 0 mod 50) so the oracle can reproduce it.
+    *
+    * Scale shape: the BENCHMARK side is small by nature (evaluation
+    * sets are thousands of documents, the corpus is billions) — its
+    * distinct shingle set broadcasts, and the corpus side is one
+    * linear explode + broadcast semi-join + distinct, no shuffle of
+    * document text and no quadratic anything. At 100 TB this is a
+    * map-side filter over the corpus scan.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = 13
+    val docs = Tables.documentsFanned(spark, sfDir)
+      .filter(length(col("text")) >= n)
+    val benchShingles = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(DedupOps.shingles(col("text"), n)).as("sh"))
+      .distinct()
+    docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(DedupOps.shingles(col("text"), n)).as("sh"))
+      .join(broadcast(benchShingles), Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    """WITH b AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(
+      |    generate_series(1, length(text) - 12), i -> substring(text, i, 13)))) AS sh
+      |  FROM documents WHERE doc_id % 50 = 0 AND length(text) >= 13
+      |), c AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, length(text) - 12), i -> substring(text, i, 13)))) AS sh
+      |  FROM documents WHERE doc_id % 50 <> 0 AND length(text) >= 13
+      |)
+      |SELECT DISTINCT c.doc_id FROM c JOIN b USING (sh)
+      |ORDER BY doc_id""".stripMargin
+
   /** RE2-safe PII patterns (no lookahead — Java regex and RE2 agree). */
   val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val longNumberPattern = "[0-9]{7,}"

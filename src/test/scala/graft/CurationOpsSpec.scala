@@ -5,6 +5,25 @@ import graft.operators.CurationOps
 
 class CurationOpsSpec extends SparkSpec {
 
+  test("decontaminate: flags exactly the corpus docs sharing a 13-gram with the benchmark slice") {
+    import graft.operators.{CurationOps, DedupOps}
+    val flagged = CurationOps.decontaminate(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    // no benchmark doc flags itself, and every flagged doc really does
+    // share a shingle (re-derived independently via a plain join)
+    assert(flagged.forall(_ % 50 != 0))
+    val docs = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.length(col("text")) >= 13)
+    val bsh = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(DedupOps.shingles(col("text"), 13)).as("sh")).distinct()
+    val naive = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(DedupOps.shingles(col("text"), 13)).as("sh"))
+      .join(bsh, "sh").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged === naive)
+    assert(flagged.nonEmpty) // the planted dup structure guarantees overlap
+  }
+
   test("sampleStratified: deterministic, bucket bound respected per stratum") {
     val a = CurationOps.sampleStratified(spark, sf).collect()
     val b = CurationOps.sampleStratified(spark, sf).collect()
