@@ -68,6 +68,7 @@ object SparkEntry {
     "q_minhash_persisted" -> (DedupOps.minhashPersisted _),
     "q_minhash_verified"  -> (DedupOps.minhashVerified _),
     "q_neardup_groups"    -> (DedupOps.neardupGroups _),
+    "q_ensemble_groups"   -> (DedupOps.ensembleGroups _),
     "q_simhash"           -> (DedupOps.simhash _),
     "q_simhash_neardup"   -> (DedupOps.simhashNearDup _),
     // §2b — similarity search
@@ -138,6 +139,7 @@ object SparkEntry {
     "q_minhash_persisted" -> DedupOps.minhashLshSql,
     "q_minhash_verified"  -> DedupOps.minhashVerifiedSql,
     "q_neardup_groups"    -> DedupOps.neardupGroupsSql,
+    "q_ensemble_groups"   -> DedupOps.ensembleGroupsSql,
     "q_simhash"           -> DedupOps.simhashSql,
     "q_simhash_neardup"   -> DedupOps.simhashNearDupSql,
     "q_knn_cosine"        -> SimilarityOps.knnCosineSql,

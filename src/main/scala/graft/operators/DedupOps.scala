@@ -429,12 +429,17 @@ object DedupOps {
     sums.select(col("doc_id"), sig.as("simhash"))
   }
 
-  val simhashSql: String = {
+  /** Shared oracle CTE chain ending in `sig(doc_id, simhash)` —
+    * declared BEFORE every val interpolating it (object init order),
+    * composed by CTE list rather than string surgery on a complete
+    * statement (the round-3 failure class).
+    */
+  private val simhashSigCtes: String = {
     val sums = (0 until 32).map(j =>
       s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN tf ELSE -tf END) AS s$j").mkString(",\n      ")
     val bits = (0 until 32).map(j =>
       s"(CASE WHEN s$j >= 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)").mkString(" + ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
        |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
        |    FROM documents) WHERE token <> '' GROUP BY doc_id, token
@@ -446,9 +451,14 @@ object DedupOps {
        |  SELECT doc_id,
        |      $sums
        |  FROM hashed GROUP BY doc_id
-       |)
-       |SELECT doc_id, $bits AS simhash FROM sums ORDER BY doc_id""".stripMargin
+       |), sig AS (
+       |  SELECT doc_id, $bits AS simhash FROM sums
+       |)""".stripMargin
   }
+
+  val simhashSql: String =
+    s"""WITH $simhashSigCtes
+       |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin
 
   /** SimHash near-dup pairs (hamming ≤ 2) via **banded bucketing**, not
     * an all-pairs join: the 32-bit signature splits into 3 bands
@@ -486,10 +496,10 @@ object DedupOps {
   }
 
   val simhashNearDupSql: String =
-    s"""WITH sh AS (${simhashSql.replace("ORDER BY doc_id", "")})
+    s"""WITH $simhashSigCtes
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
        |ORDER BY doc_a, doc_b""".stripMargin
 
@@ -952,6 +962,71 @@ object DedupOps {
     s"""WITH $minhashVerifiedCtes
        |SELECT doc_a, doc_b, n_inter, jaccard FROM verified
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** ENSEMBLE near-dup group resolution — the multi-signal form a
+    * production curation pipeline actually runs: no single detector
+    * catches everything (exact hashing misses a one-char edit, Jaccard
+    * misses heavy paraphrase that SimHash's tf-weighted tokens still
+    * catch, and vice versa), so the pair lists of three independent
+    * signals UNION into one edge set before group resolution:
+    *
+    *   1. exact content-key duplicates (star edges to each group min),
+    *   2. exact n-gram Jaccard ≥ 0.5 pairs (adaptive strategy),
+    *   3. SimHash hamming ≤ 2 pairs (banded).
+    *
+    * Connected components over the union — a doc chained to a group by
+    * ANY signal joins it. One extra union vs the single-signal
+    * operator; each signal's pair generation keeps its own scale path.
+    */
+  def ensembleGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = 5
+    val docs = Tables.documents(spark, sfDir)
+    val vertices = docs.select(col("doc_id"))
+    val keyed = docs.select(exactKey(col("text")).as("k"), col("doc_id"))
+    val exactPairs = keyed
+      .join(keyed.groupBy(col("k")).agg(min(col("doc_id")).as("doc_a")), "k")
+      .filter(col("doc_id") > col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+    val sh = Tables.documentsFanned(spark, sfDir)
+      .filter(length(col("text")) >= n)
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    val jaccardPairs = jaccardNearDupPairs(sh, 0.5).select(col("doc_a"), col("doc_b"))
+    val simhashPairs = simhashNearDup(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val edges = exactPairs.union(jaccardPairs).union(simhashPairs)
+    connectedComponents(vertices, edges)
+      .select(col("doc_id"), col("group_id"),
+        (col("doc_id") === col("group_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ensembleGroupsSql: String =
+    s"""WITH RECURSIVE $jaccardPairCtes, $simhashSigCtes, spairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+       |), epairs AS (
+       |  SELECT m.doc_a, d.doc_id AS doc_b
+       |  FROM documents d JOIN (
+       |    SELECT md5(substring(text, 1, 40)) AS k, MIN(doc_id) AS doc_a
+       |    FROM documents GROUP BY 1) m
+       |  ON md5(substring(d.text, 1, 40)) = m.k AND d.doc_id > m.doc_a
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+       |  UNION SELECT doc_b, doc_a FROM jpairs
+       |  UNION SELECT doc_a, doc_b FROM spairs
+       |  UNION SELECT doc_b, doc_a FROM spairs
+       |  UNION SELECT doc_a, doc_b FROM epairs
+       |  UNION SELECT doc_b, doc_a FROM epairs
+       |), walk(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.doc_id
+       |)
+       |SELECT doc_id, CAST(MIN(label) AS BIGINT) AS group_id,
+       |  (doc_id = CAST(MIN(label) AS BIGINT)) AS keep
+       |FROM walk
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** Transitive closure by label walk: `walk` seeds every doc with its
     * own id and propagates neighbor labels along (undirected) near-dup

@@ -211,6 +211,24 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("ensembleGroups: refines single-signal groups, never splits them") {
+    import graft.operators.DedupOps
+    val single = DedupOps.neardupGroups(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ensemble = DedupOps.ensembleGroups(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ensemble.keySet === single.keySet) // both partition the corpus
+    // adding signals can only MERGE groups: docs grouped by Jaccard alone
+    // must still share an ensemble group
+    val merged = single.groupBy(_._2).values.forall { members =>
+      members.map(m => ensemble(m._1)).toSet.size == 1
+    }
+    assert(merged, "a single-signal group was split by the ensemble")
+    // and the extra signals actually merged something on this corpus
+    // (exact-dup pairs beyond the 40-char prefix window, simhash hits)
+    assert(ensemble.values.toSet.size <= single.values.toSet.size)
+  }
+
   test("starComponents: agrees with union-find; rescues the propagation backstop on a long chain") {
     import graft.operators.DedupOps
     val s = spark; import s.implicits._

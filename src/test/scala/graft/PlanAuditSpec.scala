@@ -26,6 +26,7 @@ class PlanAuditSpec extends SparkSpec {
   private val nestedLoopByDesign = Set(
     "q_ngram_jaccard",      // bitmap all-pairs popcount BNLJ (dense-vocab path)
     "q_neardup_groups",     // consumes the same all-pairs pair generator
+    "q_ensemble_groups",    // unions that generator's pairs with the banded signals
     "q_knn_cosine",         // crossJoin(broadcast(single query vector))
     "q_embedding_neardup",  // documented bounded brute-force baseline
     "q_ivf_topk",           // crossJoin(broadcast(16-row centroid table))
