@@ -113,6 +113,20 @@ object DedupOps {
       .join(spark.table(name).select(col("key_hash")), Seq("key_hash"), "left_anti")
       .select(col("doc_id"), col("key_hash"))
 
+  /** Bootstrap an EMPTY survivor index — the state before day one of
+    * the incremental loop (batch or streaming). */
+  def initDedupIndex(spark: SparkSession, name: String): Unit =
+    if (!spark.catalog.tableExists(name)) {
+      Layout.pinBucketedReads(spark)
+      Layout.clearStaleTableLocation(spark, name)
+      import org.apache.spark.sql.types._
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("key_hash", StringType),
+          StructField("doc_id", LongType))))
+      Layout.writeBucketed(empty, name, "key_hash", DedupIndexBuckets)
+    }
+
   /** The WRITE half of the daily dedup loop: append a processed batch's
     * surviving keys to the index. The append uses the index's own
     * bucket spec, so new files land in the same bucket layout and

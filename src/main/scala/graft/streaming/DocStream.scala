@@ -35,4 +35,33 @@ object DocStream {
       .withColumn("key_hash", DedupOps.exactKey(col("text")))
       .dropDuplicatesWithinWatermark("key_hash")
       .withColumn("text", CurationOps.scrubbedText(col("text")))
+
+  /** Streaming incremental dedup with UNBOUNDED lookback: each
+    * micro-batch dedups against the PERSISTED survivor index and
+    * appends its own survivors — the streaming form of the daily batch
+    * loop (DedupOps.dedupBatchAgainstIndex / appendToDedupIndex),
+    * via `foreachBatch`, the escape hatch for sink logic the
+    * declarative sinks can't express (a read-then-append against a
+    * bucketed table). Contrast with [[curateDocStream]]'s
+    * dropDuplicatesWithinWatermark: that one's state is bounded by the
+    * watermark horizon and lives in the state store; this one's state
+    * is the index TABLE — durable across restarts, shared with batch
+    * jobs, growing one narrow row per new distinct document.
+    *
+    * The survivors frame materializes (localCheckpoint) BEFORE the
+    * append so the read plan never lists files the write is adding.
+    */
+  def incrementalDedupStream(docs: DataFrame, indexName: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val survivors = DedupOps
+          .dedupBatchAgainstIndex(batch.sparkSession, indexName, batch)
+          .localCheckpoint()
+        if (!survivors.isEmpty) DedupOps.appendToDedupIndex(indexName, survivors)
+        survivors.unpersist()
+        ()
+      }
+      .start()
 }

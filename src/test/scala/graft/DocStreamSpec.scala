@@ -50,6 +50,39 @@ class DocStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.size < docs.size) // dups actually removed
   }
 
+  test("incrementalDedupStream: micro-batches maintain the persisted index ≡ full-corpus dedup") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DedupOps
+    val name = "graft_dedup_idx_stream_spec"
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      DedupOps.initDedupIndex(spark, name)
+      // doc_id-ordered single-partition micro-batches → the stream's
+      // first-arrival survivor is the batch min-doc_id survivor
+      val docs = Tables.documents(spark, sf).select("doc_id", "text")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      val mem = MemoryStream[(Long, String)]
+      val q = DocStream.incrementalDedupStream(
+        mem.toDF().toDF("doc_id", "text"), name)
+      mem.addData(b1: _*)
+      q.processAllAvailable() // index now holds batch-1 survivors
+      mem.addData(b2: _*)
+      q.processAllAvailable() // batch-2 dups against batch 1 are dropped
+      q.stop()
+      val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getString(1))
+      val got = spark.table(name).select("doc_id", "key_hash")
+        .collect().map(key).toSet
+      val full = DedupOps.docDedup(spark, sf).select("doc_id", "key_hash")
+        .collect().map(key).toSet
+      assert(got === full)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+  }
+
   test("curateDocStream over a real file source: one survivor per key, scrub applied") {
     val inDir = java.nio.file.Files.createTempDirectory("graft_docs_in").toString
     try {
