@@ -155,7 +155,25 @@ object CrossoverBench {
     val vDiff = verifiedB.exceptAll(refB).count() + refB.exceptAll(verifiedB).count()
     println(s"[xover] B verify cross-check: shuffle-bitmap vs array_intersect diff rows = $vDiff " +
       (if (vDiff == 0) "PASS" else "FAIL") + s" (${verifiedB.count()} verified pairs)")
+    // ---- diameter-halving CC on a shape propagation cannot handle ----
+    // a 100K-node chain has diameter 100K: min-label propagation would
+    // need 100K rounds (its backstop fires at 50); the star fallback
+    // must converge in O(log n) rounds. Expected labels are known in
+    // closed form (every node's component min is 0).
+    val nChain = 100000L
+    val chain = spark.range(nChain - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val starLabels = timed(s"star CC on a ${nChain}-node chain (diameter ${nChain - 1})") {
+      val l = DedupOps.starComponents(chain).localCheckpoint()
+      l.count(); l
+    }
+    val starBad = starLabels
+      .filter(col("group_id") =!= 0L || col("doc_id") < 0L || col("doc_id") >= nChain)
+      .count()
+    val starCovered = starLabels.count()
+    println(s"[xover] chain star-CC: $starCovered labeled, $starBad wrong " +
+      (if (starBad == 0 && starCovered == nChain) "PASS" else "FAIL"))
     spark.stop()
-    if (ccDiff != 0 || vDiff != 0) sys.exit(1)
+    if (ccDiff != 0 || vDiff != 0 || starBad != 0 || starCovered != nChain) sys.exit(1)
   }
 }
