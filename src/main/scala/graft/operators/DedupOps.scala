@@ -90,19 +90,14 @@ object DedupOps {
     * is petabytes but its survivor index is one narrow 48-byte row per
     * distinct document, and it never gets re-scanned, only probed.
     */
-  def ensureDedupIndex(spark: SparkSession, sfDir: String): String = {
-    val name = dedupIndexName(sfDir)
-    Layout.pinBucketedReads(spark)
-    if (!spark.catalog.tableExists(name)) {
-      Layout.clearStaleTableLocation(spark, name)
+  def ensureDedupIndex(spark: SparkSession, sfDir: String): String =
+    Layout.ensureTable(spark, dedupIndexName(sfDir)) {
       val docs = Tables.documents(spark, sfDir)
       val old = docs.filter(col("doc_id") < batchCut(docs))
       val idx = old.groupBy(exactKey(col("text")).as("key_hash"))
         .agg(min(col("doc_id")).as("doc_id"))
-      Layout.writeBucketed(idx, name, "key_hash", DedupIndexBuckets)
+      Layout.writeBucketed(idx, dedupIndexName(sfDir), "key_hash", DedupIndexBuckets)
     }
-    name
-  }
 
   /** Library core: keep-first survivors of `batch` (doc_id, text, …)
     * against a persisted survivor index — within-batch min per content
@@ -116,9 +111,7 @@ object DedupOps {
   /** Bootstrap an EMPTY survivor index — the state before day one of
     * the incremental loop (batch or streaming). */
   def initDedupIndex(spark: SparkSession, name: String): Unit =
-    if (!spark.catalog.tableExists(name)) {
-      Layout.pinBucketedReads(spark)
-      Layout.clearStaleTableLocation(spark, name)
+    Layout.ensureTable(spark, name) {
       import org.apache.spark.sql.types._
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -543,8 +536,15 @@ object DedupOps {
     * (doc_id, sh: array<string>) frame — the banding stage of the Broder
     * pipeline, reusable by [[minhashVerified]].
     */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val bands = minhashBands(docs)
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    bandCandidates(minhashBands(docs))
+
+  /** Candidate pairs from a (doc_id, bucket) band frame — shared by
+    * the in-flight pipeline and the persisted-index probe, so the
+    * join/aggregation semantics (which the shared oracle gates for
+    * BOTH queries) cannot drift between them.
+    */
+  private def bandCandidates(bands: DataFrame): DataFrame = {
     val l = bands.as("l"); val r = bands.as("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
@@ -609,34 +609,24 @@ object DedupOps {
     * runs: index the corpus nightly, answer "what collides with what"
     * from the index.
     */
-  def ensureMinhashIndex(spark: SparkSession, sfDir: String): String = {
-    val name = minhashIndexName(sfDir)
-    Layout.pinBucketedReads(spark)
-    if (!spark.catalog.tableExists(name)) {
-      Layout.clearStaleTableLocation(spark, name)
+  def ensureMinhashIndex(spark: SparkSession, sfDir: String): String =
+    Layout.ensureTable(spark, minhashIndexName(sfDir)) {
       val n = 5
       val docs = Tables.documentsFanned(spark, sfDir)
         .filter(length(col("text")) >= n)
         .select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      Layout.writeBucketed(minhashBands(docs), name, "bucket", MinhashIndexBuckets)
+      Layout.writeBucketed(minhashBands(docs),
+        minhashIndexName(sfDir), "bucket", MinhashIndexBuckets)
     }
-    name
-  }
 
   /** LSH candidate pairs served from the persisted band index —
     * identical output to [[minhashLsh]] (same oracle), but the
     * signature pass is amortized into the index build and the band
     * self-join runs exchange-free on the bucketed table.
     */
-  def minhashPersisted(spark: SparkSession, sfDir: String): DataFrame = {
-    val name = ensureMinhashIndex(spark, sfDir)
-    val bands = spark.table(name)
-    val l = bands.as("l"); val r = bands.as("r")
-    l.join(r, col("l.bucket") === col("r.bucket") && col("l.doc_id") < col("r.doc_id"))
-      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_bands"))
+  def minhashPersisted(spark: SparkSession, sfDir: String): DataFrame =
+    bandCandidates(spark.table(ensureMinhashIndex(spark, sfDir)))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** The full Broder MinHash pipeline: LSH candidates verified with EXACT
     * Jaccard on the candidate set only — survivors are pairs with true
@@ -851,6 +841,12 @@ object DedupOps {
         .distinct().localCheckpoint()
       converged =
         next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // superseded checkpoints are never read again — release their
+      // blocks now (same discipline as the propagation loop; on the
+      // multi-million-edge graphs this fallback exists for, two
+      // edge-list copies per round would otherwise pin until job end)
+      edges.unpersist()
+      large.unpersist()
       edges = next
       rounds += 1
     }

@@ -25,6 +25,10 @@ object Layout {
     * when no operator requires the bucket distribution, which silently
     * drops bucket pruning (IN-filter probes) and scan-side co-location
     * (anti-join probes) — exactly what the index exists to provide.
+    * SESSION-WIDE and deliberately never restored: a per-query toggle
+    * would make other queries' plans depend on execution order, and
+    * the only bucketed tables in this library are the index tables
+    * themselves, so pinning cannot affect a non-index scan.
     */
   def pinBucketedReads(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
@@ -52,22 +56,44 @@ object Layout {
       .mode("overwrite")
       .saveAsTable(table)
 
-  /** Rewrite a bucketed table in place with the same bucket spec — the
+  /** The shared idempotent-build protocol of every persisted index:
+    * pin bucketed reads, and when the table is absent from this
+    * session's catalog, clear any leftover location from a dead
+    * session and run `build`. One place to fix the protocol instead
+    * of one copy per index type.
+    */
+  def ensureTable(spark: SparkSession, name: String)(build: => Unit): String = {
+    pinBucketedReads(spark)
+    if (!spark.catalog.tableExists(name)) {
+      clearStaleTableLocation(spark, name)
+      build
+    }
+    name
+  }
+
+  /** Rewrite a bucketed table with the same bucket spec — the
     * small-files compaction an append-maintained index needs
     * periodically (every `mode("append")` lands one new file per
     * non-empty bucket per batch; after N appends each bucket is N
-    * files and scan/open overhead grows linearly). The snapshot
-    * materializes eagerly (localCheckpoint) BEFORE the original
-    * location is cleared, so the rewrite never reads files it is
-    * deleting. Content and bucket layout are unchanged — spec-asserted
+    * files and scan/open overhead grows linearly).
+    *
+    * Crash-safe ordering: the compacted copy is written DURABLY to a
+    * side table first, and only then does the original drop and the
+    * side table rename into its place — at every instant at least one
+    * complete on-disk copy of the index exists (a failure between the
+    * drop and the rename leaves the data recoverable under
+    * `<table>_compacting`). Never delete-then-rewrite state you cannot
+    * rebuild. Content and bucket layout are unchanged — spec-asserted
     * along with the file-count drop.
     */
   def compactBucketed(spark: SparkSession, table: String, key: String, buckets: Int): Unit = {
-    val snapshot = spark.table(table).localCheckpoint()
+    val tmp = table + "_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    clearStaleTableLocation(spark, tmp)
+    writeBucketed(spark.table(table), tmp, key, buckets)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     clearStaleTableLocation(spark, table)
-    writeBucketed(snapshot, table, key, buckets)
-    snapshot.unpersist()
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 
   /** Inner equi-join of a skewed fact table against a dimension with

@@ -252,20 +252,15 @@ object SimilarityOps {
     * index-build job a vector store runs nightly: one assignment pass +
     * one bucketed write, amortized over every query after it.
     */
-  def ensureIvfIndex(spark: SparkSession, sfDir: String): String = {
-    val name = ivfIndexName(sfDir)
+  def ensureIvfIndex(spark: SparkSession, sfDir: String): String =
     // bucket pruning on the probe's IN(cell, …) filter only applies
-    // while the scan stays bucketed — see Layout.pinBucketedReads
-    Layout.pinBucketedReads(spark)
-    if (!spark.catalog.tableExists(name)) {
-      Layout.clearStaleTableLocation(spark, name)
+    // while the scan stays bucketed — Layout.ensureTable pins it
+    Layout.ensureTable(spark, ivfIndexName(sfDir)) {
       val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
       val cells = ivfRanked(e, ivfCentroids(e)).filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
-      Layout.writeBucketed(cells, name, "cell", IvfIndexBuckets)
+      Layout.writeBucketed(cells, ivfIndexName(sfDir), "cell", IvfIndexBuckets)
     }
-    name
-  }
 
   /** Query-many half: top-k as an exchange-free PROBE of the stored
     * index. The query vector ranks against the broadcast codebook and
@@ -278,21 +273,30 @@ object SimilarityOps {
     * with zero shuffle exchanges. Results are identical to [[ivfTopK]]
     * (same oracle); only WHEN the assignment work happens differs.
     */
-  def ivfPersistedTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val nProbe = 2
-    val name = ensureIvfIndex(spark, sfDir)
-    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val probeCells = ivfRanked(e.filter(col("vec_id") === 0), ivfCentroids(e))
+  /** Shared probe: rank the query vector against `cents`, collect its
+    * nprobe cell ids (O(nprobe) rows), and answer top-k from the
+    * bucket-pruned index scan. Both persisted-index variants route
+    * through here, so the probe semantics cannot drift between them.
+    */
+  private def probeIvfIndex(spark: SparkSession, table: String,
+      cents: DataFrame, e: DataFrame, nProbe: Int): DataFrame = {
+    val probeCells = ivfRanked(e.filter(col("vec_id") === 0), cents)
       .filter(col("rn") <= nProbe)
       .select(col("cid")).collect().map(_.getLong(0))
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
-    spark.table(name)
+    spark.table(table)
       .filter(col("cell").isin(probeCells.map(Long.box): _*) && col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("q_embedding")), 4).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(10)
+  }
+
+  def ivfPersistedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = ensureIvfIndex(spark, sfDir)
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    probeIvfIndex(spark, name, ivfCentroids(e), e, nProbe = 2)
   }
 
   /** Distributed spherical k-means training for the IVF coarse quantizer
@@ -461,9 +465,7 @@ object SimilarityOps {
     */
   def ensureIvfTrainedIndex(spark: SparkSession, sfDir: String): String = {
     val name = ivfTrainedIndexName(sfDir)
-    Layout.pinBucketedReads(spark)
-    if (!spark.catalog.tableExists(name)) {
-      Layout.clearStaleTableLocation(spark, name)
+    Layout.ensureTable(spark, name) {
       Layout.clearStaleTableLocation(spark, name + "_codebook")
       val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
       // train ONCE; the codebook persists beside the assignments (it IS
@@ -474,7 +476,6 @@ object SimilarityOps {
         .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
       Layout.writeBucketed(cells, name, "cell", IvfTrainedBuckets)
     }
-    name
   }
 
   /** Top-k probe of the TRAINED persisted index — same exchange-free
@@ -483,21 +484,9 @@ object SimilarityOps {
     * loop under one oracle statement ([[ivfTrainedTopKSql]]).
     */
   def ivfTrainedTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val nProbe = 2
     val name = ensureIvfTrainedIndex(spark, sfDir)
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val probeCells = ivfRanked(e.filter(col("vec_id") === 0),
-        spark.table(name + "_codebook"))
-      .filter(col("rn") <= nProbe)
-      .select(col("cid")).collect().map(_.getLong(0))
-    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
-    spark.table(name)
-      .filter(col("cell").isin(probeCells.map(Long.box): _*) && col("vec_id") =!= 0)
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        round(cosine(col("embedding"), col("q_embedding")), 4).as("score"))
-      .orderBy(col("score").desc, col("vec_id"))
-      .limit(10)
+    probeIvfIndex(spark, name, spark.table(name + "_codebook"), e, nProbe = 2)
   }
 
   val ivfTopKSql: String =

@@ -224,9 +224,14 @@ class DedupOpsSpec extends SparkSpec {
       members.map(m => ensemble(m._1)).toSet.size == 1
     }
     assert(merged, "a single-signal group was split by the ensemble")
-    // and the extra signals actually merged something on this corpus
-    // (exact-dup pairs beyond the 40-char prefix window, simhash hits)
-    assert(ensemble.values.toSet.size <= single.values.toSet.size)
+    // and the extra signals are actually LIVE on this corpus (a broken
+    // union that silently dropped a signal would still satisfy the
+    // merge-only property above)
+    assert(DedupOps.simhashNearDup(spark, sf).limit(1).count() === 1)
+    val dupGroups = Tables.documents(spark, sf)
+      .groupBy(DedupOps.exactKey(col("text"))).count()
+      .filter(col("count") > 1).limit(1).count()
+    assert(dupGroups === 1) // exact signal has at least one real pair
   }
 
   test("starComponents: agrees with union-find; rescues the propagation backstop on a long chain") {
