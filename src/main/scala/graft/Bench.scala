@@ -19,7 +19,7 @@ object Bench {
     "q_doc_dedup" -> 0.179, "q_doc_fingerprint" -> 0.183,
     "q_doc_quantiles" -> 0.172,
     "q_embedding_neardup" -> 0.402, "q_embedding_neardup_lsh" -> 0.358,
-    "q_ensemble_groups" -> 6.827,
+    "q_ensemble_groups" -> 5.326,
     "q_embedding_stats" -> 0.298,
     "q_event_windows" -> 0.453, "q_except_users" -> 0.32,
     "q_high_txn_accounts" -> 0.985, "q_incremental_dedup" -> 0.436,
