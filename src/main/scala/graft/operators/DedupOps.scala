@@ -91,12 +91,12 @@ object DedupOps {
     * distinct document, and it never gets re-scanned, only probed.
     */
   def ensureDedupIndex(spark: SparkSession, sfDir: String): String =
-    Layout.ensureTable(spark, dedupIndexName(sfDir)) {
+    Layout.ensureTable(spark, dedupIndexName(sfDir)) { name =>
       val docs = Tables.documents(spark, sfDir)
       val old = docs.filter(col("doc_id") < batchCut(docs))
       val idx = old.groupBy(exactKey(col("text")).as("key_hash"))
         .agg(min(col("doc_id")).as("doc_id"))
-      Layout.writeBucketed(idx, dedupIndexName(sfDir), "key_hash", DedupIndexBuckets)
+      Layout.writeBucketed(idx, name, "key_hash", DedupIndexBuckets)
     }
 
   /** Library core: keep-first survivors of `batch` (doc_id, text, …)
@@ -111,13 +111,13 @@ object DedupOps {
   /** Bootstrap an EMPTY survivor index — the state before day one of
     * the incremental loop (batch or streaming). */
   def initDedupIndex(spark: SparkSession, name: String): Unit =
-    Layout.ensureTable(spark, name) {
+    Layout.ensureTable(spark, name) { n =>
       import org.apache.spark.sql.types._
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("key_hash", StringType),
           StructField("doc_id", LongType))))
-      Layout.writeBucketed(empty, name, "key_hash", DedupIndexBuckets)
+      Layout.writeBucketed(empty, n, "key_hash", DedupIndexBuckets)
     }
 
   /** The WRITE half of the daily dedup loop: append a processed batch's
@@ -610,13 +610,12 @@ object DedupOps {
     * from the index.
     */
   def ensureMinhashIndex(spark: SparkSession, sfDir: String): String =
-    Layout.ensureTable(spark, minhashIndexName(sfDir)) {
+    Layout.ensureTable(spark, minhashIndexName(sfDir)) { name =>
       val n = 5
       val docs = Tables.documentsFanned(spark, sfDir)
         .filter(length(col("text")) >= n)
         .select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      Layout.writeBucketed(minhashBands(docs),
-        minhashIndexName(sfDir), "bucket", MinhashIndexBuckets)
+      Layout.writeBucketed(minhashBands(docs), name, "bucket", MinhashIndexBuckets)
     }
 
   /** LSH candidate pairs served from the persisted band index —
@@ -815,6 +814,20 @@ object DedupOps {
     * in the propagation path.
     */
   private[graft] def starComponents(pairs: DataFrame): DataFrame = {
+    // Materialization discipline: each round's edge frame MUST
+    // localCheckpoint — a star round's plan references its
+    // predecessor's ~6× (two union directions × three neighborhood
+    // consumers), so persist-only rounds grow the logical plan ~6^r
+    // and the planner itself OOMs within a handful of rounds (measured:
+    // treeString heap exhaustion at round ~7). The trade-off, stated
+    // honestly: Dataset.unpersist() cannot release a localCheckpoint's
+    // blocks (the checkpoint RDD never registers with the cache
+    // manager), so superseded rounds' blocks free when ContextCleaner
+    // GCs the dropped RDD references — promptly dropped here, bounded
+    // by O(one edge list) live garbage per round. The intra-round
+    // `large` frame is persist()-ed instead: its parent is the
+    // checkpointed edge frame (no plan growth) and persist IS
+    // deterministically releasable.
     var edges = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
@@ -828,7 +841,7 @@ object DedupOps {
         .select(col("u"), least(col("mv"), col("u")).as("m"))
       val large = dir.filter(col("v") > col("u")).join(minsL, "u")
         .select(col("m").as("u"), col("v"))
-        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+        .filter(col("u") =!= col("v")).distinct().persist()
       // small-star over the large-star output: (x, m) for every
       // neighbor x < u plus u itself, m = min of that set
       val dir2 = large.union(large.select(col("v").as("u"), col("u").as("v")))
@@ -839,13 +852,11 @@ object DedupOps {
         .select(col("m").as("u"), col("v"))
         .union(minsS.select(col("m").as("u"), col("u").as("v")))
         .distinct().localCheckpoint()
+      // the fixpoint check reads the superseded frames for the last
+      // time; after it `large` releases deterministically and the old
+      // `edges` reference drops for ContextCleaner (see note above)
       converged =
         next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
-      // superseded checkpoints are never read again — release their
-      // blocks now (same discipline as the propagation loop; on the
-      // multi-million-edge graphs this fallback exists for, two
-      // edge-list copies per round would otherwise pin until job end)
-      edges.unpersist()
       large.unpersist()
       edges = next
       rounds += 1

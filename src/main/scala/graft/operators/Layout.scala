@@ -62,11 +62,11 @@ object Layout {
     * session and run `build`. One place to fix the protocol instead
     * of one copy per index type.
     */
-  def ensureTable(spark: SparkSession, name: String)(build: => Unit): String = {
+  def ensureTable(spark: SparkSession, name: String)(build: String => Unit): String = {
     pinBucketedReads(spark)
     if (!spark.catalog.tableExists(name)) {
       clearStaleTableLocation(spark, name)
-      build
+      build(name) // the closure receives the SAME name the guard checked
     }
     name
   }
@@ -85,6 +85,18 @@ object Layout {
     * `<table>_compacting`). Never delete-then-rewrite state you cannot
     * rebuild. Content and bucket layout are unchanged — spec-asserted
     * along with the file-count drop.
+    *
+    * Recovery scope, stated precisely: the `_compacting` copy protects
+    * WITHIN-process failures, and its recovery after a process crash is
+    * MANUAL (inspect the warehouse before re-running; the first
+    * post-restart [[ensureTable]]/compaction call would otherwise
+    * rebuild from source or clear the leftover). Under the default
+    * in-memory catalog ALL index tables are per-process state anyway —
+    * the catalog forgets them at session end and builders re-derive
+    * them from source. Append-maintained state that must survive
+    * restarts (initDedupIndex + appendToDedupIndex loops) needs a
+    * persistent metastore (Hive) in production; the write/swap
+    * ordering here is what makes that deployment safe.
     */
   def compactBucketed(spark: SparkSession, table: String, key: String, buckets: Int): Unit = {
     val tmp = table + "_compacting"

@@ -255,11 +255,11 @@ object SimilarityOps {
   def ensureIvfIndex(spark: SparkSession, sfDir: String): String =
     // bucket pruning on the probe's IN(cell, …) filter only applies
     // while the scan stays bucketed — Layout.ensureTable pins it
-    Layout.ensureTable(spark, ivfIndexName(sfDir)) {
+    Layout.ensureTable(spark, ivfIndexName(sfDir)) { name =>
       val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
       val cells = ivfRanked(e, ivfCentroids(e)).filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
-      Layout.writeBucketed(cells, ivfIndexName(sfDir), "cell", IvfIndexBuckets)
+      Layout.writeBucketed(cells, name, "cell", IvfIndexBuckets)
     }
 
   /** Query-many half: top-k as an exchange-free PROBE of the stored
@@ -465,7 +465,7 @@ object SimilarityOps {
     */
   def ensureIvfTrainedIndex(spark: SparkSession, sfDir: String): String = {
     val name = ivfTrainedIndexName(sfDir)
-    Layout.ensureTable(spark, name) {
+    Layout.ensureTable(spark, name) { _ =>
       Layout.clearStaleTableLocation(spark, name + "_codebook")
       val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
       // train ONCE; the codebook persists beside the assignments (it IS

@@ -224,14 +224,22 @@ class DedupOpsSpec extends SparkSpec {
       members.map(m => ensemble(m._1)).toSet.size == 1
     }
     assert(merged, "a single-signal group was split by the ensemble")
-    // and the extra signals are actually LIVE on this corpus (a broken
-    // union that silently dropped a signal would still satisfy the
-    // merge-only property above)
-    assert(DedupOps.simhashNearDup(spark, sf).limit(1).count() === 1)
-    val dupGroups = Tables.documents(spark, sf)
-      .groupBy(DedupOps.exactKey(col("text"))).count()
-      .filter(col("count") > 1).limit(1).count()
-    assert(dupGroups === 1) // exact signal has at least one real pair
+    // the extra signals' pairs must be REFLECTED in the ensemble
+    // grouping: every simhash pair and every exact-dup pair shares an
+    // ensemble group — a union that silently dropped a signal fails
+    // this unless another signal happens to imply every one of its
+    // pairs (and the nonEmpty asserts rule out vacuity)
+    val sp = DedupOps.simhashNearDup(spark, sf).select("doc_a", "doc_b").collect()
+    assert(sp.nonEmpty)
+    assert(sp.forall(r => ensemble(r.getLong(0)) == ensemble(r.getLong(1))),
+      "a simhash pair is not co-grouped in the ensemble")
+    val exGroup = Tables.documents(spark, sf)
+      .groupBy(DedupOps.exactKey(col("text")).as("k"))
+      .agg(min("doc_id").as("a"), max("doc_id").as("b"))
+      .filter(col("a") =!= col("b")).limit(5).collect()
+    assert(exGroup.nonEmpty)
+    assert(exGroup.forall(r => ensemble(r.getLong(1)) == ensemble(r.getLong(2))),
+      "an exact-dup pair is not co-grouped in the ensemble")
   }
 
   test("starComponents: agrees with union-find; rescues the propagation backstop on a long chain") {
