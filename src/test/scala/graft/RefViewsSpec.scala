@@ -28,6 +28,24 @@ class RefViewsSpec extends SparkSpec {
     assert(m.filter(!col("month").rlike("^\\d{4}-\\d{2}-01$")).count() === 0)
   }
 
+  test("monthlyTransactionSummary: decimal-exact internal sum, DOUBLE emission") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    // the cross-engine key emits DOUBLE (comparator can't canonicalize
+    // DECIMAL); the NUMERIC-contract variant keeps the exact decimal(20,2)
+    val dbl = RefViews.monthlyTransactionSummary(spark, sf)
+    val dec = RefViews.monthlyTransactionSummaryDecimal(spark, sf)
+    assert(dbl.schema("total_amount").dataType === DoubleType)
+    assert(dec.schema("total_amount").dataType === DecimalType(20, 2))
+    // the DOUBLE column must be the exact terminal cast of the decimal sum:
+    // join on the group keys and require bit-identical equality
+    val joined = dec.select(col("month"), col("client_email"),
+        col("total_amount").cast("double").as("expect"))
+      .join(dbl.select(col("month"), col("client_email"),
+        col("total_amount").as("got")), Seq("month", "client_email"))
+    assert(joined.count() === dec.count())
+    assert(joined.filter(col("expect") =!= col("got")).count() === 0)
+  }
+
   test("highTransactionAccounts: HAVING > 2 enforced, date is month start") {
     val h = RefViews.highTransactionAccounts(spark, sf)
     assert(h.filter(col("transaction_count") <= 2).count() === 0)
