@@ -78,8 +78,10 @@ object DedupOps {
   private def batchCut(docs: DataFrame): Long =
     (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) / 2L
 
+  /** EPOCH-FAMILY base name of the survivor index for one corpus dir
+    * (physical tables are `<base>_e<N>` + `<base>_ptr` — Layout epochs). */
   private[graft] def dedupIndexName(sfDir: String): String =
-    "graft_dedup_idx_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    "graft_dedup_idx_" + Layout.corpusTag(sfDir)
 
   private[graft] val DedupIndexBuckets = 32
 
@@ -89,15 +91,28 @@ object DedupOps {
     * pretraining pipeline carries between runs — at 100 TB the corpus
     * is petabytes but its survivor index is one narrow 48-byte row per
     * distinct document, and it never gets re-scanned, only probed.
+    * Epoch-versioned ([[Layout.ensureEpochIndex]]): a nightly rebuild
+    * rotates to a new snapshot while running probes keep reading the
+    * one they resolved; a bad build rolls back by pointer flip.
     */
+  private def buildDedupEpoch(spark: SparkSession, sfDir: String)(name: String): Unit = {
+    val docs = Tables.documents(spark, sfDir)
+    val old = docs.filter(col("doc_id") < batchCut(docs))
+    val idx = old.groupBy(exactKey(col("text")).as("key_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    Layout.writeBucketed(idx, name, "key_hash", DedupIndexBuckets)
+  }
+
   def ensureDedupIndex(spark: SparkSession, sfDir: String): String =
-    Layout.ensureTable(spark, dedupIndexName(sfDir)) { name =>
-      val docs = Tables.documents(spark, sfDir)
-      val old = docs.filter(col("doc_id") < batchCut(docs))
-      val idx = old.groupBy(exactKey(col("text")).as("key_hash"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      Layout.writeBucketed(idx, name, "key_hash", DedupIndexBuckets)
-    }
+    Layout.ensureEpochIndex(spark, dedupIndexName(sfDir))(buildDedupEpoch(spark, sfDir))
+
+  /** The nightly-rebuild half of the epoch story: build a FRESH snapshot
+    * of the survivor index as the next epoch (probes keep reading the
+    * published one for the whole build) and flip the pointer. Returns the
+    * new epoch's table; [[Layout.rollbackEpoch]] undoes a bad build.
+    */
+  def rebuildDedupIndex(spark: SparkSession, sfDir: String): String =
+    Layout.rotateEpoch(spark, dedupIndexName(sfDir))(buildDedupEpoch(spark, sfDir))
 
   /** Library core: keep-first survivors of `batch` (doc_id, text, …)
     * against a persisted survivor index — within-batch min per content
@@ -593,8 +608,9 @@ object DedupOps {
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
   }
 
+  /** Epoch-family base name ([[dedupIndexName]] conventions). */
   private[graft] def minhashIndexName(sfDir: String): String =
-    "graft_minhash_idx_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    "graft_minhash_idx_" + Layout.corpusTag(sfDir)
 
   private[graft] val MinhashIndexBuckets = 32
 
@@ -610,7 +626,7 @@ object DedupOps {
     * from the index.
     */
   def ensureMinhashIndex(spark: SparkSession, sfDir: String): String =
-    Layout.ensureTable(spark, minhashIndexName(sfDir)) { name =>
+    Layout.ensureEpochIndex(spark, minhashIndexName(sfDir)) { name =>
       val n = 5
       val docs = Tables.documentsFanned(spark, sfDir)
         .filter(length(col("text")) >= n)

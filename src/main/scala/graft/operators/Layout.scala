@@ -33,14 +33,30 @@ object Layout {
   def pinBucketedReads(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
 
-  /** Resolved filesystem location of a (possibly dropped) managed table
+  /** Resolved filesystem location of a managed table. When the table is
+    * in the catalog, the CATALOG's metadata is authoritative — under a
+    * Hive metastore or a non-default database the location is not
+    * `<warehouse>/<name>` and deriving it would point at (and worse,
+    * delete) the wrong path. The derived warehouse path is kept only as
+    * the fallback for catalog-forgotten leftovers (default database of
+    * the default catalog — the only place the in-memory catalog ever
+    * put them).
+    */
+  private[graft] def tableLocation(spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
+    if (spark.catalog.tableExists(table))
+      new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    else
+      new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+
+  /** Clear the on-disk location of a (possibly dropped) managed table
     * — used to clear leftovers from a dead session before rebuilding:
     * the default in-memory catalog forgets tables at session end, but
     * their files remain in the warehouse.
     */
   def clearStaleTableLocation(spark: SparkSession, table: String): Unit = {
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val loc = tableLocation(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
   }
@@ -71,6 +87,165 @@ object Layout {
     name
   }
 
+  // ---------------------------------------------------------------------
+  // Epoch-versioned indexes
+  //
+  // A persisted index under daily maintenance needs SNAPSHOTS, not
+  // in-place overwrite: a rebuild must not disturb running probes, a bad
+  // build must be revertible, and yesterday's training run must be
+  // reproducible against yesterday's index. The epoch layer gives each
+  // index a family of immutable physical tables `<base>_e<N>` (plus any
+  // sidecar tables `<base>_e<N><suffix>`, e.g. the IVF codebook) and a
+  // one-row pointer table `<base>_ptr` naming the current epoch:
+  //
+  //  - a ROTATION builds epoch N+1 in full while epoch N stays published
+  //    and readable (probe-under-old-epoch is spec-proven), then flips
+  //    the pointer. A crash mid-build leaves the pointer — and every
+  //    reader — on the complete epoch N; there is never an instant
+  //    without a complete published index (unlike drop→rename, which has
+  //    a no-table window).
+  //  - a reader that RESOLVED an epoch table keeps a stable snapshot:
+  //    epoch tables are never mutated after publication (appends go to
+  //    the current epoch only — the append-maintained dedup index
+  //    resolves its table per batch), so plans pinned to an old epoch
+  //    replay identically until that epoch is pruned.
+  //  - ROLLBACK is a pointer flip back to the previous retained epoch.
+  //
+  // Single-writer, like the rest of the index layer: the pointer flip is
+  // a one-row table overwrite (drop+recreate under the v1 catalog), so
+  // concurrent BUILDERS would race; readers in the flip window should
+  // retry. Retention is explicit ([[pruneEpochs]]) — rollback reaches
+  // exactly as far as retention keeps.
+  // ---------------------------------------------------------------------
+
+  /** Catalog-name tag for one corpus directory: the human-readable
+    * sanitized form plus a short hash of the RAW string. The sanitizer
+    * alone is non-injective (`data/sf0.01` and `data/sf0_01` both map to
+    * `data_sf0_01`), and a collision would silently serve one corpus's
+    * persisted index to the other; the hash (String.hashCode — a
+    * spec-pinned, JVM-stable algorithm) makes the mapping injective up
+    * to 32-bit collisions on the raw path.
+    */
+  def corpusTag(sfDir: String): String =
+    sfDir.replaceAll("[^a-zA-Z0-9]", "_") + f"_${sfDir.hashCode & 0xFFFFFFFFL}%08x"
+
+  /** Physical table name of one epoch of an index family. */
+  def epochTable(base: String, epoch: Int): String = s"${base}_e$epoch"
+
+  private def ptrTable(base: String): String = base + "_ptr"
+
+  /** The published epoch of an index family, if any. */
+  def currentEpoch(spark: SparkSession, base: String): Option[Int] =
+    if (spark.catalog.tableExists(ptrTable(base)))
+      Some(spark.table(ptrTable(base)).head().getInt(0))
+    else None
+
+  /** The published epoch's physical table name, if any. */
+  def currentEpochTable(spark: SparkSession, base: String): Option[String] =
+    currentEpoch(spark, base).map(epochTable(base, _))
+
+  private def publishEpoch(spark: SparkSession, base: String, epoch: Int): Unit = {
+    val p = ptrTable(base)
+    if (!spark.catalog.tableExists(p)) clearStaleTableLocation(spark, p)
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    spark.createDataFrame(
+        java.util.Collections.singletonList(org.apache.spark.sql.Row(epoch)),
+        StructType(Seq(StructField("epoch", IntegerType, nullable = false))))
+      .write.format("parquet").mode("overwrite").saveAsTable(p)
+  }
+
+  /** Build the NEXT epoch of an index family and flip the pointer to it.
+    * The previous epoch stays published — and its tables untouched —
+    * for the entire duration of `build`; only the final pointer write
+    * makes the new epoch visible to resolvers. `build` receives the new
+    * epoch's main table name and must also create every sidecar
+    * (`name + suffix` for each of `sidecars`) — the whole epoch
+    * publishes atomically-or-not-at-all with respect to the pointer.
+    */
+  def rotateEpoch(spark: SparkSession, base: String, sidecars: Seq[String] = Nil)
+      (build: String => Unit): String = {
+    pinBucketedReads(spark)
+    val next = currentEpoch(spark, base).map(_ + 1).getOrElse(0)
+    val t = epochTable(base, next)
+    (t +: sidecars.map(t + _)).foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      clearStaleTableLocation(spark, n)
+    }
+    build(t)
+    publishEpoch(spark, base, next)
+    t
+  }
+
+  /** Idempotent resolve-or-build of an epoch-versioned index: return the
+    * published epoch's table when it — and every sidecar — actually
+    * exists; otherwise build and publish a fresh epoch. Requiring the
+    * sidecars closes the half-present-index hole: an index whose
+    * codebook was dropped while the assignments survived must rebuild,
+    * not fail at probe time.
+    */
+  def ensureEpochIndex(spark: SparkSession, base: String, sidecars: Seq[String] = Nil)
+      (build: String => Unit): String = {
+    pinBucketedReads(spark)
+    currentEpochTable(spark, base) match {
+      case Some(t) if (t +: sidecars.map(t + _)).forall(spark.catalog.tableExists) => t
+      case _ => rotateEpoch(spark, base, sidecars)(build)
+    }
+  }
+
+  /** Flip the pointer back to the newest retained epoch below the
+    * current one — the undo of a bad rotation. Fails (by design) when
+    * nothing older is retained; rollback reach IS the retention policy.
+    */
+  def rollbackEpoch(spark: SparkSession, base: String): String = {
+    val cur = currentEpoch(spark, base)
+      .getOrElse(sys.error(s"no published epoch for $base"))
+    val prev = (cur - 1 to 0 by -1)
+      .find(e => spark.catalog.tableExists(epochTable(base, e)))
+      .getOrElse(sys.error(s"no retained epoch below $cur for $base"))
+    publishEpoch(spark, base, prev)
+    epochTable(base, prev)
+  }
+
+  /** Retention: drop every epoch of the family except the newest `keep`
+    * retained ones at or below the published epoch (epochs above the
+    * pointer — e.g. after a rollback — are dropped too: they are the
+    * rolled-back builds). Never drops the published epoch.
+    */
+  def pruneEpochs(spark: SparkSession, base: String, keep: Int,
+      sidecars: Seq[String] = Nil): Unit = {
+    require(keep >= 1, "must retain at least the published epoch")
+    val cur = currentEpoch(spark, base).getOrElse(return)
+    val retained = (cur to 0 by -1)
+      .filter(e => spark.catalog.tableExists(epochTable(base, e)))
+      .take(keep).toSet
+    val known = spark.catalog.listTables().collect().map(_.name)
+      .flatMap { n =>
+        val p = s"${base}_e(\\d+)".r
+        n match { case p(e) => Some(e.toInt); case _ => None }
+      }
+    known.filterNot(retained).foreach { e =>
+      (epochTable(base, e) +: sidecars.map(epochTable(base, e) + _)).foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS $n")
+      }
+    }
+  }
+
+  /** Drop an entire epoch family — pointer, every epoch, every sidecar —
+    * and clear their locations. Test/maintenance utility.
+    */
+  def dropEpochFamily(spark: SparkSession, base: String,
+      sidecars: Seq[String] = Nil): Unit = {
+    val p = s"${base}_e(\\d+)".r
+    val epochs = spark.catalog.listTables().collect().map(_.name)
+      .flatMap { n => n match { case p(e) => Some(e.toInt); case _ => None } }
+    val all = ptrTable(base) +:
+      epochs.flatMap(e => epochTable(base, e) +: sidecars.map(epochTable(base, e) + _)).toSeq
+    all.foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      clearStaleTableLocation(spark, n)
+    }
+  }
+
   /** Rewrite a bucketed table with the same bucket spec — the
     * small-files compaction an append-maintained index needs
     * periodically (every `mode("append")` lands one new file per
@@ -97,6 +272,14 @@ object Layout {
     * restarts (initDedupIndex + appendToDedupIndex loops) needs a
     * persistent metastore (Hive) in production; the write/swap
     * ordering here is what makes that deployment safe.
+    *
+    * Concurrency scope: between the DROP and the RENAME no table exists
+    * under the original name — a concurrent reader (or a queued job in
+    * the same session) planning against the index in that window fails
+    * with table-not-found. Acceptable for this single-session library;
+    * a deployment with concurrent readers wants [[compactBuckets]]
+    * (which swaps files under an unchanged catalog entry) or an epoch
+    * rotation (which never unpublishes).
     */
   def compactBucketed(spark: SparkSession, table: String, key: String, buckets: Int): Unit = {
     val tmp = table + "_compacting"
@@ -106,6 +289,124 @@ object Layout {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     clearStaleTableLocation(spark, table)
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
+  /** Bucket id of one data file of a bucketed table, parsed from the
+    * file name the same way Spark's scan does (`part-…_00003.c000…` →
+    * bucket 3): the trailing `_<digits>` before the extensions.
+    */
+  private[graft] def bucketIdOf(fileName: String): Option[Int] = {
+    val p = """.*_(\d+)(?:\..*)?$""".r
+    fileName match { case p(b) => Some(b.toInt); case _ => None }
+  }
+
+  /** Incremental per-bucket compaction — the maintenance pass an
+    * append-maintained bucketed index actually wants. [[compactBucketed]]
+    * rewrites the WHOLE table through a side table: O(table) IO per
+    * maintenance call even when one day's appends touched three buckets.
+    * This variant rewrites ONLY buckets whose file count exceeds
+    * `maxFilesPerBucket`, each as its own small job, `parallelism` at a
+    * time — IO is O(overfull buckets), and buckets already compact keep
+    * their exact files (spec-asserted by file listing).
+    *
+    * Mechanics: a bucket's rows are read from its own files, sorted by
+    * `key` (restoring the one-file-per-bucket sorted layout the writer
+    * produced), and written as ONE file whose name carries the bucket id
+    * suffix Spark's scan parses — so the table's bucket contract is
+    * preserved without touching the catalog entry (no drop, no rename:
+    * concurrent readers of OTHER buckets never see a missing table).
+    *
+    * Crash-safety — at every instant each bucket's full content exists
+    * on disk at least once:
+    *  1. the compacted file is written DURABLY under `<loc>/.compact/`
+    *     (dot-dirs are invisible to Spark's file listing);
+    *  2. the bucket's old files are deleted;
+    *  3. the staged file moves into the table directory.
+    * A crash leaves either the old files (before 2), or the staged copy
+    * (between 2 and 3) — and the staged copy is always a complete,
+    * newer-or-equal replacement, so recovery is deterministic: the next
+    * call REPLAYS any leftover staging first (delete that bucket's live
+    * files, move the staged file in). No appends may run concurrently
+    * with compaction (single-writer, like the append path itself).
+    */
+  def compactBuckets(spark: SparkSession, table: String, key: String,
+      maxFilesPerBucket: Int = 1, parallelism: Int = 8): Unit = {
+    val loc = tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(loc, ".compact")
+
+    // every VISIBLE file is table data (this is exactly Spark's listing
+    // rule) — matching only `part-*` would miss files a previous
+    // compaction installed and silently drop their rows from the rewrite
+    def liveFiles(): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(loc).toSeq.filter { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith(".") && !n.startsWith("_")
+      }
+
+    // recovery replay: a staged file is the authoritative full content of
+    // its bucket (invariant 1-3 above) — finish the interrupted swap.
+    // Runs before compaction (process-crash leftovers) AND on the way out
+    // (a mid-swap exception must complete, not discard, staged buckets).
+    def replayStaging(): Unit =
+      if (fs.exists(staging)) {
+        // skip hidden files: the checksum FS keeps `.<name>.crc` beside
+        // each staged file, and installing one as table data would
+        // corrupt the bucket it names
+        fs.listStatus(staging).toSeq.filter { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith(".") && !n.startsWith("_")
+        }.foreach { st =>
+          bucketIdOf(st.getPath.getName).foreach { b =>
+            liveFiles().filter(f => bucketIdOf(f.getPath.getName).contains(b))
+              .foreach(f => fs.delete(f.getPath, false))
+            fs.rename(st.getPath, new org.apache.hadoop.fs.Path(loc, st.getPath.getName))
+          }
+        }
+        spark.sql(s"REFRESH TABLE $table")
+      }
+    replayStaging()
+
+    val byBucket = liveFiles().groupBy(f => bucketIdOf(f.getPath.getName).getOrElse(-1))
+    val overfull = byBucket.filter { case (b, fls) => b >= 0 && fls.size > maxFilesPerBucket }
+    if (overfull.isEmpty) return
+    fs.mkdirs(staging)
+
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, overfull.size))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val jobs = overfull.toSeq.map { case (b, fls) =>
+        Future {
+          // one tiny job per bucket: its files → one sorted file
+          val df = spark.read.parquet(fls.map(_.getPath.toString): _*)
+          val jobDir = new org.apache.hadoop.fs.Path(staging, s"job_$b")
+          df.coalesce(1).sortWithinPartitions(col(key))
+            .write.mode("overwrite").parquet(jobDir.toString)
+          val part = fs.listStatus(jobDir).toSeq
+            .find(f => f.isFile && f.getPath.getName.startsWith("part-"))
+            .getOrElse(sys.error(s"no output file for bucket $b of $table"))
+          // stage DURABLY under the bucket-id name Spark's scan parses;
+          // unique per run so a re-compaction never collides with the
+          // file an earlier compaction installed
+          val staged = new org.apache.hadoop.fs.Path(staging,
+            f"compact-${java.util.UUID.randomUUID}%s_$b%05d.c000.snappy.parquet")
+          fs.rename(part.getPath, staged)
+          fs.delete(jobDir, true)
+          // swap: delete old files, then move the staged file live
+          fls.foreach(f => fs.delete(f.getPath, false))
+          fs.rename(staged, new org.apache.hadoop.fs.Path(loc, staged.getName))
+        }
+      }
+      Await.result(Future.sequence(jobs), Duration.Inf)
+    } finally {
+      pool.shutdown()
+      replayStaging() // no-op on success; completes any mid-swap bucket
+      fs.delete(staging, true)
+      spark.sql(s"REFRESH TABLE $table")
+    }
   }
 
   /** Inner equi-join of a skewed fact table against a dimension with

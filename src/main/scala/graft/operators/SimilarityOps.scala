@@ -238,7 +238,7 @@ object SimilarityOps {
   /** Catalog name of the persisted IVF cell-assignment index for one
     * corpus directory (per-corpus so sf0.01 and sf0.1 never collide). */
   private[graft] def ivfIndexName(sfDir: String): String =
-    "graft_ivf_idx_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    "graft_ivf_idx_" + Layout.corpusTag(sfDir)
 
   private[graft] val IvfIndexBuckets = 16
 
@@ -255,7 +255,7 @@ object SimilarityOps {
   def ensureIvfIndex(spark: SparkSession, sfDir: String): String =
     // bucket pruning on the probe's IN(cell, …) filter only applies
     // while the scan stays bucketed — Layout.ensureTable pins it
-    Layout.ensureTable(spark, ivfIndexName(sfDir)) { name =>
+    Layout.ensureEpochIndex(spark, ivfIndexName(sfDir)) { name =>
       val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
       val cells = ivfRanked(e, ivfCentroids(e)).filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
@@ -451,7 +451,7 @@ object SimilarityOps {
         transform(col("pairs"), s => s.getField("comp")).as("cemb"))
 
   private[graft] def ivfTrainedIndexName(sfDir: String): String =
-    "graft_ivft_idx_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    "graft_ivft_idx_" + Layout.corpusTag(sfDir)
 
   private[graft] val IvfTrainedBuckets = 8
 
@@ -463,10 +463,13 @@ object SimilarityOps {
     * index build a vector store ships — and stays oracle-checkable
     * because the training itself is (decimal-exact means).
     */
-  def ensureIvfTrainedIndex(spark: SparkSession, sfDir: String): String = {
-    val name = ivfTrainedIndexName(sfDir)
-    Layout.ensureTable(spark, name) { _ =>
-      Layout.clearStaleTableLocation(spark, name + "_codebook")
+  def ensureIvfTrainedIndex(spark: SparkSession, sfDir: String): String =
+    // the codebook is an epoch SIDECAR: it versions with its assignments
+    // (a probe must never mix epochs), and the ensure guard requires BOTH
+    // tables — a lost codebook triggers a rebuild instead of failing the
+    // probe's spark.table(name + "_codebook")
+    Layout.ensureEpochIndex(spark, ivfTrainedIndexName(sfDir),
+        sidecars = Seq("_codebook")) { name =>
       val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
       // train ONCE; the codebook persists beside the assignments (it IS
       // part of the index — probes read it instead of retraining)
@@ -476,7 +479,6 @@ object SimilarityOps {
         .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
       Layout.writeBucketed(cells, name, "cell", IvfTrainedBuckets)
     }
-  }
 
   /** Top-k probe of the TRAINED persisted index — same exchange-free
     * bucket-pruned shape as [[ivfPersistedTopK]], but the cells come

@@ -109,9 +109,11 @@ class DedupOpsSpec extends SparkSpec {
       // tiny index would otherwise broadcast, which shuffles nothing anyway)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val inc = DedupOps.incrementalDedup(spark, sf)
+      val idxTable = graft.operators.Layout
+        .currentEpochTable(spark, DedupOps.dedupIndexName(sf)).get
       val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getString(1))
       val combined =
-        (spark.table(DedupOps.dedupIndexName(sf)).select("doc_id", "key_hash")
+        (spark.table(idxTable).select("doc_id", "key_hash")
           .collect().map(key) ++
           inc.select("doc_id", "key_hash").collect().map(key)).toSet
       val full = DedupOps.docDedup(spark, sf).select("doc_id", "key_hash")
@@ -136,7 +138,27 @@ class DedupOpsSpec extends SparkSpec {
         s"persisted index must not be re-shuffled:\n${lines.mkString("\n")}")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql(s"DROP TABLE IF EXISTS ${DedupOps.dedupIndexName(sf)}")
+      graft.operators.Layout.dropEpochFamily(spark, DedupOps.dedupIndexName(sf))
+    }
+  }
+
+  test("incrementalDedup is unchanged through an epoch rotation and a rollback") {
+    import graft.operators.{DedupOps, Layout}
+    val base = DedupOps.dedupIndexName(sf)
+    try {
+      val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getString(1))
+      val before = DedupOps.incrementalDedup(spark, sf).collect().map(key).toSeq
+      val e0 = Layout.currentEpochTable(spark, base).get
+      // nightly rebuild: a fresh snapshot becomes the published epoch…
+      val e1 = DedupOps.rebuildDedupIndex(spark, sf)
+      assert(e1 !== e0)
+      assert(DedupOps.incrementalDedup(spark, sf).collect().map(key).toSeq === before)
+      // …and a rollback pins the previous snapshot, same answers
+      Layout.rollbackEpoch(spark, base)
+      assert(Layout.currentEpochTable(spark, base) === Some(e0))
+      assert(DedupOps.incrementalDedup(spark, sf).collect().map(key).toSeq === before)
+    } finally {
+      graft.operators.Layout.dropEpochFamily(spark, base)
     }
   }
 
@@ -207,7 +229,7 @@ class DedupOpsSpec extends SparkSpec {
         s"band self-join must read both sides co-located:\n${all.mkString("\n")}")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql(s"DROP TABLE IF EXISTS ${DedupOps.minhashIndexName(sf)}")
+      graft.operators.Layout.dropEpochFamily(spark, DedupOps.minhashIndexName(sf))
     }
   }
 

@@ -48,6 +48,139 @@ class LayoutSpec extends SparkSpec {
     assert(saltSpread > 1)
   }
 
+  test("epoch rotation: pinned readers keep their snapshot; rollback is a pointer flip") {
+    val base = "graft_epoch_spec"
+    val s = spark; import s.implicits._
+    def build(rows: Seq[(Long, String)])(name: String): Unit =
+      Layout.writeBucketed(rows.toDF("id", "v"), name, "id", 4)
+    try {
+      Layout.dropEpochFamily(spark, base)
+      val t0 = Layout.ensureEpochIndex(spark, base)(build(Seq((1L, "a"), (2L, "b"))))
+      assert(t0 === Layout.epochTable(base, 0))
+      // idempotent resolve: no rebuild while the epoch is intact
+      assert(Layout.ensureEpochIndex(spark, base)(_ =>
+        fail("must not rebuild a published epoch")) === t0)
+      // a reader resolves its snapshot BEFORE the rotation…
+      val pinned = spark.table(t0)
+      val t1 = Layout.rotateEpoch(spark, base) { name =>
+        // …and DURING the new build the old epoch is still the published,
+        // fully-readable index (probe-under-old-epoch)
+        assert(Layout.currentEpochTable(spark, base) === Some(t0))
+        assert(spark.table(t0).count() === 2)
+        build(Seq((3L, "c")))(name)
+      }
+      assert(Layout.currentEpochTable(spark, base) === Some(t1))
+      // the pinned snapshot is untouched by the flip
+      assert(pinned.count() === 2)
+      assert(spark.table(t1).count() === 1)
+      // rollback: a pointer flip, no data movement
+      assert(Layout.rollbackEpoch(spark, base) === t0)
+      assert(Layout.currentEpochTable(spark, base) === Some(t0))
+      assert(spark.table(t0).count() === 2)
+      // retention: prune drops the rolled-back epoch, keeps the published one
+      Layout.pruneEpochs(spark, base, keep = 1)
+      assert(!spark.catalog.tableExists(t1))
+      assert(spark.catalog.tableExists(t0))
+    } finally {
+      Layout.dropEpochFamily(spark, base)
+    }
+  }
+
+  test("epoch ensure guards sidecars: a lost codebook rebuilds instead of failing probes") {
+    val base = "graft_epoch_sc_spec"
+    val s = spark; import s.implicits._
+    var builds = 0
+    def build(name: String): Unit = {
+      builds += 1
+      Layout.writeBucketed(Seq((1L, "a")).toDF("id", "v"), name, "id", 2)
+      Seq((1, "cb")).toDF("cid", "c").write.format("parquet").saveAsTable(name + "_cb")
+    }
+    try {
+      Layout.dropEpochFamily(spark, base, sidecars = Seq("_cb"))
+      val t0 = Layout.ensureEpochIndex(spark, base, sidecars = Seq("_cb"))(build)
+      assert(builds === 1)
+      Layout.ensureEpochIndex(spark, base, sidecars = Seq("_cb"))(build)
+      assert(builds === 1) // intact epoch resolves without rebuilding
+      spark.sql(s"DROP TABLE ${t0}_cb") // half-present index
+      val t1 = Layout.ensureEpochIndex(spark, base, sidecars = Seq("_cb"))(build)
+      assert(builds === 2)
+      assert(t1 === Layout.epochTable(base, 1))
+      assert(spark.catalog.tableExists(t1 + "_cb"))
+    } finally {
+      Layout.dropEpochFamily(spark, base, sidecars = Seq("_cb"))
+    }
+  }
+
+  test("compactBuckets: rewrites only overfull buckets; content, pinning, recovery intact") {
+    val s = spark; import s.implicits._
+    val name = "graft_compact_spec"
+    def warehouseDir = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    def filesByBucket: Map[Int, Set[String]] =
+      warehouseDir.listFiles().toSeq
+        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        .flatMap(f => Layout.bucketIdOf(f.getName).map(_ -> f.getName))
+        .groupBy(_._1).map { case (b, fs) => b -> fs.map(_._2).toSet }
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      Layout.clearStaleTableLocation(spark, name)
+      Layout.pinBucketedReads(spark)
+      // single writer task → exactly one file per bucket to start
+      Layout.writeBucketed(
+        (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v").repartition(1), name, "id", 8)
+      // one day's append: touches only the buckets its two ids hash to
+      Seq((101L, "x"), (102L, "y")).toDF("id", "v").repartition(1)
+        .write.format("parquet").bucketBy(8, "id").sortBy("id")
+        .mode("append").saveAsTable(name)
+      val before = filesByBucket
+      val overfull = before.filter(_._2.size > 1).keySet
+      assert(overfull.nonEmpty && overfull.size < before.size,
+        s"append must leave SOME buckets compact for the O(bucket) assert: $before")
+      val expect = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      Layout.compactBuckets(spark, name, "id")
+      val after = filesByBucket
+      // O(overfull buckets), not O(table): untouched buckets keep their EXACT files
+      before.filterNot(kv => overfull(kv._1)).foreach { case (b, fl) =>
+        assert(after(b) === fl, s"bucket $b was compact and must not be rewritten")
+      }
+      overfull.foreach(b => assert(after(b).size === 1, s"bucket $b must compact to one file"))
+      assert(spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet === expect)
+      // the bucket contract survives the file-level swap: a self-join on the
+      // bucket key plans with NO exchange on either side
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = spark.table(name).join(
+          spark.table(name).withColumnRenamed("v", "v2"), "id")
+        val plan = j.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+          s"compacted table must stay co-located:\n$plan")
+        assert(j.count() === 102)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      }
+      // crash recovery: a staged file left between stage and swap (the crash
+      // window) REPLACES its bucket's live files on the next call
+      val (b, liveNames) = filesByBucket.head
+      val live = liveNames.map(n => new java.io.File(warehouseDir, n))
+      val staging = new java.io.File(warehouseDir, ".compact")
+      staging.mkdirs()
+      val staged = new java.io.File(staging, f"compact-recovery_$b%05d.c000.snappy.parquet")
+      java.nio.file.Files.copy(live.head.toPath, staged.toPath)
+      Layout.compactBuckets(spark, name, "id")
+      val recovered = filesByBucket(b)
+      assert(recovered === Set(staged.getName),
+        s"recovery must install the staged file for bucket $b: $recovered")
+      assert(spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet === expect)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      Layout.clearStaleTableLocation(spark, name)
+    }
+  }
+
   test("partitioned write: a partition-column predicate prunes directories") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     try {

@@ -81,7 +81,7 @@ class SimilarityOpsSpec extends SparkSpec {
         s"SelectedBucketsCount: 2 out of ${SimilarityOps.IvfIndexBuckets}"),
         s"probe scan must bucket-prune to the nprobe cells:\n$plan")
     } finally {
-      spark.sql(s"DROP TABLE IF EXISTS ${SimilarityOps.ivfIndexName(sf)}")
+      graft.operators.Layout.dropEpochFamily(spark, SimilarityOps.ivfIndexName(sf))
     }
   }
 
@@ -98,8 +98,8 @@ class SimilarityOpsSpec extends SparkSpec {
         s"SelectedBucketsCount: 2 out of ${SimilarityOps.IvfTrainedBuckets}"),
         s"trained probe must bucket-prune to the nprobe cells:\n$plan")
     } finally {
-      spark.sql(s"DROP TABLE IF EXISTS ${SimilarityOps.ivfTrainedIndexName(sf)}")
-      spark.sql(s"DROP TABLE IF EXISTS ${SimilarityOps.ivfTrainedIndexName(sf)}_codebook")
+      graft.operators.Layout.dropEpochFamily(spark,
+        SimilarityOps.ivfTrainedIndexName(sf), sidecars = Seq("_codebook"))
     }
   }
 
