@@ -153,10 +153,30 @@ object Pipeline {
   }
 
   /** Persist the three tables (K1/K2 analog when no JDBC target exists:
-    * parquet lake layout; JDBC via [[graft.sources.JdbcSink.write]]).
+    * parquet lake layout; JDBC via [[saveTablesJdbc]]).
     */
   def saveTables(spark: SparkSession, outDir: String): Unit =
     Seq("accounts", "clients", "transactions").foreach { t =>
       spark.table(t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
+
+  /** The reference's actual database load (main.py:129-172): the three
+    * ingested tables APPENDED through typed JDBC with the pinned
+    * column-type DDL — `to_sql(if_exists='append', dtype=…)` ×3. Any
+    * JDBC database works (the reference targets Postgres; PipelineSpec
+    * executes this live against embedded Derby — real CREATE TABLE +
+    * INSERTs + read-back, not DDL strings). `overwrite` is the K2
+    * variant. `numPartitions` bounds writer fan-in so a wide cluster
+    * can't exhaust the database's connection pool (JdbcSink scale note).
+    */
+  def saveTablesJdbc(spark: SparkSession, url: String,
+      props: java.util.Properties, overwrite: Boolean = false,
+      numPartitions: Int = 8): Unit = {
+    JdbcSink.write(spark.table("accounts"), url, "accounts", props,
+      RefSchemas.accountsColumnTypes, overwrite, numPartitions)
+    JdbcSink.write(spark.table("clients"), url, "clients", props,
+      RefSchemas.clientsColumnTypes, overwrite, numPartitions)
+    JdbcSink.write(spark.table("transactions"), url, "transactions", props,
+      RefSchemas.transactionsColumnTypes, overwrite, numPartitions)
+  }
 }

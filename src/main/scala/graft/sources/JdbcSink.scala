@@ -7,10 +7,11 @@ import org.apache.spark.sql.types._
   * overwrite with explicit column-type DDL, mirroring pandas
   * `to_sql(..., if_exists=..., dtype=map)`.
   *
-  * The build environment has no database, so the live `.jdbc()` call is
-  * a thin passthrough; everything decidable offline — the
-  * createTableColumnTypes DDL derivation and the mode mapping — is a
-  * pure function with specs.
+  * The DDL derivation and mode mapping are pure functions with their
+  * own specs; the live `.jdbc()` path itself is executed end-to-end
+  * against embedded Derby (real CREATE TABLE + INSERTs + read-back,
+  * append and overwrite) in PipelineSpec — no Postgres in the build
+  * environment, but the writer path is the same for any JDBC target.
   *
   * Scale note: `.jdbc` writes one connection per partition;
   * `numPartitions`/`batchsize` bound the fan-in so a 1000-executor

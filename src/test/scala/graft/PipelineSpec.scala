@@ -89,6 +89,57 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("live JDBC round-trip (embedded Derby): append x3, read-back, re-append, overwrite") {
+    serve { base =>
+      Pipeline.run(spark, base, Some("tok"), limit = 5, retrySleepMillis = 1)
+      // embedded in-JVM database — the same .jdbc() writer path the
+      // reference drives at Postgres, executed for real
+      System.setProperty("derby.stream.error.file",
+        new java.io.File(System.getProperty("java.io.tmpdir"), "derby.log").getPath)
+      val url = "jdbc:derby:memory:graft_pipeline_spec;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      try {
+        val expect = Seq("accounts", "clients", "transactions")
+          .map(t => t -> spark.table(t)).toMap
+
+        // K1: typed append ×3 (reference main.py:129-172)
+        Pipeline.saveTablesJdbc(spark, url, props, numPartitions = 2)
+        expect.foreach { case (t, src) =>
+          val back = spark.read.jdbc(url, t, props)
+          // the pinned column-type DDL round-trips: same field names and
+          // Spark types (BIGINT→long, VARCHAR→string, DECIMAL(10,2),
+          // TIMESTAMP, DATE), case-insensitively on names
+          assert(back.schema.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq ===
+            src.schema.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq,
+            s"$t schema must survive the JDBC round-trip")
+          // and so do the values
+          assert(back.collect().map(_.toSeq).toSet === src.collect().map(_.toSeq).toSet,
+            s"$t rows must survive the JDBC round-trip")
+        }
+
+        // append into EXISTING tables (the reference's daily rerun): rows add up
+        Pipeline.saveTablesJdbc(spark, url, props, numPartitions = 2)
+        expect.foreach { case (t, src) =>
+          assert(spark.read.jdbc(url, t, props).count() === 2 * src.count())
+        }
+
+        // K2: overwrite resets to one copy
+        Pipeline.saveTablesJdbc(spark, url, props, overwrite = true, numPartitions = 2)
+        expect.foreach { case (t, src) =>
+          val back = spark.read.jdbc(url, t, props)
+          assert(back.count() === src.count())
+          assert(back.collect().map(_.toSeq).toSet === src.collect().map(_.toSeq).toSet)
+        }
+      } finally {
+        // drop the in-memory database so reruns in one JVM start clean
+        try java.sql.DriverManager.getConnection(
+          "jdbc:derby:memory:graft_pipeline_spec;drop=true")
+        catch { case _: java.sql.SQLException => () } // 08006 = dropped OK
+      }
+    }
+  }
+
   test("pipeline survives a dead transactions endpoint (S4 empty fallback)") {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: HttpExchange) => {
