@@ -73,6 +73,61 @@ object MultimodalOps {
       .toDF()
   }
 
+  /** REAL image decode for the formats a bare JVM can read — uncompressed
+    * BMP and binary netpbm (P5/P6) — via the native codegen'd
+    * [[graft.functions.ImageHeader]] expression, with the deterministic
+    * stub as the fallback for unrecognized payloads (the honest stance
+    * for codec formats this container can't decode). Fully declarative:
+    * header metadata extraction over a 100 TB payload column stays
+    * inside whole-stage codegen, and the stub's byte arithmetic is
+    * plain SQL functions — no UDF on either path.
+    */
+  def decodeImage(payloads: DataFrame): DataFrame = {
+    import graft.functions.ImageHeader
+    // the stub path's dims, as declarative byte arithmetic (same formula
+    // as decodeImageStub: leading two bytes mod 64, floor 16)
+    def byteAt(i: Int) = coalesce(
+      conv(hex(substring(col("payload"), i, 1)), 16, 10).cast("int"), lit(0))
+    val h = ImageHeader(col("payload"))
+    payloads
+      .select(col("doc_id").cast("long").as("doc_id"), col("payload"), h.as("h"))
+      .select(
+        col("doc_id"),
+        coalesce(col("h.format"), lit("stub")).as("format"),
+        coalesce(col("h.width"), lit(16) + byteAt(1) % 64).as("width"),
+        coalesce(col("h.height"), lit(16) + byteAt(2) % 64).as("height"),
+        coalesce(col("h.channels"), lit(3)).as("channels"))
+      .withColumn("n_pixels",
+        col("width").cast("long") * col("height") * col("channels"))
+  }
+
+  /** Feature extraction with REAL pixels when the payload decodes
+    * ([[graft.functions.ImageHeader.gridFeatures]] — a downsampled
+    * luminance grid, the classic pixel-intensity embedding) and the md5
+    * stub otherwise. Same mapPartitions shape and output contract as
+    * [[extractFeaturesStub]], so the ANN/dedup operators downstream are
+    * oblivious to which path produced a vector. [[multimodalAnn]] keeps
+    * calling the stub directly: its payloads are text bytes (never a
+    * real image), and its DuckDB oracle re-derives the md5 formula.
+    */
+  def extractImageFeatures(payloads: DataFrame, dim: Int = 64): DataFrame = {
+    import graft.functions.ImageHeader
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val info = ImageHeader.parse(bytes)
+          val feat = if (info != null) ImageHeader.gridFeatures(bytes, info, dim)
+                     else MultimodalOps.stubFeature(bytes, dim)
+          (id, feat)
+        }
+      }
+      .toDF("item_id", "feature")
+  }
+
   /** Frame-sample plumbing: given per-item frame counts, emit (item,
     * frame_idx) rows for every k-th frame — the explode-side of a video
     * pipeline (decode of each sampled frame would follow per partition).
@@ -106,20 +161,24 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // (a real encoder loads here — once per partition, not per row)
-        val md = java.security.MessageDigest.getInstance("MD5")
-        def hex(b: Array[Byte]): String =
-          b.map(x => f"${x & 0xff}%02x").mkString
-        it.map { case (id, bytes) =>
-          val base = hex(md.digest(bytes))
-          val feat = Array.tabulate(dim) { j =>
-            val h = hex(md.digest(s"$base-$j".getBytes("UTF-8"))).substring(0, 8)
-            val u = java.lang.Long.parseLong(h, 16)
-            ((u / 4294967296.0) * 2.0 - 1.0).toFloat
-          }
-          (id, feat)
-        }
+        it.map { case (id, bytes) => (id, MultimodalOps.stubFeature(bytes, dim)) }
       }
       .toDF("item_id", "feature")
+  }
+
+  /** The md5-derived pseudo-embedding formula (scaladoc above) — shared
+    * by [[extractFeaturesStub]] and [[extractImageFeatures]]' fallback
+    * path so the two can never drift.
+    */
+  private[graft] def stubFeature(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+    val base = hex(md.digest(bytes))
+    Array.tabulate(dim) { j =>
+      val h = hex(md.digest(s"$base-$j".getBytes("UTF-8"))).substring(0, 8)
+      val u = java.lang.Long.parseLong(h, 16)
+      ((u / 4294967296.0) * 2.0 - 1.0).toFloat
+    }
   }
 
   /** The full multimodal→vector pipeline under the oracle: opaque

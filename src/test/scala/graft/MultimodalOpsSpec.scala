@@ -21,6 +21,111 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(got === again)
   }
 
+  // --- real-byte image fixtures (the formats a bare JVM can decode) ---
+
+  /** 24bpp bottom-up BMP with BITMAPINFOHEADER and 4-byte row padding. */
+  private def bmp24(w: Int, h: Int)(pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = (w * 3 + 3) / 4 * 4
+    val buf = java.nio.ByteBuffer.allocate(54 + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h)
+      .putInt(0).putInt(54) // reserved, pixel-data offset
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (y <- h - 1 to 0 by -1) { // file stores rows bottom-up
+      for (x <- 0 until w) {
+        val (r, g, b) = pix(x, y)
+        buf.put(b.toByte).put(g.toByte).put(r.toByte) // BGR sample order
+      }
+      buf.position(buf.position() + stride - w * 3) // row padding (zeros)
+    }
+    buf.array()
+  }
+
+  /** Binary netpbm: P6 (RGB) when `rgb`, P5 (gray, r channel only) otherwise. */
+  private def netpbm(w: Int, h: Int, rgb: Boolean)(pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val header = s"P${if (rgb) 6 else 5}\n# spec fixture\n$w $h\n255\n".getBytes("US-ASCII")
+    val data = for { y <- 0 until h; x <- 0 until w; b <- {
+      val (r, g, bl) = pix(x, y)
+      if (rgb) Seq(r.toByte, g.toByte, bl.toByte) else Seq(r.toByte) } } yield b
+    header ++ data
+  }
+
+  test("decodeImage: REAL BMP/PPM/PGM headers decode; other payloads fall back to the stub") {
+    val s = spark; import s.implicits._
+    val white = bmp24(5, 3)((_, _) => (255, 255, 255))
+    val ppm = netpbm(2, 2, rgb = true)((x, y) => (x * 255, y * 255, 0))
+    val pgm = netpbm(4, 1, rgb = false)((x, _) => (x * 60, 0, 0))
+    val text = "hello".getBytes("UTF-8")
+    val truncated = white.take(40) // claims 5x3 but raster missing
+    val df = Seq((1L, white), (2L, ppm), (3L, pgm), (4L, text), (5L, truncated))
+      .toDF("doc_id", "payload")
+    val got = MultimodalOps.decodeImage(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toSeq
+    assert(got(0) === ((1L, "bmp", 5, 3, 3)))
+    assert(got(1) === ((2L, "ppm", 2, 2, 3)))
+    assert(got(2) === ((3L, "pgm", 4, 1, 1)))
+    // unrecognized bytes take the stub path with the stub's exact dims
+    assert(got(3) === ((4L, "stub", 16 + 'h' % 64, 16 + 'e' % 64, 3)))
+    // a truncated raster is UNRECOGNIZED (stub), never garbage dims
+    assert(got(4)._2 === "stub")
+    // and the declarative stub path agrees with the mapPartitions stub
+    val stubDims = MultimodalOps.decodeImageStub(df.filter($"doc_id" === 4L))
+      .head()
+    assert((got(3)._3, got(3)._4) === ((stubDims.getInt(1), stubDims.getInt(2))))
+  }
+
+  test("ImageHeader expression: codegen and interpreted agree; truncation rejected") {
+    import graft.functions.ImageHeader
+    val payloads = Seq(
+      bmp24(3, 2)((x, y) => (x * 40, y * 90, 128)),
+      netpbm(2, 3, rgb = true)((x, y) => (10 * x, 20 * y, 30)),
+      "not an image".getBytes("UTF-8"))
+    payloads.foreach { p =>
+      val info = ImageHeader.parse(p)
+      val row = ImageHeader.parseToRow(p)
+      if (info == null) assert(row == null)
+      else {
+        assert(row.getString(0) === info.format)
+        assert((row.getInt(1), row.getInt(2), row.getInt(3)) ===
+          ((info.width, info.height, info.channels)))
+      }
+    }
+    // every prefix-truncation of a valid file parses as null or consistent —
+    // never throws, never returns out-of-payload geometry
+    val full = netpbm(3, 3, rgb = true)((_, _) => (1, 2, 3))
+    (0 to full.length).foreach { n =>
+      val info = ImageHeader.parse(full.take(n))
+      if (info != null)
+        assert(info.dataOffset.toLong + info.rowStride.toLong * info.height <= n)
+    }
+  }
+
+  test("extractImageFeatures: features come from REAL pixel bytes; stub fallback unchanged") {
+    val s = spark; import s.implicits._
+    val white = bmp24(6, 6)((_, _) => (255, 255, 255))
+    val black = netpbm(4, 4, rgb = true)((_, _) => (0, 0, 0))
+    // 2x2 quadrants: luminance grid must read them back in row-major order
+    val quadLum = Map((0, 0) -> 255, (1, 0) -> 0, (0, 1) -> 64, (1, 1) -> 191)
+    val quad = netpbm(2, 2, rgb = false)((x, y) => (quadLum((x, y)), 0, 0))
+    val text = "just text".getBytes("UTF-8")
+    val df = Seq((1L, white), (2L, black), (3L, quad), (4L, text), (5L, white))
+      .toDF("doc_id", "payload")
+    val f = MultimodalOps.extractImageFeatures(df, dim = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // uniform white → luminance 255 → all +1; black → -1
+    assert(f(1L).forall(_ === 1.0f))
+    assert(f(2L).forall(_ === -1.0f))
+    // the 2x2 grid reads the four pixels exactly, row-major
+    assert(f(3L) === Seq(255, 0, 64, 191).map(v => (v / 255.0f) * 2 - 1))
+    // identical images → identical vectors (ANN-ready)
+    assert(f(1L) === f(5L))
+    // unrecognized payloads take the md5 stub EXACTLY (shared formula)
+    val stub = MultimodalOps.extractFeaturesStub(
+      df.filter($"doc_id" === 4L), dim = 4).head().getSeq[Float](1)
+    assert(f(4L) === stub)
+  }
+
   test("sampleFrames emits every k-th frame index; zero-frame items emit none") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 10), (2L, 1), (3L, 0)).toDF("item", "n_frames")
