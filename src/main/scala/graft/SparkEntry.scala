@@ -59,6 +59,9 @@ object SparkEntry {
     "q_lang_id"           -> (TextOps.langId _),
     "q_lang_ngram"        -> (TextOps.langNgram _),
     "q_doc_quantiles"     -> (TextOps.docQuantiles _),
+    // no oracle entry: sketch estimates are engine-specific → rows-only
+    // check (spec-bounded against the exact key — TextOps scaladoc)
+    "q_doc_quantiles_approx" -> (TextOps.docQuantilesApprox _),
     "q_topk_per_lang"     -> (TextOps.topkPerLang _),
     // §2b — dedup
     "q_doc_dedup"         -> (DedupOps.docDedup _),

@@ -365,6 +365,32 @@ object TextOps {
         round(expr("percentile(n_tok, 0.5)"), 6).as("tok_p50"))
       .orderBy(col("lang"))
 
+  /** The 100 TB path [[docQuantiles]]'s scaladoc points at, EXECUTED:
+    * the same profiling shape with `percentile_approx` — a mergeable
+    * bounded-size quantile sketch per (group, column) instead of exact
+    * per-group value counts, so aggregation state no longer grows with
+    * distinct values. `accuracy` 10000 bounds rank error to ~N/10000
+    * per group. Rows-only by declared design (a sketch estimate is
+    * engine-specific and cannot hash-match a DuckDB oracle);
+    * TextOpsSpec bounds it against the exact result instead: monotone
+    * p25 ≤ p50 ≤ p75, every estimate inside [min, max], and the approx
+    * median inside the exact [p25, p75] hull.
+    */
+  def docQuantilesApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), length(col("text")).as("len"),
+        size(tokens(col("text"))).as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("len")).cast("long").as("len_min"),
+        expr("percentile_approx(len, 0.25, 10000)").cast("long").as("len_p25"),
+        expr("percentile_approx(len, 0.5, 10000)").cast("long").as("len_p50"),
+        expr("percentile_approx(len, 0.75, 10000)").cast("long").as("len_p75"),
+        max(col("len")).cast("long").as("len_max"),
+        expr("percentile_approx(n_tok, 0.5, 10000)").cast("long").as("tok_p50"))
+      .orderBy(col("lang"))
+
   val docQuantilesSql: String =
     """WITH d AS (
       |  SELECT lang, length(text) AS len,

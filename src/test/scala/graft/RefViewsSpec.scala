@@ -60,7 +60,7 @@ class RefViewsSpec extends SparkSpec {
     // rows-only keys get the driver's weaker check by DESIGN (engine-
     // specific estimates can't hash-match an oracle) — keep this list
     // explicit so a forgotten oracle still fails the build
-    val rowsOnly = Set("q_approx_distinct")
+    val rowsOnly = Set("q_approx_distinct", "q_doc_quantiles_approx")
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
     assert(rowsOnly.subsetOf(SparkEntry.queries.keySet))
   }

@@ -87,4 +87,27 @@ class TextOpsSpec extends SparkSpec {
     val langs = l.select("predicted_lang").distinct().collect().map(_.getString(0)).toSet
     assert(langs.subsetOf(Set("en", "fr", "es", "de", "zh", "und")))
   }
+
+  test("docQuantilesApprox: sketch estimates bounded by the exact profile") {
+    val exact = TextOps.docQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = TextOps.docQuantilesApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet === exact.keySet) // same strata, same n_docs
+    approx.foreach { case (lang, a) =>
+      val e = exact(lang)
+      assert(a.getLong(1) === e.getLong(1), s"$lang n_docs must be exact")
+      val (aMin, aMax) = (a.getLong(2), a.getLong(6))
+      assert(aMin === e.getLong(2) && aMax === e.getLong(6),
+        s"$lang min/max are exact aggregates on both paths")
+      val (p25, p50, p75) = (a.getLong(3), a.getLong(4), a.getLong(5))
+      // estimates are real data values inside the support, monotone…
+      assert(aMin <= p25 && p25 <= p50 && p50 <= p75 && p75 <= aMax, s"$lang")
+      // …and at accuracy 10000 on sf-scale strata the approx median
+      // cannot leave the exact interquartile hull
+      assert(p50 >= e.getDouble(3).floor && p50 <= e.getDouble(5).ceil,
+        s"$lang approx median ${p50} outside exact [p25, p75] " +
+          s"[${e.getDouble(3)}, ${e.getDouble(5)}]")
+    }
+  }
 }
