@@ -18,6 +18,7 @@ object Bench {
     "q_dedup_first" -> 0.528, "q_distinct_users" -> 0.154,
     "q_doc_dedup" -> 0.179, "q_doc_fingerprint" -> 0.183,
     "q_doc_quantiles" -> 0.172,
+    "q_doc_quantiles_approx" -> 0.193, // r6 first measurement
     "q_embedding_neardup" -> 0.402, "q_embedding_neardup_lsh" -> 0.358,
     "q_ensemble_groups" -> 5.326,
     "q_embedding_stats" -> 0.298,
@@ -111,9 +112,16 @@ object Bench {
     // contended stretch has usually passed by then) and keep the min.
     // Only flags that survive isolation are emitted; refMin updates
     // stay manual and land in their own commits so a regression can
-    // never re-anchor its own gate.
+    // never re-anchor its own gate. The FIRST-PASS time of every query
+    // that triggered isolation is emitted alongside (first_pass_flags):
+    // late re-runs benefit from warm page cache and already-built index
+    // tables, so a flag that only disappears under isolation must stay
+    // visible for manual adjudication rather than vanish silently.
+    val isolated = firstPass.filter { case (name, t) =>
+      t > 0 && refMin.get(name).exists(prev => t > 1.5 * prev)
+    }
     val times = firstPass.map { case (name, t) =>
-      if (t > 0 && refMin.get(name).exists(prev => t > 1.5 * prev)) {
+      if (isolated.contains(name)) {
         var best = t
         var tries = 0
         while (best > 1.5 * refMin(name) && tries < 2) {
@@ -131,8 +139,9 @@ object Bench {
     val qs = times.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val regJson = regressions.map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val fpJson = isolated.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val total = times.values.filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errJson,"regressions_vs_ref":$regJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errJson,"regressions_vs_ref":$regJson,"first_pass_flags":$fpJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
