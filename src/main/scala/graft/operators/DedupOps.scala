@@ -350,11 +350,34 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
   }
 
+  /** Candidate budget for the prefix-filter path — the [[MaxBitmapPairs]]
+    * analog for the regime the bitmap gate can't take (>64K vocab). The
+    * prefix self-join generates Σ_s c_s·(c_s−1)/2 raw candidates, where
+    * c_s counts the PREFIX entries carrying shingle s: on real sparse
+    * corpora this is near-linear (frequency-ordering puts only each
+    * doc's RAREST shingles in its prefix — round-5 crossover corpus A,
+    * 100K docs / 1.18M vocab, ran the whole path in 153.4 s and its
+    * cost was the verification of 2.45M genuinely-similar pairs, not
+    * candidate explosion). An ADVERSARIALLY dense corpus — huge vocab
+    * (so the bitmap gate is closed) whose docs still share their rare
+    * shingles, e.g. near-identical templates with unique noise — can
+    * push c_s toward n and the candidate count toward n²/2, and no
+    * lossless exact-Jaccard algorithm can do better there (the output
+    * itself is quadratic). The guard computes the exact candidate count
+    * with one linear aggregation over the prefix index (dwarfed by the
+    * join it protects) and fails FAST with the actionable knobs —
+    * raise t (shorter prefixes), longer shingles (rarer collisions), or
+    * shard the corpus — instead of melting down in the self-join.
+    */
+  val MaxPrefixCandidates = 1000000000L
+
   /** Sparse-vocab exact Jaccard: AllPairs/PPJoin prefix filtering (see
-    * [[ngramJaccard]] scaladoc for the completeness argument).
+    * [[ngramJaccard]] scaladoc for the completeness argument and
+    * [[MaxPrefixCandidates]] for the dense-corpus cost model + guard).
     */
   private[graft] def prefixFilterJaccard(
-      docs: DataFrame, inv: DataFrame, t: Double): DataFrame = {
+      docs: DataFrame, inv: DataFrame, t: Double,
+      maxCandidates: Long = MaxPrefixCandidates): DataFrame = {
     val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // per-doc shingles sorted by the global (df, shingle) order
     val ranked = inv.join(dfreq, "shingle")
@@ -366,6 +389,19 @@ object DedupOps {
     val prefix = ranked.select(col("doc_id"), col("n_sh"),
       explode(slice(col("ssh"), lit(1),
         (col("n_sh") - ceil(col("n_sh") * t) + 1).cast("int"))).as("shingle"))
+      .localCheckpoint() // one materialization feeds the guard + both join sides
+    // long arithmetic throughout (Spark's `/` on longs yields double,
+    // which loses exactness past 2^53); c·(c−1) is even so /2 is exact
+    val rawCandidates = prefix.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)).cast("long"))
+      .head().getLong(0) / 2
+    if (rawCandidates > maxCandidates)
+      throw new IllegalStateException(
+        s"prefix-filter candidate budget exceeded: $rawCandidates raw " +
+          s"candidates > $maxCandidates. The corpus is adversarially dense " +
+          "(docs share even their rarest shingles); raise t, use longer " +
+          "shingles, or shard the corpus before the self-join.")
     val a = prefix.as("a"); val b = prefix.as("b")
     val cand = a.join(b,
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&

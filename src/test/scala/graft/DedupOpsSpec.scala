@@ -92,6 +92,29 @@ class DedupOpsSpec extends SparkSpec {
     assert(banded.nonEmpty)
   }
 
+  test("prefix-filter candidate budget: dense corpus fails fast, normal corpus verifies") {
+    import graft.operators.DedupOps
+    val s = spark; import s.implicits._
+    // adversarial density with a big-vocab shape: every doc carries one
+    // UNIQUE shingle (vocab grows with n, closing the bitmap gate at
+    // scale) plus one UNIVERSAL shingle — so even the frequency-ordered
+    // prefix index collides all docs on the shared shingle and raw
+    // candidates are n(n-1)/2-ish, the regime the budget exists for
+    val docs = ((1L to 12L).map(i => (i, Seq("aaaaa", s"uniq$i"))) ++
+      Seq((13L, Seq("aaaaa", "same")), (14L, Seq("aaaaa", "same"))))
+      .toDF("doc_id", "sh")
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val e = intercept[IllegalStateException] {
+      DedupOps.prefixFilterJaccard(docs, inv, 0.5, maxCandidates = 50).count()
+    }
+    assert(e.getMessage.contains("candidate budget exceeded"))
+    // same corpus under the default budget: exact answers, no explosion —
+    // only the planted identical pair reaches J >= 0.5
+    val ok = DedupOps.prefixFilterJaccard(docs, inv, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ok === Seq((13L, 14L)))
+  }
+
   test("docDedup groups exact prefix-dups and keeps min doc_id") {
     val d = graft.operators.DedupOps.docDedup(spark, sf)
     val total = d.agg(sum("dup_count")).head().getLong(0)
