@@ -16,9 +16,9 @@ object Bench {
     "q_curation_funnel" -> 5.418,
     "q_decontaminate" -> 1.455,
     "q_dedup_first" -> 0.528, "q_distinct_users" -> 0.154,
-    "q_doc_dedup" -> 0.179, "q_doc_fingerprint" -> 0.183,
+    "q_doc_dedup" -> 0.179, "q_doc_fingerprint" -> 0.17,
     "q_doc_quantiles" -> 0.172,
-    "q_doc_quantiles_approx" -> 0.193, // r6 first measurement
+    "q_doc_quantiles_approx" -> 0.185, // r6 isolated minima (2 runs)
     "q_embedding_neardup" -> 0.402, "q_embedding_neardup_lsh" -> 0.358,
     "q_ensemble_groups" -> 5.326,
     "q_embedding_stats" -> 0.298,
@@ -33,7 +33,7 @@ object Bench {
     "q_minhash_verified" -> 3.051,
     "q_monthly_summary" -> 1.773, "q_multimodal_ann" -> 0.483,
     "q_multimodal_meta" -> 0.195,
-    "q_neardup_groups" -> 2.967, "q_ngram_jaccard" -> 2.254,
+    "q_neardup_groups" -> 2.725, "q_ngram_jaccard" -> 2.254,
     "q_outer_counts" -> 0.208, "q_pack_sequences" -> 0.472,
     "q_pii_scrub" -> 0.136, "q_pivot_events" -> 0.218,
     "q_quality_score" -> 0.154, "q_range_join" -> 0.313,
