@@ -35,6 +35,8 @@ object Bench {
     "q_multimodal_meta" -> 0.195,
     "q_neardup_groups" -> 2.725, "q_ngram_jaccard" -> 2.254,
     "q_outer_counts" -> 0.208, "q_pack_sequences" -> 0.472,
+    "q_passage_dedup" -> 0.35, "q_repetition_filter" -> 0.6, // r6 seed
+
     "q_pii_scrub" -> 0.136, "q_pivot_events" -> 0.218,
     "q_quality_score" -> 0.154, "q_range_join" -> 0.313,
     "q_unpivot_events" -> 0.376,

@@ -62,9 +62,11 @@ object SparkEntry {
     // no oracle entry: sketch estimates are engine-specific → rows-only
     // check (spec-bounded against the exact key — TextOps scaladoc)
     "q_doc_quantiles_approx" -> (TextOps.docQuantilesApprox _),
+    "q_repetition_filter" -> (TextOps.repetitionFilter _),
     "q_topk_per_lang"     -> (TextOps.topkPerLang _),
     // §2b — dedup
     "q_doc_dedup"         -> (DedupOps.docDedup _),
+    "q_passage_dedup"     -> (DedupOps.passageDedup _),
     "q_incremental_dedup" -> (DedupOps.incrementalDedup _),
     "q_ngram_jaccard"     -> (DedupOps.ngramJaccard _),
     "q_minhash_lsh"       -> (DedupOps.minhashLsh _),
@@ -133,8 +135,10 @@ object SparkEntry {
     "q_lang_id"           -> TextOps.langIdSql,
     "q_lang_ngram"        -> TextOps.langNgramSql,
     "q_doc_quantiles"     -> TextOps.docQuantilesSql,
+    "q_repetition_filter" -> TextOps.repetitionFilterSql,
     "q_topk_per_lang"     -> TextOps.topkPerLangSql,
     "q_doc_dedup"         -> DedupOps.docDedupSql,
+    "q_passage_dedup"     -> DedupOps.passageDedupSql,
     "q_incremental_dedup" -> DedupOps.incrementalDedupSql,
     "q_ngram_jaccard"     -> DedupOps.ngramJaccardSql,
     "q_minhash_lsh"       -> DedupOps.minhashLshSql,

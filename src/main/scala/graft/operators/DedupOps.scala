@@ -70,6 +70,81 @@ object DedupOps {
       |GROUP BY md5(substring(text, 1, 40))
       |ORDER BY doc_id""".stripMargin
 
+  /** Substring-level dedup signal (Lee et al. ACL'22 "Deduplicating
+    * Training Data Makes Language Models Better", adapted): exact-dup
+    * detection at PASSAGE granularity instead of whole-document. Each
+    * document's token stream splits into non-overlapping [[PassageTokens]]-token
+    * passages, each passage is content-hashed, and a passage counts as
+    * duplicated when its hash appears anywhere else in the corpus
+    * (including elsewhere in the same document). Output: per-doc passage
+    * counts, duplicated-passage fraction, and the keep decision
+    * (`dup_frac` ≤ 0.25) — the metric that catches boilerplate-stitched
+    * documents whole-doc dedup is blind to.
+    *
+    * Shape at 100 TB: passage hashing is row-local; the corpus-wide
+    * duplicate set is one hash aggregation on the passage hash (map-side
+    * partials collapse within-doc repeats), and membership flows back as
+    * a semi-joinable narrow frame — broadcast when small, shuffle join
+    * on the uniform 128-bit key otherwise (Catalyst/AQE picks). No
+    * windows, no self-join on documents.
+    */
+  val PassageTokens = 8
+
+  def passageDedup(spark: SparkSession, sfDir: String): DataFrame =
+    passageDedupMetrics(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  /** Library core of [[passageDedup]] for any (doc_id, text) frame. */
+  def passageDedupMetrics(docs: DataFrame, k: Int = PassageTokens): DataFrame = {
+    val p = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, int(size(toks) / $k) - 1), " +
+          s"j -> md5(concat_ws(' ', slice(toks, j * $k + 1, $k))))")).as("ph"))
+      // one materialization feeds the dup-hash agg and both per-doc aggs
+      .localCheckpoint()
+    val dupHashes = p.groupBy(col("ph"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col("ph"))
+    val flagged = p.join(dupHashes, Seq("ph"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_passages"))
+    p.groupBy(col("doc_id")).agg(count(lit(1)).as("n_passages"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_passages"),
+        coalesce(col("n_dup_passages"), lit(0L)).as("n_dup_passages"))
+      .withColumn("dup_frac",
+        round(col("n_dup_passages").cast("double") / col("n_passages"), 6))
+      .withColumn("keep", (col("dup_frac") <= 0.25).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val passageDedupSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |    x -> x <> '') AS toks
+      |  FROM documents
+      |), p AS (
+      |  -- // is integer division: CAST(x/8 AS INT) would ROUND and emit a
+      |  -- phantom short passage whenever len mod 8 >= 4
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(0, len(toks) // 8 - 1),
+      |    j -> md5(array_to_string(toks[j*8+1 : j*8+8], ' ')))) AS ph
+      |  FROM t WHERE len(toks) >= 8
+      |), dup AS (
+      |  SELECT ph FROM p GROUP BY ph HAVING COUNT(*) > 1
+      |), perdoc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages,
+      |    CAST(COUNT(*) FILTER (WHERE ph IN (SELECT ph FROM dup)) AS BIGINT)
+      |      AS n_dup_passages
+      |  FROM p GROUP BY 1
+      |)
+      |SELECT doc_id, n_passages, n_dup_passages,
+      |  ROUND(CAST(n_dup_passages AS DOUBLE) / n_passages, 6) AS dup_frac,
+      |  CAST(ROUND(CAST(n_dup_passages AS DOUBLE) / n_passages, 6) <= 0.25 AS INT)
+      |    AS keep
+      |FROM perdoc
+      |ORDER BY doc_id""".stripMargin
+
   /** Arrival-order batch cut for the incremental-dedup demonstration:
     * docs below the midpoint id are the already-ingested corpus, the
     * rest are "today's batch" (doc_id encodes arrival order in the

@@ -123,6 +123,38 @@ class DedupOpsSpec extends SparkSpec {
     assert(d.filter(col("dup_count") > 1).count() > 0) // testdata plants dups
   }
 
+  test("passageDedup: cross-doc and within-doc repeated passages flagged exactly") {
+    import graft.operators.DedupOps
+    val corpus = DedupOps.passageDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+      .toMap
+    // testdata plants shared 40-char prefixes → the aligned first passage
+    // of each near-dup group collides corpus-wide
+    assert(corpus.values.exists(_._2 > 0))
+    assert(corpus.values.forall { case (np, nd, frac, keep) =>
+      nd <= np && frac >= 0 && frac <= 1 && (keep == 1) == (frac <= 0.25)
+    })
+    // the passage split is non-overlapping k-token windows: a doc that is
+    // one 8-token passage repeated twice flags BOTH copies (within-doc
+    // repetition counts — boilerplate stitching inside one document),
+    // a 3-passage doc sharing ONE passage with it flags exactly one
+    val s = spark; import s.implicits._
+    val unit = Seq("p", "q", "r", "s", "t", "u", "v", "w")
+    val rep = (unit ++ unit).mkString(" ")
+    val mixed = (unit ++ Seq("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron",
+      "pi")).mkString(" ")
+    val short = "too few tokens here" // < k → no passage row
+    val crafted = Seq((1L, rep), (2L, mixed), (3L, short)).toDF("doc_id", "text")
+    val got = DedupOps.passageDedupMetrics(crafted).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+      .toMap
+    assert(got(1L) === ((2L, 2L, 1.0, 0))) // both copies flagged, dropped
+    assert(got(2L) === ((3L, 1L, BigDecimal(1.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, 0))) // the shared prefix passage
+    assert(!got.contains(3L))
+  }
+
   test("incrementalDedup: index(batch1) ∪ incremental(batch2) == full-corpus dedup; " +
       "index is probed, never re-shuffled") {
     import graft.operators.DedupOps

@@ -88,6 +88,29 @@ class TextOpsSpec extends SparkSpec {
     assert(langs.subsetOf(Set("en", "fr", "es", "de", "zh", "und")))
   }
 
+  test("repetitionMetrics: crafted repetition shapes get exact metrics and the right verdict") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a a a a a a"),                        // one word: max repetition
+      (2L, "clean tokens vary widely here today") // all distinct
+    ).toDF("doc_id", "text")
+    val m = TextOps.repetitionMetrics(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getInt(5))).toMap
+    // doc 1: 6 tokens, dup_word = 1 - 1/6; bigrams all "a a" → top frac 1;
+    // trigrams all repeat → frac 1; dropped
+    assert(m(1L) === ((6L, BigDecimal(1 - 1.0 / 6).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, 1.0, 1.0, 0)))
+    // doc 2: fully distinct → all zeros except the unique-bigram share; kept
+    assert(m(2L)._2 === 0.0)
+    assert(m(2L)._4 === 0.0)
+    assert(m(2L)._5 === 1)
+    // corpus-level: every >=3-token doc gets a row; decision is non-trivial
+    val corpus = TextOps.repetitionFilter(spark, sf)
+    val kept = corpus.filter(col("keep") === 1).count()
+    assert(kept > 0 && kept < corpus.count())
+  }
+
   test("docQuantilesApprox: sketch estimates bounded by the exact profile") {
     val exact = TextOps.docQuantiles(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
