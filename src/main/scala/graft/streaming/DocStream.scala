@@ -56,12 +56,43 @@ object DocStream {
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val survivors = DedupOps
-          .dedupBatchAgainstIndex(batch.sparkSession, indexName, batch)
-          .localCheckpoint()
-        if (!survivors.isEmpty) DedupOps.appendToDedupIndex(indexName, survivors)
-        survivors.unpersist()
-        ()
+        dedupBatchIntoIndex(batch, indexName)
       }
       .start()
+
+  /** Epoch-aware form of [[incrementalDedupStream]]: each micro-batch
+    * resolves the index family's CURRENT epoch
+    * ([[graft.operators.Layout.currentEpochTable]]) before probing and
+    * appending — so a nightly rebuild/rotation (or a rollback) redirects
+    * a long-running stream to the new snapshot at the next batch
+    * boundary, no restart. A batch in flight keeps the table it
+    * resolved: published epoch tables only ever mutate by THIS stream's
+    * own appends, so the resolve-probe-append triple stays consistent
+    * within a batch (single-writer, like the batch loop).
+    */
+  def incrementalDedupStreamEpochs(docs: DataFrame, base: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val name = graft.operators.Layout
+          .currentEpochTable(batch.sparkSession, base)
+          .getOrElse(sys.error(s"no published epoch for index family $base"))
+        dedupBatchIntoIndex(batch, name)
+      }
+      .start()
+
+  /** One micro-batch of the incremental-dedup loop: probe, then append
+    * survivors. The survivors frame materializes (localCheckpoint)
+    * BEFORE the append so the read plan never lists files the write is
+    * adding.
+    */
+  private def dedupBatchIntoIndex(batch: DataFrame, name: String): Unit = {
+    val survivors = DedupOps
+      .dedupBatchAgainstIndex(batch.sparkSession, name, batch)
+      .localCheckpoint()
+    if (!survivors.isEmpty) DedupOps.appendToDedupIndex(name, survivors)
+    survivors.unpersist()
+    ()
+  }
 }
