@@ -86,6 +86,7 @@ object SparkEntry {
     "q_ivf_persisted"     -> (SimilarityOps.ivfPersistedTopK _),
     "q_ivf_trained"       -> (SimilarityOps.ivfTrainedTopK _),
     "q_ivf_kmeans"        -> (SimilarityOps.ivfKmeans _),
+    "q_semantic_dedup"    -> (SimilarityOps.semanticDedup _),
     // §2b — multimodal columns
     "q_multimodal_meta"   -> (MultimodalOps.multimodalMeta _),
     "q_multimodal_ann"    -> (MultimodalOps.multimodalAnn _),
@@ -160,6 +161,7 @@ object SparkEntry {
     "q_ivf_persisted"     -> SimilarityOps.ivfTopKSql,
     "q_ivf_trained"       -> SimilarityOps.ivfTrainedTopKSql,
     "q_ivf_kmeans"        -> SimilarityOps.ivfKmeansSql,
+    "q_semantic_dedup"    -> SimilarityOps.semanticDedupSql,
     "q_multimodal_meta"   -> MultimodalOps.multimodalMetaSql,
     "q_multimodal_ann"    -> MultimodalOps.multimodalAnnSql,
     "q_sample_stratified" -> CurationOps.sampleStratifiedSql,

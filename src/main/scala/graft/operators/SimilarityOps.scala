@@ -613,4 +613,72 @@ object SimilarityOps {
        |SELECT vec_a, vec_b, score FROM s
        |WHERE score >= 0.4
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the coarse
+    * quantizer, then drop near-duplicates ONLY within each cluster —
+    * the quadratic pair cost falls from n² to Σ|cell|², and each
+    * cell's pairwise pass is an independent co-located join. Reuses
+    * the deterministic 16-centroid codebook convention of [[ivfTopK]]
+    * (vec_id 1..16); at 100 TB you instead train k ∝ corpus-size /
+    * target-cell-size centroids ([[ivfKmeans]]) so per-cell membership
+    * stays bounded, and the within-cell self-join shuffles both sides
+    * once on `cell` — sort-merge shape, nothing n-sized is broadcast.
+    *
+    * Drop rule (canonical-representative greedy): a vector is dropped
+    * when ANY lower-id vector in its cell scores cosine ≥ 0.4 against
+    * it; survivors therefore contain no qualifying pair, so the
+    * operator is idempotent (spec-asserted). The compare uses
+    * `round(cos, 4)` so a borderline pair cannot flip between engines.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddingsFanned(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    // assignment is one broadcast pass; checkpoint so the two self-join
+    // sides read the materialized (vec_id, embedding, cell) frame
+    // instead of re-running the codebook scoring per side
+    val cells = ivfRanked(e, ivfCentroids(e)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+      .localCheckpoint()
+    val a = cells.as("a"); val b = cells.as("b")
+    val dropped = a.join(b,
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(cosine(col("a.embedding"), col("b.embedding")), 4) >= 0.4)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    cells.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semanticDedupSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), c AS (
+      |  SELECT vec_id AS cid, v AS cv, i FROM x WHERE vec_id BETWEEN 1 AND 16
+      |), scored AS (
+      |  SELECT x.vec_id, c.cid,
+      |    ROUND(SUM(x.v*c.cv) / (SQRT(SUM(x.v*x.v)) * SQRT(SUM(c.cv*c.cv))), 6) AS ccos
+      |  FROM x JOIN c ON x.i = c.i
+      |  GROUP BY 1, 2
+      |), cells AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+      |    FROM scored) r WHERE rn = 1
+      |), pr AS (
+      |  SELECT a.vec_id AS keep_id, b.vec_id AS drop_id
+      |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |), s AS (
+      |  SELECT pr.keep_id, pr.drop_id,
+      |    ROUND(SUM(xa.v*xb.v) / (SQRT(SUM(xa.v*xa.v)) * SQRT(SUM(xb.v*xb.v))), 4) AS score
+      |  FROM pr
+      |  JOIN x xa ON xa.vec_id = pr.keep_id
+      |  JOIN x xb ON xb.vec_id = pr.drop_id AND xb.i = xa.i
+      |  GROUP BY pr.keep_id, pr.drop_id
+      |)
+      |SELECT cells.vec_id, cells.cell FROM cells
+      |WHERE cells.vec_id NOT IN (SELECT DISTINCT drop_id FROM s WHERE score >= 0.4)
+      |ORDER BY cells.vec_id""".stripMargin
 }

@@ -117,6 +117,27 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(lsh.nonEmpty)        // near-identical planted dups collide buckets
   }
 
+  test("semanticDedup: drops within-cell near-dups, keeps lowest id, idempotent") {
+    val e = Tables.embeddings(spark, sf)
+    val total = e.count()
+    val survivors = SimilarityOps.semanticDedup(spark, sf)
+    val ids = survivors.collect().map(_.getLong(0)).toSeq
+    assert(ids.length < total)          // the planted near-dups collapse
+    assert(ids === ids.sorted)
+    // every dropped vector has a surviving-or-dropped lower-id partner in
+    // its cell at >= 0.4; cheapest sound check: survivors contain no
+    // qualifying pair, which also proves idempotence of the drop rule
+    val s = survivors.join(e, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val a = s.as("a"); val b = s.as("b")
+    val residual = a.join(b,
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(SimilarityOps.cosine(
+        col("a.embedding"), col("b.embedding")), 4) >= 0.4)
+      .count()
+    assert(residual === 0)
+  }
+
   test("ivfKmeans: k codebook rows, full dim, members pull centroids off seeds") {
     val c = SimilarityOps.ivfKmeans(spark, sf)
     assert(c.select("cid").distinct().count() === 8)
