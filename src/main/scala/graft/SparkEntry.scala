@@ -53,6 +53,7 @@ object SparkEntry {
     // §2b — text analysis
     "q_token_counts"      -> (TextOps.tokenCounts _),
     "q_quality_score"     -> (TextOps.qualityScore _),
+    "q_quality_classifier" -> (TextOps.qualityClassifier _),
     "q_doc_fingerprint"   -> (TextOps.docFingerprint _),
     "q_rolling_fingerprint" -> (TextOps.rollingFingerprint _),
     "q_bpe_tokens"        -> (TextOps.bpeTokenCounts _),
@@ -130,6 +131,7 @@ object SparkEntry {
     "q_range_join"        -> EventOps.rangeJoinErrorViewsSql,
     "q_token_counts"      -> TextOps.tokenCountsSql,
     "q_quality_score"     -> TextOps.qualityScoreSql,
+    "q_quality_classifier" -> TextOps.qualityClassifierSql,
     "q_doc_fingerprint"   -> TextOps.docFingerprintSql,
     "q_rolling_fingerprint" -> TextOps.rollingFingerprintSql,
     "q_bpe_tokens"        -> TextOps.bpeTokenCountsSql,

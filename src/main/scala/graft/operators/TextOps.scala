@@ -97,6 +97,73 @@ object TextOps {
       |FROM t
       |ORDER BY doc_id""".stripMargin
 
+  /** (token, weight) rows of the toy "trained" quality model head.
+    * Weights are decimal(4,2) so the per-doc weighted sum aggregates
+    * EXACTLY (order-independent) in both engines; only the final
+    * sigmoid touches floating point, and the keep decision is made on
+    * the exact decimal margin, never on the rounded sigmoid.
+    */
+  private[graft] val classifierVocab: Seq[(String, String)] = Seq(
+    "spark" -> "0.80", "query" -> "0.45", "fast" -> "0.60",
+    "window" -> "0.35", "join" -> "0.30", "hash" -> "0.25",
+    "slow" -> "-0.70", "the" -> "-0.25", "a" -> "-0.20", "row" -> "-0.10")
+  private[graft] val classifierBias = "-1.50"
+
+  /** fastText-style linear quality classifier: every curation pipeline
+    * scores documents with a small trained model before filtering. The
+    * model is (vocab weights, bias); score = σ(bias + Σ w·tf), keep =
+    * margin ≥ 0. Shape chosen for a REAL model size (fastText heads are
+    * 10⁵-10⁷ hashed-ngram buckets — far past literal-map territory):
+    * tokens explode row-locally, a broadcast hash join tags the vocab
+    * hits (the weight table broadcasts like the model file an executor
+    * would mmap), and ONE partial-agg shuffle on doc_id sums the
+    * margin — per-occurrence weights sum to the same decimal total as
+    * tf-weighted sums, so no (doc, token) pre-aggregation shuffle is
+    * needed. Docs with zero vocab hits survive via the left join.
+    * Accepted-risk note: `round(σ, 6)` absorbs the ≤1-ulp difference
+    * between Java's and DuckDB's `exp`; the boolean `keep` column is
+    * computed from the exact decimal margin so it can never flip.
+    */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = broadcast(classifierVocab.toDF("token", "w_str")
+      .select(col("token"), col("w_str").cast("decimal(4,2)").as("w")))
+    val docs = Tables.documentsFanned(spark, sfDir)
+    val z = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .join(vocab, "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("zsum"))
+    val margin = coalesce(col("zsum"), lit(0).cast("decimal(4,2)")) +
+      lit(classifierBias).cast("decimal(4,2)")
+    docs.select(col("doc_id")).join(z, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-margin.cast("double"))), 6).as("score"),
+        (margin >= 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityClassifierSql: String =
+    """WITH v(token, w) AS (VALUES
+      |  ('spark', CAST(0.80 AS DECIMAL(4,2))), ('query', CAST(0.45 AS DECIMAL(4,2))),
+      |  ('fast', CAST(0.60 AS DECIMAL(4,2))), ('window', CAST(0.35 AS DECIMAL(4,2))),
+      |  ('join', CAST(0.30 AS DECIMAL(4,2))), ('hash', CAST(0.25 AS DECIMAL(4,2))),
+      |  ('slow', CAST(-0.70 AS DECIMAL(4,2))), ('the', CAST(-0.25 AS DECIMAL(4,2))),
+      |  ('a', CAST(-0.20 AS DECIMAL(4,2))), ('row', CAST(-0.10 AS DECIMAL(4,2)))),
+      |tok AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+      |  FROM documents),
+      |z AS (
+      |  SELECT t.doc_id, SUM(v.w) AS zsum FROM tok t JOIN v USING (token)
+      |  GROUP BY t.doc_id)
+      |SELECT d.doc_id,
+      |  ROUND(1.0 / (1.0 + EXP(-CAST(COALESCE(z.zsum, CAST(0 AS DECIMAL(4,2)))
+      |    - CAST(1.50 AS DECIMAL(4,2)) AS DOUBLE))), 6) AS score,
+      |  (COALESCE(z.zsum, CAST(0 AS DECIMAL(4,2)))
+      |    - CAST(1.50 AS DECIMAL(4,2))) >= 0 AS keep
+      |FROM documents d LEFT JOIN z USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text.
     * The cheap exact-dup key for cross-corpus joins (md5 is identical in
     * every engine); the ~10×-cheaper Rabin rolling-hash variant is

@@ -111,6 +111,22 @@ class TextOpsSpec extends SparkSpec {
     assert(kept > 0 && kept < corpus.count())
   }
 
+  test("qualityClassifier: one row per doc, sigmoid bounds, keep = margin sign") {
+    val docs = Tables.documents(spark, sf).count()
+    val rows = TextOps.qualityClassifier(spark, sf).collect()
+    assert(rows.length === docs)
+    rows.foreach { r =>
+      val score = r.getDouble(1); val keep = r.getBoolean(2)
+      assert(score > 0.0 && score < 1.0)
+      // margin is decimal(·,2), so |margin| >= 0.01 when negative and
+      // σ(margin) stays a safe distance from the 0.5 boundary even
+      // after round(·, 6) — keep must agree with the score side
+      assert(keep === (score >= 0.5), s"doc ${r.getLong(0)}: $score vs $keep")
+    }
+    assert(rows.count(_.getBoolean(2)) > 0)
+    assert(rows.count(!_.getBoolean(2)) > 0)
+  }
+
   test("docQuantilesApprox: sketch estimates bounded by the exact profile") {
     val exact = TextOps.docQuantiles(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
