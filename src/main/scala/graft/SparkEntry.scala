@@ -65,6 +65,7 @@ object SparkEntry {
     "q_doc_quantiles_approx" -> (TextOps.docQuantilesApprox _),
     "q_repetition_filter" -> (TextOps.repetitionFilter _),
     "q_topk_per_lang"     -> (TextOps.topkPerLang _),
+    "q_tfidf_topterms"    -> (TextOps.tfidfTopTerms _),
     // §2b — dedup
     "q_doc_dedup"         -> (DedupOps.docDedup _),
     "q_passage_dedup"     -> (DedupOps.passageDedup _),
@@ -140,6 +141,7 @@ object SparkEntry {
     "q_doc_quantiles"     -> TextOps.docQuantilesSql,
     "q_repetition_filter" -> TextOps.repetitionFilterSql,
     "q_topk_per_lang"     -> TextOps.topkPerLangSql,
+    "q_tfidf_topterms"    -> TextOps.tfidfTopTermsSql,
     "q_doc_dedup"         -> DedupOps.docDedupSql,
     "q_passage_dedup"     -> DedupOps.passageDedupSql,
     "q_incremental_dedup" -> DedupOps.incrementalDedupSql,

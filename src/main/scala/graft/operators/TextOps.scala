@@ -404,6 +404,64 @@ object TextOps {
       |WHERE rank <= 3
       |ORDER BY lang, rank""".stripMargin
 
+  /** TF-IDF keyword extraction: top-3 highest-scoring terms per doc,
+    * score = tf · ln(N/df). The shuffle budget is the floor for this
+    * computation: one partial-agg shuffle for (doc, term) tf, one
+    * term-keyed agg reusing that frame for df, a join of tf against the
+    * (vocab-sized, ≪ corpus) df table, and a per-doc WindowGroupLimit
+    * top-3 — per-partition heaps, never a global sort. N rides in as a
+    * broadcast 1-row aggregate so the whole thing is one DAG (no
+    * driver-side count round-trip). Ranking compares the ROUNDED score
+    * (then term) so a ≤1-ulp `ln` divergence between engines cannot
+    * reorder a tie. At 100 TB the df join is the only sized decision:
+    * Catalyst/AQE broadcasts it while the vocab fits (hashed-ngram
+    * vocabs cap it by construction), else it degrades to a sort-merge
+    * join that is still term-balanced.
+    */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 3
+    val docs = Tables.documentsFanned(spark, sfDir)
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(dfT, "term").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round(col("tf").cast("double") * log(col("n_docs") / col("df")), 6)
+          .as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+      |), n AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+      |), df AS (
+      |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+      |), s AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    ROUND(CAST(tf.tf AS DOUBLE) * LN(n.n_docs / df.df), 6) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |), r AS (
+      |  SELECT doc_id, term, score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, term) AS BIGINT) AS rank
+      |  FROM s
+      |)
+      |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   /** Gopher-style repetition filtering (Rae et al. 2021 §A1.1, the
     * repetition subset of its quality rules, adapted to token n-grams):
     * per-document repetition metrics plus the keep decision —

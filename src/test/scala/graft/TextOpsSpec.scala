@@ -127,6 +127,17 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.count(!_.getBoolean(2)) > 0)
   }
 
+  test("tfidfTopTerms: 3 ranked terms per doc, scores non-increasing") {
+    val docs = Tables.documents(spark, sf).count()
+    val rows = TextOps.tfidfTopTerms(spark, sf).collect()
+    assert(rows.length === docs * 3) // every test doc has >= 3 distinct terms
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 3L), s"doc $doc")
+      val byRank = rs.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(byRank === byRank.sorted.reverse, s"doc $doc scores not ranked")
+    }
+  }
+
   test("docQuantilesApprox: sketch estimates bounded by the exact profile") {
     val exact = TextOps.docQuantiles(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
