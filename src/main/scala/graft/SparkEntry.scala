@@ -95,6 +95,7 @@ object SparkEntry {
     // §2b — curation (sampling / packing / scrubbing)
     "q_sample_stratified" -> (CurationOps.sampleStratified _),
     "q_pack_sequences"    -> (CurationOps.packSequences _),
+    "q_chunk_docs"        -> (CurationOps.chunkDocs _),
     "q_pii_scrub"         -> (CurationOps.piiScrub _),
     "q_decontaminate"     -> (CurationOps.decontaminate _),
     "q_curation_funnel"   -> (CurationPipeline.curationFunnel _),
@@ -170,6 +171,7 @@ object SparkEntry {
     "q_multimodal_ann"    -> MultimodalOps.multimodalAnnSql,
     "q_sample_stratified" -> CurationOps.sampleStratifiedSql,
     "q_pack_sequences"    -> CurationOps.packSequencesSql,
+    "q_chunk_docs"        -> CurationOps.chunkDocsSql,
     "q_pii_scrub"         -> CurationOps.piiScrubSql,
     "q_decontaminate"     -> CurationOps.decontaminateSql,
     "q_curation_funnel"   -> CurationPipeline.curationFunnelSql,

@@ -140,6 +140,75 @@ object CurationOps {
       |FROM s
       |ORDER BY doc_id""".stripMargin
 
+  /** Sliding-window chunking — the pre-tokenization step that turns
+    * variable-length documents into bounded training windows: chunks of
+    * at most [[ChunkMaxTokens]] tokens starting every [[ChunkStride]]
+    * tokens (overlap = max − stride preserves cross-boundary context).
+    * Emits the materialized chunk text, not just offsets.
+    *
+    * Window starts run 0, stride, 2·stride, … up to the SMALLEST start
+    * whose window reaches the document end (the HF-tokenizer
+    * `return_overflowing_tokens` convention) — so no chunk is ever
+    * fully contained in its predecessor, every non-last chunk is
+    * exactly full-size, and concatenating chunks minus each successor's
+    * `overlap` prefix reconstructs the token stream exactly
+    * (spec-asserted).
+    *
+    * Scale shape: entirely row-local — tokenize once, `posexplode` the
+    * bounded `sequence` of window starts, `slice` the token array per
+    * start. Zero shuffles before the output sort; chunk explosion is
+    * bounded (≤ n/stride + 1 rows per doc) and pipelines inside the
+    * scan stage, so at 100 TB this is a pure map over the corpus with
+    * output ~(1 + overlap/stride)× input tokens.
+    */
+  private[graft] val ChunkMaxTokens = 64
+  private[graft] val ChunkStride = 48
+
+  def chunkDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables.documentsFanned(spark, sfDir)
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        // last start = smallest multiple of stride whose window covers
+        // the tail: greatest(0, ceil((n - max)/stride)·stride), written
+        // as a floor so Spark and DuckDB round negatives identically
+        posexplode(when(col("n") > 0,
+          sequence(lit(0),
+            greatest(lit(0),
+              (floor((col("n") - lit(ChunkMaxTokens - ChunkStride + 1))
+                / lit(ChunkStride.toDouble)) * ChunkStride).cast("int")),
+            lit(ChunkStride)))
+          .otherwise(array())))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        least(lit(ChunkMaxTokens), col("n") - col("col")).cast("long")
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), col("col") + 1, lit(ChunkMaxTokens)))
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val chunkDocsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |      x -> x <> '') AS toks
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, toks, len(toks) AS n,
+      |    unnest(CASE WHEN len(toks) > 0
+      |      THEN generate_series(0, greatest(0, ((len(toks) - 17) // 48) * 48), 48)
+      |      ELSE [] END) AS start
+      |  FROM t)
+      |SELECT doc_id,
+      |  CAST(start // 48 AS BIGINT) AS chunk_id,
+      |  CAST(least(64, n - start) AS BIGINT) AS n_chunk_tokens,
+      |  array_to_string(list_slice(toks, start + 1, least(start + 64, n)),
+      |    ' ') AS chunk_text
+      |FROM s
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Benchmark decontamination — the train/test-overlap check a
     * pretraining pipeline runs before shipping data: flag every corpus
     * document sharing at least one 13-char shingle with the benchmark

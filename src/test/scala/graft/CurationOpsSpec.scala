@@ -79,6 +79,34 @@ class CurationOpsSpec extends SparkSpec {
       "global Window.orderBy with no partitionBy drags the corpus to one partition")
   }
 
+  test("chunkDocs: chunks reconstruct every document's token stream exactly") {
+    import graft.operators.TextOps
+    val overlap = CurationOps.ChunkMaxTokens - CurationOps.ChunkStride
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val chunks = CurationOps.chunkDocs(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(chunks.keySet === expected.keySet)
+    chunks.foreach { case (doc, rs) =>
+      val ordered = rs.sortBy(_.getLong(1))
+      assert(ordered.map(_.getLong(1)).toSeq === ordered.indices.map(_.toLong),
+        s"doc $doc chunk ids not consecutive")
+      // all chunks but the last are full-size
+      assert(ordered.dropRight(1).forall(
+        _.getLong(2) === CurationOps.ChunkMaxTokens.toLong), s"doc $doc")
+      val rebuilt = ordered.zipWithIndex.flatMap { case (r, i) =>
+        val toks = r.getString(3).split(" ").toSeq.filter(_.nonEmpty)
+        assert(toks.length === r.getLong(2), s"doc $doc chunk $i length")
+        // every non-first chunk follows a FULL chunk, so its first
+        // `overlap` tokens are always duplicates (a short chunk can
+        // only be last — drop() past its end is simply empty)
+        if (i == 0) toks else toks.drop(overlap)
+      }
+      assert(rebuilt === expected(doc), s"doc $doc reconstruction")
+    }
+  }
+
   test("PII patterns: emails and long numbers redacted, short numbers kept") {
     val s = spark; import s.implicits._
     val got = Seq("mail me: a.b+c@x-corp.io or call 12345678 ext 42")
