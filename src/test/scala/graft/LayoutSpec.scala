@@ -181,6 +181,43 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter from a selective build side prunes the probe scan") {
+    // The shuffle-join analog of broadcast pruning: when one join side
+    // carries a selective filter, Spark's InjectRuntimeFilter builds a
+    // bloom filter from it and applies `might_contain` on the OTHER
+    // side's scan — at 100 TB this skips most probe-side rows before
+    // the shuffle. Off at test scale only because of the 10 GB
+    // application-side threshold, so the spec lowers the thresholds to
+    // prove the plan shape the production conf would produce.
+    val prev = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // shuffle join
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+      val urgent = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val j = li.join(urgent, li("l_orderkey") === urgent("o_orderkey"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") &&
+        optimized.contains("bloom_filter_agg"),
+        s"expected an injected runtime bloom filter on the probe side:\n$optimized")
+      // the filtered plan still returns exactly the unfiltered join's rows
+      val expect = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(j.count() === expect)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("partitioned write: a partition-column predicate prunes directories") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     try {
