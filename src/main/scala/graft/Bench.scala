@@ -39,6 +39,9 @@ object Bench {
 
     "q_pii_scrub" -> 0.136, "q_pivot_events" -> 0.218,
     "q_quality_score" -> 0.154, "q_range_join" -> 0.313,
+    // r6 continuation seeds (best of subset + full run)
+    "q_quality_classifier" -> 0.154, "q_semantic_dedup" -> 0.676,
+    "q_tfidf_topterms" -> 0.768, "q_chunk_docs" -> 0.133,
     "q_unpivot_events" -> 0.376,
     "q_rolling_fingerprint" -> 0.229, "q_rollup_orders" -> 0.18,
     "q_running_totals" -> 0.168, "q_sample_stratified" -> 0.146,
