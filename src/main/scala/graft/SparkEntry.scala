@@ -66,6 +66,7 @@ object SparkEntry {
     "q_repetition_filter" -> (TextOps.repetitionFilter _),
     "q_topk_per_lang"     -> (TextOps.topkPerLang _),
     "q_tfidf_topterms"    -> (TextOps.tfidfTopTerms _),
+    "q_bm25_topk"         -> (TextOps.bm25TopK _),
     // §2b — dedup
     "q_doc_dedup"         -> (DedupOps.docDedup _),
     "q_passage_dedup"     -> (DedupOps.passageDedup _),
@@ -143,6 +144,7 @@ object SparkEntry {
     "q_repetition_filter" -> TextOps.repetitionFilterSql,
     "q_topk_per_lang"     -> TextOps.topkPerLangSql,
     "q_tfidf_topterms"    -> TextOps.tfidfTopTermsSql,
+    "q_bm25_topk"         -> TextOps.bm25TopKSql,
     "q_doc_dedup"         -> DedupOps.docDedupSql,
     "q_passage_dedup"     -> DedupOps.passageDedupSql,
     "q_incremental_dedup" -> DedupOps.incrementalDedupSql,

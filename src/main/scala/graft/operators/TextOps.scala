@@ -462,6 +462,84 @@ object TextOps {
       |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** BM25 retrieval scoring (Robertson/Spärck Jones; k1 = 1.2,
+    * b = 0.75) of a fixed conjunctive keyword query against the corpus
+    * — the ranking half of a data-pipeline's search/inspection tooling.
+    * idf uses the +1 form, ln(1 + (N − df + ½)/(df + ½)), so scores
+    * stay positive.
+    *
+    * Scale shape — deliberately ZERO data shuffles: per-term tf and
+    * document length are row-local array expressions over one
+    * tokenization; N, avgdl, and per-term df reduce to a single
+    * broadcast 1-row aggregate (per-term df via size(filter(…)) > 0
+    * flags, so no (doc, term) explode exists anywhere); scoring is a
+    * row-local formula and the top-20 plans as TakeOrderedAndProject
+    * (per-partition heaps + driver merge of k×partitions rows). The
+    * ranking compares the ROUNDED score so a ≤1-ulp `ln`/division
+    * divergence between engines cannot reorder ties.
+    */
+  private[graft] val Bm25Terms = Seq("spark", "fast", "query")
+
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val (k1, b, k) = (1.2, 0.75, 20)
+    val toks = tokens(col("text"))
+    val base = Tables.documentsFanned(spark, sfDir)
+      .select(col("doc_id") +: size(toks).cast("long").as("dl") +:
+        Bm25Terms.map(t =>
+          size(filter(toks, x => x === t)).cast("long").as(s"tf_$t")): _*)
+    val statCols = count(lit(1)).cast("double").as("n_docs") +:
+      avg(col("dl")).as("avgdl") +:
+      Bm25Terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).cast("double")
+          .as(s"df_$t"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val score = Bm25Terms.map { t =>
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
+      val tf = col(s"tf_$t").cast("double")
+      idf * (tf * (k1 + 1)) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    }.reduce(_ + _)
+    scored.select(col("doc_id"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val bm25TopKSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS dl,
+      |    CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf_spark,
+      |    CAST(len(list_filter(toks, x -> x = 'fast')) AS BIGINT) AS tf_fast,
+      |    CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT) AS tf_query
+      |  FROM (
+      |    SELECT doc_id, list_filter(
+      |      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |    FROM documents)
+      |), stats AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |    AVG(dl) AS avgdl,
+      |    CAST(SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+      |    CAST(SUM(CASE WHEN tf_fast > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_fast,
+      |    CAST(SUM(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_query
+      |  FROM base
+      |)
+      |SELECT doc_id, ROUND(
+      |    LN(1 + (n_docs - df_spark + 0.5) / (df_spark + 0.5))
+      |      * (CAST(tf_spark AS DOUBLE) * 2.2)
+      |      / (CAST(tf_spark AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+      |  + LN(1 + (n_docs - df_fast + 0.5) / (df_fast + 0.5))
+      |      * (CAST(tf_fast AS DOUBLE) * 2.2)
+      |      / (CAST(tf_fast AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+      |  + LN(1 + (n_docs - df_query + 0.5) / (df_query + 0.5))
+      |      * (CAST(tf_query AS DOUBLE) * 2.2)
+      |      / (CAST(tf_query AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)),
+      |  6) AS score
+      |FROM base CROSS JOIN stats
+      |ORDER BY score DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   /** Gopher-style repetition filtering (Rae et al. 2021 §A1.1, the
     * repetition subset of its quality rules, adapted to token n-grams):
     * per-document repetition metrics plus the keep decision —

@@ -138,6 +138,24 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopK: 20 rows, descending, top hits contain query terms, plan is shuffle-free top-k") {
+    val df = TextOps.bm25TopK(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === 20)
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores === scores.sorted.reverse)
+    assert(scores.head > 0)
+    // the best-scored doc must actually contain at least one query term
+    val topDoc = Tables.documents(spark, sf)
+      .filter(col("doc_id") === rows.head.getLong(0))
+      .head().getAs[String]("text").toLowerCase
+    assert(TextOps.Bm25Terms.exists(topDoc.contains))
+    // zero-shuffle contract: scoring is row-local, top-k is
+    // TakeOrderedAndProject; the only exchange feeds the 1-row stats agg
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("docQuantilesApprox: sketch estimates bounded by the exact profile") {
     val exact = TextOps.docQuantiles(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
