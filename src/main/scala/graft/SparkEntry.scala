@@ -97,6 +97,7 @@ object SparkEntry {
     "q_sample_stratified" -> (CurationOps.sampleStratified _),
     "q_pack_sequences"    -> (CurationOps.packSequences _),
     "q_chunk_docs"        -> (CurationOps.chunkDocs _),
+    "q_mixture_plan"      -> (CurationOps.mixturePlan _),
     "q_pii_scrub"         -> (CurationOps.piiScrub _),
     "q_decontaminate"     -> (CurationOps.decontaminate _),
     "q_curation_funnel"   -> (CurationPipeline.curationFunnel _),
@@ -174,6 +175,7 @@ object SparkEntry {
     "q_sample_stratified" -> CurationOps.sampleStratifiedSql,
     "q_pack_sequences"    -> CurationOps.packSequencesSql,
     "q_chunk_docs"        -> CurationOps.chunkDocsSql,
+    "q_mixture_plan"      -> CurationOps.mixturePlanSql,
     "q_pii_scrub"         -> CurationOps.piiScrubSql,
     "q_decontaminate"     -> CurationOps.decontaminateSql,
     "q_curation_funnel"   -> CurationPipeline.curationFunnelSql,

@@ -140,6 +140,58 @@ object CurationOps {
       |FROM s
       |ORDER BY doc_id""".stripMargin
 
+  /** Domain-mixture planning — the step that decides HOW MUCH of each
+    * source/domain the training run samples (the multilingual/domain
+    * temperature-sampling scheme, α = 0.5: share_i ∝ n_i^α flattens the
+    * natural distribution toward the tail without inverting it). Given
+    * a token budget of half the corpus, each source gets
+    * rate_i = min(1, budget·share_i / n_i) — the per-source Bernoulli
+    * keep-rate that [[sampleStratified]]'s hash predicate then executes.
+    *
+    * Scale shape: one partial-agg shuffle to the per-source frame
+    * (#sources rows), a 1-row total aggregate broadcast back over it —
+    * the plan never reshuffles the corpus. `sqrt` is IEEE
+    * correctly-rounded in both engines; only the share/rate division
+    * rides `round(·, 6)`.
+    */
+  def mixturePlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSrc = Tables.documentsFanned(spark, sfDir)
+      .select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = perSrc.agg(
+      sum(sqrt(col("n_tokens").cast("double"))).as("w_sum"),
+      sum(col("n_tokens")).cast("double").as("tok_sum"))
+    val w = sqrt(col("n_tokens").cast("double"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(w / col("w_sum"), 6).as("share"),
+        round(least(lit(1.0),
+          lit(0.5) * col("tok_sum") * (w / col("w_sum"))
+            / col("n_tokens").cast("double")), 6).as("rate"))
+      .orderBy(col("source"))
+  }
+
+  val mixturePlanSql: String =
+    """WITH per_src AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(CAST(len(list_filter(
+      |      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+      |      AS BIGINT)) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), tot AS (
+      |  SELECT SUM(SQRT(CAST(n_tokens AS DOUBLE))) AS w_sum,
+      |    CAST(SUM(n_tokens) AS DOUBLE) AS tok_sum
+      |  FROM per_src
+      |)
+      |SELECT source, n_docs, n_tokens,
+      |  ROUND(SQRT(CAST(n_tokens AS DOUBLE)) / w_sum, 6) AS share,
+      |  ROUND(LEAST(1.0, 0.5 * tok_sum * (SQRT(CAST(n_tokens AS DOUBLE)) / w_sum)
+      |    / CAST(n_tokens AS DOUBLE)), 6) AS rate
+      |FROM per_src CROSS JOIN tot
+      |ORDER BY source""".stripMargin
+
   /** Sliding-window chunking — the pre-tokenization step that turns
     * variable-length documents into bounded training windows: chunks of
     * at most [[ChunkMaxTokens]] tokens starting every [[ChunkStride]]

@@ -630,8 +630,22 @@ object SimilarityOps {
     * it; survivors therefore contain no qualifying pair, so the
     * operator is idempotent (spec-asserted). The compare uses
     * `round(cos, 4)` so a borderline pair cannot flip between engines.
+    *
+    * Pair-budget guard (the [[graft.operators.DedupOps.MaxPrefixCandidates]]
+    * analog): the within-cell cost is exactly Σ c·(c−1)/2 over the cell
+    * histogram — k rows, one linear aggregation, dwarfed by the join it
+    * protects. A codebook too coarse for its corpus (cell occupancy
+    * ~n/k makes the sum ~n²/k) fails FAST with the actionable knob:
+    * train more centroids (k ∝ corpus / target-cell-size,
+    * [[ivfKmeans]]) so per-cell membership stays bounded.
     */
-  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  val MaxSemanticPairs = 100000000L
+
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame =
+    semanticDedupCore(spark, sfDir, MaxSemanticPairs)
+
+  private[graft] def semanticDedupCore(spark: SparkSession, sfDir: String,
+      maxPairs: Long): DataFrame = {
     val e = Tables.embeddingsFanned(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
     // assignment is one broadcast pass; checkpoint so the two self-join
@@ -640,6 +654,17 @@ object SimilarityOps {
     val cells = ivfRanked(e, ivfCentroids(e)).filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
       .localCheckpoint()
+    // c·(c−1) is even so /2 is exact; long arithmetic throughout
+    val pairCount = cells.groupBy(col("cell"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)).cast("long"))
+      .head().getLong(0) / 2
+    if (pairCount > maxPairs)
+      throw new IllegalStateException(
+        s"semantic-dedup pair budget exceeded: $pairCount within-cell " +
+          s"pairs > $maxPairs. The codebook is too coarse for this corpus " +
+          "— train more centroids (k ∝ corpus size / target cell size, " +
+          "see ivfKmeans) so per-cell membership stays bounded.")
     val a = cells.as("a"); val b = cells.as("b")
     val dropped = a.join(b,
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))

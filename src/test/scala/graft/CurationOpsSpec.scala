@@ -79,6 +79,23 @@ class CurationOpsSpec extends SparkSpec {
       "global Window.orderBy with no partitionBy drags the corpus to one partition")
   }
 
+  test("mixturePlan: shares sum to 1, rates bounded, budget respected") {
+    val rows = CurationOps.mixturePlan(spark, sf).collect()
+    val srcs = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(rows.length === srcs)
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    assert(rows.forall(r => r.getDouble(4) > 0 && r.getDouble(4) <= 1.0))
+    // expected sampled tokens land at/under the half-corpus budget
+    // (under when any source saturates at rate 1.0)
+    val totTok = rows.map(_.getLong(2)).sum.toDouble
+    val expected = rows.map(r => r.getLong(2) * r.getDouble(4)).sum
+    assert(expected <= 0.5 * totTok + 1, s"$expected over budget ${0.5 * totTok}")
+    // temperature flattening: smaller sources get HIGHER keep-rates
+    val byTok = rows.sortBy(_.getLong(2))
+    assert(byTok.head.getDouble(4) >= byTok.last.getDouble(4))
+  }
+
   test("chunkDocs: chunks reconstruct every document's token stream exactly") {
     import graft.operators.TextOps
     val overlap = CurationOps.ChunkMaxTokens - CurationOps.ChunkStride

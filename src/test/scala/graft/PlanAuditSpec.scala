@@ -36,6 +36,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_count",              // cross of three 1-row count aggregates (1×1×1)
     "q_tfidf_topterms",     // crossJoin(broadcast(1-row corpus-count aggregate))
     "q_bm25_topk",          // crossJoin(broadcast(1-row corpus-stats aggregate))
+    "q_mixture_plan",       // crossJoin(broadcast(1-row total aggregate)) over #sources rows
     "q_curation_funnel"     // crosses five 1-row stage aggregates; pair stage is the allowed bitmap BNLJ
   )
 

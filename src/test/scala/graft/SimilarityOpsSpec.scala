@@ -138,6 +138,14 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(residual === 0)
   }
 
+  test("semanticDedup: pair budget fails fast with the retrain hint") {
+    val ex = intercept[IllegalStateException] {
+      SimilarityOps.semanticDedupCore(spark, sf, maxPairs = 10L)
+    }
+    assert(ex.getMessage.contains("pair budget exceeded"))
+    assert(ex.getMessage.contains("train more centroids"))
+  }
+
   test("ivfKmeans: k codebook rows, full dim, members pull centroids off seeds") {
     val c = SimilarityOps.ivfKmeans(spark, sf)
     assert(c.select("cid").distinct().count() === 8)
