@@ -42,6 +42,7 @@ object Bench {
     // r6 continuation seeds (best of subset + full run)
     "q_quality_classifier" -> 0.154, "q_semantic_dedup" -> 0.676,
     "q_tfidf_topterms" -> 0.768, "q_chunk_docs" -> 0.133,
+    "q_bm25_topk" -> 0.527, "q_mixture_plan" -> 0.453,
     "q_unpivot_events" -> 0.376,
     "q_rolling_fingerprint" -> 0.229, "q_rollup_orders" -> 0.18,
     "q_running_totals" -> 0.168, "q_sample_stratified" -> 0.146,
