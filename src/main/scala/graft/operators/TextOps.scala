@@ -142,6 +142,27 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Row-local (streaming-safe) form of the classifier margin, in
+    * integer CENTS: the weights ride a literal map and the per-doc sum
+    * is a sequential fold over the token array — exact long
+    * arithmetic, no join, no aggregation, so the SAME keep decision
+    * can run stateless inside a streaming micro-batch
+    * ([[graft.streaming.DocStream.curateDocStreamQuality]]) where the
+    * broadcast-join form's groupBy would demand watermarked
+    * aggregation state. Spec-asserted to reproduce
+    * [[qualityClassifier]]'s score and keep on every corpus doc.
+    * The literal-map form caps at a few thousand vocab terms; the
+    * broadcast-join form remains the big-vocab batch path.
+    */
+  def classifierMarginCents(text: Column): Column = {
+    val entries = classifierVocab.flatMap { case (t, w) =>
+      Seq(lit(t), lit((BigDecimal(w) * 100).toLongExact)) }
+    val weightOf = map(entries: _*)
+    aggregate(tokens(text), lit(0L),
+      (acc, tk) => acc + coalesce(element_at(weightOf, tk), lit(0L))) +
+      lit((BigDecimal(classifierBias) * 100).toLongExact)
+  }
+
   val qualityClassifierSql: String =
     """WITH v(token, w) AS (VALUES
       |  ('spark', CAST(0.80 AS DECIMAL(4,2))), ('query', CAST(0.45 AS DECIMAL(4,2))),

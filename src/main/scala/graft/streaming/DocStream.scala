@@ -36,6 +36,20 @@ object DocStream {
       .dropDuplicatesWithinWatermark("key_hash")
       .withColumn("text", CurationOps.scrubbedText(col("text")))
 
+  /** [[curateDocStream]] plus the model-based quality gate — the
+    * third batch curation stage joins the streaming flow. The margin
+    * ([[graft.operators.TextOps.classifierMarginCents]]) is row-local
+    * long arithmetic over the scrubbed text, so the filter is
+    * STATELESS: it adds nothing to the streaming state store and
+    * pipelines inside each micro-batch like the scrub. DocStreamSpec
+    * proves the three-stage stream row-identical to the batch stages.
+    */
+  def curateDocStreamQuality(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    curateDocStream(docs, watermark)
+      .withColumn("quality_cents",
+        graft.operators.TextOps.classifierMarginCents(col("text")))
+      .filter(col("quality_cents") >= 0L)
+
   /** Streaming incremental dedup with UNBOUNDED lookback: each
     * micro-batch dedups against the PERSISTED survivor index and
     * appends its own survivors — the streaming form of the daily batch

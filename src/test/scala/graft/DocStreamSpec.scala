@@ -50,6 +50,45 @@ class DocStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.size < docs.size) // dups actually removed
   }
 
+  test("streaming dedup+scrub+quality-filter equals the three batch stages") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val out = DocStream.curateDocStreamQuality(stream, watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("cur_q_stream")
+      .outputMode("append").start()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cur_q_stream")
+      .select("doc_id", "key_hash", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+    val raw = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val deduped = raw
+      .join(DedupOps.exactDedupSurvivorIds(raw), Seq("doc_id"), "left_semi")
+      .withColumn("key_hash", DedupOps.exactKey(col("text")))
+      .withColumn("text", CurationOps.scrubbedText(col("text")))
+    val batch = deduped
+      .filter(TextOps.classifierMarginCents(col("text")) >= 0L)
+      .select("doc_id", "key_hash", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+    assert(streamed === batch)
+    // the gate actually rejects something relative to dedup+scrub alone
+    assert(streamed.size < deduped.count())
+    assert(streamed.nonEmpty)
+  }
+
   test("incrementalDedupStream: micro-batches maintain the persisted index ≡ full-corpus dedup") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -138,6 +138,24 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("classifierMarginCents reproduces the broadcast-join classifier exactly") {
+    val batch = TextOps.qualityClassifier(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    val local = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextOps.classifierMarginCents(col("text")).as("cents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local.keySet === batch.keySet)
+    local.foreach { case (id, cents) =>
+      val (score, keep) = batch(id)
+      assert(keep === (cents >= 0), s"doc $id keep")
+      // cents/100.0 and the decimal→double cast round to the SAME
+      // double, so the sigmoid + HALF_UP(6) reproduce bit-for-bit
+      val sig = BigDecimal(1.0 / (1.0 + math.exp(-(cents / 100.0))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(sig === score, s"doc $id score")
+    }
+  }
+
   test("bm25TopK: 20 rows, descending, top hits contain query terms, plan is shuffle-free top-k") {
     val df = TextOps.bm25TopK(spark, sf)
     val rows = df.collect()
