@@ -57,6 +57,7 @@ object SparkEntry {
     "q_doc_fingerprint"   -> (TextOps.docFingerprint _),
     "q_rolling_fingerprint" -> (TextOps.rollingFingerprint _),
     "q_bpe_tokens"        -> (TextOps.bpeTokenCounts _),
+    "q_bpe_train"         -> (TextOps.bpeTrainMerges _),
     "q_lang_id"           -> (TextOps.langId _),
     "q_lang_ngram"        -> (TextOps.langNgram _),
     "q_doc_quantiles"     -> (TextOps.docQuantiles _),
@@ -139,6 +140,7 @@ object SparkEntry {
     "q_doc_fingerprint"   -> TextOps.docFingerprintSql,
     "q_rolling_fingerprint" -> TextOps.rollingFingerprintSql,
     "q_bpe_tokens"        -> TextOps.bpeTokenCountsSql,
+    "q_bpe_train"         -> TextOps.bpeTrainMergesSql,
     "q_lang_id"           -> TextOps.langIdSql,
     "q_lang_ngram"        -> TextOps.langNgramSql,
     "q_doc_quantiles"     -> TextOps.docQuantilesSql,

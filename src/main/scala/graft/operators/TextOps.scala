@@ -483,6 +483,121 @@ object TextOps {
       |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** Distributed BPE merge TRAINING (Sennrich et al. ACL'16) — the
+    * tokenizer-training step itself, not just the application of a
+    * pre-tokenizer ([[bpeTokenCounts]]). Three Lloyd's-style unrolled
+    * iterations over the WORD-FREQUENCY table: count adjacent symbol
+    * pairs (weighted by word frequency, overlapping positions counted,
+    * per the reference implementation), pick the most frequent pair
+    * (ties by count desc, left asc, right asc — total order), merge its
+    * occurrences left-to-right non-overlapping, repeat. The merge is
+    * `replace(sym, l⟂r, lr)` over a ␟-joined symbol string — Java's and
+    * DuckDB's `replace` share exactly BPE's left-to-right
+    * non-overlapping greedy semantics, which is what makes the whole
+    * training loop oracle-checkable; there is no floating point
+    * anywhere in the operator.
+    *
+    * Scale shape: real BPE trainers run on the word-count table, not
+    * the corpus — one corpus-sized shuffle builds (word, freq), after
+    * which every iteration touches only the Zipf-compressed vocabulary
+    * frame (pair explode → partial-agg count → 1-row top pick via
+    * TakeOrderedAndProject, broadcast back for the merge). Corpus size
+    * stops mattering after the first aggregation.
+    */
+  private[graft] val BpeSep = "\u001f" // matches the oracle's chr(31)
+
+  def bpeTrainMerges(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTrainMergesFor(
+      Tables.documentsFanned(spark, sfDir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq")))
+
+  /** Library core of [[bpeTrainMerges]] for any (w, freq) word table. */
+  def bpeTrainMergesFor(words: DataFrame, iters: Int = 3): DataFrame = {
+    var state = words
+      // ␟-joined single chars; substr-by-position builds the identical
+      // char list in both engines (split-on-empty-regex differs)
+      .select(concat_ws(BpeSep,
+        expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")).as("sym"),
+        col("freq"))
+      .localCheckpoint() // each iteration re-reads the merged state
+    val merges = Seq.newBuilder[DataFrame]
+    for (it <- 1 to iters) {
+      val toks = split(col("sym"), BpeSep)
+      // guard: sequence(1, 0) would infer a NEGATIVE step in Spark
+      val pairIdx = when(size(toks) > 1,
+        sequence(lit(1), size(toks) - 1)).otherwise(array().cast("array<int>"))
+      val best = state
+        .select(col("freq"), toks.as("toks"), explode(pairIdx).as("i"))
+        .select(col("freq"),
+          element_at(col("toks"), col("i")).as("merge_left"),
+          element_at(col("toks"), col("i") + 1).as("merge_right"))
+        .groupBy(col("merge_left"), col("merge_right"))
+        .agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("merge_left"), col("merge_right"))
+        .limit(1)
+        .localCheckpoint() // 1 row; feeds both the output and the merge
+      merges += best.select(lit(it.toLong).as("iteration"),
+        col("merge_left"), col("merge_right"), col("pair_count"))
+      state = state.crossJoin(broadcast(best))
+        .select(replace(col("sym"),
+            concat(col("merge_left"), lit(BpeSep), col("merge_right")),
+            concat(col("merge_left"), col("merge_right"))).as("sym"),
+          col("freq"))
+        .localCheckpoint()
+    }
+    merges.result().reduce(_ unionByName _).orderBy(col("iteration"))
+  }
+
+  val bpeTrainMergesSql: String =
+    """WITH w0 AS (
+      |  SELECT array_to_string(list_transform(generate_series(1, length(w)),
+      |           i -> substring(w, i, 1)), chr(31)) AS sym,
+      |         CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(list_filter(
+      |          string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+      |        FROM documents)
+      |  GROUP BY 1
+      |), p1 AS (
+      |  SELECT toks[i] AS merge_left, toks[i+1] AS merge_right,
+      |         CAST(SUM(freq) AS BIGINT) AS pair_count
+      |  FROM (SELECT string_split(sym, chr(31)) AS toks, freq FROM w0) s,
+      |       UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+      |  GROUP BY 1, 2
+      |), b1 AS (
+      |  SELECT * FROM p1 ORDER BY pair_count DESC, merge_left, merge_right LIMIT 1
+      |), w1 AS (
+      |  SELECT replace(sym, merge_left || chr(31) || merge_right,
+      |                 merge_left || merge_right) AS sym, freq
+      |  FROM w0 CROSS JOIN b1
+      |), p2 AS (
+      |  SELECT toks[i] AS merge_left, toks[i+1] AS merge_right,
+      |         CAST(SUM(freq) AS BIGINT) AS pair_count
+      |  FROM (SELECT string_split(sym, chr(31)) AS toks, freq FROM w1) s,
+      |       UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+      |  GROUP BY 1, 2
+      |), b2 AS (
+      |  SELECT * FROM p2 ORDER BY pair_count DESC, merge_left, merge_right LIMIT 1
+      |), w2 AS (
+      |  SELECT replace(sym, merge_left || chr(31) || merge_right,
+      |                 merge_left || merge_right) AS sym, freq
+      |  FROM w1 CROSS JOIN b2
+      |), p3 AS (
+      |  SELECT toks[i] AS merge_left, toks[i+1] AS merge_right,
+      |         CAST(SUM(freq) AS BIGINT) AS pair_count
+      |  FROM (SELECT string_split(sym, chr(31)) AS toks, freq FROM w2) s,
+      |       UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+      |  GROUP BY 1, 2
+      |), b3 AS (
+      |  SELECT * FROM p3 ORDER BY pair_count DESC, merge_left, merge_right LIMIT 1
+      |)
+      |SELECT CAST(1 AS BIGINT) AS iteration, merge_left, merge_right, pair_count FROM b1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), merge_left, merge_right, pair_count FROM b2
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), merge_left, merge_right, pair_count FROM b3
+      |ORDER BY iteration""".stripMargin
+
   /** BM25 retrieval scoring (Robertson/Spärck Jones; k1 = 1.2,
     * b = 0.75) of a fixed conjunctive keyword query against the corpus
     * — the ranking half of a data-pipeline's search/inspection tooling.

@@ -138,6 +138,28 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeTrainMerges: hand-computed merges on a crafted vocabulary") {
+    val s = spark; import s.implicits._
+    // abab×3, abc×2: iter1 (a,b)=3·2+2=8 → merge; iter2 (ab,ab)=3;
+    // iter3 (ab,c)=2 — exercises weighting, overlap counting, and a
+    // merge whose PRODUCT ("ab") re-enters the next iteration's pairs
+    val words = Seq(("abab", 3L), ("abc", 2L)).toDF("w", "freq")
+    val got = TextOps.bpeTrainMergesFor(words).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, "a", "b", 8L), (2L, "ab", "ab", 3L), (3L, "ab", "c", 2L)))
+  }
+
+  test("bpeTrainMerges on the corpus: 3 iterations, non-increasing counts") {
+    val rows = TextOps.bpeTrainMerges(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val counts = rows.map(_.getLong(3)).toSeq
+    // merging only ever removes or re-labels pair occurrences, so the
+    // best count cannot grow round-over-round
+    assert(counts === counts.sorted.reverse)
+    assert(rows.forall(r => r.getString(1).nonEmpty && r.getString(2).nonEmpty))
+  }
+
   test("classifierMarginCents reproduces the broadcast-join classifier exactly") {
     val batch = TextOps.qualityClassifier(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
