@@ -485,118 +485,310 @@ object TextOps {
 
   /** Distributed BPE merge TRAINING (Sennrich et al. ACL'16) — the
     * tokenizer-training step itself, not just the application of a
-    * pre-tokenizer ([[bpeTokenCounts]]). Three Lloyd's-style unrolled
-    * iterations over the WORD-FREQUENCY table: count adjacent symbol
-    * pairs (weighted by word frequency, overlapping positions counted,
-    * per the reference implementation), pick the most frequent pair
-    * (ties by count desc, left asc, right asc — total order), merge its
-    * occurrences left-to-right non-overlapping, repeat. The merge is
-    * `replace(sym, l⟂r, lr)` over a ␟-joined symbol string — Java's and
-    * DuckDB's `replace` share exactly BPE's left-to-right
-    * non-overlapping greedy semantics, which is what makes the whole
-    * training loop oracle-checkable; there is no floating point
-    * anywhere in the operator.
+    * pre-tokenizer ([[bpeTokenCounts]]). Semantics are strict
+    * sequential BPE over the WORD-FREQUENCY table: count adjacent
+    * symbol pairs (weighted by word frequency, overlapping positions
+    * counted, per the reference implementation), pick the most
+    * frequent pair (ties by count desc, left asc, right asc — total
+    * order), merge its occurrences left-to-right non-overlapping,
+    * repeat.
     *
-    * Scale shape: real BPE trainers run on the word-count table, not
-    * the corpus — one corpus-sized shuffle builds (word, freq), after
-    * which every iteration touches only the Zipf-compressed vocabulary
-    * frame (pair explode → partial-agg count → 1-row top pick via
-    * TakeOrderedAndProject, broadcast back for the merge). Corpus size
-    * stops mattering after the first aggregation.
+    * Merge correctness — boundary-owning representation: a symbol
+    * string is joined with DOUBLE separators and wrapped
+    * (`[a,b,x]` becomes `.a..b..x.` with `.` = chr(31)) so each symbol
+    * owns a flanking separator on both sides. A pair merge is then the
+    * plain non-overlapping left-to-right `replace(.l..r. -> .lr.)` —
+    * the pattern's outer separators force whole-symbol alignment
+    * (symbols are `[a-z0-9]+`, never containing the separator), so a
+    * symbol merely ENDING in l or STARTING with r can never be
+    * captured (the bug class an unanchored single-separator replace
+    * has: after (a,b)->"ab", a later (b,x) merge must NOT fire inside
+    * "ab.x"), and the replacement restores both flanks, so consecutive
+    * occurrences (`a.b.a.b`) all merge in one pass exactly as greedy
+    * left-to-right BPE does. Java's and DuckDB's `replace` share these
+    * semantics, which keeps the whole loop oracle-checkable; there is
+    * no floating point anywhere.
+    *
+    * Scale shape — two tiers, jobs sublinear in merges. Real BPE
+    * trainers run on the word-count table, not the corpus: one
+    * corpus-sized shuffle builds (word, freq), and by Heap's law that
+    * vocabulary is sublinear in corpus size (~10M distinct
+    * pre-tokenized words even at web scale — low-hundreds of MB).
+    * Tier 1 (the normal path, vocab ≤ [[MaxLocalBpeVocab]]): collect
+    * the vocabulary ONCE and train on the driver with incremental
+    * pair-count deltas — each merge re-counts only the words that
+    * contain the merged pair (tracked by an inverted pair→words
+    * index), exactly like the classic in-memory trainers — so ANY
+    * merge depth costs ONE Spark job total. Tier 2 (vocab over the
+    * bound): a distributed loop over the vocabulary frame — pair
+    * explode → partial-agg count → top-256 candidate pool to the
+    * driver (a bounded, codebook-sized collect, like
+    * [[SimilarityOps]]' ivfKmeans centroids), where a batch of merges
+    * provably equivalent to the sequential schedule is selected and
+    * applied in ONE vocabulary pass. The batch is limited by genuine
+    * sequential dependencies (in natural language the top pairs chain
+    * — (t,h) then (h,e) — and a chained pair's count is changed by the
+    * earlier merge, so exactness forces a new round), which is why the
+    * delta tier, not the batch tier, is the depth path.
+    * Batch safety argument: merging (l, r) reduces
+    * only pair forms (x, l) and (r, y) — an (l, y) or (x, r)
+    * occurrence survives the merge untouched — so, scanning candidates
+    * in (count desc, l, r) order, a candidate is accepted while its
+    * count is provably exact under every earlier accepted merge
+    * (right not an accepted left, left not an accepted right, neither
+    * operand an accepted product; a product equal to a pre-existing
+    * SYMBOL could boost that symbol's pairs, so it closes the batch).
+    * At the first violation the batch is a strict pool PREFIX, and it
+    * is truncated to counts STRICTLY above the violating candidate's
+    * count: any pair newly created by an accepted merge (x, lr) is a
+    * sub-occurrence of (x, l) — a pair whose right is an accepted
+    * left, hence outside the prefix, hence bounded by that stop count
+    * — so sequential BPE schedules every creation after the whole
+    * batch. Within the batch, counts are mutually exact, so the sorted
+    * order IS the sequential pick order; chaining the replaces in that
+    * order equals applying them one at a time (each consumes disjoint
+    * occurrence instances). The DuckDB oracle is deliberately NEITHER
+    * delta-based NOR batched — it unrolls the pure one-merge-per-round
+    * full-recount recurrence — so the hash match is an end-to-end
+    * proof of both tiers' shortcuts on the actual corpus, on top of
+    * [[TextOpsSpec]]'s adversarial fixtures (which cross-check tier 1,
+    * tier 2, and a naive recount reference against each other).
     */
-  private[graft] val BpeSep = "\u001f" // matches the oracle's chr(31)
+  private[graft] val BpeSep = "" // matches the oracle's chr(31)
+  private[graft] val BpeTrainIters = 50
+  private[graft] val BpeCandidatePool = 256
+  private[graft] val MaxLocalBpeVocab = 2000000 // rows; ~tens of MB on the driver
 
   def bpeTrainMerges(spark: SparkSession, sfDir: String): DataFrame =
     bpeTrainMergesFor(
       Tables.documentsFanned(spark, sfDir)
         .select(explode(tokens(col("text"))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("freq")))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq")),
+      iters = BpeTrainIters)
 
-  /** Library core of [[bpeTrainMerges]] for any (w, freq) word table. */
+  /** Library core of [[bpeTrainMerges]] for any (w, freq) word table:
+    * tier dispatch (see the scaladoc above). The `limit(bound + 1)`
+    * probe keeps the tier check itself a single bounded job.
+    */
   def bpeTrainMergesFor(words: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = words.sparkSession
+    val probe = words.limit(MaxLocalBpeVocab + 1).collect()
+    if (probe.length <= MaxLocalBpeVocab) {
+      bpeLastRounds = 1
+      mergesDf(spark, bpeTrainLocal(
+        probe.map(r => (r.getString(0), r.getLong(1))).toSeq, iters))
+    } else bpeTrainMergesDistributed(words, iters)
+  }
+
+  /** Tier-1 trainer: exact sequential BPE with incremental pair-count
+    * deltas over an in-memory vocabulary. Per merge, only words
+    * containing the merged pair (via the inverted pair→word index) are
+    * re-counted: their old adjacent pairs are subtracted and their new
+    * ones added — by construction identical to a full recount, since
+    * untouched words contribute the same counts to both. The argmax is
+    * a scan of the live pair table (a lazy max-heap is the classic
+    * upgrade if merge depth × pair count ever matters).
+    */
+  private[graft] def bpeTrainLocal(vocab: Seq[(String, Long)], iters: Int)
+      : Seq[(Long, String, String, Long)] = {
+    val syms = vocab.map(_._1.map(_.toString).toVector).toArray
+    val freqs = vocab.map(_._2).toArray
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    val pairWords = scala.collection.mutable.Map
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def index(p: (String, String), w: Int): Unit =
+      pairWords.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += w
+    for (w <- syms.indices; i <- 0 until syms(w).length - 1) {
+      val p = (syms(w)(i), syms(w)(i + 1))
+      counts(p) += freqs(w); index(p, w)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var it = 1
+    var done = false
+    while (it <= iters && !done) {
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.min(Ordering.by[((String, String), Long),
+          (Long, String, String)] { case ((pl, pr), pc) => (-pc, pl, pr) })
+        out += ((it.toLong, l, r, c))
+        val affected = pairWords.getOrElse((l, r), Set.empty[Int]).toArray
+        for (w <- affected) {
+          val old = syms(w)
+          for (i <- 0 until old.length - 1) {
+            val p = (old(i), old(i + 1))
+            counts(p) -= freqs(w)
+            if (counts(p) <= 0L) { counts.remove(p); pairWords.remove(p) }
+            else pairWords.get(p).foreach(_ -= w)
+          }
+          val nb = Vector.newBuilder[String]
+          var i = 0
+          while (i < old.length) {
+            if (i + 1 < old.length && old(i) == l && old(i + 1) == r) {
+              nb += l + r; i += 2
+            } else { nb += old(i); i += 1 }
+          }
+          syms(w) = nb.result()
+          for (i2 <- 0 until syms(w).length - 1) {
+            val p = (syms(w)(i2), syms(w)(i2 + 1))
+            counts(p) += freqs(w); index(p, w)
+          }
+        }
+        it += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Tier-2 trainer: distributed batched rounds (see scaladoc). */
+  private[graft] def bpeTrainMergesDistributed(words: DataFrame,
+      iters: Int): DataFrame = {
+    val spark = words.sparkSession
     var state = words
-      // ␟-joined single chars; substr-by-position builds the identical
-      // char list in both engines (split-on-empty-regex differs)
+      // separator-joined single chars; substr-by-position builds the
+      // identical char list in both engines (split-on-empty differs)
       .select(concat_ws(BpeSep,
         expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")).as("sym"),
         col("freq"))
-      .localCheckpoint() // each iteration re-reads the merged state
-    val merges = Seq.newBuilder[DataFrame]
-    for (it <- 1 to iters) {
+      .localCheckpoint() // each round re-reads the merged state
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    // Current vocabulary symbols (36 possible initial chars + every
+    // product applied so far) — the product-collision guard's witness;
+    // bounded by 36 + iters entries.
+    val knownSymbols = scala.collection.mutable.Set.empty[String]
+    knownSymbols ++= (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+    var exhausted = false
+    var rounds = 0
+    while (picked.length < iters && !exhausted) {
+      rounds += 1
       val toks = split(col("sym"), BpeSep)
       // guard: sequence(1, 0) would infer a NEGATIVE step in Spark
       val pairIdx = when(size(toks) > 1,
         sequence(lit(1), size(toks) - 1)).otherwise(array().cast("array<int>"))
-      val best = state
+      val pool = state
         .select(col("freq"), toks.as("toks"), explode(pairIdx).as("i"))
         .select(col("freq"),
-          element_at(col("toks"), col("i")).as("merge_left"),
-          element_at(col("toks"), col("i") + 1).as("merge_right"))
-        .groupBy(col("merge_left"), col("merge_right"))
-        .agg(sum(col("freq")).as("pair_count"))
-        .orderBy(col("pair_count").desc, col("merge_left"), col("merge_right"))
-        .limit(1)
-        .localCheckpoint() // 1 row; feeds both the output and the merge
-      merges += best.select(lit(it.toLong).as("iteration"),
-        col("merge_left"), col("merge_right"), col("pair_count"))
-      state = state.crossJoin(broadcast(best))
-        .select(replace(col("sym"),
-            concat(col("merge_left"), lit(BpeSep), col("merge_right")),
-            concat(col("merge_left"), col("merge_right"))).as("sym"),
-          col("freq"))
-        .localCheckpoint()
+          element_at(col("toks"), col("i")).as("l"),
+          element_at(col("toks"), col("i") + 1).as("r"))
+        .groupBy(col("l"), col("r"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(BpeCandidatePool)
+        .collect() // bounded: <=256 rows — the batch planner's input
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+      if (pool.isEmpty) exhausted = true // vocabulary fully merged
+      else {
+        // Greedy safe batch — role-aware conflict rule. Merging (l, r)
+        // REDUCES only pairs of the form (x, l) and (r, y) (an (l, y)
+        // or (x, r) occurrence survives: its l is followed by y not r /
+        // its r is preceded by x not l — so those counts are EXACT and
+        // the pairs safely co-batch). Accept scanning in pool order
+        // while the candidate's count is provably untouched by every
+        // earlier accepted merge: right ∉ acceptedLefts, left ∉
+        // acceptedRights, neither operand ∈ acceptedProducts. A
+        // product colliding with a PRE-EXISTING symbol (tracked across
+        // rounds) can BOOST that symbol's pre-existing pairs above the
+        // stop bound, so it closes the batch after its own merge.
+        val accLefts = scala.collection.mutable.Set.empty[String]
+        val accRights = scala.collection.mutable.Set.empty[String]
+        val accProducts = scala.collection.mutable.Set.empty[String]
+        val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var productCollision = false
+        var stopCount = -1L
+        var i = 0
+        while (i < pool.length && stopCount < 0) {
+          val (l, r, c) = pool(i)
+          if (productCollision || accLefts(r) || accRights(l) ||
+              accProducts(l) || accProducts(r)) stopCount = c
+          else {
+            batch += ((l, r, c))
+            accLefts += l; accRights += r; accProducts += l + r
+            if (knownSymbols(l + r)) productCollision = true
+          }
+          i += 1
+        }
+        // A truncated pool may hide ties just below its tail; bound by it.
+        if (stopCount < 0 && pool.length == BpeCandidatePool) stopCount = pool.last._3
+        val safe0 = if (stopCount < 0) batch.toSeq
+                    else batch.toSeq.takeWhile(_._3 > stopCount)
+        // Always make progress: the single top pair IS the sequential pick.
+        val safe = (if (safe0.isEmpty) batch.take(1).toSeq else safe0)
+          .take(iters - picked.length)
+        val base = picked.length
+        picked ++= safe.zipWithIndex.map { case ((l, r, c), k) =>
+          ((base + k + 1).toLong, l, r, c)
+        }
+        // One vocabulary pass applies the whole batch: pad to the
+        // boundary-owning form, chain the replaces in pick order, unpad.
+        var e: Column = concat(lit(BpeSep),
+          replace(col("sym"), lit(BpeSep), lit(BpeSep + BpeSep)), lit(BpeSep))
+        for ((l, r, _) <- safe)
+          e = replace(e, lit(BpeSep + l + BpeSep + BpeSep + r + BpeSep),
+            lit(BpeSep + l + r + BpeSep))
+        state = state
+          .select(trim(replace(e, lit(BpeSep + BpeSep), lit(BpeSep)), BpeSep).as("sym"),
+            col("freq"))
+          .localCheckpoint()
+        knownSymbols ++= safe.map { case (l, r, _) => l + r }
+      }
     }
-    merges.result().reduce(_ unionByName _).orderBy(col("iteration"))
+    bpeLastRounds = rounds
+    mergesDf(spark, picked.toSeq)
   }
 
-  val bpeTrainMergesSql: String =
-    """WITH w0 AS (
-      |  SELECT array_to_string(list_transform(generate_series(1, length(w)),
-      |           i -> substring(w, i, 1)), chr(31)) AS sym,
-      |         CAST(COUNT(*) AS BIGINT) AS freq
-      |  FROM (SELECT unnest(list_filter(
-      |          string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
-      |        FROM documents)
-      |  GROUP BY 1
-      |), p1 AS (
-      |  SELECT toks[i] AS merge_left, toks[i+1] AS merge_right,
-      |         CAST(SUM(freq) AS BIGINT) AS pair_count
-      |  FROM (SELECT string_split(sym, chr(31)) AS toks, freq FROM w0) s,
-      |       UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
-      |  GROUP BY 1, 2
-      |), b1 AS (
-      |  SELECT * FROM p1 ORDER BY pair_count DESC, merge_left, merge_right LIMIT 1
-      |), w1 AS (
-      |  SELECT replace(sym, merge_left || chr(31) || merge_right,
-      |                 merge_left || merge_right) AS sym, freq
-      |  FROM w0 CROSS JOIN b1
-      |), p2 AS (
-      |  SELECT toks[i] AS merge_left, toks[i+1] AS merge_right,
-      |         CAST(SUM(freq) AS BIGINT) AS pair_count
-      |  FROM (SELECT string_split(sym, chr(31)) AS toks, freq FROM w1) s,
-      |       UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
-      |  GROUP BY 1, 2
-      |), b2 AS (
-      |  SELECT * FROM p2 ORDER BY pair_count DESC, merge_left, merge_right LIMIT 1
-      |), w2 AS (
-      |  SELECT replace(sym, merge_left || chr(31) || merge_right,
-      |                 merge_left || merge_right) AS sym, freq
-      |  FROM w1 CROSS JOIN b2
-      |), p3 AS (
-      |  SELECT toks[i] AS merge_left, toks[i+1] AS merge_right,
-      |         CAST(SUM(freq) AS BIGINT) AS pair_count
-      |  FROM (SELECT string_split(sym, chr(31)) AS toks, freq FROM w2) s,
-      |       UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
-      |  GROUP BY 1, 2
-      |), b3 AS (
-      |  SELECT * FROM p3 ORDER BY pair_count DESC, merge_left, merge_right LIMIT 1
-      |)
-      |SELECT CAST(1 AS BIGINT) AS iteration, merge_left, merge_right, pair_count FROM b1
-      |UNION ALL
-      |SELECT CAST(2 AS BIGINT), merge_left, merge_right, pair_count FROM b2
-      |UNION ALL
-      |SELECT CAST(3 AS BIGINT), merge_left, merge_right, pair_count FROM b3
-      |ORDER BY iteration""".stripMargin
+  /** Spark rounds the last [[bpeTrainMergesFor]] call used — the
+    * sublinearity witness (jobs per training run = 2×rounds, not
+    * 2×merges); read by TextOpsSpec, not part of the operator result.
+    */
+  @volatile private[graft] var bpeLastRounds: Int = 0
+
+  private def mergesDf(spark: SparkSession,
+      rows: Seq[(Long, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("iteration", "merge_left", "merge_right", "pair_count")
+      .orderBy(col("iteration"))
+  }
+
+  /** Sequential one-merge-per-round oracle, unrolled to `iters` CTE
+    * levels. MATERIALIZED pins DuckDB to linear evaluation (each w/b
+    * level is referenced twice; inlining would be exponential).
+    */
+  private def bpeTrainSeqSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT toks[i] AS merge_left, toks[i+1] AS merge_right,
+         |         CAST(SUM(freq) AS BIGINT) AS pair_count
+         |  FROM (SELECT string_split(sym, chr(31)) AS toks, freq FROM w${i - 1}) s,
+         |       UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+         |  GROUP BY 1, 2
+         |), b$i AS MATERIALIZED (
+         |  SELECT * FROM p$i ORDER BY pair_count DESC, merge_left, merge_right LIMIT 1
+         |), w$i AS MATERIALIZED (
+         |  SELECT trim(replace(replace(
+         |           chr(31) || replace(sym, chr(31), chr(31) || chr(31)) || chr(31),
+         |           chr(31) || merge_left || chr(31) || chr(31) || merge_right || chr(31),
+         |           chr(31) || merge_left || merge_right || chr(31)),
+         |         chr(31) || chr(31), chr(31)), chr(31)) AS sym, freq
+         |  FROM w${i - 1} CROSS JOIN b$i
+         |)""".stripMargin
+    }.mkString(", ")
+    val union = (1 to iters).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS iteration, merge_left, merge_right, pair_count FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT array_to_string(list_transform(generate_series(1, length(w)),
+       |           i -> substring(w, i, 1)), chr(31)) AS sym,
+       |         CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(list_filter(
+       |          string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       |        FROM documents)
+       |  GROUP BY 1
+       |), $rounds
+       |$union
+       |ORDER BY iteration""".stripMargin
+  }
+
+  val bpeTrainMergesSql: String = bpeTrainSeqSql(BpeTrainIters)
 
   /** BM25 retrieval scoring (Robertson/Spärck Jones; k1 = 1.2,
     * b = 0.75) of a fixed conjunctive keyword query against the corpus

@@ -37,7 +37,6 @@ class PlanAuditSpec extends SparkSpec {
     "q_tfidf_topterms",     // crossJoin(broadcast(1-row corpus-count aggregate))
     "q_bm25_topk",          // crossJoin(broadcast(1-row corpus-stats aggregate))
     "q_mixture_plan",       // crossJoin(broadcast(1-row total aggregate)) over #sources rows
-    "q_bpe_train",          // crossJoin(broadcast(1-row best-pair pick)) per merge iteration
     "q_curation_funnel"     // crosses five 1-row stage aggregates; pair stage is the allowed bitmap BNLJ
   )
 

@@ -150,14 +150,99 @@ class TextOpsSpec extends SparkSpec {
       (1L, "a", "b", 8L), (2L, "ab", "ab", 3L), (3L, "ab", "c", 2L)))
   }
 
-  test("bpeTrainMerges on the corpus: 3 iterations, non-increasing counts") {
+  test("bpeTrainMerges on the corpus: 50 iterations, non-increasing counts") {
     val rows = TextOps.bpeTrainMerges(spark, sf).collect()
-    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.map(_.getLong(0)).toSeq ===
+      (1L to TextOps.BpeTrainIters.toLong))
     val counts = rows.map(_.getLong(3)).toSeq
     // merging only ever removes or re-labels pair occurrences, so the
     // best count cannot grow round-over-round
     assert(counts === counts.sorted.reverse)
     assert(rows.forall(r => r.getString(1).nonEmpty && r.getString(2).nonEmpty))
+    // the corpus vocabulary is under MaxLocalBpeVocab, so the delta
+    // tier must have trained all 50 merges from ONE collect
+    assert(TextOps.bpeLastRounds === 1,
+      s"50 merges took ${TextOps.bpeLastRounds} rounds — delta tier not used")
+  }
+
+  test("bpeTrainMerges: a symbol ending in merge_left must not be re-merged") {
+    val s = spark; import s.implicits._
+    // iter1 merges (a,b)=11; iter2's best is (b,x)=5 — the word "abx"
+    // is then [ab, x], and an UNANCHORED single-separator replace of
+    // "b<sep>x" would wrongly fire inside it, fusing ab+x a round early
+    // and erasing iter3's (ab, x) merge. The boundary-owning
+    // representation must keep them apart.
+    val words = Seq(("ab", 10L), ("bx", 5L), ("abx", 1L)).toDF("w", "freq")
+    val got = TextOps.bpeTrainMergesFor(words, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, "a", "b", 11L), (2L, "b", "x", 5L), (3L, "ab", "x", 1L)))
+  }
+
+  /** Driver-local strict-sequential BPE: one merge per round, counts
+    * weighted by freq with overlapping positions counted, greedy
+    * left-to-right merge — the ground truth the batched trainer must
+    * reproduce exactly.
+    */
+  private def seqBpe(words: Seq[(String, Long)], iters: Int)
+      : Seq[(Long, String, String, Long)] = {
+    var state = words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var it = 1
+    var done = false
+    while (it <= iters && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, f) <- state; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.toSeq
+          .sortBy { case ((pl, pr), pc) => (-pc, pl, pr) }.head
+        out += ((it.toLong, l, r, c))
+        state = state.map { case (syms, f) =>
+          val nb = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              nb += l + r; i += 2
+            } else { nb += syms(i); i += 1 }
+          }
+          (nb.result(), f)
+        }
+        it += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeTrainMerges: batched schedule equals strict sequential BPE") {
+    val s = spark; import s.implicits._
+    // Adversarial vocabulary: consecutive-run overlap ("aaaa"), a word
+    // equal to a merge product ("ab" while (a,b) merges), shared-symbol
+    // chains (ab/ba/bab), count ties resolved by the (l, r) tie-break,
+    // and multi-letter cascades (banana family) — everything that can
+    // make a naive batch diverge from the sequential schedule.
+    val vocab = Seq(
+      ("banana", 7L), ("bananana", 3L), ("abab", 6L), ("abc", 4L),
+      ("aabb", 5L), ("aaaa", 4L), ("aaab", 2L), ("ab", 9L), ("ba", 9L),
+      ("bab", 3L), ("cab", 2L), ("bca", 2L), ("nan", 1L), ("ana", 1L),
+      ("cccc", 3L), ("bcbc", 2L), ("abba", 2L), ("baab", 2L))
+    val expect = seqBpe(vocab, 50)
+    // tier 1 (delta-update local trainer) — the dispatch path for any
+    // vocabulary that fits the driver bound
+    val got = TextOps.bpeTrainMergesFor(vocab.toDF("w", "freq"), iters = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got === expect)
+    // tier 2 (distributed batched trainer) — the over-bound fallback
+    // must produce the identical schedule
+    val dist = TextOps.bpeTrainMergesDistributed(vocab.toDF("w", "freq"), iters = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(dist === expect)
   }
 
   test("classifierMarginCents reproduces the broadcast-join classifier exactly") {
