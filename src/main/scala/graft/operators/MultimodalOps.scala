@@ -11,14 +11,21 @@ import graft.Tables
   * batch-local inside the executors via `mapPartitions` — never a
   * driver round-trip.
   *
-  * The container has no media codecs, so the decode itself is a
-  * clearly-marked deterministic STUB ([[decodeImageStub]]) — the parts
-  * that matter at 100 TB are real and tested: the schema contract
-  * (payload + metadata struct), the partition-local batch shape, and
-  * the scan-level behavior (payload bytes are only read when the
-  * decode column is referenced — parquet column pruning drops them
-  * otherwise, which is why payloads must live in their own column, not
-  * inside a struct with hot metadata).
+  * Image decode is REAL for every format the bare JDK covers: header
+  * metadata for BMP/PPM/PGM/PNG/JPEG/GIF via the codegen'd
+  * [[graft.functions.ImageHeader]] expression (leading bytes only —
+  * a metadata query never pays codec cost), raw-raster pixel sampling
+  * for BMP/PPM/PGM, and a full `javax.imageio` pixel decode for
+  * PNG/JPEG/GIF in the feature path. The deterministic md5 STUB
+  * ([[decodeImageStub]]/[[stubFeature]]) remains only for payloads no
+  * JDK can decode (video, exotic codecs, corrupt bytes) — degrade,
+  * don't throw, mid-100-TB-job. The parts that matter at scale are
+  * real and tested either way: the schema contract (payload + metadata
+  * struct), the partition-local batch shape, and the scan-level
+  * behavior (payload bytes are only read when the decode column is
+  * referenced — parquet column pruning drops them otherwise, which is
+  * why payloads must live in their own column, not inside a struct
+  * with hot metadata).
   */
 object MultimodalOps {
 
@@ -73,13 +80,13 @@ object MultimodalOps {
       .toDF()
   }
 
-  /** REAL image decode for the formats a bare JVM can read — uncompressed
-    * BMP and binary netpbm (P5/P6) — via the native codegen'd
+  /** REAL image metadata decode — uncompressed BMP, binary netpbm
+    * (P5/P6), PNG, JPEG, and GIF — via the native codegen'd
     * [[graft.functions.ImageHeader]] expression, with the deterministic
-    * stub as the fallback for unrecognized payloads (the honest stance
-    * for codec formats this container can't decode). Fully declarative:
+    * stub as the fallback for unrecognized payloads. Fully declarative:
     * header metadata extraction over a 100 TB payload column stays
-    * inside whole-stage codegen, and the stub's byte arithmetic is
+    * inside whole-stage codegen reading only leading bytes (no pixel
+    * decode on the metadata path), and the stub's byte arithmetic is
     * plain SQL functions — no UDF on either path.
     */
   def decodeImage(payloads: DataFrame): DataFrame = {
@@ -101,10 +108,13 @@ object MultimodalOps {
         col("width").cast("long") * col("height") * col("channels"))
   }
 
-  /** Feature extraction with REAL pixels when the payload decodes
-    * ([[graft.functions.ImageHeader.gridFeatures]] — a downsampled
-    * luminance grid, the classic pixel-intensity embedding) and the md5
-    * stub otherwise. Same mapPartitions shape and output contract as
+  /** Feature extraction with REAL pixels when the payload decodes —
+    * direct raster sampling for BMP/PPM/PGM, a full `javax.imageio`
+    * decode for PNG/JPEG/GIF
+    * ([[graft.functions.ImageHeader.decodeGridFeatures]] — a
+    * downsampled luminance grid, the classic pixel-intensity
+    * embedding) — and the md5 stub only for payloads no JDK codec
+    * accepts. Same mapPartitions shape and output contract as
     * [[extractFeaturesStub]], so the ANN/dedup operators downstream are
     * oblivious to which path produced a vector. [[multimodalAnn]] keeps
     * calling the stub directly: its payloads are text bytes (never a
@@ -120,7 +130,9 @@ object MultimodalOps {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val info = ImageHeader.parse(bytes)
-          val feat = if (info != null) ImageHeader.gridFeatures(bytes, info, dim)
+          val real = if (info != null) ImageHeader.decodeGridFeatures(bytes, info, dim)
+                     else null
+          val feat = if (real != null) real
                      else MultimodalOps.stubFeature(bytes, dim)
           (id, feat)
         }

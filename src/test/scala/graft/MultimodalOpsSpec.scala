@@ -126,6 +126,57 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(f(4L) === stub)
   }
 
+  /** Real codec bytes via the JDK's own encoders. */
+  private def encoded(fmt: String, w: Int, h: Int)
+      (pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pix(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no JDK $fmt writer")
+    out.toByteArray
+  }
+
+  test("decodeImage: REAL PNG/JPEG/GIF headers decode from actual codec bytes") {
+    val s = spark; import s.implicits._
+    val png = encoded("png", 20, 12)((x, _) => (x * 12, x * 12, x * 12))
+    val jpg = encoded("jpg", 33, 7)((_, y) => (y * 30, y * 30, y * 30))
+    val gif = encoded("gif", 9, 5)((_, _) => (10, 20, 30))
+    val df = Seq((1L, png), (2L, jpg), (3L, gif)).toDF("doc_id", "payload")
+    val got = MultimodalOps.decodeImage(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(got(0) === ((1L, "png", 20, 12)))
+    assert(got(1) === ((2L, "jpeg", 33, 7)))
+    assert(got(2) === ((3L, "gif", 9, 5)))
+  }
+
+  test("extractImageFeatures: real PNG pixels decode exactly; JPEG within codec loss") {
+    val s = spark; import s.implicits._
+    // horizontal gray gradient — grid sampling reduces to column means
+    def gray(x: Int, w: Int): Int = x * 255 / math.max(1, w - 1)
+    val w = 16; val h = 16
+    val png = encoded("png", w, h)((x, _) => { val v = gray(x, w); (v, v, v) })
+    val jpg = encoded("jpg", w, h)((x, _) => { val v = gray(x, w); (v, v, v) })
+    // the raw-raster twin of the same pixels: features must be IDENTICAL
+    // to the PNG's (lossless codec, shared sampling grid + BT.601 weights)
+    val bmp = bmp24(w, h)((x, _) => { val v = gray(x, w); (v, v, v) })
+    val df = Seq((1L, png), (2L, jpg), (3L, bmp)).toDF("doc_id", "payload")
+    val f = MultimodalOps.extractImageFeatures(df, dim = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f(1L) === f(3L), "PNG decode must equal the raw-raster decode")
+    // JPEG is lossy: same gradient within codec tolerance, and NOT the
+    // md5 stub (stub values are payload-hash noise, nowhere near this)
+    f(2L).zip(f(1L)).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 0.1f, s"jpeg sample $a vs png $b")
+    }
+    val stub = MultimodalOps.extractFeaturesStub(
+      df.filter($"doc_id" === 2L), dim = 16).head().getSeq[Float](1)
+    assert(f(2L) !== stub)
+  }
+
   test("sampleFrames emits every k-th frame index; zero-frame items emit none") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 10), (2L, 1), (3L, 0)).toDF("item", "n_frames")
