@@ -54,6 +54,7 @@ object SparkEntry {
     "q_token_counts"      -> (TextOps.tokenCounts _),
     "q_quality_score"     -> (TextOps.qualityScore _),
     "q_quality_classifier" -> (TextOps.qualityClassifier _),
+    "q_classifier_train"  -> (TextOps.classifierTrain _),
     "q_doc_fingerprint"   -> (TextOps.docFingerprint _),
     "q_rolling_fingerprint" -> (TextOps.rollingFingerprint _),
     "q_bpe_tokens"        -> (TextOps.bpeTokenCounts _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "q_token_counts"      -> TextOps.tokenCountsSql,
     "q_quality_score"     -> TextOps.qualityScoreSql,
     "q_quality_classifier" -> TextOps.qualityClassifierSql,
+    "q_classifier_train"  -> TextOps.classifierTrainOracleSql,
     "q_doc_fingerprint"   -> TextOps.docFingerprintSql,
     "q_rolling_fingerprint" -> TextOps.rollingFingerprintSql,
     "q_bpe_tokens"        -> TextOps.bpeTokenCountsSql,

@@ -185,6 +185,203 @@ object TextOps {
       |FROM documents d LEFT JOIN z USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** The TRAINING half of the quality classifier — distributed
+    * logistic-regression-style training that DISTILLS the published
+    * teacher model ([[classifierVocab]]'s exact keep decision) into a
+    * freshly initialized linear student, the standard curation recipe
+    * for turning an expensive filter into a cheap head (and, on this
+    * synthetic corpus, the only deterministic label with learnable
+    * text signal). Features are integer term frequencies over the
+    * teacher's 10-token vocabulary plus a bias, so learning is
+    * verifiable: the student must rediscover the teacher's weight
+    * SIGNS from labels alone (spec-asserted, along with
+    * teacher-agreement accuracy beating the majority class).
+    *
+    * Exactness: the link is the HARD sigmoid (0 below z = −2, 1 above
+    * z = 2, (z+2)/4 between), which keeps every quantity in the loop
+    * an EXACT decimal — ×0.25 and the 1e−4 learning-rate multiplier
+    * are exact decimal scalings, there is no division and no
+    * transcendental anywhere — so five unrolled batch-gradient
+    * iterations replay bit-identically in DuckDB (both engines ROUND
+    * half-away-from-zero to scale 6 at each weight update; the update
+    * uses the raw gradient SUM with a small rate, so no 1/N division
+    * exists to round differently; rate-per-corpus-size is the
+    * production tuning knob this fixed-rate demo pins down).
+    *
+    * Scale shape: the (doc, term, tf) feature frame is built once
+    * (explode → broadcast vocab semi-join → one partial-agg shuffle)
+    * and checkpointed, labels ride the row-local
+    * [[classifierMarginCents]] (no teacher join); each iteration is
+    * two vocabulary-sized aggregations (per-doc margin, per-term
+    * gradient) whose ≤11-row results are collected to the driver
+    * exactly like [[SimilarityOps]]' ivfKmeans codebook — jobs are
+    * O(iterations), never O(corpus). Output: the trained
+    * (term, weight) table + `__bias__` row, which plugs straight into
+    * [[qualityClassifierWith]] (spec-proven).
+    */
+  private[graft] val trainVocab: Seq[String] = classifierVocab.map(_._1)
+  private[graft] val TrainIters = 25
+  private[graft] val BiasTerm = "__bias__"
+
+  def classifierTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documentsFanned(spark, sfDir)
+    val vocabDf = broadcast(trainVocab.toDF("term"))
+    // the bias rides as a constant feature on every doc, so one
+    // aggregation produces all 11 gradients (one Spark job/iteration)
+    // the label rides on every feature row (max(y) in the per-doc agg
+    // recovers it), so the loop needs NO label join at all
+    val base = docs.select(col("doc_id"),
+      when(classifierMarginCents(col("text")) >= 0, 1L).otherwise(0L).as("y"),
+      col("text"))
+    val feats0 = base
+      .select(col("doc_id"), col("y"), explode(tokens(col("text"))).as("term"))
+      .join(vocabDf, "term")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"), first(col("y")).as("y"))
+      .unionByName(base.select(col("doc_id"),
+        lit(BiasTerm).as("term"), lit(1L).as("tf"), col("y")))
+      .localCheckpoint()
+    // The loop input hash-partitioned by doc_id, sized to the frame:
+    // every iteration's per-doc aggregation and gradient join then
+    // reuse this ONE partitioning (zero exchanges before the 11-row
+    // gradient shuffle) — iteration cost is task launch, not data
+    // movement.
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (feats0.count() / 65536L + 1L).toInt))
+    val feats = feats0.repartition(parts, col("doc_id")).localCheckpoint()
+    def d6(s: String) = new java.math.BigDecimal(s).setScale(6)
+    var w: Map[String, java.math.BigDecimal] =
+      (trainVocab :+ BiasTerm).map(_ -> d6("0")).toMap
+    val lr = new java.math.BigDecimal("0.0005")
+    for (_ <- 1 to TrainIters) {
+      // precision hygiene: every multiply stays far under decimal(38)
+      // on BOTH engines — Spark silently ROUNDS the scale down when a
+      // product's precision hits the 38 cap, which would break the
+      // exact replay (caught by the oracle during development)
+      val wMap = map(w.toSeq.flatMap { case (t, v) => Seq(lit(t), lit(v)) }: _*)
+      val z = feats
+        .select(col("doc_id"), col("y"),
+          (element_at(wMap, col("term")).cast("decimal(12,6)")
+            * col("tf").cast("decimal(10,0)")).as("zpart"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("zpart")).as("zsum"), max(col("y")).as("y"))
+      val zc = col("zsum").cast("decimal(12,6)") // every doc has the bias row
+      val err = z
+        .select(col("doc_id"),
+          ((when(zc <= -2, lit(new java.math.BigDecimal("0.00000000")))
+            .when(zc >= 2, lit(new java.math.BigDecimal("1.00000000")))
+            .otherwise((zc + lit(2)) * lit(new java.math.BigDecimal("0.25")))
+            - col("y")).cast("decimal(16,8)")).as("err"))
+      val grads = feats.join(err, "doc_id")
+        .groupBy(col("term"))
+        .agg(sum(col("err") * col("tf").cast("decimal(10,0)")).as("grad"))
+        .collect() // bounded: ≤ |trainVocab|+1 rows — the model, not data
+        .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+      w = w.map { case (t, v) =>
+        t -> v.subtract(lr.multiply(
+            grads.getOrElse(t, java.math.BigDecimal.ZERO)))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+      }
+    }
+    w.toSeq
+      .map { case (t, v) => (t, v.doubleValue) }
+      .toDF("term", "weight")
+      .orderBy(col("term"))
+  }
+
+  /** Sequential unrolled oracle of [[classifierTrain]] — the identical
+    * recurrence in DuckDB decimals, MATERIALIZED per level.
+    */
+  private def classifierTrainSql(iters: Int): String = {
+    val vocabVals = trainVocab.map(t => s"('$t')").mkString(", ")
+    val teacherVals = classifierVocab
+      .map { case (t, wv) => s"('$t', CAST($wv AS DECIMAL(4,2)))" }
+      .mkString(", ")
+    val rounds = (1 to iters).map { i =>
+      s"""z$i AS MATERIALIZED (
+         |  SELECT l.doc_id, l.y, CAST(s.zsum AS DECIMAL(12,6)) AS z
+         |  FROM lab l JOIN (
+         |    SELECT f.doc_id,
+         |      SUM(CAST(w.w AS DECIMAL(12,6)) * CAST(f.tf AS DECIMAL(10,0))) AS zsum
+         |    FROM feat f JOIN w${i - 1} w USING (term) GROUP BY 1) s
+         |  USING (doc_id)
+         |), e$i AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN z <= -2 THEN CAST(0 AS DECIMAL(16,8))
+         |         WHEN z >= 2 THEN CAST(1 AS DECIMAL(16,8))
+         |         ELSE (z + 2) * CAST(0.25 AS DECIMAL(3,2)) END - y
+         |      AS DECIMAL(16,8)) AS err
+         |  FROM z$i
+         |), w$i AS MATERIALIZED (
+         |  SELECT w.term,
+         |    CAST(ROUND(w.w - CAST(0.0005 AS DECIMAL(8,6))
+         |      * COALESCE(g.grad, 0), 6) AS DECIMAL(18,6)) AS w
+         |  FROM w${i - 1} w LEFT JOIN (
+         |    SELECT f.term, SUM(e.err * CAST(f.tf AS DECIMAL(10,0))) AS grad
+         |    FROM feat f JOIN e$i e USING (doc_id) GROUP BY 1) g
+         |  USING (term)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH v(term) AS (VALUES $vocabVals),
+       |feat AS MATERIALIZED (
+       |  SELECT t.doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(list_filter(
+       |          string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+       |        FROM documents) t
+       |  JOIN v USING (term)
+       |  GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT doc_id, '__bias__', CAST(1 AS BIGINT) FROM documents
+       |), teacher(token, tw) AS (VALUES $teacherVals),
+       |lab AS MATERIALIZED (
+       |  SELECT d.doc_id, CAST(CASE WHEN
+       |      COALESCE(tz.zsum, CAST(0 AS DECIMAL(4,2)))
+       |        + CAST($classifierBias AS DECIMAL(4,2)) >= 0
+       |    THEN 1 ELSE 0 END AS BIGINT) AS y
+       |  FROM documents d LEFT JOIN (
+       |    SELECT t.doc_id, SUM(teacher.tw) AS zsum
+       |    FROM (SELECT doc_id, unnest(list_filter(
+       |            string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+       |          FROM documents) t
+       |    JOIN teacher USING (token) GROUP BY 1) tz
+       |  USING (doc_id)
+       |), w0(term, w) AS (
+       |  SELECT term, CAST(0 AS DECIMAL(18,6)) FROM v
+       |  UNION ALL SELECT '__bias__', CAST(0 AS DECIMAL(18,6))
+       |),
+       |$rounds
+       |SELECT term, CAST(w AS DOUBLE) AS weight FROM w$iters
+       |ORDER BY term""".stripMargin
+  }
+
+  val classifierTrainOracleSql: String = classifierTrainSql(TrainIters)
+
+  /** [[qualityClassifier]] parameterized by the (vocab, bias) model —
+    * the plug point for [[classifierTrain]]'s learned weights (weights
+    * arrive as scale-6 decimal strings; the published literal model
+    * keeps its own key so its oracle stays a flat statement).
+    */
+  def qualityClassifierWith(spark: SparkSession, sfDir: String,
+      vocab: Seq[(String, String)], bias: String,
+      scale: Int = 2): DataFrame = {
+    import spark.implicits._
+    val dt = s"decimal(18,$scale)"
+    val vocabDf = broadcast(vocab.toDF("token", "w_str")
+      .select(col("token"), col("w_str").cast(dt).as("w")))
+    val docs = Tables.documentsFanned(spark, sfDir)
+    val z = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .join(vocabDf, "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("zsum"))
+    val margin = coalesce(col("zsum"), lit(0).cast(dt)) + lit(bias).cast(dt)
+    docs.select(col("doc_id")).join(z, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-margin.cast("double"))), 6).as("score"),
+        (margin >= 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text.
     * The cheap exact-dup key for cross-corpus joins (md5 is identical in
     * every engine); the ~10×-cheaper Rabin rolling-hash variant is

@@ -245,6 +245,33 @@ class TextOpsSpec extends SparkSpec {
     assert(dist === expect)
   }
 
+  test("classifierTrain: student recovers teacher signs and beats the majority class") {
+    val w = TextOps.classifierTrain(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w.size === TextOps.trainVocab.size + 1) // vocab + __bias__
+    // every teacher weight sign is rediscovered from keep labels alone
+    val teacherSigns = TextOps.classifierVocab
+      .map { case (t, tw) => t -> (BigDecimal(tw) > 0) }
+    teacherSigns.foreach { case (t, positive) =>
+      assert((w(t) > 0) === positive, s"$t learned ${w(t)}, teacher positive=$positive")
+    }
+    // the strongest teacher signal is learned as the strongest positive
+    assert(w("spark") === teacherSigns.collect { case (t, true) => w(t) }.max)
+    // the learned model plugs into the classifier head and agrees with
+    // the teacher far above the majority-class baseline
+    val vocabW = TextOps.trainVocab.map(t => t -> f"${w(t)}%.6f")
+    val student = TextOps.qualityClassifierWith(spark, sf, vocabW,
+        f"${w("__bias__")}%.6f", scale = 6)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val teacher = TextOps.qualityClassifier(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val n = teacher.size
+    val agree = teacher.count { case (d, y) => student(d) == y }
+    val majority = math.max(teacher.count(_._2), n - teacher.count(_._2))
+    assert(agree.toDouble / n >= 0.85, s"agreement ${agree.toDouble / n}")
+    assert(agree > majority, s"agree $agree vs majority $majority of $n")
+  }
+
   test("classifierMarginCents reproduces the broadcast-join classifier exactly") {
     val batch = TextOps.qualityClassifier(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
