@@ -45,6 +45,7 @@ object Bench {
     "q_bm25_topk" -> 0.527, "q_mixture_plan" -> 0.453,
     "q_bpe_train" -> 0.364, // r7 delta-tier rebuild (was 0.577 batched)
     "q_classifier_train" -> 5.543, // r7 seed: 25 sync GD iterations
+    "q_substring_dedup" -> 1.206, // r7 seed: overlapping-window scan
     "q_unpivot_events" -> 0.376,
     "q_rolling_fingerprint" -> 0.229, "q_rollup_orders" -> 0.18,
     "q_running_totals" -> 0.168, "q_sample_stratified" -> 0.146,

@@ -72,6 +72,7 @@ object SparkEntry {
     // §2b — dedup
     "q_doc_dedup"         -> (DedupOps.docDedup _),
     "q_passage_dedup"     -> (DedupOps.passageDedup _),
+    "q_substring_dedup"   -> (DedupOps.substringDedup _),
     "q_incremental_dedup" -> (DedupOps.incrementalDedup _),
     "q_ngram_jaccard"     -> (DedupOps.ngramJaccard _),
     "q_minhash_lsh"       -> (DedupOps.minhashLsh _),
@@ -152,6 +153,7 @@ object SparkEntry {
     "q_bm25_topk"         -> TextOps.bm25TopKSql,
     "q_doc_dedup"         -> DedupOps.docDedupSql,
     "q_passage_dedup"     -> DedupOps.passageDedupSql,
+    "q_substring_dedup"   -> DedupOps.substringDedupSql,
     "q_incremental_dedup" -> DedupOps.incrementalDedupSql,
     "q_ngram_jaccard"     -> DedupOps.ngramJaccardSql,
     "q_minhash_lsh"       -> DedupOps.minhashLshSql,

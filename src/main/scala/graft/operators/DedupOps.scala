@@ -145,6 +145,110 @@ object DedupOps {
       |FROM perdoc
       |ORDER BY doc_id""".stripMargin
 
+  /** Exact-substring dedup at ANY offset (Lee et al. ACL'22's
+    * ExactSubstr signal, windowed): where [[passageDedup]]'s fixed
+    * non-overlapping passages only catch block-aligned repeats, this
+    * hashes EVERY overlapping k-token window via the native O(n)
+    * [[graft.functions.RollingWindowHashes]] expression, flags windows
+    * whose hash repeats corpus-wide, and reports per doc the fraction
+    * of token POSITIONS covered by at least one duplicated window —
+    * the "fraction of the doc inside a duplicated substring" metric an
+    * offset-shifted copy produces and a passage grid misses.
+    *
+    * Scale shape — linear end to end, no pairwise stage anywhere: the
+    * window pass is one rolling scan per doc (the native expression's
+    * point: O(n), not O(n·k)); windows shuffle once on the hash for
+    * the duplicate count (map-side partials collapse within-doc
+    * repeats); coverage explodes only FLAGGED windows (k rows each,
+    * k constant) into a distinct-position count. Hashes are Rabin
+    * (mod 1e9+7) shared bit-for-bit with the oracle, so the ~1-in-1e9
+    * collision behavior is engine-identical; a production run swaps in
+    * a 128-bit hash at the same plan shape.
+    */
+  def substringDedup(spark: SparkSession, sfDir: String): DataFrame =
+    substringDedupMetrics(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  /** Library core of [[substringDedup]] for any (doc_id, text) frame. */
+  def substringDedupMetrics(docs: DataFrame, k: Int = PassageTokens): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        graft.functions.RollingWindowHashes(col("toks"), k).as("whs"))
+      .localCheckpoint() // feeds the window explode AND the per-doc frame
+    val win = base
+      .select(col("doc_id"), posexplode(col("whs")).as(Seq("j", "wh")))
+      .localCheckpoint() // feeds duplicate count, flags, and window counts
+    val dup = win.groupBy(col("wh"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col("wh"))
+    val flagged = win.join(dup, Seq("wh"), "left_semi").localCheckpoint()
+    val cov = flagged
+      .select(col("doc_id"),
+        explode(sequence(col("j"), col("j") + (k - 1))).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("pos")).cast("long").as("n_cov"))
+    val nw = win.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    val nd = flagged.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+    val covFrac = when(col("n_tokens") > 0,
+      round(coalesce(col("n_cov"), lit(0L)).cast("double")
+        / col("n_tokens").cast("double"), 6)).otherwise(lit(0.0))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(nw, Seq("doc_id"), "left")
+      .join(nd, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        covFrac.as("dup_cov"))
+      .withColumn("keep", (col("dup_cov") <= 0.25).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val substringDedupSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |    x -> x <> '') AS toks
+      |  FROM documents
+      |), v AS (
+      |  SELECT doc_id, len(toks) AS n,
+      |    list_transform(toks, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (h, c) -> (h * 31 + c) % 1000000007)) AS vals
+      |  FROM t
+      |), w AS (
+      |  -- per-window recompute is fine at oracle scale; the engine side
+      |  -- replaces it with the O(n) rolling update over the same values
+      |  SELECT doc_id, j, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      vals[j : j + 7]),
+      |      (h, x) -> (h * 1000003 + x) % 1000000007) AS wh
+      |  FROM v, UNNEST(generate_series(1, n - 7)) AS u(j)
+      |  WHERE n >= 8
+      |), dup AS (
+      |  SELECT wh FROM w GROUP BY wh HAVING COUNT(*) > 1
+      |), fl AS (
+      |  SELECT doc_id, j FROM w WHERE wh IN (SELECT wh FROM dup)
+      |), cov AS (
+      |  SELECT doc_id, CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_cov
+      |  FROM fl, UNNEST(generate_series(j, j + 7)) AS g(pos)
+      |  GROUP BY 1
+      |), wd AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+      |    CAST(COUNT(*) FILTER (WHERE wh IN (SELECT wh FROM dup)) AS BIGINT)
+      |      AS n_dup_windows
+      |  FROM w GROUP BY 1
+      |)
+      |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      |  COALESCE(wd.n_windows, 0) AS n_windows,
+      |  COALESCE(wd.n_dup_windows, 0) AS n_dup_windows,
+      |  CASE WHEN len(t.toks) > 0 THEN
+      |    ROUND(CAST(COALESCE(cov.n_cov, 0) AS DOUBLE) / len(t.toks), 6)
+      |  ELSE 0.0 END AS dup_cov,
+      |  CAST((CASE WHEN len(t.toks) > 0 THEN
+      |    ROUND(CAST(COALESCE(cov.n_cov, 0) AS DOUBLE) / len(t.toks), 6)
+      |  ELSE 0.0 END) <= 0.25 AS INT) AS keep
+      |FROM t LEFT JOIN wd USING (doc_id) LEFT JOIN cov USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   /** Arrival-order batch cut for the incremental-dedup demonstration:
     * docs below the midpoint id are the already-ingested corpus, the
     * rest are "today's batch" (doc_id encodes arrival order in the

@@ -155,6 +155,41 @@ class DedupOpsSpec extends SparkSpec {
     assert(!got.contains(3L))
   }
 
+  test("substringDedup catches offset-shifted duplicates the passage grid misses") {
+    import graft.operators.DedupOps
+    val s = spark; import s.implicits._
+    // doc 2 contains doc 1's 8-token span at offset 3 — NOT a multiple
+    // of the passage size, so the non-overlapping passage grid of
+    // passageDedup slices it differently and sees no repeat, while the
+    // overlapping-window scan must flag every window inside the span
+    val span = Seq("p", "q", "r", "s", "t", "u", "v", "w")
+    val a = (span ++ Seq("one", "two", "three", "four", "five", "six",
+      "seven", "eight")).mkString(" ")
+    val b = (Seq("alpha", "beta", "gamma") ++ span ++ Seq("delta", "eps",
+      "zeta", "eta", "theta")).mkString(" ")
+    val clean = ("k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12 k13 k14 k15 k16")
+    val crafted = Seq((1L, a), (2L, b), (3L, clean)).toDF("doc_id", "text")
+    val pass = DedupOps.passageDedupMetrics(crafted).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pass.values.forall(_ === 0L), s"passage grid should miss the shift: $pass")
+    val sub = DedupOps.substringDedupMetrics(crafted).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5))))
+      .toMap
+    // 16-token docs have 9 windows; exactly ONE window (the span itself)
+    // repeats across docs 1 and 2; its 8 positions cover half the doc
+    assert(sub(1L) === ((16L, 9L, 1L, 0.5, 0)))
+    assert(sub(2L) === ((16L, 9L, 1L, 0.5, 0)))
+    assert(sub(3L) === ((16L, 9L, 0L, 0.0, 1)))
+    // corpus run: flagged docs exist and invariants hold
+    val corpus = DedupOps.substringDedup(spark, sf).collect()
+    assert(corpus.exists(_.getLong(3) > 0))
+    assert(corpus.forall { r =>
+      r.getLong(3) <= r.getLong(2) && r.getDouble(4) >= 0 && r.getDouble(4) <= 1 &&
+        (r.getInt(5) == 1) == (r.getDouble(4) <= 0.25)
+    })
+  }
+
   test("incrementalDedup: index(batch1) ∪ incremental(batch2) == full-corpus dedup; " +
       "index is probed, never re-shuffled") {
     import graft.operators.DedupOps

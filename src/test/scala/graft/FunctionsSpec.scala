@@ -69,6 +69,44 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("RollingWindowHashes: O(n) rolling equals per-window recompute; short arrays empty") {
+    val s = spark; import s.implicits._
+    val mod = 1000000007L
+    val base = 1000003
+    val k = 8
+    def naive(toks: Seq[String]): Seq[Long] = {
+      val vals = toks.map(t =>
+        graft.functions.RollingHash.hashBytes(t.getBytes("UTF-8"), 31, mod))
+      if (vals.length < k) Seq.empty
+      else (0 to vals.length - k).map { j =>
+        vals.slice(j, j + k).foldLeft(0L)((h, v) => (h * base + v) % mod)
+      }
+    }
+    val rows = (0 until 200).map { i =>
+      (i.toLong, (0 until (i % 23)).map(x => s"tok${(x * 7 + i) % 13}"))
+    }
+    val got = rows.toDF("id", "toks")
+      .select(col("id"),
+        graft.functions.RollingWindowHashes(col("toks"), k).as("whs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { case (id, toks) =>
+      assert(got(id) === naive(toks), s"id $id (${toks.length} tokens)")
+    }
+    // codegen vs interpreted agreement
+    val expr = graft.functions.RollingWindowHashes(col("toks"), k).as("whs")
+    val df = rows.toDF("id", "toks")
+    val withCodegen = df.select(expr).collect().map(_.getSeq[Long](0)).toSeq
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(df.select(expr).collect().map(_.getSeq[Long](0)).toSeq === withCodegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("BitmapIntersectCount equals the higher-order-function fold") {
     val s = spark; import s.implicits._
     val df = (0 until 500).map { i =>
