@@ -491,6 +491,51 @@ object SimilarityOps {
     probeIvfIndex(spark, name, spark.table(name + "_codebook"), e, nProbe = 2)
   }
 
+  /** Route NEW vectors to their cells under an existing epoch's OWN
+    * codebook sidecar — the assignment half of an index append. The
+    * codebook is read from the epoch, never retrained: an append must
+    * agree with the epoch it lands in, or probes would read a cell
+    * layout the routed vectors don't follow.
+    */
+  private[graft] def assignToIndexCells(spark: SparkSession, name: String,
+      vectors: DataFrame): DataFrame =
+    ivfRanked(vectors.select(col("vec_id"), col("embedding")),
+        spark.table(name + "_codebook"))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+
+  /** Append routed cell assignments into the epoch's bucketed table —
+    * same bucket spec as the build ([[ensureIvfTrainedIndex]]), so
+    * bucket pruning keeps holding over the union of build + appends.
+    */
+  private[graft] def appendToIvfIndex(name: String, cells: DataFrame): Unit =
+    cells.select(col("vec_id"), col("embedding"), col("cell"))
+      .write.format("parquet")
+      .bucketBy(IvfTrainedBuckets, "cell").sortBy("cell")
+      .mode("append").saveAsTable(name)
+
+  /** Probe any codebook-sidecar index family by name (the spec's
+    * entry point for stream-appended epochs; [[ivfTrainedTopK]] is the
+    * corpus-keyed production wrapper).
+    */
+  private[graft] def probeIndexWithCodebook(spark: SparkSession, name: String,
+      e: DataFrame, nProbe: Int = 2): DataFrame =
+    probeIvfIndex(spark, name, spark.table(name + "_codebook"), e, nProbe)
+
+  /** Build one epoch of a vector-index family from an explicit vector
+    * frame (codebook trained on the given corpus dir, assignments from
+    * `vectors`) — the build half the streaming append composes with.
+    */
+  private[graft] def buildVectorEpoch(spark: SparkSession, sfDir: String,
+      vectors: DataFrame)(name: String): Unit = {
+    val cb = trainedCodebook(spark, sfDir).localCheckpoint()
+    cb.write.format("parquet").mode("overwrite").saveAsTable(name + "_codebook")
+    val cells = ivfRanked(vectors.select(col("vec_id"), col("embedding")), cb)
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+    Layout.writeBucketed(cells, name, "cell", IvfTrainedBuckets)
+  }
+
   val ivfTopKSql: String =
     """WITH x AS (
       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,

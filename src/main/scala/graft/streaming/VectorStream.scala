@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{Layout, SimilarityOps}
+
+/** Streaming ANN index maintenance — the vector-side twin of
+  * [[DocStream.incrementalDedupStreamEpochs]]: newly arriving
+  * embeddings are routed to their IVF cells and appended into the
+  * PERSISTED epoch-versioned index, via `foreachBatch` (the escape
+  * hatch for read-then-append sink logic the declarative sinks can't
+  * express).
+  *
+  * Epoch semantics, same contract as the dedup family:
+  *  - each micro-batch resolves the family's CURRENT epoch before
+  *    routing — so a nightly retrain/rotation (or rollback) redirects
+  *    a long-running ingest stream to the new snapshot at the next
+  *    batch boundary, no restart;
+  *  - the batch routes under the resolved epoch's OWN codebook
+  *    sidecar ([[SimilarityOps.assignToIndexCells]]), never a
+  *    retrained one — an append must follow the cell layout of the
+  *    epoch it lands in;
+  *  - probes running concurrently keep reading whichever epoch THEY
+  *    resolved (probe-under-old-epoch): published epoch tables only
+  *    mutate by this stream's own bucket-spec-preserving appends, so
+  *    a probe's resolve-scan pair stays consistent, and bucket
+  *    pruning holds over build + appends alike.
+  *
+  * At 100 TB this is the vector-store ingest loop: the index grows by
+  * one narrow bucketed row per vector, the codebook stays a broadcast
+  * sidecar, and nothing ever re-scans or re-shuffles the existing
+  * index. VectorStreamSpec proves a stream-appended index answers
+  * probes IDENTICALLY to the same index built in one batch, and that
+  * appends follow the pointer across a rotation.
+  */
+object VectorStream {
+
+  /** `vectors` must carry (vec_id, embedding). The cells frame
+    * materializes (localCheckpoint) BEFORE the append so the read plan
+    * never lists files the write is adding.
+    */
+  def appendVectorsStream(vectors: DataFrame, base: String): StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val name = Layout.currentEpochTable(batch.sparkSession, base)
+          .getOrElse(sys.error(s"no published epoch for index family $base"))
+        val cells = SimilarityOps
+          .assignToIndexCells(batch.sparkSession, name, batch)
+          .localCheckpoint()
+        if (!cells.isEmpty) SimilarityOps.appendToIvfIndex(name, cells)
+        cells.unpersist()
+        ()
+      }
+      .start()
+}
