@@ -154,8 +154,13 @@ object CurationOps {
     * correctly-rounded in both engines; only the share/rate division
     * rides `round(·, 6)`.
     */
-  def mixturePlan(spark: SparkSession, sfDir: String): DataFrame = {
-    val perSrc = Tables.documentsFanned(spark, sfDir)
+  def mixturePlan(spark: SparkSession, sfDir: String): DataFrame =
+    mixturePlanFor(
+      Tables.documentsFanned(spark, sfDir).select(col("source"), col("text")))
+
+  /** Library core of [[mixturePlan]] for any (source, text) frame. */
+  def mixturePlanFor(docs: DataFrame): DataFrame = {
+    val perSrc = docs
       .select(col("source"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
       .groupBy(col("source"))
@@ -167,9 +172,14 @@ object CurationOps {
     perSrc.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(w / col("w_sum"), 6).as("share"),
-        round(least(lit(1.0),
-          lit(0.5) * col("tok_sum") * (w / col("w_sum"))
-            / col("n_tokens").cast("double")), 6).as("rate"))
+        // a zero-token source has nothing to sample: rate pins to 0
+        // rather than evaluating 0/0 (NaN in Spark, engine-dependent
+        // in the oracle — the one value the compare can't line up)
+        when(col("n_tokens") > 0,
+          round(least(lit(1.0),
+            lit(0.5) * col("tok_sum") * (w / col("w_sum"))
+              / col("n_tokens").cast("double")), 6))
+          .otherwise(lit(0.0)).as("rate"))
       .orderBy(col("source"))
   }
 
@@ -187,8 +197,10 @@ object CurationOps {
       |)
       |SELECT source, n_docs, n_tokens,
       |  ROUND(SQRT(CAST(n_tokens AS DOUBLE)) / w_sum, 6) AS share,
-      |  ROUND(LEAST(1.0, 0.5 * tok_sum * (SQRT(CAST(n_tokens AS DOUBLE)) / w_sum)
-      |    / CAST(n_tokens AS DOUBLE)), 6) AS rate
+      |  CASE WHEN n_tokens > 0 THEN
+      |    ROUND(LEAST(1.0, 0.5 * tok_sum * (SQRT(CAST(n_tokens AS DOUBLE)) / w_sum)
+      |      / CAST(n_tokens AS DOUBLE)), 6)
+      |  ELSE 0.0 END AS rate
       |FROM per_src CROSS JOIN tot
       |ORDER BY source""".stripMargin
 

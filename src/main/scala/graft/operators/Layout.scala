@@ -45,7 +45,11 @@ object Layout {
   private[graft] def tableLocation(spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
     if (spark.catalog.tableExists(table))
       new org.apache.hadoop.fs.Path(spark.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+        // PARSE the identifier: TableIdentifier(table) would treat a
+        // qualified "db.t" as one literal name in the current database
+        // and miss (or worse, later delete) the real table's location
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+        .location)
     else
       new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)

@@ -96,6 +96,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(byTok.head.getDouble(4) >= byTok.last.getDouble(4))
   }
 
+  test("mixturePlan: a zero-token source pins rate to 0 instead of 0/0") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      ("srcA", "some spark tokens here"), ("srcA", "more words arrive"),
+      ("srcB", "!!! ??? ..."), ("srcB", "")) // srcB tokenizes to NOTHING
+      .toDF("source", "text")
+    val got = CurationOps.mixturePlanFor(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("srcB")._1 === 0L)
+    assert(got("srcB")._3 === 0.0) // pinned — NaN would break the oracle compare
+    assert(got.values.forall(v => !v._2.isNaN && !v._3.isNaN))
+    assert(got("srcA")._3 > 0.0)
+  }
+
   test("chunkDocs: chunks reconstruct every document's token stream exactly") {
     import graft.operators.TextOps
     val overlap = CurationOps.ChunkMaxTokens - CurationOps.ChunkStride

@@ -5,6 +5,37 @@ import graft.operators.Layout
 
 class LayoutSpec extends SparkSpec {
 
+  test("corpusTag: sanitizer-colliding corpus dirs map to distinct tags") {
+    val a = "data/sf0.01"
+    val b = "data/sf0_01"
+    // the sanitized forms DO collide — only the raw-path hash separates
+    // them, so one corpus can never silently serve the other's index
+    assert(a.replaceAll("[^a-zA-Z0-9]", "_") === b.replaceAll("[^a-zA-Z0-9]", "_"))
+    assert(Layout.corpusTag(a) !== Layout.corpusTag(b))
+    // pin the format (String.hashCode is JVM-stable by spec): a tag
+    // change would orphan every persisted index family on disk
+    assert(Layout.corpusTag(a) === f"data_sf0_01_${a.hashCode & 0xFFFFFFFFL}%08x")
+  }
+
+  test("tableLocation resolves qualified tables from catalog metadata, not the warehouse") {
+    val db = "graft_layout_spec_db"
+    val dir = java.nio.file.Files.createTempDirectory("graft-db").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dir'")
+    try {
+      spark.sql(s"CREATE TABLE $db.loc_probe USING parquet AS SELECT 1 AS x")
+      val loc = Layout.tableLocation(spark, s"$db.loc_probe").toString
+      // the real location lives under the database's directory …
+      assert(loc.contains(new java.io.File(dir).getName),
+        s"$loc not under database location $dir")
+      // … and is NOT the derived default-warehouse guess, which is what
+      // clearStaleTableLocation would otherwise wrongly delete
+      val derived = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        s"$db.loc_probe".toLowerCase).toString
+      assert(loc !== derived)
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
   test("bucketed tables sort-merge-join with NO shuffle exchange") {
     // warehouse dir (static conf) is set by TestSpark at session build
     val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
