@@ -47,6 +47,7 @@ object Bench {
     "q_bpe_apply" -> 0.634, // r7 seed: train + row-local 50-merge apply
     "q_classifier_train" -> 5.543, // r7 seed: 25 sync GD iterations
     "q_substring_dedup" -> 1.206, // r7 seed: overlapping-window scan
+    "q_pq_topk" -> 1.281, // r7 seed: interpreted nested-HOF encode+ADC
     "q_unpivot_events" -> 0.376,
     "q_rolling_fingerprint" -> 0.229, "q_rollup_orders" -> 0.18,
     "q_running_totals" -> 0.168, "q_sample_stratified" -> 0.146,

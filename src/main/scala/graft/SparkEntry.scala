@@ -93,6 +93,7 @@ object SparkEntry {
     "q_ivf_persisted"     -> (SimilarityOps.ivfPersistedTopK _),
     "q_ivf_trained"       -> (SimilarityOps.ivfTrainedTopK _),
     "q_ivf_kmeans"        -> (SimilarityOps.ivfKmeans _),
+    "q_pq_topk"           -> (SimilarityOps.pqTopK _),
     "q_semantic_dedup"    -> (SimilarityOps.semanticDedup _),
     // §2b — multimodal columns
     "q_multimodal_meta"   -> (MultimodalOps.multimodalMeta _),
@@ -177,6 +178,7 @@ object SparkEntry {
     "q_ivf_persisted"     -> SimilarityOps.ivfTopKSql,
     "q_ivf_trained"       -> SimilarityOps.ivfTrainedTopKSql,
     "q_ivf_kmeans"        -> SimilarityOps.ivfKmeansSql,
+    "q_pq_topk"           -> SimilarityOps.pqTopKSql,
     "q_semantic_dedup"    -> SimilarityOps.semanticDedupSql,
     "q_multimodal_meta"   -> MultimodalOps.multimodalMetaSql,
     "q_multimodal_ann"    -> MultimodalOps.multimodalAnnSql,

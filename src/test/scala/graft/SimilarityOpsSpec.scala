@@ -146,6 +146,31 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("train more centroids"))
   }
 
+  test("pqTopK: exact-integer ADC distances; recall vs exact L2 at 21x compression") {
+    val rows = SimilarityOps.pqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === 10)
+    assert(rows.map(_._2).toSeq === rows.map(_._2).toSeq.sorted)
+    assert(!rows.map(_._1).contains(0L))
+    // driver-exact reference over the SAME integer-micro quantization
+    // (BigDecimal HALF_UP mirrors both engines' round(x*1e6))
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(f =>
+        java.math.BigDecimal.valueOf(f.toDouble * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue).toArray)
+      .toMap
+    val q = e(0L)
+    def l2(v: Array[Long]): Long =
+      v.zip(q).map { case (a, b) => val d = a - b; d * d }.sum
+    val exact20 = e.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (l2(v), id) }.sorted.take(20).map(_._2).toSet
+    val hits = rows.map(_._1).count(exact20)
+    // measured 6/10 on this corpus (near-uniform vectors — PQ's worst
+    // case); the floor guards the encode/ADC mechanics, not the data
+    assert(hits >= 5, s"ADC recalled only $hits of the exact top-20")
+  }
+
   test("ivfKmeans: k codebook rows, full dim, members pull centroids off seeds") {
     val c = SimilarityOps.ivfKmeans(spark, sf)
     assert(c.select("cid").distinct().count() === 8)
