@@ -1184,31 +1184,59 @@ object TextOps {
     repetitionMetrics(
       Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
 
-  /** Library core of [[repetitionFilter]] for any (doc_id, text) frame. */
+  /** Library core of [[repetitionFilter]] for any (doc_id, text) frame.
+    *
+    * Scale shape — fully ROW-LOCAL: every Gopher metric is a per-doc
+    * statistic, so nothing about it warrants a corpus shuffle. The
+    * n-gram multiplicities come from a sort + run-length fold over the
+    * doc's own gram array (max run = top gram count; total − singleton
+    * runs = repeated-gram mass) instead of the explode →
+    * groupBy(doc, gram) → re-agg → join chain an aggregation-shaped
+    * first draft used — that shape shuffled the corpus' entire gram
+    * stream TWICE and joined three times, for numbers each row already
+    * had locally. Exact integer counts either way, so the unchanged
+    * DuckDB oracle (which still groups) is the equivalence proof.
+    */
   def repetitionMetrics(docs: DataFrame): DataFrame = {
-    val base = docs
+    // sorted-run fold: returns struct(best = max multiplicity,
+    // singles = #values occurring exactly once)
+    def runStats(grams: Column): Column = {
+      val sorted = array_sort(grams)
+      aggregate(sorted,
+        struct(lit("").as("prev"), lit(0L).as("run"),
+          lit(0L).as("best"), lit(0L).as("singles")),
+        (acc, x) => {
+          val same = acc.getField("prev") === x
+          val run = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"),
+            (acc.getField("singles") +
+              when(!same && acc.getField("run") === 1L, 1L).otherwise(0L))
+              .as("singles"))
+        },
+        acc => struct(acc.getField("best").as("best"),
+          (acc.getField("singles") +
+            when(acc.getField("run") === 1L, 1L).otherwise(0L)).as("singles")))
+    }
+    def grams(n: Int): Column = expr(
+      s"transform(sequence(0, size(toks) - $n), i -> " +
+        (0 until n).map(k => s"toks[i + $k]").mkString("concat_ws(' ', ", ", ", ")") +
+        ")")
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
-      // one materialization feeds three downstream aggregations (the
-      // interpreted tokenize HOF would otherwise run 3x per doc)
-      .localCheckpoint()
-    val words = base.select(col("doc_id"),
-      size(col("toks")).cast("long").as("n_tokens"),
-      round(lit(1.0) -
-        size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6)
-        .as("dup_word_ratio"))
-    def gramCounts(n: Int): DataFrame = base
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(toks) - $n), i -> " +
-          (0 until n).map(k => s"toks[i + $k]").mkString("concat_ws(' ', ", ", ", ")") +
-          ")")).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-    val bi = gramCounts(2).groupBy(col("doc_id"))
-      .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_bigram_frac"))
-    val tri = gramCounts(3).groupBy(col("doc_id"))
-      .agg(round(coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).cast("double")
-        / sum(col("c")), 6).as("rep_trigram_frac"))
-    words.join(bi, Seq("doc_id")).join(tri, Seq("doc_id"))
+      .select(col("doc_id"), col("toks"),
+        runStats(grams(2)).as("bi"), runStats(grams(3)).as("tri"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round(lit(1.0) -
+          size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6)
+          .as("dup_word_ratio"),
+        round(col("bi.best").cast("double") /
+          (size(col("toks")) - 1).cast("double"), 6).as("top_bigram_frac"),
+        round((size(col("toks")).cast("long") - 2L - col("tri.singles"))
+          .cast("double") / (size(col("toks")) - 2).cast("double"), 6)
+          .as("rep_trigram_frac"))
       .withColumn("keep",
         (col("dup_word_ratio") <= 0.6 && col("top_bigram_frac") <= 0.2 &&
           col("rep_trigram_frac") <= 0.2).cast("int"))
