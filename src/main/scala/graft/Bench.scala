@@ -46,7 +46,7 @@ object Bench {
     "q_bpe_train" -> 0.364, // r7 delta-tier rebuild (was 0.577 batched)
     "q_bpe_apply" -> 0.634, // r7 seed: train + row-local 50-merge apply
     "q_classifier_train" -> 5.543, // r7 seed: 25 sync GD iterations
-    "q_substring_dedup" -> 1.206, // r7 seed: overlapping-window scan
+    "q_substring_dedup" -> 0.558, // r7 re-plan: 2-shuffle window+fold form
     "q_pq_topk" -> 1.281, // r7 seed: interpreted nested-HOF encode+ADC
     "q_unpivot_events" -> 0.376,
     "q_rolling_fingerprint" -> 0.229, "q_rollup_orders" -> 0.18,

@@ -154,15 +154,18 @@ object DedupOps {
     * the "fraction of the doc inside a duplicated substring" metric an
     * offset-shifted copy produces and a passage grid misses.
     *
-    * Scale shape — linear end to end, no pairwise stage anywhere: the
-    * window pass is one rolling scan per doc (the native expression's
-    * point: O(n), not O(n·k)); windows shuffle once on the hash for
-    * the duplicate count (map-side partials collapse within-doc
-    * repeats); coverage explodes only FLAGGED windows (k rows each,
-    * k constant) into a distinct-position count. Hashes are Rabin
-    * (mod 1e9+7) shared bit-for-bit with the oracle, so the ~1-in-1e9
-    * collision behavior is engine-identical; a production run swaps in
-    * a 128-bit hash at the same plan shape.
+    * Scale shape — linear end to end, no pairwise stage anywhere, and
+    * exactly TWO data shuffles: the window pass is one rolling scan
+    * per doc (the native expression's point: O(n), not O(n·k)); a
+    * count window over the hash marks duplicates in place (shuffle 1);
+    * ONE per-doc aggregation then folds window counts AND collects the
+    * flagged starts, whose position coverage is a row-local
+    * interval-union fold over the sorted starts (shuffle 2 — no
+    * position explode, no countDistinct, no join back to the docs:
+    * n_tokens rides the rows). Hashes are Rabin (mod 1e9+7) shared
+    * bit-for-bit with the oracle, so the ~1-in-1e9 collision behavior
+    * is engine-identical; a production run swaps in a 128-bit hash at
+    * the same plan shape.
     */
   def substringDedup(spark: SparkSession, sfDir: String): DataFrame =
     substringDedupMetrics(
@@ -170,35 +173,38 @@ object DedupOps {
 
   /** Library core of [[substringDedup]] for any (doc_id, text) frame. */
   def substringDedupMetrics(docs: DataFrame, k: Int = PassageTokens): DataFrame = {
-    val base = docs
+    val win = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         graft.functions.RollingWindowHashes(col("toks"), k).as("whs"))
-      .localCheckpoint() // feeds the window explode AND the per-doc frame
-    val win = base
-      .select(col("doc_id"), posexplode(col("whs")).as(Seq("j", "wh")))
-      .localCheckpoint() // feeds duplicate count, flags, and window counts
-    val dup = win.groupBy(col("wh"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col("wh"))
-    val flagged = win.join(dup, Seq("wh"), "left_semi").localCheckpoint()
-    val cov = flagged
-      .select(col("doc_id"),
-        explode(sequence(col("j"), col("j") + (k - 1))).as("pos"))
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("pos")).cast("long").as("n_cov"))
-    val nw = win.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
-    val nd = flagged.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
-    val covFrac = when(col("n_tokens") > 0,
-      round(coalesce(col("n_cov"), lit(0L)).cast("double")
-        / col("n_tokens").cast("double"), 6)).otherwise(lit(0.0))
-    base.select(col("doc_id"), col("n_tokens"))
-      .join(nw, Seq("doc_id"), "left")
-      .join(nd, Seq("doc_id"), "left")
-      .join(cov, Seq("doc_id"), "left")
+      // outer: a doc shorter than k tokens keeps its (null-window) row
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
-        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
-        covFrac.as("dup_cov"))
+        posexplode_outer(col("whs")).as(Seq("j", "wh")))
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("wh"))
+    val dupJ = when(col("wh").isNotNull && col("n_occ") > 1, col("j"))
+    // row-local union of the flagged [j, j+k) intervals over sorted starts
+    val covered = aggregate(col("starts"),
+      struct(lit(Long.MinValue).as("end"), lit(0L).as("cov")),
+      (acc, s) => {
+        val j = s.cast("long")
+        struct(
+          greatest(acc.getField("end"), j + k).as("end"),
+          (acc.getField("cov") + greatest(lit(0L),
+            j + k - greatest(j, acc.getField("end")))).as("cov"))
+      },
+      acc => acc.getField("cov"))
+    win
+      .withColumn("n_occ", count(lit(1)).over(byHash))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        count(col("wh")).as("n_windows"),
+        count(dupJ).as("n_dup_windows"),
+        sort_array(collect_list(dupJ)).as("starts"))
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        col("n_dup_windows"),
+        when(col("n_tokens") > 0,
+          round(covered.cast("double") / col("n_tokens").cast("double"), 6))
+          .otherwise(lit(0.0)).as("dup_cov"))
       .withColumn("keep", (col("dup_cov") <= 0.25).cast("int"))
       .orderBy(col("doc_id"))
   }
