@@ -35,7 +35,7 @@ object Bench {
     "q_multimodal_meta" -> 0.195,
     "q_neardup_groups" -> 2.725, "q_ngram_jaccard" -> 2.254,
     "q_outer_counts" -> 0.208, "q_pack_sequences" -> 0.472,
-    "q_passage_dedup" -> 0.35, "q_repetition_filter" -> 0.6, // r6 seed
+    "q_passage_dedup" -> 0.35, "q_repetition_filter" -> 0.285, // r7 row-local re-plan
 
     "q_pii_scrub" -> 0.136, "q_pivot_events" -> 0.218,
     "q_quality_score" -> 0.154, "q_range_join" -> 0.313,
@@ -44,10 +44,10 @@ object Bench {
     "q_tfidf_topterms" -> 0.768, "q_chunk_docs" -> 0.133,
     "q_bm25_topk" -> 0.527, "q_mixture_plan" -> 0.453,
     "q_bpe_train" -> 0.364, // r7 delta-tier rebuild (was 0.577 batched)
-    "q_bpe_apply" -> 0.634, // r7 seed: train + row-local 50-merge apply
-    "q_classifier_train" -> 5.543, // r7 seed: 25 sync GD iterations
-    "q_substring_dedup" -> 0.558, // r7 re-plan: 2-shuffle window+fold form
-    "q_pq_topk" -> 1.281, // r7 seed: interpreted nested-HOF encode+ADC
+    "q_bpe_apply" -> 0.372, // r7 seed: train + row-local 50-merge apply
+    "q_classifier_train" -> 5.238, // r7 seed: 25 sync GD iterations
+    "q_substring_dedup" -> 0.306, // r7 re-plan: 2-shuffle window+fold form
+    "q_pq_topk" -> 0.80, // r7 seed: interpreted nested-HOF encode+ADC
     "q_unpivot_events" -> 0.376,
     "q_rolling_fingerprint" -> 0.229, "q_rollup_orders" -> 0.18,
     "q_running_totals" -> 0.168, "q_sample_stratified" -> 0.146,
