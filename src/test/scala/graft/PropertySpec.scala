@@ -139,4 +139,97 @@ class PropertySpec extends SparkSpec {
         s"splitRecords mismatch on ${text.take(200)}")
     }
   }
+
+  test("bpeTrainLocal: delta-update trainer equals naive recount on random vocabularies") {
+    import graft.operators.TextOps
+    // naive recount reference (mirrors TextOpsSpec.seqBpe)
+    def naive(words: Seq[(String, Long)], iters: Int): Seq[(Long, String, String, Long)] = {
+      var state = words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      var it = 1; var done = false
+      while (it <= iters && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        for ((syms, f) <- state; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) += f
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), c) = counts.toSeq
+            .sortBy { case ((pl, pr), pc) => (-pc, pl, pr) }.head
+          out += ((it.toLong, l, r, c))
+          state = state.map { case (syms, f) =>
+            val nb = Vector.newBuilder[String]; var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                nb += l + r; i += 2
+              } else { nb += syms(i); i += 1 }
+            }
+            (nb.result(), f)
+          }
+          it += 1
+        }
+      }
+      out.toSeq
+    }
+    val wordGen = Gen.listOfN(40, Gen.zip(
+      Gen.listOfN(6, Gen.oneOf('a', 'b', 'c')).map(_.mkString),
+      Gen.chooseNum(1L, 9L)))
+    for (raw <- samples(wordGen, 10)) {
+      val vocab = raw.groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }.toSeq
+      assert(TextOps.bpeTrainLocal(vocab, 30) === naive(vocab, 30),
+        s"delta trainer diverged on ${vocab.take(5)}…")
+    }
+  }
+
+  test("bpeApplyFor: empty schedule is the identity segmentation; merges only shrink") {
+    import graft.operators.TextOps
+    val s = spark; import s.implicits._
+    val docGen = Gen.listOfN(8,
+      Gen.listOfN(5, Gen.oneOf("ab", "ba", "abc", "a", "bb")).map(_.mkString(" ")))
+    for (texts <- samples(docGen, 6)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val plain = TextOps.bpeApplyFor(docs, Nil).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // no merges → one symbol per character of each token
+      val expectChars = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split(" ").filter(_.nonEmpty).map(_.length.toLong).sum
+      }.toMap
+      plain.foreach { case (id, (_, nBpe)) => assert(nBpe === expectChars(id)) }
+      val merged = TextOps.bpeApplyFor(docs, Seq(("a", "b"), ("b", "b"))).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      merged.foreach { case (id, n) =>
+        assert(n <= plain(id)._2, s"doc $id grew under merges")
+        assert(n >= plain(id)._1, s"doc $id shrank below its word count")
+      }
+    }
+  }
+
+  test("substringDedupMetrics: duplicating any doc flags it fully; metrics bounded") {
+    import graft.operators.DedupOps
+    val s = spark; import s.implicits._
+    val docGen = Gen.listOfN(6,
+      Gen.listOfN(12, Gen.oneOf("tok1", "tok2", "tok3", "tok4", "x9"))
+        .map(_.mkString(" ")))
+    for (texts <- samples(docGen, 6)) {
+      val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // append an exact copy of doc 0 under a new id
+      val docs = (base :+ (100L, texts.head)).toDF("doc_id", "text")
+      val got = DedupOps.substringDedupMetrics(docs).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5))))
+        .toMap
+      got.values.foreach { case (nTok, nWin, nDup, cov, keep) =>
+        assert(nDup <= nWin && cov >= 0.0 && cov <= 1.0)
+        assert((keep == 1) === (cov <= 0.25))
+        assert(nWin === math.max(0L, nTok - 7L))
+      }
+      // the duplicated pair has EVERY window flagged and full coverage
+      Seq(0L, 100L).foreach { id =>
+        val (nTok, nWin, nDup, cov, keep) = got(id)
+        assert(nDup === nWin && nWin > 0, s"doc $id windows not all flagged")
+        assert(cov === 1.0 && keep === 0, s"doc $id not fully covered")
+      }
+    }
+  }
 }
