@@ -48,6 +48,7 @@ object Bench {
     "q_classifier_train" -> 5.238, // r7 seed: 25 sync GD iterations
     "q_substring_dedup" -> 0.306, // r7 re-plan: 2-shuffle window+fold form
     "q_pq_topk" -> 0.80, // r7 seed: interpreted nested-HOF encode+ADC
+    "q_pq_trained" -> 3.612, // r7 seed: 2 Lloyd iters + probe, join form
     "q_unpivot_events" -> 0.376,
     "q_rolling_fingerprint" -> 0.229, "q_rollup_orders" -> 0.18,
     "q_running_totals" -> 0.168, "q_sample_stratified" -> 0.146,

@@ -604,6 +604,174 @@ object SimilarityOps {
       |ORDER BY adc_dist, vec_id
       |LIMIT 10""".stripMargin
 
+  private[graft] val PqTrainIters = 2
+
+  /** TRAINED product quantization — the seed-codebook [[pqTopK]]'s
+    * production counterpart, mirroring how [[ivfTrainedTopK]] upgrades
+    * [[ivfPersistedTopK]]: per-subspace Lloyd's k-means over the
+    * integer-micro sub-vectors (assignment = exact BIGINT L2 argmin,
+    * ties by centroid id; update = per-(subspace, cell, dim) mean under
+    * an EXACT round-half-away-from-zero integer division — `(2s+n) div
+    * (2n)` on the positive magnitude, negated back — so both engines
+    * produce bit-identical centroids with no floating point anywhere;
+    * an emptied cell keeps its previous centroid), two unrolled
+    * iterations, then the same encode + ADC probe under the trained
+    * books. One oracle statement replays train → encode → probe, so
+    * the hash match covers the whole lifecycle.
+    *
+    * Scale shape: assignments run in the VECTORIZED join form — the
+    * long-format (vec, dim, value) components join the broadcast
+    * 4096-row codebook frame and hash-aggregate per (vector, subspace,
+    * cell), with the argmin as a codegen'd min over (dist·k + c)
+    * packed longs — because three full encode passes through the
+    * interpreted nested-HOF form measured 20× slower than the
+    * equivalent codegen'd aggregates (the HOF stays the right shape
+    * for the SINGLE pass of [[pqTopK]], where it buys a zero-shuffle
+    * plan; a native Catalyst expression like [[graft.functions
+    * .CosineSimilarity]] would be the production path for both).
+    * Per-iteration driver traffic is the 4096-row codebook, exactly
+    * like ivfKmeans — never O(corpus).
+    */
+  def pqTrainedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val (m, sub, k, topk) = (PqSubspaces, PqSubDim, PqCentroids, 10)
+    import spark.implicits._
+    val micros = transform(col("embedding"),
+      x => round(x.cast("double") * 1000000d).cast("long"))
+    val comps = Tables.embeddingsFanned(spark, sfDir)
+      .select(col("vec_id"), micros.as("q"))
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("i0", "v")))
+      .select(col("vec_id"), (col("i0") / sub).cast("int").as("j"),
+        col("i0"), col("v"))
+      .localCheckpoint() // read by every assignment pass
+    val cents = pqTrainBooks(spark, comps)
+    def centsDf(cs: Array[Array[Long]]): DataFrame =
+      cs.zipWithIndex.flatMap { case (vec, c) =>
+        vec.zipWithIndex.map { case (cv, i0) => (i0 / sub, c, i0, cv) }
+      }.toSeq.toDF("j", "c", "i0", "cv")
+    // trained-book distances per (vec, j, c) — shared by codes and dt
+    val dists = comps.join(broadcast(centsDf(cents)), Seq("j", "i0"))
+      .groupBy(col("vec_id"), col("j"), col("c"))
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
+      .localCheckpoint()
+    val codes = dists.filter(col("vec_id") =!= 0)
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(col("dist") * k + col("c")).as("key"))
+      .select(col("vec_id"), col("j"), (col("key") % k).cast("int").as("c"))
+    val dt = dists.filter(col("vec_id") === 0)
+      .select(col("j"), col("c"), col("dist").as("qdist"))
+    codes.join(broadcast(dt), Seq("j", "c"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qdist")).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(topk)
+  }
+
+  /** The training loop of [[pqTrainedTopK]], returning the trained
+    * sub-codebooks (also the spec's hook for the quantization-error
+    * witness). `comps` must carry (vec_id, j, i0, v) long-format
+    * integer-micro components.
+    */
+  private[graft] def pqTrainBooks(spark: SparkSession,
+      comps: DataFrame): Array[Array[Long]] = {
+    import spark.implicits._
+    val (m, sub, k) = (PqSubspaces, PqSubDim, PqCentroids)
+    // seed books: vectors 1..64's sub-vectors (pqTopK's convention)
+    val centRows = comps.filter(col("vec_id").between(1, k))
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    var cents: Array[Array[Long]] = {
+      val byVec = centRows.groupBy(_._1)
+      (1 to k).map { c =>
+        val vec = new Array[Long](m * sub)
+        byVec(c.toLong).foreach { case (_, i0, v) => vec(i0) = v }
+        vec
+      }.toArray
+    }
+    // exact round-half-away-from-zero of s/n in integers (mirrors the
+    // oracle's CASE formula; positive operands make div == floor)
+    def roundDiv(s: Long, n: Long): Long =
+      if (s >= 0) (2 * s + n) / (2 * n) else -((-2 * s + n) / (2 * n))
+    for (_ <- 1 to PqTrainIters) {
+      val centsDf = cents.zipWithIndex.flatMap { case (vec, c) =>
+        vec.zipWithIndex.map { case (cv, i0) => (i0 / sub, c, i0, cv) }
+      }.toSeq.toDF("j", "c", "i0", "cv")
+      val codes = comps.filter(col("vec_id") =!= 0)
+        .join(broadcast(centsDf), Seq("j", "i0"))
+        .groupBy(col("vec_id"), col("j"), col("c"))
+        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(min(col("dist") * k + col("c")).as("key"))
+        .select(col("vec_id"), col("j"), (col("key") % k).cast("int").as("c"))
+      // per-(dim, cell) exact sums over the training set; 4096-row
+      // collect = the codebook, not data
+      val sums = comps.filter(col("vec_id") =!= 0)
+        .join(codes, Seq("vec_id", "j"))
+        .groupBy(col("j"), col("c"), col("i0"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+          ((r.getLong(3), r.getLong(4)))).toMap
+      cents = Array.tabulate(k) { c =>
+        Array.tabulate(m * sub) { i0 =>
+          sums.get((i0 / sub, c, i0))
+            .map { case (s, n) => roundDiv(s, n) }
+            .getOrElse(cents(c)(i0)) // emptied cell keeps its centroid
+        }
+      }
+    }
+    cents
+  }
+
+  val pqTrainedTopKSql: String = {
+    def assign(prev: String, name: String): String =
+      s"""${name}_d AS MATERIALIZED (
+         |  SELECT x.vec_id, cb.j, cb.c,
+         |    SUM((x.v - cb.cv) * (x.v - cb.cv)) AS dist
+         |  FROM x JOIN $prev cb ON cb.i = x.i
+         |  GROUP BY 1, 2, 3
+         |), $name AS MATERIALIZED (
+         |  SELECT vec_id, j, c FROM (
+         |    SELECT vec_id, j, c,
+         |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+         |    FROM ${name}_d)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    def update(prevCb: String, asg: String, name: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT cb.j, cb.c, cb.i,
+         |    COALESCE(CASE WHEN u.s IS NULL THEN NULL
+         |      WHEN u.s >= 0 THEN (2 * u.s + u.n) // (2 * u.n)
+         |      ELSE -((-2 * u.s + u.n) // (2 * u.n)) END, cb.cv) AS cv
+         |  FROM $prevCb cb LEFT JOIN (
+         |    SELECT a.j, a.c, x.i, SUM(x.v) AS s, COUNT(*) AS n
+         |    FROM $asg a JOIN x ON x.vec_id = a.vec_id AND (x.i - 1) // 4 = a.j
+         |    WHERE a.vec_id <> 0
+         |    GROUP BY 1, 2, 3) u
+         |  ON u.j = cb.j AND u.c = cb.c AND u.i = cb.i
+         |)""".stripMargin
+    s"""WITH x AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), cb0 AS MATERIALIZED (
+       |  SELECT (i - 1) // 4 AS j, vec_id - 1 AS c, i, v AS cv
+       |  FROM x WHERE vec_id BETWEEN 1 AND 64
+       |), ${assign("cb0", "a1")},
+       |${update("cb0", "a1", "cb1")},
+       |${assign("cb1", "a2")},
+       |${update("cb1", "a2", "cb2")},
+       |${assign("cb2", "codes")},
+       |dt AS (
+       |  SELECT j, c, dist FROM codes_d WHERE vec_id = 0
+       |)
+       |SELECT codes.vec_id, CAST(SUM(dt.dist) AS BIGINT) AS adc_dist
+       |FROM codes JOIN dt ON codes.j = dt.j AND codes.c = dt.c
+       |WHERE codes.vec_id <> 0
+       |GROUP BY codes.vec_id
+       |ORDER BY adc_dist, vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   /** Route NEW vectors to their cells under an existing epoch's OWN
     * codebook sidecar — the assignment half of an index append. The
     * codebook is read from the epoch, never retrained: an append must
