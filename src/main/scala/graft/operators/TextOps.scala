@@ -199,10 +199,11 @@ object TextOps {
     *
     * Exactness: the link is the HARD sigmoid (0 below z = −2, 1 above
     * z = 2, (z+2)/4 between), which keeps every quantity in the loop
-    * an EXACT decimal — ×0.25 and the 1e−4 learning-rate multiplier
+    * an EXACT decimal — ×0.25 and the 5e−4 learning-rate multiplier
     * are exact decimal scalings, there is no division and no
-    * transcendental anywhere — so five unrolled batch-gradient
-    * iterations replay bit-identically in DuckDB (both engines ROUND
+    * transcendental anywhere — so [[TrainIters]] unrolled
+    * batch-gradient iterations replay bit-identically in DuckDB (both
+    * engines ROUND
     * half-away-from-zero to scale 6 at each weight update; the update
     * uses the raw gradient SUM with a small rate, so no 1/N division
     * exists to round differently; rate-per-corpus-size is the
@@ -751,7 +752,7 @@ object TextOps {
     * [[TextOpsSpec]]'s adversarial fixtures (which cross-check tier 1,
     * tier 2, and a naive recount reference against each other).
     */
-  private[graft] val BpeSep = "" // matches the oracle's chr(31)
+  private[graft] val BpeSep = "\u001f" // matches the oracle's chr(31)
   private[graft] val BpeTrainIters = 50
   private[graft] val BpeCandidatePool = 256
   private[graft] val MaxLocalBpeVocab = 2000000 // rows; ~tens of MB on the driver
@@ -767,14 +768,23 @@ object TextOps {
     * tier dispatch (see the scaladoc above). The `limit(bound + 1)`
     * probe keeps the tier check itself a single bounded job.
     */
-  def bpeTrainMergesFor(words: DataFrame, iters: Int = 3): DataFrame = {
-    val spark = words.sparkSession
+  def bpeTrainMergesFor(words: DataFrame, iters: Int = 3): DataFrame =
+    mergesDf(words.sparkSession, bpeTrainSchedule(words, iters))
+
+  /** The tier dispatch itself, returning the merge schedule as a
+    * driver value — shared by [[bpeTrainMergesFor]] and [[bpeApply]]
+    * so the two can never dispatch differently (and both maintain the
+    * [[bpeLastRounds]] witness).
+    */
+  private[graft] def bpeTrainSchedule(words: DataFrame,
+      iters: Int): Seq[(Long, String, String, Long)] = {
     val probe = words.limit(MaxLocalBpeVocab + 1).collect()
     if (probe.length <= MaxLocalBpeVocab) {
       bpeLastRounds = 1
-      mergesDf(spark, bpeTrainLocal(
-        probe.map(r => (r.getString(0), r.getLong(1))).toSeq, iters))
-    } else bpeTrainMergesDistributed(words, iters)
+      bpeTrainLocal(probe.map(r => (r.getString(0), r.getLong(1))).toSeq, iters)
+    } else bpeTrainMergesDistributed(words, iters).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
   }
 
   /** Tier-1 trainer: exact sequential BPE with incremental pair-count
@@ -1012,15 +1022,8 @@ object TextOps {
     val docs = Tables.documentsFanned(spark, sfDir)
     val words = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    val probe = words.limit(MaxLocalBpeVocab + 1).collect()
-    val merges =
-      (if (probe.length <= MaxLocalBpeVocab)
-        bpeTrainLocal(probe.map(r => (r.getString(0), r.getLong(1))).toSeq,
-          BpeTrainIters)
-      else bpeTrainMergesDistributed(words, BpeTrainIters).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
-        .toSeq)
-        .sortBy(_._1).map(t => (t._2, t._3))
+    val merges = bpeTrainSchedule(words, BpeTrainIters)
+      .sortBy(_._1).map(t => (t._2, t._3))
     bpeApplyFor(docs.select(col("doc_id"), col("text")), merges)
   }
 
