@@ -210,6 +210,31 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(!rows.map(_._1).contains(0L))
   }
 
+  test("exact training recurrences are partitioning-invariant (classifier + PQ)") {
+    // the exactness story of both trainers rests on order-independent
+    // integer/decimal aggregation — so re-running under a different
+    // shuffle width and parallelism must be BIT-identical, not close
+    def underPartitions[T](n: String)(body: => T): T = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try { spark.conf.set("spark.sql.shuffle.partitions", n); body }
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val ct1 = underPartitions("2")(
+      graft.operators.TextOps.classifierTrain(spark, sf).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq)
+    val ct2 = underPartitions("13")(
+      graft.operators.TextOps.classifierTrain(spark, sf).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq)
+    assert(ct1 === ct2, "classifier training depends on partitioning")
+    val pq1 = underPartitions("2")(
+      SimilarityOps.pqTrainedTopK(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    val pq2 = underPartitions("13")(
+      SimilarityOps.pqTrainedTopK(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(pq1 === pq2, "PQ training depends on partitioning")
+  }
+
   test("ivfKmeans: k codebook rows, full dim, members pull centroids off seeds") {
     val c = SimilarityOps.ivfKmeans(spark, sf)
     assert(c.select("cid").distinct().count() === 8)
