@@ -15,6 +15,7 @@ object Bench {
     "q_coerce_fill" -> 0.109, "q_count" -> 0.312,
     "q_curation_funnel" -> 5.418,
     "q_decontaminate" -> 1.455,
+    "q_decontaminate_fuzzy" -> 2.364, // r7 seed: banded vs-bench + verify
     "q_dedup_first" -> 0.528, "q_distinct_users" -> 0.154,
     "q_doc_dedup" -> 0.179, "q_doc_fingerprint" -> 0.17,
     "q_doc_quantiles" -> 0.172,

@@ -106,6 +106,7 @@ object SparkEntry {
     "q_mixture_plan"      -> (CurationOps.mixturePlan _),
     "q_pii_scrub"         -> (CurationOps.piiScrub _),
     "q_decontaminate"     -> (CurationOps.decontaminate _),
+    "q_decontaminate_fuzzy" -> (CurationOps.decontaminateFuzzy _),
     "q_curation_funnel"   -> (CurationPipeline.curationFunnel _),
   )
 
@@ -190,6 +191,7 @@ object SparkEntry {
     "q_mixture_plan"      -> CurationOps.mixturePlanSql,
     "q_pii_scrub"         -> CurationOps.piiScrubSql,
     "q_decontaminate"     -> CurationOps.decontaminateSql,
+    "q_decontaminate_fuzzy" -> CurationOps.decontaminateFuzzySql,
     "q_curation_funnel"   -> CurationPipeline.curationFunnelSql,
   )
 }

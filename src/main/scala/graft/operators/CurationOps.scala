@@ -315,6 +315,102 @@ object CurationOps {
       |SELECT DISTINCT c.doc_id FROM c JOIN b USING (sh)
       |ORDER BY doc_id""".stripMargin
 
+  /** FUZZY benchmark decontamination — the paraphrase-shaped leak the
+    * exact n-gram check ([[decontaminate]]) is blind to: a reworded
+    * benchmark item shares few verbatim 13-grams but keeps high
+    * shingle-set Jaccard. Corpus docs are flagged by MinHash-LSH
+    * banding AGAINST the benchmark side (not a self-join): a corpus
+    * doc is a candidate iff it shares a band bucket with some
+    * benchmark doc, then candidates verify with EXACT Jaccard ≥
+    * [[FuzzyDecontamJaccard]] and the survivors aggregate per corpus
+    * doc (match count + best Jaccard — the triage order a curation
+    * team works through, riskiest first).
+    * Benchmark set = the same deterministic doc_id ≡ 0 (mod 50) slice
+    * as the exact check, so the two operators gate the SAME leak
+    * surface two ways.
+    *
+    * Scale shape: the benchmark side is small by nature, so its band
+    * frame broadcasts and the corpus band stream never shuffles for
+    * candidate generation; verification reuses the adaptive
+    * bitmap/array-intersect machinery ([[DedupOps.verifyCandidatesExact]])
+    * on the candidate set only. Same banding expressions as the dedup
+    * family ([[DedupOps.minhashBands]]), so the LSH layer itself stays
+    * under the shared oracle.
+    */
+  private[graft] val FuzzyDecontamJaccard = 0.25 // triage net, not verdict
+
+  def decontaminateFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documentsFanned(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    decontaminateFuzzyMetrics(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0))
+  }
+
+  /** Library core of [[decontaminateFuzzy]] for any (doc_id, text)
+    * corpus/benchmark frame pair (ids must not overlap). The 0.25
+    * default is deliberately a TRIAGE threshold: at 0.5 shingle-Jaccard
+    * a match is near-verbatim (the exact n-gram check usually catches
+    * it too); 0.25 is where paraphrase-grade overlap lives, and the
+    * output ranks by max_jaccard so a human works the list down.
+    */
+  def decontaminateFuzzyMetrics(corpus: DataFrame, bench: DataFrame,
+      t: Double = FuzzyDecontamJaccard): DataFrame = {
+    val n = 5
+    val all = corpus.unionByName(bench)
+      .filter(length(col("text")) >= n)
+      .select(col("doc_id"), DedupOps.shingles(col("text"), n).as("sh"))
+      .localCheckpoint() // feeds banding AND verification
+    val bands = DedupOps.minhashBands(all)
+    val benchIds = bench.select(col("doc_id").as("bench_id"))
+    val cand = bands
+      .join(broadcast(benchIds),
+        col("doc_id") === col("bench_id"), "left_anti")
+      .join(bands.join(broadcast(benchIds), col("doc_id") === col("bench_id"),
+          "left_semi")
+          .select(col("doc_id").as("bench_doc"), col("bucket")),
+        Seq("bucket"))
+      .select(col("doc_id").as("doc_a"), col("bench_doc").as("doc_b"))
+      .distinct()
+    DedupOps.verifyCandidatesExact(cand, all, t)
+      .groupBy(col("doc_a"))
+      .agg(count(lit(1)).as("n_bench_matches"),
+        round(max(col("jaccard")), 6).as("max_jaccard"))
+      .select(col("doc_a").as("doc_id"), col("n_bench_matches"),
+        col("max_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateFuzzySql: String =
+    s"""WITH ${DedupOps.minhashBandCtes}, cand AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.bucket = r.bucket AND l.doc_id % 50 <> 0 AND r.doc_id % 50 = 0
+       |  GROUP BY 1, 2
+       |), sizes AS (
+       |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM docs
+       |), inter AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter
+       |  FROM cand c
+       |  JOIN docs a ON a.doc_id = c.doc_a
+       |  JOIN docs b ON b.doc_id = c.doc_b
+       |), verified AS (
+       |  SELECT i.doc_a,
+       |    CAST(i.n_inter AS DOUBLE)
+       |      / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS j
+       |  FROM inter i
+       |  JOIN sizes sa ON i.doc_a = sa.doc_id
+       |  JOIN sizes sb ON i.doc_b = sb.doc_id
+       |  WHERE CAST(i.n_inter AS DOUBLE)
+       |      / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.25
+       |)
+       |SELECT doc_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
+       |  ROUND(MAX(j), 6) AS max_jaccard
+       |FROM verified
+       |GROUP BY 1
+       |ORDER BY doc_id""".stripMargin
+
   /** RE2-safe PII patterns (no lookahead — Java regex and RE2 agree). */
   val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val longNumberPattern = "[0-9]{7,}"

@@ -1168,7 +1168,7 @@ object DedupOps {
     * by CTE list, not by string surgery on a complete statement (and so
     * declaration order carries no hidden init dependency).
     */
-  private val minhashBandCtes: String = {
+  private[graft] val minhashBandCtes: String = {
     val terms = (0 until 8).map(i =>
       s"list_min(list_transform(hs, h -> substring(h, ${1 + 8 * i}, 8))) AS h$i")
       .mkString(",\n      ")

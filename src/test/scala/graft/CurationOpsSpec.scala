@@ -96,6 +96,38 @@ class CurationOpsSpec extends SparkSpec {
     assert(byTok.head.getDouble(4) >= byTok.last.getDouble(4))
   }
 
+  test("decontaminateFuzzy catches a paraphrase the exact n-gram check is blind to") {
+    import graft.operators.DedupOps
+    val s = spark; import s.implicits._
+    val benchText =
+      "quicks browns jumped behind marble gardens humble catlike wonder painted"
+    // every adjacent word pair reordered: high 5-char-shingle overlap,
+    // but no 13-char run survives intact
+    val para =
+      "browns quicks behind jumped gardens marble catlike humble painted wonder"
+    val clean =
+      "entirely different content about streaming shuffle partitions and codegen"
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val corpus = Seq((1L, para), (2L, clean)).toDF("doc_id", "text")
+    // the EXACT decontamination signal (shared 13-char shingle) is zero
+    val b13 = bench.select(explode(DedupOps.shingles(col("text"), 13)).as("sh"))
+    val p13 = corpus.filter($"doc_id" === 1L)
+      .select(explode(DedupOps.shingles(col("text"), 13)).as("sh"))
+    assert(p13.join(b13, Seq("sh")).count() === 0,
+      "fixture broken: paraphrase shares a 13-char run with the benchmark")
+    // the fuzzy net flags exactly the paraphrase, ranked by Jaccard
+    val got = CurationOps.decontaminateFuzzyMetrics(corpus, bench).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq === Seq(1L), s"flagged ${got.toSeq}")
+    assert(got.head._2 === 1L)
+    assert(got.head._3 >= CurationOps.FuzzyDecontamJaccard)
+    // corpus-keyed run: triage-list invariants
+    val run = CurationOps.decontaminateFuzzy(spark, sf).collect()
+    assert(run.nonEmpty)
+    assert(run.forall(r =>
+      r.getDouble(2) >= CurationOps.FuzzyDecontamJaccard && r.getLong(1) >= 1L))
+  }
+
   test("mixturePlan: a zero-token source pins rate to 0 instead of 0/0") {
     val s = spark; import s.implicits._
     val docs = Seq(
