@@ -15,7 +15,7 @@ object Bench {
     "q_coerce_fill" -> 0.109, "q_count" -> 0.312,
     "q_curation_funnel" -> 5.418,
     "q_decontaminate" -> 1.455,
-    "q_decontaminate_fuzzy" -> 2.364, // r7 seed: banded vs-bench + verify
+    "q_decontaminate_fuzzy" -> 4.120, // r7 seed: 8x1-banded vs-bench + verify (recall-fixed; the 2.36 draft used the dedup family 4x2 bands = 23% recall at the triage threshold)
     "q_dedup_first" -> 0.528, "q_distinct_users" -> 0.154,
     "q_doc_dedup" -> 0.179, "q_doc_fingerprint" -> 0.17,
     "q_doc_quantiles" -> 0.172,

@@ -361,18 +361,32 @@ object CurationOps {
       .filter(length(col("text")) >= n)
       .select(col("doc_id"), DedupOps.shingles(col("text"), n).as("sh"))
       .localCheckpoint() // feeds banding AND verification
-    val bands = DedupOps.minhashBands(all)
+    // 8 bands × 1 row: the triage threshold sits far below the dedup
+    // family's J ≥ 0.5, and 4×2 banding only reaches ~23% recall at
+    // J = 0.25 — r = 1 lifts it to 1 − (1 − J)⁸ ≈ 0.90 there
+    val bands = DedupOps.minhashBandsWith(all, rowsPerBand = 1)
     val benchIds = bench.select(col("doc_id").as("bench_id"))
     val cand = bands
       .join(broadcast(benchIds),
         col("doc_id") === col("bench_id"), "left_anti")
-      .join(bands.join(broadcast(benchIds), col("doc_id") === col("bench_id"),
-          "left_semi")
-          .select(col("doc_id").as("bench_doc"), col("bucket")),
+      // the bench band frame is broadcast EXPLICITLY: the no-shuffle
+      // candidate-generation claim must hold by construction, not by
+      // hoping AQE converts a checkpoint-derived join
+      .join(broadcast(
+          bands.join(broadcast(benchIds), col("doc_id") === col("bench_id"),
+            "left_semi")
+            .select(col("doc_id").as("bench_doc"), col("bucket"))),
         Seq("bucket"))
       .select(col("doc_id").as("doc_a"), col("bench_doc").as("doc_b"))
       .distinct()
-    DedupOps.verifyCandidatesExact(cand, all, t)
+      .localCheckpoint() // read twice: the id restriction and the verify
+    // verification only ever touches candidate docs — restrict the
+    // shingle frame first so the vocab/bitmap build is candidate-sized,
+    // not corpus-sized
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val needed = all.join(candIds, Seq("doc_id"), "left_semi")
+    DedupOps.verifyCandidatesExact(cand, needed, t)
       .groupBy(col("doc_a"))
       .agg(count(lit(1)).as("n_bench_matches"),
         round(max(col("jaccard")), 6).as("max_jaccard"))
@@ -382,7 +396,7 @@ object CurationOps {
   }
 
   val decontaminateFuzzySql: String =
-    s"""WITH ${DedupOps.minhashBandCtes}, cand AS (
+    s"""WITH ${DedupOps.minhashBandCtesWith(1)}, cand AS (
        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r
        |    ON l.bucket = r.bucket AND l.doc_id % 50 <> 0 AND r.doc_id % 50 = 0
@@ -403,7 +417,7 @@ object CurationOps {
        |  JOIN sizes sa ON i.doc_a = sa.doc_id
        |  JOIN sizes sb ON i.doc_b = sb.doc_id
        |  WHERE CAST(i.n_inter AS DOUBLE)
-       |      / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.25
+       |      / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= $FuzzyDecontamJaccard
        |)
        |SELECT doc_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
        |  ROUND(MAX(j), 6) AS max_jaccard

@@ -809,9 +809,18 @@ object DedupOps {
     * the state [[minhashCandidates]] self-joins, and the frame
     * [[ensureMinhashIndex]] persists.
     */
-  def minhashBands(docs: DataFrame): DataFrame = {
+  def minhashBands(docs: DataFrame): DataFrame =
+    minhashBandsWith(docs, rowsPerBand = 2)
+
+  /** [[minhashBands]] with a chosen band width — the sensitivity knob:
+    * r rows per band over 8 hashes gives hit probability
+    * 1 − (1 − Jʳ)^(8/r), so r = 2 (4 bands) targets the dedup family's
+    * J ≥ 0.5 and r = 1 (8 bands) the fuzzy-decontamination triage net
+    * at J ≥ 0.25 (0.90 recall there, vs 0.23 under r = 2).
+    */
+  private[graft] def minhashBandsWith(docs: DataFrame,
+      rowsPerBand: Int): DataFrame = {
     val nHashes = 8
-    val rowsPerBand = 2
     // Row-level (NOT higher-order-function) hashing: HOF lambdas are
     // CodegenFallback in Spark, so md5-inside-transform runs interpreted.
     // explode → codegen'd md5 → groupBy(doc) with 8 min(substring)
@@ -1168,13 +1177,18 @@ object DedupOps {
     * by CTE list, not by string surgery on a complete statement (and so
     * declaration order carries no hidden init dependency).
     */
-  private[graft] val minhashBandCtes: String = {
+  private[graft] val minhashBandCtes: String = minhashBandCtesWith(2)
+
+  /** Oracle twin of [[minhashBandsWith]]: band CTEs at a chosen width. */
+  private[graft] def minhashBandCtesWith(rowsPerBand: Int): String = {
     val terms = (0 until 8).map(i =>
       s"list_min(list_transform(hs, h -> substring(h, ${1 + 8 * i}, 8))) AS h$i")
       .mkString(",\n      ")
-    val bandRows = (0 until 4).map(b =>
-      s"SELECT doc_id, md5('$b' || '|' || h${2 * b} || '|' || h${2 * b + 1}) AS bucket FROM sig")
-      .mkString("\n  UNION ALL\n  ")
+    val bandRows = (0 until 8 / rowsPerBand).map { b =>
+      val hs = (0 until rowsPerBand)
+        .map(r => s"h${b * rowsPerBand + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, md5('$b' || '|' || $hs) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
     s"""docs AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(
