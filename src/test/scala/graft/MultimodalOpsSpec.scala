@@ -177,6 +177,40 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(f(2L) !== stub)
   }
 
+  test("extractImageFeatures: GIF pixels decode through ImageIO (palette quantization tolerated)") {
+    val s = spark; import s.implicits._
+    // two flat gray levels — GIF's 256-color palette represents both
+    // exactly, so even a palette codec should round-trip them closely
+    val dark = encoded("gif", 8, 8)((_, _) => (40, 40, 40))
+    val light = encoded("gif", 8, 8)((_, _) => (220, 220, 220))
+    val df = Seq((1L, dark), (2L, light)).toDF("doc_id", "payload")
+    val f = MultimodalOps.extractImageFeatures(df, dim = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def lum(v: Int) = (v / 255.0f) * 2 - 1
+    f(1L).foreach(x => assert(math.abs(x - lum(40)) < 0.05f, s"dark gif sample $x"))
+    f(2L).foreach(x => assert(math.abs(x - lum(220)) < 0.05f, s"light gif sample $x"))
+  }
+
+  test("ImageHeader: every truncation of PNG/JPEG/GIF bytes parses or rejects, never throws") {
+    import graft.functions.ImageHeader
+    val fulls = Seq(
+      encoded("png", 9, 7)((x, y) => (x * 20, y * 30, 64)),
+      encoded("jpg", 11, 5)((x, _) => (x * 22, 0, 128)),
+      encoded("gif", 6, 4)((_, _) => (1, 2, 3)))
+    fulls.foreach { full =>
+      (0 to full.length).foreach { n =>
+        val info = ImageHeader.parse(full.take(n)) // must not throw
+        if (info != null) {
+          assert(info.width > 0 && info.height > 0)
+          // codec formats defer raster validation to the decode step,
+          // which must DEGRADE (null) on the truncated payload, not throw
+          if (info.codec)
+            ImageHeader.decodeGridFeatures(full.take(n), info, 4)
+        }
+      }
+    }
+  }
+
   test("sampleFrames emits every k-th frame index; zero-frame items emit none") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 10), (2L, 1), (3L, 0)).toDF("item", "n_frames")
