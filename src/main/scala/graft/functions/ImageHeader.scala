@@ -148,6 +148,7 @@ object ImageHeader {
       if ((b(i) & 0xff) != 0xff) return null
       var j = i
       while (j + 1 < b.length && (b(j + 1) & 0xff) == 0xff) j += 1 // fill bytes
+      if (j + 1 >= b.length) return null // all-0xFF tail: truncated, not thrown
       val marker = b(j + 1) & 0xff
       if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i = j + 2 // standalone
       else if (marker == 0xd9 || marker == 0xda) return null // EOI/SOS before any SOF

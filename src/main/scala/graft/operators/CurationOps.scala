@@ -171,10 +171,13 @@ object CurationOps {
     val w = sqrt(col("n_tokens").cast("double"))
     perSrc.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        round(w / col("w_sum"), 6).as("share"),
-        // a zero-token source has nothing to sample: rate pins to 0
-        // rather than evaluating 0/0 (NaN in Spark, engine-dependent
-        // in the oracle — the one value the compare can't line up)
+        // a zero-token source has nothing to sample: share and rate pin
+        // to 0 rather than evaluating 0/0 (NaN in Spark,
+        // engine-dependent in the oracle — the one value the compare
+        // can't line up). n_tokens > 0 implies w_sum > 0 (this source's
+        // own sqrt contributes), so one guard covers both divisions.
+        when(col("n_tokens") > 0, round(w / col("w_sum"), 6))
+          .otherwise(lit(0.0)).as("share"),
         when(col("n_tokens") > 0,
           round(least(lit(1.0),
             lit(0.5) * col("tok_sum") * (w / col("w_sum"))
@@ -196,7 +199,9 @@ object CurationOps {
       |  FROM per_src
       |)
       |SELECT source, n_docs, n_tokens,
-      |  ROUND(SQRT(CAST(n_tokens AS DOUBLE)) / w_sum, 6) AS share,
+      |  CASE WHEN n_tokens > 0 THEN
+      |    ROUND(SQRT(CAST(n_tokens AS DOUBLE)) / w_sum, 6)
+      |  ELSE 0.0 END AS share,
       |  CASE WHEN n_tokens > 0 THEN
       |    ROUND(LEAST(1.0, 0.5 * tok_sum * (SQRT(CAST(n_tokens AS DOUBLE)) / w_sum)
       |      / CAST(n_tokens AS DOUBLE)), 6)

@@ -141,6 +141,15 @@ class CurationOpsSpec extends SparkSpec {
     assert(got("srcB")._3 === 0.0) // pinned — NaN would break the oracle compare
     assert(got.values.forall(v => !v._2.isNaN && !v._3.isNaN))
     assert(got("srcA")._3 > 0.0)
+    // all-zero corpus: w_sum = 0, so share (not just rate) hits 0/0 — both
+    // must pin to 0 rather than NaN
+    val empty = CurationOps.mixturePlanFor(
+      Seq(("srcA", "..."), ("srcB", "")).toDF("source", "text")).collect()
+    assert(empty.length === 2)
+    empty.foreach { r =>
+      assert(r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0,
+        s"share/rate must pin to 0 for ${r.getString(0)}")
+    }
   }
 
   test("chunkDocs: chunks reconstruct every document's token stream exactly") {

@@ -209,6 +209,14 @@ class MultimodalOpsSpec extends SparkSpec {
         }
       }
     }
+    // adversarial (not reachable by truncating a real encode): SOI followed
+    // by only fill bytes — the fill-byte skip must hit end-of-buffer and
+    // reject, not read past it
+    (2 to 8).foreach { n =>
+      val allFF = Array.fill[Byte](n)(0xff.toByte)
+      allFF(1) = 0xd8.toByte
+      assert(ImageHeader.parse(allFF) == null)
+    }
   }
 
   test("sampleFrames emits every k-th frame index; zero-frame items emit none") {
