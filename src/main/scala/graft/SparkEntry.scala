@@ -95,6 +95,7 @@ object SparkEntry {
     "q_ivf_kmeans"        -> (SimilarityOps.ivfKmeans _),
     "q_pq_topk"           -> (SimilarityOps.pqTopK _),
     "q_pq_trained"        -> (SimilarityOps.pqTrainedTopK _),
+    "q_ivfpq_topk"        -> (SimilarityOps.ivfPqTopK _),
     "q_semantic_dedup"    -> (SimilarityOps.semanticDedup _),
     // §2b — multimodal columns
     "q_multimodal_meta"   -> (MultimodalOps.multimodalMeta _),
@@ -182,6 +183,7 @@ object SparkEntry {
     "q_ivf_kmeans"        -> SimilarityOps.ivfKmeansSql,
     "q_pq_topk"           -> SimilarityOps.pqTopKSql,
     "q_pq_trained"        -> SimilarityOps.pqTrainedTopKSql,
+    "q_ivfpq_topk"        -> SimilarityOps.ivfPqTopKSql,
     "q_semantic_dedup"    -> SimilarityOps.semanticDedupSql,
     "q_multimodal_meta"   -> MultimodalOps.multimodalMetaSql,
     "q_multimodal_ann"    -> MultimodalOps.multimodalAnnSql,

@@ -771,6 +771,223 @@ object SimilarityOps {
        |LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // IVF × PQ composed index (IVFADC — Jégou et al., TPAMI 2011 §IV)
+  // ---------------------------------------------------------------------
+
+  private[graft] val IvfPqCells = 16
+  private[graft] val IvfPqNProbe = 2
+  /** PQ books are seeded from the RESIDUALS of vectors 101..164 —
+    * disjoint from the coarse seeds (1..16), and residuals rather than
+    * raw vectors because that is what the books quantize. */
+  private[graft] val IvfPqBookSeedFrom = 101
+
+  private[graft] def ivfPqIndexName(sfDir: String): String =
+    "graft_ivfpq_idx_" + Layout.corpusTag(sfDir)
+
+  /** Build-once half of the COMPOSED IVF×PQ index — the shape that
+    * closes the last full-table-scan ANN path: [[ensureIvfIndex]]
+    * prunes cells but stores raw 256 B vectors, [[pqTopK]] compresses
+    * to 12 B codes but ADC-scans ALL of them; this index does both.
+    * Every vector routes to its coarse cell (exact integer-micro L2
+    * argmin over the 16-vector coarse codebook, ties by cid — the
+    * micro quantization and packed-long argmin of [[pqTrainedTopK]]),
+    * its RESIDUAL against that cell's centroid is PQ-encoded under
+    * books shared across cells (the Faiss IVFADC layout), and the
+    * (vec_id, cell, codes) rows persist BUCKETED BY CELL. Sidecars
+    * `_coarse` and `_books` version with the epoch like the trained-IVF
+    * codebook: a probe must never mix codebooks across epochs.
+    *
+    * At 100 TB this is the index that actually serves: storage is
+    * m bytes/vector instead of 4·dim, and a probe reads nprobe of
+    * [[IvfPqCells]] buckets of codes — cell pruning × 21× compression
+    * in one scan. Everything stays in exact BIGINT arithmetic
+    * (residuals of micros are micros), so the whole build→encode→probe
+    * lifecycle remains oracle-checkable — no FP anywhere.
+    *
+    * Scale shape of the build: one broadcast-join + hash-agg pass per
+    * stage (assignment, residuals, encode) over the long-format
+    * components — all map-side-combinable aggregates, no windows, no
+    * O(n²) anywhere; the only collects are the bounded codebook
+    * sidecars at probe time.
+    */
+  def ensureIvfPqIndex(spark: SparkSession, sfDir: String): String =
+    Layout.ensureEpochIndex(spark, ivfPqIndexName(sfDir),
+        sidecars = Seq("_coarse", "_books")) { name =>
+      val (sub, k, nc) = (PqSubDim, PqCentroids, IvfPqCells)
+      val micros = transform(col("embedding"),
+        x => round(x.cast("double") * 1000000d).cast("long"))
+      val comps = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), posexplode(micros).as(Seq("i0", "v")))
+        .localCheckpoint() // read by assignment, residual, and book stages
+      def assemble(df: DataFrame, id: Column, v: Column, out: String) =
+        df.groupBy(id.as("cid"))
+          .agg(array_sort(collect_list(struct(col("i0"), v.as("v")))).as("p"))
+          .select(col("cid"), transform(col("p"), s => s.getField("v")).as(out))
+      // coarse codebook sidecar: vectors 1..nc in exact micros
+      assemble(comps.filter(col("vec_id").between(1, nc)),
+          col("vec_id"), col("v"), "cemb")
+        .withColumnRenamed("cid", "cell")
+        .write.format("parquet").mode("overwrite").saveAsTable(name + "_coarse")
+      val coarseComps = comps.filter(col("vec_id").between(1, nc))
+        .select(col("vec_id").as("cell"), col("i0"), col("v").as("cv"))
+      // coarse assignment: exact integer L2, packed-long argmin
+      val cellOf = comps.join(broadcast(coarseComps), Seq("i0"))
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("dist") * nc + (col("cell") - 1)).as("key"))
+        .select(col("vec_id"), (col("key") % nc + 1).as("cell"))
+      // residual components: v − centroid(cell(v)), still exact micros
+      val rcomps = comps.join(cellOf, "vec_id")
+        .join(broadcast(coarseComps), Seq("cell", "i0"))
+        .select(col("vec_id"), col("cell"), col("i0"),
+          (col("v") - col("cv")).as("rv"))
+        .localCheckpoint() // read by the books sidecar and the encode
+      // books sidecar: residual sub-vectors of the seed range, shared
+      // across cells (the Faiss IVFADC convention)
+      val bookSrc = rcomps.filter(
+        col("vec_id").between(IvfPqBookSeedFrom, IvfPqBookSeedFrom + k - 1))
+      assemble(bookSrc, (col("vec_id") - IvfPqBookSeedFrom).as("c"),
+          col("rv"), "bemb")
+        .withColumnRenamed("cid", "c")
+        .write.format("parquet").mode("overwrite").saveAsTable(name + "_books")
+      val bookComps = bookSrc.select(
+        (col("vec_id") - IvfPqBookSeedFrom).as("c"), col("i0"),
+        col("rv").as("bv"))
+      // encode: per (vector, subspace) argmin over the k books
+      val codes = rcomps.join(broadcast(bookComps), Seq("i0"))
+        .groupBy(col("vec_id"), col("cell"),
+          (col("i0") / sub).cast("int").as("j"), col("c"))
+        .agg(sum((col("rv") - col("bv")) * (col("rv") - col("bv"))).as("dist"))
+        .groupBy(col("vec_id"), col("cell"), col("j"))
+        .agg(min(col("dist") * k + col("c")).as("key"))
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(array_sort(collect_list(struct(col("j"),
+          (col("key") % k).cast("int").as("c")))).as("p"))
+        .select(col("vec_id"), col("cell"),
+          transform(col("p"), s => s.getField("c")).as("codes"))
+      Layout.writeBucketed(codes, name, "cell", IvfPqCells)
+    }
+
+  /** Query-many half of the composed index: the query ranks cells on
+    * the driver from the 16-row `_coarse` sidecar (bounded small state,
+    * like every probe here), computes one ADC table PER PROBED CELL
+    * over its cell-specific query residual (the part plain PQ doesn't
+    * have), and answers from a bucket-pruned scan of the codes table:
+    * scan nprobe of [[IvfPqCells]] buckets → row-local m-lookup fold →
+    * TakeOrderedAndProject. Zero shuffle exchanges, zero raw vectors
+    * read, spec-asserted like [[ivfPersistedTopK]].
+    */
+  def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = ensureIvfPqIndex(spark, sfDir)
+    val (m, sub, k, topk) = (PqSubspaces, PqSubDim, PqCentroids, 10)
+    val coarse: Map[Long, Array[Long]] = spark.table(name + "_coarse")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val books: Array[Array[Long]] = spark.table(name + "_books")
+      .orderBy(col("c")).collect().map(_.getSeq[Long](1).toArray)
+    val q0: Array[Long] = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0)
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * 1000000d).cast("long")))
+      .head().getSeq[Long](0).toArray
+    // driver-side cell ranking: exact integer L2, ties by cell id
+    val probeCells: Seq[Long] = coarse.toSeq.map { case (cell, cemb) =>
+      (cemb.indices.map { i => val d = q0(i) - cemb(i); d * d }.sum, cell)
+    }.sorted.take(IvfPqNProbe).map(_._2)
+    // per-cell ADC tables over the cell-specific query residual
+    val dt: Map[Long, Seq[Seq[Long]]] = probeCells.map { cell =>
+      val cemb = coarse(cell)
+      val rq = Array.tabulate(q0.length)(i => q0(i) - cemb(i))
+      cell -> Seq.tabulate(m)(j => Seq.tabulate(k) { c =>
+        (0 until sub).map { i =>
+          val d = rq(j * sub + i) - books(c)(j * sub + i); d * d
+        }.sum
+      })
+    }.toMap
+    val dtLit = typedLit(dt)
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, j) =>
+      acc + element_at(element_at(element_at(dtLit, col("cell")), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+    spark.table(name)
+      .filter(col("cell").isin(probeCells.map(Long.box): _*) &&
+        col("vec_id") =!= 0)
+      .select(col("vec_id"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(topk)
+  }
+
+  /** One oracle statement replaying the COMPLETE IVFADC lifecycle —
+    * coarse assignment, residuals, book seeding, encode, cell-pruned
+    * probe with per-cell ADC tables — in the exact-BIGINT arithmetic of
+    * [[pqTopKSql]], so the hash match covers composition, not just the
+    * probe.
+    */
+  val ivfPqTopKSql: String =
+    s"""WITH x AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), coarse AS (
+       |  SELECT vec_id AS cell, i, v AS cv FROM x WHERE vec_id BETWEEN 1 AND $IvfPqCells
+       |), cd AS MATERIALIZED (
+       |  SELECT x.vec_id, c.cell, SUM((x.v - c.cv) * (x.v - c.cv)) AS dist
+       |  FROM x JOIN coarse c ON c.i = x.i
+       |  GROUP BY 1, 2
+       |), cells AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM cd)
+       |  WHERE rn = 1
+       |), r AS MATERIALIZED (
+       |  SELECT x.vec_id, cells.cell, x.i, x.v - c.cv AS rv
+       |  FROM x
+       |  JOIN cells ON cells.vec_id = x.vec_id
+       |  JOIN coarse c ON c.cell = cells.cell AND c.i = x.i
+       |), books AS (
+       |  SELECT vec_id - $IvfPqBookSeedFrom AS c, i, rv AS bv
+       |  FROM r WHERE vec_id BETWEEN $IvfPqBookSeedFrom AND ${IvfPqBookSeedFrom + PqCentroids - 1}
+       |), bd AS MATERIALIZED (
+       |  SELECT r.vec_id, (r.i - 1) // $PqSubDim AS j, b.c,
+       |    SUM((r.rv - b.bv) * (r.rv - b.bv)) AS dist
+       |  FROM r JOIN books b ON b.i = r.i
+       |  WHERE r.vec_id <> 0
+       |  GROUP BY 1, 2, 3
+       |), codes AS (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT vec_id, j, c,
+       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+       |    FROM bd)
+       |  WHERE rn = 1
+       |), probes AS (
+       |  SELECT cell FROM (
+       |    SELECT cell, row_number() OVER (ORDER BY dist, cell) AS rn
+       |    FROM cd WHERE vec_id = 0)
+       |  WHERE rn <= $IvfPqNProbe
+       |), qr AS (
+       |  -- the query's residual PER PROBED CELL (what plain PQ lacks)
+       |  SELECT p.cell, x.i, x.v - c.cv AS rv
+       |  FROM x
+       |  CROSS JOIN probes p
+       |  JOIN coarse c ON c.cell = p.cell AND c.i = x.i
+       |  WHERE x.vec_id = 0
+       |), dt AS (
+       |  SELECT qr.cell, (qr.i - 1) // $PqSubDim AS j, b.c,
+       |    SUM((qr.rv - b.bv) * (qr.rv - b.bv)) AS dist
+       |  FROM qr JOIN books b ON b.i = qr.i
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT codes.vec_id, CAST(SUM(dt.dist) AS BIGINT) AS adc_dist
+       |FROM codes
+       |JOIN cells ON cells.vec_id = codes.vec_id
+       |JOIN dt ON dt.cell = cells.cell AND dt.j = codes.j AND dt.c = codes.c
+       |WHERE codes.vec_id <> 0
+       |GROUP BY 1
+       |ORDER BY adc_dist, codes.vec_id
+       |LIMIT 10""".stripMargin
+
   /** Route NEW vectors to their cells under an existing epoch's OWN
     * codebook sidecar — the assignment half of an index append. The
     * codebook is read from the epoch, never retrained: an append must
