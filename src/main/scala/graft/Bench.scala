@@ -21,7 +21,8 @@ object Bench {
     "q_asof_join" -> 0.18,
     "q_bpe_tokens" -> 0.124, "q_client_txn_counts" -> 0.952,
     "q_coerce_fill" -> 0.109, "q_count" -> 0.312,
-    "q_curation_funnel" -> 5.418,
+    "q_curation_funnel" -> 1.305, // r8: near-dup stage probes the shingle index
+
     "q_decontaminate" -> 0.73, // r6 minimum (the old 1.455 floor predated it and masked drift); r8 adjudication: isolated 0.82 at HEAD vs 0.92 for the r6 commit re-benched the same session — the 1.82 in BENCH_r07 was host IO drift, not the b2487dd change
     "q_decontaminate_fuzzy" -> 4.120, // r7 seed: 8x1-banded vs-bench + verify (recall-fixed; the 2.36 draft used the dedup family 4x2 bands = 23% recall at the triage threshold)
     "q_dedup_first" -> 0.528, "q_distinct_users" -> 0.154,
@@ -29,7 +30,7 @@ object Bench {
     "q_doc_quantiles" -> 0.172,
     "q_doc_quantiles_approx" -> 0.185, // r6 isolated minima (2 runs)
     "q_embedding_neardup" -> 0.402, "q_embedding_neardup_lsh" -> 0.358,
-    "q_ensemble_groups" -> 5.326,
+    "q_ensemble_groups" -> 1.950, // r8: jaccard signal from the shingle index
     "q_embedding_stats" -> 0.298,
     "q_event_windows" -> 0.453, "q_except_users" -> 0.32,
     "q_high_txn_accounts" -> 0.985, "q_incremental_dedup" -> 0.436,
@@ -38,11 +39,15 @@ object Bench {
     "q_ivf_trained" -> 0.628, "q_ivf_topk" -> 0.445,
     "q_json_extract" -> 0.184, "q_knn_cosine" -> 0.185,
     "q_lang_id" -> 0.527, "q_lang_ngram" -> 0.691,
-    "q_minhash_lsh" -> 3.49, "q_minhash_persisted" -> 0.719,
-    "q_minhash_verified" -> 3.051,
+    // r8 shared-index re-plan: the whole minhash/jaccard family answers
+    // from the persisted band + shingle-bitmap indexes (same results,
+    // same oracles) — floors reset to the post-re-plan minima
+    "q_minhash_lsh" -> 0.678, "q_minhash_persisted" -> 0.638,
+    "q_minhash_verified" -> 1.064,
     "q_monthly_summary" -> 1.773, "q_multimodal_ann" -> 0.483,
     "q_multimodal_meta" -> 0.195,
-    "q_neardup_groups" -> 2.725, "q_ngram_jaccard" -> 2.254,
+    "q_neardup_groups" -> 0.686, // r8: pairs from the shingle index
+    "q_ngram_jaccard" -> 0.370,  // r8: all-pairs BNLJ over stored bitmaps
     "q_outer_counts" -> 0.208, "q_pack_sequences" -> 0.472,
     "q_passage_dedup" -> 0.742, // r7 skew-safe re-plan: map-side-combined agg + co-partitioned join-back (the faster count-window form funnels viral passages into one task; the 0.35 floor was the r6 checkpoint form on a faster host state)
     "q_repetition_filter" -> 0.285, // r7 row-local re-plan

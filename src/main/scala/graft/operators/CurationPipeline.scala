@@ -39,11 +39,15 @@ object CurationPipeline {
     val exactKept = raw.join(
       DedupOps.exactDedupSurvivorIds(raw), Seq("doc_id"), "left_semi")
 
-    // 2. near-dup resolution among exact survivors: adaptive exact-
-    //    Jaccard pairs → connected components → keep group roots
-    val sh = exactKept.filter(length(col("text")) >= 5)
-      .select(col("doc_id"), DedupOps.shingles(col("text"), 5).as("sh"))
-    val pairs = DedupOps.jaccardNearDupPairs(sh, 0.5).select(col("doc_a"), col("doc_b"))
+    // 2. near-dup resolution among exact survivors: exact-Jaccard pairs
+    //    (persisted shingle-index bitmaps semi-joined to the survivors —
+    //    identical pairs, Jaccard doesn't depend on the dropped docs) →
+    //    connected components → keep group roots
+    val pairs = DedupOps.jaccardPairsIndexedAmong(
+        spark, sfDir, exactKept.select(col("doc_id")), 0.5) {
+      exactKept.filter(length(col("text")) >= 5)
+        .select(col("doc_id"), DedupOps.shingles(col("text"), 5).as("sh"))
+    }.select(col("doc_a"), col("doc_b"))
     val roots = DedupOps.connectedComponents(exactKept.select(col("doc_id")), pairs)
       .filter(col("doc_id") === col("group_id"))
       .select(col("doc_id"))

@@ -418,4 +418,42 @@ class DedupOpsSpec extends SparkSpec {
       .filter(col("g_a") =!= col("g_b"))
     assert(crossGroup.count() === 0)
   }
+
+  test("persisted shingle index: identical pairs to in-flight, also on subsets") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    try {
+      val inFlight = DedupOps
+        .jaccardNearDupPairs(DedupOps.shingledDocs(spark, sf), 0.5)
+        .collect().map(key).toSet
+      val indexed = DedupOps.jaccardPairsIndexed(spark, sf, 0.5)
+        .collect().map(key).toSet
+      assert(indexed === inFlight)
+      assert(indexed.nonEmpty)
+      // subset probe: full-vocab bitmaps semi-joined to even doc_ids must
+      // equal the in-flight run over the even subcorpus — Jaccard between
+      // two docs does not depend on which other docs exist
+      val evenIds = Tables.documents(spark, sf)
+        .select(col("doc_id")).filter(col("doc_id") % 2 === 0)
+      val amongEven = DedupOps.jaccardPairsIndexedAmong(spark, sf, evenIds, 0.5) {
+        sys.error("gate passed at test scale; fallback must not run")
+      }.collect().map(key).toSet
+      val inFlightEven = DedupOps.jaccardNearDupPairs(
+          DedupOps.shingledDocs(spark, sf).filter(col("doc_id") % 2 === 0), 0.5)
+        .collect().map(key).toSet
+      assert(amongEven === inFlightEven)
+      // verification against the index ≡ in-flight verification
+      val cand = DedupOps.minhashLsh(spark, sf).select(col("doc_a"), col("doc_b"))
+      val vIdx = DedupOps.verifyCandidatesIndexed(spark, sf, cand, 0.5)
+        .collect().map(key).toSet
+      val vFlight = DedupOps.verifyCandidatesExact(
+          cand, DedupOps.shingledDocs(spark, sf), 0.5)
+        .collect().map(key).toSet
+      assert(vIdx === vFlight)
+    } finally {
+      graft.operators.Layout.dropEpochFamily(spark,
+        DedupOps.shingleIndexName(sf), sidecars = Seq("_vocab"))
+      graft.operators.Layout.dropEpochFamily(spark, DedupOps.minhashIndexName(sf))
+    }
+  }
 }
