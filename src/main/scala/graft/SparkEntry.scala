@@ -96,6 +96,8 @@ object SparkEntry {
     "q_pq_topk"           -> (SimilarityOps.pqTopK _),
     "q_pq_trained"        -> (SimilarityOps.pqTrainedTopK _),
     "q_ivfpq_topk"        -> (SimilarityOps.ivfPqTopK _),
+    "q_image_neardup"     -> (MultimodalOps.imageNearDup _),
+    "q_phash_neardup"     -> (MultimodalOps.phashNearDup _),
     "q_semantic_dedup"    -> (SimilarityOps.semanticDedup _),
     // §2b — multimodal columns
     "q_multimodal_meta"   -> (MultimodalOps.multimodalMeta _),
@@ -184,6 +186,8 @@ object SparkEntry {
     "q_pq_topk"           -> SimilarityOps.pqTopKSql,
     "q_pq_trained"        -> SimilarityOps.pqTrainedTopKSql,
     "q_ivfpq_topk"        -> SimilarityOps.ivfPqTopKSql,
+    "q_image_neardup"     -> MultimodalOps.imageNearDupSql,
+    "q_phash_neardup"     -> MultimodalOps.phashNearDupSql,
     "q_semantic_dedup"    -> SimilarityOps.semanticDedupSql,
     "q_multimodal_meta"   -> MultimodalOps.multimodalMetaSql,
     "q_multimodal_ann"    -> MultimodalOps.multimodalAnnSql,

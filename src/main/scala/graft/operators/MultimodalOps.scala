@@ -221,6 +221,223 @@ object MultimodalOps {
       .orderBy(col("item_a"), col("item_b"))
   }
 
+  // ---------------------------------------------------------------------
+  // Real-decode image ANN + perceptual-hash dedup (oracle-gated)
+  // ---------------------------------------------------------------------
+
+  private[graft] val ImgTemplates = 50
+
+  /** One deterministic synthetic PNG per doc_id: linear RGB gradients
+    * keyed by template `doc_id % 50`, with a left-edge brightness band
+    * whose width varies by `(doc_id / 50) % 4` — so documents sharing a
+    * template are genuine near-dups (high feature cosine, small dHash
+    * hamming) and cross-template pairs are not. Pixels are a CLOSED
+    * FORM of (doc_id, x, y), which is what lets the DuckDB oracle
+    * re-derive every raster value without a codec while the Spark side
+    * goes through a REAL `ImageIO` PNG encode → [[graft.functions
+    * .ImageHeader]] parse → `ImageIO` pixel decode round-trip (PNG is
+    * lossless, so both sides see identical rasters). Dimensions vary
+    * per doc (24..28 × 24..30) to exercise the grid resampling.
+    */
+  private[graft] def syntheticPng(id: Long): Array[Byte] = {
+    val w = 24 + (id % 5).toInt; val h = 24 + (id % 7).toInt
+    val t = (id % ImgTemplates).toInt
+    val v = ((id / ImgTemplates) % 4).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        def boost(c: Int) = if (v > 0 && x < 2 * v) math.min(255, c + 40) else c
+        val r = boost((x * 7 + y * 11 + t * 37) % 256)
+        val g = boost((x * 13 + y * 3 + t * 59) % 256)
+        val b = boost((x * 5 + y * 17 + t * 83) % 256)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The synthetic PNG corpus as a payload frame — encoder runs
+    * partition-local like any decode ([[extractImageFeatures]] shape).
+    */
+  private[graft] def syntheticImages(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documentsFanned(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticPng(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Decoded luminance-grid features of the synthetic corpus — the
+    * REAL-pixel path ([[extractImageFeatures]] → ImageIO decode →
+    * BT.601 grid), never the stub: any payload falling back to the md5
+    * stub would hash-mismatch the oracle, so the gate itself proves
+    * every PNG took the real decode.
+    */
+  private def imageFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    extractImageFeatures(syntheticImages(spark, sfDir), 64)
+
+  /** [[multimodalAnn]] with REAL decoded pixels: synthetic PNGs →
+    * `ImageIO` decode → luminance-grid features → sign-LSH buckets →
+    * bucket-local pairwise cosine ≥ 0.9. Same one-shuffle scale shape
+    * as [[multimodalAnn]]; what's new is that the oracle now gates the
+    * actual codec path (it recomputes the grid from the closed-form
+    * raster and a 256-entry exact float lookup), closing the round-7
+    * gap where only stub features were ever oracle-checked.
+    */
+  def imageNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = 64; val nPlanes = 8
+    val feats = imageFeatures(spark, sfDir)
+      .select(col("item_id"), col("feature"),
+        SimilarityOps.annBucket(col("feature"), nPlanes, dim).as("bucket"))
+      .localCheckpoint()
+    val a = feats.as("a"); val b = feats.as("b")
+    a.join(b,
+        col("a.bucket") === col("b.bucket") && col("a.item_id") < col("b.item_id"))
+      .select(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"),
+        round(SimilarityOps.cosine(col("a.feature"), col("b.feature")), 4).as("score"))
+      .filter(col("score") >= 0.9)
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
+  /** Perceptual-hash near-dup — the image counterpart of document
+    * SimHash dedup, and the operator a 100 TB image corpus actually
+    * runs (dHash over the decoded luminance grid): bit (y·7+x) of the
+    * 56-bit hash is `grid[y][x+1] > grid[y][x]` (row-wise gradient
+    * sign — invariant to uniform brightness), banded into 4×14-bit
+    * buckets for candidate generation exactly like
+    * [[DedupOps.simhashNearDup]]. Banding is LOSSLESS for the
+    * hamming ≤ 3 output: 4 disjoint bands can't all contain one of ≤3
+    * differing bits (pigeonhole; spec-asserted against brute force).
+    * Scale shape: hashing is row-local on decoded features, the only
+    * shuffle is the band-bucket join, and verification touches
+    * candidates only.
+    */
+  def phashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = imageFeatures(spark, sfDir)
+    val dh = feats.select(col("item_id").as("doc_id"),
+      aggregate(sequence(lit(0), lit(55)), lit(0L), (acc, i) => {
+        val y = (i.cast("double") / 7).cast("int")
+        val left = y * 8 + (i % 7) + 1 // 1-based element_at
+        acc * 2 + when(
+          element_at(col("feature"), left + 1) >
+            element_at(col("feature"), left), lit(1L)).otherwise(lit(0L))
+      }).as("dh"))
+      .localCheckpoint() // band explode + pair join both read it
+    val bands = dh.select(col("doc_id"), col("dh"),
+      explode(array((0 to 3).map(b => struct(lit(b).as("b"),
+        shiftright(col("dh"), 14 * b).bitwiseAND(lit(16383L)).as("bv"))): _*)).as("bd"))
+      .select(col("doc_id"), col("dh"), col("bd.b").as("b"), col("bd.bv").as("bv"))
+    val l = bands.as("l"); val r = bands.as("r")
+    l.join(r, col("l.b") === col("r.b") && col("l.bv") === col("r.bv") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.dh").as("ha"), col("r.dh").as("hb"))
+      .distinct() // a pair colliding in several bands counts once
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Shared oracle CTE chain re-deriving the decoded luminance grid
+    * WITHOUT a codec: closed-form raster (the [[syntheticPng]] formula),
+    * the [[graft.functions.ImageHeader.decodeGridFeatures]] sampling
+    * (nearest pixel at `min(w-1, (gx·w + w/2) / 8)`), BT.601 integer
+    * luminance, then the exact float feature via a 256-entry lookup of
+    * `(lum/255f)·2f − 1f` values computed by THIS Scala code — the two
+    * engines share bit-identical features by construction. Ends in
+    * `x(doc_id, i, v)` (1-based component index, double-widened value).
+    */
+  private val imageFeatureCtes: String = {
+    val lut = (0 until 256).map { l =>
+      val f = (l / 255.0f) * 2.0f - 1.0f
+      s"($l, ${BigDecimal(f.toDouble).bigDecimal.toPlainString})"
+    }.mkString(", ")
+    s"""params AS (
+       |  SELECT doc_id, 24 + (doc_id % 5) AS w, 24 + (doc_id % 7) AS h,
+       |         doc_id % $ImgTemplates AS t, (doc_id // $ImgTemplates) % 4 AS v
+       |  FROM documents
+       |), grid AS (
+       |  SELECT doc_id, k, t, v,
+       |    LEAST(w - 1, ((k % 8) * w + w // 2) // 8) AS gx,
+       |    LEAST(h - 1, ((k // 8) * h + h // 2) // 8) AS gy
+       |  FROM params, generate_series(0, 63) AS g(k)
+       |), px AS (
+       |  SELECT doc_id, k,
+       |    CASE WHEN v > 0 AND gx < 2*v THEN LEAST(255, (gx*7 + gy*11 + t*37) % 256 + 40)
+       |         ELSE (gx*7 + gy*11 + t*37) % 256 END AS r,
+       |    CASE WHEN v > 0 AND gx < 2*v THEN LEAST(255, (gx*13 + gy*3 + t*59) % 256 + 40)
+       |         ELSE (gx*13 + gy*3 + t*59) % 256 END AS g,
+       |    CASE WHEN v > 0 AND gx < 2*v THEN LEAST(255, (gx*5 + gy*17 + t*83) % 256 + 40)
+       |         ELSE (gx*5 + gy*17 + t*83) % 256 END AS b
+       |  FROM grid
+       |), lg AS (
+       |  SELECT doc_id, k, (r*299 + g*587 + b*114) // 1000 AS l FROM px
+       |), lut(l, vf) AS (VALUES $lut),
+       |x AS (
+       |  SELECT doc_id, k + 1 AS i, CAST(lut.vf AS DOUBLE) AS v
+       |  FROM lg JOIN lut USING (l)
+       |)""".stripMargin
+  }
+
+  val imageNearDupSql: String = {
+    val planeRows = (0 until 8).map { p =>
+      s"($p, [${SimilarityOps.planeWeights(p, 64).map(w => if (w > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""WITH $imageFeatureCtes, planes(p, w) AS (VALUES
+       |  $planeRows
+       |), bkt AS (
+       |  SELECT doc_id,
+       |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+       |  FROM (
+       |    SELECT x.doc_id, planes.p, SUM(x.v * planes.w[x.i]) AS s
+       |    FROM x, planes GROUP BY x.doc_id, planes.p)
+       |  GROUP BY doc_id
+       |), pr AS (
+       |  SELECT l.doc_id AS item_a, r.doc_id AS item_b
+       |  FROM bkt l JOIN bkt r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |), s AS (
+       |  SELECT pr.item_a, pr.item_b,
+       |    ROUND(SUM(xa.v*xb.v) / (SQRT(SUM(xa.v*xa.v)) * SQRT(SUM(xb.v*xb.v))), 4) AS score
+       |  FROM pr
+       |  JOIN x xa ON xa.doc_id = pr.item_a
+       |  JOIN x xb ON xb.doc_id = pr.item_b AND xb.i = xa.i
+       |  GROUP BY 1, 2
+       |)
+       |SELECT item_a, item_b, score FROM s
+       |WHERE score >= 0.9
+       |ORDER BY item_a, item_b""".stripMargin
+  }
+
+  val phashNearDupSql: String =
+    s"""WITH $imageFeatureCtes, hash AS (
+       |  SELECT x1.doc_id,
+       |    CAST(SUM(CASE WHEN x2.v > x1.v THEN CAST(POW(2, 55 - s.i) AS BIGINT)
+       |             ELSE 0 END) AS BIGINT) AS dh
+       |  FROM generate_series(0, 55) s(i)
+       |  JOIN x x1 ON x1.i = (s.i // 7) * 8 + (s.i % 7) + 1
+       |  JOIN x x2 ON x2.doc_id = x1.doc_id AND x2.i = x1.i + 1
+       |  GROUP BY 1
+       |), bands AS (
+       |  SELECT doc_id, dh, b.b, (dh >> (14 * b.b)) & 16383 AS bv
+       |  FROM hash, generate_series(0, 3) b(b)
+       |), cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |    l.dh AS ha, r.dh AS hb
+       |  FROM bands l JOIN bands r
+       |    ON l.b = r.b AND l.bv = r.bv AND l.doc_id < r.doc_id
+       |)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(ha, hb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val multimodalAnnSql: String = {
     val planeRows = (0 until 8).map { p =>
       s"($p, [${SimilarityOps.planeWeights(p, 64).map(w => if (w > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"

@@ -219,6 +219,53 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("imageNearDup: every synthetic PNG takes the REAL decode path, pairs are template near-dups") {
+    import graft.functions.ImageHeader
+    // every payload must parse as PNG and ImageIO-decode — any stub
+    // fallback would also hash-mismatch the oracle, but fail loudly here
+    val payloads = MultimodalOps.syntheticImages(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    assert(payloads.length === Tables.documents(spark, sf).count())
+    payloads.foreach { case (id, bytes) =>
+      val info = ImageHeader.parse(bytes)
+      assert(info != null && info.format == "png", s"doc $id not a parseable PNG")
+      assert(ImageHeader.decodeGridFeatures(bytes, info, 64) != null,
+        s"doc $id failed the ImageIO decode")
+    }
+    val pairs = MultimodalOps.imageNearDup(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    // with the 0.9 floor, surviving pairs share their generator template
+    pairs.foreach { r =>
+      assert(r.getLong(0) % MultimodalOps.ImgTemplates ===
+        r.getLong(1) % MultimodalOps.ImgTemplates,
+        s"cross-template pair ${r.getLong(0)},${r.getLong(1)}")
+      assert(r.getDouble(2) >= 0.9)
+    }
+  }
+
+  test("phashNearDup: banding is lossless vs brute-force hamming <= 3") {
+    val banded = MultimodalOps.phashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded.nonEmpty)
+    assert(banded.forall(_._3 <= 3))
+    // brute force over the same 56-bit dHashes (pigeonhole: <=3 differing
+    // bits cannot hit all 4 disjoint 14-bit bands)
+    val feats = MultimodalOps.extractImageFeatures(
+        MultimodalOps.syntheticImages(spark, sf), 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def dhash(f: Seq[Float]): Long =
+      (0 until 56).foldLeft(0L) { (acc, i) =>
+        val left = (i / 7) * 8 + (i % 7)
+        acc * 2 + (if (f(left + 1) > f(left)) 1L else 0L)
+      }
+    val hs = feats.map { case (id, f) => id -> dhash(f) }
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      hm = java.lang.Long.bitCount(ha ^ hb) if hm <= 3
+    } yield (a, b, hm.toLong)).toSet
+    assert(banded === brute)
+  }
+
   test("sampleFrames emits every k-th frame index; zero-frame items emit none") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 10), (2L, 1), (3L, 0)).toDF("item", "n_frames")
