@@ -17,7 +17,7 @@ object Bench {
     */
   private[graft] val refMin: Map[String, Double] = Map(
     "q_ann_lsh_topk" -> 0.355, "q_anti_clients" -> 0.25,
-    "q_approx_distinct" -> 0.137,
+    "q_approx_distinct" -> 0.283, // r8: gated form adds the exact-distinct twin + bound check to the hashed row (the sketch-only form was 0.137)
     "q_asof_join" -> 0.18,
     "q_bpe_tokens" -> 0.124, "q_client_txn_counts" -> 0.952,
     "q_coerce_fill" -> 0.109, "q_count" -> 0.312,
@@ -28,7 +28,7 @@ object Bench {
     "q_dedup_first" -> 0.528, "q_distinct_users" -> 0.154,
     "q_doc_dedup" -> 0.179, "q_doc_fingerprint" -> 0.17,
     "q_doc_quantiles" -> 0.172,
-    "q_doc_quantiles_approx" -> 0.185, // r6 isolated minima (2 runs)
+    "q_doc_quantiles_approx" -> 0.589, // r8: gated form adds exact stats + four rank-window checks to the hashed row (sketch-only was 0.185)
     "q_embedding_neardup" -> 0.402, "q_embedding_neardup_lsh" -> 0.358,
     "q_ensemble_groups" -> 1.950, // r8: jaccard signal from the shingle index
     "q_embedding_stats" -> 0.298,

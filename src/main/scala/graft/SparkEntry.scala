@@ -40,7 +40,7 @@ object SparkEntry {
     "q_running_totals"    -> (RelOps.runningLineTotals _),
     "q_pivot_events"      -> (RelOps.pivotEventCounts _),
     // no oracle entry: HLL estimates are engine-specific → rows-only check
-    "q_approx_distinct"   -> (RelOps.approxDistinctUsers _),
+    "q_approx_distinct"   -> (RelOps.approxDistinctUsersGated _),
     "q_skew_agg"          -> (RelOps.skewAggTwoPhase _),
     "q_unpivot_events"    -> (RelOps.unpivotEventCounts _),
     // §2b — event analytics
@@ -65,7 +65,7 @@ object SparkEntry {
     "q_doc_quantiles"     -> (TextOps.docQuantiles _),
     // no oracle entry: sketch estimates are engine-specific → rows-only
     // check (spec-bounded against the exact key — TextOps scaladoc)
-    "q_doc_quantiles_approx" -> (TextOps.docQuantilesApprox _),
+    "q_doc_quantiles_approx" -> (TextOps.docQuantilesApproxGated _),
     "q_repetition_filter" -> (TextOps.repetitionFilter _),
     "q_topk_per_lang"     -> (TextOps.topkPerLang _),
     "q_tfidf_topterms"    -> (TextOps.tfidfTopTerms _),
@@ -128,6 +128,7 @@ object SparkEntry {
     "q_anti_clients"      -> RelOps.clientsWithoutOrdersSql,
     "q_semi_urgent"       -> RelOps.clientsWithUrgentOrdersSql,
     "q_distinct_users"    -> RelOps.distinctUsersSql,
+    "q_approx_distinct"   -> RelOps.approxDistinctUsersGatedSql,
     "q_rollup_orders"     -> RelOps.rollupOrdersSql,
     "q_intersect_users"   -> RelOps.usersClickAndPurchaseSql,
     "q_except_users"      -> RelOps.usersClickNoPurchaseSql,
@@ -155,6 +156,7 @@ object SparkEntry {
     "q_lang_id"           -> TextOps.langIdSql,
     "q_lang_ngram"        -> TextOps.langNgramSql,
     "q_doc_quantiles"     -> TextOps.docQuantilesSql,
+    "q_doc_quantiles_approx" -> TextOps.docQuantilesApproxGatedSql,
     "q_repetition_filter" -> TextOps.repetitionFilterSql,
     "q_topk_per_lang"     -> TextOps.topkPerLangSql,
     "q_tfidf_topterms"    -> TextOps.tfidfTopTermsSql,

@@ -147,6 +147,38 @@ object RelOps {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** [[approxDistinctUsers]] under the ORACLE GATE (round-8 upgrade of
+    * the rows-only check): the HLL estimate itself is engine-specific
+    * and can never hash-match DuckDB, so the hashed output carries the
+    * EXACT distinct count (value-verified by the oracle) plus `est_ok`
+    * — the sketch's 3×rsd error bound EVALUATED IN SPARK. The oracle
+    * asserts `TRUE`: an estimate drifting out of bounds flips the
+    * boolean and turns the row red in the driver compare, instead of
+    * only in a spec. (The exact distinct here exists to judge the
+    * sketch — production runs the sketch alone, which is the point of
+    * [[approxDistinctUsers]].)
+    */
+  def approxDistinctUsersGated(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("est"))
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        (abs(col("est") - col("n_users")) <=
+          greatest(lit(1L), ceil(col("n_users") * 0.06).cast("long"))).as("est_ok"))
+      .orderBy(col("event_type"))
+
+  val approxDistinctUsersGatedSql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  TRUE AS est_ok
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** ROLLUP over (status, priority): per-combination, per-status
     * subtotal, and grand-total rows; GROUPING() flags disambiguate the
     * NULLs so the sort is total and engine-portable.

@@ -1338,6 +1338,66 @@ object TextOps {
         expr("percentile_approx(n_tok, 0.5, 10000)").cast("long").as("tok_p50"))
       .orderBy(col("lang"))
 
+  /** [[docQuantilesApprox]] under the ORACLE GATE (round-8 upgrade of
+    * the rows-only check): sketch estimates can't hash-match another
+    * engine, so the hashed row carries exact per-group stats plus four
+    * `*_ok` booleans — each asserts the estimate's RANK interval in the
+    * actual data (`[#strictly-below + 1, #at-or-below]`) intersects the
+    * target rank window `p·N ± max(2, 2·N/accuracy)`, the sketch's own
+    * guarantee stated convention-independently. The oracle asserts all
+    * four TRUE over the same exact stats: a drifting sketch flips a
+    * boolean and the driver compare goes red.
+    */
+  def docQuantilesApproxGated(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("lang"), length(col("text")).cast("long").as("len"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+    val est = d.groupBy(col("lang")).agg(
+      expr("percentile_approx(len, 0.25, 10000)").cast("long").as("e25"),
+      expr("percentile_approx(len, 0.5, 10000)").cast("long").as("e50"),
+      expr("percentile_approx(len, 0.75, 10000)").cast("long").as("e75"),
+      expr("percentile_approx(n_tok, 0.5, 10000)").cast("long").as("etok"))
+    def okCol(lt: Column, le: Column, p: Double): Column = {
+      val n = col("n_docs")
+      val eps = greatest(lit(2.0), n * 2e-4)
+      (lt + 1 <= n * p + eps) && (le >= n * p - eps)
+    }
+    d.join(broadcast(est), "lang")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("len")).as("len_min"),
+        max(col("len")).as("len_max"),
+        sum(when(col("len") < col("e25"), 1L).otherwise(0L)).as("lt25"),
+        sum(when(col("len") <= col("e25"), 1L).otherwise(0L)).as("le25"),
+        sum(when(col("len") < col("e50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("len") <= col("e50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("len") < col("e75"), 1L).otherwise(0L)).as("lt75"),
+        sum(when(col("len") <= col("e75"), 1L).otherwise(0L)).as("le75"),
+        sum(when(col("n_tok") < col("etok"), 1L).otherwise(0L)).as("lttok"),
+        sum(when(col("n_tok") <= col("etok"), 1L).otherwise(0L)).as("letok"))
+      .select(col("lang"), col("n_docs"), col("len_min"), col("len_max"),
+        okCol(col("lt25"), col("le25"), 0.25).as("p25_ok"),
+        okCol(col("lt50"), col("le50"), 0.50).as("p50_ok"),
+        okCol(col("lt75"), col("le75"), 0.75).as("p75_ok"),
+        okCol(col("lttok"), col("letok"), 0.50).as("tok_ok"))
+      .orderBy(col("lang"))
+  }
+
+  val docQuantilesApproxGatedSql: String =
+    """WITH d AS (
+      |  SELECT lang, CAST(length(text) AS BIGINT) AS len
+      |  FROM documents
+      |)
+      |SELECT lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(MIN(len) AS BIGINT) AS len_min,
+      |  CAST(MAX(len) AS BIGINT) AS len_max,
+      |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS tok_ok
+      |FROM d
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val docQuantilesSql: String =
     """WITH d AS (
       |  SELECT lang, length(text) AS len,

@@ -56,13 +56,12 @@ class RefViewsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every queries key has an oracle, except the declared rows-only keys") {
-    // rows-only keys get the driver's weaker check by DESIGN (engine-
-    // specific estimates can't hash-match an oracle) — keep this list
-    // explicit so a forgotten oracle still fails the build
-    val rowsOnly = Set("q_approx_distinct", "q_doc_quantiles_approx")
-    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
-    assert(rowsOnly.subsetOf(SparkEntry.queries.keySet))
+  test("every queries key has an oracle — no rows-only keys remain") {
+    // since round 8 even the sketch keys are oracle-gated: their hashed
+    // rows carry exact stats plus Spark-evaluated error-bound booleans
+    // the oracle asserts TRUE (engine-specific estimates themselves
+    // still never ride the hash)
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
   }
 
   test("every queries key has a bench regression floor") {
