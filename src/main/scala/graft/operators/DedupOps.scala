@@ -183,14 +183,27 @@ object DedupOps {
       Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
 
   /** Library core of [[substringDedup]] for any (doc_id, text) frame. */
-  def substringDedupMetrics(docs: DataFrame, k: Int = PassageTokens): DataFrame = {
-    val win = docs
+  def substringDedupMetrics(docs: DataFrame, k: Int = PassageTokens): DataFrame =
+    metricsFromWindowRows(windowRows(docs, k), k)
+
+  /** The O(n) rolling window-hash rows (doc_id, n_tokens, j, wh) of a
+    * (doc_id, text) frame — the corpus-wide STATE of substring dedup,
+    * factored out so a stream can maintain it incrementally (one append
+    * per micro-batch, [[graft.streaming.DocStream]]) while the metric
+    * below reads the accumulated rows.
+    */
+  private[graft] def windowRows(docs: DataFrame, k: Int = PassageTokens): DataFrame =
+    docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         graft.functions.RollingWindowHashes(col("toks"), k).as("whs"))
       // outer: a doc shorter than k tokens keeps its (null-window) row
       .select(col("doc_id"), col("n_tokens"),
         posexplode_outer(col("whs")).as(Seq("j", "wh")))
+
+  /** Duplicated-span metrics from ready window rows ([[windowRows]]). */
+  private[graft] def metricsFromWindowRows(win: DataFrame,
+      k: Int = PassageTokens): DataFrame = {
     val perDoc = win.groupBy(col("wh"), col("doc_id"))
       .agg(first(col("n_tokens")).as("n_tokens"),
         count(col("wh")).as("c"), // 0 for the null-window row

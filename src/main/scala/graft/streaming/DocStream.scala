@@ -109,4 +109,57 @@ object DocStream {
     survivors.unpersist()
     ()
   }
+
+  /** Streaming substring-dedup INDEX MAINTENANCE: each micro-batch's
+    * O(n) rolling window-hash rows ([[DedupOps.windowRows]] — the
+    * row-local, shuffle-free stage) append to a durable (doc_id,
+    * n_tokens, j, wh) table. The duplicated-span metric is inherently
+    * corpus-wide (a window is a duplicate only relative to EVERY other
+    * document), so the stream maintains the state and
+    * [[substringDedupFromWindows]] answers from the accumulated rows —
+    * the same split as the IVF family (stream routes, probe reads).
+    * DocStreamSpec proves stream-built ≡ batch on the full corpus.
+    */
+  def substringWindowStream(docs: DataFrame, table: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        DedupOps.windowRows(batch.select(col("doc_id"), col("text")))
+          .write.format("parquet").mode("append").saveAsTable(table)
+        ()
+      }
+      .start()
+
+  /** The metric half of [[substringWindowStream]]: identical output to
+    * the batch [[DedupOps.substringDedupMetrics]] once the stream has
+    * consumed the corpus (the metric is a pure function of the window
+    * rows, wherever they accumulated).
+    */
+  def substringDedupFromWindows(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame =
+    DedupOps.metricsFromWindowRows(spark.table(table))
+
+  /** Streaming fuzzy decontamination: the benchmark side is STATIC and
+    * triage is per-document independent (each doc's bands and verified
+    * Jaccard scores involve only that doc and the benchmark), so each
+    * micro-batch runs the exact batch operator
+    * ([[CurationOps.decontaminateFuzzyMetrics]]) against the fixed
+    * benchmark and appends its flagged docs — the union over batches is
+    * row-identical to one batch run, spec-proven. The stateless-
+    * per-batch shape means no streaming state store at all; at 100 TB
+    * the benchmark bands would be precomputed once and broadcast-reused
+    * per batch.
+    */
+  def decontaminateFuzzyStream(docs: DataFrame, bench: DataFrame,
+      outTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        CurationOps.decontaminateFuzzyMetrics(
+            batch.select(col("doc_id"), col("text")), bench)
+          .write.format("parquet").mode("append").saveAsTable(outTable)
+        ()
+      }
+      .start()
 }

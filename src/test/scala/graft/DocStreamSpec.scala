@@ -122,6 +122,71 @@ class DocStreamSpec extends SparkSpec {
     }
   }
 
+  test("substringWindowStream: stream-built window index ≡ batch substring dedup") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = "graft_sswin_stream_spec"
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val docs = Tables.documents(spark, sf).select("doc_id", "text")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      val mem = MemoryStream[(Long, String)]
+      val q = DocStream.substringWindowStream(
+        mem.toDF().toDF("doc_id", "text"), table)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      spark.catalog.refreshTable(table) // foreachBatch wrote via a cloned session
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getInt(5))
+      val streamed = DocStream.substringDedupFromWindows(spark, table)
+        .collect().map(key).toSeq
+      val batch = DedupOps.substringDedup(spark, sf).collect().map(key).toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
+  test("decontaminateFuzzyStream: per-batch triage vs static benchmark ≡ one batch run") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = "graft_fuzzy_stream_spec"
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val all = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      val bench = all.filter(col("doc_id") % 50 === 0).localCheckpoint()
+      val corpus = all.filter(col("doc_id") % 50 =!= 0)
+      val docs = corpus.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      val mem = MemoryStream[(Long, String)]
+      val q = DocStream.decontaminateFuzzyStream(
+        mem.toDF().toDF("doc_id", "text"), bench, table)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      spark.catalog.refreshTable(table)
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val streamed = spark.table(table).collect().map(key).toSet
+      val batch = CurationOps.decontaminateFuzzyMetrics(corpus, bench)
+        .collect().map(key).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("curateDocStream over a real file source: one survivor per key, scrub applied") {
     val inDir = java.nio.file.Files.createTempDirectory("graft_docs_in").toString
     try {
