@@ -68,6 +68,7 @@ object Bench {
     "q_ivfpq_topk" -> 0.595, // r8 seed: epoch build + bucket-pruned ADC probe
     "q_image_neardup" -> 0.757, // r8 seed: PNG encode+real decode+LSH cosine
     "q_phash_neardup" -> 0.895, // r8 seed: decode + dHash + banded join
+    "q_audio_fingerprint" -> 1.90, // r8 seed: WAV encode + javax.sound decode + banded join
     "q_pq_topk" -> 0.80, // r7 seed: interpreted nested-HOF encode+ADC
     "q_pq_trained" -> 3.612, // r7 seed: 2 Lloyd iters + probe, join form
     "q_unpivot_events" -> 0.376,

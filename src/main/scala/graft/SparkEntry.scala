@@ -98,6 +98,7 @@ object SparkEntry {
     "q_ivfpq_topk"        -> (SimilarityOps.ivfPqTopK _),
     "q_image_neardup"     -> (MultimodalOps.imageNearDup _),
     "q_phash_neardup"     -> (MultimodalOps.phashNearDup _),
+    "q_audio_fingerprint" -> (MultimodalOps.audioFingerprint _),
     "q_semantic_dedup"    -> (SimilarityOps.semanticDedup _),
     // §2b — multimodal columns
     "q_multimodal_meta"   -> (MultimodalOps.multimodalMeta _),
@@ -190,6 +191,7 @@ object SparkEntry {
     "q_ivfpq_topk"        -> SimilarityOps.ivfPqTopKSql,
     "q_image_neardup"     -> MultimodalOps.imageNearDupSql,
     "q_phash_neardup"     -> MultimodalOps.phashNearDupSql,
+    "q_audio_fingerprint" -> MultimodalOps.audioFingerprintSql,
     "q_semantic_dedup"    -> SimilarityOps.semanticDedupSql,
     "q_multimodal_meta"   -> MultimodalOps.multimodalMetaSql,
     "q_multimodal_ann"    -> MultimodalOps.multimodalAnnSql,

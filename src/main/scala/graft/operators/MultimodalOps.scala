@@ -438,6 +438,168 @@ object MultimodalOps {
        |WHERE bit_count(xor(ha, hb)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Real-decode audio fingerprinting (oracle-gated)
+  // ---------------------------------------------------------------------
+
+  /** One deterministic synthetic WAV per doc_id (PCM16 mono 8 kHz —
+    * LOSSLESS, so decoded samples equal the closed form exactly): two
+    * integer sawtooth partials keyed by template `doc_id % 50` plus a
+    * variant-length onset boost from `(doc_id / 50) % 4`, total length
+    * 512..896 samples varying by doc. The encode goes through the real
+    * `javax.sound.sampled` writer; the oracle never needs a codec —
+    * samples are a closed form of (doc_id, i), the audio analog of
+    * [[syntheticPng]].
+    */
+  private[graft] def audioSamples(id: Long): Array[Int] = {
+    val n = 512 + (id % 7).toInt * 64
+    val t = (id % ImgTemplates).toInt
+    val v = ((id / ImgTemplates) % 4).toInt
+    Array.tabulate(n) { i =>
+      ((i * (3 + t)) % 2000) - 1000 +
+        ((i * (7 + 2 * t)) % 2000) - 1000 +
+        (if (i < v * 64) 500 else 0)
+    }
+  }
+
+  private[graft] def syntheticWav(id: Long): Array[Byte] = {
+    val samples = audioSamples(id)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode + feature extraction: `javax.sound.sampled`
+    * parses the WAV container and hands back PCM frames (the JDK's
+    * audio codec — the [[extractImageFeatures]] ImageIO precedent);
+    * features are the 64-bin ENERGY PROFILE — per-bin sum of absolute
+    * sample values, exact BIGINTs (no FP anywhere, unlike the image
+    * grid's float luminance). Same mapPartitions shape as every decoder
+    * here; null (→ caller-visible empty) on undecodable payloads rather
+    * than a throw mid-job.
+    */
+  private[graft] def decodeAudioEnergy(payloads: DataFrame,
+      bins: Int = 64): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val samples =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val pcm = ais.readAllBytes()
+              Array.tabulate(pcm.length / 2) { i =>
+                ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1).toInt << 8))
+              }
+            } catch { case _: Exception => null }
+          if (samples == null || samples.length < bins) None
+          else {
+            val frame = samples.length / bins
+            Some((id, Array.tabulate(bins) { b =>
+              var acc = 0L
+              var i = b * frame
+              while (i < (b + 1) * frame) { acc += math.abs(samples(i)); i += 1 }
+              acc
+            }))
+          }
+        }
+      }
+      .toDF("doc_id", "energy")
+  }
+
+  /** Audio near-dup via gradient fingerprinting (the Chromaprint/
+    * Shazam-family idea reduced to its bucketable core): the 64-bin
+    * energy profile binarizes to a 63-bit fingerprint — bit i says
+    * `energy[i+1] > energy[i]`, invariant to uniform gain like dHash is
+    * to brightness — banded 4×16 bits for candidate generation, with
+    * hamming ≤ 3 output lossless by pigeonhole ([[phashNearDup]]'s
+    * argument; spec-asserted vs brute force). The whole chain —
+    * synthetic WAV → REAL `javax.sound` decode → integer energy bins →
+    * fingerprint → banded pairs — replays under one DuckDB statement
+    * from the closed-form samples, so the hash match proves the real
+    * audio codec path end-to-end (a stub/decode failure drops rows and
+    * mismatches). Row-local hashing, one band-bucket shuffle.
+    */
+  def audioFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documentsFanned(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticWav(id))))
+      .toDF("doc_id", "payload")
+    val fp = decodeAudioEnergy(payloads)
+      .select(col("doc_id"),
+        aggregate(sequence(lit(0), lit(62)), lit(0L), (acc, i) =>
+          acc * 2 + when(
+            element_at(col("energy"), i + 2) > element_at(col("energy"), i + 1),
+            lit(1L)).otherwise(lit(0L))).as("fp"))
+      .localCheckpoint() // band explode + pair join both read it
+    val bands = fp.select(col("doc_id"), col("fp"),
+      explode(array((0 to 3).map(b => struct(lit(b).as("b"),
+        shiftright(col("fp"), 16 * b).bitwiseAND(lit(65535L)).as("bv"))): _*)).as("bd"))
+      .select(col("doc_id"), col("fp"), col("bd.b").as("b"), col("bd.bv").as("bv"))
+    val l = bands.as("l"); val r = bands.as("r")
+    l.join(r, col("l.b") === col("r.b") && col("l.bv") === col("r.bv") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.fp").as("fa"), col("r.fp").as("fb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val audioFingerprintSql: String =
+    s"""WITH params AS (
+       |  SELECT doc_id, 512 + (doc_id % 7) * 64 AS n,
+       |         doc_id % $ImgTemplates AS t, (doc_id // $ImgTemplates) % 4 AS v
+       |  FROM documents
+       |), smp AS (
+       |  SELECT doc_id, i, i // (n // 64) AS b,
+       |    ABS(((i * (3 + t)) % 2000) - 1000
+       |      + ((i * (7 + 2*t)) % 2000) - 1000
+       |      + CASE WHEN i < v * 64 THEN 500 ELSE 0 END) AS a
+       |  FROM params, generate_series(0, 895) AS g(i)
+       |  WHERE i < n
+       |), e AS (
+       |  SELECT doc_id, b, CAST(SUM(a) AS BIGINT) AS en
+       |  FROM smp GROUP BY 1, 2
+       |), fp AS (
+       |  SELECT e1.doc_id,
+       |    CAST(SUM(CASE WHEN e2.en > e1.en THEN CAST(POW(2, 62 - e1.b) AS BIGINT)
+       |             ELSE 0 END) AS BIGINT) AS f
+       |  FROM e e1 JOIN e e2 ON e2.doc_id = e1.doc_id AND e2.b = e1.b + 1
+       |  WHERE e1.b < 63
+       |  GROUP BY 1
+       |), bands AS (
+       |  SELECT doc_id, f, b.b, (f >> (16 * b.b)) & 65535 AS bv
+       |  FROM fp, generate_series(0, 3) b(b)
+       |), cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |    l.f AS fa, r.f AS fb
+       |  FROM bands l JOIN bands r
+       |    ON l.b = r.b AND l.bv = r.bv AND l.doc_id < r.doc_id
+       |)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(fa, fb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val multimodalAnnSql: String = {
     val planeRows = (0 until 8).map { p =>
       s"($p, [${SimilarityOps.planeWeights(p, 64).map(w => if (w > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"

@@ -266,6 +266,43 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(banded === brute)
   }
 
+  test("audioFingerprint: real javax.sound decode; banding lossless vs brute force") {
+    val s = spark; import s.implicits._
+    // every synthetic WAV must decode to EXACTLY the closed-form samples
+    val ids = Tables.documents(spark, sf).select(col("doc_id"))
+      .limit(20).collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val wav = MultimodalOps.syntheticWav(id)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val pcm = ais.readAllBytes()
+      val decoded = Array.tabulate(pcm.length / 2) { i =>
+        (pcm(2 * i) & 0xff) | (pcm(2 * i + 1).toInt << 8)
+      }
+      assert(decoded.toSeq === MultimodalOps.audioSamples(id).toSeq,
+        s"doc $id WAV round-trip not lossless")
+    }
+    // banded pairs ≡ brute-force hamming <= 3 over the same fingerprints
+    val banded = MultimodalOps.audioFingerprint(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded.nonEmpty)
+    val all = Tables.documents(spark, sf).select(col("doc_id")).collect()
+      .map(_.getLong(0))
+    def fingerprint(id: Long): Long = {
+      val sm = MultimodalOps.audioSamples(id)
+      val frame = sm.length / 64
+      val e = Array.tabulate(64)(b =>
+        (b * frame until (b + 1) * frame).map(i => math.abs(sm(i)).toLong).sum)
+      (0 until 63).foldLeft(0L)((acc, i) => acc * 2 + (if (e(i + 1) > e(i)) 1L else 0L))
+    }
+    val fps = all.map(id => id -> fingerprint(id)).toMap
+    val brute = (for {
+      a <- all; b <- all if a < b
+      hm = java.lang.Long.bitCount(fps(a) ^ fps(b)) if hm <= 3
+    } yield (a, b, hm.toLong)).toSet
+    assert(banded === brute)
+  }
+
   test("sampleFrames emits every k-th frame index; zero-frame items emit none") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 10), (2L, 1), (3L, 0)).toDF("item", "n_frames")
