@@ -24,7 +24,7 @@ object Bench {
     "q_curation_funnel" -> 1.305, // r8: near-dup stage probes the shingle index
 
     "q_decontaminate" -> 0.73, // r6 minimum (the old 1.455 floor predated it and masked drift); r8 adjudication: isolated 0.82 at HEAD vs 0.92 for the r6 commit re-benched the same session — the 1.82 in BENCH_r07 was host IO drift, not the b2487dd change
-    "q_decontaminate_fuzzy" -> 4.120, // r7 seed: 8x1-banded vs-bench + verify (recall-fixed; the 2.36 draft used the dedup family 4x2 bands = 23% recall at the triage threshold)
+    "q_decontaminate_fuzzy" -> 1.271, // r8: bands from the persisted r=1 index + shingle-index verification (in-flight r7 form was 4.12)
     "q_dedup_first" -> 0.528, "q_distinct_users" -> 0.154,
     "q_doc_dedup" -> 0.179, "q_doc_fingerprint" -> 0.17,
     "q_doc_quantiles" -> 0.172,

@@ -345,11 +345,18 @@ object CurationOps {
   private[graft] val FuzzyDecontamJaccard = 0.25 // triage net, not verdict
 
   def decontaminateFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documentsFanned(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-    decontaminateFuzzyMetrics(
-      docs.filter(col("doc_id") % 50 =!= 0),
-      docs.filter(col("doc_id") % 50 === 0))
+    // corpus-keyed form rides persisted state since round 8: the r=1
+    // band rows come from [[DedupOps.ensureFuzzyBandIndex]] and
+    // verification bitmaps from the shingle index — identical rows and
+    // bands to the in-flight run (same shingledDocs, same banding), so
+    // the oracle is unchanged
+    val bands = spark.table(DedupOps.ensureFuzzyBandIndex(spark, sfDir))
+    val benchIds = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"))
+    fuzzyTriage(bands, benchIds,
+      cand => DedupOps.verifyCandidatesIndexed(
+        spark, sfDir, cand, FuzzyDecontamJaccard))
   }
 
   /** Library core of [[decontaminateFuzzy]] for any (doc_id, text)
@@ -371,6 +378,25 @@ object CurationOps {
     // J = 0.25 — r = 1 lifts it to 1 − (1 − J)⁸ ≈ 0.90 there
     val bands = DedupOps.minhashBandsWith(all, rowsPerBand = 1)
     val benchIds = bench.select(col("doc_id").as("bench_id"))
+    fuzzyTriage(bands, benchIds, { cand =>
+      // verification only ever touches candidate docs — restrict the
+      // shingle frame first so the vocab/bitmap build is
+      // candidate-sized, not corpus-sized
+      val candIds = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val needed = all.join(candIds, Seq("doc_id"), "left_semi")
+      DedupOps.verifyCandidatesExact(cand, needed, t)
+    })
+  }
+
+  /** The shared triage skeleton: band-bucket candidates (corpus side
+    * anti-joined, benchmark side broadcast), then the caller's
+    * verification, then the per-doc match rollup. Both the in-flight
+    * and index-served forms route here so candidate semantics cannot
+    * drift between them.
+    */
+  private def fuzzyTriage(bands: DataFrame, benchIds: DataFrame,
+      verify: DataFrame => DataFrame): DataFrame = {
     val cand = bands
       .join(broadcast(benchIds),
         col("doc_id") === col("bench_id"), "left_anti")
@@ -385,13 +411,7 @@ object CurationOps {
       .select(col("doc_id").as("doc_a"), col("bench_doc").as("doc_b"))
       .distinct()
       .localCheckpoint() // read twice: the id restriction and the verify
-    // verification only ever touches candidate docs — restrict the
-    // shingle frame first so the vocab/bitmap build is candidate-sized,
-    // not corpus-sized
-    val candIds = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val needed = all.join(candIds, Seq("doc_id"), "left_semi")
-    DedupOps.verifyCandidatesExact(cand, needed, t)
+    verify(cand)
       .groupBy(col("doc_a"))
       .agg(count(lit(1)).as("n_bench_matches"),
         round(max(col("jaccard")), 6).as("max_jaccard"))

@@ -1025,6 +1025,28 @@ object DedupOps {
       Layout.writeBucketed(minhashBands(docs), name, "bucket", MinhashIndexBuckets)
     }
 
+  /** Epoch-family base of the r=1 (8-band) index that serves fuzzy
+    * decontamination — a SEPARATE family from [[minhashIndexName]]'s
+    * r=2 bands because the two bandings answer different recall
+    * targets (J ≥ 0.25 triage vs J ≥ 0.5 dedup) and must never mix.
+    */
+  private[graft] def fuzzyBandIndexName(sfDir: String): String =
+    "graft_fband_idx_" + Layout.corpusTag(sfDir)
+
+  /** Persist the r=1 band rows over the whole corpus (benchmark docs
+    * included — the triage anti/semi-joins split them at probe time),
+    * bucketed by band bucket like [[ensureMinhashIndex]]. The 8-hash
+    * md5 signature pass — the dominant cost of
+    * [[graft.operators.CurationOps.decontaminateFuzzy]] — runs once
+    * per corpus epoch instead of once per query.
+    */
+  def ensureFuzzyBandIndex(spark: SparkSession, sfDir: String): String =
+    Layout.ensureEpochIndex(spark, fuzzyBandIndexName(sfDir)) { name =>
+      Layout.writeBucketed(
+        minhashBandsWith(shingledDocs(spark, sfDir), rowsPerBand = 1),
+        name, "bucket", MinhashIndexBuckets)
+    }
+
   /** LSH candidate pairs served from the persisted band index —
     * identical output to [[minhashLsh]] (same oracle), but the
     * signature pass is amortized into the index build and the band
