@@ -195,7 +195,7 @@ object Bench {
     // record — both raw passes AND the post-isolation minima — to a
     // committed file so the machine-readable artifact is lossless.
     if (subset.isEmpty) {
-      val round = sys.env.getOrElse("GRAFT_ROUND", "r07")
+      val round = sys.env.getOrElse("GRAFT_ROUND", "r08")
       val out = sys.env.getOrElse("GRAFT_BENCH_OUT", s"bench_full_$round.json")
       def passJson(p: Either[String, Double]) = p match {
         case Right(t) => f"$t%.4f"

@@ -39,7 +39,7 @@ object SparkEntry {
     "q_except_users"      -> (RelOps.usersClickNoPurchase _),
     "q_running_totals"    -> (RelOps.runningLineTotals _),
     "q_pivot_events"      -> (RelOps.pivotEventCounts _),
-    // no oracle entry: HLL estimates are engine-specific → rows-only check
+    // oracle-gated since round 8: exact twin + error-bound booleans
     "q_approx_distinct"   -> (RelOps.approxDistinctUsersGated _),
     "q_skew_agg"          -> (RelOps.skewAggTwoPhase _),
     "q_unpivot_events"    -> (RelOps.unpivotEventCounts _),
@@ -63,8 +63,8 @@ object SparkEntry {
     "q_lang_id"           -> (TextOps.langId _),
     "q_lang_ngram"        -> (TextOps.langNgram _),
     "q_doc_quantiles"     -> (TextOps.docQuantiles _),
-    // no oracle entry: sketch estimates are engine-specific → rows-only
-    // check (spec-bounded against the exact key — TextOps scaladoc)
+    // oracle-gated since round 8: rank-interval booleans over exact
+    // stats (also spec-bounded against the exact key — TextOps scaladoc)
     "q_doc_quantiles_approx" -> (TextOps.docQuantilesApproxGated _),
     "q_repetition_filter" -> (TextOps.repetitionFilter _),
     "q_topk_per_lang"     -> (TextOps.topkPerLang _),

@@ -512,14 +512,24 @@ object DedupOps {
     * to one partition and warn in every run).
     */
   private[graft] def buildShingleBitmaps(
-      inv: DataFrame, vocab: DataFrame, vocabSize: Int): DataFrame = {
-    import graft.functions.IndicesToBitmap
-    val width = (vocabSize + 63) / 64
+      inv: DataFrame, vocab: DataFrame, vocabSize: Int): DataFrame =
+    buildShingleBitmapsIndexed(inv, indexVocab(vocab), vocabSize)
+
+  /** Driver-side (shingle → bit index) dictionary as a small DataFrame —
+    * factored out so [[ensureShingleIndex]] collects the vocab ONCE for
+    * both the `_vocab` sidecar and the bitmap build.
+    */
+  private[graft] def indexVocab(vocab: DataFrame): DataFrame = {
     val spark = vocab.sparkSession
     import spark.implicits._
-    val idxRows = vocab.orderBy(col("shingle")).collect()
-      .map(_.getString(0)).zipWithIndex.toSeq
-    val indexed = idxRows.toDF("shingle", "idx")
+    vocab.orderBy(col("shingle")).collect()
+      .map(_.getString(0)).zipWithIndex.toSeq.toDF("shingle", "idx")
+  }
+
+  private[graft] def buildShingleBitmapsIndexed(
+      inv: DataFrame, indexed: DataFrame, vocabSize: Int): DataFrame = {
+    import graft.functions.IndicesToBitmap
+    val width = (vocabSize + 63) / 64
     inv.join(broadcast(indexed), "shingle")
       .groupBy(col("doc_id"))
       .agg(collect_list(col("idx")).as("idxs"))
@@ -615,10 +625,27 @@ object DedupOps {
     * a sparse-vocab corpus takes the prefix-filter path, which has no
     * dense bitmap state worth persisting.
     */
+  /** Session-lifetime memo of corpora the bitmap gate REJECTED: the gate
+    * evaluation itself costs a corpus shingling + vocab distinct + two
+    * count jobs, and every rejected call is followed by the caller's
+    * in-flight fallback doing the same work again — without the memo a
+    * sparse-vocab corpus would pay the doubled gate forever, once per
+    * query. Keyed by the epoch base name (corpus tag); a corpus append
+    * rotates the epoch through [[Layout.rotateEpoch]], which never
+    * touches rejected corpora, so the only staleness is a corpus edited
+    * in place under the same sfDir — tests clear via
+    * [[clearShingleGateMemo]].
+    */
+  private val shingleGateRejected =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def clearShingleGateMemo(): Unit = shingleGateRejected.clear()
+
   def ensureShingleIndex(spark: SparkSession, sfDir: String): Option[String] = {
     Layout.pinBucketedReads(spark)
     val base = shingleIndexName(sfDir)
-    Layout.currentEpochTable(spark, base) match {
+    if (shingleGateRejected.contains(base)) None
+    else Layout.currentEpochTable(spark, base) match {
       case Some(t) if Seq(t, t + "_vocab").forall(spark.catalog.tableExists) =>
         Some(t)
       case _ =>
@@ -626,16 +653,16 @@ object DedupOps {
         val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
         val vocab = inv.select(col("shingle")).distinct()
         val vocabSize = vocab.count()
-        if (!useBitmapStrategy(vocabSize, docs.count())) None
-        else Some(Layout.rotateEpoch(spark, base, sidecars = Seq("_vocab")) { t =>
-          val spark2 = docs.sparkSession
-          import spark2.implicits._
-          val idxRows = vocab.orderBy(col("shingle")).collect()
-            .map(_.getString(0)).zipWithIndex.toSeq
-          idxRows.toDF("shingle", "idx")
+        if (!useBitmapStrategy(vocabSize, docs.count())) {
+          shingleGateRejected.add(base); None
+        } else Some(Layout.rotateEpoch(spark, base, sidecars = Seq("_vocab")) { t =>
+          // ONE driver-side vocab collect feeds both the sidecar and the
+          // bitmap build (previously collected once per consumer).
+          val indexed = indexVocab(vocab)
+          indexed
             .write.format("parquet").mode("overwrite").saveAsTable(t + "_vocab")
           Layout.writeBucketed(
-            buildShingleBitmaps(inv, vocab, vocabSize.toInt),
+            buildShingleBitmapsIndexed(inv, indexed, vocabSize.toInt),
             t, "doc_id", ShingleIndexBuckets)
         })
     }
@@ -691,7 +718,18 @@ object DedupOps {
         thresholdJaccard(
           verifyWithBitmaps(cand, readBitmaps(spark, tbl), vocabSize), t)
       case None =>
-        verifyCandidatesExact(cand, shingledDocs(spark, sfDir), t)
+        // Gate-rejected corpus: verification only ever touches candidate
+        // docs, so restrict the shingle frame FIRST (the in-flight
+        // vocab/bitmap build inside verifyCandidatesExact is then
+        // candidate-sized, not corpus-sized) and materialize it once —
+        // the vocab count and both join sides would otherwise re-run
+        // the interpreted shingling HOF over the corpus per consumer.
+        val c = cand.localCheckpoint() // id restriction + verify plan
+        val candIds = c.select(col("doc_a").as("doc_id"))
+          .union(c.select(col("doc_b").as("doc_id"))).distinct()
+        val needed = shingledDocs(spark, sfDir)
+          .join(candIds, Seq("doc_id"), "left_semi").localCheckpoint()
+        verifyCandidatesExact(c, needed, t)
     }
 
   /** Candidate budget for the prefix-filter path — the [[MaxBitmapPairs]]

@@ -1349,10 +1349,15 @@ object TextOps {
     * boolean and the driver compare goes red.
     */
   def docQuantilesApproxGated(spark: SparkSession, sfDir: String): DataFrame = {
+    // The estimate join keys on a NULL-safe surrogate (coalesce to a
+    // sentinel no real lang code can be): an inner join on `lang`
+    // itself would silently drop a NULL-lang group that the oracle's
+    // GROUP BY keeps.
     val d = Tables.documents(spark, sfDir)
       .select(col("lang"), length(col("text")).cast("long").as("len"),
         size(tokens(col("text"))).cast("long").as("n_tok"))
-    val est = d.groupBy(col("lang")).agg(
+      .withColumn("lang_k", coalesce(col("lang"), lit("\u0000")))
+    val est = d.groupBy(col("lang_k")).agg(
       expr("percentile_approx(len, 0.25, 10000)").cast("long").as("e25"),
       expr("percentile_approx(len, 0.5, 10000)").cast("long").as("e50"),
       expr("percentile_approx(len, 0.75, 10000)").cast("long").as("e75"),
@@ -1362,7 +1367,7 @@ object TextOps {
       val eps = greatest(lit(2.0), n * 2e-4)
       (lt + 1 <= n * p + eps) && (le >= n * p - eps)
     }
-    d.join(broadcast(est), "lang")
+    d.join(broadcast(est), "lang_k")
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
