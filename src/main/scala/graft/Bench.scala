@@ -69,6 +69,7 @@ object Bench {
     "q_image_neardup" -> 0.757, // r8 seed: PNG encode+real decode+LSH cosine
     "q_phash_neardup" -> 0.895, // r8 seed: decode + dHash + banded join
     "q_audio_fingerprint" -> 1.90, // r8 seed: WAV encode + javax.sound decode + banded join
+    "q_video_neardup" -> 4.25, // r8 seed: animated-GIF encode + multi-frame decode + per-frame dHash + temporal verify (seeded under selfcheck CPU contention)
     "q_pq_topk" -> 0.80, // r7 seed: interpreted nested-HOF encode+ADC
     "q_pq_trained" -> 3.612, // r7 seed: 2 Lloyd iters + probe, join form
     "q_unpivot_events" -> 0.376,

@@ -99,6 +99,7 @@ object SparkEntry {
     "q_image_neardup"     -> (MultimodalOps.imageNearDup _),
     "q_phash_neardup"     -> (MultimodalOps.phashNearDup _),
     "q_audio_fingerprint" -> (MultimodalOps.audioFingerprint _),
+    "q_video_neardup"     -> (MultimodalOps.videoNearDup _),
     "q_semantic_dedup"    -> (SimilarityOps.semanticDedup _),
     // §2b — multimodal columns
     "q_multimodal_meta"   -> (MultimodalOps.multimodalMeta _),
@@ -192,6 +193,7 @@ object SparkEntry {
     "q_image_neardup"     -> MultimodalOps.imageNearDupSql,
     "q_phash_neardup"     -> MultimodalOps.phashNearDupSql,
     "q_audio_fingerprint" -> MultimodalOps.audioFingerprintSql,
+    "q_video_neardup"     -> MultimodalOps.videoNearDupSql,
     "q_semantic_dedup"    -> SimilarityOps.semanticDedupSql,
     "q_multimodal_meta"   -> MultimodalOps.multimodalMetaSql,
     "q_multimodal_ann"    -> MultimodalOps.multimodalAnnSql,

@@ -600,6 +600,227 @@ object MultimodalOps {
        |WHERE bit_count(xor(fa, fb)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Real multi-frame VIDEO decode + temporal near-dup (oracle-gated)
+  // ---------------------------------------------------------------------
+
+  /** One deterministic synthetic VIDEO per doc_id — an animated GIF89a,
+    * the one multi-frame container the JDK codecs handle natively (the
+    * [[syntheticPng]]/[[syntheticWav]] precedent extended to the time
+    * axis). 4..6 grayscale frames of w×h = (16..20)×(16..22); pixel
+    * luminance is a CLOSED FORM of (doc_id, frame, x, y): template
+    * `doc_id % 50` sets the gradient, `(doc_id / 50) % 4` a left-band
+    * brightness boost, and the `f*29` term is the inter-frame motion.
+    * Frames are TYPE_BYTE_INDEXED over an explicit 256-gray palette, so
+    * the GIF encoder stores palette indices LOSSLESSLY — decoded pixels
+    * equal the closed form exactly (probe-verified round-trip), which is
+    * what lets the DuckDB oracle replay the whole codec path without
+    * ever seeing a GIF byte.
+    */
+  private[graft] def syntheticGif(id: Long): Array[Byte] = {
+    val w = 16 + (id % 5).toInt; val h = 16 + (id % 7).toInt
+    val nf = 4 + (id % 3).toInt
+    val t = (id % ImgTemplates).toInt
+    val v = ((id / ImgTemplates) % 4).toInt
+    val ramp = (0 until 256).map(_.toByte).toArray
+    val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nf) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val ras = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val base = (x * 7 + y * 11 + t * 37 + f * 29) % 256
+          val g = if (v > 0 && x < 2 * v) math.min(255, base + 40) else base
+          ras.setSample(x, y, 0, g)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** 56-bit row-gradient dHash of one decoded frame: the
+    * [[phashNearDup]] hash computed from the 8×8 nearest-pixel BT.601
+    * luminance grid (the [[graft.functions.ImageHeader
+    * .decodeGridFeatures]] sampling), all integer — bit (y·7+x) is
+    * `grid[y][x+1] > grid[y][x]`, MSB-first.
+    */
+  private[graft] def frameDHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val g = Array.tabulate(64) { k =>
+      val gx = math.min(w - 1, ((k % 8) * w + w / 2) / 8)
+      val gy = math.min(h - 1, ((k / 8) * h + h / 2) / 8)
+      val rgb = img.getRGB(gx, gy)
+      val r = (rgb >> 16) & 0xff; val gg = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      (r * 299 + gg * 587 + b * 114) / 1000
+    }
+    var dh = 0L; var i = 0
+    while (i < 56) {
+      val left = (i / 7) * 8 + (i % 7)
+      dh = (dh << 1) | (if (g(left + 1) > g(left)) 1L else 0L)
+      i += 1
+    }
+    dh
+  }
+
+  /** REAL multi-frame decode + frame sampling — the executed form of
+    * the [[sampleFrames]] plumbing (which until round 8 was the one
+    * remaining multimodal stub): ImageIO's GIF reader walks the
+    * sequence (`getNumImages(true)`), every `every`-th frame is pixel-
+    * decoded and hashed. Emits one row per SAMPLED frame
+    * (doc_id, nf, f, dh) where `nf` is the DECODER's frame count — the
+    * oracle recomputes it from the closed form, so a reader that
+    * miscounts or misdecodes any frame hash-mismatches. Undecodable
+    * payloads contribute no rows (no throw mid-job), same contract as
+    * every decoder here.
+    */
+  private[graft] def decodeFrameHashes(payloads: DataFrame,
+      every: Int = 2): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val frames =
+            try {
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) null
+              else {
+                val reader = readers.next()
+                reader.setInput(iis)
+                val n = reader.getNumImages(true)
+                val out = (0 until n by every).map { f =>
+                  (n, f, frameDHash(reader.read(f)))
+                }
+                reader.dispose()
+                out
+              }
+            } catch { case _: Exception => null }
+          if (frames == null) Iterator.empty
+          else frames.iterator.map { case (n, f, dh) =>
+            (id, n.toLong, f.toLong, dh) }
+        }
+      }
+      .toDF("doc_id", "nf", "f", "dh")
+  }
+
+  /** Temporal video near-dup: two videos are near-dups when they have
+    * the SAME frame count and EVERY aligned sampled frame is a
+    * perceptual match (dHash hamming ≤ 3) — i.e. [[phashNearDup]]
+    * lifted to the time axis. Candidate generation bands frame 0 only
+    * (4×14 bits, [[phashNearDup]]'s pigeonhole): the output requires
+    * max-hamming ≤ 3, which includes frame 0, so frame-0 banding is
+    * lossless for the full temporal predicate (spec-asserted vs brute
+    * force); `nf` equality rides the band join. Verification then
+    * touches candidate pairs only, joined frame-aligned.
+    *
+    * Scale shape: GIF decode + per-frame hashing are row-local in one
+    * mapPartitions pass; the only data shuffles are the band-bucket
+    * self-join on frame-0 hashes and the candidate-sized aligned-frame
+    * join. The whole chain — synthetic GIF → REAL ImageIO multi-frame
+    * decode → grid → dHash per frame → banded candidates → temporal
+    * verification — replays under one DuckDB statement from the
+    * closed-form rasters, proving the multi-frame codec path
+    * end-to-end.
+    */
+  def videoNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documentsFanned(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticGif(id))))
+      .toDF("doc_id", "payload")
+    val fh = decodeFrameHashes(payloads)
+      .localCheckpoint() // frame-0 banding + aligned verification read it
+    val f0 = fh.filter(col("f") === 0)
+    val bands = f0.select(col("doc_id"), col("nf"),
+      explode(array((0 to 3).map(b => struct(lit(b).as("b"),
+        shiftright(col("dh"), 14 * b).bitwiseAND(lit(16383L)).as("bv"))): _*)).as("bd"))
+      .select(col("doc_id"), col("nf"), col("bd.b").as("b"), col("bd.bv").as("bv"))
+    val l = bands.as("l"); val r = bands.as("r")
+    val cand = l.join(r, col("l.b") === col("r.b") && col("l.bv") === col("r.bv") &&
+        col("l.nf") === col("r.nf") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val fa = fh.select(col("doc_id").as("doc_a"), col("f"), col("dh").as("ha"))
+    val fb = fh.select(col("doc_id").as("doc_b"), col("f"), col("dh").as("hb"))
+    cand.join(fa, "doc_a").join(fb, Seq("doc_b", "f"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_frames"),
+        max(bit_count(col("ha").bitwiseXOR(col("hb")))).cast("long").as("max_hamming"))
+      .filter(col("max_hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val videoNearDupSql: String =
+    s"""WITH params AS (
+       |  SELECT doc_id, 16 + doc_id % 5 AS w, 16 + doc_id % 7 AS h,
+       |         4 + doc_id % 3 AS nf,
+       |         doc_id % $ImgTemplates AS t, (doc_id // $ImgTemplates) % 4 AS v
+       |  FROM documents
+       |), fr AS (
+       |  SELECT doc_id, w, h, nf, t, v, f.f
+       |  FROM params, generate_series(0, 5) f(f)
+       |  WHERE f.f < nf AND f.f % 2 = 0
+       |), grid AS (
+       |  SELECT doc_id, f, k, t, v,
+       |    LEAST(w - 1, ((k % 8) * w + w // 2) // 8) AS gx,
+       |    LEAST(h - 1, ((k // 8) * h + h // 2) // 8) AS gy
+       |  FROM fr, generate_series(0, 63) g(k)
+       |), lum AS (
+       |  SELECT doc_id, f, k,
+       |    CASE WHEN v > 0 AND gx < 2*v
+       |         THEN LEAST(255, (gx*7 + gy*11 + t*37 + f*29) % 256 + 40)
+       |         ELSE (gx*7 + gy*11 + t*37 + f*29) % 256 END AS l
+       |  FROM grid
+       |), hash AS (
+       |  SELECT x1.doc_id, x1.f,
+       |    CAST(SUM(CASE WHEN x2.l > x1.l THEN CAST(POW(2, 55 - s.i) AS BIGINT)
+       |             ELSE 0 END) AS BIGINT) AS dh
+       |  FROM generate_series(0, 55) s(i)
+       |  JOIN lum x1 ON x1.k = (s.i // 7) * 8 + (s.i % 7)
+       |  JOIN lum x2 ON x2.doc_id = x1.doc_id AND x2.f = x1.f AND x2.k = x1.k + 1
+       |  GROUP BY 1, 2
+       |), f0 AS (
+       |  SELECT h.doc_id, p.nf, h.dh
+       |  FROM hash h JOIN params p USING (doc_id) WHERE h.f = 0
+       |), bands AS (
+       |  SELECT doc_id, nf, dh, b.b, (dh >> (14 * b.b)) & 16383 AS bv
+       |  FROM f0, generate_series(0, 3) b(b)
+       |), cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.b = r.b AND l.bv = r.bv AND l.nf = r.nf AND l.doc_id < r.doc_id
+       |), agg AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       |    CAST(MAX(bit_count(xor(ha.dh, hb.dh))) AS BIGINT) AS max_hamming
+       |  FROM cand c
+       |  JOIN hash ha ON ha.doc_id = c.doc_a
+       |  JOIN hash hb ON hb.doc_id = c.doc_b AND hb.f = ha.f
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, n_frames, max_hamming FROM agg
+       |WHERE max_hamming <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val multimodalAnnSql: String = {
     val planeRows = (0 until 8).map { p =>
       s"($p, [${SimilarityOps.planeWeights(p, 64).map(w => if (w > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"

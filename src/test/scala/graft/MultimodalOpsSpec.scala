@@ -303,6 +303,71 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(banded === brute)
   }
 
+  test("videoNearDup: real multi-frame GIF decode; frame-0 banding lossless vs brute force") {
+    // every synthetic GIF must decode to EXACTLY the closed-form frames
+    // (frame count AND pixels) through the real ImageIO reader
+    val ids = Tables.documents(spark, sf).select(col("doc_id"))
+      .limit(15).collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val bytes = MultimodalOps.syntheticGif(id)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      reader.setInput(iis)
+      val nf = reader.getNumImages(true)
+      assert(nf === 4 + (id % 3).toInt, s"doc $id frame count")
+      val w = 16 + (id % 5).toInt; val h = 16 + (id % 7).toInt
+      val t = (id % MultimodalOps.ImgTemplates).toInt
+      val v = ((id / MultimodalOps.ImgTemplates) % 4).toInt
+      for (f <- 0 until nf) {
+        val img = reader.read(f)
+        assert(img.getWidth === w && img.getHeight === h, s"doc $id f=$f dims")
+        for (y <- 0 until h; x <- 0 until w) {
+          val base = (x * 7 + y * 11 + t * 37 + f * 29) % 256
+          val want = if (v > 0 && x < 2 * v) math.min(255, base + 40) else base
+          assert((img.getRGB(x, y) & 0xff) === want,
+            s"doc $id f=$f pixel ($x,$y) not lossless")
+        }
+      }
+      reader.dispose()
+    }
+    // banded output ≡ brute force over closed-form frame hashes: equal
+    // frame count AND hamming <= 3 on EVERY sampled frame (frame-0
+    // banding suffices by pigeonhole: the output needs frame 0 <= 3)
+    val banded = MultimodalOps.videoNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(banded.nonEmpty)
+    val all = Tables.documents(spark, sf).select(col("doc_id")).collect()
+      .map(_.getLong(0))
+    def frameHashes(id: Long): (Int, Seq[Long]) = {
+      val w = 16 + (id % 5).toInt; val h = 16 + (id % 7).toInt
+      val nf = 4 + (id % 3).toInt
+      val t = (id % MultimodalOps.ImgTemplates).toInt
+      val v = ((id / MultimodalOps.ImgTemplates) % 4).toInt
+      val hs = (0 until nf by 2).map { f =>
+        val g = Array.tabulate(64) { k =>
+          val gx = math.min(w - 1, ((k % 8) * w + w / 2) / 8)
+          val gy = math.min(h - 1, ((k / 8) * h + h / 2) / 8)
+          val base = (gx * 7 + gy * 11 + t * 37 + f * 29) % 256
+          if (v > 0 && gx < 2 * v) math.min(255, base + 40) else base
+        }
+        (0 until 56).foldLeft(0L) { (acc, i) =>
+          val left = (i / 7) * 8 + (i % 7)
+          acc * 2 + (if (g(left + 1) > g(left)) 1L else 0L)
+        }
+      }
+      (nf, hs)
+    }
+    val fhs = all.map(id => id -> frameHashes(id)).toMap
+    val brute = (for {
+      a <- all; b <- all if a < b
+      (nfa, ha) = fhs(a); (nfb, hb) = fhs(b) if nfa == nfb
+      hams = ha.zip(hb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }
+      if hams.max <= 3
+    } yield (a, b, ha.size.toLong, hams.max.toLong)).toSet
+    assert(banded === brute)
+  }
+
   test("sampleFrames emits every k-th frame index; zero-frame items emit none") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 10), (2L, 1), (3L, 0)).toDF("item", "n_frames")
