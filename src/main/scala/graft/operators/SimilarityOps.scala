@@ -813,62 +813,129 @@ object SimilarityOps {
     */
   def ensureIvfPqIndex(spark: SparkSession, sfDir: String): String =
     Layout.ensureEpochIndex(spark, ivfPqIndexName(sfDir),
-        sidecars = Seq("_coarse", "_books")) { name =>
-      val (sub, k, nc) = (PqSubDim, PqCentroids, IvfPqCells)
-      val micros = transform(col("embedding"),
-        x => round(x.cast("double") * 1000000d).cast("long"))
-      val comps = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), posexplode(micros).as(Seq("i0", "v")))
-        .localCheckpoint() // read by assignment, residual, and book stages
-      def assemble(df: DataFrame, id: Column, v: Column, out: String) =
-        df.groupBy(id.as("cid"))
-          .agg(array_sort(collect_list(struct(col("i0"), v.as("v")))).as("p"))
-          .select(col("cid"), transform(col("p"), s => s.getField("v")).as(out))
-      // coarse codebook sidecar: vectors 1..nc in exact micros
-      assemble(comps.filter(col("vec_id").between(1, nc)),
-          col("vec_id"), col("v"), "cemb")
-        .withColumnRenamed("cid", "cell")
-        .write.format("parquet").mode("overwrite").saveAsTable(name + "_coarse")
-      val coarseComps = comps.filter(col("vec_id").between(1, nc))
-        .select(col("vec_id").as("cell"), col("i0"), col("v").as("cv"))
-      // coarse assignment: exact integer L2, packed-long argmin
-      val cellOf = comps.join(broadcast(coarseComps), Seq("i0"))
-        .groupBy(col("vec_id"), col("cell"))
-        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
-        .groupBy(col("vec_id"))
-        .agg(min(col("dist") * nc + (col("cell") - 1)).as("key"))
-        .select(col("vec_id"), (col("key") % nc + 1).as("cell"))
-      // residual components: v − centroid(cell(v)), still exact micros
-      val rcomps = comps.join(cellOf, "vec_id")
-        .join(broadcast(coarseComps), Seq("cell", "i0"))
-        .select(col("vec_id"), col("cell"), col("i0"),
-          (col("v") - col("cv")).as("rv"))
-        .localCheckpoint() // read by the books sidecar and the encode
-      // books sidecar: residual sub-vectors of the seed range, shared
-      // across cells (the Faiss IVFADC convention)
-      val bookSrc = rcomps.filter(
+        sidecars = Seq("_coarse", "_books"))(
+      buildIvfPqEpoch(spark, sfDir,
+        Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))))
+
+  /** Build one IVF×PQ epoch from an explicit vector frame — codebooks
+    * seeded from the CORPUS (deterministic for any subset an epoch
+    * indexes, the [[buildVectorEpoch]] convention), codes encoded from
+    * `vectors`. This is the build half the streaming append composes
+    * with: [[VectorStreamSpec]] proves a stream-appended epoch is
+    * row-identical to a one-batch build.
+    */
+  private[graft] def buildIvfPqEpoch(spark: SparkSession, sfDir: String,
+      vectors: DataFrame)(name: String): Unit = {
+    writeIvfPqCodebooks(spark, sfDir, name)
+    Layout.writeBucketed(encodeForIvfPqIndex(spark, name, vectors),
+      name, "cell", IvfPqCells)
+  }
+
+  /** Corpus-seeded codebook sidecars of one IVF×PQ epoch: `_coarse` is
+    * corpus vectors 1..nc in exact micros; `_books` are the RESIDUALS
+    * of corpus vectors [[IvfPqBookSeedFrom]]..+k−1 against their own
+    * coarse cells (the Faiss IVFADC convention — books quantize
+    * residuals, so they are seeded from residuals).
+    */
+  private[graft] def writeIvfPqCodebooks(spark: SparkSession, sfDir: String,
+      name: String): Unit = {
+    val (k, nc) = (PqCentroids, IvfPqCells)
+    val micros = transform(col("embedding"),
+      x => round(x.cast("double") * 1000000d).cast("long"))
+    val seedComps = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id").between(1, nc) ||
         col("vec_id").between(IvfPqBookSeedFrom, IvfPqBookSeedFrom + k - 1))
-      assemble(bookSrc, (col("vec_id") - IvfPqBookSeedFrom).as("c"),
-          col("rv"), "bemb")
-        .withColumnRenamed("cid", "c")
-        .write.format("parquet").mode("overwrite").saveAsTable(name + "_books")
-      val bookComps = bookSrc.select(
-        (col("vec_id") - IvfPqBookSeedFrom).as("c"), col("i0"),
-        col("rv").as("bv"))
-      // encode: per (vector, subspace) argmin over the k books
-      val codes = rcomps.join(broadcast(bookComps), Seq("i0"))
-        .groupBy(col("vec_id"), col("cell"),
-          (col("i0") / sub).cast("int").as("j"), col("c"))
-        .agg(sum((col("rv") - col("bv")) * (col("rv") - col("bv"))).as("dist"))
-        .groupBy(col("vec_id"), col("cell"), col("j"))
-        .agg(min(col("dist") * k + col("c")).as("key"))
-        .groupBy(col("vec_id"), col("cell"))
-        .agg(array_sort(collect_list(struct(col("j"),
-          (col("key") % k).cast("int").as("c")))).as("p"))
-        .select(col("vec_id"), col("cell"),
-          transform(col("p"), s => s.getField("c")).as("codes"))
-      Layout.writeBucketed(codes, name, "cell", IvfPqCells)
-    }
+      .select(col("vec_id"), posexplode(micros).as(Seq("i0", "v")))
+      .localCheckpoint() // coarse sidecar + seed assignment + books read it
+    def assemble(df: DataFrame, id: Column, v: Column, out: String) =
+      df.groupBy(id.as("cid"))
+        .agg(array_sort(collect_list(struct(col("i0"), v.as("v")))).as("p"))
+        .select(col("cid"), transform(col("p"), s => s.getField("v")).as(out))
+    // coarse codebook sidecar: vectors 1..nc in exact micros
+    assemble(seedComps.filter(col("vec_id").between(1, nc)),
+        col("vec_id"), col("v"), "cemb")
+      .withColumnRenamed("cid", "cell")
+      .write.format("parquet").mode("overwrite").saveAsTable(name + "_coarse")
+    val coarseComps = seedComps.filter(col("vec_id").between(1, nc))
+      .select(col("vec_id").as("cell"), col("i0"), col("v").as("cv"))
+    // book-seed residuals: assign each seed to its coarse cell (exact
+    // integer L2, packed-long argmin — the same arithmetic the encode
+    // uses), subtract that cell's centroid
+    val bookSrc = seedComps.filter(
+      col("vec_id").between(IvfPqBookSeedFrom, IvfPqBookSeedFrom + k - 1))
+    val cellOf = bookSrc.join(broadcast(coarseComps), Seq("i0"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("dist") * nc + (col("cell") - 1)).as("key"))
+      .select(col("vec_id"), (col("key") % nc + 1).as("cell"))
+    val rseed = bookSrc.join(cellOf, "vec_id")
+      .join(broadcast(coarseComps), Seq("cell", "i0"))
+      .select(col("vec_id"), col("i0"), (col("v") - col("cv")).as("rv"))
+    assemble(rseed, (col("vec_id") - IvfPqBookSeedFrom).as("c"),
+        col("rv"), "bemb")
+      .withColumnRenamed("cid", "c")
+      .write.format("parquet").mode("overwrite").saveAsTable(name + "_books")
+  }
+
+  /** Encode vectors under an EXISTING epoch's codebook sidecars — the
+    * IVF×PQ analog of [[assignToIndexCells]]: coarse-assign under the
+    * epoch's `_coarse`, residual-encode under its `_books`, never a
+    * retrained codebook (an append must follow the layout of the epoch
+    * it lands in). Returns (vec_id, cell, codes) rows; the arithmetic
+    * is bit-identical to the build's (exact integer micros, packed-long
+    * argmins), so append-encoded rows are indistinguishable from built
+    * ones — which is what makes stream ≡ batch provable.
+    */
+  private[graft] def encodeForIvfPqIndex(spark: SparkSession, name: String,
+      vectors: DataFrame): DataFrame = {
+    val (sub, k, nc) = (PqSubDim, PqCentroids, IvfPqCells)
+    val micros = transform(col("embedding"),
+      x => round(x.cast("double") * 1000000d).cast("long"))
+    val comps = vectors
+      .select(col("vec_id"), posexplode(micros).as(Seq("i0", "v")))
+      .localCheckpoint() // read by assignment and residual stages
+    // the sidecar arrays are i0-sorted by construction, so posexplode
+    // position IS the component index
+    val coarseComps = spark.table(name + "_coarse")
+      .select(col("cell"), posexplode(col("cemb")).as(Seq("i0", "cv")))
+    // coarse assignment: exact integer L2, packed-long argmin
+    val cellOf = comps.join(broadcast(coarseComps), Seq("i0"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("dist") * nc + (col("cell") - 1)).as("key"))
+      .select(col("vec_id"), (col("key") % nc + 1).as("cell"))
+    // residual components: v − centroid(cell(v)), still exact micros
+    val rcomps = comps.join(cellOf, "vec_id")
+      .join(broadcast(coarseComps), Seq("cell", "i0"))
+      .select(col("vec_id"), col("cell"), col("i0"),
+        (col("v") - col("cv")).as("rv"))
+    val bookComps = spark.table(name + "_books")
+      .select(col("c"), posexplode(col("bemb")).as(Seq("i0", "bv")))
+    // encode: per (vector, subspace) argmin over the k books
+    rcomps.join(broadcast(bookComps), Seq("i0"))
+      .groupBy(col("vec_id"), col("cell"),
+        (col("i0") / sub).cast("int").as("j"), col("c"))
+      .agg(sum((col("rv") - col("bv")) * (col("rv") - col("bv"))).as("dist"))
+      .groupBy(col("vec_id"), col("cell"), col("j"))
+      .agg(min(col("dist") * k + col("c")).as("key"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(array_sort(collect_list(struct(col("j"),
+        (col("key") % k).cast("int").as("c")))).as("p"))
+      .select(col("vec_id"), col("cell"),
+        transform(col("p"), s => s.getField("c")).as("codes"))
+  }
+
+  /** Append encoded codes into the epoch's bucketed table — same bucket
+    * spec as the build, so bucket pruning keeps holding over the union
+    * of build + appends (the [[appendToIvfIndex]] contract).
+    */
+  private[graft] def appendToIvfPqIndex(name: String, codes: DataFrame): Unit =
+    codes.select(col("vec_id"), col("cell"), col("codes"))
+      .write.format("parquet")
+      .bucketBy(IvfPqCells, "cell").sortBy("cell")
+      .mode("append").saveAsTable(name)
 
   /** Query-many half of the composed index: the query ranks cells on
     * the driver from the 16-row `_coarse` sidecar (bounded small state,
@@ -881,16 +948,25 @@ object SimilarityOps {
     */
   def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val name = ensureIvfPqIndex(spark, sfDir)
-    val (m, sub, k, topk) = (PqSubspaces, PqSubDim, PqCentroids, 10)
-    val coarse: Map[Long, Array[Long]] = spark.table(name + "_coarse")
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-    val books: Array[Array[Long]] = spark.table(name + "_books")
-      .orderBy(col("c")).collect().map(_.getSeq[Long](1).toArray)
     val q0: Array[Long] = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") === 0)
       .select(transform(col("embedding"),
         x => round(x.cast("double") * 1000000d).cast("long")))
       .head().getSeq[Long](0).toArray
+    probeIvfPqIndex(spark, name, q0)
+  }
+
+  /** Probe any IVF×PQ epoch table by name with an exact-micro query
+    * vector (the spec's entry point for stream-appended epochs;
+    * [[ivfPqTopK]] is the corpus-keyed production wrapper).
+    */
+  private[graft] def probeIvfPqIndex(spark: SparkSession, name: String,
+      q0: Array[Long], topk: Int = 10): DataFrame = {
+    val (m, sub, k) = (PqSubspaces, PqSubDim, PqCentroids)
+    val coarse: Map[Long, Array[Long]] = spark.table(name + "_coarse")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val books: Array[Array[Long]] = spark.table(name + "_books")
+      .orderBy(col("c")).collect().map(_.getSeq[Long](1).toArray)
     // driver-side cell ranking: exact integer L2, ties by cell id
     val probeCells: Seq[Long] = coarse.toSeq.map { case (cell, cemb) =>
       (cemb.indices.map { i => val d = q0(i) - cemb(i); d * d }.sum, cell)

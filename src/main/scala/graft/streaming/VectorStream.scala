@@ -54,4 +54,28 @@ object VectorStream {
         ()
       }
       .start()
+
+  /** The same ingest loop for the COMPOSED IVF×PQ family: each batch
+    * resolves the current epoch, coarse-assigns + residual-encodes
+    * under that epoch's OWN `_coarse`/`_books` sidecars
+    * ([[SimilarityOps.encodeForIvfPqIndex]] — never a retrained
+    * codebook), and appends 12 B/vector code rows bucketed by cell.
+    * The raw embedding is never stored: at 100 TB the index grows by
+    * one narrow code row per vector while probes keep bucket-pruning
+    * over build + appends alike.
+    */
+  def appendVectorsStreamIvfPq(vectors: DataFrame, base: String): StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val name = Layout.currentEpochTable(batch.sparkSession, base)
+          .getOrElse(sys.error(s"no published epoch for index family $base"))
+        val codes = SimilarityOps
+          .encodeForIvfPqIndex(batch.sparkSession, name, batch)
+          .localCheckpoint()
+        if (!codes.isEmpty) SimilarityOps.appendToIvfPqIndex(name, codes)
+        codes.unpersist()
+        ()
+      }
+      .start()
 }

@@ -90,4 +90,64 @@ class VectorStreamSpec extends SparkSpec {
       Layout.dropEpochFamily(spark, refBase, sidecars = Seq("_codebook"))
     }
   }
+
+  test("stream-appended IVF×PQ index ≡ batch-built: codes and probe answers identical") {
+    val s = spark; import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "graft_ivfpq_stream_spec"
+    val refBase = "graft_ivfpq_stream_ref"
+    val sc = Seq("_coarse", "_books")
+    Layout.dropEpochFamily(spark, base, sidecars = sc)
+    Layout.dropEpochFamily(spark, refBase, sidecars = sc)
+    try {
+      val all = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+      val cut = 250L
+      // epoch 0: codes for the first half only (codebooks are
+      // corpus-seeded, so both epochs share them deterministically)
+      Layout.rotateEpoch(spark, base, sidecars = sc)(
+        SimilarityOps.buildIvfPqEpoch(spark, sf, all.filter(col("vec_id") < cut)))
+      val e0 = Layout.currentEpochTable(spark, base).get
+
+      // stream the second half in three micro-batches
+      val rest = all.filter(col("vec_id") >= cut)
+        .as[(Long, Seq[Float])].collect().toSeq
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = VectorStream.appendVectorsStreamIvfPq(
+        mem.toDS().toDF("vec_id", "embedding"), base)
+      try {
+        rest.grouped(rest.length / 3 + 1).foreach { g =>
+          mem.addData(g: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+
+      // reference: ONE batch build over the full vector set
+      Layout.rotateEpoch(spark, refBase, sidecars = sc)(
+        SimilarityOps.buildIvfPqEpoch(spark, sf, all))
+      val ref = Layout.currentEpochTable(spark, refBase).get
+      spark.catalog.refreshTable(e0) // appends ran in a cloned session
+
+      // code rows identical: stream-encoded vectors are
+      // indistinguishable from built ones (same codebooks, same
+      // integer argmins)
+      def rows(t: String) = spark.table(t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+      assert(rows(e0) === rows(ref))
+      assert(spark.table(e0).count() === all.count())
+
+      // probe answers identical, and the top-k reaches streamed codes
+      val q0 = all.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"),
+          x => round(x.cast("double") * 1000000d).cast("long")))
+        .head().getSeq[Long](0).toArray
+      def probe(t: String) = SimilarityOps.probeIvfPqIndex(spark, t, q0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val got = probe(e0)
+      assert(got === probe(ref))
+      assert(got.size === 10)
+      assert(got.exists(_._1 >= cut), s"no streamed vector in top-k: $got")
+    } finally {
+      Layout.dropEpochFamily(spark, base, sidecars = sc)
+      Layout.dropEpochFamily(spark, refBase, sidecars = sc)
+    }
+  }
 }
