@@ -39,6 +39,7 @@ object Bench {
     "q_ivf_trained" -> 0.628, "q_ivf_topk" -> 0.445,
     "q_json_extract" -> 0.184, "q_knn_cosine" -> 0.185,
     "q_lang_id" -> 0.527, "q_lang_ngram" -> 0.691,
+    "q_lm_score" -> 1.607, // r8 seed: bigram multiplicity agg + broadcast model apply
     // r8 shared-index re-plan: the whole minhash/jaccard family answers
     // from the persisted band + shingle-bitmap indexes (same results,
     // same oracles) — floors reset to the post-re-plan minima

@@ -62,6 +62,7 @@ object SparkEntry {
     "q_bpe_apply"         -> (TextOps.bpeApply _),
     "q_lang_id"           -> (TextOps.langId _),
     "q_lang_ngram"        -> (TextOps.langNgram _),
+    "q_lm_score"          -> (TextOps.lmBigramScore _),
     "q_doc_quantiles"     -> (TextOps.docQuantiles _),
     // oracle-gated since round 8: rank-interval booleans over exact
     // stats (also spec-bounded against the exact key — TextOps scaladoc)
@@ -157,6 +158,7 @@ object SparkEntry {
     "q_bpe_apply"         -> TextOps.bpeApplySql,
     "q_lang_id"           -> TextOps.langIdSql,
     "q_lang_ngram"        -> TextOps.langNgramSql,
+    "q_lm_score"          -> TextOps.lmBigramScoreSql,
     "q_doc_quantiles"     -> TextOps.docQuantilesSql,
     "q_doc_quantiles_approx" -> TextOps.docQuantilesApproxGatedSql,
     "q_repetition_filter" -> TextOps.repetitionFilterSql,

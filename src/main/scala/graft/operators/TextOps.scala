@@ -1312,6 +1312,79 @@ object TextOps {
         round(expr("percentile(n_tok, 0.5)"), 6).as("tok_p50"))
       .orderBy(col("lang"))
 
+  /** Char-bigram LM quality scoring — the CCNet/KenLM idea (score
+    * documents by how probable their character transitions are under a
+    * corpus-trained LM, low score ⇒ gibberish/boilerplate candidate)
+    * with the log-perplexity replaced by an EXACT integer statistic so
+    * the trained-model apply stays oracle-gated: per bigram occurrence
+    * the conditional probability in micro units,
+    * `⌊10⁶·c(ab)/c(a·)⌋` over corpus counts, averaged per document by
+    * integer division. No log, no FP, no rounding ambiguity anywhere
+    * (the [[graft.operators.SimilarityOps]] integer-micro precedent).
+    *
+    * Scale shape: the model is the corpus bigram count table — ≤ ~1.4K
+    * rows over the [a-z0-9 ] alphabet at ANY corpus size (alphabet²,
+    * not Heap's law) — so training is one map-side-combinable
+    * aggregation and the apply joins it BROADCAST; per-doc bigram
+    * multiplicities aggregate on (doc_id, bigram) with map-side
+    * combine. Two data shuffles total (multiplicity agg reused by
+    * train and apply, final per-doc rollup).
+    */
+  def lmBigramScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")
+    val d = Tables.documentsFanned(spark, sfDir)
+      .select(col("doc_id"), norm.as("s"))
+      .filter(length(col("s")) >= 2)
+    val bg = d.select(col("doc_id"),
+      explode(transform(sequence(lit(1), length(col("s")) - 1),
+        i => col("s").substr(i, lit(2)))).as("bg"))
+    // per-doc multiplicities: ONE corpus-wide shuffle, read by both the
+    // model build (summed to corpus counts) and the scoring join
+    val bgc = bg.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("m"))
+      .localCheckpoint()
+    val c2 = bgc.groupBy(col("bg")).agg(sum(col("m")).as("c2"))
+    val c1 = c2.groupBy(col("bg").substr(1, 1).as("a"))
+      .agg(sum(col("c2")).as("c1"))
+    val model = c2.join(c1, c2("bg").substr(1, 1) === c1("a"))
+      .select(col("bg"), expr("(1000000 * c2) div c1").as("p_micro"))
+    bgc.join(broadcast(model), "bg")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        expr("sum(m * p_micro) div sum(m)").as("lm_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmBigramScoreSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') AS s
+      |  FROM documents
+      |), d2 AS (
+      |  SELECT doc_id, s FROM d WHERE length(s) >= 2
+      |), bgx AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, length(s) - 1), i -> substring(s, i, 2))) AS bg
+      |  FROM d2
+      |), bgc AS (
+      |  SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS m
+      |  FROM bgx GROUP BY 1, 2
+      |), c2 AS (
+      |  SELECT bg, CAST(SUM(m) AS BIGINT) AS c2 FROM bgc GROUP BY 1
+      |), c1 AS (
+      |  SELECT substring(bg, 1, 1) AS a, CAST(SUM(c2) AS BIGINT) AS c1
+      |  FROM c2 GROUP BY 1
+      |), model AS (
+      |  SELECT bg, (1000000 * c2.c2) // c1.c1 AS p_micro
+      |  FROM c2 JOIN c1 ON substring(c2.bg, 1, 1) = c1.a
+      |)
+      |SELECT bgc.doc_id,
+      |  CAST(SUM(m) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(m * p_micro) // SUM(m) AS BIGINT) AS lm_micro
+      |FROM bgc JOIN model USING (bg)
+      |GROUP BY 1
+      |ORDER BY doc_id""".stripMargin
+
   /** The 100 TB path [[docQuantiles]]'s scaladoc points at, EXECUTED:
     * the same profiling shape with `percentile_approx` — a mergeable
     * bounded-size quantile sketch per (group, column) instead of exact
