@@ -287,6 +287,16 @@ object ImageHeader {
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
       catch { case _: Exception => null }
     if (img == null) return null
+    lumGrid(img, dim).map(lum => (lum / 255.0f) * 2.0f - 1.0f)
+  }
+
+  /** Integer luminance grid of a decoded image — the nearest-pixel
+    * sampling + BT.601 core shared by [[decodeGridFeatures]] (float
+    * features) and MultimodalOps' per-frame dHash, kept in ONE place
+    * so the two consumers (and the SQL oracles' grid CTEs that mirror
+    * this formula) can never drift from each other.
+    */
+  def lumGrid(img: java.awt.image.BufferedImage, dim: Int): Array[Int] = {
     val w = img.getWidth; val h = img.getHeight
     val g = math.ceil(math.sqrt(dim.toDouble)).toInt
     Array.tabulate(dim) { k =>
@@ -294,9 +304,8 @@ object ImageHeader {
       val x = math.min(w - 1, (gx * w + w / 2) / g)
       val y = math.min(h - 1, (gy * h + h / 2) / g)
       val rgb = img.getRGB(x, y)
-      val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+      (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
         (rgb & 0xff) * 114) / 1000
-      (lum / 255.0f) * 2.0f - 1.0f
     }
   }
 

@@ -305,6 +305,35 @@ object MultimodalOps {
       .orderBy(col("item_a"), col("item_b"))
   }
 
+  /** Banded candidate generation shared by the perceptual-hash family
+    * ([[phashNearDup]], [[audioFingerprint]], [[videoNearDup]]): split
+    * `hash` into `bands` disjoint `bits`-bit bands, self-join on
+    * (band, value) plus any `extraKeys` equalities, and emit each
+    * DISTINCT candidate pair once with both hashes as (ha, hb).
+    * Pigeonhole losslessness lives HERE, once: ≤ bands−1 differing
+    * bits cannot hit all `bands` disjoint bands, so any
+    * hamming ≤ bands−1 output predicate loses nothing to the banding
+    * (each caller's spec asserts it against brute force).
+    */
+  private[graft] def bandedCandidates(df: DataFrame, hash: String,
+      bands: Int, bits: Int, extraKeys: Seq[String] = Nil): DataFrame = {
+    val mask = (1L << bits) - 1
+    val b = df.select(col("doc_id") +: col(hash) +: extraKeys.map(col): _*)
+      .withColumn("bd", explode(array((0 until bands).map(i =>
+        struct(lit(i).as("b"),
+          shiftright(col(hash), bits * i).bitwiseAND(lit(mask)).as("bv"))): _*)))
+      .select(col("doc_id") +: col(hash) +: col("bd.b").as("b") +:
+        col("bd.bv").as("bv") +: extraKeys.map(col): _*)
+    val l = b.as("l"); val r = b.as("r")
+    val cond = (Seq(col("l.b") === col("r.b"), col("l.bv") === col("r.bv"),
+      col("l.doc_id") < col("r.doc_id")) ++
+      extraKeys.map(k => col(s"l.$k") === col(s"r.$k"))).reduce(_ && _)
+    l.join(r, cond)
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col(s"l.$hash").as("ha"), col(s"r.$hash").as("hb"))
+      .distinct() // a pair colliding in several bands counts once
+  }
+
   /** Perceptual-hash near-dup — the image counterpart of document
     * SimHash dedup, and the operator a 100 TB image corpus actually
     * runs (dHash over the decoded luminance grid): bit (y·7+x) of the
@@ -329,16 +358,7 @@ object MultimodalOps {
             element_at(col("feature"), left), lit(1L)).otherwise(lit(0L))
       }).as("dh"))
       .localCheckpoint() // band explode + pair join both read it
-    val bands = dh.select(col("doc_id"), col("dh"),
-      explode(array((0 to 3).map(b => struct(lit(b).as("b"),
-        shiftright(col("dh"), 14 * b).bitwiseAND(lit(16383L)).as("bv"))): _*)).as("bd"))
-      .select(col("doc_id"), col("dh"), col("bd.b").as("b"), col("bd.bv").as("bv"))
-    val l = bands.as("l"); val r = bands.as("r")
-    l.join(r, col("l.b") === col("r.b") && col("l.bv") === col("r.bv") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        col("l.dh").as("ha"), col("r.dh").as("hb"))
-      .distinct() // a pair colliding in several bands counts once
+    bandedCandidates(dh, "dh", bands = 4, bits = 14)
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
@@ -548,18 +568,9 @@ object MultimodalOps {
             element_at(col("energy"), i + 2) > element_at(col("energy"), i + 1),
             lit(1L)).otherwise(lit(0L))).as("fp"))
       .localCheckpoint() // band explode + pair join both read it
-    val bands = fp.select(col("doc_id"), col("fp"),
-      explode(array((0 to 3).map(b => struct(lit(b).as("b"),
-        shiftright(col("fp"), 16 * b).bitwiseAND(lit(65535L)).as("bv"))): _*)).as("bd"))
-      .select(col("doc_id"), col("fp"), col("bd.b").as("b"), col("bd.bv").as("bv"))
-    val l = bands.as("l"); val r = bands.as("r")
-    l.join(r, col("l.b") === col("r.b") && col("l.bv") === col("r.bv") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        col("l.fp").as("fa"), col("r.fp").as("fb"))
-      .distinct()
+    bandedCandidates(fp, "fp", bands = 4, bits = 16)
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -661,14 +672,7 @@ object MultimodalOps {
     * `grid[y][x+1] > grid[y][x]`, MSB-first.
     */
   private[graft] def frameDHash(img: java.awt.image.BufferedImage): Long = {
-    val w = img.getWidth; val h = img.getHeight
-    val g = Array.tabulate(64) { k =>
-      val gx = math.min(w - 1, ((k % 8) * w + w / 2) / 8)
-      val gy = math.min(h - 1, ((k / 8) * h + h / 2) / 8)
-      val rgb = img.getRGB(gx, gy)
-      val r = (rgb >> 16) & 0xff; val gg = (rgb >> 8) & 0xff; val b = rgb & 0xff
-      (r * 299 + gg * 587 + b * 114) / 1000
-    }
+    val g = graft.functions.ImageHeader.lumGrid(img, 64)
     var dh = 0L; var i = 0
     while (i < 56) {
       val left = (i / 7) * 8 + (i % 7)
@@ -698,23 +702,32 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val frames =
+          // stream + reader released in finally: createImageInputStream
+          // defaults to a disk-backed cache file per payload that only
+          // close() reclaims promptly — leaking it per-row would fill
+          // the executor scratch dir / fd table on a long corpus scan
+          val frames = {
+            var iis: javax.imageio.stream.ImageInputStream = null
+            var reader: javax.imageio.ImageReader = null
             try {
-              val iis = javax.imageio.ImageIO.createImageInputStream(
+              iis = javax.imageio.ImageIO.createImageInputStream(
                 new java.io.ByteArrayInputStream(bytes))
               val readers = javax.imageio.ImageIO.getImageReaders(iis)
               if (!readers.hasNext) null
               else {
-                val reader = readers.next()
+                reader = readers.next()
                 reader.setInput(iis)
                 val n = reader.getNumImages(true)
-                val out = (0 until n by every).map { f =>
+                (0 until n by every).map { f =>
                   (n, f, frameDHash(reader.read(f)))
                 }
-                reader.dispose()
-                out
               }
             } catch { case _: Exception => null }
+            finally {
+              if (reader != null) reader.dispose()
+              if (iis != null) try iis.close() catch { case _: Exception => }
+            }
+          }
           if (frames == null) Iterator.empty
           else frames.iterator.map { case (n, f, dh) =>
             (id, n.toLong, f.toLong, dh) }
@@ -751,15 +764,9 @@ object MultimodalOps {
     val fh = decodeFrameHashes(payloads)
       .localCheckpoint() // frame-0 banding + aligned verification read it
     val f0 = fh.filter(col("f") === 0)
-    val bands = f0.select(col("doc_id"), col("nf"),
-      explode(array((0 to 3).map(b => struct(lit(b).as("b"),
-        shiftright(col("dh"), 14 * b).bitwiseAND(lit(16383L)).as("bv"))): _*)).as("bd"))
-      .select(col("doc_id"), col("nf"), col("bd.b").as("b"), col("bd.bv").as("bv"))
-    val l = bands.as("l"); val r = bands.as("r")
-    val cand = l.join(r, col("l.b") === col("r.b") && col("l.bv") === col("r.bv") &&
-        col("l.nf") === col("r.nf") && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
+    val cand = bandedCandidates(f0, "dh", bands = 4, bits = 14,
+        extraKeys = Seq("nf"))
+      .select(col("doc_a"), col("doc_b"))
     val fa = fh.select(col("doc_id").as("doc_a"), col("f"), col("dh").as("ha"))
     val fb = fh.select(col("doc_id").as("doc_b"), col("f"), col("dh").as("hb"))
     cand.join(fa, "doc_a").join(fb, Seq("doc_b", "f"))

@@ -41,19 +41,8 @@ object VectorStream {
     * never lists files the write is adding.
     */
   def appendVectorsStream(vectors: DataFrame, base: String): StreamingQuery =
-    vectors.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val name = Layout.currentEpochTable(batch.sparkSession, base)
-          .getOrElse(sys.error(s"no published epoch for index family $base"))
-        val cells = SimilarityOps
-          .assignToIndexCells(batch.sparkSession, name, batch)
-          .localCheckpoint()
-        if (!cells.isEmpty) SimilarityOps.appendToIvfIndex(name, cells)
-        cells.unpersist()
-        ()
-      }
-      .start()
+    appendLoop(vectors, base)(
+      SimilarityOps.assignToIndexCells, SimilarityOps.appendToIvfIndex)
 
   /** The same ingest loop for the COMPOSED IVF×PQ family: each batch
     * resolves the current epoch, coarse-assigns + residual-encodes
@@ -65,16 +54,27 @@ object VectorStream {
     * over build + appends alike.
     */
   def appendVectorsStreamIvfPq(vectors: DataFrame, base: String): StreamingQuery =
+    appendLoop(vectors, base)(
+      SimilarityOps.encodeForIvfPqIndex, SimilarityOps.appendToIvfPqIndex)
+
+  /** The shared per-batch protocol of every index-append stream —
+    * resolve the family's CURRENT epoch, encode under that epoch's own
+    * sidecar state, MATERIALIZE the encoded rows before appending (the
+    * read plan must never list files the write is adding), append only
+    * when non-empty — kept in one place so the epoch-resolution
+    * contract cannot drift between index families.
+    */
+  private def appendLoop(vectors: DataFrame, base: String)(
+      encode: (org.apache.spark.sql.SparkSession, String, DataFrame) => DataFrame,
+      append: (String, DataFrame) => Unit): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val name = Layout.currentEpochTable(batch.sparkSession, base)
           .getOrElse(sys.error(s"no published epoch for index family $base"))
-        val codes = SimilarityOps
-          .encodeForIvfPqIndex(batch.sparkSession, name, batch)
-          .localCheckpoint()
-        if (!codes.isEmpty) SimilarityOps.appendToIvfPqIndex(name, codes)
-        codes.unpersist()
+        val rows = encode(batch.sparkSession, name, batch).localCheckpoint()
+        if (!rows.isEmpty) append(name, rows)
+        rows.unpersist()
         ()
       }
       .start()
