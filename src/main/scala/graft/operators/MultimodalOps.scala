@@ -736,6 +736,46 @@ object MultimodalOps {
       .toDF("doc_id", "nf", "f", "dh")
   }
 
+  /** The synthetic video corpus as a payload frame — encoder runs
+    * partition-local like any decode ([[syntheticImages]] shape).
+    */
+  private[graft] def syntheticVideos(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documentsFanned(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticGif(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  private[graft] def frameHashIndexName(sfDir: String): String =
+    "graft_vframe_idx_" + Layout.corpusTag(sfDir)
+
+  private[graft] val FrameHashIndexBuckets = 16
+
+  /** Persist the (doc_id, nf, f, dh) frame-hash table — the state the
+    * video near-dup family rebuilds per query otherwise, and BY FAR
+    * the operator's dominant cost (multi-frame codec decode of every
+    * payload). Built once per corpus epoch, bucketed by doc_id;
+    * [[graft.streaming.MediaStream]] appends newly arriving videos'
+    * hashes into the same epoch, so at 100 TB the corpus is decoded
+    * exactly once ever — queries and the ingest loop both answer from
+    * 32 B/frame rows.
+    */
+  def ensureFrameHashIndex(spark: SparkSession, sfDir: String): String =
+    Layout.ensureEpochIndex(spark, frameHashIndexName(sfDir)) { name =>
+      Layout.writeBucketed(decodeFrameHashes(syntheticVideos(spark, sfDir)),
+        name, "doc_id", FrameHashIndexBuckets)
+    }
+
+  /** Append newly decoded frame hashes into the epoch's bucketed table
+    * (same bucket spec as the build — the [[graft.operators
+    * .SimilarityOps.appendToIvfIndex]] contract).
+    */
+  private[graft] def appendFrameHashes(name: String, fh: DataFrame): Unit =
+    fh.select(col("doc_id"), col("nf"), col("f"), col("dh"))
+      .write.format("parquet")
+      .bucketBy(FrameHashIndexBuckets, "doc_id").sortBy("doc_id")
+      .mode("append").saveAsTable(name)
+
   /** Temporal video near-dup: two videos are near-dups when they have
     * the SAME frame count and EVERY aligned sampled frame is a
     * perceptual match (dHash hamming ≤ 3) — i.e. [[phashNearDup]]
@@ -756,13 +796,22 @@ object MultimodalOps {
     * end-to-end.
     */
   def videoNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val payloads = Tables.documentsFanned(spark, sfDir)
-      .select(col("doc_id")).as[Long]
-      .mapPartitions(it => it.map(id => (id, syntheticGif(id))))
-      .toDF("doc_id", "payload")
-    val fh = decodeFrameHashes(payloads)
-      .localCheckpoint() // frame-0 banding + aligned verification read it
+    // corpus-keyed form rides the persisted frame-hash index: the
+    // multi-frame decode (the operator's dominant cost) is paid once
+    // per corpus epoch, and every query — plus the streaming ingest
+    // loop — answers from the same stored (doc_id, nf, f, dh) rows.
+    // Hashes are identical to the in-flight pass, so the oracle is
+    // unchanged.
+    val fh = spark.table(ensureFrameHashIndex(spark, sfDir))
+    videoNearDupFrom(fh)
+  }
+
+  /** The near-dup core over any (doc_id, nf, f, dh) frame-hash frame —
+    * shared by the index-served corpus form and the spec's in-flight
+    * runs so candidate semantics cannot drift between them.
+    */
+  private[graft] def videoNearDupFrom(fhIn: DataFrame): DataFrame = {
+    val fh = fhIn.localCheckpoint() // banding + aligned verification
     val f0 = fh.filter(col("f") === 0)
     val cand = bandedCandidates(f0, "dh", bands = 4, bits = 14,
         extraKeys = Seq("nf"))
