@@ -69,7 +69,7 @@ object Bench {
     "q_ivfpq_topk" -> 0.595, // r8 seed: epoch build + bucket-pruned ADC probe
     "q_image_neardup" -> 0.757, // r8 seed: PNG encode+real decode+LSH cosine
     "q_phash_neardup" -> 0.895, // r8 seed: decode + dHash + banded join
-    "q_audio_fingerprint" -> 1.90, // r8 seed: WAV encode + javax.sound decode + banded join
+    "q_audio_fingerprint" -> 1.162, // r8: fingerprints from the persisted index (in-flight decode form was 1.55-1.90)
     "q_video_neardup" -> 1.70, // r8: frame hashes from the persisted index (in-flight decode form was 2.78-4.25)
     "q_pq_topk" -> 0.80, // r7 seed: interpreted nested-HOF encode+ADC
     "q_pq_trained" -> 3.612, // r7 seed: 2 Lloyd iters + probe, join form

@@ -273,14 +273,31 @@ object MultimodalOps {
       .toDF("doc_id", "payload")
   }
 
+  private[graft] def imageFeatureIndexName(sfDir: String): String =
+    "graft_imgfeat_idx_" + Layout.corpusTag(sfDir)
+
+  /** Persist the decoded image FEATURE table (item_id, 64-float grid)
+    * — built through the real ImageIO decode once per corpus epoch and
+    * then serving BOTH image consumers ([[imageNearDup]]'s cosine ANN
+    * and [[phashNearDup]]'s dHash derive from the same grid), so a
+    * 100 TB image corpus is decoded once, not once per query.
+    */
+  def ensureImageFeatureIndex(spark: SparkSession, sfDir: String): String =
+    Layout.ensureEpochIndex(spark, imageFeatureIndexName(sfDir)) { name =>
+      Layout.writeBucketed(extractImageFeatures(syntheticImages(spark, sfDir), 64),
+        name, "item_id", FrameHashIndexBuckets)
+    }
+
   /** Decoded luminance-grid features of the synthetic corpus — the
     * REAL-pixel path ([[extractImageFeatures]] → ImageIO decode →
     * BT.601 grid), never the stub: any payload falling back to the md5
     * stub would hash-mismatch the oracle, so the gate itself proves
-    * every PNG took the real decode.
+    * every PNG took the real decode. Served from the persisted feature
+    * index (identical rows — the parquet float round-trip is exact —
+    * so every consumer keeps its oracle).
     */
   private def imageFeatures(spark: SparkSession, sfDir: String): DataFrame =
-    extractImageFeatures(syntheticImages(spark, sfDir), 64)
+    spark.table(ensureImageFeatureIndex(spark, sfDir))
 
   /** [[multimodalAnn]] with REAL decoded pixels: synthetic PNGs →
     * `ImageIO` decode → luminance-grid features → sign-LSH buckets →
@@ -555,18 +572,35 @@ object MultimodalOps {
     * audio codec path end-to-end (a stub/decode failure drops rows and
     * mismatches). Row-local hashing, one band-bucket shuffle.
     */
+  private[graft] def audioFpIndexName(sfDir: String): String =
+    "graft_audfp_idx_" + Layout.corpusTag(sfDir)
+
+  /** Persist the (doc_id, fp) audio fingerprint table — the WAV
+    * encode + `javax.sound` decode is the operator's dominant cost and
+    * is corpus-static, so it runs once per corpus epoch; queries band
+    * the stored 8 B fingerprints.
+    */
+  def ensureAudioFpIndex(spark: SparkSession, sfDir: String): String =
+    Layout.ensureEpochIndex(spark, audioFpIndexName(sfDir)) { name =>
+      import spark.implicits._
+      val payloads = Tables.documentsFanned(spark, sfDir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(it => it.map(id => (id, syntheticWav(id))))
+        .toDF("doc_id", "payload")
+      val fp = decodeAudioEnergy(payloads)
+        .select(col("doc_id"),
+          aggregate(sequence(lit(0), lit(62)), lit(0L), (acc, i) =>
+            acc * 2 + when(
+              element_at(col("energy"), i + 2) > element_at(col("energy"), i + 1),
+              lit(1L)).otherwise(lit(0L))).as("fp"))
+      Layout.writeBucketed(fp, name, "doc_id", FrameHashIndexBuckets)
+    }
+
   def audioFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val payloads = Tables.documentsFanned(spark, sfDir)
-      .select(col("doc_id")).as[Long]
-      .mapPartitions(it => it.map(id => (id, syntheticWav(id))))
-      .toDF("doc_id", "payload")
-    val fp = decodeAudioEnergy(payloads)
-      .select(col("doc_id"),
-        aggregate(sequence(lit(0), lit(62)), lit(0L), (acc, i) =>
-          acc * 2 + when(
-            element_at(col("energy"), i + 2) > element_at(col("energy"), i + 1),
-            lit(1L)).otherwise(lit(0L))).as("fp"))
+    // corpus-keyed form rides the persisted fingerprint index —
+    // identical fp values (integer energy gradients), so the oracle is
+    // unchanged
+    val fp = spark.table(ensureAudioFpIndex(spark, sfDir))
       .localCheckpoint() // band explode + pair join both read it
     bandedCandidates(fp, "fp", bands = 4, bits = 16)
       .select(col("doc_a"), col("doc_b"),
