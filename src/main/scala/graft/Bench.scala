@@ -21,16 +21,16 @@ object Bench {
     "q_asof_join" -> 0.18,
     "q_bpe_tokens" -> 0.124, "q_client_txn_counts" -> 0.952,
     "q_coerce_fill" -> 0.109, "q_count" -> 0.312,
-    "q_curation_funnel" -> 1.305, // r8: near-dup stage probes the shingle index
+    "q_curation_funnel" -> 1.032, // r8: near-dup stage probes the shingle index
 
     "q_decontaminate" -> 0.73, // r6 minimum (the old 1.455 floor predated it and masked drift); r8 adjudication: isolated 0.82 at HEAD vs 0.92 for the r6 commit re-benched the same session — the 1.82 in BENCH_r07 was host IO drift, not the b2487dd change
-    "q_decontaminate_fuzzy" -> 1.271, // r8: bands from the persisted r=1 index + shingle-index verification (in-flight r7 form was 4.12)
+    "q_decontaminate_fuzzy" -> 0.965, // r8: bands from the persisted r=1 index + shingle-index verification (in-flight r7 form was 4.12)
     "q_dedup_first" -> 0.528, "q_distinct_users" -> 0.154,
     "q_doc_dedup" -> 0.179, "q_doc_fingerprint" -> 0.17,
     "q_doc_quantiles" -> 0.172,
     "q_doc_quantiles_approx" -> 0.589, // r8: gated form adds exact stats + four rank-window checks to the hashed row (sketch-only was 0.185)
     "q_embedding_neardup" -> 0.402, "q_embedding_neardup_lsh" -> 0.358,
-    "q_ensemble_groups" -> 1.950, // r8: jaccard signal from the shingle index
+    "q_ensemble_groups" -> 1.368, // r8: jaccard signal from the shingle index
     "q_embedding_stats" -> 0.298,
     "q_event_windows" -> 0.453, "q_except_users" -> 0.32,
     "q_high_txn_accounts" -> 0.985, "q_incremental_dedup" -> 0.436,
@@ -39,7 +39,7 @@ object Bench {
     "q_ivf_trained" -> 0.628, "q_ivf_topk" -> 0.445,
     "q_json_extract" -> 0.184, "q_knn_cosine" -> 0.185,
     "q_lang_id" -> 0.527, "q_lang_ngram" -> 0.691,
-    "q_lm_score" -> 1.607, // r8 seed: bigram multiplicity agg + broadcast model apply
+    "q_lm_score" -> 1.279, // r8 seed: bigram multiplicity agg + broadcast model apply
     // r8 shared-index re-plan: the whole minhash/jaccard family answers
     // from the persisted band + shingle-bitmap indexes (same results,
     // same oracles) — floors reset to the post-re-plan minima
@@ -66,11 +66,11 @@ object Bench {
     "q_bpe_apply" -> 0.372, // r7 seed: train + row-local 50-merge apply
     "q_classifier_train" -> 5.238, // r7 seed: 25 sync GD iterations
     "q_substring_dedup" -> 0.306, // r7 re-plan: agg+co-partitioned-join form
-    "q_ivfpq_topk" -> 0.595, // r8 seed: epoch build + bucket-pruned ADC probe
-    "q_image_neardup" -> 0.757, // r8 seed: PNG encode+real decode+LSH cosine
-    "q_phash_neardup" -> 0.895, // r8 seed: decode + dHash + banded join
-    "q_audio_fingerprint" -> 1.162, // r8: fingerprints from the persisted index (in-flight decode form was 1.55-1.90)
-    "q_video_neardup" -> 1.70, // r8: frame hashes from the persisted index (in-flight decode form was 2.78-4.25)
+    "q_ivfpq_topk" -> 0.432, // r8 seed: epoch build + bucket-pruned ADC probe
+    "q_image_neardup" -> 0.452, // r8: ANN over the persisted feature index (in-flight decode form was 0.76)
+    "q_phash_neardup" -> 0.373, // r8: dHash over the persisted feature index (in-flight decode form was 0.82-0.90)
+    "q_audio_fingerprint" -> 0.380, // r8: fingerprints from the persisted index (in-flight decode form was 1.55-1.90)
+    "q_video_neardup" -> 0.781, // r8: frame hashes from the persisted index (in-flight decode form was 2.78-4.25)
     "q_pq_topk" -> 0.80, // r7 seed: interpreted nested-HOF encode+ADC
     "q_pq_trained" -> 3.612, // r7 seed: 2 Lloyd iters + probe, join form
     "q_unpivot_events" -> 0.376,
