@@ -285,7 +285,7 @@ object MultimodalOps {
   def ensureImageFeatureIndex(spark: SparkSession, sfDir: String): String =
     Layout.ensureEpochIndex(spark, imageFeatureIndexName(sfDir)) { name =>
       Layout.writeBucketed(extractImageFeatures(syntheticImages(spark, sfDir), 64),
-        name, "item_id", FrameHashIndexBuckets)
+        name, "item_id", MediaIndexBuckets)
     }
 
   /** Decoded luminance-grid features of the synthetic corpus — the
@@ -593,15 +593,16 @@ object MultimodalOps {
             acc * 2 + when(
               element_at(col("energy"), i + 2) > element_at(col("energy"), i + 1),
               lit(1L)).otherwise(lit(0L))).as("fp"))
-      Layout.writeBucketed(fp, name, "doc_id", FrameHashIndexBuckets)
+      Layout.writeBucketed(fp, name, "doc_id", MediaIndexBuckets)
     }
 
   def audioFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     // corpus-keyed form rides the persisted fingerprint index —
     // identical fp values (integer energy gradients), so the oracle is
-    // unchanged
+    // unchanged. No checkpoint: the source is already a small bucketed
+    // table, so the band self-join's two scans are cheaper than an
+    // extra materialization.
     val fp = spark.table(ensureAudioFpIndex(spark, sfDir))
-      .localCheckpoint() // band explode + pair join both read it
     bandedCandidates(fp, "fp", bands = 4, bits = 16)
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
@@ -783,7 +784,7 @@ object MultimodalOps {
   private[graft] def frameHashIndexName(sfDir: String): String =
     "graft_vframe_idx_" + Layout.corpusTag(sfDir)
 
-  private[graft] val FrameHashIndexBuckets = 16
+  private[graft] val MediaIndexBuckets = 16
 
   /** Persist the (doc_id, nf, f, dh) frame-hash table — the state the
     * video near-dup family rebuilds per query otherwise, and BY FAR
@@ -797,7 +798,7 @@ object MultimodalOps {
   def ensureFrameHashIndex(spark: SparkSession, sfDir: String): String =
     Layout.ensureEpochIndex(spark, frameHashIndexName(sfDir)) { name =>
       Layout.writeBucketed(decodeFrameHashes(syntheticVideos(spark, sfDir)),
-        name, "doc_id", FrameHashIndexBuckets)
+        name, "doc_id", MediaIndexBuckets)
     }
 
   /** Append newly decoded frame hashes into the epoch's bucketed table
@@ -807,7 +808,7 @@ object MultimodalOps {
   private[graft] def appendFrameHashes(name: String, fh: DataFrame): Unit =
     fh.select(col("doc_id"), col("nf"), col("f"), col("dh"))
       .write.format("parquet")
-      .bucketBy(FrameHashIndexBuckets, "doc_id").sortBy("doc_id")
+      .bucketBy(MediaIndexBuckets, "doc_id").sortBy("doc_id")
       .mode("append").saveAsTable(name)
 
   /** Temporal video near-dup: two videos are near-dups when they have

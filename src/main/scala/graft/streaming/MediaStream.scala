@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.{Layout, MultimodalOps}
+import graft.operators.MultimodalOps
 
 /** Streaming media-index maintenance — the multimodal twin of
   * [[VectorStream]]: newly arriving video payloads are multi-frame
@@ -23,17 +23,12 @@ import graft.operators.{Layout, MultimodalOps}
   */
 object MediaStream {
 
-  /** `payloads` must carry (doc_id: long, payload: binary). */
+  /** `payloads` must carry (doc_id: long, payload: binary). Rides
+    * [[VectorStream.appendLoop]] — ONE copy of the per-batch
+    * epoch-resolution protocol across every index family.
+    */
   def appendVideoFramesStream(payloads: DataFrame, base: String): StreamingQuery =
-    payloads.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val name = Layout.currentEpochTable(batch.sparkSession, base)
-          .getOrElse(sys.error(s"no published epoch for index family $base"))
-        val fh = MultimodalOps.decodeFrameHashes(batch).localCheckpoint()
-        if (!fh.isEmpty) MultimodalOps.appendFrameHashes(name, fh)
-        fh.unpersist()
-        ()
-      }
-      .start()
+    VectorStream.appendLoop(payloads, base)(
+      (_, _, batch) => MultimodalOps.decodeFrameHashes(batch),
+      MultimodalOps.appendFrameHashes)
 }

@@ -64,7 +64,7 @@ object VectorStream {
     * when non-empty — kept in one place so the epoch-resolution
     * contract cannot drift between index families.
     */
-  private def appendLoop(vectors: DataFrame, base: String)(
+  private[streaming] def appendLoop(vectors: DataFrame, base: String)(
       encode: (org.apache.spark.sql.SparkSession, String, DataFrame) => DataFrame,
       append: (String, DataFrame) => Unit): StreamingQuery =
     vectors.writeStream

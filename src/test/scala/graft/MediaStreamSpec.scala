@@ -28,7 +28,7 @@ class MediaStreamSpec extends SparkSpec {
       val cut = 250L
       def buildFrom(payloads: org.apache.spark.sql.DataFrame)(name: String): Unit =
         Layout.writeBucketed(MultimodalOps.decodeFrameHashes(payloads),
-          name, "doc_id", MultimodalOps.FrameHashIndexBuckets)
+          name, "doc_id", MultimodalOps.MediaIndexBuckets)
 
       // epoch 0: decoded from the first half only
       Layout.rotateEpoch(spark, base)(
