@@ -26,6 +26,9 @@ object Bench {
     "q_decontaminate" -> 0.73, // r6 minimum (the old 1.455 floor predated it and masked drift); r8 adjudication: isolated 0.82 at HEAD vs 0.92 for the r6 commit re-benched the same session — the 1.82 in BENCH_r07 was host IO drift, not the b2487dd change
     "q_decontaminate_fuzzy" -> 0.965, // r8: bands from the persisted r=1 index + shingle-index verification (in-flight r7 form was 4.12)
     "q_dedup_first" -> 0.528, "q_distinct_users" -> 0.154,
+    "q_cluster_balance" -> 0.498, // r8 seed: exchange-free count over the persisted IVF index + broadcast rate plan
+    "q_dsir_weights" -> 1.336, // r8 seed: one featurize pass → checkpointed (doc,bucket,m) → broadcast ratio model
+
     "q_doc_dedup" -> 0.179, "q_doc_fingerprint" -> 0.17,
     "q_doc_quantiles" -> 0.172,
     "q_doc_quantiles_approx" -> 0.589, // r8: gated form adds exact stats + four rank-window checks to the hashed row (sketch-only was 0.185)

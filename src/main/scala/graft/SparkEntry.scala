@@ -113,6 +113,8 @@ object SparkEntry {
     "q_pii_scrub"         -> (CurationOps.piiScrub _),
     "q_decontaminate"     -> (CurationOps.decontaminate _),
     "q_decontaminate_fuzzy" -> (CurationOps.decontaminateFuzzy _),
+    "q_dsir_weights"      -> (CurationOps.dsirWeights _),
+    "q_cluster_balance"   -> (CurationOps.clusterBalance _),
     "q_curation_funnel"   -> (CurationPipeline.curationFunnel _),
   )
 
@@ -206,6 +208,8 @@ object SparkEntry {
     "q_pii_scrub"         -> CurationOps.piiScrubSql,
     "q_decontaminate"     -> CurationOps.decontaminateSql,
     "q_decontaminate_fuzzy" -> CurationOps.decontaminateFuzzySql,
+    "q_dsir_weights"      -> CurationOps.dsirWeightsSql,
+    "q_cluster_balance"   -> CurationOps.clusterBalanceSql,
     "q_curation_funnel"   -> CurationPipeline.curationFunnelSql,
   )
 }

@@ -486,4 +486,189 @@ object CurationOps {
       |    '[0-9]{7,}', '<NUM>', 'g')) AS scrubbed_md5
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  /** Hashed-feature bucket count for DSIR — small enough that the
+    * trained ratio model always broadcasts, large enough that bucket
+    * collisions stay rare at the n-gram vocabulary sizes the hashing
+    * trick targets (Xie et al. 2023 use 10⁴; the principle is the
+    * same at any power of two).
+    */
+  private[graft] val DsirBuckets = 1024L
+
+  /** DSIR importance weighting (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every raw document by how
+    * much more likely its hashed n-gram features are under a TARGET
+    * domain's feature distribution than under the raw corpus's, then
+    * keep the top quartile — the published recipe for selecting
+    * pretraining data that "looks like" a trusted corpus without
+    * training a classifier. Target here = the `lang = 'en'` slice;
+    * features = word unigrams + adjacent bigrams hashed by the
+    * engine-portable [[graft.functions.RollingHash]] into
+    * [[DsirBuckets]] buckets (the hashing trick — memory is O(B), not
+    * O(vocab)).
+    *
+    * Oracle-exactness (the q_lm_score precedent): DSIR's
+    * geometric-mean likelihood ratio (exp of mean log-ratio) is
+    * replaced by the ARITHMETIC mean of per-feature add-1-smoothed
+    * ratios in integer micro units, `r_micro[b] = (10⁶·(c_t[b]+1))
+    * div (c_r[b]+1)` — same order statistic family, zero FP in model
+    * or apply. The corpus-constant normalization `(N_r+B)/(N_t+B)`
+    * scales every doc identically so it is irrelevant to selection
+    * and deliberately not folded into the per-bucket ratios (keeps
+    * every intermediate within BIGINT at any corpus size: c ≤ 10¹²
+    * occurrences per bucket before 10⁶·(c+1) overflows). The keep
+    * rule is deterministic zero-temperature resampling: `dsir_micro ≥
+    * exact 75th percentile`, the interpolated-percentile form both
+    * engines define identically (q_doc_quantiles precedent).
+    *
+    * Scale shape: feature extraction and hashing are row-local in the
+    * scan stage (codegen'd RollingHash), and that pass — the dominant
+    * cost — runs exactly once: its output rolls straight up to per-doc
+    * bucket multiplicities (map-side combine, ONE corpus-wide shuffle)
+    * and is checkpointed; the model build (a ≤ B-row aggregate) and
+    * the scoring join both read the compact frame (the q_lm_score
+    * pattern). The model broadcasts at any corpus size, the scoring
+    * rollup map-side-combines to one row per doc, and the keep
+    * threshold is a 1-row broadcast (allowlisted single-row crossJoin,
+    * the q_bm25_topk pattern). Exact percentile state is corpus-wide
+    * distinct scores — at 100 TB swap in percentile_approx and bound
+    * it like q_doc_quantiles_approx; the plan shape is unchanged.
+    */
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    // Spark's sequence(1, n) DESCENDS when n < 1 — guard the bigram arm
+    val bigrams = when(size(col("toks")) >= 2,
+      transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ",
+          element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    // The expensive pass — tokenize, build bigram strings, hash — runs
+    // ONCE: the exploded feature stream is immediately rolled up to
+    // per-doc bucket multiplicities and checkpointed; both the model
+    // build and the scoring join read the compact (doc, bucket, m)
+    // frame. The hash sits AFTER the explode as a top-level codegen'd
+    // expression (inside a transform() lambda it would drop the
+    // projection out of whole-stage codegen — HOFs are interpreted).
+    val fc = Tables.documentsFanned(spark, sfDir)
+      .select(col("doc_id"), (col("lang") === "en").as("is_t"), toks.as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("is_t"),
+        explode(concat(col("toks"), bigrams)).as("f"))
+      .select(col("doc_id"), col("is_t"),
+        (graft.functions.RollingHash(col("f")) % DsirBuckets).as("b"))
+      .groupBy(col("doc_id"), col("is_t"), col("b"))
+      .agg(count(lit(1)).as("m"))
+      .localCheckpoint() // read twice: model build + scoring join
+    val model = fc.groupBy(col("b")) // ≤ DsirBuckets keys
+      .agg(sum(col("m")).as("c_r"),
+        sum(when(col("is_t"), col("m")).otherwise(0L)).as("c_t"))
+      .select(col("b"), expr("(1000000 * (c_t + 1)) div (c_r + 1)").as("r_micro"))
+    val scored = fc.join(broadcast(model), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_feats"),
+        expr("sum(m * r_micro) div sum(m)").as("dsir_micro"))
+    val thr = scored.agg(
+      round(expr("percentile(dsir_micro, 0.75)"), 6).as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_feats"), col("dsir_micro"),
+        (col("dsir_micro") >= col("thr")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dsirWeightsSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang = 'en' AS is_t, toks FROM (
+      |    SELECT doc_id, lang, list_filter(
+      |      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |    FROM documents)
+      |  WHERE len(toks) >= 1
+      |), feats AS (
+      |  SELECT doc_id, is_t, unnest(toks || CASE WHEN len(toks) >= 2
+      |    THEN list_transform(generate_series(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i + 1])
+      |    ELSE [] END) AS f
+      |  FROM base
+      |), hashed AS (
+      |  SELECT doc_id, is_t,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(f, ''),
+      |          x -> CAST(ascii(x) AS BIGINT))),
+      |      (h, c) -> (h * 31 + c) % 1000000007) % 1024 AS b
+      |  FROM feats
+      |), fcb AS (
+      |  SELECT doc_id, is_t, b, CAST(COUNT(*) AS BIGINT) AS m
+      |  FROM hashed GROUP BY 1, 2, 3
+      |), model AS (
+      |  SELECT b,
+      |    CAST((1000000 * (SUM(CASE WHEN is_t THEN m ELSE 0 END) + 1))
+      |      // (SUM(m) + 1) AS BIGINT) AS r_micro
+      |  FROM fcb GROUP BY 1
+      |), scored AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(m) AS BIGINT) AS n_feats,
+      |    CAST(SUM(m * r_micro) // SUM(m) AS BIGINT) AS dsir_micro
+      |  FROM fcb JOIN model USING (b)
+      |  GROUP BY 1
+      |), thr AS (
+      |  SELECT ROUND(quantile_cont(dsir_micro, 0.75), 6) AS thr FROM scored
+      |)
+      |SELECT doc_id, n_feats, dsir_micro, dsir_micro >= thr AS keep
+      |FROM scored CROSS JOIN thr
+      |ORDER BY doc_id""".stripMargin
+
+  /** Cluster-balanced sampling (the DataComp / MetaCLIP balancing
+    * move): assign every embedding to its TRAINED k-means cluster,
+    * then flatten the cluster distribution — each cluster gets a
+    * deterministic keep-rate `min(100%, ⌈N/k⌉ / n_cluster)` so
+    * over-represented modes are downsampled toward a uniform
+    * per-cluster budget while rare clusters keep everything. The
+    * within-cluster choice is the [[stratifiedFilter]] hash predicate
+    * (md5 bucket < rate), so the sample is reproducible on any cluster
+    * layout and resample-stable: changing one cluster's rate never
+    * reshuffles another's survivors.
+    *
+    * Scale shape: rides [[SimilarityOps.ensureIvfTrainedIndex]] — the
+    * (vec_id, cell) scan is the persisted index bucketed BY cell, so
+    * the per-cluster count aggregates with NO exchange
+    * (bucketed-write elimination, the LayoutSpec-asserted pattern);
+    * the k-row plan re-joins broadcast and the keep predicate is
+    * row-local md5. Everything after the one-time index build is
+    * integer arithmetic — no FP anywhere in rates or keeps.
+    */
+  def clusterBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = SimilarityOps.ensureIvfTrainedIndex(spark, sfDir)
+    val a = spark.table(name).select(col("vec_id"), col("cell"))
+    val counts = a.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+    val tot = counts.agg(sum(col("n_cell")).as("n_tot"),
+      count(lit(1)).as("k"))
+    val plan = counts.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_cell"),
+        least(lit(100L),
+          expr("(100 * ((n_tot + k - 1) div k)) div n_cell")).as("rate"))
+    val bucket = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    a.join(broadcast(plan), "cell")
+      .select(col("vec_id"), col("cell"), col("n_cell"), col("rate"),
+        (bucket < col("rate")).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  val clusterBalanceSql: String =
+    s"""WITH ${SimilarityOps.ivfAssignCtes}, counts AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_cell FROM cells GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(n_cell) AS BIGINT) AS n_tot,
+       |    CAST(COUNT(*) AS BIGINT) AS k
+       |  FROM counts
+       |), plan AS (
+       |  SELECT cell, n_cell,
+       |    LEAST(100, CAST((100 * ((n_tot + k - 1) // k)) // n_cell AS BIGINT)) AS rate
+       |  FROM counts CROSS JOIN tot
+       |)
+       |SELECT c.vec_id, c.cell, p.n_cell, p.rate,
+       |  CAST(CONCAT('0x', substring(md5(CAST(c.vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |    % 100 < p.rate AS keep
+       |FROM cells c JOIN plan p USING (cell)
+       |ORDER BY c.vec_id""".stripMargin
 }

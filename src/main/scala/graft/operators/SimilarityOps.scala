@@ -406,13 +406,13 @@ object SimilarityOps {
        |SELECT cid, i, cv AS comp FROM c3
        |ORDER BY cid, i""".stripMargin
 
-  /** [[ivfKmeansCtes]] extended through assignment and probe: route
-    * every vector to its best TRAINED centroid, probe the query's 2
-    * best cells, exact-score the candidates — the oracle for
-    * [[ivfTrainedTopK]].
+  /** [[ivfKmeansCtes]] extended through assignment: route every vector
+    * to its best TRAINED centroid (`cells`), keeping the full ranking
+    * (`ranked`) for probe-side consumers. Shared by
+    * [[ivfTrainedTopKSql]] and [[CurationOps.clusterBalanceSql]].
     */
-  val ivfTrainedTopKSql: String =
-    s"""WITH $ivfKmeansCtes, scored AS (
+  private[operators] val ivfAssignCtes: String =
+    s"""$ivfKmeansCtes, scored AS (
        |  SELECT x.vec_id, c.cid,
        |    ROUND(SUM(x.v*c.cv) / (SQRT(SUM(x.v*x.v)) * SQRT(SUM(c.cv*c.cv))), 6) AS ccos
        |  FROM x JOIN c3 c ON x.i = c.i
@@ -423,7 +423,14 @@ object SimilarityOps {
        |  FROM scored
        |), cells AS (
        |  SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1
-       |), probes AS (
+       |)""".stripMargin
+
+  /** [[ivfAssignCtes]] extended through the probe: the query's 2 best
+    * cells, exact-scored candidates — the oracle for
+    * [[ivfTrainedTopK]].
+    */
+  val ivfTrainedTopKSql: String =
+    s"""WITH $ivfAssignCtes, probes AS (
        |  SELECT cid AS cell FROM ranked WHERE vec_id = 0 AND rn <= 2
        |), qx AS (SELECT v, i FROM x WHERE vec_id = 0),
        |cand AS (

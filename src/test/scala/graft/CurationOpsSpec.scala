@@ -195,4 +195,56 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.getInt(1) === 1)
     assert(got.getString(2) === "mail me: <EMAIL> or call <NUM> ext 42")
   }
+
+  test("dsirWeights: keep is exactly the top quartile, ratios bounded, target scores higher") {
+    val rows = CurationOps.dsirWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // c_t <= c_r in every bucket, so no per-bucket ratio (and hence no
+    // mean of them) can exceed the 10^6 micro unit
+    assert(rows.forall { case (_, nf, micro, _) => nf >= 1 && micro <= 1000000L })
+    // keep == (score >= exact 75th percentile), recomputed independently
+    val scores = rows.map(_._3).sorted
+    val rank = 0.75 * (scores.length - 1)
+    val (lo, hi) = (scores(rank.toInt), scores(math.ceil(rank).toInt))
+    val thr = BigDecimal(lo + (rank - rank.toInt) * (hi - lo))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.forall { case (_, _, micro, keep) => keep === (micro >= thr) })
+    assert(rows.count(_._4) >= scores.length / 4) // quartile ties round up
+    // the model separates: target-language docs average a higher ratio
+    val lang = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (en, other) = rows.partition(r => lang(r._1) == "en")
+    def mean(xs: Array[(Long, Long, Long, Boolean)]) =
+      xs.map(_._3).sum.toDouble / xs.length
+    assert(mean(en) > mean(other))
+  }
+
+  test("clusterBalance: rates flatten clusters toward the uniform budget, keep is the hash predicate") {
+    val rows = CurationOps.clusterBalance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val clusters = rows.groupBy(_._2)
+    val k = clusters.size.toLong
+    val target = (n + k - 1) / k
+    for ((cell, members) <- clusters) {
+      val nCell = members.head._3
+      assert(nCell === members.length.toLong, s"cell $cell count")
+      val rate = members.head._4
+      assert(members.forall(m => m._3 == nCell && m._4 == rate))
+      assert(rate === math.min(100L, 100L * target / nCell), s"cell $cell rate")
+      // a cluster under budget keeps everything; one over budget is cut
+      if (nCell <= target) assert(rate === 100L && members.forall(_._5))
+    }
+    // keep == the stratifiedFilter md5 predicate, recomputed independently
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    assert(rows.forall { case (id, _, _, rate, keep) => keep === (bucket(id) < rate) })
+  }
 }

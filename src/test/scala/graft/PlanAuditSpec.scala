@@ -37,6 +37,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_tfidf_topterms",     // crossJoin(broadcast(1-row corpus-count aggregate))
     "q_bm25_topk",          // crossJoin(broadcast(1-row corpus-stats aggregate))
     "q_mixture_plan",       // crossJoin(broadcast(1-row total aggregate)) over #sources rows
+    "q_dsir_weights",       // crossJoin(broadcast(1-row percentile threshold))
+    "q_cluster_balance",    // crossJoin(broadcast(1-row corpus-total aggregate))
     "q_curation_funnel"     // crosses five 1-row stage aggregates; pair stage is the allowed bitmap BNLJ
   )
 
