@@ -115,6 +115,8 @@ object SparkEntry {
     "q_decontaminate_fuzzy" -> (CurationOps.decontaminateFuzzy _),
     "q_dsir_weights"      -> (CurationOps.dsirWeights _),
     "q_cluster_balance"   -> (CurationOps.clusterBalance _),
+    "q_keyword_search"    -> (TextOps.keywordSearch _),
+    "q_phrase_search"     -> (TextOps.phraseSearch _),
     "q_curation_funnel"   -> (CurationPipeline.curationFunnel _),
   )
 
@@ -210,6 +212,8 @@ object SparkEntry {
     "q_decontaminate_fuzzy" -> CurationOps.decontaminateFuzzySql,
     "q_dsir_weights"      -> CurationOps.dsirWeightsSql,
     "q_cluster_balance"   -> CurationOps.clusterBalanceSql,
+    "q_keyword_search"    -> TextOps.keywordSearchSql,
+    "q_phrase_search"     -> TextOps.phraseSearchSql,
     "q_curation_funnel"   -> CurationPipeline.curationFunnelSql,
   )
 }

@@ -1494,4 +1494,164 @@ object TextOps {
       |FROM d
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Positional inverted index + probes (keyword search, phrase search)
+  // ---------------------------------------------------------------------
+
+  /** Catalog base name of the persisted positional postings index for
+    * one corpus directory (per-corpus; epoch-versioned like every
+    * other persisted index). */
+  private[graft] def invIndexName(sfDir: String): String =
+    "graft_inv_idx_" + Layout.corpusTag(sfDir)
+
+  private[graft] val InvIndexBuckets = 16
+
+  /** Query terms for [[keywordSearch]] — disjoint from [[Bm25Terms]] so
+    * the two retrieval keys exercise different probe paths. */
+  private[graft] val SearchTerms = Seq("window", "merge", "batch")
+
+  /** The fixed adjacency phrase for [[phraseSearch]]: term2 must occur
+    * at position(term1) + 1. */
+  private[graft] val PhraseTerms = ("hash", "value")
+
+  /** Build-once half of a search system over the corpus: the POSITIONAL
+    * POSTINGS index — one row per (term, document) carrying term
+    * frequency, document length, and the sorted 1-based token positions
+    * — persisted BUCKETED BY term ([[Layout.writeBucketed]]), plus a
+    * 1-row corpus-stats sidecar (N, avgdl) that versions with its epoch
+    * exactly like the IVF codebook. Probes read only their query terms'
+    * buckets (`SelectedBucketsCount`, spec-asserted) — at 100 TB a
+    * query touches kilobytes of postings, never the corpus text.
+    * [[bm25TopK]] is the deliberate contrast: same ranking formula,
+    * but recomputed from a full scan every time — the index is what a
+    * pipeline builds once the query rate outgrows that.
+    */
+  def ensureInvertedIndex(spark: SparkSession, sfDir: String): String =
+    Layout.ensureEpochIndex(spark, invIndexName(sfDir),
+        sidecars = Seq("_stats")) { name =>
+      val toks = tokens(col("text"))
+      // 1-row corpus stats: N and avgdl over ALL docs (dl = 0 docs carry
+      // no postings but do shape the BM25 normalizer, as in bm25TopK)
+      Tables.documentsFanned(spark, sfDir)
+        .select(size(toks).cast("long").as("dl"))
+        .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+        .write.format("parquet").mode("overwrite").saveAsTable(name + "_stats")
+      // postings: posexplode keeps the token position; collect_list's
+      // nondeterministic order is canonicalized by sort_array so the
+      // positions column is deterministic for the oracle and for phrase
+      // intersection. dl rides the groupBy (functionally dependent on
+      // doc_id) to avoid a second pass / join.
+      val p = Tables.documentsFanned(spark, sfDir)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          posexplode(col("toks")).as(Seq("pos", "term")))
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos") + 1)).as("positions"))
+      Layout.writeBucketed(p, name, "term", InvIndexBuckets)
+    }
+
+  /** BM25 keyword search served from the persisted postings index —
+    * the query-many half of [[ensureInvertedIndex]]. Standard retrieval
+    * semantics: only documents containing ≥1 query term are candidates
+    * (contrast [[bm25TopK]], which scores the whole corpus). Per-term
+    * df is exact, aggregated from the SAME pruned buckets the scoring
+    * reads — no full-corpus pass anywhere. The only exchanges are over
+    * candidate postings (3 terms' buckets), never the corpus: pruned
+    * scan → broadcast df/stats → row-local contribution → per-doc sum
+    * (map-side combined) → TakeOrderedAndProject top-20. Scores round
+    * to 6 decimals before ranking (the bm25TopK ulp-tie precedent; the
+    * per-doc sum adds ≤ |terms| doubles whose order may differ between
+    * engines, absorbed at 6 decimals).
+    */
+  def keywordSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val (k1, b, k) = (1.2, 0.75, 20)
+    val name = ensureInvertedIndex(spark, sfDir)
+    val p = spark.table(name)
+      .filter(col("term").isin(SearchTerms: _*))
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+    val dfs = p.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val stats = spark.table(name + "_stats")
+    val tf = col("tf").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val contrib = idf * (tf * (k1 + 1)) /
+      (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    p.join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(contrib), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val keywordSearchSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents
+      |), stats AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |    AVG(CAST(len(toks) AS BIGINT)) AS avgdl
+      |  FROM base
+      |), p AS (
+      |  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+      |          unnest(toks) AS term FROM base)
+      |  WHERE term IN ('window', 'merge', 'batch')
+      |  GROUP BY 1, 2, 3
+      |), dfs AS (
+      |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM p GROUP BY 1
+      |)
+      |SELECT doc_id, ROUND(SUM(
+      |    LN(1 + (n_docs - df + 0.5) / (df + 0.5))
+      |      * (CAST(tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf AS DOUBLE)
+      |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 6) AS score
+      |FROM p JOIN dfs USING (term) CROSS JOIN stats
+      |GROUP BY doc_id
+      |ORDER BY score DESC, doc_id
+      |LIMIT 20""".stripMargin
+
+  /** Adjacency phrase search from the SAME positional index: documents
+    * where "<term1> <term2>" occurs as consecutive tokens, with the
+    * exact occurrence count — `|positions(term1) ∩ (positions(term2)
+    * − 1)|`, all-integer, so the key is immune to FP drift. The two
+    * sides are each a bucket-pruned single-term scan; the doc_id join
+    * and the HOF shift/intersect run over candidate postings only
+    * (docs containing BOTH terms), never the corpus. This is the
+    * operator tf-only postings cannot express — the reason production
+    * indexes store positions.
+    */
+  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = ensureInvertedIndex(spark, sfDir)
+    val (t1, t2) = PhraseTerms
+    def side(t: String, as: String) = spark.table(name)
+      .filter(col("term") === t)
+      .select(col("doc_id"), col("positions").as(as))
+    val occ = size(array_intersect(col("pa"),
+      transform(col("pb"), x => x - 1)))
+    side(t1, "pa").join(side(t2, "pb"), "doc_id")
+      .select(col("doc_id"), occ.cast("long").as("n_occ"))
+      .filter(col("n_occ") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val phraseSearchSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id,
+      |    list_filter(generate_series(1, len(toks)), i -> toks[i] = 'hash') AS pa,
+      |    list_filter(generate_series(1, len(toks)), i -> toks[i] = 'value') AS pb
+      |  FROM base
+      |)
+      |SELECT doc_id, CAST(len(list_intersect(pa,
+      |    list_transform(pb, x -> x - 1))) AS BIGINT) AS n_occ
+      |FROM m
+      |WHERE len(list_intersect(pa, list_transform(pb, x -> x - 1))) > 0
+      |ORDER BY doc_id""".stripMargin
 }

@@ -401,4 +401,76 @@ class TextOpsSpec extends SparkSpec {
     assert(score(natural) > score(gibberish),
       s"natural ${score(natural)} should beat gibberish ${score(gibberish)}")
   }
+
+  test("keywordSearch: index probe ≡ full-scan BM25 over the same terms, bucket-pruned scan") {
+    import org.apache.spark.sql.functions._
+    try {
+      val got = TextOps.keywordSearch(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.nonEmpty)
+      // independent full-scan recompute of the same candidates-only BM25
+      val toks = TextOps.tokens(col("text"))
+      val base = Tables.documentsFanned(spark, sf)
+        .select(col("doc_id"), size(toks).cast("long").as("dl"), toks.as("toks"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[String](2)))
+      val n = base.length.toDouble
+      val avgdl = base.map(_._2).sum.toDouble / n
+      val terms = TextOps.SearchTerms
+      val tfs = base.map { case (id, dl, ts) =>
+        (id, dl, terms.map(t => ts.count(_ == t).toLong)) }
+      val dfm = terms.zipWithIndex.map { case (t, i) =>
+        t -> tfs.count(_._3(i) > 0).toDouble }.toMap
+      val want = tfs.flatMap { case (id, dl, tf) =>
+        val s = terms.zipWithIndex.collect { case (t, i) if tf(i) > 0 =>
+          math.log(1 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+            (tf(i) * 2.2) / (tf(i) + 1.2 * (0.25 + 0.75 * dl / avgdl)) }
+        if (s.isEmpty) None
+        else Some(id -> BigDecimal(s.sum).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (id, s) => (-s, id) }.take(20)
+      assert(got.toSeq === want.toSeq)
+      // build-once/query-many: the probe reads ONLY the query terms'
+      // buckets (≤ one per term), never the corpus text
+      val plan = TextOps.keywordSearch(spark, sf)
+        .queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined, s"keyword probe must bucket-prune:\n$plan")
+      assert(sel.get.group(1).toInt <= TextOps.SearchTerms.length &&
+        sel.get.group(2).toInt == TextOps.InvIndexBuckets)
+    } finally {
+      graft.operators.Layout.dropEpochFamily(spark,
+        TextOps.invIndexName(sf), sidecars = Seq("_stats"))
+    }
+  }
+
+  test("phraseSearch: adjacency counts match a string-level recount, positions index pruned") {
+    import org.apache.spark.sql.functions._
+    try {
+      val got = TextOps.phraseSearch(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got.nonEmpty)
+      // recount phrase occurrences from raw tokens, independent of the index
+      val (t1, t2) = TextOps.PhraseTerms
+      val toks = TextOps.tokens(col("text"))
+      val want = Tables.documents(spark, sf)
+        .select(col("doc_id"), toks.as("toks")).collect()
+        .map { r =>
+          val ts = r.getSeq[String](1)
+          r.getLong(0) -> ts.sliding(2).count(p =>
+            p.length == 2 && p.head == t1 && p(1) == t2).toLong
+        }.filter(_._2 > 0).toMap
+      assert(got === want)
+      val plan = TextOps.phraseSearch(spark, sf)
+        .queryExecution.executedPlan.toString
+      val sels = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findAllMatchIn(plan).toSeq
+      assert(sels.nonEmpty && sels.forall(m => m.group(1).toInt <= 1),
+        s"each phrase side must prune to its term's single bucket:\n$plan")
+    } finally {
+      graft.operators.Layout.dropEpochFamily(spark,
+        TextOps.invIndexName(sf), sidecars = Seq("_stats"))
+    }
+  }
 }
