@@ -1527,30 +1527,81 @@ object TextOps {
     * but recomputed from a full scan every time — the index is what a
     * pipeline builds once the query rate outgrows that.
     */
+  /** Postings rows of a (doc_id, text) frame: posexplode keeps the
+    * token position; collect_list's nondeterministic order is
+    * canonicalized by sort_array so the positions column is
+    * deterministic for the oracle and for phrase intersection. dl
+    * rides the groupBy (functionally dependent on doc_id) to avoid a
+    * second pass / join. Shared by the bulk build and the streaming
+    * append so encode semantics cannot drift between them.
+    */
+  private[graft] def postingsOf(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        posexplode(col("toks")).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos") + 1)).as("positions"))
+  }
+
+  /** Exact (n_docs, sum_dl) of a (doc_id, text) frame — the stats
+    * sidecar stores these as LONGS (not a precomputed avgdl double) so
+    * a streaming append can advance them by integer addition with zero
+    * drift; probes derive avgdl by one division. dl = 0 docs carry no
+    * postings but do count here (they shape the BM25 normalizer, as in
+    * [[bm25TopK]]).
+    */
+  private def statsDelta(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(size(toks).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+  }
+
+  /** Bulk-build the postings table + stats sidecar for `docs` under
+    * catalog name `name` — the body of [[ensureInvertedIndex]], also
+    * the bootstrap step of the streaming ingest loop. */
+  private[graft] def buildInvertedIndex(spark: SparkSession, name: String,
+      docs: DataFrame): Unit = {
+    statsDelta(docs)
+      .write.format("parquet").mode("overwrite").saveAsTable(name + "_stats")
+    Layout.writeBucketed(postingsOf(docs), name, "term", InvIndexBuckets)
+  }
+
   def ensureInvertedIndex(spark: SparkSession, sfDir: String): String =
     Layout.ensureEpochIndex(spark, invIndexName(sfDir),
         sidecars = Seq("_stats")) { name =>
-      val toks = tokens(col("text"))
-      // 1-row corpus stats: N and avgdl over ALL docs (dl = 0 docs carry
-      // no postings but do shape the BM25 normalizer, as in bm25TopK)
-      Tables.documentsFanned(spark, sfDir)
-        .select(size(toks).cast("long").as("dl"))
-        .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
-        .write.format("parquet").mode("overwrite").saveAsTable(name + "_stats")
-      // postings: posexplode keeps the token position; collect_list's
-      // nondeterministic order is canonicalized by sort_array so the
-      // positions column is deterministic for the oracle and for phrase
-      // intersection. dl rides the groupBy (functionally dependent on
-      // doc_id) to avoid a second pass / join.
-      val p = Tables.documentsFanned(spark, sfDir)
-        .select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-          posexplode(col("toks")).as(Seq("pos", "term")))
-        .groupBy(col("term"), col("doc_id"), col("dl"))
-        .agg(count(lit(1)).as("tf"),
-          sort_array(collect_list(col("pos") + 1)).as("positions"))
-      Layout.writeBucketed(p, name, "term", InvIndexBuckets)
+      buildInvertedIndex(spark, name,
+        Tables.documentsFanned(spark, sfDir).select(col("doc_id"), col("text")))
     }
+
+  /** WRITE half of the search ingest loop: append a new batch's
+    * postings to epoch table `name` using the index's own bucket spec
+    * (new files land in the same term buckets — later probes stay
+    * pruned and co-located over build + appends alike) and advance the
+    * exact stats sidecar by integer addition. The postings materialize
+    * (localCheckpoint) BEFORE the append so the read plan never lists
+    * files the write is adding; the 1-row sidecar overwrite is the
+    * same single-writer contract as the epoch pointer flip.
+    */
+  private[graft] def appendToInvertedIndex(spark: SparkSession, name: String,
+      batch: DataFrame): Unit = {
+    val delta = statsDelta(batch).collect()(0)
+    if (delta.getLong(0) > 0) {
+      val p = postingsOf(batch).localCheckpoint()
+      if (!p.isEmpty)
+        p.write.format("parquet")
+          .bucketBy(InvIndexBuckets, "term").sortBy("term")
+          .mode("append").saveAsTable(name)
+      p.unpersist()
+      val cur = spark.table(name + "_stats").collect()(0)
+      val s = spark; import s.implicits._
+      Seq((cur.getLong(0) + delta.getLong(0), cur.getLong(1) + delta.getLong(1)))
+        .toDF("n_docs", "sum_dl")
+        .write.format("parquet").mode("overwrite").saveAsTable(name + "_stats")
+    }
+  }
 
   /** BM25 keyword search served from the persisted postings index —
     * the query-many half of [[ensureInvertedIndex]]. Standard retrieval
@@ -1565,14 +1616,21 @@ object TextOps {
     * per-doc sum adds ≤ |terms| doubles whose order may differ between
     * engines, absorbed at 6 decimals).
     */
-  def keywordSearch(spark: SparkSession, sfDir: String): DataFrame = {
+  def keywordSearch(spark: SparkSession, sfDir: String): DataFrame =
+    keywordSearchIndex(spark, ensureInvertedIndex(spark, sfDir))
+
+  /** [[keywordSearch]] against an explicit epoch table — the probe the
+    * streaming ingest spec points at stream-built state. */
+  private[graft] def keywordSearchIndex(spark: SparkSession, name: String): DataFrame = {
     val (k1, b, k) = (1.2, 0.75, 20)
-    val name = ensureInvertedIndex(spark, sfDir)
     val p = spark.table(name)
       .filter(col("term").isin(SearchTerms: _*))
       .select(col("term"), col("doc_id"), col("dl"), col("tf"))
     val dfs = p.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    // derive (n_docs, avgdl) doubles from the exact long sidecar
     val stats = spark.table(name + "_stats")
+      .select(col("n_docs").cast("double").as("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
     val tf = col("tf").cast("double")
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
@@ -1624,8 +1682,10 @@ object TextOps {
     * operator tf-only postings cannot express — the reason production
     * indexes store positions.
     */
-  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
-    val name = ensureInvertedIndex(spark, sfDir)
+  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame =
+    phraseSearchIndex(spark, ensureInvertedIndex(spark, sfDir))
+
+  private[graft] def phraseSearchIndex(spark: SparkSession, name: String): DataFrame = {
     val (t1, t2) = PhraseTerms
     def side(t: String, as: String) = spark.table(name)
       .filter(col("term") === t)

@@ -96,6 +96,29 @@ object DocStream {
       }
       .start()
 
+  /** Search-index ingest: each micro-batch of (doc_id, text) appends
+    * its postings to the CURRENT epoch of the positional inverted
+    * index and advances the exact (n_docs, sum_dl) stats sidecar by
+    * integer addition ([[graft.operators.TextOps.appendToInvertedIndex]]
+    * — same encode expressions as the bulk build, so stream-built and
+    * batch-built indexes cannot diverge; DocStreamSpec asserts probe
+    * equality). Epoch resolution per batch, like
+    * [[incrementalDedupStreamEpochs]]: a nightly rotation redirects the
+    * stream at the next batch boundary.
+    */
+  def appendPostingsStream(docs: DataFrame, base: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val name = graft.operators.Layout
+          .currentEpochTable(batch.sparkSession, base)
+          .getOrElse(sys.error(s"no published epoch for index family $base"))
+        graft.operators.TextOps.appendToInvertedIndex(
+          batch.sparkSession, name, batch)
+      }
+      .start()
+
   /** One micro-batch of the incremental-dedup loop: probe, then append
     * survivors. The survivors frame materializes (localCheckpoint)
     * BEFORE the append so the read plan never lists files the write is

@@ -154,6 +154,58 @@ class DocStreamSpec extends SparkSpec {
     }
   }
 
+  test("appendPostingsStream: stream-grown inverted index answers probes ≡ full rebuild") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Layout, TextOps}
+    val base = "graft_inv_stream_spec"
+    val ref = "graft_inv_stream_spec_ref"
+    try {
+      Layout.dropEpochFamily(spark, base, sidecars = Seq("_stats"))
+      Layout.dropEpochFamily(spark, ref, sidecars = Seq("_stats"))
+      val all = Tables.documents(spark, sf).select("doc_id", "text")
+      val cut = all.agg(expr("percentile(doc_id, 0.5)")).collect()(0).getDouble(0)
+      // bootstrap: bulk-build epoch 0 from the first half of the corpus
+      val streamed = Layout.ensureEpochIndex(spark, base,
+        sidecars = Seq("_stats")) { name =>
+        TextOps.buildInvertedIndex(spark, name, all.filter(col("doc_id") <= cut))
+      }
+      // stream the second half in two micro-batches
+      val rest = all.filter(col("doc_id") > cut).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val (b1, b2) = rest.splitAt(rest.length / 2)
+      val mem = MemoryStream[(Long, String)]
+      val q = DocStream.appendPostingsStream(mem.toDF().toDF("doc_id", "text"), base)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      spark.catalog.refreshTable(streamed) // foreachBatch wrote via a cloned session
+      spark.catalog.refreshTable(streamed + "_stats")
+      // reference: the same corpus bulk-built in one pass
+      val full = Layout.ensureEpochIndex(spark, ref,
+        sidecars = Seq("_stats")) { name =>
+        TextOps.buildInvertedIndex(spark, name, all)
+      }
+      assert(spark.table(streamed + "_stats").collect().toSeq.map(r =>
+          (r.getLong(0), r.getLong(1))) ===
+        spark.table(full + "_stats").collect().toSeq.map(r =>
+          (r.getLong(0), r.getLong(1))))
+      val kw = (n: String) => TextOps.keywordSearchIndex(spark, n).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(kw(streamed) === kw(full))
+      assert(kw(streamed).nonEmpty)
+      val ph = (n: String) => TextOps.phraseSearchIndex(spark, n).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(ph(streamed) === ph(full))
+      assert(ph(streamed).nonEmpty)
+    } finally {
+      graft.operators.Layout.dropEpochFamily(spark, base, sidecars = Seq("_stats"))
+      graft.operators.Layout.dropEpochFamily(spark, ref, sidecars = Seq("_stats"))
+    }
+  }
+
   test("decontaminateFuzzyStream: per-batch triage vs static benchmark ≡ one batch run") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext
