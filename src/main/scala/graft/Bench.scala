@@ -27,6 +27,7 @@ object Bench {
     "q_decontaminate_fuzzy" -> 0.965, // r8: bands from the persisted r=1 index + shingle-index verification (in-flight r7 form was 4.12)
     "q_dedup_first" -> 0.528, "q_distinct_users" -> 0.154,
     "q_cluster_balance" -> 0.498, // r8 seed: exchange-free count over the persisted IVF index + broadcast rate plan
+    "q_collocations" -> 1.021, // r8 seed: two explode→combine passes + broadcast vocab joins, log-space PMI
     "q_keyword_search" -> 0.548, // r8 seed: bucket-pruned postings probe (full-scan bm25 same run: 0.75)
     "q_phrase_search" -> 0.392, // r8 seed: two single-term pruned sides + positional intersect
     "q_dsir_weights" -> 1.336, // r8 seed: one featurize pass → checkpointed (doc,bucket,m) → broadcast ratio model

@@ -117,6 +117,7 @@ object SparkEntry {
     "q_cluster_balance"   -> (CurationOps.clusterBalance _),
     "q_keyword_search"    -> (TextOps.keywordSearch _),
     "q_phrase_search"     -> (TextOps.phraseSearch _),
+    "q_collocations"      -> (TextOps.collocations _),
     "q_curation_funnel"   -> (CurationPipeline.curationFunnel _),
   )
 
@@ -214,6 +215,7 @@ object SparkEntry {
     "q_cluster_balance"   -> CurationOps.clusterBalanceSql,
     "q_keyword_search"    -> TextOps.keywordSearchSql,
     "q_phrase_search"     -> TextOps.phraseSearchSql,
+    "q_collocations"      -> TextOps.collocationsSql,
     "q_curation_funnel"   -> CurationPipeline.curationFunnelSql,
   )
 }

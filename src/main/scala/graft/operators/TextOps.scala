@@ -1714,4 +1714,96 @@ object TextOps {
       |FROM m
       |WHERE len(list_intersect(pa, list_transform(pb, x -> x - 1))) > 0
       |ORDER BY doc_id""".stripMargin
+
+  /** Minimum corpus frequency for a bigram to be considered a
+    * collocation candidate (the standard PMI small-count guard: rare
+    * pairs have wildly overestimated PMI). */
+  private[graft] val CollocationMinCount = 5L
+
+  /** PMI-ranked collocation extraction (Church & Hanks 1990) — the
+    * phrase-induction / vocab-extension signal a tokenizer pipeline
+    * mines before merging multiword units: for every adjacent token
+    * pair, `pmi = ln(p(a,b) / (p(a)·p(b)))` with `p(a,b) = c_ab / B`
+    * over bigram occurrences and `p(t) = c_t / N` over unigram
+    * occurrences; top-50 by (pmi desc, pair).
+    *
+    * Cross-engine exactness: the score is evaluated in LOG SPACE with
+    * one fixed association — `ln c_ab + ln N + ln N − ln B − ln c_a −
+    * ln c_b`, rounded to 6 — so no intermediate product exists to
+    * overflow at ANY corpus size (the ratio form c_ab·N²/(B·c_a·c_b)
+    * would exceed BIGINT already at sf0.1), and both engines take ln
+    * of exact integers with identical operand order (≤1-ulp drift,
+    * absorbed at 6 decimals — the bm25TopK precedent).
+    *
+    * Scale shape: bigram construction follows [[CurationOps
+    * .dsirWeights]] (transform builds the pair strings pre-explode;
+    * the groupBy map-side-combines so the shuffle carries one row per
+    * distinct pair per mapper — Zipf's best case); unigram counts are
+    * a second explode→combine pass; N and B reduce from the SAME
+    * tokenized frame without re-unnesting. The unigram join sides
+    * broadcast under the Heap's-law vocab bound (the
+    * quality-classifier precedent); the 1-row totals cross-join is
+    * the allowlisted broadcast. min-count ≥ [[CollocationMinCount]]
+    * prunes the pair tail BEFORE both joins.
+    */
+  def collocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val bigrams = when(size(col("toks")) >= 2,
+      transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ",
+          element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val base = Tables.documentsFanned(spark, sfDir)
+      .select(toks.as("toks"))
+    val u = base.select(explode(col("toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val p = base.select(explode(bigrams).as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= CollocationMinCount)
+      .select(element_at(split(col("f"), " "), 1).as("a"),
+        element_at(split(col("f"), " "), 2).as("b"), col("c_ab"))
+    val tot = base.agg(
+      sum(size(col("toks"))).cast("long").as("n_uni"),
+      sum(greatest(size(col("toks")) - 1, lit(0))).cast("long").as("n_bg"))
+    val pmi = log(col("c_ab")) + log(col("n_uni")) + log(col("n_uni")) -
+      log(col("n_bg")) - log(col("c_a")) - log(col("c_b"))
+    p.join(broadcast(u.withColumnRenamed("t", "a").withColumnRenamed("c", "c_a")), "a")
+      .join(broadcast(u.withColumnRenamed("t", "b").withColumnRenamed("c", "c_b")), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("c_ab"), round(pmi, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
+  val collocationsSql: String =
+    """WITH base AS (
+      |  SELECT list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents
+      |), u AS (
+      |  SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(toks) AS t FROM base) GROUP BY 1
+      |), p AS (
+      |  SELECT string_split(f, ' ')[1] AS a, string_split(f, ' ')[2] AS b, c_ab
+      |  FROM (
+      |    SELECT f, CAST(COUNT(*) AS BIGINT) AS c_ab
+      |    FROM (
+      |      SELECT unnest(CASE WHEN len(toks) >= 2
+      |        THEN list_transform(generate_series(1, len(toks) - 1),
+      |          i -> toks[i] || ' ' || toks[i + 1])
+      |        ELSE [] END) AS f
+      |      FROM base)
+      |    GROUP BY 1)
+      |  WHERE c_ab >= 5
+      |), tot AS (
+      |  SELECT CAST(SUM(len(toks)) AS BIGINT) AS n_uni,
+      |    CAST(SUM(GREATEST(len(toks) - 1, 0)) AS BIGINT) AS n_bg
+      |  FROM base
+      |)
+      |SELECT a, b, c_ab, ROUND(
+      |    LN(c_ab) + LN(n_uni) + LN(n_uni) - LN(n_bg) - LN(ua.c) - LN(ub.c),
+      |  6) AS pmi
+      |FROM p JOIN u ua ON p.a = ua.t JOIN u ub ON p.b = ub.t CROSS JOIN tot
+      |ORDER BY pmi DESC, a, b
+      |LIMIT 50""".stripMargin
 }

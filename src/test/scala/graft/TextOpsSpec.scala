@@ -402,6 +402,34 @@ class TextOpsSpec extends SparkSpec {
       s"natural ${score(natural)} should beat gibberish ${score(gibberish)}")
   }
 
+  test("collocations: top-50 PMI matches an independent driver recount") {
+    import org.apache.spark.sql.functions._
+    val got = TextOps.collocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.length <= 50)
+    assert(got.forall(_._3 >= TextOps.CollocationMinCount))
+    val pmis = got.map(_._4).toSeq
+    assert(pmis === pmis.sorted.reverse)
+    // independent recount from raw tokens
+    val docs = Tables.documents(spark, sf)
+      .select(TextOps.tokens(col("text")).as("toks")).collect()
+      .map(_.getSeq[String](0))
+    val uni = docs.flatten.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val bg = docs.flatMap(ts => ts.sliding(2).filter(_.length == 2).map(p => (p.head, p(1))))
+      .groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+    val nUni = docs.map(_.size.toLong).sum.toDouble
+    val nBg = docs.map(ts => math.max(ts.size - 1, 0).toLong).sum.toDouble
+    val want = bg.toSeq.filter(_._2 >= TextOps.CollocationMinCount)
+      .map { case ((a, b), cab) =>
+        val pmi = math.log(cab) + math.log(nUni) + math.log(nUni) -
+          math.log(nBg) - math.log(uni(a)) - math.log(uni(b))
+        (a, b, cab, BigDecimal(pmi).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (a, b, _, pmi) => (-pmi, a, b) }.take(50)
+    assert(got.toSeq === want)
+  }
+
   test("keywordSearch: index probe ≡ full-scan BM25 over the same terms, bucket-pruned scan") {
     import org.apache.spark.sql.functions._
     try {
