@@ -66,12 +66,22 @@ object Tables {
   // work BEFORE its first shuffle, which is what documentsFanned /
   // embeddingsFanned exist for.
 
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see Verify/Bench), the
-    * column then arrives as LongType nanos and is truncated here to a
-    * proper microsecond TimestampType — the same truncation DuckDB applies
-    * casting TIMESTAMP_NS → TIMESTAMP, so oracle comparisons line up.
+  /** `events.ts` arrives in whichever parquet encoding the testdata
+    * generator last used; normalize every known encoding to a session-zoned
+    * microsecond TimestampType so every downstream event operator (and its
+    * DuckDB oracle twin, which reads the same file and casts to TIMESTAMP)
+    * sees identical values:
+    *
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it outright
+    *    ([PARQUET_TYPE_ILLEGAL]) unless the session sets
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench do); the
+    *    column then arrives as LongType nanos and is floor-truncated here.
+    *  - timestamp[us] WITHOUT timezone: Spark 4 reads TIMESTAMP_NTZ, which
+    *    time-arithmetic functions (`unix_micros` et al.) reject. Sessions
+    *    pin UTC (build.sbt javaOptions + session timeZone), so casting to
+    *    session-zoned TimestampType is value-preserving and matches DuckDB's
+    *    `CAST(ts AS TIMESTAMP)` on the same file.
+    *  - timestamp[us] WITH timezone: already TimestampType — pass through.
     */
   private def eventsWithTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
@@ -83,6 +93,10 @@ object Tables {
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
 
