@@ -637,6 +637,16 @@ object SimilarityOps {
     * .CosineSimilarity]] would be the production path for both).
     * Per-iteration driver traffic is the 4096-row codebook, exactly
     * like ivfKmeans — never O(corpus).
+    *
+    * Pass economics (round-9 re-plan, was 26% of the driver bench):
+    * the whole lifecycle is THREE passes over the checkpointed
+    * components — one per Lloyd iteration (assignment distances and
+    * the update sums now come out of the SAME aggregation: the 4
+    * sub-vector components ride the distance groupBy as conditional
+    * mins, so the old per-iteration join-back of comps onto codes is
+    * gone) plus one final-book encode pass; the query-side ADC table
+    * is rebuilt from the 64-row vec_id=0 slice instead of
+    * localCheckpointing all N·m·k candidate distances.
     */
   def pqTrainedTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val (m, sub, k, topk) = (PqSubspaces, PqSubDim, PqCentroids, 10)
@@ -654,17 +664,19 @@ object SimilarityOps {
       cs.zipWithIndex.flatMap { case (vec, c) =>
         vec.zipWithIndex.map { case (cv, i0) => (i0 / sub, c, i0, cv) }
       }.toSeq.toDF("j", "c", "i0", "cv")
-    // trained-book distances per (vec, j, c) — shared by codes and dt
-    val dists = comps.join(broadcast(centsDf(cents)), Seq("j", "i0"))
+    val books = broadcast(centsDf(cents))
+    // final-book encode: ONE pass over the corpus side
+    val codes = comps.filter(col("vec_id") =!= 0).join(books, Seq("j", "i0"))
       .groupBy(col("vec_id"), col("j"), col("c"))
       .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
-      .localCheckpoint()
-    val codes = dists.filter(col("vec_id") =!= 0)
       .groupBy(col("vec_id"), col("j"))
       .agg(min(col("dist") * k + col("c")).as("key"))
       .select(col("vec_id"), col("j"), (col("key") % k).cast("int").as("c"))
-    val dt = dists.filter(col("vec_id") === 0)
-      .select(col("j"), col("c"), col("dist").as("qdist"))
+    // query-side ADC table from the 64-row vec_id=0 slice — a tiny
+    // subtree, so no need to materialize the full distance frame
+    val dt = comps.filter(col("vec_id") === 0).join(books, Seq("j", "i0"))
+      .groupBy(col("j"), col("c"))
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("qdist"))
     codes.join(broadcast(dt), Seq("j", "c"))
       .groupBy(col("vec_id"))
       .agg(sum(col("qdist")).as("adc_dist"))
@@ -700,22 +712,33 @@ object SimilarityOps {
       val centsDf = cents.zipWithIndex.flatMap { case (vec, c) =>
         vec.zipWithIndex.map { case (cv, i0) => (i0 / sub, c, i0, cv) }
       }.toSeq.toDF("j", "c", "i0", "cv")
-      val codes = comps.filter(col("vec_id") =!= 0)
+      // ONE pass folds assignment AND update: the 4 sub-vector
+      // components ride the per-(vec, j, c) distance aggregation as
+      // conditional mins (each (vec, j, c) group holds exactly one row
+      // per in-subspace dim, and the components don't depend on c, so
+      // min() just forwards them through both groupBys), the packed-min
+      // argmin picks the cell, and the per-(cell, dim) sums aggregate
+      // straight off the argmin rows — no join-back of comps onto
+      // codes, still everything codegen'd hash aggregates. The collect
+      // is ≤ m·k rows of (4 sums + count) = the codebook, never data.
+      val dimCols = (0 until sub).map(d =>
+        min(when(pmod(col("i0"), lit(sub)) === d, col("v"))).as(s"v$d"))
+      val sums = comps.filter(col("vec_id") =!= 0)
         .join(broadcast(centsDf), Seq("j", "i0"))
         .groupBy(col("vec_id"), col("j"), col("c"))
-        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
+        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"),
+          dimCols: _*)
         .groupBy(col("vec_id"), col("j"))
-        .agg(min(col("dist") * k + col("c")).as("key"))
-        .select(col("vec_id"), col("j"), (col("key") % k).cast("int").as("c"))
-      // per-(dim, cell) exact sums over the training set; 4096-row
-      // collect = the codebook, not data
-      val sums = comps.filter(col("vec_id") =!= 0)
-        .join(codes, Seq("vec_id", "j"))
-        .groupBy(col("j"), col("c"), col("i0"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .agg(min(col("dist") * k + col("c")).as("key"),
+          (0 until sub).map(d => min(col(s"v$d")).as(s"v$d")): _*)
+        .groupBy(col("j"), (col("key") % k).cast("int").as("c"))
+        .agg(count(lit(1)).as("n"),
+          (0 until sub).map(d => sum(col(s"v$d")).as(s"s$d")): _*)
         .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
-          ((r.getLong(3), r.getLong(4)))).toMap
+        .flatMap { r =>
+          val (j, c, n) = (r.getInt(0), r.getInt(1), r.getLong(2))
+          (0 until sub).map(d => (j, c, j * sub + d) -> ((r.getLong(3 + d), n)))
+        }.toMap
       cents = Array.tabulate(k) { c =>
         Array.tabulate(m * sub) { i0 =>
           sums.get((i0 / sub, c, i0))
