@@ -117,6 +117,8 @@ object SparkEntry {
     "q_cluster_balance"   -> (CurationOps.clusterBalance _),
     "q_keyword_search"    -> (TextOps.keywordSearch _),
     "q_phrase_search"     -> (TextOps.phraseSearch _),
+    "q_boolean_search"    -> (TextOps.booleanSearch _),
+    "q_search_lifecycle"  -> (TextOps.searchLifecycle _),
     "q_collocations"      -> (TextOps.collocations _),
     "q_curation_funnel"   -> (CurationPipeline.curationFunnel _),
   )
@@ -215,6 +217,10 @@ object SparkEntry {
     "q_cluster_balance"   -> CurationOps.clusterBalanceSql,
     "q_keyword_search"    -> TextOps.keywordSearchSql,
     "q_phrase_search"     -> TextOps.phraseSearchSql,
+    "q_boolean_search"    -> TextOps.booleanSearchSql,
+    // build-half + stream-appended-half must serve EXACTLY what a
+    // one-pass build serves — the full-corpus keyword oracle verbatim
+    "q_search_lifecycle"  -> TextOps.keywordSearchSql,
     "q_collocations"      -> TextOps.collocationsSql,
     "q_curation_funnel"   -> CurationPipeline.curationFunnelSql,
   )

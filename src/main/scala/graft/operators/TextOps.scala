@@ -1715,6 +1715,140 @@ object TextOps {
       |WHERE len(list_intersect(pa, list_transform(pb, x -> x - 1))) > 0
       |ORDER BY doc_id""".stripMargin
 
+  /** The fixed boolean query for [[booleanSearch]]: MUST contain all,
+    * SHOULD (score-only) any, MUST NOT contain any. Overlaps
+    * [[SearchTerms]]/[[PhraseTerms]] deliberately — the three retrieval
+    * keys share index buckets, proving one index serves many query
+    * shapes. */
+  private[graft] val BoolMust = Seq("window", "hash")
+  private[graft] val BoolShould = Seq("merge")
+  private[graft] val BoolMustNot = Seq("batch")
+
+  /** Conjunctive boolean retrieval with document-at-a-time BM25 scoring
+    * from the SAME positional postings index — the query shape beyond
+    * [[keywordSearch]]'s bag-of-terms OR: `(window AND hash) AND NOT
+    * batch`, with `merge` as a score-only SHOULD term. All four terms'
+    * postings come out of ONE bucket-pruned scan (`SelectedBucketsCount`,
+    * spec-asserted), and the whole boolean evaluation is
+    * document-at-a-time: a single per-doc aggregation computes the
+    * MUST-coverage count (postings are unique per (term, doc), so
+    * coverage = conditional row count), the NOT flag (conditional max),
+    * and the BM25 sum over scoring terms (conditional sum) — no
+    * per-clause joins or intersections, so adding query terms grows the
+    * pruned scan, never the plan. Per-term df is exact from the same
+    * pruned rows; scores round to 6 decimals before ranking (the
+    * [[keywordSearch]] ulp-tie precedent).
+    */
+  def booleanSearch(spark: SparkSession, sfDir: String): DataFrame =
+    booleanSearchIndex(spark, ensureInvertedIndex(spark, sfDir))
+
+  private[graft] def booleanSearchIndex(spark: SparkSession, name: String): DataFrame = {
+    val (k1, b, k) = (1.2, 0.75, 20)
+    val scoring = BoolMust ++ BoolShould
+    val all = scoring ++ BoolMustNot
+    val p = spark.table(name)
+      .filter(col("term").isin(all: _*))
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+    val dfs = p.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val stats = spark.table(name + "_stats")
+      .select(col("n_docs").cast("double").as("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val tf = col("tf").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val contrib = idf * (tf * (k1 + 1)) /
+      (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    p.join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("term").isin(scoring: _*), contrib).otherwise(lit(0d)))
+          .as("raw"),
+        count(when(col("term").isin(BoolMust: _*), lit(1))).as("n_must"),
+        max(when(col("term").isin(BoolMustNot: _*), lit(1)).otherwise(lit(0)))
+          .as("neg"))
+      .filter(col("n_must") === BoolMust.size && col("neg") === 0)
+      .select(col("doc_id"), round(col("raw"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val booleanSearchSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents
+      |), stats AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |    AVG(CAST(len(toks) AS BIGINT)) AS avgdl
+      |  FROM base
+      |), p AS (
+      |  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+      |          unnest(toks) AS term FROM base)
+      |  WHERE term IN ('window', 'hash', 'merge', 'batch')
+      |  GROUP BY 1, 2, 3
+      |), dfs AS (
+      |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM p GROUP BY 1
+      |)
+      |SELECT doc_id, ROUND(SUM(
+      |    CASE WHEN term IN ('window', 'hash', 'merge') THEN
+      |      LN(1 + (n_docs - df + 0.5) / (df + 0.5))
+      |        * (CAST(tf AS DOUBLE) * 2.2)
+      |        / (CAST(tf AS DOUBLE)
+      |           + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+      |    ELSE 0 END), 6) AS score
+      |FROM p JOIN dfs USING (term) CROSS JOIN stats
+      |GROUP BY doc_id
+      |HAVING COUNT(CASE WHEN term IN ('window', 'hash') THEN 1 END) = 2
+      |   AND MAX(CASE WHEN term = 'batch' THEN 1 ELSE 0 END) = 0
+      |ORDER BY score DESC, doc_id
+      |LIMIT 20""".stripMargin
+
+  /** Catalog base name of [[searchLifecycle]]'s OWN epoch family —
+    * separate from [[invIndexName]] so the lifecycle rebuild never
+    * races the shared index the other retrieval keys probe. */
+  private[graft] def lifecycleIndexName(sfDir: String): String =
+    "graft_inv_lc_" + Layout.corpusTag(sfDir)
+
+  /** The search-index LIFECYCLE under the oracle: bulk-build the
+    * positional postings index from HALF the corpus (even doc_ids),
+    * stream the other half through the REAL maintenance path
+    * ([[graft.streaming.DocStream.appendPostingsStream]] — a Structured
+    * Streaming file source micro-batching the odd half through
+    * [[appendToInvertedIndex]]'s bucket-spec-preserving appends and
+    * exact integer sidecar advance), then serve the standard
+    * [[keywordSearch]] probe from the appended epoch. The oracle is
+    * [[keywordSearchSql]] verbatim — a full-corpus recompute — so the
+    * driver hash-match proves build + streamed appends together
+    * reconstruct exactly the state a one-pass build would have
+    * produced. (DocStreamSpec proves the same equivalence in-process;
+    * this key moves that claim into the per-round driver gate.)
+    *
+    * Each call rotates a fresh epoch (the build IS the operator —
+    * caching it would reduce the key to a second q_keyword_search) and
+    * prunes to the latest two so repeated benchmark runs don't grow
+    * the catalog. No corpus-sized driver state anywhere: the streamed
+    * half goes through a parquet file source, not a driver collect.
+    */
+  def searchLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = lifecycleIndexName(sfDir)
+    val docs = Tables.documentsFanned(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 =!= 0)
+    val t = Layout.rotateEpoch(spark, base, sidecars = Seq("_stats")) { name =>
+      buildInvertedIndex(spark, name, even)
+    }
+    val arrivals = java.nio.file.Files.createTempDirectory("graft-lc").toString
+    odd.write.mode("overwrite").parquet(arrivals)
+    val stream = graft.streaming.DocStream.appendPostingsStream(
+      spark.readStream.schema(odd.schema).parquet(arrivals), base)
+    try { stream.processAllAvailable() } finally { stream.stop() }
+    Layout.pruneEpochs(spark, base, keep = 2, sidecars = Seq("_stats"))
+    keywordSearchIndex(spark, t)
+  }
+
   /** Minimum corpus frequency for a bigram to be considered a
     * collocation candidate (the standard PMI small-count guard: rare
     * pairs have wildly overestimated PMI). */

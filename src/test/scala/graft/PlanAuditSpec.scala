@@ -40,6 +40,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_dsir_weights",       // crossJoin(broadcast(1-row percentile threshold))
     "q_cluster_balance",    // crossJoin(broadcast(1-row corpus-total aggregate))
     "q_keyword_search",     // crossJoin(broadcast(1-row index stats sidecar))
+    "q_boolean_search",     // same 1-row stats sidecar crossJoin, one pruned scan
+    "q_search_lifecycle",   // serves the keywordSearch probe → same stats crossJoin
     "q_collocations",       // crossJoin(broadcast(1-row corpus totals))
     "q_curation_funnel"     // crosses five 1-row stage aggregates; pair stage is the allowed bitmap BNLJ
   )

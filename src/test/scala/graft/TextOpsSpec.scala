@@ -473,6 +473,79 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("booleanSearch: MUST/SHOULD/NOT semantics match a full-scan recompute, one pruned scan") {
+    import org.apache.spark.sql.functions._
+    try {
+      val got = TextOps.booleanSearch(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.nonEmpty)
+      // independent full-scan recompute of the boolean query
+      val toks = TextOps.tokens(col("text"))
+      val base = Tables.documentsFanned(spark, sf)
+        .select(col("doc_id"), size(toks).cast("long").as("dl"), toks.as("toks"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2)))
+      val n = base.length.toDouble
+      val avgdl = base.map(_._2).sum.toDouble / n
+      val scoring = TextOps.BoolMust ++ TextOps.BoolShould
+      val all = scoring ++ TextOps.BoolMustNot
+      val tfs = base.map { case (id, dl, ts) =>
+        (id, dl, all.map(t => ts.count(_ == t).toLong)) }
+      val dfm = all.zipWithIndex.map { case (t, i) =>
+        t -> tfs.count(_._3(i) > 0).toDouble }.toMap
+      val want = tfs.flatMap { case (id, dl, tf) =>
+        val has = all.zipWithIndex.collect { case (t, i) if tf(i) > 0 => t }.toSet
+        if (!TextOps.BoolMust.forall(has) ||
+            TextOps.BoolMustNot.exists(has)) None
+        else {
+          val s = all.zipWithIndex.collect {
+            case (t, i) if tf(i) > 0 && scoring.contains(t) =>
+              math.log(1 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+                (tf(i) * 2.2) / (tf(i) + 1.2 * (0.25 + 0.75 * dl / avgdl)) }
+          Some(id -> BigDecimal(s.sum).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }.sortBy { case (id, s) => (-s, id) }.take(20)
+      assert(got.toSeq === want.toSeq)
+      // NOT-term coverage: at least one doc containing both MUSTs is
+      // excluded by the NOT term, so the clause is load-bearing
+      val excluded = tfs.count { case (_, _, tf) =>
+        val has = all.zipWithIndex.collect { case (t, i) if tf(i) > 0 => t }.toSet
+        TextOps.BoolMust.forall(has) && TextOps.BoolMustNot.exists(has)
+      }
+      assert(excluded > 0, "fixture never exercises the NOT clause")
+      // document-at-a-time: all four terms come from ONE pruned scan
+      val plan = TextOps.booleanSearch(spark, sf)
+        .queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined, s"boolean probe must bucket-prune:\n$plan")
+      assert(sel.get.group(1).toInt <= 4 &&
+        sel.get.group(2).toInt == TextOps.InvIndexBuckets)
+    } finally {
+      graft.operators.Layout.dropEpochFamily(spark,
+        TextOps.invIndexName(sf), sidecars = Seq("_stats"))
+    }
+  }
+
+  test("searchLifecycle: half-build + streamed-append epoch serves the one-pass probe results") {
+    try {
+      val viaLifecycle = TextOps.searchLifecycle(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaLifecycle.nonEmpty)
+      val onePass = TextOps.keywordSearch(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaLifecycle === onePass)
+      // a second call must rotate a fresh epoch and still agree
+      assert(TextOps.searchLifecycle(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq === onePass)
+    } finally {
+      graft.operators.Layout.dropEpochFamily(spark,
+        TextOps.lifecycleIndexName(sf), sidecars = Seq("_stats"))
+      graft.operators.Layout.dropEpochFamily(spark,
+        TextOps.invIndexName(sf), sidecars = Seq("_stats"))
+    }
+  }
+
   test("phraseSearch: adjacency counts match a string-level recount, positions index pruned") {
     import org.apache.spark.sql.functions._
     try {
