@@ -30,6 +30,10 @@ object Bench {
     "q_collocations" -> 1.021, // r8 seed: two explode→combine passes + broadcast vocab joins, log-space PMI
     "q_keyword_search" -> 0.548, // r8 seed: bucket-pruned postings probe (full-scan bm25 same run: 0.75)
     "q_phrase_search" -> 0.392, // r8 seed: two single-term pruned sides + positional intersect
+    "q_boolean_search" -> 0.373, // r9 seed: document-at-a-time MUST/SHOULD/NOT off one pruned postings scan
+    "q_search_lifecycle" -> 4.907, // r9 seed: rebuild-by-design — half-corpus bulk build + streamed append of the other half + probe, EVERY call (caching would reduce the key to q_keyword_search)
+    "q_hybrid_search" -> 0.959, // r9 seed: two index-served legs + k-row RRF fusion
+    "q_canonical_docs" -> 0.783, // r9 seed: shingle-index groups + row-local exact margins + one partitioned window
     "q_dsir_weights" -> 1.336, // r8 seed: one featurize pass → checkpointed (doc,bucket,m) → broadcast ratio model
 
     "q_doc_dedup" -> 0.179, "q_doc_fingerprint" -> 0.17,

@@ -119,6 +119,8 @@ object SparkEntry {
     "q_phrase_search"     -> (TextOps.phraseSearch _),
     "q_boolean_search"    -> (TextOps.booleanSearch _),
     "q_search_lifecycle"  -> (TextOps.searchLifecycle _),
+    "q_hybrid_search"     -> (TextOps.hybridSearch _),
+    "q_canonical_docs"    -> (DedupOps.canonicalDocs _),
     "q_collocations"      -> (TextOps.collocations _),
     "q_curation_funnel"   -> (CurationPipeline.curationFunnel _),
   )
@@ -218,6 +220,8 @@ object SparkEntry {
     "q_keyword_search"    -> TextOps.keywordSearchSql,
     "q_phrase_search"     -> TextOps.phraseSearchSql,
     "q_boolean_search"    -> TextOps.booleanSearchSql,
+    "q_hybrid_search"     -> TextOps.hybridSearchSql,
+    "q_canonical_docs"    -> DedupOps.canonicalDocsSql,
     // build-half + stream-appended-half must serve EXACTLY what a
     // one-pass build serves — the full-corpus keyword oracle verbatim
     "q_search_lifecycle"  -> TextOps.keywordSearchSql,

@@ -1531,4 +1531,86 @@ object DedupOps {
        |FROM walk
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  /** CANONICAL SELECTION — keep the BEST doc per near-dup group, not the
+    * min-id one: the production survivor policy (RefinedWeb/FineWeb keep
+    * the highest-quality representative of each duplicate cluster so
+    * dedup never trades a clean copy for a boilerplate-wrapped one).
+    * Groups come from the same persisted-shingle-index pair generator as
+    * [[neardupGroups]]; quality is the classifier margin in EXACT
+    * integer cents ([[TextOps.classifierMarginCents]] — row-local fold,
+    * no FP anywhere), so the argmax can never flip cross-engine;
+    * canonical = max margin, ties to the smaller doc_id.
+    *
+    * Scale shape: margins are row-local, groups reuse the adaptive
+    * connected-components paths, and the canonical pick is ONE
+    * partitioned window over (group_id) — group-sized state, no
+    * corpus-wide sort. Output keeps every doc's row (group, margin,
+    * canonical, keep) so downstream filters stay a predicate.
+    */
+  def canonicalDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val vertices = docs.select(col("doc_id"))
+    val pairs = jaccardPairsIndexed(spark, sfDir, 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val groups = connectedComponents(vertices, pairs)
+    val margins = docs.select(col("doc_id"),
+      graft.operators.TextOps.classifierMarginCents(col("text")).as("margin_cents"))
+    canonicalOver(groups, margins).orderBy(col("doc_id"))
+  }
+
+  /** The survivor POLICY of [[canonicalDocs]], factored out so the
+    * argmax semantics are testable on planted groups independent of the
+    * corpus pair generator: per (group_id), canonical = the member with
+    * the max margin, ties to the smaller doc_id — one partitioned
+    * window, group-sized state.
+    */
+  private[graft] def canonicalOver(groups: DataFrame, margins: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("group_id"))
+      .orderBy(col("margin_cents").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    groups.join(margins, "doc_id")
+      .select(col("doc_id"), col("group_id"), col("margin_cents"),
+        first(col("doc_id")).over(w).as("canonical_doc"))
+      .withColumn("keep", col("doc_id") === col("canonical_doc"))
+  }
+
+  val canonicalDocsSql: String = {
+    val centsCase = TextOps.classifierVocab
+      .map { case (t, w) =>
+        s"WHEN '$t' THEN ${(BigDecimal(w) * 100).toLongExact}" }
+      .mkString(" ")
+    s"""WITH RECURSIVE $jaccardPairCtes, edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM jpairs
+       |), walk(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.doc_id
+       |), groups AS (
+       |  SELECT doc_id, CAST(MIN(label) AS BIGINT) AS group_id
+       |  FROM walk GROUP BY doc_id
+       |), m AS (
+       |  SELECT doc_id, CAST(COALESCE(list_sum(list_transform(
+       |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                  x -> x <> ''),
+       |      t -> CASE t $centsCase ELSE 0 END)), 0)
+       |    + (${(BigDecimal(TextOps.classifierBias) * 100).toLongExact})
+       |    AS BIGINT) AS margin_cents
+       |  FROM documents
+       |), c AS (
+       |  SELECT group_id, doc_id AS canonical_doc FROM (
+       |    SELECT g.group_id, g.doc_id,
+       |      row_number() OVER (PARTITION BY g.group_id
+       |        ORDER BY m.margin_cents DESC, g.doc_id) AS rn
+       |    FROM groups g JOIN m USING (doc_id))
+       |  WHERE rn = 1
+       |)
+       |SELECT g.doc_id, g.group_id, m.margin_cents, c.canonical_doc,
+       |  (g.doc_id = c.canonical_doc) AS keep
+       |FROM groups g JOIN m USING (doc_id) JOIN c USING (group_id)
+       |ORDER BY g.doc_id""".stripMargin
+  }
 }

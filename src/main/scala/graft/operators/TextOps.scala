@@ -1849,6 +1849,111 @@ object TextOps {
     keywordSearchIndex(spark, t)
   }
 
+  /** Reciprocal-rank-fusion constant (Cormack et al. SIGIR'09's k=60 —
+    * the universally shipped default). */
+  private[graft] val RrfK = 60
+
+  /** HYBRID retrieval — reciprocal rank fusion of the two index-served
+    * retrieval legs a modern curation/RAG pipeline runs side by side:
+    * the BM25 keyword probe over the persisted postings index
+    * ([[keywordSearchIndex]], top-20) and the dense-vector cosine leg
+    * over the embeddings (the [[SimilarityOps.knnCosine]] list for the
+    * fixed query vector, top-10; doc_id and vec_id share an id space in
+    * the testdata). RRF score = Σ 1/(k + rank) over the lists a doc
+    * appears in — rank-only, so the two legs' incomparable score scales
+    * never mix, and the fused ordering is immune to either leg's FP
+    * noise (each leg's list is already rounded + tie-broken total-order).
+    *
+    * Scale shape: each leg is its own indexed top-k (bucket-pruned
+    * postings; ANN at scale); fusion then operates on TWO k-ROW LISTS —
+    * inherently bounded, never corpus-sized. Ranks are derived from the
+    * k-row frames with a bounded inequality self-join (count of
+    * strictly-better rows; ≤ k×k = 400 comparisons — the documented
+    * BNLJ), NOT a global window, keeping the plan-audit invariant that
+    * nothing ever plans an unpartitioned Window.
+    */
+  def hybridSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val kwLeg = keywordSearchIndex(spark, ensureInvertedIndex(spark, sfDir))
+      .select(col("doc_id").as("id"), col("score"))
+    val vecLeg = SimilarityOps.knnCosine(spark, sfDir)
+      .select(col("vec_id").as("id"), col("score"))
+    def ranked(leg: DataFrame, as: String): DataFrame = {
+      val better = leg.select(col("id").as("id2"), col("score").as("s2"))
+      leg.join(broadcast(better),
+          col("s2") > col("score") ||
+            (col("s2") === col("score") && col("id2") < col("id")), "left")
+        .groupBy(col("id"))
+        .agg((count(col("id2")) + 1).as(as))
+    }
+    ranked(kwLeg, "kw_rank")
+      .join(ranked(vecLeg, "vec_rank"), Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"),
+        round(coalesce(lit(1.0) / (lit(RrfK) + col("kw_rank")), lit(0d)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0d)), 6)
+          .as("rrf_score"),
+        col("kw_rank"), col("vec_rank"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+  }
+
+  val hybridSearchSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents
+      |), stats AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |    AVG(CAST(len(toks) AS BIGINT)) AS avgdl
+      |  FROM base
+      |), p AS (
+      |  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+      |          unnest(toks) AS term FROM base)
+      |  WHERE term IN ('window', 'merge', 'batch')
+      |  GROUP BY 1, 2, 3
+      |), dfs AS (
+      |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM p GROUP BY 1
+      |), kw AS (
+      |  SELECT doc_id, ROUND(SUM(
+      |      LN(1 + (n_docs - df + 0.5) / (df + 0.5))
+      |        * (CAST(tf AS DOUBLE) * 2.2)
+      |        / (CAST(tf AS DOUBLE)
+      |           + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 6) AS score
+      |  FROM p JOIN dfs USING (term) CROSS JOIN stats
+      |  GROUP BY doc_id
+      |  ORDER BY score DESC, doc_id
+      |  LIMIT 20
+      |), kwr AS (
+      |  SELECT doc_id AS id,
+      |    row_number() OVER (ORDER BY score DESC, doc_id) AS kw_rank
+      |  FROM kw
+      |), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |pairs AS (
+      |  SELECT e.vec_id,
+      |    CAST(unnest(e.embedding) AS DOUBLE) AS x,
+      |    CAST(unnest(q.qe) AS DOUBLE) AS y
+      |  FROM embeddings e, q
+      |  WHERE e.vec_id <> 0
+      |), s AS (
+      |  SELECT vec_id,
+      |    SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS score
+      |  FROM pairs GROUP BY vec_id
+      |), vec AS (
+      |  SELECT vec_id, ROUND(score, 4) AS score
+      |  FROM s
+      |  ORDER BY ROUND(score, 4) DESC, vec_id
+      |  LIMIT 10
+      |), vecr AS (
+      |  SELECT vec_id AS id,
+      |    row_number() OVER (ORDER BY score DESC, vec_id) AS vec_rank
+      |  FROM vec
+      |)
+      |SELECT COALESCE(kwr.id, vecr.id) AS doc_id,
+      |  ROUND(COALESCE(1.0 / (60 + kw_rank), 0)
+      |      + COALESCE(1.0 / (60 + vec_rank), 0), 6) AS rrf_score,
+      |  kw_rank, vec_rank
+      |FROM kwr FULL OUTER JOIN vecr ON kwr.id = vecr.id
+      |ORDER BY rrf_score DESC, doc_id""".stripMargin
+
   /** Minimum corpus frequency for a bigram to be considered a
     * collocation candidate (the standard PMI small-count guard: rare
     * pairs have wildly overestimated PMI). */

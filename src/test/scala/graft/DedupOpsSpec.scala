@@ -419,6 +419,47 @@ class DedupOpsSpec extends SparkSpec {
     assert(crossGroup.count() === 0)
   }
 
+  test("canonicalDocs: same groups as neardupGroups, canonical is the group's exact-margin argmax") {
+    val g = DedupOps.canonicalDocs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    val n = Tables.documents(spark, sf).count()
+    assert(g.length.toLong === n) // one row per document
+    // group labels agree with the min-id operator — only the survivor
+    // POLICY differs, never the partition
+    val viaGroups = DedupOps.neardupGroups(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g.map(r => r._1 -> r._2).toMap === viaGroups)
+    // canonical: member of its own group, max margin, ties to min id,
+    // exactly one keep per group
+    val byGroup = g.groupBy(_._2)
+    for ((gid, members) <- byGroup) {
+      val canon = members.map(_._4).distinct
+      assert(canon.length === 1, s"group $gid disagrees on canonical")
+      val want = members.map(m => (m._3, m._1)) // (margin, id)
+        .sortBy { case (m, id) => (-m, id) }.head._2
+      assert(canon.head === want, s"group $gid canonical is not the margin argmax")
+      assert(members.count(_._5) === 1)
+      assert(members.exists(m => m._1 == canon.head))
+    }
+    // the policy is load-bearing — planted groups where the best margin
+    // sits on the LARGER id must elect it over the min-id root (the
+    // sf0.001 corpus margins happen to favor min ids, so this case
+    // needs planting)
+    val s = spark; import s.implicits._
+    val pg = Seq((10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L))
+      .toDF("doc_id", "group_id")
+    val pm = Seq((10L, -50L), (11L, 120L), (12L, 120L), (20L, 5L), (21L, 5L))
+      .toDF("doc_id", "margin_cents")
+    val planted = DedupOps.canonicalOver(pg, pm)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    // group 10: margins -50/120/120 → canonical 11 (max margin, tie → min id)
+    assert(Seq(10L, 11L, 12L).map(planted(_)._1).distinct === Seq(11L))
+    assert(planted(11L)._2 && !planted(10L)._2 && !planted(12L)._2)
+    // group 20: equal margins → tie falls back to min id
+    assert(planted(20L)._1 === 20L && planted(20L)._2 && !planted(21L)._2)
+  }
+
   test("persisted shingle index: identical pairs to in-flight, also on subsets") {
     val key = (r: org.apache.spark.sql.Row) =>
       (r.getLong(0), r.getLong(1), r.getLong(2))

@@ -42,6 +42,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_keyword_search",     // crossJoin(broadcast(1-row index stats sidecar))
     "q_boolean_search",     // same 1-row stats sidecar crossJoin, one pruned scan
     "q_search_lifecycle",   // serves the keywordSearch probe → same stats crossJoin
+    "q_hybrid_search",      // ≤k-row rank self-joins + the knn/stats 1-row broadcasts
+    "q_canonical_docs",     // consumes the same all-pairs pair generator as groups
     "q_collocations",       // crossJoin(broadcast(1-row corpus totals))
     "q_curation_funnel"     // crosses five 1-row stage aggregates; pair stage is the allowed bitmap BNLJ
   )

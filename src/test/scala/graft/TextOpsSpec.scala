@@ -546,6 +546,37 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("hybridSearch: RRF fusion matches a local recompute from the two legs' own lists") {
+    try {
+      val got = TextOps.hybridSearch(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toSeq
+      assert(got.nonEmpty)
+      // legs' published lists are the spec'd sources of truth; fuse locally
+      val kw = TextOps.keywordSearch(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        .sortBy { case (id, s) => (-s, id) }.map(_._1).zipWithIndex
+        .map { case (id, i) => id -> (i + 1L) }.toMap
+      val vec = operators.SimilarityOps.knnCosine(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        .sortBy { case (id, s) => (-s, id) }.map(_._1).zipWithIndex
+        .map { case (id, i) => id -> (i + 1L) }.toMap
+      val want = (kw.keySet ++ vec.keySet).toSeq.map { id =>
+        val s = kw.get(id).map(r => 1.0 / (TextOps.RrfK + r)).getOrElse(0.0) +
+          vec.get(id).map(r => 1.0 / (TextOps.RrfK + r)).getOrElse(0.0)
+        (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          kw.get(id), vec.get(id))
+      }.sortBy { case (id, s, _, _) => (-s, id) }
+      assert(got === want)
+      // fusion must actually mix: some doc appears in only one leg
+      assert(want.exists(_._3.isEmpty) || want.exists(_._4.isEmpty))
+    } finally {
+      graft.operators.Layout.dropEpochFamily(spark,
+        TextOps.invIndexName(sf), sidecars = Seq("_stats"))
+    }
+  }
+
   test("phraseSearch: adjacency counts match a string-level recount, positions index pruned") {
     import org.apache.spark.sql.functions._
     try {
