@@ -30,10 +30,10 @@ object Bench {
     "q_collocations" -> 1.021, // r8 seed: two explode→combine passes + broadcast vocab joins, log-space PMI
     "q_keyword_search" -> 0.548, // r8 seed: bucket-pruned postings probe (full-scan bm25 same run: 0.75)
     "q_phrase_search" -> 0.392, // r8 seed: two single-term pruned sides + positional intersect
-    "q_boolean_search" -> 0.373, // r9 seed: document-at-a-time MUST/SHOULD/NOT off one pruned postings scan
-    "q_search_lifecycle" -> 4.907, // r9 seed: rebuild-by-design — half-corpus bulk build + streamed append of the other half + probe, EVERY call (caching would reduce the key to q_keyword_search)
-    "q_hybrid_search" -> 0.959, // r9 seed: two index-served legs + k-row RRF fusion
-    "q_canonical_docs" -> 0.783, // r9 seed: shingle-index groups + row-local exact margins + one partitioned window
+    "q_boolean_search" -> 0.335, // r9 seed (min of 3 full passes): document-at-a-time MUST/SHOULD/NOT off one pruned postings scan
+    "q_search_lifecycle" -> 4.301, // r9 seed: rebuild-by-design — half-corpus bulk build + streamed append of the other half + probe, EVERY call (caching would reduce the key to q_keyword_search)
+    "q_hybrid_search" -> 0.512, // r9 seed (min of 3 full passes): two index-served legs + k-row RRF fusion
+    "q_canonical_docs" -> 0.563, // r9 seed (min of 3 full passes): shingle-index groups + row-local exact margins + one partitioned window
     "q_dsir_weights" -> 1.336, // r8 seed: one featurize pass → checkpointed (doc,bucket,m) → broadcast ratio model
 
     "q_doc_dedup" -> 0.179, "q_doc_fingerprint" -> 0.17,
@@ -82,7 +82,8 @@ object Bench {
     "q_audio_fingerprint" -> 0.380, // r8: fingerprints from the persisted index (in-flight decode form was 1.55-1.90)
     "q_video_neardup" -> 0.781, // r8: frame hashes from the persisted index (in-flight decode form was 2.78-4.25)
     "q_pq_topk" -> 0.80, // r7 seed: interpreted nested-HOF encode+ADC
-    "q_pq_trained" -> 3.612, // r7 seed: 2 Lloyd iters + probe, join form
+    "q_pq_trained" -> 2.460, // r9 re-plan: 5 passes over the exploded comps → 3 (per-iteration assignment+update fold, 64-row query-side ADC rebuild); was 3.612 (r7 join form), driver-host r8 12.35
+
     "q_unpivot_events" -> 0.376,
     "q_rolling_fingerprint" -> 0.229, "q_rollup_orders" -> 0.18,
     "q_running_totals" -> 0.168, "q_sample_stratified" -> 0.146,

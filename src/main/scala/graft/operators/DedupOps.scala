@@ -908,7 +908,15 @@ object DedupOps {
     * then hamming verification on the candidates only. Same shape as
     * MinHash-LSH banding, but lossless for the hamming threshold.
     */
-  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    simhashNearDupPairs(spark, sfDir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The UNSORTED pair core of [[simhashNearDup]] — consumed directly by
+    * [[ensembleGroups]], whose connected-components shuffle would bury a
+    * global range sort anyway (the sorted form is only the oracle-hashed
+    * output surface).
+    */
+  private[graft] def simhashNearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val maxHamming = 2
     // materialized: the band self-join reads the signatures twice
     val sig = simhashSignatures(Tables.documentsFanned(spark, sfDir)).localCheckpoint()
@@ -932,7 +940,6 @@ object DedupOps {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val simhashNearDupSql: String =
@@ -1475,7 +1482,7 @@ object DedupOps {
       .select(col("doc_a"), col("doc_id").as("doc_b"))
     val jaccardPairs = jaccardPairsIndexed(spark, sfDir, 0.5)
       .select(col("doc_a"), col("doc_b"))
-    val simhashPairs = simhashNearDup(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val simhashPairs = simhashNearDupPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
     val edges = exactPairs.union(jaccardPairs).union(simhashPairs)
     connectedComponents(vertices, edges)
       .select(col("doc_id"), col("group_id"),
