@@ -47,6 +47,7 @@ object Bench {
     "q_intersect_users" -> 0.317,
     "q_ivf_kmeans" -> 1.239, "q_ivf_persisted" -> 0.347,
     "q_ivf_trained" -> 0.628, "q_ivf_topk" -> 0.445,
+    "q_ann_lifecycle" -> 4.675, // r9 seed (isolated min): rebuild-by-design — full-corpus codebook train + half-corpus bucketed build + streamed append of the other half + probe, EVERY call (the vector twin of q_search_lifecycle)
     "q_json_extract" -> 0.184, "q_knn_cosine" -> 0.185,
     "q_lang_id" -> 0.527, "q_lang_ngram" -> 0.691,
     "q_lm_score" -> 1.279, // r8 seed: bigram multiplicity agg + broadcast model apply

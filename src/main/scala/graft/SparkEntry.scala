@@ -93,6 +93,7 @@ object SparkEntry {
     "q_ivf_topk"          -> (SimilarityOps.ivfTopK _),
     "q_ivf_persisted"     -> (SimilarityOps.ivfPersistedTopK _),
     "q_ivf_trained"       -> (SimilarityOps.ivfTrainedTopK _),
+    "q_ann_lifecycle"     -> (SimilarityOps.annLifecycle _),
     "q_ivf_kmeans"        -> (SimilarityOps.ivfKmeans _),
     "q_pq_topk"           -> (SimilarityOps.pqTopK _),
     "q_pq_trained"        -> (SimilarityOps.pqTrainedTopK _),
@@ -197,6 +198,9 @@ object SparkEntry {
     // query returns — one oracle statement gates both execution shapes
     "q_ivf_persisted"     -> SimilarityOps.ivfTopKSql,
     "q_ivf_trained"       -> SimilarityOps.ivfTrainedTopKSql,
+    // half-build + stream-appended-half must probe EXACTLY like the
+    // one-pass trained build — the full train→persist→probe oracle
+    "q_ann_lifecycle"     -> SimilarityOps.ivfTrainedTopKSql,
     "q_ivf_kmeans"        -> SimilarityOps.ivfKmeansSql,
     "q_pq_topk"           -> SimilarityOps.pqTopKSql,
     "q_pq_trained"        -> SimilarityOps.pqTrainedTopKSql,

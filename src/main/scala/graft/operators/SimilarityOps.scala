@@ -498,6 +498,45 @@ object SimilarityOps {
     probeIvfIndex(spark, name, spark.table(name + "_codebook"), e, nProbe = 2)
   }
 
+  /** Catalog base of [[annLifecycle]]'s OWN epoch family — separate
+    * from [[ivfTrainedIndexName]] so the lifecycle rebuild never races
+    * the shared index [[ivfTrainedTopK]] probes. */
+  private[graft] def annLifecycleIndexName(sfDir: String): String =
+    "graft_ivf_lc_" + Layout.corpusTag(sfDir)
+
+  /** The ANN-index LIFECYCLE under the oracle — the vector twin of
+    * [[graft.operators.TextOps.searchLifecycle]]: build one epoch of
+    * the trained-IVF index from HALF the vectors (even vec_ids; the
+    * codebook trains on the full corpus exactly as
+    * [[ensureIvfTrainedIndex]]'s build does), stream the odd half
+    * through the REAL maintenance path ([[graft.streaming.VectorStream
+    * .appendVectorsStream]] — Structured Streaming micro-batches
+    * routing each arrival under the epoch's OWN codebook sidecar and
+    * appending bucket-spec-preserving cell rows), then run the standard
+    * bucket-pruned probe against the appended epoch. The oracle is
+    * [[ivfTrainedTopKSql]] VERBATIM — the full-corpus
+    * train → persist → probe replay — so the driver hash-match proves
+    * the streamed index state is indistinguishable from a one-pass
+    * build (VectorStreamSpec proves it in-process; this key puts the
+    * claim in the per-round driver gate). Rotates a fresh epoch every
+    * call (the build+append IS the operator) and prunes to two.
+    */
+  def annLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = annLifecycleIndexName(sfDir)
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val t = Layout.rotateEpoch(spark, base, sidecars = Seq("_codebook")) { name =>
+      buildVectorEpoch(spark, sfDir, e.filter(col("vec_id") % 2 === 0))(name)
+    }
+    val odd = e.filter(col("vec_id") % 2 =!= 0)
+    val arrivals = java.nio.file.Files.createTempDirectory("graft-veclc").toString
+    odd.write.mode("overwrite").parquet(arrivals)
+    val stream = graft.streaming.VectorStream.appendVectorsStream(
+      spark.readStream.schema(odd.schema).parquet(arrivals), base)
+    try { stream.processAllAvailable() } finally { stream.stop() }
+    Layout.pruneEpochs(spark, base, keep = 2, sidecars = Seq("_codebook"))
+    probeIndexWithCodebook(spark, t, e)
+  }
+
   // ---------------------------------------------------------------------
   // Product quantization (Jégou et al., TPAMI 2011)
   // ---------------------------------------------------------------------

@@ -32,6 +32,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_ivf_topk",           // crossJoin(broadcast(16-row centroid table))
     "q_ivf_persisted",      // crossJoin(broadcast(1-row query vector)) over the pruned index scan
     "q_ivf_trained",        // same probe shape over the trained-codebook index
+    "q_ann_lifecycle",      // serves the same probe over the stream-appended epoch
     "q_ivf_kmeans",         // crossJoin(broadcast(k-row codebook)) per iteration
     "q_count",              // cross of three 1-row count aggregates (1×1×1)
     "q_tfidf_topterms",     // crossJoin(broadcast(1-row corpus-count aggregate))

@@ -290,4 +290,23 @@ class SimilarityOpsSpec extends SparkSpec {
       .filter(abs(col("comp") - col("sv")) > 1e-9).count()
     assert(moved > 0)
   }
+
+  test("annLifecycle: half-build + streamed-append epoch probes like the one-pass trained index") {
+    try {
+      val viaLifecycle = SimilarityOps.annLifecycle(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaLifecycle.nonEmpty)
+      val onePass = SimilarityOps.ivfTrainedTopK(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaLifecycle === onePass)
+      // a second call must rotate a fresh epoch and still agree
+      assert(SimilarityOps.annLifecycle(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq === onePass)
+    } finally {
+      graft.operators.Layout.dropEpochFamily(spark,
+        SimilarityOps.annLifecycleIndexName(sf), sidecars = Seq("_codebook"))
+      graft.operators.Layout.dropEpochFamily(spark,
+        SimilarityOps.ivfTrainedIndexName(sf), sidecars = Seq("_codebook"))
+    }
+  }
 }
