@@ -78,6 +78,7 @@ object Bench {
     "q_classifier_train" -> 5.238, // r7 seed: 25 sync GD iterations
     "q_substring_dedup" -> 0.306, // r7 re-plan: agg+co-partitioned-join form
     "q_ivfpq_topk" -> 0.432, // r8 seed: epoch build + bucket-pruned ADC probe
+    "q_ivfpq_lifecycle" -> 6.781, // r9 seed (isolated min): rebuild-by-design — heaviest of the lifecycle trilogy because the streamed half takes the full coarse-assign + residual-PQ-encode path under the epoch sidecars, EVERY call
     "q_image_neardup" -> 0.452, // r8: ANN over the persisted feature index (in-flight decode form was 0.76)
     "q_phash_neardup" -> 0.373, // r8: dHash over the persisted feature index (in-flight decode form was 0.82-0.90)
     "q_audio_fingerprint" -> 0.380, // r8: fingerprints from the persisted index (in-flight decode form was 1.55-1.90)

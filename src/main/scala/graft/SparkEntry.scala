@@ -98,6 +98,7 @@ object SparkEntry {
     "q_pq_topk"           -> (SimilarityOps.pqTopK _),
     "q_pq_trained"        -> (SimilarityOps.pqTrainedTopK _),
     "q_ivfpq_topk"        -> (SimilarityOps.ivfPqTopK _),
+    "q_ivfpq_lifecycle"   -> (SimilarityOps.ivfPqLifecycle _),
     "q_image_neardup"     -> (MultimodalOps.imageNearDup _),
     "q_phash_neardup"     -> (MultimodalOps.phashNearDup _),
     "q_audio_fingerprint" -> (MultimodalOps.audioFingerprint _),
@@ -205,6 +206,8 @@ object SparkEntry {
     "q_pq_topk"           -> SimilarityOps.pqTopKSql,
     "q_pq_trained"        -> SimilarityOps.pqTrainedTopKSql,
     "q_ivfpq_topk"        -> SimilarityOps.ivfPqTopKSql,
+    // streamed composed index must answer exactly like the one-pass build
+    "q_ivfpq_lifecycle"   -> SimilarityOps.ivfPqTopKSql,
     "q_image_neardup"     -> MultimodalOps.imageNearDupSql,
     "q_phash_neardup"     -> MultimodalOps.phashNearDupSql,
     "q_audio_fingerprint" -> MultimodalOps.audioFingerprintSql,

@@ -1017,12 +1017,46 @@ object SimilarityOps {
     */
   def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val name = ensureIvfPqIndex(spark, sfDir)
-    val q0: Array[Long] = Tables.embeddings(spark, sfDir)
+    probeIvfPqIndex(spark, name, queryMicros(spark, sfDir))
+  }
+
+  private def queryMicros(spark: SparkSession, sfDir: String): Array[Long] =
+    Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") === 0)
       .select(transform(col("embedding"),
         x => round(x.cast("double") * 1000000d).cast("long")))
       .head().getSeq[Long](0).toArray
-    probeIvfPqIndex(spark, name, q0)
+
+  /** Catalog base of [[ivfPqLifecycle]]'s OWN epoch family. */
+  private[graft] def ivfPqLifecycleIndexName(sfDir: String): String =
+    "graft_ivfpq_lc_" + Layout.corpusTag(sfDir)
+
+  /** The COMPOSED-index lifecycle under the oracle — third of the
+    * lifecycle trilogy ([[graft.operators.TextOps.searchLifecycle]],
+    * [[annLifecycle]]): build one IVF×PQ epoch from the even half
+    * (corpus-seeded `_coarse`/`_books` sidecars, exactly as
+    * [[ensureIvfPqIndex]]'s build), stream the odd half through
+    * [[graft.streaming.VectorStream.appendVectorsStreamIvfPq]] — each
+    * micro-batch coarse-assigns + residual-PQ-encodes under the
+    * epoch's OWN sidecars and appends 12 B/vector code rows bucketed
+    * by cell — then run the standard nprobe ADC probe against the
+    * appended epoch. Oracle = [[ivfPqTopKSql]] VERBATIM: the streamed
+    * composed index must answer exactly like the one-pass build.
+    */
+  def ivfPqLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = ivfPqLifecycleIndexName(sfDir)
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val t = Layout.rotateEpoch(spark, base, sidecars = Seq("_coarse", "_books")) { name =>
+      buildIvfPqEpoch(spark, sfDir, e.filter(col("vec_id") % 2 === 0))(name)
+    }
+    val odd = e.filter(col("vec_id") % 2 =!= 0)
+    val arrivals = java.nio.file.Files.createTempDirectory("graft-pqlc").toString
+    odd.write.mode("overwrite").parquet(arrivals)
+    val stream = graft.streaming.VectorStream.appendVectorsStreamIvfPq(
+      spark.readStream.schema(odd.schema).parquet(arrivals), base)
+    try { stream.processAllAvailable() } finally { stream.stop() }
+    Layout.pruneEpochs(spark, base, keep = 2, sidecars = Seq("_coarse", "_books"))
+    probeIvfPqIndex(spark, t, queryMicros(spark, sfDir))
   }
 
   /** Probe any IVF×PQ epoch table by name with an exact-micro query

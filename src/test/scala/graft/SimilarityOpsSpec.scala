@@ -309,4 +309,20 @@ class SimilarityOpsSpec extends SparkSpec {
         SimilarityOps.ivfTrainedIndexName(sf), sidecars = Seq("_codebook"))
     }
   }
+
+  test("ivfPqLifecycle: half-build + streamed-append composed index probes like the one-pass build") {
+    try {
+      val viaLifecycle = SimilarityOps.ivfPqLifecycle(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(viaLifecycle.nonEmpty)
+      val onePass = SimilarityOps.ivfPqTopK(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(viaLifecycle === onePass)
+    } finally {
+      graft.operators.Layout.dropEpochFamily(spark,
+        SimilarityOps.ivfPqLifecycleIndexName(sf), sidecars = Seq("_coarse", "_books"))
+      graft.operators.Layout.dropEpochFamily(spark,
+        SimilarityOps.ivfPqIndexName(sf), sidecars = Seq("_coarse", "_books"))
+    }
+  }
 }
