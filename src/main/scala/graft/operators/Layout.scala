@@ -122,6 +122,25 @@ object Layout {
   // exactly as far as retention keeps.
   // ---------------------------------------------------------------------
 
+  /** Write `df` as parquet into a fresh temp directory, hand the path to
+    * `use`, and delete the directory afterwards — the arrivals-staging
+    * protocol of the lifecycle keys (each call stages half a corpus for
+    * its streaming file source; without cleanup a bench session leaks
+    * one staged copy per invocation).
+    */
+  def withStagedParquet[T](df: DataFrame, prefix: String)(use: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    try {
+      df.write.mode("overwrite").parquet(dir)
+      use(dir)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      scala.util.Try(p.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration).delete(p, true))
+      ()
+    }
+  }
+
   /** Catalog-name tag for one corpus directory: the human-readable
     * sanitized form plus a short hash of the RAW string. The sanitizer
     * alone is non-injective (`data/sf0.01` and `data/sf0_01` both map to

@@ -528,11 +528,11 @@ object SimilarityOps {
       buildVectorEpoch(spark, sfDir, e.filter(col("vec_id") % 2 === 0))(name)
     }
     val odd = e.filter(col("vec_id") % 2 =!= 0)
-    val arrivals = java.nio.file.Files.createTempDirectory("graft-veclc").toString
-    odd.write.mode("overwrite").parquet(arrivals)
-    val stream = graft.streaming.VectorStream.appendVectorsStream(
-      spark.readStream.schema(odd.schema).parquet(arrivals), base)
-    try { stream.processAllAvailable() } finally { stream.stop() }
+    Layout.withStagedParquet(odd, "graft-veclc") { arrivals =>
+      val stream = graft.streaming.VectorStream.appendVectorsStream(
+        spark.readStream.schema(odd.schema).parquet(arrivals), base)
+      try { stream.processAllAvailable() } finally { stream.stop() }
+    }
     Layout.pruneEpochs(spark, base, keep = 2, sidecars = Seq("_codebook"))
     probeIndexWithCodebook(spark, t, e)
   }
@@ -1050,11 +1050,11 @@ object SimilarityOps {
       buildIvfPqEpoch(spark, sfDir, e.filter(col("vec_id") % 2 === 0))(name)
     }
     val odd = e.filter(col("vec_id") % 2 =!= 0)
-    val arrivals = java.nio.file.Files.createTempDirectory("graft-pqlc").toString
-    odd.write.mode("overwrite").parquet(arrivals)
-    val stream = graft.streaming.VectorStream.appendVectorsStreamIvfPq(
-      spark.readStream.schema(odd.schema).parquet(arrivals), base)
-    try { stream.processAllAvailable() } finally { stream.stop() }
+    Layout.withStagedParquet(odd, "graft-pqlc") { arrivals =>
+      val stream = graft.streaming.VectorStream.appendVectorsStreamIvfPq(
+        spark.readStream.schema(odd.schema).parquet(arrivals), base)
+      try { stream.processAllAvailable() } finally { stream.stop() }
+    }
     Layout.pruneEpochs(spark, base, keep = 2, sidecars = Seq("_coarse", "_books"))
     probeIvfPqIndex(spark, t, queryMicros(spark, sfDir))
   }

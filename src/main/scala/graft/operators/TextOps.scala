@@ -1840,11 +1840,11 @@ object TextOps {
     val t = Layout.rotateEpoch(spark, base, sidecars = Seq("_stats")) { name =>
       buildInvertedIndex(spark, name, even)
     }
-    val arrivals = java.nio.file.Files.createTempDirectory("graft-lc").toString
-    odd.write.mode("overwrite").parquet(arrivals)
-    val stream = graft.streaming.DocStream.appendPostingsStream(
-      spark.readStream.schema(odd.schema).parquet(arrivals), base)
-    try { stream.processAllAvailable() } finally { stream.stop() }
+    Layout.withStagedParquet(odd, "graft-lc") { arrivals =>
+      val stream = graft.streaming.DocStream.appendPostingsStream(
+        spark.readStream.schema(odd.schema).parquet(arrivals), base)
+      try { stream.processAllAvailable() } finally { stream.stop() }
+    }
     Layout.pruneEpochs(spark, base, keep = 2, sidecars = Seq("_stats"))
     keywordSearchIndex(spark, t)
   }
