@@ -39,6 +39,7 @@ object Bench {
     "q_doc_dedup" -> 0.179, "q_doc_fingerprint" -> 0.17,
     "q_doc_quantiles" -> 0.172,
     "q_doc_quantiles_approx" -> 0.589, // r8: gated form adds exact stats + four rank-window checks to the hashed row (sketch-only was 0.185)
+    "q_heavy_hitters" -> 0.893, // r9 seed (isolated): MG mapPartitions pass + driver merge + exact-twin count with bound booleans
     "q_embedding_neardup" -> 0.402, "q_embedding_neardup_lsh" -> 0.358,
     "q_ensemble_groups" -> 1.368, // r8: jaccard signal from the shingle index
     "q_embedding_stats" -> 0.298,

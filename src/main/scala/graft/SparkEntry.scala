@@ -67,6 +67,8 @@ object SparkEntry {
     // oracle-gated since round 8: rank-interval booleans over exact
     // stats (also spec-bounded against the exact key — TextOps scaladoc)
     "q_doc_quantiles_approx" -> (TextOps.docQuantilesApproxGated _),
+    // third sketch key (r9): exact top-10 + Misra-Gries bound booleans
+    "q_heavy_hitters"     -> (TextOps.heavyHittersGated _),
     "q_repetition_filter" -> (TextOps.repetitionFilter _),
     "q_topk_per_lang"     -> (TextOps.topkPerLang _),
     "q_tfidf_topterms"    -> (TextOps.tfidfTopTerms _),
@@ -172,6 +174,7 @@ object SparkEntry {
     "q_lm_score"          -> TextOps.lmBigramScoreSql,
     "q_doc_quantiles"     -> TextOps.docQuantilesSql,
     "q_doc_quantiles_approx" -> TextOps.docQuantilesApproxGatedSql,
+    "q_heavy_hitters"     -> TextOps.heavyHittersGatedSql,
     "q_repetition_filter" -> TextOps.repetitionFilterSql,
     "q_topk_per_lang"     -> TextOps.topkPerLangSql,
     "q_tfidf_topterms"    -> TextOps.tfidfTopTermsSql,

@@ -1849,6 +1849,109 @@ object TextOps {
     keywordSearchIndex(spark, t)
   }
 
+  /** Misra-Gries summary capacity for [[heavyHittersGated]] — chosen
+    * BELOW the fixture's 31-token vocabulary so evictions actually
+    * happen and the error bounds are exercised, never vacuous. */
+  private[graft] val MgCapacity = 16
+
+  /** One partition's Misra-Gries pass: capacity-k counter map over a
+    * token stream — hit increments, free slot inserts, full map
+    * decrements every counter and drops zeros. O(k) worst-case per
+    * token (k is a small constant), O(k) state. */
+  private[graft] def mgSummarize(tokens: Iterator[String], k: Int)
+      : Iterator[(String, Long)] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    tokens.foreach { t =>
+      if (m.contains(t)) m(t) += 1
+      else if (m.size < k) m(t) = 1L
+      else m.keys.toList.foreach { u =>
+        m(u) -= 1; if (m(u) == 0L) { m.remove(u); () }
+      }
+    }
+    m.iterator
+  }
+
+  /** Merge per-partition MG summaries into one capacity-k summary —
+    * sum per token, then (if over capacity) subtract the (k+1)-th
+    * largest total and drop non-positives. Mergeable-summaries result
+    * (Agarwal et al., PODS'12): the merged summary keeps the sequential
+    * guarantee `true(t) − n/(k+1) ≤ est(t) ≤ true(t)` for EVERY token,
+    * and any token with `true(t) > n/(k+1)` is present — regardless of
+    * partitioning or merge order.
+    */
+  private[graft] def mgMerge(entries: Seq[(String, Long)], k: Int): Map[String, Long] = {
+    val summed = entries.groupBy(_._1).map { case (t, es) => t -> es.map(_._2).sum }
+    if (summed.size <= k) summed
+    else {
+      val d = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      summed.map { case (t, e) => t -> (e - d) }.filter(_._2 > 0)
+    }
+  }
+
+  /** Distributed MG summary of a one-array-column frame of token
+    * arrays: per-partition imperative pass (genuinely sequential
+    * counter logic — the documented `mapPartitions` escape hatch), then
+    * a driver merge of the ≤ k·numPartitions summary rows — bounded
+    * small state, the codebook-collect precedent, never O(corpus). */
+  private[graft] def mgSummaryOf(spark: SparkSession, toksDf: DataFrame,
+      k: Int): Map[String, Long] = {
+    import spark.implicits._
+    val partial = toksDf.as[Seq[String]]
+      .mapPartitions(it => mgSummarize(it.flatten, k))
+      .collect()
+    mgMerge(partial.toSeq, k)
+  }
+
+  /** Approximate HEAVY HITTERS, gated like the other two sketch keys
+    * (q_approx_distinct, q_doc_quantiles_approx): the oracle-hashed row
+    * is the EXACT top-10 token counts plus Spark-evaluated booleans
+    * asserting the Misra-Gries theorem held — `est ≤ cnt` and
+    * `est ≥ cnt − ⌈n/(k+1)⌉` with absent-from-summary read as est 0
+    * (absence of a token with cnt ≤ n/(k+1) is exactly what the
+    * theorem permits, so the bound stays the real mathematical claim,
+    * not a vacuity). The estimates themselves are partition-order
+    * dependent and deliberately NOT in the hashed output; the BOUNDS
+    * hold under any partitioning (spec-asserted by re-running the
+    * summary under adversarial repartitioning, plus a planted-skew
+    * fixture proving the membership guarantee for true heavy items).
+    * Scale shape: one `mapPartitions` pass with O(k) state per task +
+    * a ≤ k·partitions driver merge; the exact twin is the same
+    * explode → map-side-combined count the token keys already run.
+    */
+  def heavyHittersGated(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = MgCapacity
+    val docs = Tables.documentsFanned(spark, sfDir)
+    val summary = mgSummaryOf(spark,
+      docs.select(tokens(col("text")).as("toks")), k)
+    val exploded = docs.select(explode(tokens(col("text"))).as("token"))
+    val totals = exploded.agg(count(lit(1)).as("n_total"))
+    val estOf: Column = if (summary.isEmpty) lit(0L)
+      else coalesce(element_at(
+        map(summary.toSeq.sortBy(_._1).flatMap { case (t, e) =>
+          Seq(lit(t), lit(e)) }: _*), col("token")), lit(0L))
+    exploded.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(10)
+      .crossJoin(broadcast(totals))
+      .select(col("token"), col("cnt"),
+        (estOf <= col("cnt")).as("est_le"),
+        (estOf >= col("cnt") - ceil(col("n_total") / (k + 1)).cast("long"))
+          .as("est_ge"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  val heavyHittersGatedSql: String =
+    """WITH base AS (
+      |  SELECT list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents
+      |), tok AS (SELECT unnest(toks) AS token FROM base)
+      |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  TRUE AS est_le, TRUE AS est_ge
+      |FROM tok
+      |GROUP BY token
+      |ORDER BY cnt DESC, token
+      |LIMIT 10""".stripMargin
+
   /** Reciprocal-rank-fusion constant (Cormack et al. SIGIR'09's k=60 —
     * the universally shipped default). */
   private[graft] val RrfK = 60

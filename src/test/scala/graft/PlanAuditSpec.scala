@@ -46,6 +46,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_hybrid_search",      // ≤k-row rank self-joins + the knn/stats 1-row broadcasts
     "q_canonical_docs",     // consumes the same all-pairs pair generator as groups
     "q_collocations",       // crossJoin(broadcast(1-row corpus totals))
+    "q_heavy_hitters",      // crossJoin(broadcast(1-row total-token aggregate))
     "q_curation_funnel"     // crosses five 1-row stage aggregates; pair stage is the allowed bitmap BNLJ
   )
 

@@ -473,6 +473,47 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters: MG bounds hold under any partitioning, evictions real, planted heavy item survives") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val k = TextOps.MgCapacity
+    // exact truth for the corpus
+    val exact = Tables.documents(spark, sf)
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val bound = math.ceil(n.toDouble / (k + 1)).toLong
+    // bounds must hold for EVERY token (stronger than the gated top-10)
+    // under adversarial partitionings of the same corpus
+    for (parts <- Seq(1, 7)) {
+      val summary = TextOps.mgSummaryOf(spark,
+        Tables.documents(spark, sf).repartition(parts)
+          .select(TextOps.tokens(col("text")).as("toks")), k)
+      for ((t, cnt) <- exact) {
+        val est = summary.getOrElse(t, 0L)
+        assert(est <= cnt, s"[$parts parts] $t overestimated")
+        assert(est >= cnt - bound, s"[$parts parts] $t below MG floor")
+      }
+      // capacity below vocab → evictions really happened
+      assert(summary.size <= k && exact.size > k)
+    }
+    // the gated key's booleans are all TRUE on the corpus
+    val gated = TextOps.heavyHittersGated(spark, sf).collect()
+    assert(gated.length === 10)
+    assert(gated.forall(r => r.getBoolean(2) && r.getBoolean(3)))
+    // planted skew: one token holds half the mass → MUST be in the
+    // summary with a usable estimate (the membership half of the
+    // theorem, which the near-uniform corpus cannot exercise)
+    val planted = (Seq.fill(500)("whale") ++ (1 to 500).map(i => s"tok$i"))
+    val pdf = planted.grouped(50).map(_.toSeq).toSeq.toDF("toks")
+    val psum = TextOps.mgSummaryOf(spark, pdf.repartition(5), k)
+    val pn = planted.size
+    val pbound = math.ceil(pn.toDouble / (k + 1)).toLong
+    assert(psum.contains("whale"), "true heavy item evicted — MG broken")
+    assert(psum("whale") >= 500L - pbound && psum("whale") <= 500L)
+  }
+
   test("booleanSearch: MUST/SHOULD/NOT semantics match a full-scan recompute, one pruned scan") {
     import org.apache.spark.sql.functions._
     try {
