@@ -232,4 +232,42 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("misraGries: bounds and heavy-membership hold for arbitrary streams, chunkings, capacities") {
+    import graft.operators.TextOps
+    // skewed alphabet: a handful of hot tokens + a long tail, so the
+    // generated streams actually contain heavy items to protect
+    val token = Gen.frequency(
+      5 -> Gen.oneOf("hot1", "hot2", "hot3"),
+      3 -> Gen.oneOf("warm1", "warm2", "warm3", "warm4"),
+      2 -> Gen.chooseNum(1, 200).map(i => s"tail$i"))
+    val gen = for {
+      n <- Gen.chooseNum(50, 600)
+      toks <- Gen.listOfN(n, token)
+      k <- Gen.chooseNum(2, 12)
+      chunks <- Gen.chooseNum(1, 9) // adversarial "partition" count
+    } yield (toks, k, chunks)
+    for ((toks, k, chunks) <- samples(gen, 40)) {
+      val exact = toks.groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+      val n = toks.size.toLong
+      val bound = math.ceil(n.toDouble / (k + 1)).toLong
+      // per-chunk sequential MG, then the distributed merge — exactly
+      // the mgSummaryOf composition, under an arbitrary chunking
+      val chunkSize = math.max(1, toks.size / chunks)
+      val partial = toks.grouped(chunkSize).toSeq
+        .flatMap(c => TextOps.mgSummarize(c.iterator, k))
+      val summary = TextOps.mgMerge(partial, k)
+      assert(summary.size <= k)
+      for ((t, cnt) <- exact) {
+        val est = summary.getOrElse(t, 0L)
+        assert(est <= cnt, s"k=$k chunks=$chunks: $t overestimated ($est > $cnt)")
+        assert(est >= cnt - bound,
+          s"k=$k chunks=$chunks: $t est $est below $cnt - $bound")
+      }
+      // membership: every true heavy item survives the merge
+      for ((t, cnt) <- exact if cnt > bound)
+        assert(summary.contains(t),
+          s"k=$k chunks=$chunks: heavy $t (cnt=$cnt > $bound) evicted")
+    }
+  }
 }
