@@ -186,11 +186,15 @@ object Bench {
         name -> (t / refMin(name))
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = times.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    // 4-decimal times keep the whole 94-key summary line under ~2.5 KB so
+    // the driver's ~4 KB stdout-tail capture always contains it intact —
+    // full-precision doubles pushed it past the tail and BENCH_r09 landed
+    // with "parsed": null.
+    val qs = times.map { case (k, v) => jstr(k) + ":" + f"$v%.4f" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val regJson = regressions.map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
     val fpJson = isolated.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val total = times.values.filter(_ > 0).sum
+    val total = f"${times.values.filter(_ > 0).sum}%.3f"
     // Keys benched without a refMin floor have their regression gate
     // silently disabled — emit a ready-to-paste refMin diff so the gap
     // the RefViewsSpec bookkeeping check guards is closed the same run
@@ -211,8 +215,13 @@ object Bench {
     // record — both raw passes AND the post-isolation minima — to a
     // committed file so the machine-readable artifact is lossless.
     if (subset.isEmpty) {
-      val round = sys.env.getOrElse("GRAFT_ROUND", "r08")
-      val out = sys.env.getOrElse("GRAFT_BENCH_OUT", s"bench_full_$round.json")
+      // Default to a scratch filename: a driver run with neither env var
+      // set must NEVER clobber a committed bench_full_r{N}.json round
+      // record (the r9 driver run overwrote the r8 builder record that
+      // way — it survived only because git had it at 3c22ff9).
+      val out = sys.env.get("GRAFT_BENCH_OUT")
+        .orElse(sys.env.get("GRAFT_ROUND").map(r => s"bench_full_$r.json"))
+        .getOrElse("bench_full_latest.json")
       def passJson(p: Either[String, Double]) = p match {
         case Right(t) => f"$t%.4f"
         case Left(e)  => jstr(e)
@@ -228,6 +237,10 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"bench_full write failed: $e") }
     }
     spark.stop()
+    // Re-print the summary as the FINAL stdout line: spark.stop() is done,
+    // nothing can follow it, so a tail-capture of any length ending at
+    // process exit sees one complete JSON record (BENCH_r09 fix, part 2).
+    println(line)
     if (errors.nonEmpty) sys.exit(1)
   }
 }
