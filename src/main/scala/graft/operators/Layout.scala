@@ -136,8 +136,17 @@ object Layout {
     } finally {
       val p = new org.apache.hadoop.fs.Path(dir)
       scala.util.Try(p.getFileSystem(
-        df.sparkSession.sparkContext.hadoopConfiguration).delete(p, true))
-      ()
+        df.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)) match {
+        case scala.util.Failure(e) =>
+          // A swallowed failure here leaks one half-corpus copy per
+          // lifecycle invocation with no signal — surface it.
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"withStagedParquet: failed to delete staged dir $dir", e)
+        case scala.util.Success(deleted) =>
+          if (!deleted)
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"withStagedParquet: staged dir $dir not deleted (fs returned false)")
+      }
     }
   }
 

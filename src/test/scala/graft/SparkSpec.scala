@@ -23,6 +23,11 @@ object TestSpark {
     s
   }
   val sf0001 = "/root/testdata/sf0.001"
+  // Larger scales, used only by the drift tripwire (TestdataSchemaSpec):
+  // hoisted here so a testdata relocation is a one-line change, visibly
+  // distinct from real schema drift.
+  val sf001 = "/root/testdata/sf0.01"
+  val sf01  = "/root/testdata/sf0.1"
 }
 
 abstract class SparkSpec extends AnyFunSuite {

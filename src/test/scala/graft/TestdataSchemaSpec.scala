@@ -57,7 +57,7 @@ class TestdataSchemaSpec extends SparkSpec {
     "embeddings" -> Seq("vec_id" -> LongType,
       "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
 
-  for (sfDir <- Seq(TestSpark.sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1"))
+  for (sfDir <- Seq(TestSpark.sf0001, TestSpark.sf001, TestSpark.sf01))
     test(s"testdata schema pin: $sfDir") {
       for ((table, cols) <- expected.toSeq.sortBy(_._1)) {
         val df = table match {

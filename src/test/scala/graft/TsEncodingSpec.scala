@@ -20,29 +20,35 @@ class TsEncodingSpec extends SparkSpec {
 
   test("event keys analyze and agree under ns-as-long, µs-NTZ, and µs-LTZ ts encodings") {
     val s = spark
-    val root = java.nio.file.Files.createTempDirectory("graft-tsenc").toString
-    // Tables.events normalizes whatever sf0.001 currently ships to
-    // session-zoned TimestampType; that is the value-level ground truth.
-    val base = Tables.events(s, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft-tsenc")
+    try {
+      // Tables.events normalizes whatever sf0.001 currently ships to
+      // session-zoned TimestampType; that is the value-level ground truth.
+      val base = Tables.events(s, sf)
 
-    // µs-LTZ: plain TimestampType column.
-    base.write.parquet(s"$root/ltz/events.parquet")
-    // µs-NTZ: session is pinned UTC, so the NTZ wall-clock values denote
-    // the same instants the LTZ column does.
-    base.withColumn("ts", col("ts").cast(TimestampNTZType))
-      .write.parquet(s"$root/ntz/events.parquet")
-    // ns-as-long: what the nanosAsLong session conf turns TIMESTAMP(NANOS)
-    // into at scan time — a raw LongType nanos column.
-    base.withColumn("ts", (unix_micros(col("ts")) * lit(1000L)).cast(LongType))
-      .write.parquet(s"$root/ns/events.parquet")
+      // µs-LTZ: plain TimestampType column.
+      base.write.parquet(s"$root/ltz/events.parquet")
+      // µs-NTZ: session is pinned UTC, so the NTZ wall-clock values denote
+      // the same instants the LTZ column does.
+      base.withColumn("ts", col("ts").cast(TimestampNTZType))
+        .write.parquet(s"$root/ntz/events.parquet")
+      // ns-as-long: what the nanosAsLong session conf turns TIMESTAMP(NANOS)
+      // into at scan time — a raw LongType nanos column.
+      base.withColumn("ts", (unix_micros(col("ts")) * lit(1000L)).cast(LongType))
+        .write.parquet(s"$root/ns/events.parquet")
 
-    for (key <- eventKeys) {
-      val expect = SparkEntry.queries(key)(s, sf).collect().map(_.toString).toSeq
-      for (enc <- Seq("ltz", "ntz", "ns")) {
-        val got = SparkEntry.queries(key)(s, s"$root/$enc").collect()
-          .map(_.toString).toSeq
-        assert(got === expect, s"$key under $enc encoding diverged")
+      for (key <- eventKeys) {
+        val expect = SparkEntry.queries(key)(s, sf).collect().map(_.toString).toSeq
+        for (enc <- Seq("ltz", "ntz", "ns")) {
+          val got = SparkEntry.queries(key)(s, s"$root/$enc").collect()
+            .map(_.toString).toSeq
+          assert(got === expect, s"$key under $enc encoding diverged")
+        }
       }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 }
