@@ -521,38 +521,51 @@ object TextOps {
       |  USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Per-language marker-token sets, alphabetical language order — the
+    * static 20-token "model" of [[langId]]. Pinyin markers chosen to
+    * NOT collide with common en/fr/es/de tokens ('de'/'he'/'shi'
+    * would); real Chinese text needs a CJK tokenizer — langId is the
+    * scoring skeleton, not a model.
+    */
+  private[graft] val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist"),
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "los", "es", "y"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "zh" -> Seq("zhong", "guo", "wo", "ni"))
+
   /** Marker-token language ID: score each language by hits of its marker
     * tokens, predict argmax (ties broken by language code), fall back to
-    * 'und'. N-gram-profile language ID reduced to its join-aggregate
-    * skeleton — the marker table is a broadcast dimension at any scale.
+    * 'und'.
+    *
+    * ROW-LOCAL plan: the model is 20 static tokens, so scoring is a
+    * projection — per language, `size(filter(toks, _ ∈ markers))`
+    * (occurrence-counting, duplicates preserved), then argmax via
+    * `greatest` over `struct(hits, -langRank)` (struct ordering is
+    * lexicographic, so ties on hits resolve to the alphabetically
+    * first language). Zero hits → 'und'. The previous join-aggregate
+    * form (explode → broadcast join → groupBy → window → corpus-sized
+    * join-back) carried two corpus-keyed exchanges that this shape
+    * simply doesn't have: at 100 TB the only shuffle left is the
+    * pinned output sort.
     */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val markers = Seq(
-      ("the", "en"), ("and", "en"), ("of", "en"), ("is", "en"),
-      ("le", "fr"), ("la", "fr"), ("et", "fr"), ("est", "fr"),
-      ("el", "es"), ("los", "es"), ("es", "es"), ("y", "es"),
-      ("der", "de"), ("die", "de"), ("und", "de"), ("ist", "de"),
-      // pinyin markers chosen to NOT collide with common en/fr/es/de
-      // tokens ('de'/'he'/'shi' would); real Chinese text needs a CJK
-      // tokenizer — langId is the join-aggregate skeleton, not a model.
-      ("zhong", "zh"), ("guo", "zh"), ("wo", "zh"), ("ni", "zh"),
-    ).toDF("token", "marker_lang")
     val docs = Tables.documentsFanned(spark, sfDir)
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val scores = toks.join(broadcast(markers), Seq("token"))
-      .groupBy(col("doc_id"), col("marker_lang"))
-      .agg(count(lit(1)).as("hits"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("hits").desc, col("marker_lang"))
-    val best = scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("marker_lang"))
-    docs.select(col("doc_id"), col("lang").as("labeled_lang"))
-      .join(best, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"), col("labeled_lang"),
-        coalesce(col("marker_lang"), lit("und")).as("predicted_lang"))
+    val toks = tokens(col("text"))
+    val scored = LangMarkers.zipWithIndex.map { case ((_, markers), i) =>
+      struct(
+        size(filter(toks, t => t.isInCollection(markers))).cast("long").as("hits"),
+        lit(-i).as("neg_rank"))
+    }
+    val best = greatest(scored: _*)
+    val decoded = LangMarkers.zipWithIndex.foldLeft(lit("und")) {
+      case (acc, ((lang, _), i)) =>
+        when(best.getField("neg_rank") === -i, lit(lang)).otherwise(acc)
+    }
+    docs.select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        when(best.getField("hits") === 0L, lit("und"))
+          .otherwise(decoded).as("predicted_lang"))
       .orderBy(col("doc_id"))
   }
 
@@ -1860,15 +1873,26 @@ object TextOps {
     * token (k is a small constant), O(k) state. */
   private[graft] def mgSummarize(tokens: Iterator[String], k: Int)
       : Iterator[(String, Long)] = {
-    val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // Mutable one-cell counters + entry-iterator removal keep the
+    // full-map decrement pass allocation-free — the previous
+    // `m.keys.toList` copied the key set on EVERY non-tracked token,
+    // an O(k) allocation on the hottest per-token path in the corpus.
+    val m = new java.util.HashMap[String, Array[Long]](k * 2)
     tokens.foreach { t =>
-      if (m.contains(t)) m(t) += 1
-      else if (m.size < k) m(t) = 1L
-      else m.keys.toList.foreach { u =>
-        m(u) -= 1; if (m(u) == 0L) { m.remove(u); () }
+      val cell = m.get(t)
+      if (cell != null) cell(0) += 1
+      else if (m.size < k) m.put(t, Array(1L))
+      else {
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val c = it.next().getValue
+          c(0) -= 1
+          if (c(0) == 0L) it.remove()
+        }
       }
     }
-    m.iterator
+    import scala.jdk.CollectionConverters._
+    m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue()(0)))
   }
 
   /** Merge per-partition MG summaries into one capacity-k summary —
@@ -1891,15 +1915,25 @@ object TextOps {
   /** Distributed MG summary of a one-array-column frame of token
     * arrays: per-partition imperative pass (genuinely sequential
     * counter logic — the documented `mapPartitions` escape hatch), then
-    * a driver merge of the ≤ k·numPartitions summary rows — bounded
-    * small state, the codebook-collect precedent, never O(corpus). */
+    * a TWO-LEVEL merge: the ≤ k·P partial rows are shuffled down to
+    * ~√P tasks and mgMerge'd there, so the driver merges only
+    * ≤ k·√P rows. At 100 TB (~800k input splits, k=16) the one-level
+    * driver merge would see ~13M entries; two-level keeps it ≤ ~14K.
+    * Mergeable-summaries (Agarwal et al., PODS'12) is tree-shape
+    * independent, so the sequential error bound survives unchanged —
+    * bounded small state, the codebook-collect precedent,
+    * never O(corpus). */
   private[graft] def mgSummaryOf(spark: SparkSession, toksDf: DataFrame,
       k: Int): Map[String, Long] = {
     import spark.implicits._
-    val partial = toksDf.as[Seq[String]]
+    val partials = toksDf.as[Seq[String]]
       .mapPartitions(it => mgSummarize(it.flatten, k))
+    val p = partials.rdd.getNumPartitions
+    val mid = math.max(1, math.sqrt(p.toDouble).round.toInt)
+    val level1 = partials.repartition(mid)
+      .mapPartitions(it => mgMerge(it.toSeq, k).iterator)
       .collect()
-    mgMerge(partial.toSeq, k)
+    mgMerge(level1.toSeq, k)
   }
 
   /** Approximate HEAVY HITTERS, gated like the other two sketch keys
