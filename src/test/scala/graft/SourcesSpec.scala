@@ -125,6 +125,30 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("paginated source: 301-page/1000-row cap at reference cardinality") {
+    // The reference's envelope (main.py:96-101): limit=1000, pages
+    // 0..300 inclusive, terminate on short page OR page-count cap. This
+    // server NEVER serves a short page — an unbounded feed — so the cap
+    // alone must stop ingestion at exactly 301 requests / 301,000 rows,
+    // the boundary the reference's loop actually runs at.
+    val requests = new AtomicInteger(0)
+    withServer(Map("/cap" -> { ex =>
+      requests.incrementAndGet()
+      val page = ex.getRequestURI.getQuery.split("&")
+        .find(_.startsWith("page=")).get.drop(5).toInt
+      (200, pageJson(page, 1000, total = Int.MaxValue))
+    })) { base =>
+      val df = PaginatedJsonSource.read(spark, s"$base/cap", new HttpFetch(),
+        limit = 1000, maxPages = 300)
+      assert(requests.get() === 301, "cap must stop fetching after page 300")
+      assert(df.count() === 301000L)
+      val bounds = df.agg(min("arrival_idx"), max("arrival_idx"),
+        countDistinct("arrival_idx")).collect()(0)
+      assert((bounds.getLong(0), bounds.getLong(1), bounds.getLong(2)) ===
+        ((0L, 300999L, 301000L))) // dense arrival order across the whole envelope
+    }
+  }
+
   test("paginated source: fetch error retries the SAME page, bounded") {
     val calls = new AtomicInteger(0)
     withServer(Map("/flaky" -> { ex =>
