@@ -653,6 +653,13 @@ object TextOps {
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 3
     val docs = Tables.documentsFanned(spark, sfDir)
+    // tf via explode → codegen'd hash aggregate. A row-local
+    // sorted-run-length HOF form (tf pairs computed per row, no
+    // (doc,term) exchange) was built and benched at sf0.1: 30 s vs
+    // 0.77 — interpreted HOF evaluation loses to whole-stage-codegen
+    // hash aggregation by ~40× on this volume (the r7 PQ lesson
+    // repeated), and the (doc,term) exchange it saves is already
+    // map-side combined down to the per-doc term histogram.
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
