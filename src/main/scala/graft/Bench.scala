@@ -51,7 +51,8 @@ object Bench {
     "q_ann_lifecycle" -> 4.675, // r9 seed (isolated min): rebuild-by-design — full-corpus codebook train + half-corpus bucketed build + streamed append of the other half + probe, EVERY call (the vector twin of q_search_lifecycle)
     "q_json_extract" -> 0.184, "q_knn_cosine" -> 0.185,
     "q_lang_id" -> 0.277, // r10 re-plan: row-local HOF scoring + struct argmax (the join-aggregate form's two corpus-keyed exchanges dropped); min of 2 double-pass runs
-    "q_lang_ngram" -> 0.691,
+    "q_lang_ngram" -> 0.454, // r10 re-plan: codegen'd replace-based trigram counts + struct argmax, zero exchanges; min of 2 double-pass runs on a slow host
+
     "q_lm_score" -> 1.279, // r8 seed: bigram multiplicity agg + broadcast model apply
     // r8 shared-index re-plan: the whole minhash/jaccard family answers
     // from the persisted band + shingle-bitmap indexes (same results,

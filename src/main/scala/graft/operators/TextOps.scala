@@ -464,32 +464,46 @@ object TextOps {
     * is a broadcast dimension at any scale; scoring is one explode +
     * broadcast join + two aggregates.
     */
+  /** Per-language trigram profiles, alphabetical language order. Every
+    * trigram here is non-self-overlapping (first char ≠ last char), a
+    * property [[langNgram]]'s replace-based counting depends on.
+    */
+  private[graft] val LangTrigramProfile: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "ein", "und", "sch"),
+    "en" -> Seq("the", "and", "ing", "ion"),
+    "es" -> Seq("los", "ado", "cio", "ien"),
+    "fr" -> Seq("les", "ent", "que", "eur"))
+
   def langNgram(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val profile = Seq(
-      ("the", "en"), ("and", "en"), ("ing", "en"), ("ion", "en"),
-      ("les", "fr"), ("ent", "fr"), ("que", "fr"), ("eur", "fr"),
-      ("los", "es"), ("ado", "es"), ("cio", "es"), ("ien", "es"),
-      ("der", "de"), ("ein", "de"), ("und", "de"), ("sch", "de"),
-    ).toDF("trigram", "profile_lang")
+    // ROW-LOCAL plan, fully codegen'd: occurrence count of trigram g in
+    // lowered text = (len − len(replace(text, g)))/3, valid because no
+    // profile trigram can overlap itself (first ≠ last char ⇒ no period
+    // 1 or 2), so non-overlapping replace count = overlapping count.
+    // Per-language hits are sums of 4 such counts; argmax via greatest
+    // over struct(hits, -langRank) preserves the hits-desc/lang-asc
+    // tie-break. Replaces the explode(charNgrams) → broadcast join →
+    // groupBy → window → corpus-sized join-back plan: no arrays, no
+    // HOFs, no exchanges but the pinned output sort — and unlike the
+    // rejected tfidf HOF experiment, replace/length are whole-stage-
+    // codegen string intrinsics, so the row-local form is also the
+    // faster one at sf0.1.
     val docs = Tables.documentsFanned(spark, sfDir)
-    val grams = docs
-      .filter(length(col("text")) >= 3)
-      .select(col("doc_id"),
-        explode(charNgrams(lower(col("text")), 3)).as("trigram"))
-    val scores = grams.join(broadcast(profile), Seq("trigram"))
-      .groupBy(col("doc_id"), col("profile_lang"))
-      .agg(count(lit(1)).as("hits"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("hits").desc, col("profile_lang"))
-    val best = scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("profile_lang"), col("hits"))
-    docs.select(col("doc_id"))
-      .join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("profile_lang"), lit("und")).as("predicted_lang"),
-        coalesce(col("hits"), lit(0L)).as("hits"))
+    val lt = lower(col("text"))
+    def hitsOf(gs: Seq[String]): Column =
+      (gs.map(g => length(lt) - length(replace(lt, lit(g), lit(""))))
+        .reduce(_ + _) / lit(3)).cast("long")
+    val scored = LangTrigramProfile.zipWithIndex.map { case ((_, gs), i) =>
+      struct(hitsOf(gs).as("hits"), lit(-i).as("neg_rank"))
+    }
+    val best = greatest(scored: _*)
+    val decoded = LangTrigramProfile.zipWithIndex.foldLeft(lit("und")) {
+      case (acc, ((lang, _), i)) =>
+        when(best.getField("neg_rank") === -i, lit(lang)).otherwise(acc)
+    }
+    docs.select(col("doc_id"),
+        when(best.getField("hits") === 0L, lit("und"))
+          .otherwise(decoded).as("predicted_lang"),
+        best.getField("hits").as("hits"))
       .orderBy(col("doc_id"))
   }
 
