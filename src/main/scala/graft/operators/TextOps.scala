@@ -414,6 +414,69 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing k-gram / selection-window sizes: guarantee threshold
+    * t = WinnowW + WinnowK − 1 = 8 tokens — any shared run of ≥8 tokens
+    * shares a selected fingerprint, aligning with substring dedup's
+    * 8-token windows at ~2/(w+1) = 40% of the fingerprint volume.
+    */
+  private[graft] val WinnowK = 5
+  private[graft] val WinnowW = 4
+
+  /** Winnowing fingerprint selection (Schleimer et al. SIGMOD'03 —
+    * MOSS): thin the every-offset [[graft.functions.RollingWindowHashes]]
+    * stream to the robust-winnowing subset via
+    * [[graft.functions.WinnowedFingerprints]] (min per w-window,
+    * rightmost tie). Output is the (doc_id, j, fp) fingerprint table —
+    * the thing a plagiarism/overlap index actually stores: O(corpus/w)
+    * rows instead of O(corpus), with the t = w+k−1 shared-substring
+    * guarantee intact. Plan shape: scan → two codegen'd native
+    * expressions → explode — entirely row-local until the pinned
+    * output sort; building the cross-corpus index from it is one
+    * bucketed write ([[graft.operators.Layout.writeBucketed]]), same as
+    * the substring-dedup state.
+    */
+  def winnowFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documentsFanned(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.WinnowedFingerprints(
+          graft.functions.RollingWindowHashes(tokens(col("text")), WinnowK),
+          WinnowW).as("sel"))
+      .select(col("doc_id"), explode(col("sel")).as("s"))
+      .select(col("doc_id"), col("s.j").cast("long").as("j"), col("s.fp").as("fp"))
+      .orderBy(col("doc_id"), col("j"))
+  }
+
+  val winnowFingerprintSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |    x -> x <> '') AS toks
+      |  FROM documents
+      |), v AS (
+      |  SELECT doc_id, len(toks) AS n,
+      |    list_transform(toks, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (h, c) -> (h * 31 + c) % 1000000007)) AS vals
+      |  FROM t
+      |), wh AS (
+      |  SELECT doc_id, n - 4 AS m,
+      |    list_transform(generate_series(1, n - 4),
+      |      j -> list_reduce(list_prepend(CAST(0 AS BIGINT), vals[j : j + 4]),
+      |        (h, x) -> (h * 1000003 + x) % 1000000007)) AS whs
+      |  FROM v WHERE n >= 5
+      |), sel AS (
+      |  -- robust winnowing: min of each 4-hash window, RIGHTMOST tie —
+      |  -- last occurrence found via list_position over the reversed slice
+      |  SELECT doc_id, i,
+      |    list_min(whs[i : i + 3]) AS fp,
+      |    i - 1 + len(whs[i : i + 3])
+      |      - list_position(list_reverse(whs[i : i + 3]),
+      |          list_min(whs[i : i + 3])) + 1 AS jpos
+      |  FROM wh, UNNEST(generate_series(1, greatest(1, m - 3))) AS u(i)
+      |)
+      |SELECT DISTINCT doc_id, CAST(jpos - 1 AS BIGINT) AS j, fp
+      |FROM sel
+      |ORDER BY doc_id, j""".stripMargin
+
   val rollingFingerprintSql: String =
     """SELECT doc_id,
       |  list_reduce(
@@ -457,13 +520,6 @@ object TextOps {
   def charNgrams(c: Column, n: Int): Column =
     transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n)))
 
-  /** Character-trigram-profile language ID — the actual n-gram heuristic
-    * (Cavnar-Trenkle style, reduced to a compact hand profile): count
-    * profile-trigram occurrences per language over the raw lowercased
-    * text, argmax wins (ties → lang asc), no hits → 'und'. The profile
-    * is a broadcast dimension at any scale; scoring is one explode +
-    * broadcast join + two aggregates.
-    */
   /** Per-language trigram profiles, alphabetical language order. Every
     * trigram here is non-self-overlapping (first char ≠ last char), a
     * property [[langNgram]]'s replace-based counting depends on.

@@ -107,6 +107,61 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("WinnowedFingerprints: deque selection equals brute-force robust winnowing") {
+    val s = spark; import s.implicits._
+    val w = 4
+    // brute force: per window, min value with RIGHTMOST tie; dedupe by
+    // position (the SIGMOD'03 robust rule, stated directly)
+    def naive(vals: Seq[Long]): Seq[(Int, Long)] = {
+      if (vals.isEmpty) return Seq.empty
+      val m = vals.length
+      val windows =
+        if (m < w) Seq(vals.indices)
+        else (0 to m - w).map(i => i until (i + w))
+      windows.map { win =>
+        val minV = win.map(vals).min
+        val j = win.filter(vals(_) == minV).max // rightmost
+        (j, minV)
+      }.distinct
+    }
+    // adversarial shapes: runs of equal values (tie rule), strictly
+    // descending (selection moves every window), ascending (never
+    // moves), and pseudo-random — plus lengths 0..w+3 for the short
+    // single-window rule
+    val rows: Seq[(Long, Seq[Long])] =
+      (0 until 120).map { i =>
+        val n = i % 12
+        (i.toLong, (0 until n).map(x => ((x * 2654435761L + i * 97) % 50).abs))
+      } ++ Seq(
+        (1000L, Seq.fill(9)(7L)),                  // all equal: rightmost each window
+        (1001L, (9L to 1L by -1).toSeq),           // descending
+        (1002L, (1L to 9L).toSeq),                 // ascending
+        (1003L, Seq(5L, 1L, 5L, 1L, 5L, 1L, 5L)))  // alternating ties
+    val got = rows.toDF("id", "whs")
+      .select(col("id"),
+        graft.functions.WinnowedFingerprints(col("whs"), w).as("sel"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Row](1).map(x => (x.getInt(0), x.getLong(1))))
+      .toMap
+    rows.foreach { case (id, vals) =>
+      assert(got(id) === naive(vals), s"id $id ($vals)")
+    }
+    // codegen vs interpreted agreement
+    val df = rows.toDF("id", "whs")
+    val expr = graft.functions.WinnowedFingerprints(col("whs"), w).as("sel")
+    val withCodegen = df.select(expr).collect().map(_.getSeq[Row](0)).toSeq
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(df.select(expr).collect().map(_.getSeq[Row](0)).toSeq === withCodegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("BitmapIntersectCount equals the higher-order-function fold") {
     val s = spark; import s.implicits._
     val df = (0 until 500).map { i =>

@@ -88,6 +88,44 @@ class TextOpsSpec extends SparkSpec {
     assert(langs.subsetOf(Set("en", "fr", "es", "de", "zh", "und")))
   }
 
+  test("winnowFingerprint: shared 8-token runs share a fingerprint; density and order hold") {
+    val s = spark; import s.implicits._
+    import graft.functions.{RollingWindowHashes, WinnowedFingerprints}
+    // t = w + k - 1 = 8: the SIGMOD'03 guarantee says two docs sharing
+    // a run of >= 8 tokens must share at least one SELECTED fingerprint,
+    // regardless of the differing context around the run
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six seven"),
+      (2L, s"nine eight $shared eleven twelve")).toDF("doc_id", "text")
+    def fps(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"), explode(WinnowedFingerprints(
+        RollingWindowHashes(TextOps.tokens(col("text")), TextOps.WinnowK),
+        TextOps.WinnowW)).as("sel"))
+      .select(col("doc_id"), col("sel.fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = fps(docs).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      "guaranteed shared fingerprint missing for an 8-token shared run")
+
+    // the real operator at sf: rows exist, j strictly increases per doc,
+    // and selection is a subset (density <= 1) of the window hashes
+    val out = TextOps.winnowFingerprint(spark, sf)
+    val counts = out.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_fp"),
+      (count(lit(1)) === countDistinct(col("j"))).as("j_distinct")).collect()
+    assert(counts.nonEmpty)
+    assert(counts.forall(_.getBoolean(2)), "duplicate selected positions")
+    val win = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(RollingWindowHashes(TextOps.tokens(col("text")), TextOps.WinnowK))
+          .as("m"))
+      .filter(col("m") > 0)
+    val joined = out.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      .join(win, "doc_id")
+    assert(joined.filter(col("n_fp") > col("m")).count() === 0)
+  }
+
   test("repetitionMetrics: crafted repetition shapes get exact metrics and the right verdict") {
     val s = spark; import s.implicits._
     val docs = Seq(
