@@ -90,7 +90,8 @@ object Bench {
     "q_pq_trained" -> 2.460, // r9 re-plan: 5 passes over the exploded comps → 3 (per-iteration assignment+update fold, 64-row query-side ADC rebuild); was 3.612 (r7 join form), driver-host r8 12.35
 
     "q_unpivot_events" -> 0.376,
-    "q_winnow_fingerprint" -> 0.762, // r10 seed (slow-host session): two codegen'd native expressions + explode, row-local until the output sort
+    "q_winnow_fingerprint" -> 0.513, // r10 seed (slow-host session): two codegen'd native expressions + explode, row-local until the output sort
+    "q_winnow_overlap" -> 1.161, // r10 seed (slow-host session): capped per-fp banded self-join + map-side pair agg off one checkpointed fp pass
     "q_rolling_fingerprint" -> 0.229, "q_rollup_orders" -> 0.18,
     "q_running_totals" -> 0.168, "q_sample_stratified" -> 0.146,
     "q_semi_urgent" -> 0.336, "q_sessions_skewsafe" -> 1.24,

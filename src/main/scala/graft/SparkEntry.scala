@@ -58,6 +58,7 @@ object SparkEntry {
     "q_doc_fingerprint"   -> (TextOps.docFingerprint _),
     "q_rolling_fingerprint" -> (TextOps.rollingFingerprint _),
     "q_winnow_fingerprint" -> (TextOps.winnowFingerprint _),
+    "q_winnow_overlap" -> (TextOps.winnowOverlap _),
     "q_bpe_tokens"        -> (TextOps.bpeTokenCounts _),
     "q_bpe_train"         -> (TextOps.bpeTrainMerges _),
     "q_bpe_apply"         -> (TextOps.bpeApply _),
@@ -168,6 +169,7 @@ object SparkEntry {
     "q_doc_fingerprint"   -> TextOps.docFingerprintSql,
     "q_rolling_fingerprint" -> TextOps.rollingFingerprintSql,
     "q_winnow_fingerprint" -> TextOps.winnowFingerprintSql,
+    "q_winnow_overlap" -> TextOps.winnowOverlapSql,
     "q_bpe_tokens"        -> TextOps.bpeTokenCountsSql,
     "q_bpe_train"         -> TextOps.bpeTrainMergesSql,
     "q_bpe_apply"         -> TextOps.bpeApplySql,

@@ -435,19 +435,30 @@ object TextOps {
     * bucketed write ([[graft.operators.Layout.writeBucketed]]), same as
     * the substring-dedup state.
     */
-  def winnowFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.documentsFanned(spark, sfDir)
+  /** The winnowed (doc_id, j, fp) rows pre-sort — shared by
+    * [[winnowFingerprint]] (the fingerprint table itself) and
+    * [[winnowOverlap]] (the cross-doc application).
+    */
+  private[graft] def winnowFps(spark: SparkSession, sfDir: String): DataFrame =
+    winnowFpsOf(Tables.documentsFanned(spark, sfDir))
+
+  /** Library core of [[winnowFps]] for any (doc_id, text) frame. */
+  private[graft] def winnowFpsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         graft.functions.WinnowedFingerprints(
           graft.functions.RollingWindowHashes(tokens(col("text")), WinnowK),
           WinnowW).as("sel"))
       .select(col("doc_id"), explode(col("sel")).as("s"))
       .select(col("doc_id"), col("s.j").cast("long").as("j"), col("s.fp").as("fp"))
-      .orderBy(col("doc_id"), col("j"))
-  }
 
-  val winnowFingerprintSql: String =
-    """WITH t AS (
+  def winnowFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    winnowFps(spark, sfDir).orderBy(col("doc_id"), col("j"))
+
+  /** Shared CTE chain producing the winnowed selection — `sel2` is the
+    * DISTINCT (doc_id, j, fp) table matching [[winnowFps]]. */
+  private val winnowSelCtes: String =
+    """t AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
       |    x -> x <> '') AS toks
       |  FROM documents
@@ -472,10 +483,92 @@ object TextOps {
       |      - list_position(list_reverse(whs[i : i + 3]),
       |          list_min(whs[i : i + 3])) + 1 AS jpos
       |  FROM wh, UNNEST(generate_series(1, greatest(1, m - 3))) AS u(i)
-      |)
-      |SELECT DISTINCT doc_id, CAST(jpos - 1 AS BIGINT) AS j, fp
-      |FROM sel
-      |ORDER BY doc_id, j""".stripMargin
+      |), sel2 AS (
+      |  SELECT DISTINCT doc_id, CAST(jpos - 1 AS BIGINT) AS j, fp FROM sel
+      |)""".stripMargin
+
+  val winnowFingerprintSql: String =
+    s"""WITH $winnowSelCtes
+       |SELECT doc_id, j, fp FROM sel2
+       |ORDER BY doc_id, j""".stripMargin
+
+  /** A fingerprint shared by more documents than this is boilerplate
+    * (license headers, navigation chrome), not copying — MOSS drops
+    * them, and the cap is ALSO the scale guard: per-fp pair fan-out is
+    * ≤ cap²/2, so the overlap join's output is bounded by
+    * #kept-fps · cap²/2 regardless of corpus size.
+    */
+  private[graft] val MaxWinnowFpDocs = 32
+
+  /** Cross-document overlap detection from the winnowed fingerprint
+    * table — the MOSS application of [[winnowFingerprint]]: candidate
+    * pairs are documents sharing a SELECTED fingerprint (set semantics
+    * per doc), scored by n_shared and the containment-style
+    * `n_shared / min(|A|, |B|)` ratio, reported when n_shared ≥ 2
+    * (a single shared 8-token run is noise at corpus scale).
+    *
+    * Scale shape: fingerprint sets are O(corpus/w); the per-fp
+    * self-join is banded by construction — the [[MaxWinnowFpDocs]]
+    * boilerplate cap bounds every fp group, so the join is never
+    * all-pairs (the minhash-band discipline); pair aggregation
+    * map-side-combines on (doc_a, doc_b); the two totals joins attach
+    * O(pairs) rows to an O(docs) frame.
+    */
+  def winnowOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    winnowOverlapOf(Tables.documentsFanned(spark, sfDir))
+
+  /** Library core of [[winnowOverlap]] for any (doc_id, text) frame. */
+  private[graft] def winnowOverlapOf(docs: DataFrame): DataFrame = {
+    val byDoc = winnowFpsOf(docs).select(col("doc_id"), col("fp"))
+      .distinct()
+      .localCheckpoint() // one pass over the corpus feeds all three uses
+    val totals = byDoc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val kept = byDoc.join(
+      byDoc.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs").between(2, MaxWinnowFpDocs))
+        .select(col("fp")),
+      "fp")
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+    pairs
+      .join(totals.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_fp", "n_fp_a"), "doc_a")
+      .join(totals.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_fp", "n_fp_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("n_fp_a"), col("n_fp_b")).cast("double"), 6).as("overlap"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val winnowOverlapSql: String =
+    s"""WITH $winnowSelCtes, fpd AS (
+       |  SELECT DISTINCT doc_id, fp FROM sel2
+       |), totals AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fpd GROUP BY 1
+       |), kept AS (
+       |  SELECT doc_id, fp FROM fpd
+       |  WHERE fp IN (SELECT fp FROM fpd GROUP BY fp
+       |               HAVING COUNT(*) BETWEEN 2 AND 32)
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM kept a JOIN kept b
+       |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= 2
+       |)
+       |SELECT p.doc_a, p.doc_b, p.n_shared,
+       |  ROUND(CAST(p.n_shared AS DOUBLE) /
+       |    LEAST(ta.n_fp, tb.n_fp), 6) AS overlap
+       |FROM pairs p
+       |JOIN totals ta ON ta.doc_id = p.doc_a
+       |JOIN totals tb ON tb.doc_id = p.doc_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
 
   val rollingFingerprintSql: String =
     """SELECT doc_id,

@@ -126,6 +126,32 @@ class TextOpsSpec extends SparkSpec {
     assert(joined.filter(col("n_fp") > col("m")).count() === 0)
   }
 
+  test("winnowOverlap: copied runs pair up; boilerplate over the fp-docs cap is dropped") {
+    val s = spark; import s.implicits._
+    // 16-token shared run → 12 window hashes → ≥2 selected fingerprints
+    // 16-token shared run contains two disjoint 8-token runs → the
+    // SIGMOD'03 guarantee yields ≥2 distinct shared fingerprints, so
+    // the pair survives the n_shared >= 2 noise filter
+    val run = (1 to 16).map(i => s"shared$i").mkString(" ")
+    // 40 IDENTICAL docs: every one of their fingerprints lands in 40
+    // docs > MaxWinnowFpDocs, so ALL drop as boilerplate and NO pair
+    // among them is reported (deterministically — exact duplicates are
+    // q_doc_dedup's job, not the overlap detector's)
+    val boiler = (1 to 20).map(i => s"boiler$i").mkString(" ")
+    val docs = (Seq(
+      (1L, s"unique alpha prose first $run tail one"),
+      (2L, s"second body other words $run closing remarks")) ++
+      (10L to 49L).map(i => (i, boiler)))
+      .toDF("doc_id", "text")
+    val out = TextOps.winnowOverlapOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.exists { case (a, b, sh, ov) =>
+      a == 1L && b == 2L && sh >= 2L && ov > 0.0 && ov <= 1.0 },
+      s"copied-run pair missing: ${out.toSeq}")
+    assert(!out.exists { case (a, b, _, _) => a >= 10L && b >= 10L },
+      s"boilerplate-only pair survived the cap: ${out.toSeq}")
+  }
+
   test("repetitionMetrics: crafted repetition shapes get exact metrics and the right verdict") {
     val s = spark; import s.implicits._
     val docs = Seq(
