@@ -442,14 +442,24 @@ object TextOps {
   private[graft] def winnowFps(spark: SparkSession, sfDir: String): DataFrame =
     winnowFpsOf(Tables.documentsFanned(spark, sfDir))
 
-  /** Library core of [[winnowFps]] for any (doc_id, text) frame. */
+  /** Library core of [[winnowFps]] for any (doc_id, text) frame.
+    *
+    * `explode_outer` + a post-generate null filter, NOT plain `explode`:
+    * InferFiltersFromGenerate turns a plain explode into a
+    * `size(sel) > 0` PRE-filter that re-evaluates the whole
+    * hash+winnow expression chain a second time per row — and, sitting
+    * below the fan-out repartition, at input parallelism. The outer
+    * form generates one null row per short doc and drops it with a
+    * cheap reference to the generated column instead.
+    */
   private[graft] def winnowFpsOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         graft.functions.WinnowedFingerprints(
           graft.functions.RollingWindowHashes(tokens(col("text")), WinnowK),
           WinnowW).as("sel"))
-      .select(col("doc_id"), explode(col("sel")).as("s"))
+      .select(col("doc_id"), explode_outer(col("sel")).as("s"))
+      .filter(col("s").isNotNull)
       .select(col("doc_id"), col("s.j").cast("long").as("j"), col("s.fp").as("fp"))
 
   def winnowFingerprint(spark: SparkSession, sfDir: String): DataFrame =
