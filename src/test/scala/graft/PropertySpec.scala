@@ -268,6 +268,29 @@ class PropertySpec extends SparkSpec {
       for ((t, cnt) <- exact if cnt > bound)
         assert(summary.contains(t),
           s"k=$k chunks=$chunks: heavy $t (cnt=$cnt > $bound) evicted")
+      // TWO-LEVEL composition — exactly mgSummaryOf's shape at scale:
+      // partials are regrouped into ~√chunks intermediate merges, each
+      // mgMerge'd to capacity k, then the survivors merge once more.
+      // Mergeable-summaries is merge-TREE independent, so the same
+      // per-token bounds and the membership guarantee must hold for
+      // the deeper tree verbatim.
+      val perChunk = toks.grouped(chunkSize).toSeq
+        .map(c => TextOps.mgSummarize(c.iterator, k).toSeq)
+      val mid = math.max(1, math.sqrt(perChunk.size.toDouble).round.toInt)
+      val groupSize = math.max(1, (perChunk.size + mid - 1) / mid)
+      val level1 = perChunk.grouped(groupSize).toSeq
+        .map(g => TextOps.mgMerge(g.flatten, k).toSeq)
+      val twoLevel = TextOps.mgMerge(level1.flatten, k)
+      assert(twoLevel.size <= k)
+      for ((t, cnt) <- exact) {
+        val est = twoLevel.getOrElse(t, 0L)
+        assert(est <= cnt, s"k=$k chunks=$chunks 2-level: $t over ($est > $cnt)")
+        assert(est >= cnt - bound,
+          s"k=$k chunks=$chunks 2-level: $t est $est below $cnt - $bound")
+      }
+      for ((t, cnt) <- exact if cnt > bound)
+        assert(twoLevel.contains(t),
+          s"k=$k chunks=$chunks 2-level: heavy $t (cnt=$cnt > $bound) evicted")
     }
   }
 }
