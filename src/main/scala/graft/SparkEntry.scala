@@ -46,6 +46,7 @@ object SparkEntry {
     // §2b — event analytics
     "q_json_extract"      -> (EventOps.jsonExtract _),
     "q_event_windows"     -> (EventOps.eventWindows _),
+    "q_events_lifecycle"  -> (EventOps.eventsLifecycle _),
     "q_user_sessions"     -> (EventOps.userSessions _),
     "q_sessions_skewsafe" -> (EventOps.userSessionsSkewSafe _),
     "q_asof_join"         -> (EventOps.asofClickPurchase _),
@@ -156,6 +157,10 @@ object SparkEntry {
     "q_unpivot_events"    -> RelOps.unpivotEventCountsSql,
     "q_json_extract"      -> EventOps.jsonExtractSql,
     "q_event_windows"     -> EventOps.eventWindowsSql,
+    // batch-half + streamed-half merged partials must equal the
+    // one-pass aggregation — the stream ≡ batch proof under the
+    // unchanged oracle
+    "q_events_lifecycle"  -> EventOps.eventWindowsSql,
     "q_user_sessions"     -> EventOps.userSessionsSql,
     // the skew-safe segmented path must produce the same sessions —
     // one oracle statement gates both execution shapes

@@ -123,10 +123,15 @@ object CurationPipeline {
       |), edges AS (
       |  SELECT doc_a AS src, doc_b AS dst FROM jp
       |  UNION ALL SELECT doc_b, doc_a FROM jp
+      |), lmin AS (
+      |  SELECT d.doc_id FROM exd d
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM edges e WHERE e.dst = d.doc_id AND e.src < d.doc_id)
       |), walk(doc_id, label) AS (
-      |  SELECT doc_id, doc_id FROM exd
+      |  SELECT doc_id, doc_id FROM lmin
       |  UNION
-      |  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.doc_id
+      |  SELECT e.dst, w.label FROM walk w
+      |  JOIN edges e ON e.src = w.doc_id AND w.label < e.dst
       |), roots AS (
       |  SELECT doc_id FROM (
       |    SELECT doc_id, MIN(label) AS g FROM walk GROUP BY doc_id)

@@ -1490,6 +1490,34 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Oracle CTE pair for min-label connected components over an
+    * `edges(src, dst)` CTE (both directions present) on the `documents`
+    * universe, ending in `walk(doc_id, label)` whose per-doc MIN is the
+    * component root. The walk is a LOCAL-MINIMA-SEEDED monotone
+    * frontier, not the all-seeds label walk: only docs with no
+    * smaller-id neighbor seed themselves, and a label propagates only
+    * to larger-id receivers. Exactness is unchanged — a component's
+    * global min is itself a local min and `min < dst` holds for every
+    * hop, so it still floods the whole component, and MIN discards the
+    * non-minimal local-min labels that co-propagate. Cost collapses:
+    * the old walk seeded EVERY doc, so a dense dup-cluster of size s
+    * materialized all s² (doc, label) pairs; a clique has exactly one
+    * local min, so the frontier carries s rows. This is what keeps the
+    * full-surface sf0.1 selfcheck inside one invocation (the all-seeds
+    * form needed ~40 CPU-minutes for the ensemble key alone).
+    */
+  private def ccWalkCtes(universe: String): String =
+    s"""lmin AS (
+       |  SELECT d.doc_id FROM $universe d
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM edges e WHERE e.dst = d.doc_id AND e.src < d.doc_id)
+       |), walk(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM lmin
+       |  UNION
+       |  SELECT e.dst, w.label FROM walk w
+       |  JOIN edges e ON e.src = w.doc_id AND w.label < e.dst
+       |)""".stripMargin
+
   val ensembleGroupsSql: String =
     s"""WITH RECURSIVE $jaccardPairCtes, $simhashSigCtes, spairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1508,31 +1536,21 @@ object DedupOps {
        |  UNION SELECT doc_b, doc_a FROM spairs
        |  UNION SELECT doc_a, doc_b FROM epairs
        |  UNION SELECT doc_b, doc_a FROM epairs
-       |), walk(doc_id, label) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.doc_id
-       |)
+       |), ${ccWalkCtes("documents")}
        |SELECT doc_id, CAST(MIN(label) AS BIGINT) AS group_id,
        |  (doc_id = CAST(MIN(label) AS BIGINT)) AS keep
        |FROM walk
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
-  /** Transitive closure by label walk: `walk` seeds every doc with its
-    * own id and propagates neighbor labels along (undirected) near-dup
-    * edges; UNION dedup terminates it, MIN picks the component root.
-    */
+  /** Transitive closure by the local-minima-seeded monotone walk
+    * ([[ccWalkCtes]]); MIN picks the component root. */
   val neardupGroupsSql: String =
     s"""WITH RECURSIVE $jaccardPairCtes, edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
        |  UNION ALL
        |  SELECT doc_b AS src, doc_a AS dst FROM jpairs
-       |), walk(doc_id, label) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.doc_id
-       |)
+       |), ${ccWalkCtes("documents")}
        |SELECT doc_id, CAST(MIN(label) AS BIGINT) AS group_id,
        |  (doc_id = CAST(MIN(label) AS BIGINT)) AS keep
        |FROM walk
@@ -1592,11 +1610,7 @@ object DedupOps {
        |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
        |  UNION ALL
        |  SELECT doc_b AS src, doc_a AS dst FROM jpairs
-       |), walk(doc_id, label) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.doc_id
-       |), groups AS (
+       |), ${ccWalkCtes("documents")}, groups AS (
        |  SELECT doc_id, CAST(MIN(label) AS BIGINT) AS group_id
        |  FROM walk GROUP BY doc_id
        |), m AS (

@@ -87,6 +87,112 @@ object EventOps {
       |GROUP BY 1
       |ORDER BY window_start""".stripMargin
 
+  /** The MERGEABLE form of [[windowedAgg]]: same tumbling-window
+    * grouping, but the value sum stays an exact decimal (un-finalized)
+    * so partial rows from independent passes — a batch backfill and a
+    * streamed tail — re-aggregate associatively to the cent. The
+    * finalize step ([[eventsLifecycle]]'s merge) sums counts and
+    * decimals per window and only then casts to double, which is why a
+    * two-source window table can hash-match the one-pass oracle.
+    */
+  def windowedAggPartial(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("value_dec"))
+      .select(
+        col("window.start").as("window_start"),
+        col("n_events"), col("value_dec"))
+
+  /** Catalog base of [[eventsLifecycle]]'s epoch family. */
+  private[graft] def eventsLifecycleBase(sfDir: String): String =
+    "graft_evt_lc_" + Layout.corpusTag(sfDir)
+
+  /** The event-analytics LIFECYCLE under the oracle — the fourth member
+    * of the stream≡batch trilogy (search / ANN / IVF×PQ lifecycles):
+    * batch-aggregate the EVEN event_ids into an epoch of mergeable
+    * window partials, stream the ODD half through the REAL watermarked
+    * Structured Streaming aggregation
+    * ([[graft.streaming.EventStream.appendWindowPartialsStream]] —
+    * Append-mode finalized windows landing in the same epoch table),
+    * then merge and finalize. The oracle is [[eventWindowsSql]]
+    * VERBATIM — the one-pass full-corpus aggregation — so the driver
+    * hash-match proves streamed window state ≡ batch (EventStreamSpec
+    * proves it in-process; this key puts the claim in the per-round
+    * driver gate).
+    *
+    * Replay discipline: arrivals are a parquet file source replayed in
+    * ARBITRARY file order, so the watermark delay (90 days) must cover
+    * the replay's full disorder — nothing drops, nothing finalizes
+    * early. Emission is then forced deterministically by a sentinel
+    * pair staged AFTER the real arrivals drain: the first sentinel
+    * (max ts + 100 days) advances the watermark past every real
+    * window; the second (60 s later) is the real-data micro-batch in
+    * whose processing those windows actually emit — `
+    * processAllAvailable` guarantees that batch commits, with no
+    * reliance on the engine's optional no-data batch. Neither
+    * sentinel's own window can ever finalize (their window ends sit
+    * 100 days past the final watermark), so no sentinel row reaches
+    * the table. A live deployment replays in rough arrival order and
+    * uses the real out-of-orderness budget as the delay; the wide
+    * delay here is what an order-free replay needs for exactness.
+    * Rotates a fresh epoch every call and prunes to two.
+    */
+  def eventsLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = eventsLifecycleBase(sfDir)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("value"))
+    val t = Layout.rotateEpoch(spark, base) { name =>
+      windowedAggPartial(ev.filter(col("event_id") % 2 === 0))
+        .write.format("parquet").mode("overwrite").saveAsTable(name)
+    }
+    val odd = ev.filter(col("event_id") % 2 =!= 0).select(col("ts"), col("value"))
+    val maxTs = odd.agg(max(col("ts"))).head().getTimestamp(0)
+    if (maxTs != null) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-evtlc").toString
+      try {
+        odd.repartition(4).write.mode("overwrite").parquet(dir)
+        // The stateful agg allocates one state-store partition per
+        // shuffle partition PER MICRO-BATCH; a replayed half-corpus is
+        // small by construction, so pin the stream's shuffle width low
+        // (the window-key space, not the corpus, bounds state rows) and
+        // restore the session setting afterwards. At production scale
+        // the stream is a separate always-on job sized to its state.
+        val spKey = "spark.sql.shuffle.partitions"
+        val spOld = spark.conf.get(spKey)
+        spark.conf.set(spKey, "4")
+        val stream =
+          try graft.streaming.EventStream.appendWindowPartialsStream(
+            spark.readStream.schema(odd.schema)
+              .option("maxFilesPerTrigger", 2).parquet(dir), base)
+          finally spark.conf.set(spKey, spOld)
+        try {
+          stream.processAllAvailable()
+          val s1 = new java.sql.Timestamp(maxTs.getTime + 100L * 24 * 3600 * 1000)
+          val s2 = new java.sql.Timestamp(s1.getTime + 60000L)
+          Seq((s1, 0.0), (s2, 0.0)).toDF("ts", "value")
+            .write.mode("append").parquet(dir)
+          stream.processAllAvailable()
+        } finally stream.stop()
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        scala.util.Try(p.getFileSystem(
+          spark.sparkContext.hadoopConfiguration).delete(p, true))
+        ()
+      }
+    }
+    Layout.pruneEpochs(spark, base, keep = 2)
+    spark.table(t)
+      .groupBy(col("window_start"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("value_dec")).as("value_dec"))
+      .select(col("window_start"), col("n_events"),
+        col("value_dec").cast("double").as("value_sum"))
+      .orderBy(col("window_start"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds 30 minutes. Classic
     * lag → flag → running-sum window pattern; session stats per

@@ -73,6 +73,32 @@ object EventStream {
         col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Streaming window-partials MAINTENANCE for
+    * [[graft.operators.EventOps.eventsLifecycle]]: the watermarked form
+    * of [[graft.operators.EventOps.windowedAggPartial]] in Append mode,
+    * so each micro-batch emits exactly the windows the advancing
+    * watermark finalized; finalized rows append to the CURRENT epoch of
+    * the window-partials table (epoch resolution per batch, like every
+    * index maintainer — a rotation redirects the stream at the next
+    * batch boundary). The watermark delay must cover the source's
+    * out-of-orderness: a row older than the watermark would be dropped
+    * after its window finalized, which is the one way streamed state
+    * can diverge from batch.
+    */
+  def appendWindowPartialsStream(events: DataFrame, base: String,
+      watermark: String = "90 days"): org.apache.spark.sql.streaming.StreamingQuery =
+    EventOps.windowedAggPartial(events.withWatermark("ts", watermark))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val name = graft.operators.Layout
+          .currentEpochTable(batch.sparkSession, base)
+          .getOrElse(sys.error(s"no published epoch for window family $base"))
+        batch.write.mode("append").format("parquet").saveAsTable(name)
+        ()
+      }
+      .start()
+
   /** Engine-managed streaming exact dedup: `dropDuplicatesWithinWatermark`
     * keeps one row per `event_id` and lets the state store evict a key
     * once the watermark passes its event time plus the delay — the

@@ -138,4 +138,15 @@ class EventStreamSpec extends SparkSpec {
     // suppressed forever
     assert(rows === Seq((1L, "u1"), (2L, "u3"), (3L, "u2"), (4L, "u1")))
   }
+
+  test("eventsLifecycle: batch half + streamed half merge to the one-pass windows") {
+    val expected = graft.operators.EventOps
+      .eventWindows(spark, TestSpark.sf0001).collect().toSeq
+    val got = graft.operators.EventOps
+      .eventsLifecycle(spark, TestSpark.sf0001).collect().toSeq
+    // row-identical INCLUDING the double value_sum: both sides finalize
+    // from exact decimal partials, so the cast cannot diverge — and no
+    // sentinel window may leak into the merged table
+    assert(got === expected)
+  }
 }
