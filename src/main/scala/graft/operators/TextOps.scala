@@ -823,20 +823,33 @@ object TextOps {
     * vocabs cap it by construction), else it degrades to a sort-merge
     * join that is still term-balanced.
     */
+  /** Per-doc top-k TF-IDF terms SERVED FROM THE POSTINGS INDEX — the
+    * r10 re-plan: the (doc_id, term, tf) rows this query used to
+    * recompute (tokenize → explode → hash agg, the whole-corpus pass
+    * every retrieval key shares) already sit in
+    * [[ensureInvertedIndex]]'s term-bucketed table, column-pruned to
+    * three columns here (positions/dl never read). df aggregates
+    * EXCHANGE-FREE off the term-bucketed scan (the keyword-search df
+    * precedent) and joins back co-located; n_docs is the exact stats
+    * sidecar. The only data exchange left is the per-doc ranking
+    * window (partitioned, WindowGroupLimit-pruned) plus the output
+    * sort — down from three corpus-keyed exchanges plus a tokenize
+    * pass in the in-flight form. One corpus index now serves keyword /
+    * phrase / boolean / hybrid search AND tf-idf profiling, which is
+    * the production shape: you build the inverted index once per
+    * corpus epoch and every ranking signal reads it.
+    *
+    * (Historical receipt — a row-local sorted-run-length HOF form
+    * computing tf pairs per row benched 30 s vs 0.77 at sf0.1:
+    * interpreted HOF evaluation loses ~40× to codegen'd hash
+    * aggregation on this volume. Don't re-run it.)
+    */
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 3
-    val docs = Tables.documentsFanned(spark, sfDir)
-    // tf via explode → codegen'd hash aggregate. A row-local
-    // sorted-run-length HOF form (tf pairs computed per row, no
-    // (doc,term) exchange) was built and benched at sf0.1: 30 s vs
-    // 0.77 — interpreted HOF evaluation loses to whole-stage-codegen
-    // hash aggregation by ~40× on this volume (the r7 PQ lesson
-    // repeated), and the (doc,term) exchange it saves is already
-    // map-side combined down to the per-doc term histogram.
-    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val name = ensureInvertedIndex(spark, sfDir)
+    val tf = spark.table(name).select(col("doc_id"), col("term"), col("tf"))
+    val nDocs = spark.table(name + "_stats")
+      .select(col("n_docs").cast("double").as("n_docs"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     val scored = tf.join(dfT, "term").crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"),
