@@ -91,6 +91,8 @@ object Bench {
     "q_pq_trained" -> 3.200, // r10 adjudicated floor (the r9 re-plan's 2.46 was hot-host): UNCHANGED code, min 3.20 over 3 isolated r10 quiet-host runs; driver r9 observed 4.06 = 1.65× of the old floor — host anchoring. The re-plan itself stands (5 passes → 3; the r7 join form was 3.61 on the HOT host, i.e. ~4.7 here)
 
     "q_unpivot_events" -> 0.376,
+    "q_countmin_counts" -> 1.140, // r10 seed: d×w counter agg over the exploded stream + exact-ranking twin (two corpus passes — the sketch exists to be judged)
+    "q_decontaminate_bloom" -> 0.968, // r10 seed: one corpus pass computing Bloom probes (codegen) + exact twin off the same explode; build side bounded by m, not the benchmark
     "q_winnow_fingerprint" -> 0.513, // r10 seed (slow-host session): two codegen'd native expressions + explode, row-local until the output sort
     "q_winnow_overlap" -> 1.161, // r10 seed (slow-host session): capped per-fp banded self-join + map-side pair agg off one checkpointed fp pass
     "q_rolling_fingerprint" -> 0.229, "q_rollup_orders" -> 0.18,

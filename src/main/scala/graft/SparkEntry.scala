@@ -72,6 +72,7 @@ object SparkEntry {
     "q_doc_quantiles_approx" -> (TextOps.docQuantilesApproxGated _),
     // third sketch key (r9): exact top-10 + Misra-Gries bound booleans
     "q_heavy_hitters"     -> (TextOps.heavyHittersGated _),
+    "q_countmin_counts"   -> (TextOps.countMinGated _),
     "q_repetition_filter" -> (TextOps.repetitionFilter _),
     "q_topk_per_lang"     -> (TextOps.topkPerLang _),
     "q_tfidf_topterms"    -> (TextOps.tfidfTopTerms _),
@@ -120,6 +121,7 @@ object SparkEntry {
     "q_pii_scrub"         -> (CurationOps.piiScrub _),
     "q_decontaminate"     -> (CurationOps.decontaminate _),
     "q_decontaminate_fuzzy" -> (CurationOps.decontaminateFuzzy _),
+    "q_decontaminate_bloom" -> (CurationOps.decontaminateBloomGated _),
     "q_dsir_weights"      -> (CurationOps.dsirWeights _),
     "q_cluster_balance"   -> (CurationOps.clusterBalance _),
     "q_keyword_search"    -> (TextOps.keywordSearch _),
@@ -184,6 +186,7 @@ object SparkEntry {
     "q_doc_quantiles"     -> TextOps.docQuantilesSql,
     "q_doc_quantiles_approx" -> TextOps.docQuantilesApproxGatedSql,
     "q_heavy_hitters"     -> TextOps.heavyHittersGatedSql,
+    "q_countmin_counts"   -> TextOps.countMinGatedSql,
     "q_repetition_filter" -> TextOps.repetitionFilterSql,
     "q_topk_per_lang"     -> TextOps.topkPerLangSql,
     "q_tfidf_topterms"    -> TextOps.tfidfTopTermsSql,
@@ -234,6 +237,7 @@ object SparkEntry {
     "q_pii_scrub"         -> CurationOps.piiScrubSql,
     "q_decontaminate"     -> CurationOps.decontaminateSql,
     "q_decontaminate_fuzzy" -> CurationOps.decontaminateFuzzySql,
+    "q_decontaminate_bloom" -> CurationOps.decontaminateBloomGatedSql,
     "q_dsir_weights"      -> CurationOps.dsirWeightsSql,
     "q_cluster_balance"   -> CurationOps.clusterBalanceSql,
     "q_keyword_search"    -> TextOps.keywordSearchSql,

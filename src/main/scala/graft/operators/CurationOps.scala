@@ -320,6 +320,105 @@ object CurationOps {
       |SELECT DISTINCT c.doc_id FROM c JOIN b USING (sh)
       |ORDER BY doc_id""".stripMargin
 
+  /** Bloom-filter bits (m = 2²⁰ → a 16384-long bitmap literal, 128 KB)
+    * and probe count (k = 8) for [[decontaminateBloomGated]]. Sized for
+    * the benchmark side: k·n/m ≈ 0.2 at sf0.1's ~28K benchmark
+    * shingles → per-shingle fpp ≈ 2e-6, per-300-char-doc FP ≈ 5e-4 —
+    * a couple of expected false docs per 5000 against the 5% gate. */
+  private[graft] val BloomBits = 1 << 20
+  private[graft] val BloomHashes = 8
+
+  /** BLOOM-FILTER decontamination — the space-bounded form of
+    * [[decontaminate]] a 100 TB pipeline actually ships: the benchmark
+    * shingle SET (which [[decontaminate]] broadcasts whole) compresses
+    * to an m-bit Bloom bitmap, and the corpus-side membership test
+    * becomes k seeded-xxhash64 bit probes evaluated INSIDE whole-stage
+    * codegen against the bitmap literal — no UDF, no broadcast table,
+    * no join for candidate detection. Fully deterministic (seeded
+    * hashes, fixed m/k), so the sketch's guarantees gate like the
+    * HLL/KLL/MG trio: the hashed row carries the EXACT counts (oracle-
+    * verified) plus two Spark-evaluated booleans — `superset_ok`
+    * (Bloom NEVER misses a true contamination: structural, a benchmark
+    * shingle's own bits are always set) and `fp_ok` (false-positive
+    * docs within the 5%-of-clean-docs budget the m/k sizing promises).
+    *
+    * Scale shape: ONE corpus pass computes both detectors per shingle
+    * (Bloom probes row-local; the exact twin rides the same explode
+    * through the broadcast bench join), then per-doc flags fold in a
+    * map-side-combined aggregate, then a 1-row summary. The build side
+    * aggregates bit positions into ≤ m/64 words distributed (bit_or,
+    * map-side combined) before the bounded driver collect — bounded by
+    * m, not the benchmark size. In production the exact twin drops and
+    * the operator is the Bloom probe alone: a 128 KB task-constant
+    * filter replacing a benchmark-sized broadcast set.
+    */
+  def decontaminateBloomGated(spark: SparkSession, sfDir: String): DataFrame =
+    bloomDecontamSummary(Tables.documentsFanned(spark, sfDir))
+
+  /** Core of [[decontaminateBloomGated]] over an explicit (doc_id,
+    * text) frame — planted-corpus specs drive this directly. */
+  private[graft] def bloomDecontamSummary(docsIn: DataFrame): DataFrame = {
+    val n = 13
+    val (m, kH) = (BloomBits, BloomHashes)
+    val docs = docsIn.filter(length(col("text")) >= n)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(DedupOps.shingles(col("text"), n)).as("sh"))
+      .distinct()
+    val pos = bench.select(explode(array((0 until kH).map(i =>
+      pmod(xxhash64(col("sh"), lit(i)), lit(m.toLong))): _*)).as("p"))
+    val words = pos
+      .select(shiftright(col("p"), 6).cast("int").as("wi"),
+        call_function("shiftleft", lit(1L),
+          col("p").bitwiseAND(lit(63L)).cast("int")).as("mask"))
+      .groupBy(col("wi")).agg(bit_or(col("mask")).as("w"))
+      .collect()
+    val bitmap = new Array[Long](m / 64)
+    words.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
+    val bmLit = typedLit(bitmap.toSeq)
+    def mightContain(c: Column): Column = (0 until kH).map { i =>
+      val h = pmod(xxhash64(c, lit(i)), lit(m.toLong))
+      call_function("shiftright",
+          element_at(bmLit, shiftright(h, 6).cast("int") + 1),
+          h.bitwiseAND(lit(63L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+    val flags = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(DedupOps.shingles(col("text"), n)).as("sh"))
+      .join(broadcast(bench.withColumn("hit", lit(true))), Seq("sh"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("ex"),
+        mightContain(col("sh")).as("bl"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("ex")).as("ex"), max(col("bl")).as("bl"))
+    flags.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("ex"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("bl"), 1L).otherwise(0L)).as("n_bloom"),
+        sum(when(col("ex") && !col("bl"), 1L).otherwise(0L)).as("n_missed"))
+      .select(col("n_docs"), col("n_exact"),
+        (col("n_missed") === 0L).as("superset_ok"),
+        (col("n_bloom") - col("n_exact") <=
+          greatest(lit(1L), ceil((col("n_docs") - col("n_exact")) * 0.05)
+            .cast("long"))).as("fp_ok"))
+  }
+
+  val decontaminateBloomGatedSql: String =
+    """WITH b AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(
+      |    generate_series(1, length(text) - 12), i -> substring(text, i, 13)))) AS sh
+      |  FROM documents WHERE doc_id % 50 = 0 AND length(text) >= 13
+      |), c AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, length(text) - 12), i -> substring(text, i, 13)))) AS sh
+      |  FROM documents WHERE doc_id % 50 <> 0 AND length(text) >= 13
+      |), f AS (
+      |  SELECT DISTINCT c.doc_id FROM c JOIN b USING (sh)
+      |)
+      |SELECT
+      |  CAST((SELECT COUNT(DISTINCT doc_id) FROM c) AS BIGINT) AS n_docs,
+      |  CAST((SELECT COUNT(*) FROM f) AS BIGINT) AS n_exact,
+      |  TRUE AS superset_ok,
+      |  TRUE AS fp_ok""".stripMargin
+
   /** FUZZY benchmark decontamination — the paraphrase-shaped leak the
     * exact n-gram check ([[decontaminate]]) is blind to: a reworded
     * benchmark item shares few verbatim 13-grams but keeps high

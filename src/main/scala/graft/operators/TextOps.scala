@@ -2179,6 +2179,76 @@ object TextOps {
       |ORDER BY cnt DESC, token
       |LIMIT 10""".stripMargin
 
+  /** Count-Min depth (d = 4 seeded hash rows) and width (w = 2¹⁴
+    * counters per row) for [[countMinGated]]. Slack for the est_le
+    * gate is 8·N/w — looser than the classic ε = e/w bound so the
+    * fixed-corpus check is deterministic headroom, not a coin flip
+    * (the per-row Markov bound at 8/w is 1/8; all d rows
+    * simultaneously ≈ 2.4e-4 per probed token even before seeds). */
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 1 << 14
+
+  /** COUNT-MIN frequency estimation (Cormode & Muthukrishnan '05) under
+    * the oracle gate — the fifth mergeable summary beside HLL / KLL /
+    * Misra-Gries / Bloom, and the one that answers POINT-FREQUENCY
+    * queries: d seeded-xxhash64 rows of w counters; every token
+    * increments one counter per row; est(t) = min over rows. Counters
+    * only ever overcount (collisions add), so `est_ge` (est ≥ exact) is
+    * structural; `est_le` checks the ε·N error envelope with the sized
+    * slack. Like the other gated sketches the hashed row carries the
+    * EXACT top-10 (token, cnt) — oracle-verified — plus the two
+    * Spark-evaluated bound booleans; production keeps the sketch alone.
+    *
+    * Scale shape: the d×w counter table is a hash aggregate over the
+    * exploded token stream (d rows per token, map-side combined down to
+    * ≤ d·w rows per mapper — the sketch IS the combiner state), fixed
+    * size regardless of corpus: the 100 TB point-lookup story. The
+    * probe side joins the 10 ranked tokens' (row, bucket) pairs back
+    * against the ≤ d·w counter frame — model-sized, no collect at all.
+    * Accepted cost: the exact ranking twin is a second corpus pass
+    * (exists only to judge the sketch, like every gated key).
+    */
+  def countMinGated(spark: SparkSession, sfDir: String): DataFrame = {
+    val (d, w) = (CmsDepth, CmsWidth)
+    val docs = Tables.documentsFanned(spark, sfDir)
+    val exploded = docs.select(explode(tokens(col("text"))).as("token"))
+    def rowBuckets(c: Column) = explode(array((0 until d).map(i =>
+      struct(lit(i).as("i"),
+        pmod(xxhash64(c, lit(i)), lit(w.toLong)).as("b"))): _*))
+    val counters = exploded.select(rowBuckets(col("token")).as("ib"))
+      .select(col("ib.i").as("i"), col("ib.b").as("b"))
+      .groupBy(col("i"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // ≤ d·w rows; read by the total and the probe
+    val totals = counters.filter(col("i") === 0)
+      .agg(sum(col("c")).as("n_total"))
+    val top = exploded.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(10)
+    top.select(col("token"), col("cnt"), rowBuckets(col("token")).as("ib"))
+      .select(col("token"), col("cnt"),
+        col("ib.i").as("i"), col("ib.b").as("b"))
+      .join(counters, Seq("i", "b"))
+      .groupBy(col("token"), col("cnt")).agg(min(col("c")).as("est"))
+      .crossJoin(broadcast(totals))
+      .select(col("token"), col("cnt"),
+        (col("est") >= col("cnt")).as("est_ge"),
+        (col("est") <= col("cnt") +
+          ceil(col("n_total") * lit(8.0) / w).cast("long")).as("est_le"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  val countMinGatedSql: String =
+    """WITH base AS (
+      |  SELECT list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents
+      |), tok AS (SELECT unnest(toks) AS token FROM base)
+      |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  TRUE AS est_ge, TRUE AS est_le
+      |FROM tok
+      |GROUP BY token
+      |ORDER BY cnt DESC, token
+      |LIMIT 10""".stripMargin
+
   /** Reciprocal-rank-fusion constant (Cormack et al. SIGIR'09's k=60 —
     * the universally shipped default). */
   private[graft] val RrfK = 60

@@ -247,4 +247,36 @@ class CurationOpsSpec extends SparkSpec {
     }
     assert(rows.forall { case (id, _, _, rate, keep) => keep === (bucket(id) < rate) })
   }
+
+  test("bloom decontamination: planted leak flagged, clean corpus under the FP budget, corpus booleans green") {
+    val s = spark; import s.implicits._
+    // 102 docs: ids 0,50,100 are benchmark (doc_id % 50 == 0); doc 7
+    // copies a 13-gram run from doc 50 — Bloom must flag it (superset
+    // is structural). Filler interleaves the doc id into every token so
+    // NO 13-char window is shared across docs (windows span < 13 chars
+    // of constant text between two id occurrences).
+    def filler(id: Long) =
+      ('a' to 'j').map(c => s"$c$id$c$id").mkString(" ")
+    val leak = "SHAREDBENCHRUN"  // 14 chars → ≥2 shared 13-grams
+    val docs = (0L until 102L).map { id =>
+      val t = if (id == 50) s"benchmark item $leak end of item"
+      else if (id == 7) s"contaminated copy $leak trailing words"
+      else filler(id)
+      (id, t)
+    }.toDF("doc_id", "text")
+    val row = CurationOps.bloomDecontamSummary(docs).collect()(0)
+    assert(row.getLong(0) === 99L)     // 102 − 3 benchmark docs
+    assert(row.getLong(1) === 1L)      // exactly the planted leak doc
+    assert(row.getBoolean(2), "superset_ok — Bloom missed a true leak")
+    assert(row.getBoolean(3), "fp_ok")
+    // all-clean corpus: no benchmark shingle appears elsewhere → exact 0,
+    // and Bloom false positives stay under the 5% budget
+    val clean = (0L until 102L).map(id => (id, filler(id))).toDF("doc_id", "text")
+    val rc = CurationOps.bloomDecontamSummary(clean).collect()(0)
+    assert(rc.getLong(1) === 0L)
+    assert(rc.getBoolean(2) && rc.getBoolean(3))
+    // corpus booleans green at sf0.001 (the driver gate re-checks at sf0.01)
+    val rs = CurationOps.decontaminateBloomGated(spark, sf).collect()(0)
+    assert(rs.getBoolean(2) && rs.getBoolean(3))
+  }
 }

@@ -710,4 +710,25 @@ class TextOpsSpec extends SparkSpec {
         TextOps.invIndexName(sf), sidecars = Seq("_stats"))
     }
   }
+
+  test("countMin: top-10 is the exact ranking, bounds green, runs deterministic") {
+    import org.apache.spark.sql.functions._
+    val exact = Tables.documents(spark, sf)
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val top10 = exact.sortBy { case (t, c) => (-c, t) }.take(10).toSeq
+    val run1 = TextOps.countMinGated(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    // the hashed columns are the exact top-10 (the sketch only judges)
+    assert(run1.map(r => (r._1, r._2)).toSeq === top10)
+    // est >= exact is structural (counters only overcount); est <= the
+    // sized epsilon-N envelope must hold on this corpus
+    assert(run1.forall(_._3), "est_ge violated — CMS undercounted")
+    assert(run1.forall(_._4), "est_le violated — collision mass above the sized slack")
+    // seeded hashing, fixed layout: a second run is bit-identical
+    val run2 = TextOps.countMinGated(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(run2.toSeq === run1.toSeq)
+  }
 }
