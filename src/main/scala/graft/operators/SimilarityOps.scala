@@ -299,6 +299,89 @@ object SimilarityOps {
     probeIvfIndex(spark, name, ivfCentroids(e), e, nProbe = 2)
   }
 
+  /** HARD-NEGATIVE mining for contrastive training — the DPR/ANCE
+    * recipe run as a batch operator: for each anchor in a deterministic
+    * 1% sample (vec_id ≡ 1 mod 100), the top-3 SAME-CELL neighbors
+    * whose cosine falls in the HARD band [0.1, 0.9) — similar enough to
+    * be informative negatives (random pairs of these embeddings
+    * concentrate near 0), but below the near-duplicate threshold that
+    * would make them FALSE negatives (the classic hard-negative-mining
+    * failure mode). Retriever/reranker training consumes exactly this
+    * (anchor, negative) table.
+    *
+    * Scale shape: BOTH join sides read the persisted cell-bucketed IVF
+    * index on its bucket key — co-located, no exchange below the join
+    * (the q_minhash_persisted precedent) — so the quadratic work is
+    * confined within cells, and only for the 1% anchor sample: the
+    * pair budget is sampleRate · Σ|cell|², two orders under
+    * [[semanticDedup]]'s gated full self-join. Scoring is the fused
+    * native cosine; per-anchor top-3 is a partitioned
+    * WindowGroupLimit-pruned window. Anchors in singleton cells yield
+    * nothing by construction — production mines from nprobe > 1 cells
+    * when coverage matters.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val name = ensureIvfIndex(spark, sfDir)
+    val idx = spark.table(name)
+    val anchors = idx.filter(col("vec_id") % 100 === 1)
+      .select(col("cell"), col("vec_id").as("anchor_id"),
+        col("embedding").as("a_emb"))
+    val cands = idx.select(col("cell"), col("vec_id").as("neg_id"),
+      col("embedding").as("c_emb"))
+    val scored = anchors.join(cands, Seq("cell"))
+      .filter(col("neg_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("neg_id"),
+        round(cosine(col("a_emb"), col("c_emb")), 4).as("score"))
+      .filter(col("score") >= 0.1 && col("score") < 0.9)
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("score").desc, col("neg_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("anchor_id"), col("rank"), col("neg_id"), col("score"))
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
+  /** Oracle: replay the cell assignment ([[ivfTopKSql]]'s CTEs), score
+    * same-cell anchor pairs, band, rank — one statement. */
+  val hardNegativesSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), c AS (
+      |  SELECT vec_id AS cid, v AS cv, i FROM x WHERE vec_id BETWEEN 1 AND 16
+      |), scored AS (
+      |  SELECT x.vec_id, c.cid,
+      |    ROUND(SUM(x.v*c.cv) / (SQRT(SUM(x.v*x.v)) * SQRT(SUM(c.cv*c.cv))), 6) AS ccos
+      |  FROM x JOIN c ON x.i = c.i
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+      |  FROM scored
+      |), cells AS (
+      |  SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1
+      |), pairs AS (
+      |  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+      |    ROUND(SUM(xa.v*xb.v) / (SQRT(SUM(xa.v*xa.v)) * SQRT(SUM(xb.v*xb.v))), 4) AS score
+      |  FROM cells a
+      |  JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+      |  JOIN x xa ON xa.vec_id = a.vec_id
+      |  JOIN x xb ON xb.vec_id = b.vec_id AND xb.i = xa.i
+      |  WHERE a.vec_id % 100 = 1
+      |  GROUP BY 1, 2
+      |), banded AS (
+      |  SELECT * FROM pairs WHERE score >= 0.1 AND score < 0.9
+      |), r AS (
+      |  SELECT anchor_id, neg_id, score,
+      |    CAST(row_number() OVER (PARTITION BY anchor_id
+      |      ORDER BY score DESC, neg_id) AS BIGINT) AS rank
+      |  FROM banded
+      |)
+      |SELECT anchor_id, rank, neg_id, score FROM r WHERE rank <= 3
+      |ORDER BY anchor_id, rank""".stripMargin
+
   /** Distributed spherical k-means training for the IVF coarse quantizer
     * — the "real index build" [[ivfTopK]]'s scaladoc defers to. Lloyd's
     * iterations, fully declarative and unrolled into one DAG:

@@ -2208,31 +2208,46 @@ object TextOps {
     * Accepted cost: the exact ranking twin is a second corpus pass
     * (exists only to judge the sketch, like every gated key).
     */
-  def countMinGated(spark: SparkSession, sfDir: String): DataFrame = {
-    val (d, w) = (CmsDepth, CmsWidth)
-    val docs = Tables.documentsFanned(spark, sfDir)
-    val exploded = docs.select(explode(tokens(col("text"))).as("token"))
-    def rowBuckets(c: Column) = explode(array((0 until d).map(i =>
+  /** The d seeded (row, bucket) pairs of one token — shared by the
+    * counter build and every probe so the two can never hash apart. */
+  private def cmsRowBuckets(c: Column): Column =
+    explode(array((0 until CmsDepth).map(i =>
       struct(lit(i).as("i"),
-        pmod(xxhash64(c, lit(i)), lit(w.toLong)).as("b"))): _*))
-    val counters = exploded.select(rowBuckets(col("token")).as("ib"))
+        pmod(xxhash64(c, lit(i)), lit(CmsWidth.toLong)).as("b"))): _*))
+
+  /** Build the d×w counter frame (i, b, c) for a one-column `token`
+    * frame — ≤ d·w rows after the map-side-combined aggregate. */
+  private[graft] def cmsCounters(toks: DataFrame): DataFrame =
+    toks.select(cmsRowBuckets(col("token")).as("ib"))
       .select(col("ib.i").as("i"), col("ib.b").as("b"))
       .groupBy(col("i"), col("b")).agg(count(lit(1)).as("c"))
+
+  /** Count-Min point estimates for `probes` (any frame with a `token`
+    * column; other columns ride along): est = min over the d rows. */
+  private[graft] def cmsEstimatesAgainst(counters: DataFrame,
+      probes: DataFrame): DataFrame = {
+    val carried = probes.columns.filter(_ != "token").map(col).toSeq
+    probes.select((col("token") +: carried) :+ cmsRowBuckets(col("token")).as("ib"): _*)
+      .select((col("token") +: carried) :+ col("ib.i").as("i") :+ col("ib.b").as("b"): _*)
+      .join(counters, Seq("i", "b"))
+      .groupBy(col("token") +: carried: _*).agg(min(col("c")).as("est"))
+  }
+
+  def countMinGated(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documentsFanned(spark, sfDir)
+    val exploded = docs.select(explode(tokens(col("text"))).as("token"))
+    val counters = cmsCounters(exploded)
       .localCheckpoint() // ≤ d·w rows; read by the total and the probe
     val totals = counters.filter(col("i") === 0)
       .agg(sum(col("c")).as("n_total"))
     val top = exploded.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(10)
-    top.select(col("token"), col("cnt"), rowBuckets(col("token")).as("ib"))
-      .select(col("token"), col("cnt"),
-        col("ib.i").as("i"), col("ib.b").as("b"))
-      .join(counters, Seq("i", "b"))
-      .groupBy(col("token"), col("cnt")).agg(min(col("c")).as("est"))
+    cmsEstimatesAgainst(counters, top)
       .crossJoin(broadcast(totals))
       .select(col("token"), col("cnt"),
         (col("est") >= col("cnt")).as("est_ge"),
         (col("est") <= col("cnt") +
-          ceil(col("n_total") * lit(8.0) / w).cast("long")).as("est_le"))
+          ceil(col("n_total") * lit(8.0) / CmsWidth).cast("long")).as("est_le"))
       .orderBy(col("cnt").desc, col("token"))
   }
 

@@ -293,4 +293,68 @@ class PropertySpec extends SparkSpec {
           s"k=$k chunks=$chunks 2-level: heavy $t (cnt=$cnt > $bound) evicted")
     }
   }
+
+  test("countMin: est >= exact for EVERY token of arbitrary streams, partition-invariant") {
+    import graft.operators.TextOps
+    val s = spark; import s.implicits._
+    val token = Gen.frequency(
+      4 -> Gen.oneOf("hot1", "hot2"),
+      3 -> Gen.chooseNum(1, 50).map(i => s"mid$i"),
+      2 -> Gen.chooseNum(1, 2000).map(i => s"tail$i"))
+    val gen = for {
+      n <- Gen.chooseNum(40, 400)
+      toks <- Gen.listOfN(n, token)
+      parts <- Gen.chooseNum(1, 7)
+    } yield (toks, parts)
+    for ((toks, parts) <- samples(gen, 6)) {
+      val exact = toks.groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+      val df = toks.toDF("token").repartition(parts)
+      val counters = TextOps.cmsCounters(df).localCheckpoint()
+      // counter mass conservation: every row of the sketch sums to n
+      val rowSums = counters.groupBy("i").sum("c").collect()
+        .map(r => r.getLong(1)).toSeq
+      assert(rowSums.size === graft.operators.TextOps.CmsDepth)
+      assert(rowSums.forall(_ === toks.size.toLong))
+      // one-sided error law for EVERY distinct token, any partitioning
+      val est = TextOps.cmsEstimatesAgainst(counters, df.distinct())
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      for ((t, cnt) <- exact) {
+        assert(est(t) >= cnt, s"parts=$parts: $t undercounted (${est(t)} < $cnt)")
+      }
+    }
+  }
+
+  test("bloom decontamination: superset law and exact twin on arbitrary corpora") {
+    import graft.operators.CurationOps
+    val s = spark; import s.implicits._
+    // docs ≥13 chars; benchmark membership is the doc_id % 50 == 0 rule,
+    // so id 0 and 50 are bench; overlap is planted by COPYING a bench
+    // doc's text into a random subset of corpus docs
+    val gen = for {
+      n <- Gen.chooseNum(55, 110)
+      texts <- Gen.listOfN(n, Gen.chooseNum(0, Int.MaxValue)
+        .map(x => s"uniq$x " * 4))
+      leaks <- Gen.someOf(1L until 49L)
+    } yield (texts, leaks.toSet)
+    for ((texts, leaks) <- samples(gen, 5)) {
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        val id = i.toLong
+        // leaked docs embed doc 0's (benchmark) text verbatim
+        (id, if (leaks(id)) s"$t ${texts(0)}" else t)
+      }.toDF("doc_id", "text")
+      val row = CurationOps.bloomDecontamSummary(docs).collect()(0)
+      // exact twin recomputed locally with plain substring windows
+      def sh(t: String) = (0 to t.length - 13).map(i => t.substring(i, i + 13)).toSet
+      val benchSh = texts.indices.filter(_ % 50 == 0)
+        .flatMap(i => sh(if (leaks(i.toLong)) s"${texts(i)} ${texts(0)}" else texts(i))).toSet
+      val corpusDocs = texts.indices.filter(_ % 50 != 0)
+      val exactFlagged = corpusDocs.count { i =>
+        val t = if (leaks(i.toLong)) s"${texts(i)} ${texts(0)}" else texts(i)
+        sh(t).exists(benchSh)
+      }
+      assert(row.getLong(0) === corpusDocs.size.toLong, "n_docs")
+      assert(row.getLong(1) === exactFlagged.toLong, "n_exact twin")
+      assert(row.getBoolean(2), "superset law violated — a true leak was missed")
+    }
+  }
 }

@@ -325,4 +325,33 @@ class SimilarityOpsSpec extends SparkSpec {
         SimilarityOps.ivfPqIndexName(sf), sidecars = Seq("_coarse", "_books"))
     }
   }
+
+  test("hardNegatives: band respected, ranks dense, co-located self-join of the index") {
+    try {
+      val neg = SimilarityOps.hardNegatives(spark, sf)
+      val rows = neg.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      // hard band: no near-dups (false negatives), no easy negatives
+      assert(rows.forall { case (_, _, _, s) => s >= 0.1 && s < 0.9 })
+      // never itself; ranks are 1..n per anchor with descending scores
+      assert(rows.forall { case (a, _, n, _) => a != n })
+      for ((a, g) <- rows.groupBy(_._1)) {
+        val sorted = g.sortBy(_._2)
+        assert(sorted.map(_._2).toSeq === (1L to g.length).toSeq, s"anchor $a ranks")
+        val sc = sorted.map(_._4).toSeq
+        assert(sc === sc.sorted.reverse, s"anchor $a order")
+        assert(g.length <= 3)
+      }
+      // the pair stage joins two reads of the SAME cell-bucketed index
+      // co-located: no exchange may sit below the join (only the ranking
+      // window's hash exchange and the output sort are allowed)
+      val plan = neg.queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      if (joinIdx >= 0)
+        assert(!plan.substring(joinIdx).contains("Exchange hashpartitioning"),
+          s"index self-join must be co-located:\n$plan")
+    } finally {
+      graft.operators.Layout.dropEpochFamily(spark, SimilarityOps.ivfIndexName(sf))
+    }
+  }
 }
