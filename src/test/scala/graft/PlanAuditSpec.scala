@@ -47,6 +47,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_canonical_docs",     // consumes the same all-pairs pair generator as groups
     "q_collocations",       // crossJoin(broadcast(1-row corpus totals))
     "q_heavy_hitters",      // crossJoin(broadcast(1-row total-token aggregate))
+    "q_countmin_counts",    // crossJoin(broadcast(1-row total aggregate)) onto the 10-row probe
     "q_curation_funnel"     // crosses five 1-row stage aggregates; pair stage is the allowed bitmap BNLJ
   )
 
