@@ -120,7 +120,7 @@ object CurationPipeline {
       |  JOIN sizes sb ON i.doc_b = sb.doc_id
       |  WHERE CAST(i.n_inter AS DOUBLE)
       |      / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
-      |), edges AS (
+      |), edges AS MATERIALIZED (
       |  SELECT doc_a AS src, doc_b AS dst FROM jp
       |  UNION ALL SELECT doc_b, doc_a FROM jp
       |), lmin AS (

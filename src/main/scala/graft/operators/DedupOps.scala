@@ -1529,7 +1529,7 @@ object DedupOps {
        |    SELECT md5(substring(text, 1, 40)) AS k, MIN(doc_id) AS doc_a
        |    FROM documents GROUP BY 1) m
        |  ON md5(substring(d.text, 1, 40)) = m.k AND d.doc_id > m.doc_a
-       |), edges AS (
+       |), edges AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
        |  UNION SELECT doc_b, doc_a FROM jpairs
        |  UNION SELECT doc_a, doc_b FROM spairs
@@ -1546,7 +1546,7 @@ object DedupOps {
   /** Transitive closure by the local-minima-seeded monotone walk
     * ([[ccWalkCtes]]); MIN picks the component root. */
   val neardupGroupsSql: String =
-    s"""WITH RECURSIVE $jaccardPairCtes, edges AS (
+    s"""WITH RECURSIVE $jaccardPairCtes, edges AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
        |  UNION ALL
        |  SELECT doc_b AS src, doc_a AS dst FROM jpairs
@@ -1606,7 +1606,7 @@ object DedupOps {
       .map { case (t, w) =>
         s"WHEN '$t' THEN ${(BigDecimal(w) * 100).toLongExact}" }
       .mkString(" ")
-    s"""WITH RECURSIVE $jaccardPairCtes, edges AS (
+    s"""WITH RECURSIVE $jaccardPairCtes, edges AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
        |  UNION ALL
        |  SELECT doc_b AS src, doc_a AS dst FROM jpairs
