@@ -110,6 +110,7 @@ object SparkEntry {
     "q_phash_neardup"     -> (MultimodalOps.phashNearDup _),
     "q_audio_fingerprint" -> (MultimodalOps.audioFingerprint _),
     "q_video_neardup"     -> (MultimodalOps.videoNearDup _),
+    "q_media_lifecycle"   -> (MultimodalOps.mediaLifecycle _),
     "q_semantic_dedup"    -> (SimilarityOps.semanticDedup _),
     // §2b — multimodal columns
     "q_multimodal_meta"   -> (MultimodalOps.multimodalMeta _),
@@ -229,6 +230,9 @@ object SparkEntry {
     "q_phash_neardup"     -> MultimodalOps.phashNearDupSql,
     "q_audio_fingerprint" -> MultimodalOps.audioFingerprintSql,
     "q_video_neardup"     -> MultimodalOps.videoNearDupSql,
+    // half-built + streamed-half media index probed under the unchanged
+    // full-corpus oracle — stream ≡ batch for the media family
+    "q_media_lifecycle"   -> MultimodalOps.videoNearDupSql,
     "q_semantic_dedup"    -> SimilarityOps.semanticDedupSql,
     "q_multimodal_meta"   -> MultimodalOps.multimodalMetaSql,
     "q_multimodal_ann"    -> MultimodalOps.multimodalAnnSql,

@@ -841,6 +841,46 @@ object MultimodalOps {
     videoNearDupFrom(fh)
   }
 
+  /** Catalog base of [[mediaLifecycle]]'s OWN epoch family — separate
+    * from [[frameHashIndexName]] so the lifecycle rebuild never races
+    * the shared index [[videoNearDup]] probes. */
+  private[graft] def mediaLifecycleBase(sfDir: String): String =
+    "graft_vframe_lc_" + Layout.corpusTag(sfDir)
+
+  /** The media-index LIFECYCLE under the oracle — the fifth member of
+    * the stream ≡ batch family (search / ANN / IVF×PQ / events):
+    * multi-frame decode HALF the videos (even doc_ids) into a fresh
+    * frame-hash epoch, stream the odd half through the REAL ingest
+    * loop ([[graft.streaming.MediaStream.appendVideoFramesStream]] —
+    * micro-batches running the actual codec decode and appending
+    * bucket-spec-preserving hash rows), then answer the standard
+    * temporal near-dup query from the appended epoch. The oracle is
+    * [[videoNearDupSql]] VERBATIM — the full-corpus closed-form raster
+    * replay — so the driver hash-match proves a stream-grown media
+    * index is indistinguishable from a one-pass build
+    * (MediaStreamSpec proves it in-process; this key puts the claim in
+    * the per-round driver gate). Decode is stateless per payload,
+    * which is exactly why the proof holds. Rotates a fresh epoch every
+    * call and prunes to two.
+    */
+  def mediaLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = mediaLifecycleBase(sfDir)
+    val vids = syntheticVideos(spark, sfDir)
+    val t = Layout.rotateEpoch(spark, base) { name =>
+      Layout.writeBucketed(
+        decodeFrameHashes(vids.filter(col("doc_id") % 2 === 0)),
+        name, "doc_id", MediaIndexBuckets)
+    }
+    val odd = vids.filter(col("doc_id") % 2 =!= 0)
+    Layout.withStagedParquet(odd, "graft-medlc") { arrivals =>
+      val stream = graft.streaming.MediaStream.appendVideoFramesStream(
+        spark.readStream.schema(odd.schema).parquet(arrivals), base)
+      try stream.processAllAvailable() finally stream.stop()
+    }
+    Layout.pruneEpochs(spark, base, keep = 2)
+    videoNearDupFrom(spark.table(t))
+  }
+
   /** The near-dup core over any (doc_id, nf, f, dh) frame-hash frame —
     * shared by the index-served corpus form and the spec's in-flight
     * runs so candidate semantics cannot drift between them.

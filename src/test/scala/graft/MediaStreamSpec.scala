@@ -75,4 +75,20 @@ class MediaStreamSpec extends SparkSpec {
       Layout.dropEpochFamily(spark, refBase)
     }
   }
+
+  test("mediaLifecycle: half-built + streamed-half epoch answers the one-pass query") {
+    import graft.operators.MultimodalOps
+    try {
+      val expected = MultimodalOps.videoNearDup(spark, TestSpark.sf0001)
+        .collect().toSeq
+      val got = MultimodalOps.mediaLifecycle(spark, TestSpark.sf0001)
+        .collect().toSeq
+      assert(got === expected)
+    } finally {
+      Layout.dropEpochFamily(spark,
+        MultimodalOps.mediaLifecycleBase(TestSpark.sf0001))
+      Layout.dropEpochFamily(spark,
+        MultimodalOps.frameHashIndexName(TestSpark.sf0001))
+    }
+  }
 }
