@@ -153,9 +153,9 @@ object CrossoverBench {
           System.getProperty("java.io.tmpdir"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // optional section filter for iteration: any of "ab", "c", "v"
+    // optional section filter for iteration: any of "ab", "c", "v", "e"
     // (no args = everything, the round-record configuration)
-    val only: Set[String] = if (args.isEmpty) Set("ab", "c", "v") else args.toSet
+    val only: Set[String] = if (args.isEmpty) Set("ab", "c", "v", "e") else args.toSet
     var failed = false
 
     if (only("ab")) {
@@ -358,6 +358,83 @@ object CrossoverBench {
     println(s"[xover] V exhaustive probe vs independent decode identity: " +
       (if (decodeSame) "PASS" else "FAIL"))
     failed ||= !recallMono || recalls.last != 1.0 || !decodeSame
+    }
+
+    if (only("e")) {
+    // ---- 10× events: the watermark is LOAD-BEARING for stream ≡ batch ----
+    // 1M synthetic events spanning 30 days, written via repartition(16)
+    // so EVERY file spans the whole range — the worst-case replay order
+    // a file-source restart produces. A disorder-covering watermark must
+    // reproduce the batch aggregation EXACTLY; a 1-hour watermark over
+    // the same shuffled replay must DROP late rows (the one way streamed
+    // state legitimately diverges) — both directions asserted, so the
+    // lifecycle keys' 90-day delay is demonstrated necessary, not
+    // ceremonial.
+    import graft.operators.EventOps
+    import graft.streaming.EventStream
+    val dirE = "/tmp/crossover/e"
+    val dayMicros = 24L * 3600 * 1000000
+    timed("gen events (1M over 30 days)") {
+      spark.range(1000000L).select(
+          timestamp_micros((lit(1704067200000000L) +
+            pmod(col("id") * 2654435761L, lit(30L * dayMicros))).cast("long")).as("ts"),
+          (pmod(col("id"), lit(1000L)).cast("double") / 100.0).as("value"))
+        .repartition(16).write.mode("overwrite").parquet(dirE)
+    }
+    val ev = spark.read.parquet(dirE)
+    val batchRows = EventOps.windowedAgg(ev)
+      .orderBy(col("window_start")).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batchTotal = batchRows.map(_._2).sum
+    // each run streams its OWN copy of the input (sentinels are appended
+    // to the run dir, never to the shared source)
+    def streamedWindows(base: String, watermark: String): Seq[(java.sql.Timestamp, Long, Double)] = {
+      val runDir = dirE + "_" + base.split("_").last
+      spark.read.parquet(dirE).repartition(16)
+        .write.mode("overwrite").parquet(runDir)
+      Seq(base, base + "_ptr").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"); Layout.clearStaleTableLocation(spark, t)
+      }
+      val t = Layout.rotateEpoch(spark, base) { name =>
+        EventOps.windowedAggPartial(ev.filter(lit(false)))
+          .write.format("parquet").mode("overwrite").saveAsTable(name)
+      }
+      val run = spark.read.parquet(runDir)
+      val maxTs = run.agg(max(col("ts"))).head().getTimestamp(0)
+      val stream = EventStream.appendWindowPartialsStream(
+        spark.readStream.schema(run.schema)
+          .option("maxFilesPerTrigger", 2).parquet(runDir), base, watermark)
+      try {
+        stream.processAllAvailable()
+        val s = spark; import s.implicits._
+        val s1 = new java.sql.Timestamp(maxTs.getTime + 100L * 24 * 3600 * 1000)
+        Seq((s1, 0.0), (new java.sql.Timestamp(s1.getTime + 60000L), 0.0))
+          .toDF("ts", "value").write.mode("append").parquet(runDir)
+        stream.processAllAvailable()
+      } finally stream.stop()
+      val out = spark.table(t)
+        .groupBy(col("window_start"))
+        .agg(sum(col("n_events")).as("n"), sum(col("value_dec")).as("vd"))
+        .select(col("window_start"), col("n"), col("vd").cast("double"))
+        .orderBy(col("window_start")).collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSeq
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      out
+    }
+    val covered = timed("E streamed, covering watermark (90 days)") {
+      streamedWindows("graft_xover_evt_cov", "90 days")
+    }
+    val covSame = covered == batchRows
+    println(s"[xover] E covering-watermark stream ≡ batch: " +
+      (if (covSame) "PASS" else s"FAIL (${covered.size} vs ${batchRows.size} windows)"))
+    val tight = timed("E streamed, 1-hour watermark over the same shuffled replay") {
+      streamedWindows("graft_xover_evt_tight", "1 hour")
+    }
+    val tightTotal = tight.map(_._2).sum
+    val dropped = batchTotal - tightTotal
+    println(s"[xover] E tight-watermark drops late rows: $dropped of $batchTotal " +
+      (if (dropped > 0) "PASS (divergence is real, which is why the delay must cover the disorder)" else "FAIL"))
+    failed ||= !covSame || dropped <= 0
     }
 
     spark.stop()
