@@ -132,6 +132,7 @@ object SparkEntry {
     "q_search_lifecycle"  -> (TextOps.searchLifecycle _),
     "q_hybrid_search"     -> (TextOps.hybridSearch _),
     "q_canonical_docs"    -> (DedupOps.canonicalDocs _),
+    "q_trainval_split"    -> (DedupOps.trainValSplit _),
     "q_collocations"      -> (TextOps.collocations _),
     "q_curation_funnel"   -> (CurationPipeline.curationFunnel _),
   )
@@ -251,6 +252,7 @@ object SparkEntry {
     "q_boolean_search"    -> TextOps.booleanSearchSql,
     "q_hybrid_search"     -> TextOps.hybridSearchSql,
     "q_canonical_docs"    -> DedupOps.canonicalDocsSql,
+    "q_trainval_split"    -> DedupOps.trainValSplitSql,
     // build-half + stream-appended-half must serve EXACTLY what a
     // one-pass build serves — the full-corpus keyword oracle verbatim
     "q_search_lifecycle"  -> TextOps.keywordSearchSql,

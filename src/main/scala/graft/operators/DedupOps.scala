@@ -1601,6 +1601,53 @@ object DedupOps {
       .withColumn("keep", col("doc_id") === col("canonical_doc"))
   }
 
+  /** LEAKAGE-FREE train/validation split — the group-aware split every
+    * serious pretraining pipeline needs: a plain per-doc hash split
+    * puts near-duplicate copies of the same content on BOTH sides, so
+    * validation loss silently measures memorization of training
+    * near-dups. Here the split KEY is the near-dup `group_id` (from the
+    * same persisted-shingle-index pairs + connected components as
+    * [[neardupGroups]]), so a whole duplicate cluster moves together —
+    * by construction NO group straddles the boundary (spec-asserted,
+    * and the oracle reproduces the exact assignment). The 5% validation
+    * rate uses the [[graft.operators.CurationOps.stratifiedFilter]]
+    * md5-bucket predicate on the group id — deterministic, resample-
+    * stable, engine-portable.
+    *
+    * Scale shape: groups reuse the adaptive CC paths; the split itself
+    * is one row-local predicate over the label frame. At 100 TB this
+    * is a metadata-only operation on top of state the dedup pipeline
+    * already maintains.
+    */
+  def trainValSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val vertices = docs.select(col("doc_id"))
+    val pairs = jaccardPairsIndexed(spark, sfDir, 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val bucket = conv(substring(md5(col("group_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    connectedComponents(vertices, pairs)
+      .select(col("doc_id"), col("group_id"),
+        when(bucket < 5, lit("val")).otherwise(lit("train")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val trainValSplitSql: String =
+    s"""WITH RECURSIVE $jaccardPairCtes, edges AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM jpairs
+       |), ${ccWalkCtes("documents")}, groups AS (
+       |  SELECT doc_id, CAST(MIN(label) AS BIGINT) AS group_id
+       |  FROM walk GROUP BY doc_id
+       |)
+       |SELECT doc_id, group_id,
+       |  CASE WHEN CAST(CONCAT('0x',
+       |      substring(md5(CAST(group_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 5
+       |    THEN 'val' ELSE 'train' END AS split
+       |FROM groups
+       |ORDER BY doc_id""".stripMargin
+
   val canonicalDocsSql: String = {
     val centsCase = TextOps.classifierVocab
       .map { case (t, w) =>

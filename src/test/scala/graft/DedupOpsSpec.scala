@@ -497,4 +497,30 @@ class DedupOpsSpec extends SparkSpec {
       graft.operators.Layout.dropEpochFamily(spark, DedupOps.minhashIndexName(sf))
     }
   }
+
+  test("trainValSplit: no near-dup group straddles the split; assignment deterministic") {
+    try {
+      val rows = DedupOps.trainValSplit(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(rows.nonEmpty)
+      // the leakage guarantee: one split value per group — a straddling
+      // group would put near-identical text on both sides of the line
+      for ((g, members) <- rows.groupBy(_._2))
+        assert(members.map(_._3).distinct.length === 1, s"group $g straddles")
+      // every near-dup PAIR lands on one side (the group property
+      // restated over the raw pair generator — catches a group/pair drift)
+      val splitOf = rows.map(r => r._1 -> r._3).toMap
+      val pairs = DedupOps.jaccardPairsIndexed(spark, sf, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.nonEmpty)
+      for ((a, b) <- pairs)
+        assert(splitOf(a) === splitOf(b), s"near-dup pair ($a,$b) split apart")
+      // determinism: the md5-bucket assignment is a pure function
+      val again = DedupOps.trainValSplit(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(again.toSeq === rows.toSeq)
+    } finally {
+      graft.operators.Layout.dropEpochFamily(spark, DedupOps.minhashIndexName(sf))
+    }
+  }
 }

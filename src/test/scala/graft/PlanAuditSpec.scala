@@ -45,6 +45,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_search_lifecycle",   // serves the keywordSearch probe → same stats crossJoin
     "q_hybrid_search",      // ≤k-row rank self-joins + the knn/stats 1-row broadcasts
     "q_canonical_docs",     // consumes the same all-pairs pair generator as groups
+    "q_trainval_split",     // same pair generator under the group-keyed split
     "q_collocations",       // crossJoin(broadcast(1-row corpus totals))
     "q_heavy_hitters",      // crossJoin(broadcast(1-row total-token aggregate))
     "q_countmin_counts",    // crossJoin(broadcast(1-row total aggregate)) onto the 10-row probe
