@@ -153,9 +153,10 @@ object CrossoverBench {
           System.getProperty("java.io.tmpdir"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // optional section filter for iteration: any of "ab", "c", "v", "e"
+    // optional section filter for iteration: any of "ab","c","v","e","s"
     // (no args = everything, the round-record configuration)
-    val only: Set[String] = if (args.isEmpty) Set("ab", "c", "v", "e") else args.toSet
+    val only: Set[String] =
+      if (args.isEmpty) Set("ab", "c", "v", "e", "s") else args.toSet
     var failed = false
 
     if (only("ab")) {
@@ -435,6 +436,57 @@ object CrossoverBench {
     println(s"[xover] E tight-watermark drops late rows: $dropped of $batchTotal " +
       (if (dropped > 0) "PASS (divergence is real, which is why the delay must cover the disorder)" else "FAIL"))
     failed ||= !covSame || dropped <= 0
+    }
+
+    if (only("s")) {
+    // ---- 10× sessions with a genuine bot: skew-safe path identity ----
+    // 1M events where user 0 holds 200K (a bot 2500× the median user) —
+    // the regime the segmented path exists for: WindowExec has no
+    // partial aggregation and no AQE skew split, so the plain path
+    // funnels the bot's whole history into ONE task. The segmented
+    // path must produce IDENTICAL sessions (stitching across segment
+    // boundaries is the part that can silently break).
+    import graft.operators.EventOps
+    val dirS = "/tmp/crossover/s"
+    val dayMicros2 = 24L * 3600 * 1000000
+    timed("gen sessions corpus (1M events, 200K-event bot)") {
+      spark.range(1000000L).select(
+          when(col("id") < 200000L, 0L)
+            .otherwise(pmod(col("id"), lit(9999L)) + 1).as("user_id"),
+          timestamp_micros((lit(1704067200000000L) +
+            pmod(col("id") * 1103515245L, lit(7L * dayMicros2))).cast("long")).as("ts"),
+          col("id").as("event_id"))
+        .repartition(32).write.mode("overwrite").parquet(dirS)
+    }
+    val evS = spark.read.parquet(dirS)
+    val gap = 30L * 60 * 1000000
+    def sessionStats(sessioned: DataFrame): DataFrame =
+      sessioned.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+    var plainRows = 0L
+    val tPlain = { val t0 = System.nanoTime()
+      plainRows = sessionStats(EventOps.sessionize(
+        evS, "user_id", "ts", Seq("event_id"), gap)).count()
+      (System.nanoTime() - t0) / 1e9 }
+    var safeRows = 0L
+    val tSafe = { val t0 = System.nanoTime()
+      safeRows = sessionStats(EventOps.sessionizeSkewSafe(
+        evS, "user_id", "ts", Seq("event_id"), gap,
+        heavyThreshold = 10000L, segmentMicros = 6L * 3600 * 1000000)).count()
+      (System.nanoTime() - t0) / 1e9 }
+    println(f"[xover] S plain window: $plainRows sessions in $tPlain%.1f s; " +
+      f"segmented skew-safe: $safeRows sessions in $tSafe%.1f s")
+    val sDiff = {
+      val a = sessionStats(EventOps.sessionize(
+        evS, "user_id", "ts", Seq("event_id"), gap)).localCheckpoint()
+      val b = sessionStats(EventOps.sessionizeSkewSafe(
+        evS, "user_id", "ts", Seq("event_id"), gap,
+        heavyThreshold = 10000L, segmentMicros = 6L * 3600 * 1000000)).localCheckpoint()
+      a.exceptAll(b).count() + b.exceptAll(a).count()
+    }
+    println(s"[xover] S segmented ≡ plain session stats: diff rows = $sDiff " +
+      (if (sDiff == 0) "PASS" else "FAIL"))
+    failed ||= sDiff != 0
     }
 
     spark.stop()
