@@ -203,7 +203,9 @@ object Bench {
     val qs = times.map { case (k, v) => jstr(k) + ":" + f"$v%.4f" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val regJson = regressions.map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
-    val fpJson = isolated.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    // capped like qs: a contended run flags many keys, and full-precision
+    // doubles here would re-inflate the line past the driver's tail
+    val fpJson = isolated.map { case (k, v) => jstr(k) + ":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = f"${times.values.filter(_ > 0).sum}%.3f"
     // Keys benched without a refMin floor have their regression gate
     // silently disabled — emit a ready-to-paste refMin diff so the gap

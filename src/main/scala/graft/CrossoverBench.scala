@@ -408,9 +408,14 @@ object CrossoverBench {
       try {
         stream.processAllAvailable()
         val s = spark; import s.implicits._
+        // two separate drains: sentinel 2 gets its own real-data batch
+        // (emission must not depend on the optional no-data batch)
         val s1 = new java.sql.Timestamp(maxTs.getTime + 100L * 24 * 3600 * 1000)
-        Seq((s1, 0.0), (new java.sql.Timestamp(s1.getTime + 60000L), 0.0))
-          .toDF("ts", "value").write.mode("append").parquet(runDir)
+        Seq((s1, 0.0)).toDF("ts", "value")
+          .coalesce(1).write.mode("append").parquet(runDir)
+        stream.processAllAvailable()
+        Seq((new java.sql.Timestamp(s1.getTime + 60000L), 0.0))
+          .toDF("ts", "value").coalesce(1).write.mode("append").parquet(runDir)
         stream.processAllAvailable()
       } finally stream.stop()
       val out = spark.table(t)

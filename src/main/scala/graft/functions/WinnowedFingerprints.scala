@@ -14,9 +14,16 @@ import org.apache.spark.sql.types._
   * §4) over a window-hash sequence — the classic guarantee-bearing way
   * to thin [[RollingWindowHashes]]'s every-offset hashes down to a
   * fingerprint set: in each window of `w` consecutive hashes select the
-  * minimum, breaking ties by the RIGHTMOST occurrence (the paper's
-  * "robust" rule — position-deterministic, so two engines agree without
-  * any sequential tie-state). Any shared substring of at least
+  * minimum, breaking ties by the RIGHTMOST occurrence. (The paper's
+  * full "robust" rule prefers RE-SELECTING the previous window's hash on
+  * a tie and only falls back to rightmost; this implementation uses
+  * rightmost-always — position-deterministic and stateless, so the
+  * Scala expression, the DuckDB oracle, and the brute-force spec agree
+  * without sequential tie-state. Same t = w + k − 1 detection guarantee
+  * and ~2/(w+1) expected density; only which-of-equal-hashes is kept
+  * can differ from a by-the-letter robust implementation, and equal
+  * hashes fingerprint the same content anyway.) Any shared substring of
+  * at least
   * `w + k − 1` tokens is guaranteed to share a selected fingerprint,
   * and selection density is ~2/(w+1) — the local-algorithm property
   * that makes fingerprint indexes O(corpus/w) instead of O(corpus).

@@ -32,12 +32,18 @@ object CurationOps {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy(col("doc_id"))
 
+  /** First-32-bits-of-md5 bucket in [0, 100) — THE deterministic keep
+    * predicate, shared by stratified sampling, cluster balancing, and
+    * the group-keyed train/val split (their oracles hard-code the same
+    * formula); one definition so the copies can never de-synchronize. */
+  private[graft] def md5Bucket(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 100
+
   /** Library core: rows of `docs` surviving the hash-quota mix, with
     * their `bucket` attached — all original columns preserved so the
     * filter composes mid-pipeline. */
   def stratifiedFilter(docs: DataFrame): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100
+    val bucket = md5Bucket(col("doc_id"))
     val rate = when(col("lang") === "en", 50L).otherwise(20L)
     docs.withColumn("bucket", bucket).filter(col("bucket") < rate)
   }
@@ -745,8 +751,7 @@ object CurationOps {
       .select(col("cell"), col("n_cell"),
         least(lit(100L),
           expr("(100 * ((n_tot + k - 1) div k)) div n_cell")).as("rate"))
-    val bucket = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100
+    val bucket = md5Bucket(col("vec_id"))
     a.join(broadcast(plan), "cell")
       .select(col("vec_id"), col("cell"), col("n_cell"), col("rate"),
         (bucket < col("rate")).as("keep"))

@@ -1624,8 +1624,7 @@ object DedupOps {
     val vertices = docs.select(col("doc_id"))
     val pairs = jaccardPairsIndexed(spark, sfDir, 0.5)
       .select(col("doc_a"), col("doc_b"))
-    val bucket = conv(substring(md5(col("group_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100
+    val bucket = CurationOps.md5Bucket(col("group_id"))
     connectedComponents(vertices, pairs)
       .select(col("doc_id"), col("group_id"),
         when(bucket < 5, lit("val")).otherwise(lit("train")).as("split"))

@@ -151,9 +151,7 @@ object EventOps {
     val odd = ev.filter(col("event_id") % 2 =!= 0).select(col("ts"), col("value"))
     val maxTs = odd.agg(max(col("ts"))).head().getTimestamp(0)
     if (maxTs != null) {
-      val dir = java.nio.file.Files.createTempDirectory("graft-evtlc").toString
-      try {
-        odd.repartition(4).write.mode("overwrite").parquet(dir)
+      Layout.withStagedParquet(odd.repartition(4), "graft-evtlc") { dir =>
         // The stateful agg allocates one state-store partition per
         // shuffle partition PER MICRO-BATCH; a replayed half-corpus is
         // small by construction, so pin the stream's shuffle width low
@@ -170,17 +168,21 @@ object EventOps {
           finally spark.conf.set(spKey, spOld)
         try {
           stream.processAllAvailable()
+          // sentinel pair staged as TWO drains so the second sentinel is
+          // guaranteed its own real-data micro-batch: batch N (sentinel 1)
+          // advances the watermark past every real window, batch N+1
+          // (sentinel 2) is where they emit — no reliance on the engine's
+          // optional no-data batch (a single append of both sentinels can
+          // land them in ONE trigger under maxFilesPerTrigger)
           val s1 = new java.sql.Timestamp(maxTs.getTime + 100L * 24 * 3600 * 1000)
-          val s2 = new java.sql.Timestamp(s1.getTime + 60000L)
-          Seq((s1, 0.0), (s2, 0.0)).toDF("ts", "value")
-            .write.mode("append").parquet(dir)
+          Seq((s1, 0.0)).toDF("ts", "value")
+            .coalesce(1).write.mode("append").parquet(dir)
+          stream.processAllAvailable()
+          Seq((new java.sql.Timestamp(s1.getTime + 60000L), 0.0))
+            .toDF("ts", "value")
+            .coalesce(1).write.mode("append").parquet(dir)
           stream.processAllAvailable()
         } finally stream.stop()
-      } finally {
-        val p = new org.apache.hadoop.fs.Path(dir)
-        scala.util.Try(p.getFileSystem(
-          spark.sparkContext.hadoopConfiguration).delete(p, true))
-        ()
       }
     }
     Layout.pruneEpochs(spark, base, keep = 2)

@@ -424,7 +424,7 @@ object TextOps {
 
   /** Winnowing fingerprint selection (Schleimer et al. SIGMOD'03 —
     * MOSS): thin the every-offset [[graft.functions.RollingWindowHashes]]
-    * stream to the robust-winnowing subset via
+    * stream to the winnowed subset via
     * [[graft.functions.WinnowedFingerprints]] (min per w-window,
     * rightmost tie). Output is the (doc_id, j, fp) fingerprint table —
     * the thing a plagiarism/overlap index actually stores: O(corpus/w)
@@ -485,7 +485,8 @@ object TextOps {
       |        (h, x) -> (h * 1000003 + x) % 1000000007)) AS whs
       |  FROM v WHERE n >= 5
       |), sel AS (
-      |  -- robust winnowing: min of each 4-hash window, RIGHTMOST tie —
+      |  -- winnowing: min of each 4-hash window, RIGHTMOST tie (see the
+      |  -- WinnowedFingerprints scaladoc re the paper's robust tie rule);
       |  -- last occurrence found via list_position over the reversed slice
       |  SELECT doc_id, i,
       |    list_min(whs[i : i + 3]) AS fp,

@@ -140,13 +140,18 @@ class EventStreamSpec extends SparkSpec {
   }
 
   test("eventsLifecycle: batch half + streamed half merge to the one-pass windows") {
-    val expected = graft.operators.EventOps
-      .eventWindows(spark, TestSpark.sf0001).collect().toSeq
-    val got = graft.operators.EventOps
-      .eventsLifecycle(spark, TestSpark.sf0001).collect().toSeq
-    // row-identical INCLUDING the double value_sum: both sides finalize
-    // from exact decimal partials, so the cast cannot diverge — and no
-    // sentinel window may leak into the merged table
-    assert(got === expected)
+    try {
+      val expected = graft.operators.EventOps
+        .eventWindows(spark, TestSpark.sf0001).collect().toSeq
+      val got = graft.operators.EventOps
+        .eventsLifecycle(spark, TestSpark.sf0001).collect().toSeq
+      // row-identical INCLUDING the double value_sum: both sides finalize
+      // from exact decimal partials, so the cast cannot diverge — and no
+      // sentinel window may leak into the merged table
+      assert(got === expected)
+    } finally {
+      graft.operators.Layout.dropEpochFamily(spark,
+        graft.operators.EventOps.eventsLifecycleBase(TestSpark.sf0001))
+    }
   }
 }

@@ -16,7 +16,10 @@ class TsEncodingSpec extends SparkSpec {
 
   private val eventKeys =
     Seq("q_event_windows", "q_user_sessions", "q_sessions_skewsafe",
-      "q_range_join", "q_json_extract")
+      "q_range_join", "q_json_extract",
+      // the streamed lifecycle rides the same events scan; a ts
+      // re-encoding must not slip past the watermark/window path either
+      "q_events_lifecycle")
 
   test("event keys analyze and agree under ns-as-long, µs-NTZ, and µs-LTZ ts encodings") {
     val s = spark
@@ -46,6 +49,12 @@ class TsEncodingSpec extends SparkSpec {
         }
       }
     } finally {
+      // the lifecycle key rotates an epoch family per corpus dir — drop
+      // the per-temp-dir families along with the temp data
+      for (enc <- Seq("ltz", "ntz", "ns", ""))
+        graft.operators.Layout.dropEpochFamily(s,
+          graft.operators.EventOps.eventsLifecycleBase(
+            if (enc.isEmpty) sf else s"$root/$enc"))
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
