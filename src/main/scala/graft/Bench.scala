@@ -44,7 +44,7 @@ object Bench {
     "q_ensemble_groups" -> 1.368, // r8: jaccard signal from the shingle index
     "q_embedding_stats" -> 0.298,
     "q_event_windows" -> 0.453, "q_except_users" -> 0.32,
-    "q_events_lifecycle" -> 4.534, // r10 seed: rebuild-by-design — batch-half window partials + streamed-half watermarked agg + merge, EVERY call (the event twin of q_search_lifecycle)
+    "q_events_lifecycle" -> 5.000, // r10 seed (min of 3 after the review fix): rebuild-by-design — batch-half window partials + streamed-half watermarked agg + merge, EVERY call; the two-drain sentinel protocol (each sentinel its own real-data batch, no reliance on the optional no-data batch) costs ~0.5-2 s over the single-append form it replaced
     "q_high_txn_accounts" -> 0.985, "q_incremental_dedup" -> 0.436,
     "q_intersect_users" -> 0.317,
     "q_ivf_kmeans" -> 1.239, "q_ivf_persisted" -> 0.347,
