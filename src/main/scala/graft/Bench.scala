@@ -106,6 +106,21 @@ object Bench {
     "q_token_counts" -> 0.285, "q_topk_per_lang" -> 0.306,
     "q_union_pages" -> 0.285, "q_user_sessions" -> 0.678)
 
+  /** Superseded HOT-HOST floors for keys whose [[refMin]] entry was
+    * re-adjudicated upward on quiet-host evidence of UNCHANGED code
+    * (r8/r10 precedent). The regression GATE stays on refMin — the max
+    * of the two host states, so quiet-host runs don't chronically flag —
+    * but these faster minima are kept so a genuine regression on a fast
+    * host state still surfaces: any key exceeding [[RegressionFactor]]×
+    * its entry HERE is recorded diagnostically in the lossless
+    * bench_full file (`fast_floor_exceedance`), never as a stdout flag.
+    */
+  private[graft] val refMinFast: Map[String, Double] = Map(
+    "q_semantic_dedup" -> 0.676, "q_bpe_train" -> 0.364,
+    "q_bpe_apply" -> 0.372, "q_pq_trained" -> 2.46,
+    "q_quality_classifier" -> 0.154, "q_chunk_docs" -> 0.133,
+    "q_tfidf_topterms" -> 0.768)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -226,14 +241,25 @@ object Bench {
     // 69 per-query times in round 6's BENCH artifact. Persist the complete
     // record — both raw passes AND the post-isolation minima — to a
     // committed file so the machine-readable artifact is lossless.
+    // Fast-floor diagnostic (lossless file only, NEVER a stdout flag):
+    // keys whose adjudicated refMin was raised for host drift keep their
+    // superseded hot-host floor in refMinFast; exceeding it is recorded
+    // here so a real regression on a fast host state stays visible.
+    val fastExceed = times.collect {
+      case (name, t) if t > 0 &&
+        refMinFast.get(name).exists(f => t > RegressionFactor * f) =>
+        name -> (t / refMinFast(name))
+    }
+    val fastJson = fastExceed.map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val out = sys.env.get("GRAFT_BENCH_OUT")
+      .orElse(sys.env.get("GRAFT_ROUND").map(r => s"bench_full_$r.json"))
+      .getOrElse("bench_full_latest.json")
     if (subset.isEmpty) {
-      // Default to a scratch filename: a driver run with neither env var
-      // set must NEVER clobber a committed bench_full_r{N}.json round
-      // record (the r9 driver run overwrote the r8 builder record that
-      // way — it survived only because git had it at 3c22ff9).
-      val out = sys.env.get("GRAFT_BENCH_OUT")
-        .orElse(sys.env.get("GRAFT_ROUND").map(r => s"bench_full_$r.json"))
-        .getOrElse("bench_full_latest.json")
+      // Default above is a scratch filename: a driver run with neither
+      // env var set must NEVER clobber a committed bench_full_r{N}.json
+      // round record (the r9 driver run overwrote the r8 builder record
+      // that way — it survived only because git had it at 3c22ff9).
       def passJson(p: Either[String, Double]) = p match {
         case Right(t) => f"$t%.4f"
         case Left(e)  => jstr(e)
@@ -243,16 +269,27 @@ object Bench {
       }.mkString("{", ",", "}")
       val full =
         s"""{"summary":$line,
+           |"fast_floor_exceedance":$fastJson,
            |"passes":$passes}""".stripMargin
       try java.nio.file.Files.write(java.nio.file.Paths.get(out),
         full.getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"bench_full write failed: $e") }
     }
     spark.stop()
-    // Re-print the summary as the FINAL stdout line: spark.stop() is done,
-    // nothing can follow it, so a tail-capture of any length ending at
-    // process exit sees one complete JSON record (BENCH_r09 fix, part 2).
+    // Re-print the summary, then a COMPACT record as the TRUE final
+    // stdout line: the driver's tail capture is ~2 KB and the 102-key
+    // summary line is ~4.5 KB, so the full line can never fit the tail
+    // no matter where it prints (BENCH_r10 "parsed": null). The compact
+    // line carries the verdict fields (total / n_failed / flags) in a
+    // few hundred bytes — flag KEYS only, capped, detail in the file.
     println(line)
+    def keyArr(ks: Iterable[String]) =
+      ks.toSeq.sorted.take(20).map(jstr).mkString("[", ",", "]")
+    // worst-20 by ratio: keeps the line bounded even on a fully
+    // contended run where dozens of keys flag at once
+    val regCompact = regressions.toSeq.sortBy(-_._2).take(20)
+      .map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${times.size},"n_failed":${errors.size},"failed":${keyArr(errors.keys)},"regressions_vs_ref":$regCompact,"first_pass_flags":${keyArr(isolated.keys)},"queries":"see $out"}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

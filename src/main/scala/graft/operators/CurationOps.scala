@@ -395,11 +395,14 @@ object CurationOps {
         mightContain(col("sh")).as("bl"))
       .groupBy(col("doc_id"))
       .agg(max(col("ex")).as("ex"), max(col("bl")).as("bl"))
+    // coalesce: a degenerate corpus (zero non-benchmark docs) must yield
+    // (0, 0, true, true) like the oracle's literal columns, not NULLs
+    // (sum over zero rows) that NPE a getBoolean caller.
     flags.agg(
         count(lit(1)).as("n_docs"),
-        sum(when(col("ex"), 1L).otherwise(0L)).as("n_exact"),
-        sum(when(col("bl"), 1L).otherwise(0L)).as("n_bloom"),
-        sum(when(col("ex") && !col("bl"), 1L).otherwise(0L)).as("n_missed"))
+        coalesce(sum(when(col("ex"), 1L).otherwise(0L)), lit(0L)).as("n_exact"),
+        coalesce(sum(when(col("bl"), 1L).otherwise(0L)), lit(0L)).as("n_bloom"),
+        coalesce(sum(when(col("ex") && !col("bl"), 1L).otherwise(0L)), lit(0L)).as("n_missed"))
       .select(col("n_docs"), col("n_exact"),
         (col("n_missed") === 0L).as("superset_ok"),
         (col("n_bloom") - col("n_exact") <=

@@ -149,7 +149,20 @@ object EventOps {
         .write.format("parquet").mode("overwrite").saveAsTable(name)
     }
     val odd = ev.filter(col("event_id") % 2 =!= 0).select(col("ts"), col("value"))
-    val maxTs = odd.agg(max(col("ts"))).head().getTimestamp(0)
+    val span = odd.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val (minTs, maxTs) = (span.getTimestamp(0), span.getTimestamp(1))
+    // Fail-fast guard on the stream≡batch precondition: the file source
+    // replays in ARBITRARY order, so disorder can reach the corpus's
+    // full time span — the 90-day watermark delay silently drops late
+    // rows (surfacing only as an opaque driver hash mismatch) if a
+    // regenerated testdata corpus ever spans wider than the delay.
+    if (maxTs != null) {
+      val spanDays = (maxTs.getTime - minTs.getTime) / (24.0 * 3600 * 1000)
+      require(spanDays < 90.0,
+        f"events corpus spans $spanDays%.1f days >= the 90-day watermark " +
+          "delay; an order-free replay would drop late rows — widen the " +
+          "delay in appendWindowPartialsStream to cover the span")
+    }
     if (maxTs != null) {
       Layout.withStagedParquet(odd.repartition(4), "graft-evtlc") { dir =>
         // The stateful agg allocates one state-store partition per

@@ -2224,14 +2224,20 @@ object TextOps {
       .groupBy(col("i"), col("b")).agg(count(lit(1)).as("c"))
 
   /** Count-Min point estimates for `probes` (any frame with a `token`
-    * column; other columns ride along): est = min over the d rows. */
+    * column; other columns ride along): est = min over the d rows.
+    * LEFT join + coalesce-to-0: a probed token the counted stream never
+    * touched can hash to (i,b) cells no stream token landed in — those
+    * cells hold an implicit 0, so the minimum must include it (an inner
+    * join would silently take the min over the surviving subset, or
+    * drop the token entirely, overestimating a zero-frequency probe). */
   private[graft] def cmsEstimatesAgainst(counters: DataFrame,
       probes: DataFrame): DataFrame = {
     val carried = probes.columns.filter(_ != "token").map(col).toSeq
     probes.select((col("token") +: carried) :+ cmsRowBuckets(col("token")).as("ib"): _*)
       .select((col("token") +: carried) :+ col("ib.i").as("i") :+ col("ib.b").as("b"): _*)
-      .join(counters, Seq("i", "b"))
-      .groupBy(col("token") +: carried: _*).agg(min(col("c")).as("est"))
+      .join(counters, Seq("i", "b"), "left")
+      .groupBy(col("token") +: carried: _*)
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
   def countMinGated(spark: SparkSession, sfDir: String): DataFrame = {
