@@ -94,6 +94,7 @@ object Bench {
     "q_countmin_counts" -> 1.140, // r10 seed: d×w counter agg over the exploded stream + exact-ranking twin (two corpus passes — the sketch exists to be judged)
     "q_hard_negatives" -> 0.625, // r10 seed (min of 2, DuckDB selfcheck sharing the host): co-located self-join of the cell-bucketed index over the 1% anchor sample + partitioned top-3 window
     "q_media_lifecycle" -> 4.455, // r10 seed: rebuild-by-design — half-corpus multi-frame codec decode + streamed-half decode through MediaStream + temporal near-dup probe, EVERY call (the media twin of q_search_lifecycle)
+    "q_dedup_lifecycle" -> 5.700, // r11 seed (min of 2): rebuild-by-design — half-corpus band-index bulk build + streamed-half md5 signature/banding appends through DocStream + exchange-free candidate self-join, EVERY call (lifecycle #6, the dedup twin of q_search_lifecycle)
     "q_trainval_split" -> 0.788, // r10 seed (min of 2): persisted-index near-dup groups + row-local group-keyed md5 split predicate
     "q_decontaminate_bloom" -> 0.968, // r10 seed: one corpus pass computing Bloom probes (codegen) + exact twin off the same explode; build side bounded by m, not the benchmark
     "q_winnow_fingerprint" -> 0.513, // r10 seed (slow-host session): two codegen'd native expressions + explode, row-local until the output sort

@@ -87,7 +87,11 @@ object Pipeline {
         .map(n => col(s"r.$n").as(n)): _*)
       // materialize ONE fetch pass: isEmpty, the counts, and every later
       // view query would otherwise re-issue all HTTP page fetches (and a
-      // live endpoint could change between actions)
+      // live endpoint could change between actions). Deliberately LOCAL,
+      // never Materialize.corpus: recompute-on-loss would re-fetch a
+      // non-idempotent HTTP source, which is worse than failing — a
+      // cluster deployment lands ingest to durable storage first (the
+      // typed table load below IS that landing) and replays from there.
       .localCheckpoint()
     val transactions = cleanTransactions(spark, parsed)
     accounts.createOrReplaceTempView("accounts")

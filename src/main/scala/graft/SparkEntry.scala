@@ -85,6 +85,7 @@ object SparkEntry {
     "q_ngram_jaccard"     -> (DedupOps.ngramJaccard _),
     "q_minhash_lsh"       -> (DedupOps.minhashLsh _),
     "q_minhash_persisted" -> (DedupOps.minhashPersisted _),
+    "q_dedup_lifecycle"   -> (DedupOps.dedupLifecycle _),
     "q_minhash_verified"  -> (DedupOps.minhashVerified _),
     "q_neardup_groups"    -> (DedupOps.neardupGroups _),
     "q_ensemble_groups"   -> (DedupOps.ensembleGroups _),
@@ -202,6 +203,9 @@ object SparkEntry {
     "q_minhash_lsh"       -> DedupOps.minhashLshSql,
     // served from the persisted band index — same result, same oracle
     "q_minhash_persisted" -> DedupOps.minhashLshSql,
+    // lifecycle #6: half-built + streamed-append band index answers the
+    // SAME one-pass oracle — the stream ≡ batch proof for dedup
+    "q_dedup_lifecycle"   -> DedupOps.minhashLshSql,
     "q_minhash_verified"  -> DedupOps.minhashVerifiedSql,
     "q_neardup_groups"    -> DedupOps.neardupGroupsSql,
     "q_ensemble_groups"   -> DedupOps.ensembleGroupsSql,

@@ -10,8 +10,18 @@ object Verify {
     // the driver always runs the full surface with two args)
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Cluster-realism overrides (the fault-tolerance proof run):
+    //   SPARK_GRAFT_MASTER=local-cluster[2,4,4096] — real separate-JVM
+    //     executors, real task/closure serialization, real block manager
+    //     boundaries (requires SPARK_HOME + SPARK_SCALA_VERSION=2.13 in
+    //     the env and SPARK_GRAFT_JARS pointing at the sbt-packaged jar
+    //     so executors can load graft classes).
+    //   SPARK_GRAFT_CHECKPOINT_DIR=<dir> — sets a RELIABLE checkpoint
+    //     dir, flipping every Materialize.corpus site from
+    //     localCheckpoint to persist+checkpoint (the cluster-safe path).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -23,7 +33,24 @@ object Verify {
       .config("spark.local.dir",
         if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark" else
           System.getProperty("java.io.tmpdir"))
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JARS").foreach(j => b.config("spark.jars", j))
+    if (master.startsWith("local-cluster")) {
+      // executor JVMs need the same JDK17 --add-opens set the driver
+      // gets from build.sbt (spark-submit would inject these)
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+      b.config("spark.executor.extraJavaOptions", addOpens)
+    }
+    val spark = b.getOrCreate()
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import Materialize.CorpusSyntax
 
 /** Training-data curation operators: deterministic stratified sampling
   * (data mixing), concat-and-chunk sequence packing, and PII scrubbing
@@ -480,7 +481,7 @@ object CurationOps {
     val all = corpus.unionByName(bench)
       .filter(length(col("text")) >= n)
       .select(col("doc_id"), DedupOps.shingles(col("text"), n).as("sh"))
-      .localCheckpoint() // feeds banding AND verification
+      .corpusCheckpoint() // feeds banding AND verification
     // 8 bands × 1 row: the triage threshold sits far below the dedup
     // family's J ≥ 0.5, and 4×2 banding only reaches ~23% recall at
     // J = 0.25 — r = 1 lifts it to 1 − (1 − J)⁸ ≈ 0.90 there
@@ -518,7 +519,7 @@ object CurationOps {
         Seq("bucket"))
       .select(col("doc_id").as("doc_a"), col("bench_doc").as("doc_b"))
       .distinct()
-      .localCheckpoint() // read twice: the id restriction and the verify
+      .corpusCheckpoint() // read twice: the id restriction and the verify
     verify(cand)
       .groupBy(col("doc_a"))
       .agg(count(lit(1)).as("n_bench_matches"),
@@ -666,7 +667,7 @@ object CurationOps {
         (graft.functions.RollingHash(col("f")) % DsirBuckets).as("b"))
       .groupBy(col("doc_id"), col("is_t"), col("b"))
       .agg(count(lit(1)).as("m"))
-      .localCheckpoint() // read twice: model build + scoring join
+      .corpusCheckpoint() // read twice: model build + scoring join
     val model = fc.groupBy(col("b")) // ≤ DsirBuckets keys
       .agg(sum(col("m")).as("c_r"),
         sum(when(col("is_t"), col("m")).otherwise(0L)).as("c_t"))

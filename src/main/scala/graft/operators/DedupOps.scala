@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import Materialize.CorpusSyntax
 
 /** Deduplication operators for an LLM-data pipeline (SURVEY.md §2b):
   * exact dedup, n-gram Jaccard near-dup pairs (the verifiable baseline),
@@ -451,7 +452,7 @@ object DedupOps {
     // Materialize the shingle sets once: every consumer below (vocab
     // stat, inverted index, bitmap build, pair verification) would
     // otherwise re-run the interpreted shingling HOF over the corpus.
-    val d = docs.localCheckpoint()
+    val d = docs.corpusCheckpoint()
     val inv = d.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val vocab = inv.select(col("shingle")).distinct()
     // Runtime stats for the strategy choice (one cheap count job each —
@@ -536,7 +537,7 @@ object DedupOps {
       .select(col("doc_id"),
         size(col("idxs")).cast("long").as("n_sh"),
         IndicesToBitmap(col("idxs"), lit(width)).as("bits"))
-      .localCheckpoint()
+      .corpusCheckpoint()
   }
 
   /** Exact-Jaccard verification of an LSH candidate pair list against
@@ -649,7 +650,7 @@ object DedupOps {
       case Some(t) if Seq(t, t + "_vocab").forall(spark.catalog.tableExists) =>
         Some(t)
       case _ =>
-        val docs = shingledDocs(spark, sfDir).localCheckpoint()
+        val docs = shingledDocs(spark, sfDir).corpusCheckpoint()
         val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
         val vocab = inv.select(col("shingle")).distinct()
         val vocabSize = vocab.count()
@@ -724,11 +725,11 @@ object DedupOps {
         // candidate-sized, not corpus-sized) and materialize it once —
         // the vocab count and both join sides would otherwise re-run
         // the interpreted shingling HOF over the corpus per consumer.
-        val c = cand.localCheckpoint() // id restriction + verify plan
+        val c = cand.corpusCheckpoint() // id restriction + verify plan
         val candIds = c.select(col("doc_a").as("doc_id"))
           .union(c.select(col("doc_b").as("doc_id"))).distinct()
         val needed = shingledDocs(spark, sfDir)
-          .join(candIds, Seq("doc_id"), "left_semi").localCheckpoint()
+          .join(candIds, Seq("doc_id"), "left_semi").corpusCheckpoint()
         verifyCandidatesExact(c, needed, t)
     }
 
@@ -771,7 +772,7 @@ object DedupOps {
     val prefix = ranked.select(col("doc_id"), col("n_sh"),
       explode(slice(col("ssh"), lit(1),
         (col("n_sh") - ceil(col("n_sh") * t) + 1).cast("int"))).as("shingle"))
-      .localCheckpoint() // one materialization feeds the guard + both join sides
+      .corpusCheckpoint() // one materialization feeds the guard + both join sides
     // long arithmetic throughout (Spark's `/` on longs yields double,
     // which loses exactness past 2^53); c·(c−1) is even so /2 is exact
     val rawCandidates = prefix.groupBy(col("shingle"))
@@ -919,7 +920,7 @@ object DedupOps {
   private[graft] def simhashNearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val maxHamming = 2
     // materialized: the band self-join reads the signatures twice
-    val sig = simhashSignatures(Tables.documentsFanned(spark, sfDir)).localCheckpoint()
+    val sig = simhashSignatures(Tables.documentsFanned(spark, sfDir)).corpusCheckpoint()
     // 3 bands: bits [0,11), [11,22), [22,32)
     val bandsOf = Seq((0, 11), (11, 11), (22, 10))
     val bands = sig.select(col("doc_id"), col("simhash"),
@@ -1032,7 +1033,7 @@ object DedupOps {
     // one signature row per doc; materialized so the band self-join
     // below doesn't re-run the md5 pass per side
     val sig = hashed.groupBy(col("doc_id")).agg(minExprs.head, minExprs.tail: _*)
-      .localCheckpoint()
+      .corpusCheckpoint()
     // One pass over sig: each row fans out to its band buckets via
     // explode (band index is baked into the bucket hash input, so buckets
     // from different bands cannot collide).
@@ -1063,12 +1064,86 @@ object DedupOps {
     */
   def ensureMinhashIndex(spark: SparkSession, sfDir: String): String =
     Layout.ensureEpochIndex(spark, minhashIndexName(sfDir)) { name =>
-      val n = 5
-      val docs = Tables.documentsFanned(spark, sfDir)
-        .filter(length(col("text")) >= n)
-        .select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      Layout.writeBucketed(minhashBands(docs), name, "bucket", MinhashIndexBuckets)
+      Layout.writeBucketed(bandRowsOf(Tables.documentsFanned(spark, sfDir)),
+        name, "bucket", MinhashIndexBuckets)
     }
+
+  /** The (doc_id, bucket) band rows of a (doc_id, text, …) frame — the
+    * ONE encode path shared by the bulk index build
+    * ([[ensureMinhashIndex]], [[dedupLifecycle]]'s batch half) and the
+    * streamed maintenance appends
+    * ([[graft.streaming.DocStream.appendBandsStream]]), so stream-built
+    * and batch-built band indexes cannot diverge. Same n=5 shingles and
+    * length guard as the in-flight minhash family.
+    */
+  private[graft] def bandRowsOf(docs: DataFrame): DataFrame = {
+    val n = 5
+    minhashBands(docs
+      .filter(length(col("text")) >= n)
+      .select(col("doc_id"), shingles(col("text"), n).as("sh")))
+  }
+
+  /** Append one micro-batch's band rows to epoch table `name`,
+    * preserving the bucket spec (bucketBy the band bucket, like the
+    * bulk build) so candidate self-joins stay exchange-free over
+    * build + appends alike.
+    */
+  private[graft] def appendBandRows(name: String, batch: DataFrame): Unit = {
+    // micro-batch-sized, inside foreachBatch: a failed batch re-runs
+    // from the STREAM's checkpoint, which is the recovery path here
+    val rows = bandRowsOf(batch).localCheckpoint()
+    if (!rows.isEmpty)
+      rows.write.format("parquet")
+        .bucketBy(MinhashIndexBuckets, "bucket").sortBy("bucket")
+        .mode("append").saveAsTable(name)
+    rows.unpersist()
+    ()
+  }
+
+  /** Catalog base of [[dedupLifecycle]]'s OWN epoch family — separate
+    * from [[minhashIndexName]] so the lifecycle rebuild never races the
+    * shared index q_minhash_persisted and the verified/group keys probe.
+    */
+  private[graft] def dedupLifecycleBase(sfDir: String): String =
+    "graft_mh_lc_" + Layout.corpusTag(sfDir)
+
+  /** The DEDUP lifecycle under the oracle — sixth member of the
+    * stream ≡ batch family (search / ANN / IVF×PQ / events / media):
+    * bulk-build the minhash BAND index from HALF the corpus (even
+    * doc_ids), stream the other half through the REAL maintenance path
+    * ([[graft.streaming.DocStream.appendBandsStream]] — a Structured
+    * Streaming file source micro-batching the odd half through
+    * [[appendBandRows]]'s bucket-spec-preserving appends), then answer
+    * the standard LSH candidate query from the appended epoch. The
+    * oracle is [[minhashLshSql]] VERBATIM — the one-pass full-corpus
+    * recompute — so the driver hash-match proves build + streamed
+    * appends reconstruct exactly the band state a one-pass build
+    * produces (banding is per-document independent, so arrival order
+    * and batch boundaries cannot change the rows — the property the
+    * spec proves in-process and this key puts in the driver gate).
+    *
+    * Rotates a fresh epoch every call (the rebuild IS the operator —
+    * caching would reduce this key to a second q_minhash_persisted)
+    * and prunes to two. No corpus-sized driver state: the streamed
+    * half rides a parquet file source, not a driver collect.
+    */
+  def dedupLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = dedupLifecycleBase(sfDir)
+    val docs = Tables.documentsFanned(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 =!= 0)
+    val t = Layout.rotateEpoch(spark, base) { name =>
+      Layout.writeBucketed(bandRowsOf(even), name, "bucket", MinhashIndexBuckets)
+    }
+    Layout.withStagedParquet(odd, "graft-mhlc") { arrivals =>
+      val stream = graft.streaming.DocStream.appendBandsStream(
+        spark.readStream.schema(odd.schema).parquet(arrivals), base)
+      try stream.processAllAvailable() finally stream.stop()
+    }
+    Layout.pruneEpochs(spark, base, keep = 2)
+    bandCandidates(spark.table(t)).orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** Epoch-family base of the r=1 (8-band) index that serves fuzzy
     * decontamination — a SEPARATE family from [[minhashIndexName]]'s
@@ -1186,7 +1261,7 @@ object DedupOps {
       maxPropagationRounds: Int = 50): DataFrame = {
     // checkpoint BEFORE the union self-reference: both union branches read
     // the materialized pair list instead of re-running its pipeline twice
-    val p = pairs.localCheckpoint()
+    val p = pairs.corpusCheckpoint()
     if (p.count() <= maxDriverEdges) return driverUnionFind(vertices, p)
     val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -1198,12 +1273,12 @@ object DedupOps {
     // ever paying a propagation round. When the endpoint set is small,
     // broadcast the per-round label frames — the rounds then run with
     // no shuffle except the tiny neighbor-min aggregation.
-    val endpoints = edges.select(col("src").as("doc_id")).distinct().localCheckpoint()
+    val endpoints = edges.select(col("src").as("doc_id")).distinct().corpusCheckpoint()
     val bcastLabels = endpoints.count() <= 1000000L // ≈16 MB of (long,long) rows
     def maybeB(df: DataFrame): DataFrame = if (bcastLabels) broadcast(df) else df
     var labels = endpoints
       .select(col("doc_id"), col("doc_id").as("group_id"))
-      .localCheckpoint()
+      .corpusCheckpoint()
     var converged = false
     var rounds = 0
     val maxRounds = maxPropagationRounds // diameter bound, hit only by adversarial chains
@@ -1222,7 +1297,7 @@ object DedupOps {
         .select(col("doc_id"),
           least(col("group_id"), coalesce(col("nmin"), col("group_id"))).as("group_id"))
       val updated =
-        if (rounds % 8 == 7) updatedRaw.localCheckpoint() else updatedRaw.persist()
+        if (rounds % 8 == 7) updatedRaw.corpusCheckpoint() else updatedRaw.persist()
       val changed = updated.select(col("doc_id"), col("group_id").as("new_label"))
         .join(maybeB(labels), Seq("doc_id"))
         .filter(col("new_label") < col("group_id"))
@@ -1298,7 +1373,7 @@ object DedupOps {
     // deterministically releasable.
     var edges = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().corpusCheckpoint()
     var converged = false
     var rounds = 0
     val maxRounds = 100 // 2^100 nodes: unreachable; guards a logic bug only
@@ -1319,7 +1394,7 @@ object DedupOps {
         .filter(col("v") =!= col("m"))
         .select(col("m").as("u"), col("v"))
         .union(minsS.select(col("m").as("u"), col("u").as("v")))
-        .distinct().localCheckpoint()
+        .distinct().corpusCheckpoint()
       // the fixpoint check reads the superseded frames for the last
       // time; after it `large` releases deterministically and the old
       // `edges` reference drops for ContextCleaner (see note above)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import Materialize.CorpusSyntax
 
 /** Multimodal-column plumbing for an LLM-data pipeline: media
   * (image/audio/video) travels as an opaque `BinaryType` payload column
@@ -211,7 +212,7 @@ object MultimodalOps {
     val feats = extractFeaturesStub(payloads, dim)
       .select(col("item_id"), col("feature"),
         SimilarityOps.annBucket(col("feature"), nPlanes, dim).as("bucket"))
-      .localCheckpoint()
+      .corpusCheckpoint()
     val a = feats.as("a"); val b = feats.as("b")
     a.join(b,
         col("a.bucket") === col("b.bucket") && col("a.item_id") < col("b.item_id"))
@@ -312,7 +313,7 @@ object MultimodalOps {
     val feats = imageFeatures(spark, sfDir)
       .select(col("item_id"), col("feature"),
         SimilarityOps.annBucket(col("feature"), nPlanes, dim).as("bucket"))
-      .localCheckpoint()
+      .corpusCheckpoint()
     val a = feats.as("a"); val b = feats.as("b")
     a.join(b,
         col("a.bucket") === col("b.bucket") && col("a.item_id") < col("b.item_id"))
@@ -374,7 +375,7 @@ object MultimodalOps {
           element_at(col("feature"), left + 1) >
             element_at(col("feature"), left), lit(1L)).otherwise(lit(0L))
       }).as("dh"))
-      .localCheckpoint() // band explode + pair join both read it
+      .corpusCheckpoint() // band explode + pair join both read it
     bandedCandidates(dh, "dh", bands = 4, bits = 14)
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
@@ -886,7 +887,7 @@ object MultimodalOps {
     * runs so candidate semantics cannot drift between them.
     */
   private[graft] def videoNearDupFrom(fhIn: DataFrame): DataFrame = {
-    val fh = fhIn.localCheckpoint() // banding + aligned verification
+    val fh = fhIn.corpusCheckpoint() // banding + aligned verification
     val f0 = fh.filter(col("f") === 0)
     val cand = bandedCandidates(f0, "dh", bands = 4, bits = 14,
         extraKeys = Seq("nf"))

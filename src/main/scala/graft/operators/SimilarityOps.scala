@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import Materialize.CorpusSyntax
 
 /** Vector similarity search over the `embeddings` table
   * (`embedding: array<float>`, dim 64) — SURVEY.md §2b.
@@ -419,11 +420,11 @@ object SimilarityOps {
     val k = 8
     val iters = 2
     val e = Tables.embeddingsFanned(spark, sfDir)
-      .select(col("vec_id"), col("embedding")).localCheckpoint()
+      .select(col("vec_id"), col("embedding")).corpusCheckpoint()
     // 1-based dim index matches DuckDB's generate_subscripts
     val ex = e.select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").cast("double").as("v"))
-      .localCheckpoint()
+      .corpusCheckpoint()
     var cents = e.filter(col("vec_id").between(1, k))
       .select(col("vec_id").as("cid"),
         col("embedding").cast("array<double>").as("cemb"))
@@ -562,7 +563,8 @@ object SimilarityOps {
         sidecars = Seq("_codebook")) { name =>
       val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
       // train ONCE; the codebook persists beside the assignments (it IS
-      // part of the index — probes read it instead of retraining)
+      // part of the index — probes read it instead of retraining).
+      // bounded: k codebook rows — recompute-safe, stays local
       val cb = trainedCodebook(spark, sfDir).localCheckpoint()
       cb.write.format("parquet").mode("overwrite").saveAsTable(name + "_codebook")
       val cells = ivfRanked(e, cb).filter(col("rn") === 1)
@@ -780,7 +782,7 @@ object SimilarityOps {
       .select(col("vec_id"), posexplode(col("q")).as(Seq("i0", "v")))
       .select(col("vec_id"), (col("i0") / sub).cast("int").as("j"),
         col("i0"), col("v"))
-      .localCheckpoint() // read by every assignment pass
+      .corpusCheckpoint() // read by every assignment pass
     val cents = pqTrainBooks(spark, comps)
     def centsDf(cs: Array[Array[Long]]): DataFrame =
       cs.zipWithIndex.flatMap { case (vec, c) =>
@@ -1013,7 +1015,7 @@ object SimilarityOps {
       .filter(col("vec_id").between(1, nc) ||
         col("vec_id").between(IvfPqBookSeedFrom, IvfPqBookSeedFrom + k - 1))
       .select(col("vec_id"), posexplode(micros).as(Seq("i0", "v")))
-      .localCheckpoint() // coarse sidecar + seed assignment + books read it
+      .localCheckpoint() // bounded: (nc+k)·dim component rows — recompute-safe; coarse sidecar + seed assignment + books read it
     def assemble(df: DataFrame, id: Column, v: Column, out: String) =
       df.groupBy(id.as("cid"))
         .agg(array_sort(collect_list(struct(col("i0"), v.as("v")))).as("p"))
@@ -1061,7 +1063,7 @@ object SimilarityOps {
       x => round(x.cast("double") * 1000000d).cast("long"))
     val comps = vectors
       .select(col("vec_id"), posexplode(micros).as(Seq("i0", "v")))
-      .localCheckpoint() // read by assignment and residual stages
+      .corpusCheckpoint() // read by assignment and residual stages
     // the sidecar arrays are i0-sorted by construction, so posexplode
     // position IS the component index
     val coarseComps = spark.table(name + "_coarse")
@@ -1303,6 +1305,7 @@ object SimilarityOps {
     */
   private[graft] def buildVectorEpoch(spark: SparkSession, sfDir: String,
       vectors: DataFrame)(name: String): Unit = {
+    // bounded: k codebook rows — recompute-safe, stays local
     val cb = trainedCodebook(spark, sfDir).localCheckpoint()
     cb.write.format("parquet").mode("overwrite").saveAsTable(name + "_codebook")
     val cells = ivfRanked(vectors.select(col("vec_id"), col("embedding")), cb)
@@ -1407,7 +1410,7 @@ object SimilarityOps {
     val e = Tables.embeddingsFanned(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         annBucket(col("embedding"), nPlanes, dim).as("bucket"))
-      .localCheckpoint()
+      .corpusCheckpoint()
     val a = e.as("a"); val b = e.as("b")
     a.join(b,
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -1473,7 +1476,7 @@ object SimilarityOps {
     // instead of re-running the codebook scoring per side
     val cells = ivfRanked(e, ivfCentroids(e)).filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
-      .localCheckpoint()
+      .corpusCheckpoint()
     // c·(c−1) is even so /2 is exact; long arithmetic throughout
     val pairCount = cells.groupBy(col("cell"))
       .agg(count(lit(1)).as("c"))

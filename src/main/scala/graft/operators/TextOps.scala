@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import Materialize.CorpusSyntax
 
 /** Text-analysis operators for an LLM-data pipeline (SURVEY.md §2b):
   * tokenization + corpus token counts, per-document quality scoring,
@@ -242,7 +243,7 @@ object TextOps {
       .agg(count(lit(1)).cast("long").as("tf"), first(col("y")).as("y"))
       .unionByName(base.select(col("doc_id"),
         lit(BiasTerm).as("term"), lit(1L).as("tf"), col("y")))
-      .localCheckpoint()
+      .corpusCheckpoint()
     // The loop input hash-partitioned by doc_id, sized to the frame:
     // every iteration's per-doc aggregation and gradient join then
     // reuse this ONE partitioning (zero exchanges before the 11-row
@@ -250,7 +251,7 @@ object TextOps {
     // movement.
     val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       (feats0.count() / 65536L + 1L).toInt))
-    val feats = feats0.repartition(parts, col("doc_id")).localCheckpoint()
+    val feats = feats0.repartition(parts, col("doc_id")).corpusCheckpoint()
     def d6(s: String) = new java.math.BigDecimal(s).setScale(6)
     var w: Map[String, java.math.BigDecimal] =
       (trainVocab :+ BiasTerm).map(_ -> d6("0")).toMap
@@ -532,7 +533,7 @@ object TextOps {
   private[graft] def winnowOverlapOf(docs: DataFrame): DataFrame = {
     val byDoc = winnowFpsOf(docs).select(col("doc_id"), col("fp"))
       .distinct()
-      .localCheckpoint() // one pass over the corpus feeds all three uses
+      .corpusCheckpoint() // one pass over the corpus feeds all three uses
     val totals = byDoc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val kept = byDoc.join(
       byDoc.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
@@ -1064,7 +1065,7 @@ object TextOps {
       .select(concat_ws(BpeSep,
         expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")).as("sym"),
         col("freq"))
-      .localCheckpoint() // each round re-reads the merged state
+      .corpusCheckpoint() // each round re-reads the merged state
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     // Current vocabulary symbols (36 possible initial chars + every
     // product applied so far) — the product-collision guard's witness;
@@ -1142,7 +1143,7 @@ object TextOps {
         state = state
           .select(trim(replace(e, lit(BpeSep + BpeSep), lit(BpeSep)), BpeSep).as("sym"),
             col("freq"))
-          .localCheckpoint()
+          .corpusCheckpoint()
         knownSymbols ++= safe.map { case (l, r, _) => l + r }
       }
     }
@@ -1549,7 +1550,7 @@ object TextOps {
     // model build (summed to corpus counts) and the scoring join
     val bgc = bg.groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("m"))
-      .localCheckpoint()
+      .corpusCheckpoint()
     val c2 = bgc.groupBy(col("bg")).agg(sum(col("m")).as("c2"))
     val c1 = c2.groupBy(col("bg").substr(1, 1).as("a"))
       .agg(sum(col("c2")).as("c1"))
@@ -1796,6 +1797,8 @@ object TextOps {
       batch: DataFrame): Unit = {
     val delta = statsDelta(batch).collect()(0)
     if (delta.getLong(0) > 0) {
+      // micro-batch-sized, inside foreachBatch: a failed batch re-runs
+      // from the STREAM's checkpoint, which is the recovery path here
       val p = postingsOf(batch).localCheckpoint()
       if (!p.isEmpty)
         p.write.format("parquet")

@@ -119,12 +119,36 @@ object DocStream {
       }
       .start()
 
+  /** Minhash BAND-index ingest: each micro-batch of (doc_id, text)
+    * appends its (doc_id, bucket) band rows to the CURRENT epoch of
+    * the band-index family via [[DedupOps.appendBandRows]] — the SAME
+    * signature/banding expressions as the bulk build
+    * ([[DedupOps.bandRowsOf]]), so stream-built and batch-built band
+    * indexes cannot diverge, and the bucket spec is preserved so
+    * candidate self-joins stay exchange-free over build + appends
+    * alike. Epoch resolution per batch, like the other maintainers: a
+    * nightly rotation redirects the stream at the next batch boundary.
+    */
+  def appendBandsStream(docs: DataFrame, base: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val name = graft.operators.Layout
+          .currentEpochTable(batch.sparkSession, base)
+          .getOrElse(sys.error(s"no published epoch for index family $base"))
+        DedupOps.appendBandRows(name, batch)
+      }
+      .start()
+
   /** One micro-batch of the incremental-dedup loop: probe, then append
     * survivors. The survivors frame materializes (localCheckpoint)
     * BEFORE the append so the read plan never lists files the write is
     * adding.
     */
   private def dedupBatchIntoIndex(batch: DataFrame, name: String): Unit = {
+    // micro-batch-sized, inside foreachBatch: a failed batch re-runs
+    // from the STREAM's checkpoint, which is the recovery path here
     val survivors = DedupOps
       .dedupBatchAgainstIndex(batch.sparkSession, name, batch)
       .localCheckpoint()

@@ -72,6 +72,8 @@ object VectorStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val name = Layout.currentEpochTable(batch.sparkSession, base)
           .getOrElse(sys.error(s"no published epoch for index family $base"))
+        // micro-batch-sized, inside foreachBatch: a failed batch
+        // re-runs from the STREAM's checkpoint — the recovery path
         val rows = encode(batch.sparkSession, name, batch).localCheckpoint()
         if (!rows.isEmpty) append(name, rows)
         rows.unpersist()

@@ -273,4 +273,22 @@ class DocStreamSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(inDir))
     }
   }
+
+  test("dedupLifecycle: half-built + streamed-append band index answers " +
+    "the one-pass LSH candidate query exactly") {
+    // the driver gate proves this at sf0.01 via the unchanged
+    // minhashLshSql oracle; this is the in-process form at sf0.001,
+    // compared against the one-pass batch operator itself
+    val lifecycle = DedupOps.dedupLifecycle(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val onePass = DedupOps.minhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(lifecycle.toSeq === onePass.toSeq)
+    assert(lifecycle.nonEmpty)
+    // a second call rotates a fresh epoch and still answers identically
+    // (the rebuild-every-call contract the bench floor documents)
+    val again = DedupOps.dedupLifecycle(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === onePass.toSeq)
+  }
 }
