@@ -63,6 +63,8 @@ object SparkEntry {
     "q_bpe_tokens"        -> (TextOps.bpeTokenCounts _),
     "q_bpe_train"         -> (TextOps.bpeTrainMerges _),
     "q_bpe_apply"         -> (TextOps.bpeApply _),
+    "q_unigram_train"     -> (TextOps.unigramTrain _),
+    "q_unigram_apply"     -> (TextOps.unigramApply _),
     "q_lang_id"           -> (TextOps.langId _),
     "q_lang_ngram"        -> (TextOps.langNgram _),
     "q_lm_score"          -> (TextOps.lmBigramScore _),
@@ -184,6 +186,11 @@ object SparkEntry {
     "q_bpe_tokens"        -> TextOps.bpeTokenCountsSql,
     "q_bpe_train"         -> TextOps.bpeTrainMergesSql,
     "q_bpe_apply"         -> TextOps.bpeApplySql,
+    // the oracle re-derives the WHOLE unigram pipeline (seed, both EM
+    // rounds, prune, Viterbi apply) from the corpus — hash match is an
+    // end-to-end train+apply proof, like the BPE pair
+    "q_unigram_train"     -> TextOps.unigramTrainSql,
+    "q_unigram_apply"     -> TextOps.unigramApplySql,
     "q_lang_id"           -> TextOps.langIdSql,
     "q_lang_ngram"        -> TextOps.langNgramSql,
     "q_lm_score"          -> TextOps.lmBigramScoreSql,

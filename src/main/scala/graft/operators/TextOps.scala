@@ -1292,6 +1292,466 @@ object TextOps {
 
   val bpeApplySql: String = bpeApplySeqSql(BpeTrainIters)
 
+  // -------------------------------------------------------------------
+  // Unigram-LM tokenizer (SentencePiece-style, Kudo ACL'18) — the other
+  // tokenizer family the field ships beside BPE: a vocabulary of pieces
+  // with log-probabilities, trained by EM over a seed vocabulary, and a
+  // Viterbi segmenter at apply time. Hard-EM (Viterbi-E-step) variant:
+  // every quantity is deterministic, so the DuckDB oracle re-derives
+  // the ENTIRE pipeline — seed, both EM rounds, prune, apply — and the
+  // hash match proves train + apply end to end.
+  //
+  // Exactness discipline: the one transcendental (log) is taken ONCE
+  // per integer count — lpnMicro(n) = floor(1e6·ln n), the collocations
+  // precedent — and everything downstream (piece scores, Viterbi sums,
+  // argmax comparisons) is exact BIGINT arithmetic, so no float
+  // divergence can accumulate across DP steps in either engine.
+  //
+  // Spec (authoritative, mirrored by unigramChainSqlCtes):
+  //  - words: the shared `tokens` split; types LONGER than
+  //    UnigramMaxWord are excluded from training and char-fallback
+  //    (n_pieces = length) at apply — the max-piece-length/long-token
+  //    cap every production sentencepiece config sets.
+  //  - seed: every substring of length 1..UnigramMaxPiece of every
+  //    (≤ MaxWord) word occurrence, count = Σ freq·occurrences; vocab0
+  //    = top-UnigramSeedSize by (cnt desc, piece) ∪ ALL single chars
+  //    (coverage guarantee); lp = lpnMicro(cnt) − lpnMicro(Σcnt).
+  //  - EM ×UnigramEmIters: Viterbi-segment each word type (argmax on
+  //    exact integer score; ties → LONGEST last piece); piece counts =
+  //    Σ freq over chosen pieces; multi-char pieces keep cnt > 0 only,
+  //    single chars persist with cnt floored to ≥ 1 (the character-
+  //    coverage floor — keeps every word segmentable and ln defined);
+  //    re-normalize lp.
+  //  - prune: top-UnigramVocabSize by (cnt desc, piece) ∪ chars,
+  //    re-normalized — the caps are sized BELOW this corpus's natural
+  //    sizes so seed cap, prune cap, and char floor all genuinely bind
+  //    (the MgCapacity discipline: bounds exercised, never vacuous).
+  //
+  // Scale shape: driver state is the word-TYPE table (Heap's-law
+  // sublinear — the bpeTrainSchedule argument) on tier 1, and on the
+  // distributed tier only the MODEL (≤ SeedSize + |charset| rows) plus
+  // per-partition combiner maps ever leave the executors; the E-step
+  // shuffles ≤ model-size rows per partition. The per-word sequential
+  // DP (argmax + path backtrace) runs in mapPartitions over the TYPE
+  // frame — the Misra-Gries precedent: a stateful per-row algorithm a
+  // Catalyst expression can't express — with the model riding the
+  // closure, never a corpus-sized broadcast. Apply joins the per-type
+  // piece counts back to token instances broadcast-side, so the
+  // corpus-sized frame only ever carries a long.
+  // -------------------------------------------------------------------
+
+  private[graft] val UnigramMaxPiece = 4
+  private[graft] val UnigramMaxWord = 24
+  private[graft] val UnigramSeedSize = 64
+  private[graft] val UnigramVocabSize = 24
+  private[graft] val UnigramEmIters = 2
+
+  /** floor(1e6 · ln n) — the single rounding point; exact BIGINT after. */
+  private[graft] def lpnMicro(n: Long): Long =
+    math.floor(1e6 * math.log(n.toDouble)).toLong
+
+  /** Viterbi segmentation of one word under integer micro-log-prob
+    * piece scores. Ties pick the LONGEST piece (the oracle checks
+    * lengths descending with ≥). Positions are reachable iff position
+    * 0 or a piece was chosen there; an end-unreachable word (possible
+    * only for models without full char coverage — spec fixtures) yields
+    * the empty segmentation, matching the oracle's NULL-bail rows.
+    */
+  private[graft] def unigramViterbi(w: String,
+      lp: scala.collection.Map[String, Long]): List[String] = {
+    val L = w.length
+    val s = new Array[Long](L + 1)
+    val k = new Array[Int](L + 1)
+    var i = 1
+    while (i <= L) {
+      var best = 0L
+      var bjj = 0
+      var jj = 1
+      val top = math.min(UnigramMaxPiece, i)
+      while (jj <= top) {
+        val j = i - jj
+        if (j == 0 || k(j) >= 1) lp.get(w.substring(j, i)) match {
+          case Some(v) =>
+            val cand = s(j) + v
+            if (bjj == 0 || cand > best || (cand == best && jj > bjj)) {
+              best = cand; bjj = jj
+            }
+          case None => ()
+        }
+        jj += 1
+      }
+      s(i) = best
+      k(i) = bjj
+      i += 1
+    }
+    var q = L
+    var out = List.empty[String]
+    while (q > 0 && k(q) >= 1) {
+      out = w.substring(q - k(q), q) :: out
+      q -= k(q)
+    }
+    out
+  }
+
+  /** lp map of a floored count set: lpnMicro(cnt) − lpnMicro(total). */
+  private def unigramLpOf(cnts: Seq[(String, Long)]): Map[String, Long] = {
+    val total = cnts.map(_._2).sum
+    val lt = lpnMicro(total)
+    cnts.map { case (p, c) => p -> (lpnMicro(c) - lt) }.toMap
+  }
+
+  /** M-step floor rule: multi-char pieces survive iff counted; single
+    * chars persist with cnt ≥ 1 (character-coverage floor). */
+  private def unigramFloors(counts: scala.collection.Map[String, Long],
+      chars: Set[String]): Seq[(String, Long)] =
+    (counts.toSeq.filter { case (p, c) => p.length > 1 && c > 0 } ++
+      chars.toSeq.map(ch => ch -> math.max(counts.getOrElse(ch, 0L), 1L)))
+      .sortBy(_._1)
+
+  /** Shared EM loop + final prune — both tiers differ only in how the
+    * E-step counts are produced, so they cannot train differently. */
+  private def unigramEmLoop(chars: Set[String], b0: Seq[(String, Long)],
+      eStep: Map[String, Long] => scala.collection.Map[String, Long])
+      : Seq[(String, Long, Long)] = {
+    var cnts = b0
+    var lp = unigramLpOf(cnts)
+    var t = 0
+    while (t < UnigramEmIters) {
+      cnts = unigramFloors(eStep(lp), chars)
+      lp = unigramLpOf(cnts)
+      t += 1
+    }
+    val keep = cnts.sortBy { case (p, c) => (-c, p) }.take(UnigramVocabSize)
+    val fin = (keep ++ cnts.filter(_._1.length == 1)).distinctBy(_._1)
+    val lt = lpnMicro(fin.map(_._2).sum)
+    fin.map { case (p, c) => (p, c, lpnMicro(c) - lt) }
+      .sortBy { case (p, c, _) => (-c, p) }
+  }
+
+  /** Tier-1 trainer: seed + EM entirely on the driver over the
+    * collected word-type table. */
+  private[graft] def unigramTrainLocal(types: Seq[(String, Long)])
+      : Seq[(String, Long, Long)] = {
+    val tr = types.filter(_._1.length <= UnigramMaxWord)
+    val seed = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for ((w, f) <- tr; i <- 0 until w.length;
+         jj <- 1 to math.min(UnigramMaxPiece, w.length - i))
+      seed(w.substring(i, i + jj)) += f
+    val chars = seed.keysIterator.filter(_.length == 1).toSet
+    val top = seed.toSeq.sortBy { case (p, c) => (-c, p) }.take(UnigramSeedSize)
+    val b0 = (top ++ chars.toSeq.map(c => c -> seed(c))).distinctBy(_._1)
+    unigramEmLoop(chars, b0, lp => {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for ((w, f) <- tr; p <- unigramViterbi(w, lp)) counts(p) += f
+      counts
+    })
+  }
+
+  /** Tier-2 trainer: the word-type table never reaches the driver —
+    * seed counts aggregate distributed (top-k + charset are the only
+    * collects, both model-bounded), and each E-step maps the type
+    * frame through the shared Viterbi with per-partition combiner maps
+    * (≤ model-size rows shuffle per partition). */
+  private[graft] def unigramTrainDistributed(types: DataFrame)
+      : Seq[(String, Long, Long)] = {
+    val spark = types.sparkSession
+    import spark.implicits._
+    val tr = types.filter(length(col("w")) <= UnigramMaxWord)
+      .select(col("w"), col("freq")).as[(String, Long)]
+    val subs = flatten(transform(sequence(lit(1), length(col("w"))), i =>
+      transform(sequence(lit(1), least(lit(UnigramMaxPiece),
+          length(col("w")) - i + 1)),
+        jj => col("w").substr(i, jj))))
+    val seed = tr.toDF("w", "freq")
+      .select(explode(subs).as("piece"), col("freq"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    val top = seed.orderBy(col("cnt").desc, col("piece"))
+      .limit(UnigramSeedSize).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val charRows = seed.filter(length(col("piece")) === 1).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val chars = charRows.map(_._1).toSet
+    val b0 = (top ++ charRows).distinctBy(_._1).toSeq
+    unigramEmLoop(chars, b0, lp => {
+      tr.mapPartitions { it =>
+        val acc = scala.collection.mutable.Map.empty[String, Long]
+          .withDefaultValue(0L)
+        it.foreach { case (w, f) =>
+          unigramViterbi(w, lp).foreach(p => acc(p) += f)
+        }
+        acc.iterator
+      }.toDF("piece", "c").groupBy(col("piece"))
+        .agg(sum(col("c")).as("cnt")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    })
+  }
+
+  /** Tier dispatch (the bpeTrainSchedule probe) returning the final
+    * (piece, cnt, logp_micro) model rows. */
+  private[graft] def unigramTrainFull(words: DataFrame)
+      : Seq[(String, Long, Long)] = {
+    val probe = words.limit(MaxLocalBpeVocab + 1).collect()
+    if (probe.length <= MaxLocalBpeVocab)
+      unigramTrainLocal(probe.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    else unigramTrainDistributed(words)
+  }
+
+  private def unigramWords(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  def unigramTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    unigramTrainFull(unigramWords(Tables.documentsFanned(spark, sfDir)))
+      .toDF("piece", "cnt", "logp_micro")
+      .orderBy(col("cnt").desc, col("piece"))
+  }
+
+  /** Segment the corpus under the trained model: per-doc whitespace
+    * token count and unigram piece count (the packing/budget number).
+    * The DP runs once per word TYPE; token instances only ever carry
+    * the joined long. Words over the length cap fall back to
+    * char-count (n = length), the oracle's CASE arm.
+    */
+  def unigramApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documentsFanned(spark, sfDir)
+    val words = unigramWords(docs)
+    val lp = unigramTrainFull(words).map(t => t._1 -> t._3).toMap
+    val typeN = words.select(col("w")).as[String].mapPartitions { it =>
+      it.map { w =>
+        val n = if (w.length > UnigramMaxWord) w.length.toLong
+          else unigramViterbi(w, lp).length.toLong
+        (w, n)
+      }
+    }.toDF("w", "np")
+    val agg = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(broadcast(typeN), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("np")).as("n_pieces"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Oracle SQL for the unigram pipeline. Every DP position is its own
+  // MATERIALIZED CTE level: lateral aliases would inline-expand the
+  // 4-way s_i recursion EXPONENTIALLY in DuckDB's binder (the same
+  // trap bpeTrainChainSql's MATERIALIZED note records); with one CTE
+  // per position, every alias bottoms out in the previous level's
+  // materialized columns. Candidate aliases are position-qualified
+  // (c{i}_{jj}) because each level's SELECT * re-exposes all earlier
+  // levels' columns and an unqualified c_1 would resolve to the stale
+  // one.
+
+  private def unigramLpnSql(e: String): String =
+    s"CAST(floor(1000000 * ln($e)) AS BIGINT)"
+
+  /** DP + backtrace CTE levels over pivoted lp_{i}_{jj} columns;
+    * returns (ctes, nameOfLastLevel). */
+  private def unigramDpLevels(tag: String, src: String,
+      withN: Boolean): (Seq[String], String) = {
+    val W = UnigramMaxWord
+    val P = UnigramMaxPiece
+    val ctes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val zero = "CAST(0 AS BIGINT) AS s_0" +
+      (if (withN) ", CAST(0 AS BIGINT) AS n_0" else "")
+    ctes += s"${tag}d0 AS MATERIALIZED (SELECT *, $zero FROM $src)"
+    var prev = s"${tag}d0"
+    for (i <- 1 to W) {
+      val jjs = (1 to math.min(P, i)).toSeq
+      val alias = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (jj <- jjs) alias += s"(s_${i - jj} + lp_${i}_$jj) AS c${i}_$jj"
+      val ks = jjs.reverse.map { jj =>
+        val conds = s"c${i}_$jj IS NOT NULL" +: jjs.filter(_ != jj).map(jo =>
+          s"c${i}_$jj >= COALESCE(c${i}_$jo, c${i}_$jj)")
+        s"WHEN ${conds.mkString(" AND ")} THEN $jj"
+      }
+      alias += s"CASE ${ks.mkString(" ")} ELSE 0 END AS k_$i"
+      val sCase = jjs.reverse.map(jj => s"WHEN $jj THEN c${i}_$jj").mkString(" ")
+      alias += s"CASE k_$i $sCase END AS s_$i"
+      if (withN) {
+        val nCase = jjs.reverse.map(jj => s"WHEN $jj THEN n_${i - jj} + 1")
+          .mkString(" ")
+        alias += s"CASE k_$i $nCase END AS n_$i"
+      }
+      ctes += s"${tag}d$i AS MATERIALIZED (SELECT *, ${alias.mkString(", ")} FROM $prev)"
+      prev = s"${tag}d$i"
+    }
+    ctes += s"${tag}b0 AS MATERIALIZED (SELECT *, len AS q_0 FROM $prev)"
+    prev = s"${tag}b0"
+    for (t <- 1 to W) {
+      val kk = (1 to W).map(i => s"WHEN $i THEN k_$i").mkString(" ")
+      val alias = Seq(
+        s"CASE q_${t - 1} $kk ELSE 0 END AS kk_$t",
+        s"CASE WHEN q_${t - 1} > 0 AND kk_$t >= 1 THEN substring(w, q_${t - 1} - kk_$t + 1, kk_$t) END AS e_$t",
+        s"CASE WHEN q_${t - 1} > 0 AND kk_$t >= 1 THEN q_${t - 1} - kk_$t ELSE 0 END AS q_$t")
+      ctes += s"${tag}b$t AS MATERIALIZED (SELECT *, ${alias.mkString(", ")} FROM $prev)"
+      prev = s"${tag}b$t"
+    }
+    (ctes.toSeq, prev)
+  }
+
+  private def unigramPivotCols: String = {
+    val W = UnigramMaxWord
+    val P = UnigramMaxPiece
+    (for (i <- 1 to W; jj <- 1 to math.min(P, i)) yield
+      s"MAX(CASE WHEN i=$i AND jj=$jj THEN lp END) AS lp_${i}_$jj")
+      .mkString(",\n    ")
+  }
+
+  private def unigramEmChainCtes(t: Int): Seq[String] = {
+    val W = UnigramMaxWord
+    val P = UnigramMaxPiece
+    val (dp, last) = unigramDpLevels(s"u$t", s"up$t", withN = false)
+    val emits = (1 to W).map(k => s"SELECT e_$k AS piece, freq FROM $last")
+      .mkString("\nUNION ALL\n")
+    Seq(
+      s"""ue$t AS MATERIALIZED (
+         |  SELECT uw.w, uw.freq, uw.len, a.i, b.jj, m.lp
+         |  FROM uw,
+         |       UNNEST(generate_series(1, uw.len)) AS a(i),
+         |       UNNEST(generate_series(1, $P)) AS b(jj),
+         |       um${t - 1} m
+         |  WHERE b.jj <= a.i AND m.piece = substring(uw.w, a.i - b.jj + 1, b.jj)
+         |)""".stripMargin,
+      s"""up$t AS MATERIALIZED (
+         |  SELECT w, ANY_VALUE(freq) AS freq, ANY_VALUE(len) AS len,
+         |    $unigramPivotCols
+         |  FROM ue$t GROUP BY w
+         |)""".stripMargin) ++ dp ++ Seq(
+      s"""ucnt$t AS MATERIALIZED (
+         |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM ($emits)
+         |  WHERE piece IS NOT NULL
+         |  GROUP BY piece
+         |)""".stripMargin,
+      s"""ub$t AS MATERIALIZED (
+         |  SELECT COALESCE(c.piece, ch.piece) AS piece,
+         |         CASE WHEN length(COALESCE(c.piece, ch.piece)) = 1
+         |              THEN GREATEST(COALESCE(c.cnt, 0), 1) ELSE c.cnt END AS cnt
+         |  FROM ucnt$t c
+         |  FULL OUTER JOIN (SELECT piece FROM um${t - 1} WHERE length(piece) = 1) ch
+         |    ON c.piece = ch.piece
+         |  WHERE length(COALESCE(c.piece, ch.piece)) = 1 OR c.cnt > 0
+         |)""".stripMargin,
+      s"""um$t AS MATERIALIZED (
+         |  SELECT piece, cnt,
+         |    ${unigramLpnSql("cnt")} - (SELECT ${unigramLpnSql("SUM(cnt)")} FROM ub$t) AS lp
+         |  FROM ub$t
+         |)""".stripMargin)
+  }
+
+  private def unigramBaseCtes: Seq[String] = {
+    val W = UnigramMaxWord
+    val P = UnigramMaxPiece
+    val head = Seq(
+      s"""uw AS MATERIALIZED (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, length(w) AS len
+         |  FROM (SELECT unnest(list_filter(
+         |          string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+         |        FROM documents)
+         |  GROUP BY 1 HAVING length(w) <= $W
+         |)""".stripMargin,
+      s"""useed AS MATERIALIZED (
+         |  SELECT substring(uw.w, a.i, b.jj) AS piece, CAST(SUM(uw.freq) AS BIGINT) AS cnt
+         |  FROM uw,
+         |       UNNEST(generate_series(1, uw.len)) AS a(i),
+         |       UNNEST(generate_series(1, $P)) AS b(jj)
+         |  WHERE a.i + b.jj - 1 <= uw.len
+         |  GROUP BY 1
+         |)""".stripMargin,
+      s"""ub0 AS MATERIALIZED (
+         |  SELECT piece, MAX(cnt) AS cnt FROM (
+         |    SELECT piece, cnt FROM (
+         |      SELECT piece, cnt FROM useed ORDER BY cnt DESC, piece LIMIT $UnigramSeedSize)
+         |    UNION ALL
+         |    SELECT piece, cnt FROM useed WHERE length(piece) = 1
+         |  ) GROUP BY piece
+         |)""".stripMargin,
+      s"""um0 AS MATERIALIZED (
+         |  SELECT piece, cnt,
+         |    ${unigramLpnSql("cnt")} - (SELECT ${unigramLpnSql("SUM(cnt)")} FROM ub0) AS lp
+         |  FROM ub0
+         |)""".stripMargin)
+    val ems = (1 to UnigramEmIters).flatMap(unigramEmChainCtes)
+    val tail = Seq(
+      s"""ufin0 AS MATERIALIZED (
+         |  SELECT piece, MAX(cnt) AS cnt FROM (
+         |    SELECT piece, cnt FROM (
+         |      SELECT piece, cnt FROM ub$UnigramEmIters ORDER BY cnt DESC, piece LIMIT $UnigramVocabSize)
+         |    UNION ALL
+         |    SELECT piece, cnt FROM ub$UnigramEmIters WHERE length(piece) = 1
+         |  ) GROUP BY piece
+         |)""".stripMargin,
+      s"""ufinal AS MATERIALIZED (
+         |  SELECT piece, cnt,
+         |    ${unigramLpnSql("cnt")} - (SELECT ${unigramLpnSql("SUM(cnt)")} FROM ufin0) AS logp_micro
+         |  FROM ufin0
+         |)""".stripMargin)
+    head ++ ems ++ tail
+  }
+
+  val unigramTrainSql: String =
+    s"""WITH ${unigramBaseCtes.mkString(", ")}
+       |SELECT piece, cnt, logp_micro FROM ufinal
+       |ORDER BY cnt DESC, piece""".stripMargin
+
+  val unigramApplySql: String = {
+    val W = UnigramMaxWord
+    val P = UnigramMaxPiece
+    val (dp, last) = unigramDpLevels("a", "ap", withN = true)
+    val nAt = (1 to W).map(i => s"WHEN $i THEN n_$i").mkString(" ")
+    val ctes = unigramBaseCtes ++ Seq(
+      s"""aw AS MATERIALIZED (
+         |  SELECT w, length(w) AS len FROM (
+         |    SELECT DISTINCT unnest(list_filter(
+         |      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+         |    FROM documents)
+         |)""".stripMargin,
+      s"""ae AS MATERIALIZED (
+         |  SELECT aw.w, aw.len, a.i, b.jj, m.logp_micro AS lp
+         |  FROM aw,
+         |       UNNEST(generate_series(1, aw.len)) AS a(i),
+         |       UNNEST(generate_series(1, $P)) AS b(jj),
+         |       ufinal m
+         |  WHERE aw.len <= $W AND b.jj <= a.i
+         |    AND m.piece = substring(aw.w, a.i - b.jj + 1, b.jj)
+         |)""".stripMargin,
+      s"""ap AS MATERIALIZED (
+         |  SELECT w, 1 AS freq, ANY_VALUE(len) AS len,
+         |    $unigramPivotCols
+         |  FROM ae GROUP BY w
+         |)""".stripMargin) ++ dp ++ Seq(
+      s"""an AS MATERIALIZED (
+         |  SELECT aw.w,
+         |    CASE WHEN aw.len > $W THEN CAST(aw.len AS BIGINT)
+         |         ELSE (SELECT CAST(CASE d.len $nAt END AS BIGINT)
+         |               FROM $last d WHERE d.w = aw.w) END AS np
+         |  FROM aw
+         |)""".stripMargin,
+      """tok AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+        |  FROM documents
+        |)""".stripMargin,
+      """agg AS MATERIALIZED (
+        |  SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(an.np) AS BIGINT) AS n_pieces
+        |  FROM tok JOIN an ON tok.w = an.w
+        |  GROUP BY 1
+        |)""".stripMargin)
+    s"""WITH ${ctes.mkString(", ")}
+       |SELECT d.doc_id, COALESCE(agg.n_tokens, 0) AS n_tokens,
+       |       COALESCE(agg.n_pieces, 0) AS n_pieces
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** BM25 retrieval scoring (Robertson/Spärck Jones; k1 = 1.2,
     * b = 0.75) of a fixed conjunctive keyword query against the corpus
     * — the ranking half of a data-pipeline's search/inspection tooling.
