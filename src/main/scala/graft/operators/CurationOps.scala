@@ -362,16 +362,16 @@ object CurationOps {
   def decontaminateBloomGated(spark: SparkSession, sfDir: String): DataFrame =
     bloomDecontamSummary(Tables.documentsFanned(spark, sfDir))
 
-  /** Core of [[decontaminateBloomGated]] over an explicit (doc_id,
-    * text) frame — planted-corpus specs drive this directly. */
-  private[graft] def bloomDecontamSummary(docsIn: DataFrame): DataFrame = {
-    val n = 13
+  /** Build the m-bit Bloom bitmap of a one-column `sh` frame as word
+    * longs: the d seeded positions per item aggregate distributed
+    * (bit_or, map-side combined) into ≤ m/64 word rows before the
+    * bounded driver collect. Mergeable summary: the bitmap of a UNION
+    * of shards is the bitwise OR of the shard bitmaps (set bits only
+    * ever accumulate) — PropertySpec proves the law over random splits.
+    */
+  private[graft] def bloomBitmapOf(items: DataFrame): Array[Long] = {
     val (m, kH) = (BloomBits, BloomHashes)
-    val docs = docsIn.filter(length(col("text")) >= n)
-    val bench = docs.filter(col("doc_id") % 50 === 0)
-      .select(explode(DedupOps.shingles(col("text"), n)).as("sh"))
-      .distinct()
-    val pos = bench.select(explode(array((0 until kH).map(i =>
+    val pos = items.select(explode(array((0 until kH).map(i =>
       pmod(xxhash64(col("sh"), lit(i)), lit(m.toLong))): _*)).as("p"))
     val words = pos
       .select(shiftright(col("p"), 6).cast("int").as("wi"),
@@ -381,6 +381,19 @@ object CurationOps {
       .collect()
     val bitmap = new Array[Long](m / 64)
     words.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
+    bitmap
+  }
+
+  /** Core of [[decontaminateBloomGated]] over an explicit (doc_id,
+    * text) frame — planted-corpus specs drive this directly. */
+  private[graft] def bloomDecontamSummary(docsIn: DataFrame): DataFrame = {
+    val n = 13
+    val (m, kH) = (BloomBits, BloomHashes)
+    val docs = docsIn.filter(length(col("text")) >= n)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(DedupOps.shingles(col("text"), n)).as("sh"))
+      .distinct()
+    val bitmap = bloomBitmapOf(bench)
     val bmLit = typedLit(bitmap.toSeq)
     def mightContain(c: Column): Column = (0 until kH).map { i =>
       val h = pmod(xxhash64(c, lit(i)), lit(m.toLong))

@@ -52,6 +52,53 @@ class PlanAuditSpec extends SparkSpec {
     "q_curation_funnel"     // crosses five 1-row stage aggregates; pair stage is the allowed bitmap BNLJ
   )
 
+  // -------------------------------------------------------------------
+  // Scan efficiency: column pruning and filter pushdown must REACH the
+  // parquet scans. A scan that reads all columns for a 2-column
+  // projection wastes IO linear in corpus width at 100 TB — the class
+  // of regression the window/join audit above cannot see. Per audited
+  // key: every parquet scan reads at most `maxCols` columns, and keys
+  // with join-key null filters show a non-empty PushedFilters on at
+  // least one scan.
+  // -------------------------------------------------------------------
+
+  // sparkPlan, not executedPlan: AQE wraps the executed plan in an
+  // AdaptiveSparkPlanExec whose inner tree is not visible to collect()
+  private def parquetScans(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+
+  private val scanBudgets: Map[String, (Int, Boolean)] = Map(
+    // key -> (max columns any single scan may read, expectPushedFilters)
+    "q_client_txn_counts" -> (2, true),  // c_custkey / (o_orderkey,o_custkey) / l_orderkey
+    "q_monthly_summary"   -> (3, true),  // widest: lineitem (l_orderkey, l_extendedprice, l_shipdate)
+    "q_high_txn_accounts" -> (3, false), // only filter is the post-agg HAVING — nothing pushable
+    "q_event_windows"     -> (2, false), // events (ts, value) — no filter in the batch agg
+    "q_count"             -> (1, false)  // count(*) scans prune to a single key column
+  )
+
+  for ((name, (maxCols, wantPush)) <- scanBudgets.toSeq.sortBy(_._1)) {
+    test(s"scan audit: $name reads <= $maxCols columns per parquet scan" +
+      (if (wantPush) " with pushed filters" else "")) {
+      val scans = parquetScans(SparkEntry.queries(name)(spark, sf))
+      assert(scans.nonEmpty, s"$name has no parquet scan to audit")
+      for (s <- scans) {
+        assert(s.requiredSchema.size <= maxCols,
+          s"$name scan reads ${s.requiredSchema.size} columns " +
+            s"(${s.requiredSchema.fieldNames.mkString(",")}) — column " +
+            "pruning no longer reaches parquet")
+      }
+      if (wantPush) {
+        val pushed = scans.flatMap(_.metadata.get("PushedFilters"))
+          .exists(f => f != "[]" && f.nonEmpty)
+        assert(pushed,
+          s"$name: no scan carries PushedFilters — join-key null filters " +
+            "no longer push to parquet")
+      }
+    }
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"plan audit: $name") {
       val df = fn(spark, sf)

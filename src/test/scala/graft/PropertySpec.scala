@@ -357,4 +357,64 @@ class PropertySpec extends SparkSpec {
       assert(row.getBoolean(2), "superset law violated — a true leak was missed")
     }
   }
+
+  test("bloom bitmap is MERGEABLE: OR of arbitrary shard bitmaps equals " +
+    "the whole-set bitmap, shards are bitwise subsets") {
+    import graft.operators.CurationOps
+    val s = spark; import s.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(30, 150)
+      items <- Gen.listOfN(n, Gen.chooseNum(0, Int.MaxValue).map(x => s"item$x"))
+      cuts <- Gen.chooseNum(2, 5)
+      assign <- Gen.listOfN(n, Gen.chooseNum(0, cuts - 1))
+    } yield (items, cuts, assign)
+    for ((items, cuts, assign) <- samples(gen, 5)) {
+      val whole = CurationOps.bloomBitmapOf(items.toDF("sh"))
+      val shardMaps = (0 until cuts).map { c =>
+        val shard = items.zip(assign).collect { case (it, a) if a == c => it }
+        if (shard.isEmpty) new Array[Long](whole.length)
+        else CurationOps.bloomBitmapOf(shard.toDF("sh"))
+      }
+      // merge law: OR over shards ≡ one-pass bitmap of the union
+      val merged = shardMaps.reduce((a, b) => a.zip(b).map { case (x, y) => x | y })
+      assert(merged.toSeq === whole.toSeq,
+        s"OR-merged shard bitmaps != whole bitmap for $cuts shards")
+      // monotonicity: each shard's bits are a subset of the whole's
+      for (sm <- shardMaps)
+        assert(sm.zip(whole).forall { case (x, w) => (x & ~w) == 0L },
+          "a shard set a bit the whole-set bitmap lacks")
+    }
+  }
+
+  test("countMin counter table is MERGEABLE: per-cell sum of arbitrary " +
+    "shard tables equals the whole-stream table, over a two-level tree") {
+    import graft.operators.TextOps
+    val s = spark; import s.implicits._
+    def tableOf(toks: Seq[String]): Map[(Int, Long), Long] =
+      if (toks.isEmpty) Map.empty
+      else TextOps.cmsCounters(toks.toDF("token")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def merge(ms: Seq[Map[(Int, Long), Long]]): Map[(Int, Long), Long] =
+      ms.flatten.groupMapReduce(_._1)(_._2)(_ + _)
+    val gen = for {
+      n <- Gen.chooseNum(30, 200)
+      toks <- Gen.listOfN(n, Gen.frequency(
+        3 -> Gen.oneOf("hh1", "hh2"),
+        2 -> Gen.chooseNum(1, 300).map(i => s"t$i")))
+      cuts <- Gen.chooseNum(2, 5)
+      assign <- Gen.listOfN(n, Gen.chooseNum(0, cuts - 1))
+    } yield (toks, cuts, assign)
+    for ((toks, cuts, assign) <- samples(gen, 4)) {
+      val whole = tableOf(toks)
+      val shards = (0 until cuts).map(c =>
+        toks.zip(assign).collect { case (t, a) if a == c => t })
+      val flat = merge(shards.map(tableOf))
+      assert(flat === whole, "one-level merged shard tables != whole table")
+      // two-level merge tree (the MG discipline): group shards, merge
+      // within groups, then merge the group tables — same result
+      val grouped = shards.grouped(2).toSeq
+        .map(g => merge(g.map(tableOf)))
+      assert(merge(grouped) === whole, "two-level merge tree diverged")
+    }
+  }
 }
