@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bench-only 10× stress pass (round-11 task 6): run the heaviest keys
+  * of the surface against a synthetic corpus ~10× sf0.1 — the
+  * CrossoverBench discipline (deterministic expression-generated data,
+  * no Date.now, no RNG) applied to raw headroom instead of strategy
+  * flips. No DuckDB: the oracle gate owns correctness at sf0.01/sf0.1;
+  * this pass owns "does the plan survive another order of magnitude
+  * without OOM or spill pathology", recorded per key as wall seconds +
+  * shuffle/memory spill bytes (a SparkListener sums task metrics).
+  *
+  * Corpus construction (all primary-key shifts preserve the id-derived
+  * semantics the operators key on):
+  *  - documents ×10: doc_id + k·10⁷ (10⁷ ≡ 0 mod 50 and mod 2, so the
+  *    benchmark slice and the even/odd lifecycle split keep their
+  *    densities); text re-chunked with per-(copy, doc, chunk) salt
+  *    tokens interleaved every 50 chars — copies of one source doc
+  *    land near J ≈ 0.4, BELOW the 0.5 dedup threshold but high enough
+  *    to flood LSH banding with candidate near-misses, the
+  *    verification-heavy regime a real 10× crawl produces.
+  *  - embeddings ×10: vec_id + k·10⁷ (query vector 0 and the IVF/PQ
+  *    seed id ranges exist only in copy 0 — one probe set, 10× corpus);
+  *    per-copy deterministic jitter ±0.003·j keeps the cluster
+  *    structure while decollapsing exact duplicates.
+  *  - events ×10: event_id + k·10⁸ (even offset keeps the lifecycle's
+  *    even/odd split), user_id + k·10⁶, ts UNCHANGED so the corpus
+  *    span stays inside the 90-day watermark-delay guard.
+  */
+object StressBench {
+
+  private val StressKeys = Seq(
+    "q_dedup_lifecycle", "q_search_lifecycle", "q_minhash_verified",
+    "q_classifier_train", "q_ann_lifecycle", "q_ivfpq_lifecycle",
+    "q_events_lifecycle", "q_media_lifecycle")
+
+  private def tenX(spark: SparkSession, src: String, dst: String): Unit = {
+    val copies = explode(sequence(lit(0L), lit(9L))).as("k")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val D = 10000000L
+    // re-chunk with interleaved salts: 50-char chunks, one salt token
+    // per (copy, doc, chunk)
+    val salted = concat_ws(" ",
+      flatten(transform(sequence(lit(0), (length(col("text")) / 50).cast("int")),
+        i => array(
+          substring(col("text"), i * 50 + 1, lit(50)),
+          md5(concat_ws("|", col("k"), col("doc_id"), i))))))
+    docs.select(col("*"), copies)
+      .select((col("doc_id") + col("k") * D).as("doc_id"),
+        salted.as("text"), col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val jitter = transform(col("embedding"), (v, j) =>
+      (v + (pmod(col("k") * 31 + j.cast("long"), lit(7L)).cast("double") - 3.0d)
+        / 1000.0d).cast("float"))
+    emb.select(col("*"), copies)
+      .select((col("vec_id") + col("k") * D).as("vec_id"),
+        jitter.as("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    ev.select(col("*"), copies)
+      .select((col("event_id") + col("k") * 100000000L).as("event_id"),
+        col("ts"), (col("user_id") + col("k") * 1000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dst = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR", "/tmp/graft-stress10x")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark" else
+          System.getProperty("java.io.tmpdir"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    tenX(spark, src, dst)
+    println(f"[stress] 10x corpus generated in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    for (t <- Seq("documents", "embeddings", "events"))
+      println(s"[stress] $t rows = " + spark.read.parquet(s"$dst/$t.parquet").count())
+
+    // task-metric spill accumulation across each key's run
+    val memSpill = new java.util.concurrent.atomic.AtomicLong
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong
+    val peakMem = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          memSpill.addAndGet(m.memoryBytesSpilled)
+          diskSpill.addAndGet(m.diskBytesSpilled)
+          peakMem.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
+        }
+      }
+    })
+
+    val keys = if (args.isEmpty) StressKeys else args.toSeq
+    var failed = 0
+    val results = keys.map { name =>
+      memSpill.set(0); diskSpill.set(0); peakMem.set(0)
+      val s0 = System.nanoTime()
+      val out = try Right(SparkEntry.queries(name)(spark, dst).count())
+      catch { case e: Throwable =>
+        failed += 1
+        Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
+      }
+      val wall = (System.nanoTime() - s0) / 1e9
+      // listener events drain asynchronously; give the bus a beat
+      Thread.sleep(300)
+      val line = out match {
+        case Right(n) =>
+          f"[stress] $name%-22s ${wall}%8.2f s  rows=$n%-10d spillMem=${memSpill.get / (1 << 20)}%6d MiB  spillDisk=${diskSpill.get / (1 << 20)}%6d MiB  peakTaskMem=${peakMem.get / (1 << 20)}%6d MiB"
+        case Left(e) =>
+          f"[stress] $name%-22s ${wall}%8.2f s  FAILED: $e"
+      }
+      println(line)
+      line
+    }
+    println("[stress] " + (if (failed == 0) "ALL PASS" else s"$failed FAILED"))
+    results.foreach(println)
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

@@ -291,4 +291,26 @@ class DocStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq === onePass.toSeq)
   }
+
+  test("dedupLifecycle epoch stays exchange-free under the candidate " +
+    "self-join after streamed appends (bucket spec preserved)") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val df = DedupOps.dedupLifecycle(spark, sf)
+      df.count()
+      val all = df.queryExecution.executedPlan.toString.split("\n").toSeq
+      val lines = all.takeWhile(!_.contains("== Initial Plan =="))
+      val smj = lines.indexWhere(_.contains("SortMergeJoin"))
+      val lastScan = lines.lastIndexWhere(_.contains("graft_mh_lc"))
+      assert(smj >= 0 && lastScan > smj, all.mkString("\n"))
+      assert(!lines.slice(smj + 1, lastScan + 1).exists(_.contains("Exchange")),
+        "band self-join over the build+append epoch must read both sides " +
+          s"co-located:\n${all.mkString("\n")}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      graft.operators.Layout.dropEpochFamily(spark,
+        DedupOps.dedupLifecycleBase(sf))
+    }
+  }
 }

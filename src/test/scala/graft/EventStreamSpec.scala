@@ -154,4 +154,27 @@ class EventStreamSpec extends SparkSpec {
         graft.operators.EventOps.eventsLifecycleBase(TestSpark.sf0001))
     }
   }
+
+  test("eventsLifecycle fails fast when the corpus span reaches the " +
+    "watermark delay (a regenerated-testdata drop would otherwise " +
+    "surface only as an opaque driver hash mismatch)") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evspan").toString
+    try {
+      // odd-id events 100 days apart — wider than the 90-day delay
+      Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+        (3L, java.sql.Timestamp.valueOf("2024-04-10 00:00:00"), 2.0))
+        .toDF("event_id", "ts", "value")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.EventOps.eventsLifecycle(spark, dir)
+      }
+      assert(e.getMessage.contains("watermark"))
+    } finally {
+      graft.operators.Layout.dropEpochFamily(spark,
+        graft.operators.EventOps.eventsLifecycleBase(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
