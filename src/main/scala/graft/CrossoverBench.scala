@@ -156,7 +156,7 @@ object CrossoverBench {
     // optional section filter for iteration: any of "ab","c","v","e","s"
     // (no args = everything, the round-record configuration)
     val only: Set[String] =
-      if (args.isEmpty) Set("ab", "c", "v", "e", "s") else args.toSet
+      if (args.isEmpty) Set("ab", "c", "v", "e", "s", "u") else args.toSet
     var failed = false
 
     if (only("ab")) {
@@ -492,6 +492,41 @@ object CrossoverBench {
     println(s"[xover] S segmented ≡ plain session stats: diff rows = $sDiff " +
       (if (sDiff == 0) "PASS" else "FAIL"))
     failed ||= sDiff != 0
+    }
+
+    // ---- section U: unigram tier flip at 4 orders above the corpus ----
+    // The trainer's tier gate (2M word types) owns a distributed
+    // fallback; the repo rule is that every adaptive gate's flipped
+    // path is EXECUTED at a realistic scale, not only spec-forced on a
+    // 300-type fixture. ~290K synthetic types (the testdata corpus has
+    // 31): md5-prefix words of length 4-12 over [0-9a-f], freqs 1-7.
+    if (only("u")) {
+      import graft.operators.TextOps
+      val types = timed("gen unigram types (~290K)") {
+        spark.range(300000L)
+          .select(substring(md5(col("id").cast("string")), lit(1),
+              (pmod(col("id"), lit(9L)) + 4).cast("int")).as("w"),
+            (pmod(col("id"), lit(7L)) + 1L).as("freq"))
+          .groupBy(col("w")).agg(sum(col("freq")).as("freq"))
+          .localCheckpoint() // bench tool, single-host: both tiers read it
+      }
+      val nTypes = types.count()
+      var localModel: Seq[(String, Long, Long)] = Nil
+      val tLocal = { val t0 = System.nanoTime()
+        localModel = TextOps.unigramTrainLocal(types.collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq)
+        (System.nanoTime() - t0) / 1e9 }
+      var distModel: Seq[(String, Long, Long)] = Nil
+      val tDist = { val t0 = System.nanoTime()
+        distModel = TextOps.unigramTrainDistributed(types)
+        (System.nanoTime() - t0) / 1e9 }
+      println(f"[xover] U unigram tiers at $nTypes types: driver EM $tLocal%.1f s, " +
+        f"distributed E-step $tDist%.1f s, model ${localModel.size} pieces")
+      val uOk = localModel == distModel
+      println(s"[xover] U tier-1 ≡ tier-2 trained model: " +
+        (if (uOk) "PASS" else
+          s"FAIL\n  local=${localModel.take(5)}\n  dist=${distModel.take(5)}"))
+      failed ||= !uOk
     }
 
     spark.stop()

@@ -417,4 +417,43 @@ class PropertySpec extends SparkSpec {
       assert(merge(grouped) === whole, "two-level merge tree diverged")
     }
   }
+
+  test("unigramViterbi: achieves the brute-force-optimal score on random " +
+    "models; segmentation valid; empty iff no full segmentation exists") {
+    import graft.operators.TextOps
+    val P = TextOps.UnigramMaxPiece
+    // brute force: best total score over ALL segmentations into model
+    // pieces of length <= P (None if the word cannot be segmented)
+    def brute(w: String, lp: Map[String, Long]): Option[Long] = {
+      if (w.isEmpty) Some(0L)
+      else (1 to math.min(P, w.length)).flatMap { jj =>
+        lp.get(w.take(jj)).flatMap(v => brute(w.drop(jj), lp).map(_ + v))
+      }.reduceOption(_ max _)
+    }
+    val gen = for {
+      len <- Gen.chooseNum(1, 9)
+      w <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+      // random model over substrings of w: chars included with prob ~2/3,
+      // so some words are UNSEGMENTABLE and the empty-result arm is hit
+      subs = (for (i <- 0 until w.length; jj <- 1 to math.min(P, w.length - i))
+        yield w.substring(i, i + jj)).distinct
+      kept <- Gen.sequence[Seq[Option[String]], Option[String]](
+        subs.map(p => Gen.frequency(2 -> Gen.const(Some(p)), 1 -> Gen.const(None))))
+      scores <- Gen.listOfN(kept.flatten.size, Gen.chooseNum(-5000000L, -100000L))
+    } yield (w, kept.flatten.zip(scores).toMap)
+    for ((w, lp) <- samples(gen, 40)) {
+      val got = TextOps.unigramViterbi(w, lp)
+      brute(w, lp) match {
+        case None =>
+          assert(got.isEmpty, s"'$w' unsegmentable under $lp but got $got")
+        case Some(best) =>
+          assert(got.nonEmpty, s"'$w' segmentable (best=$best) but got empty")
+          assert(got.mkString === w, s"pieces don't concatenate to '$w': $got")
+          assert(got.forall(p => lp.contains(p) && p.length <= P))
+          val score = got.map(lp).sum
+          assert(score === best,
+            s"'$w': Viterbi score $score != brute-force optimum $best ($got)")
+      }
+    }
+  }
 }
