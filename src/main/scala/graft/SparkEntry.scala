@@ -120,6 +120,7 @@ object SparkEntry {
     "q_multimodal_ann"    -> (MultimodalOps.multimodalAnn _),
     // §2b — curation (sampling / packing / scrubbing)
     "q_sample_stratified" -> (CurationOps.sampleStratified _),
+    "q_domain_caps"       -> (CurationOps.domainCaps _),
     "q_pack_sequences"    -> (CurationOps.packSequences _),
     "q_chunk_docs"        -> (CurationOps.chunkDocs _),
     "q_mixture_plan"      -> (CurationOps.mixturePlan _),
@@ -249,6 +250,7 @@ object SparkEntry {
     "q_multimodal_meta"   -> MultimodalOps.multimodalMetaSql,
     "q_multimodal_ann"    -> MultimodalOps.multimodalAnnSql,
     "q_sample_stratified" -> CurationOps.sampleStratifiedSql,
+    "q_domain_caps"       -> CurationOps.domainCapsSql,
     "q_pack_sequences"    -> CurationOps.packSequencesSql,
     "q_chunk_docs"        -> CurationOps.chunkDocsSql,
     "q_mixture_plan"      -> CurationOps.mixturePlanSql,

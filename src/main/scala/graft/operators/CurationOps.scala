@@ -33,6 +33,46 @@ object CurationOps {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy(col("doc_id"))
 
+  /** Documents kept per source under [[domainCaps]] — sized BELOW the
+    * testdata's uniform 25-per-source (sf0.01) so the cap genuinely
+    * binds at every scale (the MgCapacity discipline). */
+  private[graft] val DomainCap = 15
+
+  /** PER-DOMAIN DOCUMENT CAPS — the anti-spam curation stage every
+    * web-scale pipeline runs (a handful of boilerplate-heavy domains
+    * otherwise dominate the corpus): within each source, rank documents
+    * by a quality signal (here n_chars desc — length heuristics are a
+    * standard first-pass gate — with doc_id as the deterministic
+    * tiebreak) and keep the top [[DomainCap]].
+    *
+    * Scale shape: Spark 3.5+'s WindowGroupLimit inserts a PRE-SHUFFLE
+    * rank filter, so each mapper forwards at most cap rows per source
+    * it touches — the exchange carries ≤ mappers·cap rows per domain
+    * and the final per-source partition is bounded the same way,
+    * REGARDLESS of how many billion documents a spam domain holds.
+    * That bound is exactly why caps rank by a cheap row-local signal:
+    * the stage must be runnable before any expensive scoring. Scan
+    * prunes to the three output columns.
+    */
+  def domainCaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= DomainCap)
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val domainCapsSql: String =
+    s"""SELECT source, doc_id, n_chars, rk FROM (
+       |  SELECT source, doc_id, n_chars,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+       |  FROM documents)
+       |WHERE rk <= $DomainCap
+       |ORDER BY source, rk""".stripMargin
+
   /** First-32-bits-of-md5 bucket in [0, 100) — THE deterministic keep
     * predicate, shared by stratified sampling, cluster balancing, and
     * the group-keyed train/val split (their oracles hard-code the same

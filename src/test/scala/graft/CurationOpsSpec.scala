@@ -279,4 +279,27 @@ class CurationOpsSpec extends SparkSpec {
     val rs = CurationOps.decontaminateBloomGated(spark, sf).collect()(0)
     assert(rs.getBoolean(2) && rs.getBoolean(3))
   }
+
+  test("domainCaps: exactly cap longest docs per source, deterministic " +
+    "ties, WindowGroupLimit pre-filters before the shuffle") {
+    val df = CurationOps.domainCaps(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // recompute locally from the table
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.sortBy { case (_, id, n) => (-n, id) }
+        .take(CurationOps.DomainCap).zipWithIndex
+        .map { case ((s, id, n), i) => (s, id, n, (i + 1).toLong) }
+    }.sortBy(t => (t._1, t._4))
+    assert(got.toSeq === expect)
+    // the cap binds on this corpus (25 docs/source at sf0.001)
+    assert(got.groupBy(_._1).forall(_._2.length == CurationOps.DomainCap))
+    // scale shape: the rank filter runs BEFORE the exchange
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected a WindowGroupLimit pre-shuffle filter:\n$plan")
+  }
 }
