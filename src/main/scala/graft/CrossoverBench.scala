@@ -156,7 +156,7 @@ object CrossoverBench {
     // optional section filter for iteration: any of "ab","c","v","e","s"
     // (no args = everything, the round-record configuration)
     val only: Set[String] =
-      if (args.isEmpty) Set("ab", "c", "v", "e", "s", "u") else args.toSet
+      if (args.isEmpty) Set("ab", "c", "v", "e", "s", "u", "w") else args.toSet
     var failed = false
 
     if (only("ab")) {
@@ -527,6 +527,43 @@ object CrossoverBench {
         (if (uOk) "PASS" else
           s"FAIL\n  local=${localModel.take(5)}\n  dist=${distModel.take(5)}"))
       failed ||= !uOk
+    }
+
+    // ---- section W: WordPiece tier flip at 4 orders above the corpus ----
+    // Same rule as section U for the third tokenizer family: the
+    // distributed one-merge-per-round tier (score-ordered picks can't
+    // batch — see the TextOps section scaladoc) must be EXECUTED at a
+    // realistic flipped scale and train the identical schedule as the
+    // driver delta-trainer. 12 merges suffice for the equality proof;
+    // the per-round cost, not the merge depth, is the scale question.
+    if (only("w")) {
+      import graft.operators.TextOps
+      val types = timed("gen wordpiece types (~290K)") {
+        spark.range(300000L)
+          .select(substring(md5(col("id").cast("string")), lit(1),
+              (pmod(col("id"), lit(9L)) + 4).cast("int")).as("w"),
+            (pmod(col("id"), lit(7L)) + 1L).as("freq"))
+          .groupBy(col("w")).agg(sum(col("freq")).as("freq"))
+          .localCheckpoint() // bench tool, single-host: both tiers read it
+      }
+      val nTypes = types.count()
+      val wpIters = 12
+      var localSched: Seq[TextOps.WpPick] = Nil
+      val tLocal = { val t0 = System.nanoTime()
+        localSched = TextOps.wpTrainLocal(types.collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq, wpIters)
+        (System.nanoTime() - t0) / 1e9 }
+      var distSched: Seq[TextOps.WpPick] = Nil
+      val tDist = { val t0 = System.nanoTime()
+        distSched = TextOps.wpTrainDistributed(types, wpIters)
+        (System.nanoTime() - t0) / 1e9 }
+      println(f"[xover] W wordpiece tiers at $nTypes types, $wpIters merges: " +
+        f"driver deltas $tLocal%.1f s, distributed rounds $tDist%.1f s")
+      val wOk = localSched == distSched
+      println(s"[xover] W tier-1 ≡ tier-2 merge schedule: " +
+        (if (wOk) "PASS" else
+          s"FAIL\n  local=${localSched.take(4)}\n  dist=${distSched.take(4)}"))
+      failed ||= !wOk
     }
 
     spark.stop()

@@ -65,6 +65,8 @@ object SparkEntry {
     "q_bpe_apply"         -> (TextOps.bpeApply _),
     "q_unigram_train"     -> (TextOps.unigramTrain _),
     "q_unigram_apply"     -> (TextOps.unigramApply _),
+    "q_wordpiece_train"   -> (TextOps.wordpieceTrain _),
+    "q_wordpiece_apply"   -> (TextOps.wordpieceApply _),
     "q_lang_id"           -> (TextOps.langId _),
     "q_lang_ngram"        -> (TextOps.langNgram _),
     "q_lm_score"          -> (TextOps.lmBigramScore _),
@@ -192,6 +194,11 @@ object SparkEntry {
     // end-to-end train+apply proof, like the BPE pair
     "q_unigram_train"     -> TextOps.unigramTrainSql,
     "q_unigram_apply"     -> TextOps.unigramApplySql,
+    // third tokenizer family: sequential likelihood-scored merges
+    // (exact HUGEINT cross-multiplied argmax) + greedy '##' matcher —
+    // one hash each gates train and train+apply end to end
+    "q_wordpiece_train"   -> TextOps.wordpieceTrainSql,
+    "q_wordpiece_apply"   -> TextOps.wordpieceApplySql,
     "q_lang_id"           -> TextOps.langIdSql,
     "q_lang_ngram"        -> TextOps.langNgramSql,
     "q_lm_score"          -> TextOps.lmBigramScoreSql,

@@ -1752,6 +1752,393 @@ object TextOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // WordPiece tokenizer (BERT's family; Schuster & Nakajima 2012, Wu et
+  // al. 2016) — the third tokenizer family the field ships beside BPE
+  // and unigram-LM. Training is BPE-shaped but merges are picked by the
+  // LIKELIHOOD score count(l,r) / (count(l)·count(r)) over the CURRENT
+  // segmentation's unit counts, not by raw pair count; apply is greedy
+  // longest-match-first over '##'-prefixed continuation pieces, with
+  // the two production fallbacks (a word over WpMaxWord chars, or one
+  // with any unmatchable position, becomes a single [UNK]).
+  //
+  // Exactness discipline: the score is a RATIONAL — it is never
+  // divided. Argmax comparisons cross-multiply in BigInt (HUGEINT in
+  // the DuckDB oracle), ties break (l, r) ascending, so the pick order
+  // is engine-identical with zero float involvement anywhere.
+  //
+  // Scale shape mirrors the BPE/unigram tiers: tier 1 trains on the
+  // driver over the Heap's-law-bounded word-TYPE table with
+  // delta-updated pair/unit/inverted-index state (only words containing
+  // the merged pair are touched per round); tier 2 never collects the
+  // type table — per-round unit counts are a model-bounded broadcast
+  // (≤ 2·|charset| + merges rows) and the exact argmax runs as a
+  // distributed Dataset.reduce with the SAME BigInt comparator, so the
+  // tiers cannot pick differently (WordpieceSpec proves them identical
+  // on a fixture where the score order defeats the count order).
+  // Unlike BPE's count-prefix batching, score-ordered picks can NOT be
+  // safely batched — a merge changes its operands' unit counts and
+  // thereby every score sharing them — so tier 2 is one-merge-per-round
+  // by construction, the honest sequential-equivalent fallback.
+  // Apply runs the greedy matcher once per word TYPE in mapPartitions
+  // (the Misra-Gries sequential-algorithm precedent) with the
+  // model-bounded vocab in the closure; token instances only carry the
+  // broadcast-joined (pieces, unk) longs into one partial+final agg,
+  // so the corpus-sized frame stays narrow at any scale.
+  // -------------------------------------------------------------------
+
+  private[graft] val WpIters = 30
+  private[graft] val WpMaxWord = 24
+
+  private[graft] final case class WpPick(it: Long, l: String, r: String,
+      piece: String, c: Long, cl: Long, cr: Long)
+
+  /** Exact WordPiece argmax step: keep the candidate with the higher
+    * c/(cl·cr), ties by (l, r) ascending — cross-multiplied in BigInt,
+    * never divided (the oracle's HUGEINT comparison, verbatim). */
+  private[graft] def wpBetter(a: (String, String, Long, Long, Long),
+      b: (String, String, Long, Long, Long))
+      : (String, String, Long, Long, Long) = {
+    val lhs = BigInt(a._3) * BigInt(b._4) * BigInt(b._5)
+    val rhs = BigInt(b._3) * BigInt(a._4) * BigInt(a._5)
+    if (lhs > rhs) a
+    else if (lhs < rhs) b
+    else {
+      val cl = a._1.compareTo(b._1)
+      if (cl < 0 || (cl == 0 && a._2.compareTo(b._2) <= 0)) a else b
+    }
+  }
+
+  /** Initial WordPiece segmentation: word-initial char bare, every
+    * continuation char '##'-prefixed. */
+  private[graft] def wpInitSyms(w: String): Vector[String] =
+    w.substring(0, 1) +: w.drop(1).map(c => "##" + c).toVector
+
+  /** Tier-1 trainer: exact sequential WordPiece with delta-updated
+    * pair counts, unit counts, and the pair→word inverted index — the
+    * [[bpeTrainLocal]] structure plus the unit-count ledger the score
+    * needs. Per merge only words containing the picked pair are
+    * re-counted (subtract their old pairs/units, rebuild, add the new
+    * ones), identical to a full recount since untouched words
+    * contribute the same counts to both (WordpieceSpec cross-checks
+    * against a naive full-recount reference). */
+  private[graft] def wpTrainLocal(vocab: Seq[(String, Long)], iters: Int)
+      : Seq[WpPick] = {
+    val syms = vocab.map(t => wpInitSyms(t._1)).toArray
+    val freqs = vocab.map(_._2).toArray
+    val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    val units = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    val pairWords = scala.collection.mutable.Map
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def index(p: (String, String), w: Int): Unit =
+      pairWords.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += w
+    for (w <- syms.indices) {
+      for (s <- syms(w)) units(s) += freqs(w)
+      for (i <- 0 until syms(w).length - 1) {
+        val p = (syms(w)(i), syms(w)(i + 1))
+        pairs(p) += freqs(w); index(p, w)
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[WpPick]
+    var it = 1
+    var done = false
+    while (it <= iters && !done) {
+      if (pairs.isEmpty) done = true
+      else {
+        val (l, r, c, cl, cr) = pairs.iterator
+          .map { case ((pl, pr), pc) => (pl, pr, pc, units(pl), units(pr)) }
+          .reduce(wpBetter _)
+        val prod = l + r.drop(2) // r is always a '##' continuation
+        out += WpPick(it.toLong, l, r, prod, c, cl, cr)
+        val affected = pairWords.getOrElse((l, r), Set.empty[Int]).toArray
+        for (w <- affected) {
+          val old = syms(w)
+          for (s <- old) {
+            units(s) -= freqs(w)
+            if (units(s) <= 0L) units.remove(s)
+          }
+          for (i <- 0 until old.length - 1) {
+            val p = (old(i), old(i + 1))
+            pairs(p) -= freqs(w)
+            if (pairs(p) <= 0L) { pairs.remove(p); pairWords.remove(p) }
+            else pairWords.get(p).foreach(_ -= w)
+          }
+          val nb = Vector.newBuilder[String]
+          var i = 0
+          while (i < old.length) {
+            if (i + 1 < old.length && old(i) == l && old(i + 1) == r) {
+              nb += prod; i += 2
+            } else { nb += old(i); i += 1 }
+          }
+          syms(w) = nb.result()
+          for (s <- syms(w)) units(s) += freqs(w)
+          for (i2 <- 0 until syms(w).length - 1) {
+            val p = (syms(w)(i2), syms(w)(i2 + 1))
+            pairs(p) += freqs(w); index(p, w)
+          }
+        }
+        it += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Tier-2 trainer: one merge per round (see the section scaladoc for
+    * why score-ordered picks can't batch). Per round: unit counts are a
+    * model-bounded aggregate broadcast onto the pair frame, and the
+    * exact rational argmax is a distributed Dataset.reduce with the
+    * shared comparator; the type-state frame is re-checkpointed after
+    * each padded replace, exactly like the BPE tier-2 state. */
+  private[graft] def wpTrainDistributed(words: DataFrame, iters: Int)
+      : Seq[WpPick] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val init = transform(sequence(lit(1), length(col("w"))), i =>
+      when(i === 1, col("w").substr(i, lit(1)))
+        .otherwise(concat(lit("##"), col("w").substr(i, lit(1)))))
+    var state = words.select(concat_ws(BpeSep, init).as("sym"), col("freq"))
+      .corpusCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[WpPick]
+    var exhausted = false
+    while (out.length < iters && !exhausted) {
+      val toks = split(col("sym"), BpeSep)
+      // ≤ 2·|charset| + merges rows — the model, not the corpus
+      val units = state.select(explode(toks).as("s"), col("freq"))
+        .groupBy(col("s")).agg(sum(col("freq")).as("uc"))
+      val pairIdx = when(size(toks) > 1,
+        sequence(lit(1), size(toks) - 1)).otherwise(array().cast("array<int>"))
+      val scored = state
+        .select(col("freq"), toks.as("toks"), explode(pairIdx).as("i"))
+        .select(col("freq"),
+          element_at(col("toks"), col("i")).as("l"),
+          element_at(col("toks"), col("i") + 1).as("r"))
+        .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("c"))
+        .join(broadcast(units.select(col("s").as("l"), col("uc").as("cl"))), "l")
+        .join(broadcast(units.select(col("s").as("r"), col("uc").as("cr"))), "r")
+        .select(col("l"), col("r"), col("c"), col("cl"), col("cr"))
+        .as[(String, String, Long, Long, Long)]
+      if (scored.take(1).isEmpty) exhausted = true // vocabulary fully merged
+      else {
+        val (l, r, c, cl, cr) = scored.reduce(wpBetter _)
+        val prod = l + r.drop(2)
+        out += WpPick((out.length + 1).toLong, l, r, prod, c, cl, cr)
+        val e = replace(
+          concat(lit(BpeSep),
+            replace(col("sym"), lit(BpeSep), lit(BpeSep + BpeSep)), lit(BpeSep)),
+          lit(BpeSep + l + BpeSep + BpeSep + r + BpeSep),
+          lit(BpeSep + prod + BpeSep))
+        state = state
+          .select(trim(replace(e, lit(BpeSep + BpeSep), lit(BpeSep)), BpeSep).as("sym"),
+            col("freq"))
+          .corpusCheckpoint()
+      }
+    }
+    out.toSeq
+  }
+
+  /** Tier dispatch (the [[bpeTrainSchedule]] probe). */
+  private[graft] def wpTrainSchedule(words: DataFrame, iters: Int): Seq[WpPick] = {
+    val probe = words.limit(MaxLocalBpeVocab + 1).collect()
+    if (probe.length <= MaxLocalBpeVocab)
+      wpTrainLocal(probe.map(r => (r.getString(0), r.getLong(1))).toSeq, iters)
+    else wpTrainDistributed(words, iters)
+  }
+
+  def wordpieceTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    wpTrainSchedule(unigramWords(Tables.documentsFanned(spark, sfDir)), WpIters)
+      .map(p => (p.it, p.l, p.r, p.piece, p.c, p.cl, p.cr))
+      .toDF("iteration", "merge_left", "merge_right", "piece",
+        "pair_count", "left_count", "right_count")
+      .orderBy(col("iteration"))
+  }
+
+  /** Greedy longest-match-first segmentation (the BERT matcher):
+    * (n_pieces, is_unk) for one word. A word over [[WpMaxWord]] chars,
+    * or one where no vocab piece matches at some position, is a single
+    * [UNK] — both standard production behaviors. */
+  private[graft] def wpGreedy(w: String, vocab: Set[String], maxRaw: Int)
+      : (Long, Long) = {
+    if (w.length > WpMaxWord) (1L, 1L)
+    else {
+      var pos = 0
+      var n = 0L
+      var unk = false
+      while (pos < w.length && !unk) {
+        var jj = math.min(maxRaw, w.length - pos)
+        var hit = 0
+        while (jj >= 1 && hit == 0) {
+          val cand = if (pos == 0) w.substring(0, jj)
+                     else "##" + w.substring(pos, pos + jj)
+          if (vocab(cand)) hit = jj
+          jj -= 1
+        }
+        if (hit == 0) unk = true
+        else { pos += hit; n += 1 }
+      }
+      if (unk) (1L, 1L) else (n, 0L)
+    }
+  }
+
+  /** Segment the corpus under the trained vocabulary: per-doc token
+    * count, WordPiece piece count, and [UNK] count — the budget numbers
+    * a packing stage consumes plus the coverage diagnostic. The matcher
+    * runs once per word TYPE; instances only carry the joined longs. */
+  def wordpieceApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documentsFanned(spark, sfDir)
+    val words = unigramWords(docs)
+    val sched = wpTrainSchedule(words, WpIters)
+    val init = transform(sequence(lit(1), length(col("w"))), i =>
+      when(i === 1, col("w").substr(i, lit(1)))
+        .otherwise(concat(lit("##"), col("w").substr(i, lit(1)))))
+    // the corpus alphabet in both position classes — bounded: ≤ 2·36 rows
+    val alpha = words.select(explode(init).as("s")).distinct()
+      .collect().map(_.getString(0))
+    val vocab = alpha.toSet ++ sched.map(_.piece)
+    val maxRaw = vocab.iterator
+      .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+    val typeN = words.select(col("w")).as[String].mapPartitions { it =>
+      it.map { w =>
+        val (n, u) = wpGreedy(w, vocab, maxRaw)
+        (w, n, u)
+      }
+    }.toDF("w", "np", "unk")
+    val agg = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(broadcast(typeN), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("np")).as("n_pieces"),
+        sum(col("unk")).as("n_unk"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("n_unk"), lit(0L)).as("n_unk"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The sequential WordPiece oracle chain: per round, unit counts
+    * (wu), pair counts (wp), the score join (ws), the exact-HUGEINT
+    * argmax via NOT EXISTS (wb — cross-multiplied, so no rational is
+    * ever rounded; quadratic only over the model-sized pair table), and
+    * the padded merge replace (wv). MATERIALIZED pins DuckDB to linear
+    * evaluation exactly as in [[bpeTrainChainSql]]. */
+  private def wpChainSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""wu$i AS MATERIALIZED (
+         |  SELECT s, CAST(SUM(freq) AS BIGINT) AS uc
+         |  FROM (SELECT unnest(string_split(sym, chr(31))) AS s, freq FROM wv${i - 1})
+         |  GROUP BY 1
+         |), wp$i AS MATERIALIZED (
+         |  SELECT toks[i] AS l, toks[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS c
+         |  FROM (SELECT string_split(sym, chr(31)) AS toks, freq FROM wv${i - 1}) s,
+         |       UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+         |  GROUP BY 1, 2
+         |), ws$i AS MATERIALIZED (
+         |  SELECT p.l, p.r, p.c, ul.uc AS cl, ur.uc AS cr
+         |  FROM wp$i p JOIN wu$i ul ON ul.s = p.l JOIN wu$i ur ON ur.s = p.r
+         |), wb$i AS MATERIALIZED (
+         |  SELECT * FROM ws$i a WHERE NOT EXISTS (
+         |    SELECT 1 FROM ws$i b WHERE
+         |      CAST(b.c AS HUGEINT) * a.cl * a.cr > CAST(a.c AS HUGEINT) * b.cl * b.cr
+         |      OR (CAST(b.c AS HUGEINT) * a.cl * a.cr = CAST(a.c AS HUGEINT) * b.cl * b.cr
+         |          AND (b.l < a.l OR (b.l = a.l AND b.r < a.r))))
+         |), wv$i AS MATERIALIZED (
+         |  SELECT trim(replace(replace(
+         |           chr(31) || replace(sym, chr(31), chr(31) || chr(31)) || chr(31),
+         |           chr(31) || l || chr(31) || chr(31) || r || chr(31),
+         |           chr(31) || l || substring(r, 3) || chr(31)),
+         |         chr(31) || chr(31), chr(31)), chr(31)) AS sym, freq
+         |  FROM wv${i - 1} CROSS JOIN wb$i
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""ww0 AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(list_filter(
+       |          string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       |        FROM documents)
+       |  GROUP BY 1
+       |), wv0 AS MATERIALIZED (
+       |  SELECT array_to_string(list_transform(generate_series(1, length(w)),
+       |           i -> CASE WHEN i = 1 THEN substring(w, 1, 1)
+       |                     ELSE '##' || substring(w, i, 1) END), chr(31)) AS sym, freq
+       |  FROM ww0
+       |), $rounds""".stripMargin
+  }
+
+  val wordpieceTrainSql: String = {
+    val union = (1 to WpIters).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS iteration, l AS merge_left, r AS merge_right, " +
+        s"l || substring(r, 3) AS piece, c AS pair_count, cl AS left_count, " +
+        s"cr AS right_count FROM wb$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${wpChainSql(WpIters)}
+       |$union
+       |ORDER BY iteration""".stripMargin
+  }
+
+  /** Apply oracle: vocabulary = the wv0 alphabet ∪ every wb product
+    * (UNION dedups; an exhausted round contributes no rows, so no
+    * COALESCE guard is needed), then one greedy step per CTE level —
+    * each level's longest-match is a correlated MAX over the model-
+    * sized vocab table, 24 levels bounding any word the cap admits. */
+  val wordpieceApplySql: String = {
+    val prods = (1 to WpIters)
+      .map(i => s"        UNION SELECT l || substring(r, 3) FROM wb$i")
+      .mkString("\n")
+    val levels = (1 to WpMaxWord).map { t =>
+      s"""gm$t AS MATERIALIZED (
+         |  SELECT *, CASE WHEN unk OR pos >= len THEN NULL
+         |         ELSE (SELECT MAX(v.plen) FROM wvocab v
+         |               WHERE v.cont = (pos > 0) AND v.plen <= len - pos
+         |                 AND v.raw = substring(w, pos + 1, v.plen)) END AS m
+         |  FROM gg${t - 1}
+         |), gg$t AS MATERIALIZED (
+         |  SELECT w, len, freq,
+         |    CASE WHEN unk OR pos >= len THEN pos
+         |         WHEN m IS NULL THEN len ELSE pos + m END AS pos,
+         |    CASE WHEN unk OR pos >= len THEN np
+         |         WHEN m IS NULL THEN CAST(1 AS BIGINT) ELSE np + 1 END AS np,
+         |    (unk OR (pos < len AND m IS NULL)) AS unk
+         |  FROM gm$t
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${wpChainSql(WpIters)},
+       |walpha AS (SELECT DISTINCT s AS piece
+       |  FROM (SELECT unnest(string_split(sym, chr(31))) AS s FROM wv0)),
+       |wvocab AS MATERIALIZED (
+       |  SELECT piece,
+       |    CASE WHEN piece LIKE '##%' THEN length(piece) - 2 ELSE length(piece) END AS plen,
+       |    (piece LIKE '##%') AS cont,
+       |    CASE WHEN piece LIKE '##%' THEN substring(piece, 3) ELSE piece END AS raw
+       |  FROM (SELECT piece FROM walpha
+       |$prods)
+       |),
+       |gg0 AS MATERIALIZED (
+       |  SELECT w, length(w) AS len, freq, 0 AS pos,
+       |    CASE WHEN length(w) > $WpMaxWord THEN CAST(1 AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS np,
+       |    (length(w) > $WpMaxWord) AS unk
+       |  FROM ww0
+       |),
+       |$levels,
+       |wt AS (SELECT w, np,
+       |         CASE WHEN unk THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS u
+       |       FROM gg$WpMaxWord),
+       |tok AS (SELECT doc_id, unnest(list_filter(
+       |          string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       |        FROM documents),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |          CAST(SUM(np) AS BIGINT) AS n_pieces, CAST(SUM(u) AS BIGINT) AS n_unk
+       |        FROM tok JOIN wt USING (w) GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(agg.n_tokens, 0) AS n_tokens,
+       |  COALESCE(agg.n_pieces, 0) AS n_pieces, COALESCE(agg.n_unk, 0) AS n_unk
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** BM25 retrieval scoring (Robertson/Spärck Jones; k1 = 1.2,
     * b = 0.75) of a fixed conjunctive keyword query against the corpus
     * — the ranking half of a data-pipeline's search/inspection tooling.
