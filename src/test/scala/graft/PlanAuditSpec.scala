@@ -75,7 +75,15 @@ class PlanAuditSpec extends SparkSpec {
     "q_monthly_summary"   -> (3, true),  // widest: lineitem (l_orderkey, l_extendedprice, l_shipdate)
     "q_high_txn_accounts" -> (3, false), // only filter is the post-agg HAVING — nothing pushable
     "q_event_windows"     -> (2, false), // events (ts, value) — no filter in the batch agg
-    "q_count"             -> (1, false)  // count(*) scans prune to a single key column
+    "q_count"             -> (1, false), // count(*) scans prune to a single key column
+    // tokenizer APPLY keys scan documents several times (type table,
+    // instance explode, doc_id spine) — every scan must prune to
+    // (doc_id, text) or narrower; the trained model itself is a driver
+    // value and never a scan. (TRAIN keys return a local model frame
+    // with no parquet scan at all, so they have nothing to audit here.)
+    "q_bpe_apply"         -> (2, false),
+    "q_unigram_apply"     -> (2, false),
+    "q_wordpiece_apply"   -> (2, false)
   )
 
   for ((name, (maxCols, wantPush)) <- scanBudgets.toSeq.sortBy(_._1)) {
