@@ -1960,26 +1960,39 @@ object TextOps {
     * or one where no vocab piece matches at some position, is a single
     * [UNK] — both standard production behaviors. */
   private[graft] def wpGreedy(w: String, vocab: Set[String], maxRaw: Int)
-      : (Long, Long) = {
+      : (Long, Long) =
     if (w.length > WpMaxWord) (1L, 1L)
-    else {
-      var pos = 0
-      var n = 0L
-      var unk = false
-      while (pos < w.length && !unk) {
-        var jj = math.min(maxRaw, w.length - pos)
-        var hit = 0
-        while (jj >= 1 && hit == 0) {
-          val cand = if (pos == 0) w.substring(0, jj)
-                     else "##" + w.substring(pos, pos + jj)
-          if (vocab(cand)) hit = jj
-          jj -= 1
-        }
-        if (hit == 0) unk = true
-        else { pos += hit; n += 1 }
-      }
-      if (unk) (1L, 1L) else (n, 0L)
+    else wpGreedySegments(w, vocab, maxRaw) match {
+      case Some(ps) => (ps.length.toLong, 0L)
+      case None     => (1L, 1L)
     }
+
+  /** The greedy pieces themselves ('##'-prefixed past position 0), or
+    * None when some position is unmatchable. The length cap is
+    * [[wpGreedy]]'s policy, not applied here — PropertySpec checks the
+    * reconstruction invariant on the raw segmentation. */
+  private[graft] def wpGreedySegments(w: String, vocab: Set[String],
+      maxRaw: Int): Option[List[String]] = {
+    val out = List.newBuilder[String]
+    var pos = 0
+    var unk = false
+    while (pos < w.length && !unk) {
+      var jj = math.min(maxRaw, w.length - pos)
+      var hit = 0
+      while (jj >= 1 && hit == 0) {
+        val cand = if (pos == 0) w.substring(0, jj)
+                   else "##" + w.substring(pos, pos + jj)
+        if (vocab(cand)) hit = jj
+        jj -= 1
+      }
+      if (hit == 0) unk = true
+      else {
+        out += (if (pos == 0) w.substring(0, hit)
+                else "##" + w.substring(pos, pos + hit))
+        pos += hit
+      }
+    }
+    if (unk) None else Some(out.result())
   }
 
   /** Segment the corpus under the trained vocabulary: per-doc token

@@ -456,4 +456,87 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("wpTrainLocal: delta trainer equals naive recount on random " +
+    "vocabularies (likelihood-scored argmax)") {
+    import graft.operators.TextOps
+    // naive full-recount reference (mirrors WordpieceSpec.naiveTrain):
+    // rebuild pair AND unit counts from scratch every round
+    def naive(words: Seq[(String, Long)], iters: Int): Seq[TextOps.WpPick] = {
+      var state = words.map { case (w, f) => (TextOps.wpInitSyms(w), f) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[TextOps.WpPick]
+      var it = 1; var done = false
+      while (it <= iters && !done) {
+        val units = scala.collection.mutable.Map.empty[String, Long]
+          .withDefaultValue(0L)
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        for ((syms, f) <- state) {
+          syms.foreach(s => units(s) += f)
+          for (i <- 0 until syms.length - 1) pairs((syms(i), syms(i + 1))) += f
+        }
+        if (pairs.isEmpty) done = true
+        else {
+          val (l, r, c, cl, cr) = pairs.iterator
+            .map { case ((pl, pr), pc) => (pl, pr, pc, units(pl), units(pr)) }
+            .reduce(TextOps.wpBetter _)
+          out += TextOps.WpPick(it.toLong, l, r, l + r.drop(2), c, cl, cr)
+          state = state.map { case (syms, f) =>
+            val nb = Vector.newBuilder[String]; var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                nb += l + r.drop(2); i += 2
+              } else { nb += syms(i); i += 1 }
+            }
+            (nb.result(), f)
+          }
+          it += 1
+        }
+      }
+      out.toSeq
+    }
+    val wordGen = Gen.listOfN(40, Gen.zip(
+      Gen.listOfN(6, Gen.oneOf('a', 'b', 'c')).map(_.mkString),
+      Gen.chooseNum(1L, 9L)))
+    for (raw <- samples(wordGen, 10)) {
+      val vocab = raw.groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }.toSeq
+      assert(TextOps.wpTrainLocal(vocab, 30) === naive(vocab, 30),
+        s"wordpiece delta trainer diverged on ${vocab.take(5)}…")
+    }
+  }
+
+  test("wpGreedySegments: reconstruction, position classes, vocab " +
+    "membership; full char coverage never yields UNK") {
+    import graft.operators.TextOps
+    val gen = for {
+      len <- Gen.chooseNum(1, 10)
+      w <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+      // random vocab over position-classed substrings of w, chars kept
+      // with prob 2/3 so the UNK arm is genuinely exercised
+      subs = (for (i <- 0 until w.length; jj <- 1 to (w.length - i))
+        yield if (i == 0) w.substring(0, jj)
+              else "##" + w.substring(i, i + jj)).distinct
+      kept <- Gen.sequence[Seq[Option[String]], Option[String]](
+        subs.map(p => Gen.frequency(2 -> Gen.const(Some(p)), 1 -> Gen.const(None))))
+    } yield (w, kept.flatten.toSet)
+    for ((w, vocab) <- samples(gen, 40)) {
+      val maxRaw = if (vocab.isEmpty) 1 else vocab.iterator
+        .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+      TextOps.wpGreedySegments(w, vocab, maxRaw) match {
+        case Some(ps) =>
+          assert(ps.nonEmpty)
+          assert(!ps.head.startsWith("##") && ps.tail.forall(_.startsWith("##")))
+          assert(ps.forall(vocab))
+          val raw = ps.head + ps.tail.map(_.drop(2)).mkString
+          assert(raw === w, s"pieces don't reconstruct '$w': $ps")
+        case None =>
+          // sound only if coverage is incomplete: with EVERY position's
+          // single char in vocab, greedy can always advance
+          val covered = w.indices.forall { i =>
+            vocab(if (i == 0) w.substring(0, 1) else "##" + w.substring(i, i + 1))
+          }
+          assert(!covered, s"'$w' fully char-covered by $vocab but got UNK")
+      }
+    }
+  }
 }
