@@ -81,6 +81,7 @@ object Bench {
     "q_unigram_apply" -> 0.525, // r11 seed (min of 2): train + per-TYPE Viterbi (mapPartitions over 31 types) + broadcast join onto the exploded tokens
     "q_wordpiece_train" -> 0.611, // r11 seed: one word-type agg pass + driver delta-trainer (30 likelihood-scored merges, BigInt argmax)
     "q_wordpiece_apply" -> 0.981, // r11 seed: train + per-TYPE greedy matcher (mapPartitions) + broadcast join onto the exploded tokens
+    "q_tokenizer_fertility" -> 1.855, // r11 seed: trains AND applies all three families, three apply legs SMJ'd on the doc spine
     "q_bpe_train" -> 0.494, // r10 adjudicated floor (was the r7-host 0.364): UNCHANGED code, min 0.494 over 3 isolated r10 quiet-host runs; driver r9 observed 0.58 = 1.59× of the old floor — host anchoring, not regression
     "q_bpe_apply" -> 0.451, // r10 adjudicated floor (was the r7-host 0.372): UNCHANGED code, min 0.451 over 3 isolated r10 quiet-host runs; driver r9 observed 0.61 = 1.65× of the old floor — host anchoring, not regression
     "q_classifier_train" -> 5.238, // r7 seed: 25 sync GD iterations

@@ -67,6 +67,7 @@ object SparkEntry {
     "q_unigram_apply"     -> (TextOps.unigramApply _),
     "q_wordpiece_train"   -> (TextOps.wordpieceTrain _),
     "q_wordpiece_apply"   -> (TextOps.wordpieceApply _),
+    "q_tokenizer_fertility" -> (TextOps.tokenizerFertility _),
     "q_lang_id"           -> (TextOps.langId _),
     "q_lang_ngram"        -> (TextOps.langNgram _),
     "q_lm_score"          -> (TextOps.lmBigramScore _),
@@ -199,6 +200,10 @@ object SparkEntry {
     // one hash each gates train and train+apply end to end
     "q_wordpiece_train"   -> TextOps.wordpieceTrainSql,
     "q_wordpiece_apply"   -> TextOps.wordpieceApplySql,
+    // all three families trained+applied in ONE oracle (each family's
+    // chain isolated in its own subquery) — the tokenizer-selection
+    // fertility table, integer sums only
+    "q_tokenizer_fertility" -> TextOps.tokenizerFertilitySql,
     "q_lang_id"           -> TextOps.langIdSql,
     "q_lang_ngram"        -> TextOps.langNgramSql,
     "q_lm_score"          -> TextOps.lmBigramScoreSql,

@@ -2152,6 +2152,54 @@ object TextOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Tokenizer fertility comparison across the three trained families —
+    * the metric that picks a tokenizer for a corpus (fertility =
+    * pieces per word; BLOOM/XLM-R methodology): every family is
+    * trained on the corpus and applied to it, and the per-(source,
+    * lang) piece sums land side by side. Sums stay exact BIGINTs (the
+    * reader divides; the engine never does), so one hash gates the
+    * COMPOSITION of all three train+apply pipelines at once.
+    *
+    * Scale shape: three independent apply plans (each already 100 TB-
+    * shaped: model-bounded driver training + per-TYPE segmentation +
+    * broadcast join onto instances) joined on doc_id and re-aggregated
+    * by (source, lang) — the join keys are the doc spine, the payload
+    * is five longs, and the final agg output is |sources|·|langs| rows.
+    */
+  def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documentsFanned(spark, sfDir)
+    val bpe = bpeApply(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("n_bpe_tokens"))
+    val uni = unigramApply(spark, sfDir)
+      .select(col("doc_id"), col("n_pieces").as("n_unigram_pieces"))
+    val wp = wordpieceApply(spark, sfDir)
+      .select(col("doc_id"), col("n_pieces").as("n_wordpiece_pieces"))
+    docs.select(col("doc_id"), col("source"), col("lang"))
+      .join(bpe, "doc_id").join(uni, "doc_id").join(wp, "doc_id")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("bpe_pieces"),
+        sum(col("n_unigram_pieces")).as("unigram_pieces"),
+        sum(col("n_wordpiece_pieces")).as("wordpiece_pieces"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  /** Each family's apply oracle runs inside its own parenthesized
+    * subquery, so the three WITH namespaces cannot collide. */
+  val tokenizerFertilitySql: String =
+    s"""SELECT d.source, d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(b.n_tokens) AS BIGINT) AS n_words,
+       |  CAST(SUM(b.n_bpe_tokens) AS BIGINT) AS bpe_pieces,
+       |  CAST(SUM(u.n_pieces) AS BIGINT) AS unigram_pieces,
+       |  CAST(SUM(w.n_pieces) AS BIGINT) AS wordpiece_pieces
+       |FROM documents d
+       |JOIN ($bpeApplySql) b USING (doc_id)
+       |JOIN ($unigramApplySql) u USING (doc_id)
+       |JOIN ($wordpieceApplySql) w USING (doc_id)
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   /** BM25 retrieval scoring (Robertson/Spärck Jones; k1 = 1.2,
     * b = 0.75) of a fixed conjunctive keyword query against the corpus
     * — the ranking half of a data-pipeline's search/inspection tooling.

@@ -83,7 +83,8 @@ class PlanAuditSpec extends SparkSpec {
     // with no parquet scan at all, so they have nothing to audit here.)
     "q_bpe_apply"         -> (2, false),
     "q_unigram_apply"     -> (2, false),
-    "q_wordpiece_apply"   -> (2, false)
+    "q_wordpiece_apply"   -> (2, false),
+    "q_tokenizer_fertility" -> (3, false) // widest: (doc_id, source, lang) spine
   )
 
   for ((name, (maxCols, wantPush)) <- scanBudgets.toSeq.sortBy(_._1)) {
