@@ -124,6 +124,7 @@ object SparkEntry {
     // §2b — curation (sampling / packing / scrubbing)
     "q_sample_stratified" -> (CurationOps.sampleStratified _),
     "q_domain_caps"       -> (CurationOps.domainCaps _),
+    "q_curation_lifecycle" -> (CurationOps.curationLifecycle _),
     "q_pack_sequences"    -> (CurationOps.packSequences _),
     "q_chunk_docs"        -> (CurationOps.chunkDocs _),
     "q_mixture_plan"      -> (CurationOps.mixturePlan _),
@@ -263,6 +264,9 @@ object SparkEntry {
     "q_multimodal_ann"    -> MultimodalOps.multimodalAnnSql,
     "q_sample_stratified" -> CurationOps.sampleStratifiedSql,
     "q_domain_caps"       -> CurationOps.domainCapsSql,
+    // lifecycle #7: half batch-curated + half streamed through the
+    // real dedup-state curation, gated under the one-pass batch oracle
+    "q_curation_lifecycle" -> CurationOps.curationLifecycleSql,
     "q_pack_sequences"    -> CurationOps.packSequencesSql,
     "q_chunk_docs"        -> CurationOps.chunkDocsSql,
     "q_mixture_plan"      -> CurationOps.mixturePlanSql,

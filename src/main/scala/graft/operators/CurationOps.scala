@@ -73,6 +73,103 @@ object CurationOps {
        |WHERE rk <= $DomainCap
        |ORDER BY source, rk""".stripMargin
 
+  /** The CURATION LIFECYCLE under the oracle — lifecycle #7, extending
+    * the stream ≡ batch family (events / search / ANN / IVF×PQ / media
+    * / dedup) to the curation flow itself: the EVEN doc_ids are
+    * batch-curated (content-hash dedup → PII scrub → quality gate)
+    * into an epoch table, the ODD doc_ids stream through the REAL
+    * Structured Streaming curation
+    * ([[graft.streaming.DocStream.appendCuratedStream]] —
+    * dropDuplicatesWithinWatermark state, per-batch epoch resolve,
+    * appends into the SAME table), and the gated output is the
+    * survivor-invariant DISTINCT (key_hash, scrubbed_md5,
+    * quality_cents) projection of the union. The oracle is the batch
+    * one-pass form of the same three stages over the whole corpus, so
+    * the driver hash-match proves the streamed curation state machine
+    * ≡ batch (DocStreamSpec proves it in-process; this key puts the
+    * claim in the per-round driver gate).
+    *
+    * Determinism design: a cross-half duplicate lands one row from
+    * each write path, and a within-stream duplicate's survivor depends
+    * on replay order — both are absorbed because every same-key row is
+    * VALUE-IDENTICAL under full-content keying (see
+    * curateDocStreamContent's scaladoc), making DISTINCT order-free.
+    * Arrival ts is synthesized as base + doc_id seconds; the 365-day
+    * watermark delay covers any replay disorder of that span, so no
+    * dedup state ever evicts mid-replay (the events-lifecycle rule).
+    * No sentinel drain is needed: dropDuplicatesWithinWatermark is a
+    * filter, not an aggregation — survivors emit in their own arrival
+    * batch. Rotates a fresh epoch every call and prunes to two.
+    */
+  def curationLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = "graft_cur_lc_" + Layout.corpusTag(sfDir)
+    val docs = Tables.documentsFanned(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    def curatedBatch(half: DataFrame): DataFrame =
+      half.select(md5(col("text")).as("key_hash"),
+          scrubbedText(col("text")).as("text"))
+        .withColumn("scrubbed_md5", md5(col("text")))
+        .withColumn("quality_cents",
+          TextOps.classifierMarginCents(col("text")))
+        .filter(col("quality_cents") >= 0L)
+        .select(col("key_hash"), col("scrubbed_md5"), col("quality_cents"))
+    val t = Layout.rotateEpoch(spark, base) { name =>
+      curatedBatch(docs.filter(col("doc_id") % 2 === 0))
+        .write.format("parquet").mode("overwrite").saveAsTable(name)
+    }
+    val odd = docs.filter(col("doc_id") % 2 =!= 0)
+      .select(col("text"),
+        (lit(1767225600L) + col("doc_id")).cast("timestamp").as("ts"))
+    Layout.withStagedParquet(odd.repartition(4), "graft-curlc") { dir =>
+      // micro-batch shuffle width pinned low, as in eventsLifecycle:
+      // the dedup state is keyed by content hash, not corpus-wide rows
+      val spKey = "spark.sql.shuffle.partitions"
+      val spOld = spark.conf.get(spKey)
+      spark.conf.set(spKey, "4")
+      val stream =
+        try graft.streaming.DocStream.appendCuratedStream(
+          spark.readStream.schema(odd.schema)
+            .option("maxFilesPerTrigger", 2).parquet(dir), base)
+        finally spark.conf.set(spKey, spOld)
+      try stream.processAllAvailable() finally stream.stop()
+    }
+    Layout.pruneEpochs(spark, base, keep = 2)
+    spark.table(t)
+      .select(col("key_hash"), col("scrubbed_md5"), col("quality_cents"))
+      .distinct()
+      .orderBy(col("key_hash"))
+  }
+
+  /** Oracle: the one-pass batch form of the same three stages —
+    * content-distinct, scrub, integer-cents quality gate (weights ×100
+    * as exact ints, the qualityClassifierSql vocabulary). */
+  val curationLifecycleSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, md5(text) AS key_hash,
+      |    regexp_replace(regexp_replace(text,
+      |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |      '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
+      |  FROM documents),
+      |v(token, w100) AS (VALUES
+      |  ('spark', 80), ('query', 45), ('fast', 60), ('window', 35),
+      |  ('join', 30), ('hash', 25), ('slow', -70), ('the', -25),
+      |  ('a', -20), ('row', -10)),
+      |tok AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(scrubbed), '[^a-z0-9]+'), x -> x <> '')) AS token
+      |  FROM s),
+      |z AS (
+      |  SELECT t.doc_id, CAST(SUM(v.w100) AS BIGINT) AS zc
+      |  FROM tok t JOIN v USING (token) GROUP BY 1),
+      |m AS (
+      |  SELECT s.key_hash, md5(s.scrubbed) AS scrubbed_md5,
+      |    COALESCE(z.zc, 0) - 150 AS quality_cents
+      |  FROM s LEFT JOIN z USING (doc_id))
+      |SELECT DISTINCT key_hash, scrubbed_md5,
+      |  CAST(quality_cents AS BIGINT) AS quality_cents
+      |FROM m WHERE quality_cents >= 0
+      |ORDER BY key_hash""".stripMargin
+
   /** First-32-bits-of-md5 bucket in [0, 100) — THE deterministic keep
     * predicate, shared by stratified sampling, cluster balancing, and
     * the group-keyed train/val split (their oracles hard-code the same

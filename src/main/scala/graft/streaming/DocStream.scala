@@ -50,6 +50,51 @@ object DocStream {
         graft.operators.TextOps.classifierMarginCents(col("text")))
       .filter(col("quality_cents") >= 0L)
 
+  /** [[curateDocStreamQuality]] keyed on the FULL content hash — the
+    * survivor-invariant form the driver-gated lifecycle key needs.
+    * Under arbitrary replay disorder, dropDuplicatesWithinWatermark
+    * keeps an arbitrary first-seen row per key, so a deterministic
+    * oracle hash requires every same-key row to be downstream-
+    * IDENTICAL. The batch exactKey (40-char-prefix md5) is the cheap
+    * production key, but two texts sharing a 40-char prefix and
+    * differing later (232 such collisions at sf0.1) would leave
+    * replay-order-dependent scrubbed/quality values behind; keying on
+    * md5 of the whole text makes all survivor choices equivalent. The
+    * scrub and quality stages are the SAME expressions as
+    * [[curateDocStreamQuality]], applied in the same order (quality is
+    * scored on the SCRUBBED text).
+    */
+  def curateDocStreamContent(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .withColumn("key_hash", md5(col("text")))
+      .dropDuplicatesWithinWatermark("key_hash")
+      .withColumn("text", CurationOps.scrubbedText(col("text")))
+      .withColumn("quality_cents",
+        graft.operators.TextOps.classifierMarginCents(col("text")))
+      .filter(col("quality_cents") >= 0L)
+
+  /** Curated-corpus ingest for the lifecycle key: each micro-batch of
+    * [[curateDocStreamContent]] survivors appends its survivor-
+    * invariant (key_hash, scrubbed_md5, quality_cents) projection to
+    * the published epoch table — the same epoch-resolve-per-batch
+    * discipline as [[appendBandsStream]]. */
+  def appendCuratedStream(docs: DataFrame, base: String,
+      watermark: String = "365 days")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    curateDocStreamContent(docs, watermark)
+      .select(col("key_hash"), md5(col("text")).as("scrubbed_md5"),
+        col("quality_cents"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val name = graft.operators.Layout
+          .currentEpochTable(batch.sparkSession, base)
+          .getOrElse(sys.error(s"no published epoch for table family $base"))
+        batch.write.mode("append").insertInto(name)
+      }
+      .start()
+
   /** Streaming incremental dedup with UNBOUNDED lookback: each
     * micro-batch dedups against the PERSISTED survivor index and
     * appends its own survivors — the streaming form of the daily batch

@@ -313,4 +313,32 @@ class DocStreamSpec extends SparkSpec {
         DedupOps.dedupLifecycleBase(sf))
     }
   }
+
+  test("curationLifecycle: half-batch + half-streamed curation equals " +
+    "the one-pass batch stages; survivor-invariance holds") {
+    // the driver gate proves this at sf0.01 via curationLifecycleSql;
+    // this is the in-process form vs the batch expressions themselves
+    import graft.operators.TextOps
+    val got = CurationOps.curationLifecycle(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expect = Tables.documents(spark, sf)
+      .select(md5(col("text")).as("key_hash"),
+        CurationOps.scrubbedText(col("text")).as("text"))
+      .withColumn("scrubbed_md5", md5(col("text")))
+      .withColumn("quality_cents", TextOps.classifierMarginCents(col("text")))
+      .filter(col("quality_cents") >= 0L)
+      .select(col("key_hash"), col("scrubbed_md5"), col("quality_cents"))
+      .distinct().orderBy(col("key_hash"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === expect.toSeq)
+    assert(got.nonEmpty)
+    // survivor-invariance precondition of the gate: same key ⟹ same
+    // (scrubbed_md5, quality) — full-content keying makes any
+    // replay-order survivor equivalent
+    assert(got.groupBy(_._1).forall(_._2.distinct.size == 1))
+    // a second call rotates a fresh epoch and answers identically
+    val again = CurationOps.curationLifecycle(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(again.toSeq === expect.toSeq)
+  }
 }
