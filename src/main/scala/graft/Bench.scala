@@ -106,6 +106,8 @@ object Bench {
     "q_winnow_overlap" -> 1.161, // r10 seed (slow-host session): capped per-fp banded self-join + map-side pair agg off one checkpointed fp pass
     "q_domain_caps" -> 0.365, // r11 seed (min of 2): WindowGroupLimit pre-shuffle rank filter + 3-col pruned scan
     "q_curation_lifecycle" -> 3.079, // r11 seed: lifecycle #7 — by-design epoch rebuild + streamed-half replay through the real dedup-state curation on every call
+    "q_substring_lifecycle" -> 1.502, // r11 seed: lifecycle #8 — half-built + streamed window-hash state, one metric pass over the accumulated rows
+    "q_decontaminate_lifecycle" -> 5.100, // r11 seed: lifecycle #9 — bulk half off the persisted band index, arrivals band in-flight per batch, ONE indexed verification over the accumulated 420K-pair candidate state
     "q_rolling_fingerprint" -> 0.229, "q_rollup_orders" -> 0.18,
     "q_running_totals" -> 0.168, "q_sample_stratified" -> 0.146,
     "q_semi_urgent" -> 0.336, "q_sessions_skewsafe" -> 1.24,

@@ -86,6 +86,7 @@ object SparkEntry {
     "q_doc_dedup"         -> (DedupOps.docDedup _),
     "q_passage_dedup"     -> (DedupOps.passageDedup _),
     "q_substring_dedup"   -> (DedupOps.substringDedup _),
+    "q_substring_lifecycle" -> (DedupOps.substringLifecycle _),
     "q_incremental_dedup" -> (DedupOps.incrementalDedup _),
     "q_ngram_jaccard"     -> (DedupOps.ngramJaccard _),
     "q_minhash_lsh"       -> (DedupOps.minhashLsh _),
@@ -131,6 +132,7 @@ object SparkEntry {
     "q_pii_scrub"         -> (CurationOps.piiScrub _),
     "q_decontaminate"     -> (CurationOps.decontaminate _),
     "q_decontaminate_fuzzy" -> (CurationOps.decontaminateFuzzy _),
+    "q_decontaminate_lifecycle" -> (CurationOps.decontaminateLifecycle _),
     "q_decontaminate_bloom" -> (CurationOps.decontaminateBloomGated _),
     "q_dsir_weights"      -> (CurationOps.dsirWeights _),
     "q_cluster_balance"   -> (CurationOps.clusterBalance _),
@@ -219,6 +221,9 @@ object SparkEntry {
     "q_doc_dedup"         -> DedupOps.docDedupSql,
     "q_passage_dedup"     -> DedupOps.passageDedupSql,
     "q_substring_dedup"   -> DedupOps.substringDedupSql,
+    // lifecycle #8: half-built + streamed window-hash state, metric
+    // from the accumulated rows under the UNCHANGED substring oracle
+    "q_substring_lifecycle" -> DedupOps.substringDedupSql,
     "q_incremental_dedup" -> DedupOps.incrementalDedupSql,
     "q_ngram_jaccard"     -> DedupOps.ngramJaccardSql,
     "q_minhash_lsh"       -> DedupOps.minhashLshSql,
@@ -273,6 +278,9 @@ object SparkEntry {
     "q_pii_scrub"         -> CurationOps.piiScrubSql,
     "q_decontaminate"     -> CurationOps.decontaminateSql,
     "q_decontaminate_fuzzy" -> CurationOps.decontaminateFuzzySql,
+    // lifecycle #9: per-batch streamed triage vs the static benchmark,
+    // union gated under the UNCHANGED fuzzy-decontamination oracle
+    "q_decontaminate_lifecycle" -> CurationOps.decontaminateFuzzySql,
     "q_decontaminate_bloom" -> CurationOps.decontaminateBloomGatedSql,
     "q_dsir_weights"      -> CurationOps.dsirWeightsSql,
     "q_cluster_balance"   -> CurationOps.clusterBalanceSql,

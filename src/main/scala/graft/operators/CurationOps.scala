@@ -709,6 +709,101 @@ object CurationOps {
        |GROUP BY 1
        |ORDER BY doc_id""".stripMargin
 
+  /** Candidate half of the streamed decontamination with a PREBUILT
+    * benchmark band side — the 100 TB shape the streaming scaladoc
+    * documents: `benchBands` (doc_id, bucket) is computed ONCE and
+    * broadcast-reused, so a micro-batch only shingles and bands
+    * ITSELF, and emits nothing but its (doc_a, doc_b) candidate
+    * pairs. A doc's minhash signature depends only on its own shingle
+    * set, so banding corpus rows alone yields exactly the corpus-side
+    * band rows [[decontaminateFuzzyMetrics]] would produce — the
+    * candidate set is identical, per-doc, to the one-pass batch run's
+    * (the input must be disjoint from the benchmark, which the %50
+    * split guarantees).
+    */
+  private[graft] def fuzzyCandidatesAgainst(corpus: DataFrame,
+      benchBands: DataFrame): DataFrame = {
+    val n = 5
+    val csh = corpus.filter(length(col("text")) >= n)
+      .select(col("doc_id"), DedupOps.shingles(col("text"), n).as("sh"))
+    DedupOps.minhashBandsWith(csh, rowsPerBand = 1)
+      .join(broadcast(benchBands
+          .select(col("doc_id").as("bench_doc"), col("bucket"))),
+        Seq("bucket"))
+      .select(col("doc_id").as("doc_a"), col("bench_doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** The fuzzy-decontamination LIFECYCLE under the oracle — stream ≡
+    * batch proof #9, in the accumulated-state shape of the substring
+    * lifecycle: the streamed STATE is the (doc_a, doc_b) CANDIDATE
+    * set. The EVEN corpus doc_ids' candidates vs the static benchmark
+    * are batch-built into an epoch table; the ODD corpus doc_ids
+    * stream through
+    * [[graft.streaming.DocStream.appendDecontamCandidatesStream]]
+    * (per micro-batch: shingle + band SELF only, join the prebuilt
+    * broadcast benchmark bands, append pairs — no per-batch
+    * verification); then ONE exact-Jaccard verification pass over the
+    * accumulated candidates produces the metric, gated under the
+    * verbatim [[decontaminateFuzzySql]] oracle. Deterministic by
+    * construction: a doc's candidates involve only that doc and the
+    * benchmark, so batch boundaries and replay order cannot change the
+    * accumulated SET (no streaming state store, no watermark, no
+    * sentinel). The benchmark split is the SAME doc_id % 50 the batch
+    * key uses. Verifying once at read time instead of per batch is
+    * also the 100 TB shape: the stream stays a cheap band join, and
+    * the expensive verification amortizes over the whole accumulated
+    * index. Rotates a fresh epoch every call and prunes to two.
+    */
+  def decontaminateLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = "graft_dcf_lc_" + Layout.corpusTag(sfDir)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    // The bulk half bootstraps from the PERSISTED fuzzy band index —
+    // the production shape: the historical corpus is already indexed
+    // (same band rows the batch key rides, built from the same
+    // expressions), so only ARRIVING docs band in-flight.
+    val bandsIdx = spark.table(DedupOps.ensureFuzzyBandIndex(spark, sfDir))
+    val benchBands = bandsIdx.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("bucket"))
+      .corpusCheckpoint() // |bench|·8 rows, broadcast into every batch
+    val t = Layout.rotateEpoch(spark, base) { name =>
+      bandsIdx
+        .filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 2 === 0)
+        .join(broadcast(benchBands
+            .select(col("doc_id").as("bench_doc"), col("bucket"))),
+          Seq("bucket"))
+        .select(col("doc_id").as("doc_a"), col("bench_doc").as("doc_b"))
+        .distinct()
+        .write.format("parquet").mode("overwrite").saveAsTable(name)
+    }
+    val odd = corpus.filter(col("doc_id") % 2 =!= 0)
+    Layout.withStagedParquet(odd.repartition(4), "graft-dcflc") { dir =>
+      val spKey = "spark.sql.shuffle.partitions"
+      val spOld = spark.conf.get(spKey)
+      spark.conf.set(spKey, "4")
+      val stream =
+        try graft.streaming.DocStream.appendDecontamCandidatesStream(
+          spark.readStream.schema(odd.schema)
+            .option("maxFilesPerTrigger", 2).parquet(dir), benchBands, t)
+        finally spark.conf.set(spKey, spOld)
+      try stream.processAllAvailable() finally stream.stop()
+    }
+    Layout.pruneEpochs(spark, base, keep = 2)
+    // ONE verification over the accumulated candidate state, served by
+    // the SAME persisted shingle-bitmap index the batch key rides
+    // (verifyCandidatesIndexed — codegen'd popcount over prebuilt
+    // bitmaps; its in-flight fallback is candidate-restricted)
+    val cand = spark.table(t).distinct()
+    DedupOps.verifyCandidatesIndexed(spark, sfDir, cand, FuzzyDecontamJaccard)
+      .groupBy(col("doc_a"))
+      .agg(count(lit(1)).as("n_bench_matches"),
+        round(max(col("jaccard")), 6).as("max_jaccard"))
+      .select(col("doc_a").as("doc_id"), col("n_bench_matches"),
+        col("max_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** RE2-safe PII patterns (no lookahead — Java regex and RE2 agree). */
   val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val longNumberPattern = "[0-9]{7,}"

@@ -287,6 +287,46 @@ object DedupOps {
       |FROM t LEFT JOIN wd USING (doc_id) LEFT JOIN cov USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin
 
+  private[graft] def substringLifecycleBase(sfDir: String): String =
+    "graft_sub_lc_" + Layout.corpusTag(sfDir)
+
+  /** The substring-dedup LIFECYCLE under the oracle — stream ≡ batch
+    * proof #8: the EVEN doc_ids' O(n) rolling window-hash rows are
+    * batch-built into an epoch table, the ODD doc_ids stream through
+    * [[graft.streaming.DocStream.substringWindowStream]] (one
+    * windowRows append per micro-batch — the corpus-wide substring
+    * STATE maintained incrementally), and the metric is computed from
+    * the accumulated rows by the UNCHANGED [[metricsFromWindowRows]]
+    * under the verbatim [[substringDedupSql]] oracle. Deterministic by
+    * construction: the metric is a pure function of the window-row SET
+    * — no survivor choice, no arrival-order dependence — so arbitrary
+    * replay order cannot reach the hash (no watermark, no sentinel:
+    * the stream is a stateless per-batch transform). Rotates a fresh
+    * epoch every call and prunes to two.
+    */
+  def substringLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = substringLifecycleBase(sfDir)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val t = Layout.rotateEpoch(spark, base) { name =>
+      windowRows(docs.filter(col("doc_id") % 2 === 0))
+        .write.format("parquet").mode("overwrite").saveAsTable(name)
+    }
+    val odd = docs.filter(col("doc_id") % 2 =!= 0)
+    Layout.withStagedParquet(odd.repartition(4), "graft-sublc") { dir =>
+      val spKey = "spark.sql.shuffle.partitions"
+      val spOld = spark.conf.get(spKey)
+      spark.conf.set(spKey, "4")
+      val stream =
+        try graft.streaming.DocStream.substringWindowStream(
+          spark.readStream.schema(odd.schema)
+            .option("maxFilesPerTrigger", 2).parquet(dir), t)
+        finally spark.conf.set(spKey, spOld)
+      try stream.processAllAvailable() finally stream.stop()
+    }
+    Layout.pruneEpochs(spark, base, keep = 2)
+    graft.streaming.DocStream.substringDedupFromWindows(spark, t)
+  }
+
   /** Arrival-order batch cut for the incremental-dedup demonstration:
     * docs below the midpoint id are the already-ingested corpus, the
     * rest are "today's batch" (doc_id encodes arrival order in the

@@ -254,4 +254,23 @@ object DocStream {
         ()
       }
       .start()
+
+  /** Candidate-only decontamination ingest — the 100 TB streaming
+    * shape the lifecycle key gates: each micro-batch shingles and
+    * bands ITSELF, joins the PREBUILT broadcast benchmark bands, and
+    * appends nothing but its (doc_a, doc_b) candidate pairs; the
+    * expensive exact-Jaccard verification runs ONCE over the
+    * accumulated candidate state at read time
+    * ([[graft.operators.CurationOps.decontaminateLifecycle]]). */
+  def appendDecontamCandidatesStream(docs: DataFrame, benchBands: DataFrame,
+      outTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        CurationOps.fuzzyCandidatesAgainst(
+            batch.select(col("doc_id"), col("text")), benchBands)
+          .write.format("parquet").mode("append").saveAsTable(outTable)
+        ()
+      }
+      .start()
 }

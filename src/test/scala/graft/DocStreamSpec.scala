@@ -341,4 +341,22 @@ class DocStreamSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(again.toSeq === expect.toSeq)
   }
+
+  test("substringLifecycle: half-built + streamed window-hash state " +
+    "yields the one-pass substring metrics exactly") {
+    val got = DedupOps.substringLifecycle(spark, sf).collect().map(_.toSeq)
+    val expect = DedupOps.substringDedup(spark, sf).collect().map(_.toSeq)
+    assert(got.toSeq === expect.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("decontaminateLifecycle: streamed candidate state + one indexed " +
+    "verification equals the one-pass fuzzy triage") {
+    val got = CurationOps.decontaminateLifecycle(spark, sf)
+      .collect().map(_.toSeq)
+    val expect = CurationOps.decontaminateFuzzy(spark, sf)
+      .collect().map(_.toSeq)
+    assert(got.toSeq === expect.toSeq)
+    assert(got.nonEmpty)
+  }
 }
