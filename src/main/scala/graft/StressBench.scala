@@ -35,7 +35,10 @@ object StressBench {
   private val StressKeys = Seq(
     "q_dedup_lifecycle", "q_search_lifecycle", "q_minhash_verified",
     "q_classifier_train", "q_ann_lifecycle", "q_ivfpq_lifecycle",
-    "q_events_lifecycle", "q_media_lifecycle")
+    "q_events_lifecycle", "q_media_lifecycle",
+    // round-11 late-add lifecycles (#7-#9)
+    "q_curation_lifecycle", "q_substring_lifecycle",
+    "q_decontaminate_lifecycle")
 
   private def tenX(spark: SparkSession, src: String, dst: String): Unit = {
     val copies = explode(sequence(lit(0L), lit(9L))).as("k")
