@@ -342,6 +342,49 @@ class DocStreamSpec extends SparkSpec {
     assert(again.toSeq === expect.toSeq)
   }
 
+  test("curationLifecycle NEGATIVE CONTROL: full-content keying is " +
+    "load-bearing — prefix keying leaks replay order, content keying " +
+    "does not") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two docs sharing the batch exactKey's 40-char prefix, differing
+    // after — the 232-collision class at sf0.1
+    val prefix = "shared forty character prefix padding xx"
+    assert(prefix.length == 40)
+    val a = (1L, prefix + " spark fast query tail one")
+    val b = (2L, prefix + " spark fast query tail two")
+    def runOrder(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+        order: Seq[(Long, String)]): Set[String] = {
+      val mem = MemoryStream[(Long, String)]
+      val stream = mem.toDF().toDF("doc_id", "text")
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+        .withWatermark("ts", "365 days")
+        .withColumn("key_hash", key(col("text")))
+        .dropDuplicatesWithinWatermark("key_hash")
+        .withColumn("scrubbed_md5",
+          md5(CurationOps.scrubbedText(col("text"))))
+      val qn = s"curlc_nc_${System.nanoTime()}"
+      val q = stream.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      order.foreach { d => mem.addData(d); q.processAllAvailable() }
+      q.stop()
+      spark.table(qn).select("scrubbed_md5").collect().map(_.getString(0)).toSet
+    }
+    val prefixKey = (c: org.apache.spark.sql.Column) => DedupOps.exactKey(c)
+    val contentKey = (c: org.apache.spark.sql.Column) => md5(c)
+    // prefix keying: the surviving row's downstream values depend on
+    // which same-prefix doc arrived first — replay order reaches the
+    // output
+    val pAB = runOrder(prefixKey, Seq(a, b))
+    val pBA = runOrder(prefixKey, Seq(b, a))
+    assert(pAB !== pBA,
+      "prefix keying should leak replay order on same-prefix docs")
+    // content keying: both orders emit both contents — order-free
+    val cAB = runOrder(contentKey, Seq(a, b))
+    val cBA = runOrder(contentKey, Seq(b, a))
+    assert(cAB === cBA && cAB.size == 2)
+  }
+
   test("substringLifecycle: half-built + streamed window-hash state " +
     "yields the one-pass substring metrics exactly") {
     val got = DedupOps.substringLifecycle(spark, sf).collect().map(_.toSeq)
