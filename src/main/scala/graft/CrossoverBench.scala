@@ -153,8 +153,8 @@ object CrossoverBench {
           System.getProperty("java.io.tmpdir"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // optional section filter for iteration: any of "ab","c","v","e","s"
-    // (no args = everything, the round-record configuration)
+    // optional section filter for iteration: any of "ab","c","v","e",
+    // "s","u","w" (no args = everything, the round-record configuration)
     val only: Set[String] =
       if (args.isEmpty) Set("ab", "c", "v", "e", "s", "u", "w") else args.toSet
     var failed = false

@@ -117,21 +117,24 @@ object CurationOps {
       curatedBatch(docs.filter(col("doc_id") % 2 === 0))
         .write.format("parquet").mode("overwrite").saveAsTable(name)
     }
-    val odd = docs.filter(col("doc_id") % 2 =!= 0)
-      .select(col("text"),
-        (lit(1767225600L) + col("doc_id")).cast("timestamp").as("ts"))
-    Layout.withStagedParquet(odd.repartition(4), "graft-curlc") { dir =>
-      // micro-batch shuffle width pinned low, as in eventsLifecycle:
-      // the dedup state is keyed by content hash, not corpus-wide rows
-      val spKey = "spark.sql.shuffle.partitions"
-      val spOld = spark.conf.get(spKey)
-      spark.conf.set(spKey, "4")
-      val stream =
-        try graft.streaming.DocStream.appendCuratedStream(
-          spark.readStream.schema(odd.schema)
-            .option("maxFilesPerTrigger", 2).parquet(dir), base)
-        finally spark.conf.set(spKey, spOld)
-      try stream.processAllAvailable() finally stream.stop()
+    val oddIds = docs.filter(col("doc_id") % 2 =!= 0)
+    val odd = oddIds.select(col("text"),
+      (lit(1767225600L) + col("doc_id")).cast("timestamp").as("ts"))
+    // The watermark delay must cover the replayed rows' FULL ts span or
+    // dropDuplicatesWithinWatermark silently discards late arrivals
+    // under out-of-order file replay (the eventsLifecycle rule; a fixed
+    // 365-day delay broke on the 10x stress corpus, whose
+    // doc_id-derived span is ~2.9 years). Derive it from the actual
+    // span — one cheap 2-long aggregate — so ANY corpus replays
+    // loss-free.
+    val span = oddIds
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+    val delaySec =
+      if (span.isNullAt(0)) 86400L
+      else span.getLong(1) - span.getLong(0) + 86400L
+    Layout.replayAsStream(odd, "graft-curlc") { stream =>
+      graft.streaming.DocStream.appendCuratedStream(
+        stream, base, watermark = s"$delaySec seconds")
     }
     Layout.pruneEpochs(spark, base, keep = 2)
     spark.table(t)
@@ -670,14 +673,21 @@ object CurationOps {
       .select(col("doc_id").as("doc_a"), col("bench_doc").as("doc_b"))
       .distinct()
       .corpusCheckpoint() // read twice: the id restriction and the verify
-    verify(cand)
+    fuzzyRollup(verify(cand))
+  }
+
+  /** Shared rollup of verified (doc_a, jaccard) pairs into the gated
+    * output shape — ONE definition so the batch key's triage and the
+    * lifecycle's accumulated-state verification can never drift from
+    * the oracle's GROUP BY. */
+  private def fuzzyRollup(verified: DataFrame): DataFrame =
+    verified
       .groupBy(col("doc_a"))
       .agg(count(lit(1)).as("n_bench_matches"),
         round(max(col("jaccard")), 6).as("max_jaccard"))
       .select(col("doc_a").as("doc_id"), col("n_bench_matches"),
         col("max_jaccard"))
       .orderBy(col("doc_id"))
-  }
 
   val decontaminateFuzzySql: String =
     s"""WITH ${DedupOps.minhashBandCtesWith(1)}, cand AS (
@@ -726,13 +736,22 @@ object CurationOps {
     val n = 5
     val csh = corpus.filter(length(col("text")) >= n)
       .select(col("doc_id"), DedupOps.shingles(col("text"), n).as("sh"))
-    DedupOps.minhashBandsWith(csh, rowsPerBand = 1)
+    fuzzyCandidatesFromBands(
+      DedupOps.minhashBandsWith(csh, rowsPerBand = 1), benchBands)
+  }
+
+  /** Shared candidate join of (doc_id, bucket) band frames — ONE
+    * definition so the in-flight streaming form and the lifecycle's
+    * index-bootstrapped bulk half can never produce different pair
+    * semantics. */
+  private[graft] def fuzzyCandidatesFromBands(corpusBands: DataFrame,
+      benchBands: DataFrame): DataFrame =
+    corpusBands
       .join(broadcast(benchBands
           .select(col("doc_id").as("bench_doc"), col("bucket"))),
         Seq("bucket"))
       .select(col("doc_id").as("doc_a"), col("bench_doc").as("doc_b"))
       .distinct()
-  }
 
   /** The fuzzy-decontamination LIFECYCLE under the oracle — stream ≡
     * batch proof #9, in the accumulated-state shape of the substring
@@ -768,40 +787,26 @@ object CurationOps {
       .select(col("doc_id"), col("bucket"))
       .corpusCheckpoint() // |bench|·8 rows, broadcast into every batch
     val t = Layout.rotateEpoch(spark, base) { name =>
-      bandsIdx
-        .filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 2 === 0)
-        .join(broadcast(benchBands
-            .select(col("doc_id").as("bench_doc"), col("bucket"))),
-          Seq("bucket"))
-        .select(col("doc_id").as("doc_a"), col("bench_doc").as("doc_b"))
-        .distinct()
+      fuzzyCandidatesFromBands(
+          bandsIdx.filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 2 === 0),
+          benchBands)
         .write.format("parquet").mode("overwrite").saveAsTable(name)
     }
     val odd = corpus.filter(col("doc_id") % 2 =!= 0)
-    Layout.withStagedParquet(odd.repartition(4), "graft-dcflc") { dir =>
-      val spKey = "spark.sql.shuffle.partitions"
-      val spOld = spark.conf.get(spKey)
-      spark.conf.set(spKey, "4")
-      val stream =
-        try graft.streaming.DocStream.appendDecontamCandidatesStream(
-          spark.readStream.schema(odd.schema)
-            .option("maxFilesPerTrigger", 2).parquet(dir), benchBands, t)
-        finally spark.conf.set(spKey, spOld)
-      try stream.processAllAvailable() finally stream.stop()
+      .select(col("doc_id"), col("text"))
+    Layout.replayAsStream(odd, "graft-dcflc") { stream =>
+      graft.streaming.DocStream.appendDecontamCandidatesStream(
+        stream, benchBands, t)
     }
     Layout.pruneEpochs(spark, base, keep = 2)
     // ONE verification over the accumulated candidate state, served by
     // the SAME persisted shingle-bitmap index the batch key rides
     // (verifyCandidatesIndexed — codegen'd popcount over prebuilt
-    // bitmaps; its in-flight fallback is candidate-restricted)
+    // bitmaps; its in-flight fallback is candidate-restricted), rolled
+    // up by the SAME fuzzyRollup the batch key's triage uses
     val cand = spark.table(t).distinct()
-    DedupOps.verifyCandidatesIndexed(spark, sfDir, cand, FuzzyDecontamJaccard)
-      .groupBy(col("doc_a"))
-      .agg(count(lit(1)).as("n_bench_matches"),
-        round(max(col("jaccard")), 6).as("max_jaccard"))
-      .select(col("doc_a").as("doc_id"), col("n_bench_matches"),
-        col("max_jaccard"))
-      .orderBy(col("doc_id"))
+    fuzzyRollup(DedupOps.verifyCandidatesIndexed(
+      spark, sfDir, cand, FuzzyDecontamJaccard))
   }
 
   /** RE2-safe PII patterns (no lookahead — Java regex and RE2 agree). */

@@ -312,16 +312,8 @@ object DedupOps {
         .write.format("parquet").mode("overwrite").saveAsTable(name)
     }
     val odd = docs.filter(col("doc_id") % 2 =!= 0)
-    Layout.withStagedParquet(odd.repartition(4), "graft-sublc") { dir =>
-      val spKey = "spark.sql.shuffle.partitions"
-      val spOld = spark.conf.get(spKey)
-      spark.conf.set(spKey, "4")
-      val stream =
-        try graft.streaming.DocStream.substringWindowStream(
-          spark.readStream.schema(odd.schema)
-            .option("maxFilesPerTrigger", 2).parquet(dir), t)
-        finally spark.conf.set(spKey, spOld)
-      try stream.processAllAvailable() finally stream.stop()
+    Layout.replayAsStream(odd, "graft-sublc") { stream =>
+      graft.streaming.DocStream.substringWindowStream(stream, t)
     }
     Layout.pruneEpochs(spark, base, keep = 2)
     graft.streaming.DocStream.substringDedupFromWindows(spark, t)

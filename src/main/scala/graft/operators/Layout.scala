@@ -150,6 +150,30 @@ object Layout {
     }
   }
 
+  /** Stage `df` as parquet and replay it through a file-source stream
+    * with the lifecycle keys' shared discipline: micro-batch shuffle
+    * width pinned to 4 (streaming state is keyed by the operator's
+    * state key, not corpus-wide rows; the session width is restored in
+    * finally), `maxFilesPerTrigger` 2 over a 4-file staging so the
+    * replay genuinely crosses micro-batch boundaries, and the stream
+    * drained and stopped before returning. `mkStream` receives the
+    * streaming frame and must `start()` the query.
+    */
+  def replayAsStream(df: DataFrame, prefix: String)(
+      mkStream: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val spark = df.sparkSession
+    withStagedParquet(df.repartition(4), prefix) { dir =>
+      val spKey = "spark.sql.shuffle.partitions"
+      val spOld = spark.conf.get(spKey)
+      spark.conf.set(spKey, "4")
+      val stream =
+        try mkStream(spark.readStream.schema(df.schema)
+          .option("maxFilesPerTrigger", 2).parquet(dir))
+        finally spark.conf.set(spKey, spOld)
+      try stream.processAllAvailable() finally stream.stop()
+    }
+  }
+
   /** Catalog-name tag for one corpus directory: the human-readable
     * sanitized form plus a short hash of the RAW string. The sanitizer
     * alone is non-injective (`data/sf0.01` and `data/sf0_01` both map to

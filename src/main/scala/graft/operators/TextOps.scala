@@ -1919,9 +1919,17 @@ object TextOps {
         .join(broadcast(units.select(col("s").as("r"), col("uc").as("cr"))), "r")
         .select(col("l"), col("r"), col("c"), col("cl"), col("cr"))
         .as[(String, String, Long, Long, Long)]
-      if (scored.take(1).isEmpty) exhausted = true // vocabulary fully merged
+      // ONE job per round: per-partition winners (≤ one row per
+      // partition) collected, final argmax on the driver — an empty
+      // result IS the exhaustion signal, so no separate emptiness
+      // probe re-executes the scoring plan
+      val winners = scored.mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else Iterator(it.reduce(wpBetter _))
+      }.collect()
+      if (winners.isEmpty) exhausted = true // vocabulary fully merged
       else {
-        val (l, r, c, cl, cr) = scored.reduce(wpBetter _)
+        val (l, r, c, cl, cr) = winners.reduce(wpBetter _)
         val prod = l + r.drop(2)
         out += WpPick((out.length + 1).toLong, l, r, prod, c, cl, cr)
         val e = replace(
