@@ -145,6 +145,14 @@ object SparkEntry {
     "q_trainval_split"    -> (DedupOps.trainValSplit _),
     "q_collocations"      -> (TextOps.collocations _),
     "q_curation_funnel"   -> (CurationPipeline.curationFunnel _),
+    // §2b — governance: CDC application, validation, profiling
+    "q_scd2_merge"        -> (GovernanceOps.scd2Merge _),
+    "q_scd2_lifecycle"    -> (GovernanceOps.scd2Lifecycle _),
+    "q_cdc_upsert"        -> (GovernanceOps.cdcUpsert _),
+    "q_table_checksum"    -> (GovernanceOps.tableChecksum _),
+    "q_profile_stats"     -> (GovernanceOps.profileStats _),
+    // §2b — graph analytics beyond connected components
+    "q_pagerank"          -> (GraphOps.pagerank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -295,5 +303,19 @@ object SparkEntry {
     "q_search_lifecycle"  -> TextOps.keywordSearchSql,
     "q_collocations"      -> TextOps.collocationsSql,
     "q_curation_funnel"   -> CurationPipeline.curationFunnelSql,
+    "q_scd2_merge"        -> GovernanceOps.scd2MergeSql,
+    // lifecycle #10: batch-half + streamed CDC change-log appends,
+    // SCD2 built from the accumulated log under the UNCHANGED oracle
+    "q_scd2_lifecycle"    -> GovernanceOps.scd2MergeSql,
+    "q_cdc_upsert"        -> GovernanceOps.cdcUpsertSql,
+    // both engines hash the SAME canonical row string (one shared
+    // kind table builds both sides), so sum-of-row-hashes matches or
+    // the canonicalization itself is broken — the validation operator
+    // validated by the gate it implements
+    "q_table_checksum"    -> GovernanceOps.tableChecksumSql,
+    "q_profile_stats"     -> GovernanceOps.profileStatsSql,
+    // ten unrolled exact-integer iterations — micro-unit ranks with
+    // truncating division, so the hash gates the full iteration chain
+    "q_pagerank"          -> GraphOps.pagerankSql,
   )
 }

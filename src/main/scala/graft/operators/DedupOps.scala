@@ -841,7 +841,7 @@ object DedupOps {
     * `jpairs(doc_a, doc_b, n_inter, jaccard)` — shared by
     * [[ngramJaccardSql]] and [[neardupGroupsSql]].
     */
-  private val jaccardPairCtes: String =
+  private[graft] val jaccardPairCtes: String =
     """sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    generate_series(1, length(text) - 4),

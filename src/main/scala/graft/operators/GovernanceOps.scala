@@ -1,0 +1,321 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-governance operators — the pipeline-management surface a 100 TB
+  * deployment runs AROUND the analytical queries: CDC application
+  * (slowly-changing-dimension merge, keep-latest upsert), cross-system
+  * table fingerprinting (order-independent checksums for migration /
+  * replication validation), and column profiling (the stats a catalog
+  * publishes per dataset). None of these exist in the reference (a
+  * fixed 3-view ETL, main.py:183-221) — they are the §2b "operations a
+  * large-scale training-data pipeline would need" for the data
+  * OPERATIONS side: before a corpus is curated it is ingested,
+  * validated against its source, and profiled.
+  *
+  * Scale shapes:
+  *  - SCD2 merge: two window passes over ONE hash exchange on the
+  *    dimension key (the second window re-sorts within unchanged
+  *    partitions — no second shuffle). Change feeds partition by
+  *    business key at any scale.
+  *  - Upsert snapshot: pure aggregation (`max_by` over a composite
+  *    ordering struct) — partial-aggregatable, so the shuffle carries
+  *    one candidate row per key per mapper, never the full feed. This
+  *    is the shape that beats the window-rank form at 100 TB (no
+  *    corpus-wide sort, combiner-reduced).
+  *  - Checksum: embarrassingly parallel scan → 56-bit md5 prefix per
+  *    row → one exact decimal sum; commutative, so partition order,
+  *    file layout, and cluster topology cannot change the result —
+  *    which is the point: source and replica hash identically or the
+  *    migration is broken.
+  *  - Profile: ONE scan fans out per-column aggregates; the multi
+  *    count-distinct plans as an Expand (×k columns). At 100 TB swap
+  *    exact distinct for the HLL sketch (see
+  *    [[RelOps.approxDistinctUsersGated]] — same gated pattern); the
+  *    min/max/null aggregates stay exact and combiner-reduced.
+  */
+object GovernanceOps {
+
+  // ---------------------------------------------------------------- SCD2
+
+  /** The `orders` feed read as a CDC change stream for a customer
+    * dimension: key = o_custkey, change time = o_orderdate,
+    * monotone tiebreaker = o_orderkey (unique), tracked attribute =
+    * o_orderpriority ("tier"). */
+  private def changeFeed(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).select(
+      col("o_custkey").as("client_id"),
+      col("o_orderdate").as("ts"),
+      col("o_orderkey").as("seq"),
+      col("o_orderpriority").as("tier"))
+
+  /** SCD Type-2 dimension build from a change feed: per key, collapse
+    * consecutive runs of the same attribute value into versioned
+    * validity intervals `[valid_from, valid_to)` with `valid_to = NULL`
+    * + `is_current = true` on the open tail. Change-point detection is
+    * `lag() != value`; version numbers are the running sum of change
+    * points — the standard two-window SCD2 plan, both windows on the
+    * SAME partition key so the whole operator costs one exchange.
+    *
+    * Same-instant changes (two feed rows at one ts, ordered by seq)
+    * produce a ZERO-WIDTH closed version — `valid_to == valid_from` —
+    * which is the honest record: the value held for an instant. A
+    * temporal `BETWEEN valid_from AND valid_to - ε` probe never sees
+    * it; the version history keeps it.
+    */
+  def scd2Merge(spark: SparkSession, sfDir: String): DataFrame =
+    scd2Over(changeFeed(spark, sfDir))
+      .orderBy(col("client_id"), col("version"))
+
+  /** The SCD2 transform factored over any (client_id, ts, seq, tier)
+    * feed — reused by the lifecycle key, whose streamed half must feed
+    * the IDENTICAL transform. */
+  private[graft] def scd2Over(changes: DataFrame): DataFrame = {
+    val byTime = Window.partitionBy(col("client_id")).orderBy(col("ts"), col("seq"))
+    val cum = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byVersion = Window.partitionBy(col("client_id")).orderBy(col("version"))
+    changes
+      .withColumn("prev_tier", lag(col("tier"), 1).over(byTime))
+      .withColumn("chg",
+        when(col("prev_tier").isNull || col("prev_tier") =!= col("tier"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(cum))
+      .filter(col("chg") === 1L)
+      .select(col("client_id"), col("version"), col("tier"),
+        col("ts").as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  val scd2MergeSql: String =
+    """WITH c AS (
+      |  SELECT o_custkey AS client_id, o_orderdate AS ts,
+      |         o_orderkey AS seq, o_orderpriority AS tier
+      |  FROM orders
+      |), m AS (
+      |  SELECT client_id, ts, seq, tier,
+      |    CASE WHEN LAG(tier) OVER w IS NULL
+      |           OR LAG(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+      |  FROM c WINDOW w AS (PARTITION BY client_id ORDER BY ts, seq)
+      |), v AS (
+      |  SELECT client_id, tier, ts AS valid_from, chg,
+      |    CAST(SUM(chg) OVER (PARTITION BY client_id ORDER BY ts, seq
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+      |  FROM m
+      |)
+      |SELECT client_id, version, tier, valid_from, valid_to,
+      |       valid_to IS NULL AS is_current
+      |FROM (
+      |  SELECT client_id, version, tier, valid_from,
+      |    LEAD(valid_from) OVER (PARTITION BY client_id ORDER BY version) AS valid_to
+      |  FROM v WHERE chg = 1)
+      |ORDER BY client_id, version""".stripMargin
+
+  private[graft] def scd2LifecycleBase(sfDir: String): String =
+    "graft_scd2_lc_" + Layout.corpusTag(sfDir)
+
+  /** The CDC/SCD2 LIFECYCLE under the oracle — stream ≡ batch proof
+    * #10: EVEN client_ids' change records batch-written into a fresh
+    * change-log epoch; ODD client_ids replayed as a file stream
+    * through [[graft.streaming.CdcStream.appendChangesStream]] (the
+    * production CDC-ingestion shape — stateless per-batch appends with
+    * per-batch epoch resolve); then the SCD2 dimension is built from
+    * the ACCUMULATED log by the UNCHANGED [[scd2Over]] under the
+    * verbatim [[scd2MergeSql]] oracle. Deterministic by construction:
+    * the dimension is a pure function of the change-record SET (each
+    * key's rows sort by (ts, seq) inside the build), so batch
+    * boundaries and replay order cannot reach the hash — no watermark,
+    * no sentinel, no survivor choice. Rotates a fresh epoch every call
+    * and prunes to two.
+    */
+  def scd2Lifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = scd2LifecycleBase(sfDir)
+    val feed = changeFeed(spark, sfDir)
+    val t = Layout.rotateEpoch(spark, base) { name =>
+      feed.filter(col("client_id") % 2 === 0)
+        .write.format("parquet").mode("overwrite").saveAsTable(name)
+    }
+    Layout.replayAsStream(feed.filter(col("client_id") % 2 =!= 0), "graft-scd2lc") {
+      stream => graft.streaming.CdcStream.appendChangesStream(stream, base)
+    }
+    Layout.pruneEpochs(spark, base, keep = 2)
+    scd2Over(spark.table(t)).orderBy(col("client_id"), col("version"))
+  }
+
+  // -------------------------------------------------------------- upsert
+
+  /** CDC keep-latest upsert snapshot: the current row per key under the
+    * total change order (ts, seq) — the MERGE-into-snapshot semantics —
+    * computed as a pure aggregation (`max_by` over the composite
+    * ordering struct), NOT a window rank: partial aggregation reduces
+    * each mapper's feed to one candidate per key before the shuffle, so
+    * the exchange carries |keys| rows regardless of feed size. The
+    * oracle expresses the same semantics in the portable
+    * ROW_NUMBER() = 1 form; (ts, seq) is unique, so both forms pick the
+    * same row.
+    */
+  def cdcUpsert(spark: SparkSession, sfDir: String): DataFrame =
+    changeFeed(spark, sfDir)
+      .groupBy(col("client_id"))
+      .agg(max_by(
+        struct(col("ts"), col("seq"), col("tier")),
+        struct(col("ts"), col("seq"))).as("last"))
+      .select(col("client_id"), col("last.tier").as("tier"),
+        col("last.ts").as("updated_at"), col("last.seq").as("last_seq"))
+      .orderBy(col("client_id"))
+
+  val cdcUpsertSql: String =
+    """SELECT o_custkey AS client_id, o_orderpriority AS tier,
+      |       o_orderdate AS updated_at, o_orderkey AS last_seq
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders)
+      |WHERE rn = 1
+      |ORDER BY client_id""".stripMargin
+
+  // ------------------------------------------------------------ checksum
+
+  /** Column canonicalization kinds shared by the Spark builder and the
+    * oracle builder — ONE source of truth, so the two engines hash the
+    * same canonical string by construction:
+    *  - int: integral → decimal string
+    *  - str: as-is
+    *  - dbl: floor(x*100) as BIGINT (exact: both engines run the same
+    *    IEEE-double multiply and floor; the fixtures' doubles are
+    *    2-decimal money/metric values)
+    *  - ts : epoch microseconds (tz-free exact integer; Spark
+    *    `unix_micros` ≡ DuckDB `epoch_us` on the µs-normalized column)
+    * NULLs become a sentinel AFTER conversion (concat_ws would
+    * silently skip them and alias ("a",NULL,"b") with ("a","b",NULL)).
+    */
+  private val checksumTables: Seq[(String, Seq[(String, String)])] = Seq(
+    "customer" -> Seq("c_custkey" -> "int", "c_name" -> "str",
+      "c_nationkey" -> "int", "c_acctbal" -> "dbl", "c_mktsegment" -> "str"),
+    "documents" -> Seq("doc_id" -> "int", "text" -> "str", "lang" -> "str",
+      "source" -> "str", "n_chars" -> "int"),
+    "events" -> Seq("event_id" -> "int", "ts" -> "ts", "user_id" -> "int",
+      "event_type" -> "str", "value" -> "dbl", "props" -> "str"),
+    "lineitem" -> Seq("l_orderkey" -> "int", "l_partkey" -> "int",
+      "l_suppkey" -> "int", "l_linenumber" -> "int", "l_quantity" -> "dbl",
+      "l_extendedprice" -> "dbl", "l_discount" -> "dbl", "l_tax" -> "dbl",
+      "l_returnflag" -> "str", "l_linestatus" -> "str", "l_shipdate" -> "ts"),
+    "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "str",
+      "n_regionkey" -> "int"),
+    "orders" -> Seq("o_orderkey" -> "int", "o_custkey" -> "int",
+      "o_orderstatus" -> "str", "o_totalprice" -> "dbl",
+      "o_orderdate" -> "ts", "o_orderpriority" -> "str"))
+
+  private val NullSentinel = "∅" // ∅ — cannot collide with real data
+
+  private def canonColumn(name: String, kind: String): Column = {
+    val c = col(name)
+    val s = kind match {
+      case "int" => c.cast("string")
+      case "str" => c
+      case "dbl" => floor(c * lit(100)).cast("long").cast("string")
+      // parquet µs-without-tz arrives as TIMESTAMP_NTZ, which
+      // unix_micros rejects; the session pins UTC, so the cast is
+      // value-preserving (the Tables.events precedent)
+      case "ts"  => unix_micros(c.cast("timestamp")).cast("string")
+    }
+    coalesce(s, lit(NullSentinel))
+  }
+
+  private def canonSqlColumn(name: String, kind: String): String = {
+    val s = kind match {
+      case "int" => s"CAST($name AS VARCHAR)"
+      case "str" => name
+      case "dbl" => s"CAST(CAST(floor($name * 100) AS BIGINT) AS VARCHAR)"
+      case "ts"  => s"CAST(epoch_us(CAST($name AS TIMESTAMP)) AS VARCHAR)"
+    }
+    s"COALESCE($s, '$NullSentinel')"
+  }
+
+  /** Order-independent 56-bit row-hash checksum per row: md5 of the
+    * '|'-joined canonical row string, first 14 hex chars as a BIGINT.
+    * Exposed for the spec's permutation/sensitivity controls. */
+  private[graft] def rowHash(cols: Seq[(String, String)]): Column =
+    conv(substring(md5(concat_ws("|",
+      cols.map { case (n, k) => canonColumn(n, k) }: _*)), 1, 14), 16, 10)
+      .cast("long")
+
+  /** Table fingerprints for migration / replication validation: per
+    * table, the row count and the SUM of per-row 56-bit hashes as an
+    * exact DECIMAL(38,0) (rendered as a string so the value is
+    * engine-portable). Addition is commutative, so the checksum is
+    * invariant under row order, partitioning, file layout, and cluster
+    * topology — two systems holding the same logical rows produce the
+    * same line, full stop. One embarrassingly-parallel scan per table,
+    * one 1-row aggregate; nothing here changes shape at 100 TB.
+    */
+  def tableChecksum(spark: SparkSession, sfDir: String): DataFrame =
+    checksumTables.map { case (table, cols) =>
+      val df = table match {
+        // events reads through the µs normalization in Tables.events
+        case "events" => Tables.events(spark, sfDir)
+        case t        => Tables.read(spark, sfDir, t)
+      }
+      df.select(rowHash(cols).as("hv"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("hv").cast("decimal(38,0)")).cast("string").as("checksum"))
+        .select(lit(table).as("table_name"), col("n_rows"), col("checksum"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("table_name"))
+
+  val tableChecksumSql: String =
+    checksumTables.map { case (table, cols) =>
+      val row = cols.map { case (n, k) => canonSqlColumn(n, k) }
+        .mkString("CONCAT_WS('|', ", ", ", ")")
+      s"""SELECT '$table' AS table_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(CAST(SUM(CAST(CONCAT('0x', substring(md5($row), 1, 14)) AS BIGINT))
+         |    AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+         |FROM $table""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+
+  // ------------------------------------------------------------- profile
+
+  private val profileColumns =
+    Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** Catalog-grade column profile of `documents`: per column, the null
+    * count, exact distinct count, and min/max (rendered as strings so
+    * one long-format frame carries every column's stats). ONE scan: all
+    * aggregates run in a single Aggregate node (the k distinct counts
+    * expand the input ×k — the exact-profile cost; at 100 TB the
+    * distinct column switches to the HLL sketch, the rest is unchanged),
+    * then `stack` pivots the 1-row wide result to long form.
+    */
+  def profileStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val aggs = profileColumns.flatMap { c =>
+      Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+        count_distinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+    }
+    val stack = profileColumns
+      .map(c => s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
+      .mkString(s"stack(${profileColumns.size}, ", ", ",
+        ") AS (column_name, n_nulls, n_distinct, min_val, max_val)")
+    d.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .selectExpr(stack, "n_rows")
+      .orderBy(col("column_name"))
+  }
+
+  val profileStatsSql: String =
+    profileColumns.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_val,
+         |  CAST(MAX($c) AS VARCHAR) AS max_val,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows
+         |FROM documents""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+}

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Materialize.CorpusSyntax
+
+/** Graph analytics beyond connected components: iterative PageRank over
+  * the near-dup document graph. A curation pipeline uses this as a
+  * CENTRALITY signal — a document sitting in the middle of a dense
+  * near-duplicate neighborhood (boilerplate hub, template spine) ranks
+  * high; peripheral one-off near-dups rank at the damping floor — which
+  * feeds survivor selection and down-weighting the same way the
+  * canonical-docs margin does.
+  *
+  * Arithmetic is EXACT INTEGER throughout (the repo-wide iterative
+  * discipline — classifier GD, k-means argmin, BPE argmax): ranks live
+  * in micro-units (1e6 = 1.0), per-edge contribution is `rank DIV deg`,
+  * and the damping update is `150000 + (85 * inflow) DIV 100` — both
+  * engines truncate non-negative integer division identically, so ten
+  * iterations can never drift a single unit cross-engine. (Float
+  * PageRank would reassociate differently per partitioning and could
+  * not be oracle-gated; the truncation loss per step is < 1 micro-unit
+  * per edge, irrelevant for a ranking signal.)
+  *
+  * Scale shape (the Pregel-on-SQL plan): the edge list (both
+  * directions, degree attached) materializes ONCE and every iteration
+  * joins it against the node-sized rank frame — shuffle carries
+  * (node, long) pairs only, map-side partials reduce the inflow sums,
+  * and each round's rank frame is checkpointed so the 10-round lineage
+  * stays linear (the connected-components precedent,
+  * DedupOps.scala:1290). On a cluster the edge table is bucketed by
+  * `src` so the per-round join is exchange-free on the edge side;
+  * ranks re-shuffle |V| rows per round — the minimum any PageRank pays.
+  */
+object GraphOps {
+
+  val Iterations = 10
+  val RankUnit = 1000000L   // 1.0 in micro-units
+  val DampingFloor = 150000L // (1 - 0.85) * RankUnit
+
+  /** PageRank over the verified exact-Jaccard near-dup graph
+    * (`DedupOps.jaccardPairsIndexed`, threshold 0.5 — the same edge set
+    * as `q_neardup_groups`), restricted to edge endpoints: isolated
+    * documents never leave the damping floor and would add |corpus|
+    * constant rows. Output: (doc_id, rank_micro) after 10 exact
+    * iterations.
+    */
+  def pagerank(spark: SparkSession, sfDir: String): DataFrame =
+    pagerankOver(DedupOps.jaccardPairsIndexed(spark, sfDir, 0.5)
+      .select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_id"))
+
+  /** The iteration core over any undirected (doc_a, doc_b) pair frame —
+    * factored out so the spec can assert rank properties on planted
+    * graphs (hub centrality, symmetry, conservation) independent of the
+    * corpus pair generator.
+    *
+    * **Adaptive two-strategy operator**, the [[DedupOps.connectedComponents]]
+    * posture exactly: the strategy is picked from the edge count, the
+    * output is IDENTICAL either way — the update rule is commutative
+    * exact-integer arithmetic, so evaluation order cannot move a unit.
+    *
+    *  - edge list ≤ [[DedupOps.MaxDriverEdges]] (~32 MB of long pairs):
+    *    collect the PAIR LIST — not the corpus — and run the 10
+    *    iterations in a driver hash map in milliseconds. Ten distributed
+    *    rounds on a few-hundred-node graph cost more in job scheduling
+    *    than the whole answer (measured: 2.6 s distributed vs 0.6 s
+    *    total at sf0.1's 477-node near-dup graph).
+    *  - larger: the distributed Pregel-on-SQL rounds
+    *    ([[pagerankDistributed]]), spec-proven output-identical to the
+    *    driver tier on random graphs.
+    */
+  private[graft] def pagerankOver(pairs: DataFrame): DataFrame =
+    pagerankOver(pairs, DedupOps.MaxDriverEdges)
+
+  /** `maxDriverEdges` injectable so the spec can force the distributed
+    * tier on small planted graphs; production callers use the default. */
+  private[graft] def pagerankOver(pairs: DataFrame, maxDriverEdges: Long): DataFrame = {
+    val p = pairs.select(col("doc_a"), col("doc_b")).corpusCheckpoint()
+    if (p.count() <= maxDriverEdges) driverPagerank(p)
+    else pagerankDistributed(p)
+  }
+
+  /** Driver tier: exact-integer PageRank over the collected pair list.
+    * Bounded by [[DedupOps.MaxDriverEdges]] — the same ~32 MB ceiling as
+    * the CC union-find collect. */
+  private def driverPagerank(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val rows = pairs.as[(Long, Long)].collect() // ≤ MaxDriverEdges rows, bound above
+    val adj = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    rows.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+    }
+    var rank = adj.keysIterator.map(_ -> RankUnit).toMap
+    for (_ <- 1 to Iterations) {
+      val inflow = scala.collection.mutable.HashMap.empty[Long, Long]
+      for ((src, nbrs) <- adj) {
+        val contrib = rank(src) / nbrs.size // non-negative: / ≡ DIV ≡ //
+        nbrs.foreach(d => inflow.update(d, inflow.getOrElse(d, 0L) + contrib))
+      }
+      rank = adj.keysIterator
+        .map(n => n -> (DampingFloor + (85L * inflow.getOrElse(n, 0L)) / 100L))
+        .toMap
+    }
+    rank.toSeq.toDF("doc_id", "rank_micro")
+  }
+
+  /** Distributed tier: the Pregel-on-SQL rounds (scale shape in the
+    * object scaladoc). */
+  private[graft] def pagerankDistributed(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .corpusCheckpoint() // edge-sized; read 1 + Iterations times below
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // degree rides the edge row so each round is ONE join, not two
+    val edgesD = edges.join(deg, "src").corpusCheckpoint()
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+      .corpusCheckpoint() // endpoint-sized (≤ 2|E|)
+    var ranks = nodes.select(col("doc_id"), lit(RankUnit).as("rank_micro"))
+    for (_ <- 1 to Iterations) {
+      val inflow = edgesD
+        .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst"), expr("rank_micro DIV deg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
+      // every endpoint has ≥1 incoming edge (the graph is undirected),
+      // but keep the left join + coalesce so the operator is correct
+      // for any directed edge set too
+      ranks = nodes
+        .join(inflow.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(DampingFloor) +
+            expr(s"(85 * coalesce(inflow, 0L)) DIV 100")).as("rank_micro"))
+        .corpusCheckpoint() // node-sized; keeps the iterative lineage linear
+    }
+    ranks
+  }
+
+  /** Ten unrolled exact-integer iterations over the same `jpairs` CTE
+    * the near-dup group oracles use (DuckDB `//` and Spark `DIV` both
+    * truncate non-negative division). */
+  val pagerankSql: String = {
+    val iters = (1 to Iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT n.doc_id, CAST($DampingFloor +
+         |      (85 * COALESCE(SUM(r.rank_micro // d.deg), 0)) // 100
+         |    AS BIGINT) AS rank_micro
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.doc_id
+         |  LEFT JOIN r${i - 1} r ON r.doc_id = e.src
+         |  LEFT JOIN deg d ON d.src = e.src
+         |  GROUP BY n.doc_id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${DedupOps.jaccardPairCtes}, edges AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM jpairs
+       |), deg AS (
+       |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+       |), nodes AS (
+       |  SELECT DISTINCT src AS doc_id FROM edges
+       |), r0 AS (
+       |  SELECT doc_id, CAST($RankUnit AS BIGINT) AS rank_micro FROM nodes
+       |), $iters
+       |SELECT doc_id, rank_micro FROM r$Iterations
+       |ORDER BY doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,210 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{GovernanceOps, GraphOps}
+
+class GovernanceOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- SCD2
+
+  test("scd2: per key, exactly one open (is_current) version — the max") {
+    val d = GovernanceOps.scd2Merge(spark, sf)
+    val perKey = d.groupBy("client_id").agg(
+      sum(when(col("is_current"), 1L).otherwise(0L)).as("n_open"),
+      max(col("version")).as("max_v"),
+      max(when(col("is_current"), col("version"))).as("open_v"),
+      count(lit(1)).as("n_versions"))
+    assert(perKey.filter(col("n_open") =!= 1L).count() === 0)
+    assert(perKey.filter(col("open_v") =!= col("max_v")).count() === 0)
+    // versions are dense 1..n: count == max
+    assert(perKey.filter(col("n_versions") =!= col("max_v")).count() === 0)
+  }
+
+  test("scd2: intervals tile — valid_to equals the NEXT version's valid_from") {
+    val d = GovernanceOps.scd2Merge(spark, sf).cache()
+    val nxt = d.select(col("client_id"), (col("version") - 1).as("version"),
+      col("valid_from").as("next_from"))
+    val joined = d.join(nxt, Seq("client_id", "version"))
+    // every closed interval's valid_to is the successor's valid_from...
+    assert(joined.filter(col("valid_to") =!= col("next_from")).count() === 0)
+    // ...and intervals never invert. Zero-width (valid_to ==
+    // valid_from) is legitimate: a same-instant double change (two
+    // feed rows at one ts, split by seq) closes the first version at
+    // the instant it opened — the fixtures contain exactly one such
+    // pair (customer 123, 1995-02-16).
+    assert(d.filter(col("valid_to").isNotNull &&
+      col("valid_to") < col("valid_from")).count() === 0)
+    d.unpersist()
+  }
+
+  test("scd2: consecutive versions always change the tracked attribute") {
+    val d = GovernanceOps.scd2Merge(spark, sf)
+    val nxt = d.select(col("client_id"), (col("version") - 1).as("version"),
+      col("tier").as("next_tier"))
+    assert(d.join(nxt, Seq("client_id", "version"))
+      .filter(col("tier") === col("next_tier")).count() === 0)
+  }
+
+  test("cdc upsert snapshot equals the scd2 open version (two plans, one truth)") {
+    val current = GovernanceOps.scd2Merge(spark, sf)
+      .filter(col("is_current"))
+      .select(col("client_id"), col("tier"))
+    val snap = GovernanceOps.cdcUpsert(spark, sf)
+      .select(col("client_id"), col("tier").as("snap_tier"))
+    assert(current.count() === snap.count())
+    assert(current.join(snap, "client_id")
+      .filter(col("tier") =!= col("snap_tier")).count() === 0)
+  }
+
+  test("scd2 lifecycle: streamed change-log appends rebuild the batch dimension") {
+    val streamed = GovernanceOps.scd2Lifecycle(spark, sf).collect().map(_.toString).sorted
+    val batch = GovernanceOps.scd2Merge(spark, sf).collect().map(_.toString).sorted
+    assert(streamed.length === batch.length)
+    assert(streamed === batch)
+  }
+
+  test("upsert merge is an associative fold: per-batch merge ≡ one-shot snapshot") {
+    // simulate CDC micro-batches: three arbitrary slices of the feed,
+    // folded through the same max_by merge the snapshot maintainer runs
+    val feed = Tables.orders(spark, sf).select(
+      col("o_custkey").as("client_id"), col("o_orderdate").as("ts"),
+      col("o_orderkey").as("seq"), col("o_orderpriority").as("tier"))
+    def merge(a: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      a.groupBy(col("client_id"))
+        .agg(max_by(struct(col("ts"), col("seq"), col("tier")),
+          struct(col("ts"), col("seq"))).as("last"))
+        .select(col("client_id"), col("last.ts").as("ts"),
+          col("last.seq").as("seq"), col("last.tier").as("tier"))
+    var snap = merge(feed.filter(pmod(col("seq"), lit(3)) === 0))
+    for (i <- 1 to 2)
+      snap = merge(snap.unionByName(feed.filter(pmod(col("seq"), lit(3)) === i)))
+    val folded = snap.select(col("client_id"), col("tier"), col("ts").as("updated_at"),
+      col("seq").as("last_seq")).collect().map(_.toString).sorted
+    val oneShot = GovernanceOps.cdcUpsert(spark, sf).collect().map(_.toString).sorted
+    assert(folded === oneShot)
+  }
+
+  // --------------------------------------------------------- checksum
+
+  test("checksum is invariant under row order and partitioning (the point)") {
+    val base = GovernanceOps.tableChecksum(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    // same logical rows, violently different physical layout
+    val docs = Tables.documents(spark, sf)
+      .repartition(13, col("lang")) // skewed hash layout
+      .sortWithinPartitions(col("n_chars").desc)
+    val hv = GovernanceOps.rowHash(Seq("doc_id" -> "int", "text" -> "str",
+      "lang" -> "str", "source" -> "str", "n_chars" -> "int"))
+    val shuffled = docs.select(hv.as("hv"))
+      .agg(sum(col("hv").cast("decimal(38,0)")).cast("string")).head.getString(0)
+    assert(base.find(_._1 == "documents").get._3 === shuffled)
+  }
+
+  test("checksum is sensitive to a single-row, single-column mutation") {
+    val cols = Seq("doc_id" -> "int", "text" -> "str", "lang" -> "str",
+      "source" -> "str", "n_chars" -> "int")
+    val hv = GovernanceOps.rowHash(cols)
+    def sumOf(df: org.apache.spark.sql.DataFrame): String =
+      df.select(hv.as("hv"))
+        .agg(sum(col("hv").cast("decimal(38,0)")).cast("string")).head.getString(0)
+    val docs = Tables.documents(spark, sf)
+    val mutated = docs.withColumn("n_chars",
+      when(col("doc_id") === 1L, col("n_chars") + 1L).otherwise(col("n_chars")))
+    assert(sumOf(docs) !== sumOf(mutated))
+  }
+
+  test("checksum row counts match the raw tables") {
+    val counts = GovernanceOps.tableChecksum(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("documents") === Tables.documents(spark, sf).count())
+    assert(counts("orders") === Tables.orders(spark, sf).count())
+    assert(counts("lineitem") === Tables.lineitem(spark, sf).count())
+  }
+
+  test("null canonicalization: NULL is distinct from any real value") {
+    val cols = Seq("a" -> "str", "b" -> "str")
+    val hv = GovernanceOps.rowHash(cols)
+    val withNull = Seq(("x", Option.empty[String])).toDF("a", "b").select(hv)
+    val withEmpty = Seq(("x", Option(""))).toDF("a", "b").select(hv)
+    val swapped = Seq((Option.empty[String], "x")).toDF("a", "b")
+      .select(GovernanceOps.rowHash(Seq("a" -> "str", "b" -> "str")))
+    assert(withNull.head.getLong(0) !== withEmpty.head.getLong(0))
+    assert(withNull.head.getLong(0) !== swapped.head.getLong(0))
+  }
+
+  // ---------------------------------------------------------- profile
+
+  test("profile: documents key column is non-null and unique") {
+    val p = GovernanceOps.profileStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val n = Tables.documents(spark, sf).count()
+    val id = p("doc_id")
+    assert(id.getLong(1) === 0L)      // n_nulls
+    assert(id.getLong(2) === n)       // n_distinct == n_rows: unique key
+    assert(id.getLong(5) === n)       // n_rows
+    assert(p.size === 5)
+    // min/max render the native ordering, not the string ordering
+    assert(id.getString(3).toLong <= id.getString(4).toLong)
+  }
+
+  // --------------------------------------------------------- pagerank
+
+  test("pagerank: hub of a star outranks its spokes; spokes are symmetric") {
+    // star: hub 0 — spokes 1..8
+    val pairs = (1L to 8L).map(i => (0L, i)).toDF("doc_a", "doc_b")
+    val r = GraphOps.pagerankOver(pairs).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val spokes = (1L to 8L).map(r)
+    assert(spokes.distinct.size === 1) // symmetry: identical by exact arithmetic
+    assert(r(0L) > spokes.head * 3)    // centrality signal is strong
+  }
+
+  test("pagerank: disconnected symmetric components rank identically") {
+    // two triangles: every node has degree 2 and identical neighborhoods
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (11L, 12L), (12L, 13L), (11L, 13L))
+      .toDF("doc_a", "doc_b")
+    val ranks = GraphOps.pagerankOver(pairs).collect().map(_.getLong(1))
+    assert(ranks.distinct.length === 1)
+    // regular graph fixpoint: rank stays at the unit (minus truncation)
+    assert(math.abs(ranks.head - GraphOps.RankUnit) <= 10)
+  }
+
+  test("pagerank: total rank is conserved up to truncation loss") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 5L))
+      .toDF("doc_a", "doc_b")
+    val r = GraphOps.pagerankOver(pairs).collect().map(_.getLong(1))
+    val total = r.sum
+    val n = r.length
+    // each of the 10 rounds loses < (deg sum + n) units to truncation
+    assert(total <= n * GraphOps.RankUnit)
+    assert(total > n * GraphOps.RankUnit - 10 * (2 * 5 + n + 100))
+    // nobody falls below the damping floor
+    assert(r.forall(_ >= GraphOps.DampingFloor))
+  }
+
+  test("pagerank tiers: distributed rounds ≡ driver loop on a random graph") {
+    // deterministic pseudo-random graph: 60 nodes, ~150 edges
+    val rnd = new scala.util.Random(42)
+    val pairs = (1 to 150).map { _ =>
+      val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong
+      (math.min(a, b), math.max(a, b) + 1)
+    }.distinct.toDF("doc_a", "doc_b")
+    val driver = GraphOps.pagerankOver(pairs, Long.MaxValue).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = GraphOps.pagerankOver(pairs, 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver === dist) // exact integer arithmetic: IDENTICAL, not close
+  }
+
+  test("pagerank over the corpus graph: endpoints only, floor respected") {
+    val r = GraphOps.pagerank(spark, sf).cache()
+    val endpoints = graft.operators.DedupOps
+      .jaccardPairsIndexed(spark, sf, 0.5)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct().count()
+    assert(r.count() === endpoints)
+    assert(r.filter(col("rank_micro") < GraphOps.DampingFloor).count() === 0)
+    r.unpersist()
+  }
+}

@@ -46,6 +46,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_hybrid_search",      // ≤k-row rank self-joins + the knn/stats 1-row broadcasts
     "q_canonical_docs",     // consumes the same all-pairs pair generator as groups
     "q_trainval_split",     // same pair generator under the group-keyed split
+    "q_pagerank",           // same pair generator feeding the edge list
     "q_collocations",       // crossJoin(broadcast(1-row corpus totals))
     "q_heavy_hitters",      // crossJoin(broadcast(1-row total-token aggregate))
     "q_countmin_counts",    // crossJoin(broadcast(1-row total aggregate)) onto the 10-row probe
@@ -84,7 +85,13 @@ class PlanAuditSpec extends SparkSpec {
     "q_bpe_apply"         -> (2, false),
     "q_unigram_apply"     -> (2, false),
     "q_wordpiece_apply"   -> (2, false),
-    "q_tokenizer_fertility" -> (3, false) // widest: (doc_id, source, lang) spine
+    "q_tokenizer_fertility" -> (3, false), // widest: (doc_id, source, lang) spine
+    // CDC keys prune the orders feed to exactly the 4 change-record
+    // columns (key, ts, seq, attribute). q_table_checksum and
+    // q_profile_stats are deliberately absent: a fingerprint/profiler
+    // reads every column BY DESIGN — full width is the contract.
+    "q_scd2_merge"        -> (4, false),
+    "q_cdc_upsert"        -> (4, false)
   )
 
   for ((name, (maxCols, wantPush)) <- scanBudgets.toSeq.sortBy(_._1)) {
