@@ -40,6 +40,8 @@ object Bench {
     "q_table_checksum" -> 0.752, // r11 seed: six full-width scans → per-row md5 → 1-row exact sums
     "q_profile_stats" -> 0.474, // r11 seed: one documents scan, 5-column Expand for exact distincts
     "q_pagerank" -> 0.690, // r11 seed: shingle-index pairs + driver tier (477-node graph; distributed rounds spec-identical)
+    "q_anomaly_mad" -> 0.774, // r11 seed: two exact-cents percentile passes over one materialized deviation frame
+    "q_funnel_steps" -> 0.726, // r11 seed: three combiner-reduced per-step aggregates, all shuffles on user_id
     "q_dsir_weights" -> 1.336, // r8 seed: one featurize pass → checkpointed (doc,bucket,m) → broadcast ratio model
 
     "q_doc_dedup" -> 0.179, "q_doc_fingerprint" -> 0.17,

@@ -193,6 +193,25 @@ object CrossoverBench {
     val nGroupsA = ccDist.select("group_id").distinct().count()
     println(s"[xover] A groups: $nGroupsA (expect 2000 planted groups)")
 
+    // ---- PageRank tier flip on the same graph (the CC-posture gate
+    // executed at a scale that genuinely crosses it: 2.45M edges >
+    // MaxDriverEdges → production picks the DISTRIBUTED Pregel-on-SQL
+    // rounds; the forced driver loop cross-checks — exact integer
+    // arithmetic means the tiers must be IDENTICAL, not close) ----
+    val prDist = timed("A pagerank (distributed rounds — gate flipped)") {
+      val r = graft.operators.GraphOps.pagerankOver(pairsA).localCheckpoint()
+      r.count(); r
+    }
+    val prDriver = timed("A pagerank (driver loop, forced)") {
+      val r = graft.operators.GraphOps.pagerankOver(pairsA, Long.MaxValue)
+        .localCheckpoint()
+      r.count(); r
+    }
+    val prDiff = prDist.exceptAll(prDriver).count() +
+      prDriver.exceptAll(prDist).count()
+    println(s"[xover] A pagerank cross-check: distributed vs driver diff rows = $prDiff " +
+      (if (prDiff == 0) "PASS" else "FAIL"))
+
     // ---- corpus B: broadcast→shuffle verification flip ----
     val docsB = shingled(spark.read.parquet(dirB)).localCheckpoint()
     val invB = docsB.select(col("doc_id"), explode(col("sh")).as("shingle"))
@@ -245,7 +264,7 @@ object CrossoverBench {
     val starCovered = starLabels.count()
     println(s"[xover] chain star-CC: $starCovered labeled, $starBad wrong " +
       (if (starBad == 0 && starCovered == nChain) "PASS" else "FAIL"))
-    failed ||= ccDiff != 0 || vDiff != 0 || starBad != 0 || starCovered != nChain
+    failed ||= ccDiff != 0 || prDiff != 0 || vDiff != 0 || starBad != 0 || starCovered != nChain
     }
 
     import graft.operators.{Layout, SimilarityOps, TextOps}

@@ -50,6 +50,7 @@ object SparkEntry {
     "q_user_sessions"     -> (EventOps.userSessions _),
     "q_sessions_skewsafe" -> (EventOps.userSessionsSkewSafe _),
     "q_asof_join"         -> (EventOps.asofClickPurchase _),
+    "q_funnel_steps"      -> (EventOps.funnelSteps _),
     "q_range_join"        -> (EventOps.rangeJoinErrorViews _),
     // §2b — text analysis
     "q_token_counts"      -> (TextOps.tokenCounts _),
@@ -151,6 +152,7 @@ object SparkEntry {
     "q_cdc_upsert"        -> (GovernanceOps.cdcUpsert _),
     "q_table_checksum"    -> (GovernanceOps.tableChecksum _),
     "q_profile_stats"     -> (GovernanceOps.profileStats _),
+    "q_anomaly_mad"       -> (GovernanceOps.anomalyMad _),
     // §2b — graph analytics beyond connected components
     "q_pagerank"          -> (GraphOps.pagerank _),
   )
@@ -189,6 +191,7 @@ object SparkEntry {
     // one oracle statement gates both execution shapes
     "q_sessions_skewsafe" -> EventOps.userSessionsSql,
     "q_asof_join"         -> EventOps.asofClickPurchaseSql,
+    "q_funnel_steps"      -> EventOps.funnelStepsSql,
     "q_range_join"        -> EventOps.rangeJoinErrorViewsSql,
     "q_token_counts"      -> TextOps.tokenCountsSql,
     "q_quality_score"     -> TextOps.qualityScoreSql,
@@ -314,6 +317,10 @@ object SparkEntry {
     // validated by the gate it implements
     "q_table_checksum"    -> GovernanceOps.tableChecksumSql,
     "q_profile_stats"     -> GovernanceOps.profileStatsSql,
+    // exact integer-cents space: percentile interpolation over
+    // integers yields exact binary fractions, so median/MAD/fence
+    // comparisons are bit-identical cross-engine
+    "q_anomaly_mad"       -> GovernanceOps.anomalyMadSql,
     // ten unrolled exact-integer iterations — micro-unit ranks with
     // truncating division, so the hash gates the full iteration chain
     "q_pagerank"          -> GraphOps.pagerankSql,

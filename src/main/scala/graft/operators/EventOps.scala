@@ -416,6 +416,59 @@ object EventOps {
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** Ordered conversion funnel — the product-analytics staple: how many
+    * users progressed view → click → purchase IN THAT ORDER, each step
+    * strictly after the previous one (a click before the first view
+    * does not count; same-instant does not count as progression).
+    * Step k's timestamp is the MIN event time of its type strictly
+    * after step k-1's — the standard first-touch funnel semantics.
+    *
+    * Plan: one per-step aggregate chain, every shuffle on user_id —
+    * the first groupBy establishes the partitioning and the subsequent
+    * step joins and aggregates reuse it. Output is the 3-row conversion
+    * curve (monotone non-increasing by construction). At 100 TB this is
+    * three combiner-reduced aggregates over one scan each — no windows,
+    * no corpus-wide sort, no skew exposure (a bot's million events
+    * reduce map-side to one min per step).
+    */
+  def funnelSteps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    v.agg(count(lit(1)).as("n_users"))
+      .select(lit(1L).as("stage"), lit("view").as("step"), col("n_users"))
+      .unionAll(c.agg(count(lit(1)).as("n_users"))
+        .select(lit(2L).as("stage"), lit("click").as("step"), col("n_users")))
+      .unionAll(p.agg(count(lit(1)).as("n_users"))
+        .select(lit(3L).as("stage"), lit("purchase").as("step"), col("n_users")))
+      .orderBy(col("stage"))
+  }
+
+  val funnelStepsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |), v AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1
+      |), c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+      |), p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+      |)
+      |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
+      |  CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+      |UNION ALL SELECT 2, 'click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+      |UNION ALL SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+      |ORDER BY stage""".stripMargin
+
   /** Range join — the other relational shape Spark's optimizer turns
     * into a quadratic theta join when written naively: for each error
     * event, count the same user's view events in the preceding 5

@@ -277,6 +277,77 @@ object GovernanceOps {
          |FROM $table""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
 
+  // ----------------------------------------------------------- anomalies
+
+  /** Robust outlier monitoring per group — the data-quality tripwire a
+    * pipeline runs on every ingest: per event_type, the median and the
+    * MAD (median absolute deviation — robust to the very outliers it
+    * hunts, unlike stddev) of the value column, plus the count of rows
+    * beyond 5×MAD. ALL arithmetic in exact integer-cents space:
+    * values floor to cents, and percentile interpolation over integers
+    * yields halves/quarters — exact binary fractions — so the median,
+    * the MAD, and every boundary comparison are bit-identical
+    * cross-engine (the q_doc_quantiles precedent, hardened: no data
+    * value can sit one ulp from the 5×MAD fence).
+    *
+    * Plan: two aggregation passes over the same 2-column scan (medians
+    * need the first pass's result to center the second), the 5-row
+    * median table broadcast back. At 100 TB the exact percentile
+    * switches to the KLL sketch per the q_doc_quantiles_approx
+    * precedent; the fence count stays a row-local predicate.
+    */
+  def anomalyMad(spark: SparkSession, sfDir: String): DataFrame = {
+    import Materialize.CorpusSyntax
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        floor(col("value") * lit(100)).cast("long").as("cents"))
+    val med = e.groupBy(col("event_type"))
+      .agg(percentile(col("cents"), lit(0.5)).as("med_cents"))
+    // centered deviations feed BOTH the MAD aggregate and the fence
+    // count — materialize once (corpus-sized: one narrow row per event)
+    val dev = e.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med_cents"),
+        abs(col("cents") - col("med_cents")).as("dev"))
+      .corpusCheckpoint()
+    val stats = dev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        first(col("med_cents")).as("med_cents"),
+        percentile(col("dev"), lit(0.5)).as("mad_cents"))
+    val outliers = dev
+      .join(broadcast(stats.select(col("event_type"), col("mad_cents"))),
+        "event_type")
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("dev") > col("mad_cents") * 5, 1L).otherwise(0L))
+        .as("n_outliers"))
+    stats.join(outliers, "event_type")
+      .select(col("event_type"), col("n_events"), col("med_cents"),
+        col("mad_cents"), col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val anomalyMadSql: String =
+    """WITH c AS (
+      |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), m AS (
+      |  SELECT event_type, quantile_cont(cents, 0.5) AS med_cents
+      |  FROM c GROUP BY event_type
+      |), d AS (
+      |  SELECT c.event_type, abs(c.cents - m.med_cents) AS dev, m.med_cents
+      |  FROM c JOIN m ON c.event_type = m.event_type
+      |), s AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    ANY_VALUE(med_cents) AS med_cents,
+      |    quantile_cont(dev, 0.5) AS mad_cents
+      |  FROM d GROUP BY event_type
+      |)
+      |SELECT s.event_type, s.n_events, s.med_cents, s.mad_cents,
+      |  CAST(SUM(CASE WHEN d.dev > s.mad_cents * 5 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM s JOIN d ON s.event_type = d.event_type
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY s.event_type""".stripMargin
+
   // ------------------------------------------------------------- profile
 
   private val profileColumns =

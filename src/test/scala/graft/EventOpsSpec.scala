@@ -117,4 +117,27 @@ class EventOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(binned === naive)
   }
+
+  test("funnel: conversion curve is monotone and matches a driver replay") {
+    import org.apache.spark.sql.functions._
+    val out = EventOps.funnelSteps(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(out.map(_._2).toSeq === Seq("view", "click", "purchase"))
+    val counts = out.map(_._3)
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2)) // monotone
+    // independent per-user state-machine replay on the driver
+    val byUser = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    var n1 = 0L; var n2 = 0L; var n3 = 0L
+    byUser.values.foreach { evs =>
+      val t1 = evs.filter(_._2 == "view").map(_._3).minOption
+      val t2 = t1.flatMap(t => evs.filter(e => e._2 == "click" && e._3 > t).map(_._3).minOption)
+      val t3 = t2.flatMap(t => evs.filter(e => e._2 == "purchase" && e._3 > t).map(_._3).minOption)
+      if (t1.isDefined) n1 += 1; if (t2.isDefined) n2 += 1; if (t3.isDefined) n3 += 1
+    }
+    assert(counts.toSeq === Seq(n1, n2, n3))
+  }
 }

@@ -133,6 +133,39 @@ class GovernanceOpsSpec extends SparkSpec {
     assert(withNull.head.getLong(0) !== swapped.head.getLong(0))
   }
 
+  // --------------------------------------------------------- anomaly
+
+  test("anomaly MAD: stats match an independent driver-side recomputation") {
+    val out = GovernanceOps.anomalyMad(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val cents = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(floor(col("value") * 100).cast("long")).collect().map(_.getLong(0)).sorted
+    def q50(xs: Array[Double]): Double = {
+      val pos = 0.5 * (xs.length - 1); val lo = pos.toInt
+      if (lo + 1 < xs.length) xs(lo) + (xs(lo + 1) - xs(lo)) * (pos - lo) else xs(lo)
+    }
+    val med = q50(cents.map(_.toDouble))
+    val dev = cents.map(c => math.abs(c - med)).sorted
+    val mad = q50(dev)
+    val row = out("click")
+    assert(row.getLong(1) === cents.length)
+    assert(row.getDouble(2) === med)
+    assert(row.getDouble(3) === mad)
+    assert(row.getLong(4) === dev.count(_ > 5 * mad))
+  }
+
+  test("anomaly MAD: exact cents space — medians land on binary fractions") {
+    // med is a half-integer, MAD a quarter-integer: times 4 is integral,
+    // which is what makes every fence comparison ulp-safe cross-engine
+    val out = GovernanceOps.anomalyMad(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert((r.getDouble(2) * 2) === (r.getDouble(2) * 2).toLong.toDouble)
+      assert((r.getDouble(3) * 4) === (r.getDouble(3) * 4).toLong.toDouble)
+    }
+  }
+
   // ---------------------------------------------------------- profile
 
   test("profile: documents key column is non-null and unique") {
