@@ -42,6 +42,7 @@ object Bench {
     "q_pagerank" -> 0.690, // r11 seed: shingle-index pairs + driver tier (477-node graph; distributed rounds spec-identical)
     "q_anomaly_mad" -> 0.774, // r11 seed: two exact-cents percentile passes over one materialized deviation frame
     "q_funnel_steps" -> 0.726, // r11 seed: three combiner-reduced per-step aggregates, all shuffles on user_id
+    "q_random_projection" -> 0.795, // r11 seed: row-local 512-term codegen projection, no shuffle before the sort
     "q_dsir_weights" -> 1.336, // r8 seed: one featurize pass → checkpointed (doc,bucket,m) → broadcast ratio model
 
     "q_doc_dedup" -> 0.179, "q_doc_fingerprint" -> 0.17,

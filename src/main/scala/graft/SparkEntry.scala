@@ -102,6 +102,7 @@ object SparkEntry {
     "q_knn_cosine"        -> (SimilarityOps.knnCosine _),
     "q_ann_lsh_topk"      -> (SimilarityOps.annLshTopK _),
     "q_embedding_stats"   -> (SimilarityOps.embeddingStats _),
+    "q_random_projection" -> (SimilarityOps.randomProjection _),
     "q_embedding_neardup" -> (SimilarityOps.embeddingNearDup _),
     "q_embedding_neardup_lsh" -> (SimilarityOps.embeddingNearDupLsh _),
     "q_ivf_topk"          -> (SimilarityOps.ivfTopK _),
@@ -251,6 +252,10 @@ object SparkEntry {
     "q_knn_cosine"        -> SimilarityOps.knnCosineSql,
     "q_ann_lsh_topk"      -> SimilarityOps.annLshTopKSql,
     "q_embedding_stats"   -> SimilarityOps.embeddingStatsSql,
+    // the ±1 projection matrix is derived INDEPENDENTLY by each engine
+    // from md5 parity on the same literal strings — agreement is part
+    // of what the hash gates; all arithmetic exact integer micros
+    "q_random_projection" -> SimilarityOps.randomProjectionSql,
     "q_embedding_neardup" -> SimilarityOps.embeddingNearDupSql,
     "q_embedding_neardup_lsh" -> SimilarityOps.embeddingNearDupLshSql,
     "q_ivf_topk"          -> SimilarityOps.ivfTopKSql,

@@ -109,6 +109,56 @@ object SimilarityOps {
       |FROM norms GROUP BY label
       |ORDER BY label""".stripMargin
 
+  /** Johnson-Lindenstrauss random projection — the dimensionality
+    * reduction a 100 TB embedding pipeline runs BEFORE clustering or
+    * coarse ANN (Achlioptas '01: a ±1 sign matrix preserves pairwise
+    * distances in expectation as well as Gaussian projections and costs
+    * only adds). 64-D float → [[ProjDims]]-D exact integer micros:
+    * component i of output dim j is `floor(emb[i]·1e6) · sign(i,j)`
+    * with sign(i,j) = parity of the first hex char of md5("i|j") — a
+    * DETERMINISTIC matrix both engines derive independently from the
+    * same literal strings (Catalyst constant-folds the Spark side's
+    * md5 calls to literals at optimization time; DuckDB evaluates its
+    * own md5 — agreement is part of what the hash gates).
+    *
+    * Plan: entirely ROW-LOCAL — 512 multiply-adds per row inside
+    * whole-stage codegen, no shuffle anywhere before the presentation
+    * sort. This is the 100 TB shape: dimensionality reduction is a map,
+    * and anything that shuffles to project has already lost.
+    */
+  val ProjDims = 8
+
+  private def projSign(i: Int, j: Int) =
+    when(expr(s"ascii(substring(md5('$i|$j'), 1, 1)) % 2 = 0"), lit(1L))
+      .otherwise(lit(-1L))
+
+  def randomProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    val dims = (0 until ProjDims).map { j =>
+      (1 to 64).map { i =>
+        // explicit double BEFORE the multiply: float*int would stay in
+        // float precision in Spark while DuckDB promotes to double
+        floor(element_at(col("embedding"), i).cast("double") * lit(1000000L))
+          .cast("long") * projSign(i, j)
+      }.reduce(_ + _).as(s"p$j")
+    }
+    Tables.embeddingsFanned(spark, sfDir)
+      .select(col("vec_id") +: dims: _*)
+      .orderBy(col("vec_id"))
+  }
+
+  val randomProjectionSql: String = {
+    val cols = (0 until ProjDims).map { j =>
+      s"""  list_sum(list_transform(generate_series(1, 64), i ->
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) *
+         |    (CASE WHEN ascii(substring(md5(CONCAT(i, '|$j')), 1, 1)) % 2 = 0
+         |          THEN 1 ELSE -1 END))) AS p$j""".stripMargin
+    }.mkString(",\n")
+    s"""SELECT vec_id,
+       |$cols
+       |FROM embeddings
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** ANN via sign-LSH (random hyperplanes): bucket = sign bits of dot
     * products with `nPlanes` seeded pseudo-random hyperplanes; then exact
     * cosine top-k *within* the query vector's bucket. One shuffle on the

@@ -181,6 +181,35 @@ class GovernanceOpsSpec extends SparkSpec {
     assert(id.getString(3).toLong <= id.getString(4).toLong)
   }
 
+  // ------------------------------------------------- random projection
+
+  test("random projection matches a third, MessageDigest-based implementation") {
+    // Spark folds md5('i|j') via Catalyst; DuckDB evaluates its own md5;
+    // this recomputes the signs with java.security.MessageDigest and the
+    // sums with plain Scala — three independent md5/arithmetic stacks
+    // must agree exactly.
+    def sign(i: Int, j: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i|$j".getBytes("UTF-8"))
+      val hex = "%02x".format(d(0)) // first hex char = high nibble of byte 0
+      if (hex.charAt(0).toInt % 2 == 0) 1L else -1L
+    }
+    val expect = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val emb = r.getSeq[Float](1)
+        val projected = (0 until graft.operators.SimilarityOps.ProjDims).map { j =>
+          (1 to 64).map(i =>
+            math.floor(emb(i - 1).toDouble * 1000000L).toLong * sign(i, j)).sum
+        }
+        r.getLong(0) -> projected
+      }.toMap
+    val got = graft.operators.SimilarityOps.randomProjection(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (1 to graft.operators.SimilarityOps.ProjDims).map(r.getLong)).toMap
+    assert(got === expect)
+  }
+
   // --------------------------------------------------------- pagerank
 
   test("pagerank: hub of a star outranks its spokes; spokes are symmetric") {

@@ -91,7 +91,9 @@ class PlanAuditSpec extends SparkSpec {
     // q_profile_stats are deliberately absent: a fingerprint/profiler
     // reads every column BY DESIGN — full width is the contract.
     "q_scd2_merge"        -> (4, false),
-    "q_cdc_upsert"        -> (4, false)
+    "q_cdc_upsert"        -> (4, false),
+    // row-local JL projection: (vec_id, embedding) only
+    "q_random_projection" -> (2, false)
   )
 
   for ((name, (maxCols, wantPush)) <- scanBudgets.toSeq.sortBy(_._1)) {
