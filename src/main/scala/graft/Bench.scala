@@ -34,15 +34,15 @@ object Bench {
     "q_search_lifecycle" -> 4.301, // r9 seed: rebuild-by-design — half-corpus bulk build + streamed append of the other half + probe, EVERY call (caching would reduce the key to q_keyword_search)
     "q_hybrid_search" -> 0.512, // r9 seed (min of 3 full passes): two index-served legs + k-row RRF fusion
     "q_canonical_docs" -> 0.563, // r9 seed (min of 3 full passes): shingle-index groups + row-local exact margins + one partitioned window
-    "q_scd2_merge" -> 0.333, // r11 seed: two windows over one exchange on the dimension key
-    "q_scd2_lifecycle" -> 2.150, // r11 seed: rebuild-by-design — epoch rotate + streamed change-log replay + SCD2 from the accumulated log, EVERY call
-    "q_cdc_upsert" -> 0.152, // r11 seed: pure max_by aggregation, combiner-reduced
-    "q_table_checksum" -> 0.752, // r11 seed: six full-width scans → per-row md5 → 1-row exact sums
-    "q_profile_stats" -> 0.474, // r11 seed: one documents scan, 5-column Expand for exact distincts
-    "q_pagerank" -> 0.690, // r11 seed: shingle-index pairs + driver tier (477-node graph; distributed rounds spec-identical)
-    "q_anomaly_mad" -> 0.774, // r11 seed: two exact-cents percentile passes over one materialized deviation frame
-    "q_funnel_steps" -> 0.726, // r11 seed: three combiner-reduced per-step aggregates, all shuffles on user_id
-    "q_random_projection" -> 0.795, // r11 seed: row-local 512-term codegen projection, no shuffle before the sort
+    "q_scd2_merge" -> 0.253, // r11 floor (min of 2 full passes; isolated seed was looser): two windows over one exchange on the dimension key
+    "q_scd2_lifecycle" -> 1.812, // r11 floor (min of 2 full passes; isolated seed was looser): rebuild-by-design — epoch rotate + streamed change-log replay + SCD2 from the accumulated log, EVERY call
+    "q_cdc_upsert" -> 0.111, // r11 floor (min of 2 full passes; isolated seed was looser): pure max_by aggregation, combiner-reduced
+    "q_table_checksum" -> 0.394, // r11 floor (min of 2 full passes; isolated seed was looser): six full-width scans → per-row md5 → 1-row exact sums
+    "q_profile_stats" -> 0.380, // r11 floor (min of 2 full passes; isolated seed was looser): one documents scan, 5-column Expand for exact distincts
+    "q_pagerank" -> 0.350, // r11 floor (min of 2 full passes; isolated seed was looser): shingle-index pairs + driver tier (477-node graph; distributed rounds spec-identical)
+    "q_anomaly_mad" -> 0.427, // r11 floor (min of 2 full passes; isolated seed was looser): two exact-cents percentile passes over one materialized deviation frame
+    "q_funnel_steps" -> 0.285, // r11 floor (min of 2 full passes; isolated seed was looser): three combiner-reduced per-step aggregates, all shuffles on user_id
+    "q_random_projection" -> 0.453, // r11 floor (min of 2 full passes; isolated seed was looser): row-local 512-term codegen projection, no shuffle before the sort
     "q_dsir_weights" -> 1.336, // r8 seed: one featurize pass → checkpointed (doc,bucket,m) → broadcast ratio model
 
     "q_doc_dedup" -> 0.179, "q_doc_fingerprint" -> 0.17,

@@ -38,7 +38,9 @@ object StressBench {
     "q_events_lifecycle", "q_media_lifecycle",
     // round-11 late-add lifecycles (#7-#9)
     "q_curation_lifecycle", "q_substring_lifecycle",
-    "q_decontaminate_lifecycle")
+    "q_decontaminate_lifecycle",
+    // lifecycle #10 (CDC/SCD2) — keyed on the 10× orders feed
+    "q_scd2_lifecycle")
 
   private def tenX(spark: SparkSession, src: String, dst: String): Unit = {
     val copies = explode(sequence(lit(0L), lit(9L))).as("k")
@@ -73,6 +75,18 @@ object StressBench {
         col("ts"), (col("user_id") + col("k") * 1000000L).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    // orders ×10 for the CDC/SCD2 lifecycle: both offsets are even, so
+    // the even/odd client split and per-key (ts, seq) orderings are
+    // preserved; 10× keys means 10× dimension keys, not longer chains —
+    // the realistic way a change feed grows
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    ord.select(col("*"), copies)
+      .select((col("o_orderkey") + col("k") * 100000000L).as("o_orderkey"),
+        (col("o_custkey") + col("k") * 1000000L).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -94,7 +108,7 @@ object StressBench {
     val t0 = System.nanoTime()
     tenX(spark, src, dst)
     println(f"[stress] 10x corpus generated in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    for (t <- Seq("documents", "embeddings", "events"))
+    for (t <- Seq("documents", "embeddings", "events", "orders"))
       println(s"[stress] $t rows = " + spark.read.parquet(s"$dst/$t.parquet").count())
 
     // task-metric spill accumulation across each key's run
