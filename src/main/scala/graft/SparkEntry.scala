@@ -151,6 +151,7 @@ object SparkEntry {
     "q_scd2_merge"        -> (GovernanceOps.scd2Merge _),
     "q_scd2_lifecycle"    -> (GovernanceOps.scd2Lifecycle _),
     "q_cdc_upsert"        -> (GovernanceOps.cdcUpsert _),
+    "q_pit_join"          -> (GovernanceOps.pitJoin _),
     "q_table_checksum"    -> (GovernanceOps.tableChecksum _),
     "q_profile_stats"     -> (GovernanceOps.profileStats _),
     "q_anomaly_mad"       -> (GovernanceOps.anomalyMad _),
@@ -316,6 +317,10 @@ object SparkEntry {
     // SCD2 built from the accumulated log under the UNCHANGED oracle
     "q_scd2_lifecycle"    -> GovernanceOps.scd2MergeSql,
     "q_cdc_upsert"        -> GovernanceOps.cdcUpsertSql,
+    // point-in-time join: Spark = as-of union trick (one exchange),
+    // oracle = DuckDB's native ASOF LEFT JOIN — two independent
+    // implementations of the temporal-join semantics
+    "q_pit_join"          -> GovernanceOps.pitJoinSql,
     // both engines hash the SAME canonical row string (one shared
     // kind table builds both sides), so sum-of-row-hashes matches or
     // the canonicalization itself is broken — the validation operator

@@ -91,8 +91,11 @@ object GovernanceOps {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
-  val scd2MergeSql: String =
-    """WITH c AS (
+  /** Oracle CTE chain ending in `vers(client_id, version, tier,
+    * valid_from)` — the SCD2 version rows; shared by [[scd2MergeSql]]
+    * and [[pitJoinSql]]. */
+  private val scd2VersionCtes: String =
+    """c AS (
       |  SELECT o_custkey AS client_id, o_orderdate AS ts,
       |         o_orderkey AS seq, o_orderpriority AS tier
       |  FROM orders
@@ -106,14 +109,19 @@ object GovernanceOps {
       |    CAST(SUM(chg) OVER (PARTITION BY client_id ORDER BY ts, seq
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
       |  FROM m
-      |)
-      |SELECT client_id, version, tier, valid_from, valid_to,
-      |       valid_to IS NULL AS is_current
-      |FROM (
-      |  SELECT client_id, version, tier, valid_from,
-      |    LEAD(valid_from) OVER (PARTITION BY client_id ORDER BY version) AS valid_to
-      |  FROM v WHERE chg = 1)
-      |ORDER BY client_id, version""".stripMargin
+      |), vers AS (
+      |  SELECT client_id, version, tier, valid_from FROM v WHERE chg = 1
+      |)""".stripMargin
+
+  val scd2MergeSql: String =
+    s"""WITH $scd2VersionCtes
+       |SELECT client_id, version, tier, valid_from, valid_to,
+       |       valid_to IS NULL AS is_current
+       |FROM (
+       |  SELECT client_id, version, tier, valid_from,
+       |    LEAD(valid_from) OVER (PARTITION BY client_id ORDER BY version) AS valid_to
+       |  FROM vers)
+       |ORDER BY client_id, version""".stripMargin
 
   private[graft] def scd2LifecycleBase(sfDir: String): String =
     "graft_scd2_lc_" + Layout.corpusTag(sfDir)
@@ -145,6 +153,83 @@ object GovernanceOps {
     Layout.pruneEpochs(spark, base, keep = 2)
     scd2Over(spark.table(t)).orderBy(col("client_id"), col("version"))
   }
+
+  /** POINT-IN-TIME (temporal) join — the operation an SCD2 dimension
+    * exists FOR: each fact row joined to the dimension version in
+    * effect at the fact's event time. Facts here are lineitems (ship
+    * events) resolved to their customer; the dimension is the
+    * [[scd2Over]] tier history; "in effect at ts" = the version with
+    * the greatest valid_from ≤ ts, ties (zero-width same-instant
+    * versions) to the HIGHEST version — the deterministic pick, so
+    * version rows first reduce to one per (client, valid_from) by
+    * max_by(version).
+    *
+    * Plan: the as-of UNION trick ([[EventOps.asofClickPurchase]]'s
+    * shape): version rows and fact rows union into one frame, ONE
+    * shuffle on client_id, per-partition sort by (ts, kind, version)
+    * with versions ordered before facts at equal ts (a fact AT a
+    * version boundary takes the new version — inclusive valid_from),
+    * and `last(_, ignoreNulls)` carries the current version onto every
+    * fact row. No range join, no per-fact probe: at 100 TB this is the
+    * ONLY shape that joins a billion facts to a versioned dimension in
+    * one exchange. The oracle is DuckDB's native ASOF LEFT JOIN with
+    * the extra client equality — an independent implementation of the
+    * same semantics.
+    */
+  def pitJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val versions = scd2Over(changeFeed(spark, sfDir))
+      .groupBy(col("client_id"), col("valid_from"))
+      .agg(max_by(struct(col("version"), col("tier")), col("version")).as("x"))
+      .select(col("client_id"), col("valid_from").as("ts"),
+        col("x.version").as("version"), col("x.tier").as("tier"))
+    val facts = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("client_id"), col("l_shipdate").as("ts"),
+        col("l_orderkey"), col("l_linenumber"))
+    val tagged = versions
+      .select(col("client_id"), col("ts"), lit(0).as("kind"),
+        col("version"), col("tier"),
+        lit(null).cast("long").as("l_orderkey"),
+        lit(null).cast("int").as("l_linenumber"))
+      .unionByName(facts
+        .select(col("client_id"), col("ts"), lit(1).as("kind"),
+          lit(null).cast("long").as("version"),
+          lit(null).cast("string").as("tier"),
+          col("l_orderkey"), col("l_linenumber")))
+    val w = Window.partitionBy(col("client_id"))
+      .orderBy(col("ts"), col("kind"), col("version"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("version_at", last(col("version"), ignoreNulls = true).over(w))
+      .withColumn("tier_at", last(col("tier"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"), col("client_id"),
+        col("ts").as("ship_ts"), col("version_at"), col("tier_at"))
+      // (l_orderkey, l_linenumber) is NOT unique in the fixtures —
+      // ship_ts makes the presentation order total up to fully
+      // identical rows (same key + same ts ⇒ same version ⇒ same row)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_ts"))
+  }
+
+  val pitJoinSql: String =
+    s"""WITH $scd2VersionCtes, vd AS (
+       |  SELECT client_id, valid_from, version, tier FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY client_id, valid_from
+       |      ORDER BY version DESC) AS rn FROM vers)
+       |  WHERE rn = 1
+       |), f AS (
+       |  SELECT o.o_custkey AS client_id, l.l_shipdate AS ship_ts,
+       |         l.l_orderkey, l.l_linenumber
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |)
+       |SELECT f.l_orderkey, f.l_linenumber, f.client_id, f.ship_ts,
+       |       vd.version AS version_at, vd.tier AS tier_at
+       |FROM f ASOF LEFT JOIN vd
+       |  ON f.client_id = vd.client_id AND f.ship_ts >= vd.valid_from
+       |ORDER BY f.l_orderkey, f.l_linenumber, f.ship_ts""".stripMargin
 
   // -------------------------------------------------------------- upsert
 

@@ -57,6 +57,32 @@ class GovernanceOpsSpec extends SparkSpec {
       .filter(col("tier") =!= col("snap_tier")).count() === 0)
   }
 
+  test("pit join: every fact gets the as-of version — driver replay over all facts") {
+    val versions = GovernanceOps.scd2Merge(spark, sf)
+      .select(col("client_id"), col("version"), col("tier"),
+        unix_micros(col("valid_from").cast("timestamp")).as("vf"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    val got = GovernanceOps.pitJoin(spark, sf)
+      .select(col("client_id"),
+        unix_micros(col("ship_ts").cast("timestamp")).as("ts"),
+        col("version_at"), col("tier_at"))
+      .collect()
+    assert(got.length === Tables.lineitem(spark, sf).count())
+    got.foreach { r =>
+      val (client, ts) = (r.getLong(0), r.getLong(1))
+      // as-of pick: max (valid_from, version) with valid_from <= ts
+      val eligible = versions.getOrElse(client, Array.empty[(Long, Long, String, Long)])
+        .filter(_._4 <= ts)
+      if (eligible.isEmpty) assert(r.isNullAt(2) && r.isNullAt(3))
+      else {
+        val expect = eligible.maxBy(v => (v._4, v._2))
+        assert(r.getLong(2) === expect._2, s"client $client ts $ts")
+        assert(r.getString(3) === expect._3)
+      }
+    }
+  }
+
   test("scd2 lifecycle: streamed change-log appends rebuild the batch dimension") {
     val streamed = GovernanceOps.scd2Lifecycle(spark, sf).collect().map(_.toString).sorted
     val batch = GovernanceOps.scd2Merge(spark, sf).collect().map(_.toString).sorted
