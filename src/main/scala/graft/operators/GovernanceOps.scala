@@ -274,8 +274,14 @@ object GovernanceOps {
     *    2-decimal money/metric values)
     *  - ts : epoch microseconds (tz-free exact integer; Spark
     *    `unix_micros` ≡ DuckDB `epoch_us` on the µs-normalized column)
-    * NULLs become a sentinel AFTER conversion (concat_ws would
-    * silently skip them and alias ("a",NULL,"b") with ("a","b",NULL)).
+    * Each field is LENGTH-PREFIXED after conversion — `V<bytes>:<value>`
+    * (UTF-8 byte length: Spark `octet_length` ≡ DuckDB `strlen`), NULL
+    * a bare `N` — so the canonical string is prefix-free: a separator
+    * character INSIDE a value cannot shift content across a field
+    * boundary (("a|b","c") vs ("a","b|c") hash differently), and no
+    * real value can alias NULL. A plain concat_ws would have both
+    * failure modes — exactly the corruption classes a migration
+    * checksum exists to catch.
     */
   private val checksumTables: Seq[(String, Seq[(String, String)])] = Seq(
     "customer" -> Seq("c_custkey" -> "int", "c_name" -> "str",
@@ -294,8 +300,6 @@ object GovernanceOps {
       "o_orderstatus" -> "str", "o_totalprice" -> "dbl",
       "o_orderdate" -> "ts", "o_orderpriority" -> "str"))
 
-  private val NullSentinel = "∅" // ∅ — cannot collide with real data
-
   private def canonColumn(name: String, kind: String): Column = {
     val c = col(name)
     val s = kind match {
@@ -307,7 +311,8 @@ object GovernanceOps {
       // value-preserving (the Tables.events precedent)
       case "ts"  => unix_micros(c.cast("timestamp")).cast("string")
     }
-    coalesce(s, lit(NullSentinel))
+    when(s.isNull, lit("N"))
+      .otherwise(concat(lit("V"), octet_length(s).cast("string"), lit(":"), s))
   }
 
   private def canonSqlColumn(name: String, kind: String): String = {
@@ -317,7 +322,7 @@ object GovernanceOps {
       case "dbl" => s"CAST(CAST(floor($name * 100) AS BIGINT) AS VARCHAR)"
       case "ts"  => s"CAST(epoch_us(CAST($name AS TIMESTAMP)) AS VARCHAR)"
     }
-    s"COALESCE($s, '$NullSentinel')"
+    s"CASE WHEN ($s) IS NULL THEN 'N' ELSE 'V' || strlen($s) || ':' || ($s) END"
   }
 
   /** Order-independent 56-bit row-hash checksum per row: md5 of the

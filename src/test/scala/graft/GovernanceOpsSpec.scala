@@ -157,6 +157,23 @@ class GovernanceOpsSpec extends SparkSpec {
       .select(GovernanceOps.rowHash(Seq("a" -> "str", "b" -> "str")))
     assert(withNull.head.getLong(0) !== withEmpty.head.getLong(0))
     assert(withNull.head.getLong(0) !== swapped.head.getLong(0))
+    // a literal "N" value must not alias a NULL either
+    val litN = Seq(("x", Option("N"))).toDF("a", "b").select(hv)
+    assert(withNull.head.getLong(0) !== litN.head.getLong(0))
+  }
+
+  test("length-prefixing: a separator inside a value cannot shift field boundaries") {
+    // the corruption class a migration checksum exists to catch: content
+    // migrating across a column boundary. ("a|b","c") and ("a","b|c")
+    // concat_ws-alias to the same joined string; the V<len>: prefixes
+    // keep them distinct. Same for values containing the prefix syntax.
+    val cols = Seq("a" -> "str", "b" -> "str")
+    val hv = GovernanceOps.rowHash(cols)
+    def h(a: String, b: String): Long =
+      Seq((a, b)).toDF("a", "b").select(hv).head.getLong(0)
+    assert(h("a|b", "c") !== h("a", "b|c"))
+    assert(h("V1:x", "y") !== h("x", "y"))
+    assert(h("", "ab") !== h("ab", ""))
   }
 
   // --------------------------------------------------------- anomaly
