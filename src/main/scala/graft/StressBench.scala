@@ -40,7 +40,13 @@ object StressBench {
     "q_curation_lifecycle", "q_substring_lifecycle",
     "q_decontaminate_lifecycle",
     // lifecycle #10 (CDC/SCD2) — keyed on the 10× orders feed
-    "q_scd2_lifecycle")
+    "q_scd2_lifecycle",
+    // temporal join: 6M facts × the 10× versioned dimension through
+    // ONE client_id exchange — the as-of union trick's headroom proof
+    "q_pit_join",
+    // full-width fingerprint scan over all six tables (6M lineitem +
+    // 10M events dominate): the heaviest pure-scan key
+    "q_table_checksum")
 
   private def tenX(spark: SparkSession, src: String, dst: String): Unit = {
     val copies = explode(sequence(lit(0L), lit(9L))).as("k")
@@ -87,6 +93,24 @@ object StressBench {
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority"))
       .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+
+    // lineitem ×10 with the SAME l_orderkey offset as orders, so every
+    // fact still resolves to its (shifted) order — referential
+    // integrity preserved for the temporal join
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    li.select(col("*"), copies)
+      .select((col("l_orderkey") + col("k") * 100000000L).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
+    // small dims pass through unchanged (the checksum key reads them;
+    // their contribution to the fingerprint load is negligible)
+    for (t <- Seq("customer", "nation"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -108,7 +132,7 @@ object StressBench {
     val t0 = System.nanoTime()
     tenX(spark, src, dst)
     println(f"[stress] 10x corpus generated in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    for (t <- Seq("documents", "embeddings", "events", "orders"))
+    for (t <- Seq("documents", "embeddings", "events", "orders", "lineitem"))
       println(s"[stress] $t rows = " + spark.read.parquet(s"$dst/$t.parquet").count())
 
     // task-metric spill accumulation across each key's run
