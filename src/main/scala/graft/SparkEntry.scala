@@ -35,6 +35,7 @@ object SparkEntry {
     "q_semi_urgent"       -> (RelOps.clientsWithUrgentOrders _),
     "q_distinct_users"    -> (RelOps.distinctUsers _),
     "q_rollup_orders"     -> (RelOps.rollupOrders _),
+    "q_cube_orders"       -> (RelOps.cubeOrders _),
     "q_intersect_users"   -> (RelOps.usersClickAndPurchase _),
     "q_except_users"      -> (RelOps.usersClickNoPurchase _),
     "q_running_totals"    -> (RelOps.runningLineTotals _),
@@ -176,6 +177,7 @@ object SparkEntry {
     "q_distinct_users"    -> RelOps.distinctUsersSql,
     "q_approx_distinct"   -> RelOps.approxDistinctUsersGatedSql,
     "q_rollup_orders"     -> RelOps.rollupOrdersSql,
+    "q_cube_orders"       -> RelOps.cubeOrdersSql,
     "q_intersect_users"   -> RelOps.usersClickAndPurchaseSql,
     "q_except_users"      -> RelOps.usersClickNoPurchaseSql,
     "q_running_totals"    -> RelOps.runningLineTotalsSql,

@@ -451,18 +451,23 @@ object GovernanceOps {
     * distinct column switches to the HLL sketch, the rest is unchanged),
     * then `stack` pivots the 1-row wide result to long form.
     */
-  def profileStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
-    val aggs = profileColumns.flatMap { c =>
+  def profileStats(spark: SparkSession, sfDir: String): DataFrame =
+    profileOver(Tables.documents(spark, sfDir), profileColumns)
+
+  /** The one-scan profiler over any frame/column list — factored so
+    * the spec can exercise the null-counting path on a planted frame
+    * (the corpus `documents` table happens to contain no NULLs). */
+  private[graft] def profileOver(d: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
       Seq(
         (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
         count_distinct(col(c)).as(s"${c}_distinct"),
         min(col(c)).cast("string").as(s"${c}_min"),
         max(col(c)).cast("string").as(s"${c}_max"))
     }
-    val stack = profileColumns
+    val stack = cols
       .map(c => s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
-      .mkString(s"stack(${profileColumns.size}, ", ", ",
+      .mkString(s"stack(${cols.size}, ", ", ",
         ") AS (column_name, n_nulls, n_distinct, min_val, max_val)")
     d.agg(count(lit(1)).as("n_rows"), aggs: _*)
       .selectExpr(stack, "n_rows")

@@ -211,6 +211,39 @@ object RelOps {
       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY g_status, g_priority, status, priority""".stripMargin
 
+  /** CUBE over (status, priority) — completes the grouping-sets pair
+    * with [[rollupOrders]]: all four grouping sets including the
+    * per-PRIORITY marginals ROLLUP cannot produce. Same Expand-operator
+    * plan shape (×4 levels here); the same two-level-partial caveat
+    * from the object scaladoc applies at high level counts.
+    */
+  def cubeOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+      .select(
+        col("g_status"), col("g_priority"),
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("g_status"), col("g_priority"), col("status"), col("priority"))
+
+  val cubeOrdersSql: String =
+    """SELECT
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+      |  o_orderstatus AS status,
+      |  o_orderpriority AS priority,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_priority, status, priority""".stripMargin
+
   /** INTERSECT (distinct set semantics): users who both clicked and
     * purchased.
     */

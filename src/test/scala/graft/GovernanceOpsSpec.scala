@@ -224,6 +224,21 @@ class GovernanceOpsSpec extends SparkSpec {
     assert(id.getString(3).toLong <= id.getString(4).toLong)
   }
 
+  test("profile: null counting and distinct-ignores-null on a planted frame") {
+    val d = Seq(
+      (Option("x"), Option(1L)), (Option("x"), None),
+      (Option.empty[String], Option(2L)), (Option("y"), None))
+      .toDF("s", "n")
+    val p = GovernanceOps.profileOver(d, Seq("s", "n")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("s").getLong(1) === 1L) // one NULL string
+    assert(p("s").getLong(2) === 2L) // distinct ignores the NULL: x, y
+    assert(p("n").getLong(1) === 2L)
+    assert(p("n").getLong(2) === 2L)
+    assert(p("n").getString(3) === "1" && p("n").getString(4) === "2")
+    assert(p("s").getLong(5) === 4L) // n_rows counts every row
+  }
+
   // ------------------------------------------------- random projection
 
   test("random projection matches a third, MessageDigest-based implementation") {

@@ -34,6 +34,19 @@ class RelOpsSpec extends SparkSpec {
     assert(detail.map(_.getLong(4)).sum === grand.head.getLong(4))
   }
 
+  test("cube adds the per-priority marginals rollup cannot produce") {
+    val c = RelOps.cubeOrders(spark, sf).collect()
+    val grand = c.filter(x => x.getLong(0) == 1 && x.getLong(1) == 1)
+    assert(grand.length === 1)
+    // the rollup-missing grouping set: status aggregated out, priority kept
+    val prioMarginals = c.filter(x => x.getLong(0) == 1 && x.getLong(1) == 0)
+    assert(prioMarginals.nonEmpty)
+    assert(prioMarginals.map(_.getLong(4)).sum === grand.head.getLong(4))
+    // cube ⊇ rollup: every rollup row appears identically in the cube
+    val r = RelOps.rollupOrders(spark, sf).collect().map(_.toString).toSet
+    assert(r.subsetOf(c.map(_.toString).toSet))
+  }
+
   test("running totals end at the per-order sum") {
     val rt = RelOps.runningLineTotals(spark, sf)
     val last = rt.groupBy("l_orderkey").agg(
