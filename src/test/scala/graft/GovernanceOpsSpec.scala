@@ -83,6 +83,38 @@ class GovernanceOpsSpec extends SparkSpec {
     }
   }
 
+  test("pit join plan: every hash exchange keys on client_id — the one-exchange claim") {
+    // the as-of union plan may not re-shuffle on anything but the
+    // dimension key: versions chain + union window both cluster on
+    // client_id (fact resolution broadcasts the order keys at any
+    // dimension-table size that fits; the presentation sort is range).
+    // A regression to a per-fact range probe or an extra key would
+    // surface here as a foreign hash exchange.
+    // exchanges are inserted by EnsureRequirements — inspect the
+    // executed plan's text (the PlanAuditSpec approach; AQE hides the
+    // prepared tree from collect())
+    val physical = GovernanceOps.pitJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashKeys = "hashpartitioning\\(([^,)]+)".r
+      .findAllMatchIn(physical).map(_.group(1).takeWhile(_ != '#')).toSeq
+    assert(hashKeys.nonEmpty)
+    assert(hashKeys.forall(_ == "client_id"),
+      s"foreign hash exchange keys: ${hashKeys.distinct.mkString(",")}")
+  }
+
+  test("scd2/funnel plans: every hash exchange keys on the partition key") {
+    def hashKeys(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      "hashpartitioning\\(([^,)]+)".r
+        .findAllMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1).takeWhile(_ != '#')).toSeq
+    val scd2 = hashKeys(GovernanceOps.scd2Merge(spark, sf))
+    assert(scd2.nonEmpty && scd2.forall(_ == "client_id"),
+      s"scd2: ${scd2.distinct.mkString(",")}")
+    val fun = hashKeys(graft.operators.EventOps.funnelSteps(spark, sf))
+    assert(fun.nonEmpty && fun.forall(_ == "user_id"),
+      s"funnel: ${fun.distinct.mkString(",")}")
+  }
+
   test("scd2 lifecycle: streamed change-log appends rebuild the batch dimension") {
     val streamed = GovernanceOps.scd2Lifecycle(spark, sf).collect().map(_.toString).sorted
     val batch = GovernanceOps.scd2Merge(spark, sf).collect().map(_.toString).sorted
