@@ -75,9 +75,20 @@ object GovernanceOps {
     * feed — reused by the lifecycle key, whose streamed half must feed
     * the IDENTICAL transform. */
   private[graft] def scd2Over(changes: DataFrame): DataFrame = {
+    val byVersion = Window.partitionBy(col("client_id")).orderBy(col("version"))
+    scd2Versions(changes)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** The version core of [[scd2Over]] — `(client_id, version, tier,
+    * valid_from)` without the valid_to/is_current interval pass, which
+    * [[pitJoin]] consumes directly (versions tile, so the as-of pick
+    * never needs valid_to; building it just to discard it would add a
+    * window pass to the fact plan). */
+  private def scd2Versions(changes: DataFrame): DataFrame = {
     val byTime = Window.partitionBy(col("client_id")).orderBy(col("ts"), col("seq"))
     val cum = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val byVersion = Window.partitionBy(col("client_id")).orderBy(col("version"))
     changes
       .withColumn("prev_tier", lag(col("tier"), 1).over(byTime))
       .withColumn("chg",
@@ -87,8 +98,6 @@ object GovernanceOps {
       .filter(col("chg") === 1L)
       .select(col("client_id"), col("version"), col("tier"),
         col("ts").as("valid_from"))
-      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
-      .withColumn("is_current", col("valid_to").isNull)
   }
 
   /** Oracle CTE chain ending in `vers(client_id, version, tier,
@@ -177,7 +186,7 @@ object GovernanceOps {
     * same semantics.
     */
   def pitJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val versions = scd2Over(changeFeed(spark, sfDir))
+    val versions = scd2Versions(changeFeed(spark, sfDir))
       .groupBy(col("client_id"), col("valid_from"))
       .agg(max_by(struct(col("version"), col("tier")), col("version")).as("x"))
       .select(col("client_id"), col("valid_from").as("ts"),

@@ -93,24 +93,23 @@ class GovernanceOpsSpec extends SparkSpec {
     // exchanges are inserted by EnsureRequirements — inspect the
     // executed plan's text (the PlanAuditSpec approach; AQE hides the
     // prepared tree from collect())
-    val physical = GovernanceOps.pitJoin(spark, sf)
-      .queryExecution.executedPlan.toString
-    val hashKeys = "hashpartitioning\\(([^,)]+)".r
-      .findAllMatchIn(physical).map(_.group(1).takeWhile(_ != '#')).toSeq
-    assert(hashKeys.nonEmpty)
-    assert(hashKeys.forall(_ == "client_id"),
-      s"foreign hash exchange keys: ${hashKeys.distinct.mkString(",")}")
+    val keys = hashExchangeKeys(GovernanceOps.pitJoin(spark, sf))
+    assert(keys.nonEmpty)
+    assert(keys.forall(_ == "client_id"),
+      s"foreign hash exchange keys: ${keys.distinct.mkString(",")}")
   }
 
+  /** First column of every hash exchange in the executed plan. */
+  private def hashExchangeKeys(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    "hashpartitioning\\(([^,)]+)".r
+      .findAllMatchIn(df.queryExecution.executedPlan.toString)
+      .map(_.group(1).takeWhile(_ != '#')).toSeq
+
   test("scd2/funnel plans: every hash exchange keys on the partition key") {
-    def hashKeys(df: org.apache.spark.sql.DataFrame): Seq[String] =
-      "hashpartitioning\\(([^,)]+)".r
-        .findAllMatchIn(df.queryExecution.executedPlan.toString)
-        .map(_.group(1).takeWhile(_ != '#')).toSeq
-    val scd2 = hashKeys(GovernanceOps.scd2Merge(spark, sf))
+    val scd2 = hashExchangeKeys(GovernanceOps.scd2Merge(spark, sf))
     assert(scd2.nonEmpty && scd2.forall(_ == "client_id"),
       s"scd2: ${scd2.distinct.mkString(",")}")
-    val fun = hashKeys(graft.operators.EventOps.funnelSteps(spark, sf))
+    val fun = hashExchangeKeys(graft.operators.EventOps.funnelSteps(spark, sf))
     assert(fun.nonEmpty && fun.forall(_ == "user_id"),
       s"funnel: ${fun.distinct.mkString(",")}")
   }
