@@ -410,6 +410,9 @@ object GovernanceOps {
       .corpusCheckpoint()
     val stats = dev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
+        // first() is order-nondeterministic in general; safe here
+        // because med_cents is constant within each group (joined
+        // from the per-type median frame) — any row yields the value
         first(col("med_cents")).as("med_cents"),
         percentile(col("dev"), lit(0.5)).as("mad_cents"))
     val outliers = dev

@@ -83,8 +83,11 @@ object GraphOps {
   }
 
   /** Driver tier: exact-integer PageRank over the collected pair list.
-    * Bounded by [[DedupOps.MaxDriverEdges]] — the same ~32 MB ceiling as
-    * the CC union-find collect. */
+    * Bounded by [[DedupOps.MaxDriverEdges]] (2M pairs): the collected
+    * array is ~32 MB and the undirected adjacency built from it (4M
+    * neighbor longs + map/buffer overhead) a few hundred MB — executed
+    * for real at 2.45M edges in the crossover's forced-driver
+    * cross-check, comfortably inside the driver heap. */
   private def driverPagerank(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
