@@ -198,6 +198,19 @@ object GovernanceOps {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("client_id"), col("l_shipdate").as("ts"),
         col("l_orderkey"), col("l_linenumber"))
+    pitOver(versions, facts)
+      // (l_orderkey, l_linenumber) is NOT unique in the fixtures —
+      // ship_ts makes the presentation order total up to fully
+      // identical rows (same key + same ts ⇒ same version ⇒ same row)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_ts"))
+  }
+
+  /** The as-of union core of [[pitJoin]], factored over any
+    * `versions(client_id, ts, version, tier)` (one row per (client,
+    * ts)) and `facts(client_id, ts, l_orderkey, l_linenumber)` — so
+    * the spec can plant boundary fixtures (fact AT a version instant,
+    * zero-width tie instants) the corpus only thinly exercises. */
+  private[graft] def pitOver(versions: DataFrame, facts: DataFrame): DataFrame = {
     val tagged = versions
       .select(col("client_id"), col("ts"), lit(0).as("kind"),
         col("version"), col("tier"),
@@ -217,10 +230,6 @@ object GovernanceOps {
       .filter(col("kind") === 1)
       .select(col("l_orderkey"), col("l_linenumber"), col("client_id"),
         col("ts").as("ship_ts"), col("version_at"), col("tier_at"))
-      // (l_orderkey, l_linenumber) is NOT unique in the fixtures —
-      // ship_ts makes the presentation order total up to fully
-      // identical rows (same key + same ts ⇒ same version ⇒ same row)
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_ts"))
   }
 
   val pitJoinSql: String =
