@@ -106,11 +106,19 @@ object StressBench {
         col("l_shipdate"))
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
 
-    // small dims pass through unchanged (the checksum key reads them;
-    // their contribution to the fingerprint load is negligible)
-    for (t <- Seq("customer", "nation"))
-      spark.read.parquet(s"$src/$t.parquet")
-        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    // customer ×10 with the SAME custkey offset as orders — every
+    // order in the stress corpus resolves to a real customer, so any
+    // future customer-joining stress key measures the full 10× load
+    // instead of silently dropping the k>0 copies through an inner join
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    cust.select(col("*"), copies)
+      .select((col("c_custkey") + col("k") * 1000000L).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$dst/customer.parquet")
+
+    // nation passes through unchanged (c_nationkey range is untouched)
+    spark.read.parquet(s"$src/nation.parquet")
+      .write.mode("overwrite").parquet(s"$dst/nation.parquet")
   }
 
   def main(args: Array[String]): Unit = {

@@ -163,11 +163,17 @@ class GovernanceOpsSpec extends SparkSpec {
       s"foreign hash exchange keys: ${keys.distinct.mkString(",")}")
   }
 
-  /** First column of every hash exchange in the executed plan. */
+  /** FULL column list of every hash exchange in the executed plan,
+    * rendered "a,b" — so a regression to a composite clustering key
+    * (e.g. hashpartitioning(client_id, ts)) fails the single-key
+    * asserts instead of slipping past a first-column-only capture. */
   private def hashExchangeKeys(df: org.apache.spark.sql.DataFrame): Seq[String] =
-    "hashpartitioning\\(([^,)]+)".r
+    "hashpartitioning\\(([^)]*)\\)".r
       .findAllMatchIn(df.queryExecution.executedPlan.toString)
-      .map(_.group(1).takeWhile(_ != '#')).toSeq
+      .map(_.group(1).split(",").map(_.trim)
+        .filter(_.exists(!_.isDigit))            // drop the numPartitions arg
+        .map(_.takeWhile(_ != '#')).mkString(","))
+      .toSeq
 
   test("scd2/funnel plans: every hash exchange keys on the partition key") {
     val scd2 = hashExchangeKeys(GovernanceOps.scd2Merge(spark, sf))
