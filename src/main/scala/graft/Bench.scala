@@ -38,6 +38,7 @@ object Bench {
     "q_scd2_lifecycle" -> 1.812, // r11 floor (min of 2 full passes; isolated seed was looser): rebuild-by-design — epoch rotate + streamed change-log replay + SCD2 from the accumulated log, EVERY call
     "q_cdc_upsert" -> 0.111, // r11 floor (min of 2 full passes; isolated seed was looser): pure max_by aggregation, combiner-reduced
     "q_pit_join" -> 0.809, // r11 seed: temporal join via the as-of union trick — one client_id exchange for 600K facts × versioned dimension
+    "q_snapshot_diff" -> 0.613, // r11 isolated seed: two combiner-reduced keep-latest aggs, full-outer join reuses their client_id partitioning (exchange-audited)
     "q_cube_orders" -> 0.491, // r11 seed: one Expand(4 levels) hash aggregate + range sort
     "q_table_checksum" -> 0.394, // r11 floor (min of 2 full passes; isolated seed was looser): six full-width scans → per-row md5 → 1-row exact sums
     "q_profile_stats" -> 0.380, // r11 floor (min of 2 full passes; isolated seed was looser): one documents scan, 5-column Expand for exact distincts

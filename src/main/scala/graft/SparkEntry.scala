@@ -154,6 +154,7 @@ object SparkEntry {
     "q_cdc_upsert"        -> (GovernanceOps.cdcUpsert _),
     "q_pit_join"          -> (GovernanceOps.pitJoin _),
     "q_table_checksum"    -> (GovernanceOps.tableChecksum _),
+    "q_snapshot_diff"     -> (GovernanceOps.snapshotDiff _),
     "q_profile_stats"     -> (GovernanceOps.profileStats _),
     "q_anomaly_mad"       -> (GovernanceOps.anomalyMad _),
     // §2b — graph analytics beyond connected components
@@ -328,6 +329,9 @@ object SparkEntry {
     // the canonicalization itself is broken — the validation operator
     // validated by the gate it implements
     "q_table_checksum"    -> GovernanceOps.tableChecksumSql,
+    // the checksum's row-level companion: WHERE two replicas diverged —
+    // keep-latest per side, full-outer on the key, matches dropped
+    "q_snapshot_diff"     -> GovernanceOps.snapshotDiffSql,
     "q_profile_stats"     -> GovernanceOps.profileStatsSql,
     // exact integer-cents space: percentile interpolation over
     // integers yields exact binary fractions, so median/MAD/fence

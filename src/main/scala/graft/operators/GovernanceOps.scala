@@ -262,14 +262,21 @@ object GovernanceOps {
     * same row.
     */
   def cdcUpsert(spark: SparkSession, sfDir: String): DataFrame =
-    changeFeed(spark, sfDir)
-      .groupBy(col("client_id"))
+    latestSnapshot(changeFeed(spark, sfDir))
+      .orderBy(col("client_id"))
+
+  /** Keep-latest state per key from a change feed — the `max_by` over a
+    * composite (ts, seq) ordering struct. Pure aggregation: partial-
+    * aggregatable, combiner-reduced, one hash exchange on the key.
+    * Shared by [[cdcUpsert]] (the snapshot product) and
+    * [[snapshotDiff]] (which builds one snapshot per replica). */
+  private def latestSnapshot(feed: DataFrame): DataFrame =
+    feed.groupBy(col("client_id"))
       .agg(max_by(
         struct(col("ts"), col("seq"), col("tier")),
         struct(col("ts"), col("seq"))).as("last"))
       .select(col("client_id"), col("last.tier").as("tier"),
         col("last.ts").as("updated_at"), col("last.seq").as("last_seq"))
-      .orderBy(col("client_id"))
 
   val cdcUpsertSql: String =
     """SELECT o_custkey AS client_id, o_orderpriority AS tier,
@@ -278,6 +285,76 @@ object GovernanceOps {
       |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
       |      FROM orders)
       |WHERE rn = 1
+      |ORDER BY client_id""".stripMargin
+
+  // ------------------------------------------------------- snapshot diff
+
+  /** Cutoff splitting the orders feed into the two replicas' slices —
+    * mid-range of the fixtures' 1995..2001 span, so both sides hold
+    * exclusive keys and shared-key value drift. */
+  private val DiffCut = "1998-01-01"
+
+  /** Snapshot diff — the row-level companion to [[tableChecksum]]: the
+    * checksum says WHETHER two replicas diverged; the diff says WHERE.
+    * Each replica's state is its keep-latest snapshot
+    * ([[latestSnapshot]] — replica A saw the feed before [[DiffCut]],
+    * replica B the feed from it on); the diff is a full-outer join on
+    * the key classifying every row as `added` (B only), `removed`
+    * (A only), or `changed` (both, tracked attribute differs) —
+    * matching rows are dropped, so the output IS the drift.
+    *
+    * Scale shape: two combiner-reduced hash aggregations, one exchange
+    * each on `client_id`; the full-outer join REUSES that partitioning
+    * (both sides arrive hash-partitioned on the join key, so
+    * EnsureRequirements inserts no third exchange — machine-checked by
+    * the spec's exchange audit). Output is bounded by the drifted keys,
+    * not the feed: at 100 TB the join carries one row per key per side.
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val feed = changeFeed(spark, sfDir)
+    snapshotDiffOver(
+      feed.filter(col("ts") < lit(DiffCut).cast("timestamp")),
+      feed.filter(col("ts") >= lit(DiffCut).cast("timestamp")))
+  }
+
+  /** The diff factored over any two (client_id, ts, seq, tier) feeds —
+    * exposed for the spec's planted-status and empty-diff controls. */
+  private[graft] def snapshotDiffOver(a: DataFrame, b: DataFrame): DataFrame = {
+    val sa = latestSnapshot(a).select(col("client_id"), col("tier").as("tier_a"))
+    val sb = latestSnapshot(b).select(col("client_id"), col("tier").as("tier_b"))
+    sa.join(sb, Seq("client_id"), "full_outer")
+      .withColumn("status",
+        when(col("tier_a").isNull, lit("added"))
+          .when(col("tier_b").isNull, lit("removed"))
+          .otherwise(lit("changed")))
+      // equal tracked values on a shared key are NOT drift — drop them
+      // (tier is non-null within each side, so <=> is a plain compare)
+      .filter(!(col("tier_a") <=> col("tier_b")))
+      .select(col("client_id"), col("status"), col("tier_a"), col("tier_b"))
+      .orderBy(col("client_id"))
+  }
+
+  val snapshotDiffSql: String =
+    """WITH a AS (
+      |  SELECT o_custkey AS client_id, o_orderpriority AS tier_a
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01')
+      |  WHERE rn = 1
+      |), b AS (
+      |  SELECT o_custkey AS client_id, o_orderpriority AS tier_b
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |        FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+      |  WHERE rn = 1
+      |)
+      |SELECT client_id,
+      |       CASE WHEN tier_a IS NULL THEN 'added'
+      |            WHEN tier_b IS NULL THEN 'removed'
+      |            ELSE 'changed' END AS status,
+      |       tier_a, tier_b
+      |FROM a FULL JOIN b USING (client_id)
+      |WHERE tier_a IS DISTINCT FROM tier_b
       |ORDER BY client_id""".stripMargin
 
   // ------------------------------------------------------------ checksum

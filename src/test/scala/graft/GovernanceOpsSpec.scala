@@ -175,6 +175,38 @@ class GovernanceOpsSpec extends SparkSpec {
         .map(_.takeWhile(_ != '#')).mkString(","))
       .toSeq
 
+  test("snapshot diff: planted feeds produce every status and only drift") {
+    def t(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    // replica A state: 1→T1, 2→T1, 3→T1 (client 3's latest is T1: the
+    // T2 row at day 1 is superseded at day 2 — the keep-latest core,
+    // not raw membership, must drive the compare)
+    val a = Seq((1L, t(1), 10L, "T1"), (2L, t(1), 11L, "T1"),
+      (3L, t(1), 12L, "T2"), (3L, t(2), 13L, "T1"))
+      .toDF("client_id", "ts", "seq", "tier")
+    // replica B state: 2→T1 (same), 3→T2 (changed), 4→T1 (added)
+    val b = Seq((2L, t(3), 20L, "T1"), (3L, t(3), 21L, "T2"),
+      (4L, t(3), 22L, "T1")).toDF("client_id", "ts", "seq", "tier")
+    val got = GovernanceOps.snapshotDiffOver(a, b).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3))))
+    assert(got.toSeq === Seq(
+      (1L, "removed", Some("T1"), None),
+      (3L, "changed", Some("T1"), Some("T2")),
+      (4L, "added", None, Some("T1"))))
+    // the negative control: identical replicas have NO drift
+    assert(GovernanceOps.snapshotDiffOver(a, a).count() === 0)
+  }
+
+  test("snapshot diff plan: two client_id exchanges, join reuses the agg partitioning") {
+    val keys = hashExchangeKeys(GovernanceOps.snapshotDiff(spark, sf))
+    // one exchange per side's keep-latest aggregation and NOTHING else:
+    // the full-outer join consumes both sides already hash-partitioned
+    // on the join key, so a third exchange here means EnsureRequirements
+    // stopped seeing the aggs' partitioning — a plan regression
+    assert(keys === Seq("client_id", "client_id"),
+      s"hash exchanges: ${keys.mkString(" | ")}")
+  }
+
   test("scd2/funnel plans: every hash exchange keys on the partition key") {
     val scd2 = hashExchangeKeys(GovernanceOps.scd2Merge(spark, sf))
     assert(scd2.nonEmpty && scd2.forall(_ == "client_id"),
