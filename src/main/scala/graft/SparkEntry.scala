@@ -42,6 +42,7 @@ object SparkEntry {
     "q_pivot_events"      -> (RelOps.pivotEventCounts _),
     // oracle-gated since round 8: exact twin + error-bound booleans
     "q_approx_distinct"   -> (RelOps.approxDistinctUsersGated _),
+    "q_hll_intersect"     -> (RelOps.hllIntersectGated _),
     "q_skew_agg"          -> (RelOps.skewAggTwoPhase _),
     "q_unpivot_events"    -> (RelOps.unpivotEventCounts _),
     // §2b — event analytics
@@ -53,6 +54,8 @@ object SparkEntry {
     "q_asof_join"         -> (EventOps.asofClickPurchase _),
     "q_funnel_steps"      -> (EventOps.funnelSteps _),
     "q_range_join"        -> (EventOps.rangeJoinErrorViews _),
+    "q_cohort_retention"  -> (EventOps.cohortRetention _),
+    "q_join_lifecycle"    -> (EventOps.joinLifecycle _),
     // §2b — text analysis
     "q_token_counts"      -> (TextOps.tokenCounts _),
     "q_quality_score"     -> (TextOps.qualityScore _),
@@ -156,6 +159,8 @@ object SparkEntry {
     "q_table_checksum"    -> (GovernanceOps.tableChecksum _),
     "q_snapshot_diff"     -> (GovernanceOps.snapshotDiff _),
     "q_profile_stats"     -> (GovernanceOps.profileStats _),
+    "q_fk_inference"      -> (GovernanceOps.fkInference _),
+    "q_zorder_layout"     -> (GovernanceOps.zorderLayout _),
     "q_anomaly_mad"       -> (GovernanceOps.anomalyMad _),
     // §2b — graph analytics beyond connected components
     "q_pagerank"          -> (GraphOps.pagerank _),
@@ -177,6 +182,7 @@ object SparkEntry {
     "q_semi_urgent"       -> RelOps.clientsWithUrgentOrdersSql,
     "q_distinct_users"    -> RelOps.distinctUsersSql,
     "q_approx_distinct"   -> RelOps.approxDistinctUsersGatedSql,
+    "q_hll_intersect"     -> RelOps.hllIntersectGatedSql,
     "q_rollup_orders"     -> RelOps.rollupOrdersSql,
     "q_cube_orders"       -> RelOps.cubeOrdersSql,
     "q_intersect_users"   -> RelOps.usersClickAndPurchaseSql,
@@ -198,6 +204,8 @@ object SparkEntry {
     "q_asof_join"         -> EventOps.asofClickPurchaseSql,
     "q_funnel_steps"      -> EventOps.funnelStepsSql,
     "q_range_join"        -> EventOps.rangeJoinErrorViewsSql,
+    "q_cohort_retention"  -> EventOps.cohortRetentionSql,
+    "q_join_lifecycle"    -> EventOps.joinLifecycleSql,
     "q_token_counts"      -> TextOps.tokenCountsSql,
     "q_quality_score"     -> TextOps.qualityScoreSql,
     "q_quality_classifier" -> TextOps.qualityClassifierSql,
@@ -333,6 +341,8 @@ object SparkEntry {
     // keep-latest per side, full-outer on the key, matches dropped
     "q_snapshot_diff"     -> GovernanceOps.snapshotDiffSql,
     "q_profile_stats"     -> GovernanceOps.profileStatsSql,
+    "q_fk_inference"      -> GovernanceOps.fkInferenceSql,
+    "q_zorder_layout"     -> GovernanceOps.zorderLayoutSql,
     // exact integer-cents space: percentile interpolation over
     // integers yields exact binary fractions, so median/MAD/fence
     // comparisons are bit-identical cross-engine

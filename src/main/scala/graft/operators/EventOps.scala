@@ -208,6 +208,113 @@ object EventOps {
       .orderBy(col("window_start"))
   }
 
+  private[graft] def joinLifecycleBase(sfDir: String): String =
+    "graft_join_lc_" + Layout.corpusTag(sfDir)
+
+  /** Batch form of the click→purchase attribution join, binned so the
+    * time-range predicate rides a plain hash join (the
+    * [[rangeJoinErrorViews]] shape): each purchase explodes into its
+    * own 30-min bin and the previous one, candidates equi-join on
+    * (user_id, bin), and the exact inclusive interval predicate
+    * filters in the join output. */
+  private[graft] def clickPurchaseBatch(ev: DataFrame): DataFrame = {
+    val winUs = 30L * 60 * 1000000
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"), unix_micros(col("ts")).as("c_us"))
+      .withColumn("bin", expr(s"c_us div $winUs"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"), unix_micros(col("ts")).as("p_us"))
+      .withColumn("pbin", expr(s"p_us div $winUs"))
+      .select(col("user_id"), col("purchase_ts"), col("purchase_value"), col("p_us"),
+        explode(array(col("pbin"), col("pbin") - 1)).as("bin"))
+    clicks.join(purchases, Seq("user_id", "bin"))
+      .filter(col("p_us") >= col("c_us") && col("p_us") <= col("c_us") + winUs)
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
+  /** The stream-stream-JOIN lifecycle under the oracle — stream ≡
+    * batch proof #11, and the first over a BINARY stateful operator
+    * (two buffered sides, not one keyed aggregate): EVEN user_ids'
+    * attribution pairs batch-joined ([[clickPurchaseBatch]], the
+    * binned equi-join) into a fresh epoch; ODD user_ids replayed as a
+    * file stream through the REAL watermarked stream-stream inner join
+    * ([[graft.streaming.EventStream.appendClickPurchaseStream]]), its
+    * per-micro-batch matches appending to the same epoch. The split is
+    * join-compatible by construction — the join key includes user_id
+    * equality, so no pair crosses the parity boundary — and the
+    * accumulated table is exactly the full corpus's interval join,
+    * gated by the verbatim batch oracle.
+    *
+    * Determinism: inner-join matches emit in whichever micro-batch
+    * completes the pair — arrival order moves WHERE a row lands, never
+    * WHETHER (the result is the join's bag semantics, order-free under
+    * the hash compare's sort). The one way streamed ≡ batch can break
+    * is watermark eviction dropping a side before its match arrives in
+    * an order-free replay, so the delay must cover the corpus span +
+    * join window — guarded fail-fast like [[eventsLifecycle]].
+    * Rotates a fresh epoch every call and prunes to two.
+    */
+  def joinLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = joinLifecycleBase(sfDir)
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val t = Layout.rotateEpoch(spark, base) { name =>
+      clickPurchaseBatch(ev.filter(col("user_id") % 2 === 0))
+        .write.format("parquet").mode("overwrite").saveAsTable(name)
+    }
+    val odd = ev.filter(col("user_id") % 2 =!= 0)
+    val span = odd.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val (minTs, maxTs) = (span.getTimestamp(0), span.getTimestamp(1))
+    if (maxTs != null) {
+      val spanDays = (maxTs.getTime - minTs.getTime) / (24.0 * 3600 * 1000)
+      require(spanDays < 89.0,
+        f"events corpus spans $spanDays%.1f days; the 90-day watermark " +
+          "minus the 30-min join window must cover an order-free replay's " +
+          "full disorder or matches drop — widen the delay in joinLifecycle")
+      Layout.withStagedParquet(odd.repartition(4), "graft-joinlc") { dir =>
+        val spKey = "spark.sql.shuffle.partitions"
+        val spOld = spark.conf.get(spKey)
+        spark.conf.set(spKey, "4")
+        // two independent file-source readers over the same staged dir —
+        // a genuine two-source stream-stream join, no self-join aliasing
+        def src() = spark.readStream.schema(odd.schema)
+          .option("maxFilesPerTrigger", 2).parquet(dir)
+        val stream =
+          try graft.streaming.EventStream.appendClickPurchaseStream(
+            src().filter(col("event_type") === "click"),
+            src().filter(col("event_type") === "purchase"),
+            base, "30 minutes", "90 days")
+          finally spark.conf.set(spKey, spOld)
+        try stream.processAllAvailable() finally stream.stop()
+      }
+    }
+    Layout.pruneEpochs(spark, base, keep = 2)
+    spark.table(t)
+      .orderBy(col("click_id"), col("purchase_ts"), col("purchase_value"))
+  }
+
+  val joinLifecycleSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      |  FROM events
+      |), c AS (
+      |  SELECT user_id, event_id AS click_id, ts AS click_ts
+      |  FROM e WHERE event_type = 'click'
+      |), p AS (
+      |  SELECT user_id, ts AS purchase_ts, value AS purchase_value
+      |  FROM e WHERE event_type = 'purchase'
+      |)
+      |SELECT c.user_id, c.click_id, c.click_ts, p.purchase_ts, p.purchase_value
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND p.purchase_ts >= c.click_ts
+      |  AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+      |ORDER BY click_id, purchase_ts, purchase_value""".stripMargin
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds 30 minutes. Classic
     * lag → flag → running-sum window pattern; session stats per
@@ -524,4 +631,58 @@ object EventOps {
       |  AND v.v_ts >= er.error_ts - INTERVAL 5 MINUTE AND v.v_ts < er.error_ts
       |GROUP BY 1, 2, 3
       |ORDER BY error_id""".stripMargin
+
+  /** Cohort retention — the classic product-analytics triangle: cohort
+    * = week of a user's FIRST event (the corpus spans one calendar
+    * month, so weekly cohorts give a real 5×k triangle where monthly
+    * would collapse to one cell); for each (cohort, weeks-since) cell,
+    * how many cohort members were active, and what fraction of the
+    * cohort that is. `weeks_since = 0` is the cohort itself, so
+    * retention is the cell count over the cohort's own first cell.
+    *
+    * Plan: the only corpus-sized shuffle is the distinct to the
+    * (user, week) grain — partial-aggregated, so a bot's million
+    * events reduce map-side to one row per week. The cohort week is
+    * a window min over user_id (second exchange, already at the
+    * reduced grain, per-user rows bounded by the corpus week span);
+    * the final aggregate and the cohort-size window run at the
+    * (cohort × week) grain — a few hundred rows at ANY corpus size.
+    * No skew exposure, no join.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val active = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("act_week"))
+      .distinct()
+    val withCohort = active
+      .withColumn("cohort_week", min(col("act_week")).over(Window.partitionBy(col("user_id"))))
+    val byCohort = Window.partitionBy(col("cohort_week")).orderBy(col("weeks_since"))
+    withCohort
+      .groupBy(col("cohort_week"),
+        (datediff(col("act_week"), col("cohort_week")) / 7).cast("long").as("weeks_since"))
+      .agg(count(lit(1)).as("n_active")) // input grain is distinct users
+      .withColumn("retention",
+        col("n_active").cast("double") / first(col("n_active")).over(byCohort))
+      .select(col("cohort_week"), col("weeks_since"), col("n_active"), col("retention"))
+      .orderBy(col("cohort_week"), col("weeks_since"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS act_week
+      |  FROM events
+      |), c AS (
+      |  SELECT user_id, act_week,
+      |         MIN(act_week) OVER (PARTITION BY user_id) AS cohort_week
+      |  FROM a
+      |), g AS (
+      |  SELECT cohort_week,
+      |         CAST(date_diff('day', cohort_week, act_week) // 7 AS BIGINT) AS weeks_since,
+      |         CAST(COUNT(*) AS BIGINT) AS n_active
+      |  FROM c GROUP BY 1, 2
+      |)
+      |SELECT cohort_week, weeks_since, n_active,
+      |  CAST(n_active AS DOUBLE) /
+      |    FIRST_VALUE(n_active) OVER (PARTITION BY cohort_week ORDER BY weeks_since) AS retention
+      |FROM g ORDER BY cohort_week, weeks_since""".stripMargin
 }

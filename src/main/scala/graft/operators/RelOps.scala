@@ -179,6 +179,57 @@ object RelOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** HLL set algebra — the sketch answer to "how many users did BOTH
+    * X and Y" without materializing either set: three single-pass
+    * HLL++ sketches (clickers, purchasers, their union — the union
+    * sketch is what a sketch store would get by merging the first two,
+    * built here in the same scan) and inclusion–exclusion
+    * `|A∩B| ≈ est(A) + est(B) − est(A∪B)`. Same gated pattern as
+    * [[approxDistinctUsersGated]]: Spark computes the exact twin AND
+    * the error-bound boolean; the oracle pins the exact values and
+    * asserts the bound TRUE, so a sketch regression breaks the hash.
+    *
+    * Scale: the sketch side is ONE scan, no shuffle beyond the ~kB
+    * partial-sketch merge (HLL registers are the combiner state). The
+    * exact twin needs the per-user flag grain — one combiner-reduced
+    * shuffle on user_id — and is exactly the cost the sketch path
+    * avoids at 100 TB; it exists here as the gate. Intersection error
+    * compounds three sketches, hence the 5%-of-(|A|+|B|) bound vs the
+    * single-sketch 2% rsd.
+    */
+  def hllIntersectGated(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val exact = ev.groupBy(col("user_id"))
+      .agg(bool_or(col("event_type") === "click").as("c"),
+        bool_or(col("event_type") === "purchase").as("p"))
+      .agg(sum(when(col("c"), 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("p"), 1L).otherwise(0L)).as("n_purchase"),
+        sum(when(col("c") && col("p"), 1L).otherwise(0L)).as("n_both"))
+    val est = ev.agg(
+      approx_count_distinct(when(col("event_type") === "click", col("user_id")), 0.01).as("e_c"),
+      approx_count_distinct(when(col("event_type") === "purchase", col("user_id")), 0.01).as("e_p"),
+      approx_count_distinct(when(col("event_type").isin("click", "purchase"),
+        col("user_id")), 0.01).as("e_u"))
+    exact.crossJoin(est) // 1×1 rows — allowlisted bounded cross
+      .select(col("n_click"), col("n_purchase"), col("n_both"),
+        (abs(col("e_c") + col("e_p") - col("e_u") - col("n_both")) <=
+          greatest(lit(16L),
+            ((col("n_click") + col("n_purchase")) * 0.05).cast("long"))).as("inter_ok"))
+  }
+
+  val hllIntersectGatedSql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |         BOOL_OR(event_type = 'click') AS c,
+      |         BOOL_OR(event_type = 'purchase') AS p
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |       CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |       CAST(SUM(CASE WHEN c AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+      |       TRUE AS inter_ok
+      |FROM f""".stripMargin
+
   /** ROLLUP over (status, priority): per-combination, per-status
     * subtotal, and grand-total rows; GROUPING() flags disambiguate the
     * NULLs so the sort is total and engine-portable.

@@ -73,6 +73,32 @@ object EventStream {
         col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Streaming attribution-join MAINTENANCE for
+    * [[graft.operators.EventOps.joinLifecycle]]: the REAL stream-stream
+    * inner join ([[clickToPurchase]] — both sides watermarked, join
+    * condition time-bounded) with each micro-batch's emitted matches
+    * appended to the CURRENT epoch of the attribution table. Inner
+    * join matches emit in the micro-batch where the later side
+    * arrives — no watermark-driven finalization, so no sentinel is
+    * needed; the watermark's only job here is state eviction, and the
+    * lifecycle passes a delay wider than the replay's full disorder so
+    * nothing is dropped pre-join.
+    */
+  def appendClickPurchaseStream(clicks: DataFrame, purchases: DataFrame,
+      base: String, joinWindow: String, watermark: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    clickToPurchase(clicks, purchases, joinWindow, watermark)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val name = graft.operators.Layout
+          .currentEpochTable(batch.sparkSession, base)
+          .getOrElse(sys.error(s"no published epoch for join family $base"))
+        batch.write.mode("append").format("parquet").saveAsTable(name)
+        ()
+      }
+      .start()
+
   /** Streaming window-partials MAINTENANCE for
     * [[graft.operators.EventOps.eventsLifecycle]]: the watermarked form
     * of [[graft.operators.EventOps.windowedAggPartial]] in Append mode,

@@ -140,4 +140,33 @@ class EventOpsSpec extends SparkSpec {
     }
     assert(counts.toSeq === Seq(n1, n2, n3))
   }
+
+  test("cohortRetention: week-0 cell IS the cohort (retention 1.0), cells never exceed it") {
+    val d = EventOps.cohortRetention(spark, sf).collect()
+    assert(d.nonEmpty)
+    val byCohort = d.groupBy(_.getDate(0))
+    byCohort.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(1) === 0L,
+        "every cohort must have its own week-0 cell")
+      assert(sorted.head.getDouble(3) === 1.0)
+      val size = sorted.head.getLong(2)
+      sorted.foreach { r =>
+        assert(r.getLong(2) <= size, "a cell cannot out-count its cohort")
+        assert(r.getDouble(3) === r.getLong(2).toDouble / size)
+      }
+    }
+    // cohorts partition the user base: sizes sum to the distinct users
+    val nUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(byCohort.values.map(_.minBy(_.getLong(1)).getLong(2)).sum === nUsers)
+    // driver replay: recompute the triangle from raw events
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("w"))
+      .distinct().collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val cohortOf = evs.groupBy(_._1).map { case (u, ws) => (u, ws.map(_._2).min) }
+    val cells = evs.groupBy { case (u, w) =>
+      (cohortOf(u), java.time.temporal.ChronoUnit.DAYS.between(cohortOf(u), w) / 7)
+    }.map { case (k, v) => (k, v.length.toLong) }
+    assert(d.map(r => ((r.getDate(0).toLocalDate, r.getLong(1)), r.getLong(2))).toMap === cells)
+  }
 }

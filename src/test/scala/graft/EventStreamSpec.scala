@@ -155,6 +155,32 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("joinLifecycle: batch-joined evens + stream-joined odds accumulate " +
+    "to the full-corpus interval join") {
+    import org.apache.spark.sql.functions.col
+    try {
+      val got = graft.operators.EventOps
+        .joinLifecycle(spark, TestSpark.sf0001).collect().toSeq
+      val expected = graft.operators.EventOps.clickPurchaseBatch(
+        Tables.events(spark, TestSpark.sf0001)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")))
+        .orderBy(col("click_id"), col("purchase_ts"), col("purchase_value"))
+        .collect().toSeq
+      assert(got === expected)
+      // the parity split routes every odd-user pair through the REAL
+      // stream-stream join — prove both halves contribute (or neither
+      // did, which would make the proof vacuous at this corpus)
+      assert(got.nonEmpty)
+      val oddCount = expected.count(_.getLong(0) % 2 != 0)
+      assert(got.count(_.getLong(0) % 2 != 0) === oddCount)
+    } finally {
+      graft.operators.Layout.dropEpochFamily(spark,
+        graft.operators.EventOps.joinLifecycleBase(TestSpark.sf0001))
+    }
+  }
+
   test("eventsLifecycle fails fast when the corpus span reaches the " +
     "watermark delay (a regenerated-testdata drop would otherwise " +
     "surface only as an opaque driver hash mismatch)") {

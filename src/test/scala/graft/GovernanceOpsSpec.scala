@@ -460,4 +460,58 @@ class GovernanceOpsSpec extends SparkSpec {
     assert(r.filter(col("rank_micro") < GraphOps.DampingFloor).count() === 0)
     r.unpersist()
   }
+
+  // ------------------------------------------------------ FK inference
+
+  test("fkInference: the seven true FKs are inferred from data, the control is not") {
+    val rows = GovernanceOps.fkInference(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(6), r.getBoolean(7))).toMap
+    assert(rows.size === 8)
+    val control = rows(("orders.o_orderkey", "customer.c_custkey"))
+    assert(!control._4, "the negative control must not be inferred")
+    assert(control._3 < 1.0, "control containment must fail on the data")
+    rows.filterNot(_._1 == ("orders.o_orderkey", "customer.c_custkey"))
+      .foreach { case (pair, (nc, cont, containment, inferred)) =>
+        assert(inferred, s"$pair should be inferred")
+        assert(containment === 1.0 && cont === nc, s"$pair containment")
+      }
+  }
+
+  // ------------------------------------------------------------ Z-order
+
+  test("zorderLayout: 64 ntile-even files; Z extents prune where date-linear cannot") {
+    val files = GovernanceOps.zorderLayout(spark, sf).collect()
+    assert(files.map(_.getLong(0)).toSeq === (1L to 64L))
+    val orders = Tables.orders(spark, sf)
+    val n = orders.count()
+    val sizes = files.map(_.getLong(1))
+    assert(sizes.sum === n)
+    assert(sizes.max - sizes.min <= 1, "ntile files differ by at most one row")
+    for (r <- files) {
+      assert(r.getLong(2) >= 0 && r.getLong(3) <= 255)
+      assert(r.getLong(4) >= 0 && r.getLong(5) <= 255)
+    }
+    // The point of Z-order: a one-custkey-bucket predicate overlaps few
+    // Z files. The date-linear layout (files cut by orderdate order)
+    // spans the full custkey range in EVERY file, pruning nothing.
+    def overlaps(xMin: Long, xMax: Long, x: Long) = xMin <= x && x <= xMax
+    val probe = 128L // mid-range custkey bucket (edge buckets are noisy
+    // at sf0.001's ~23 rows/file: a file's random min may sit above a
+    // low probe, making even the linear layout look like it prunes)
+    val zHit = files.count(r => overlaps(r.getLong(2), r.getLong(3), probe))
+    import org.apache.spark.sql.expressions.Window
+    val b = orders.agg(min(col("o_custkey")), max(col("o_custkey"))).head()
+    val (kMin, kMax) = (b.getLong(0), b.getLong(1))
+    val linear = orders
+      .withColumn("x", expr(s"((o_custkey - $kMin) * 256) div ${kMax - kMin + 1}"))
+      .withColumn("f", ntile(64).over(Window.orderBy(col("o_orderdate"), col("o_orderkey"))))
+      .groupBy("f").agg(min("x").as("x_min"), max("x").as("x_max"))
+      .collect()
+    val linHit = linear.count(r => overlaps(r.getLong(1), r.getLong(2), probe))
+    assert(linHit >= 48,
+      s"date-linear files should span the mid custkey bucket almost everywhere ($linHit/64)")
+    assert(zHit * 4 <= linHit,
+      s"Z-order must prune at least 4x better than linear ($zHit vs $linHit)")
+  }
 }

@@ -50,7 +50,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_collocations",       // crossJoin(broadcast(1-row corpus totals))
     "q_heavy_hitters",      // crossJoin(broadcast(1-row total-token aggregate))
     "q_countmin_counts",    // crossJoin(broadcast(1-row total aggregate)) onto the 10-row probe
-    "q_curation_funnel"     // crosses five 1-row stage aggregates; pair stage is the allowed bitmap BNLJ
+    "q_curation_funnel",    // crosses five 1-row stage aggregates; pair stage is the allowed bitmap BNLJ
+    "q_hll_intersect",      // crossJoin of the 1-row exact twin with the 1-row sketch aggregate (1×1)
+    "q_fk_inference"        // per-pair cross of three 1-row stat aggregates (1×1×1, 8 pairs)
   )
 
   // -------------------------------------------------------------------
@@ -93,7 +95,15 @@ class PlanAuditSpec extends SparkSpec {
     "q_scd2_merge"        -> (4, false),
     "q_cdc_upsert"        -> (4, false),
     // row-local JL projection: (vec_id, embedding) only
-    "q_random_projection" -> (2, false)
+    "q_random_projection" -> (2, false),
+    // layout planning reads exactly the clustering dims + the row key
+    "q_zorder_layout"     -> (3, false),
+    // cohort triangle reads (user_id, ts) only
+    "q_cohort_retention"  -> (2, false),
+    // FK inference prunes every scan to the single candidate column
+    "q_fk_inference"      -> (1, false),
+    // sketch + exact twin both read (user_id, event_type) only
+    "q_hll_intersect"     -> (2, false)
   )
 
   for ((name, (maxCols, wantPush)) <- scanBudgets.toSeq.sortBy(_._1)) {

@@ -86,4 +86,16 @@ class RelOpsSpec extends SparkSpec {
     assert(totalWide === totalLong)
     assert(totalWide === Tables.events(spark, sf).count())
   }
+
+  test("hllIntersect: exact twin matches a driver set replay, sketch bound holds") {
+    val r = RelOps.hllIntersectGated(spark, sf).head()
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).collect()
+    val clicks = evs.filter(_.getString(1) == "click").map(_.getLong(0)).toSet
+    val purchases = evs.filter(_.getString(1) == "purchase").map(_.getLong(0)).toSet
+    assert(r.getLong(0) === clicks.size.toLong)
+    assert(r.getLong(1) === purchases.size.toLong)
+    assert(r.getLong(2) === (clicks & purchases).size.toLong)
+    assert(r.getBoolean(3), "inclusion-exclusion estimate left its error bound")
+  }
 }
