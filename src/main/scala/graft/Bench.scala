@@ -42,6 +42,9 @@ object Bench {
     "q_cube_orders" -> 0.491, // r11 seed: one Expand(4 levels) hash aggregate + range sort
     "q_cohort_retention" -> 0.232, // r11 seed: (user,week)-grain distinct + per-user window min + cohort-grain agg
     "q_join_lifecycle" -> 4.209, // r11 seed: rebuild-by-design lifecycle #11 — batch binned join + REAL stream-stream join replay on every call
+    "q_markov_transitions" -> 0.477, // r11 seed: one user_id window exchange, k x k grain after
+    "q_upsert_lifecycle" -> 2.547, // r11 seed: rebuild-by-design lifecycle #12 — snapshot bootstrap + flatMapGroupsWithState keep-latest replay every call
+    "q_interval_anti" -> 0.688, // r11 seed: binned left join + any-hit aggregate, no theta join
     "q_hll_intersect" -> 0.183, // r11 seed: one-scan 3-sketch aggregate crossed with the exact user-grain twin
     "q_fk_inference" -> 1.256, // r11 seed: 8 candidate pairs x (distinct + semi-join + 1-row stat crosses), 1-col pruned scans
     "q_zorder_layout" -> 1.161, // r11 seed: bounded-domain z-histogram ranking + per-z row_number + 64-file extent agg

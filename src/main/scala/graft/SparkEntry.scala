@@ -56,6 +56,8 @@ object SparkEntry {
     "q_range_join"        -> (EventOps.rangeJoinErrorViews _),
     "q_cohort_retention"  -> (EventOps.cohortRetention _),
     "q_join_lifecycle"    -> (EventOps.joinLifecycle _),
+    "q_markov_transitions" -> (EventOps.markovTransitions _),
+    "q_interval_anti"     -> (EventOps.intervalAnti _),
     // §2b — text analysis
     "q_token_counts"      -> (TextOps.tokenCounts _),
     "q_quality_score"     -> (TextOps.qualityScore _),
@@ -160,6 +162,7 @@ object SparkEntry {
     "q_snapshot_diff"     -> (GovernanceOps.snapshotDiff _),
     "q_profile_stats"     -> (GovernanceOps.profileStats _),
     "q_fk_inference"      -> (GovernanceOps.fkInference _),
+    "q_upsert_lifecycle"  -> (GovernanceOps.upsertLifecycle _),
     "q_zorder_layout"     -> (GovernanceOps.zorderLayout _),
     "q_anomaly_mad"       -> (GovernanceOps.anomalyMad _),
     // §2b — graph analytics beyond connected components
@@ -206,6 +209,8 @@ object SparkEntry {
     "q_range_join"        -> EventOps.rangeJoinErrorViewsSql,
     "q_cohort_retention"  -> EventOps.cohortRetentionSql,
     "q_join_lifecycle"    -> EventOps.joinLifecycleSql,
+    "q_markov_transitions" -> EventOps.markovTransitionsSql,
+    "q_interval_anti"     -> EventOps.intervalAntiSql,
     "q_token_counts"      -> TextOps.tokenCountsSql,
     "q_quality_score"     -> TextOps.qualityScoreSql,
     "q_quality_classifier" -> TextOps.qualityClassifierSql,
@@ -342,6 +347,7 @@ object SparkEntry {
     "q_snapshot_diff"     -> GovernanceOps.snapshotDiffSql,
     "q_profile_stats"     -> GovernanceOps.profileStatsSql,
     "q_fk_inference"      -> GovernanceOps.fkInferenceSql,
+    "q_upsert_lifecycle"  -> GovernanceOps.cdcUpsertSql,
     "q_zorder_layout"     -> GovernanceOps.zorderLayoutSql,
     // exact integer-cents space: percentile interpolation over
     // integers yields exact binary fractions, so median/MAD/fence

@@ -315,6 +315,95 @@ object EventOps {
       |  AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
       |ORDER BY click_id, purchase_ts, purchase_value""".stripMargin
 
+  /** Markov transition matrix over per-user event sequences: for each
+    * (from_type, to_type) pair, how often a user's event of one type
+    * is immediately followed by the other, and the row-normalized
+    * transition probability — the first-order behavioral model a
+    * recommendation/anomaly layer consumes.
+    *
+    * Plan: ONE shuffle on user_id (the lead window, partitioned,
+    * per-user sort local, total order (ts, event_id)); the pair count
+    * is a combiner-reduced aggregate at the k×k type grain and the
+    * row normalization is a window over ≤k rows per partition — both
+    * corpus-size-independent after the first exchange.
+    */
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("prob",
+        col("n_trans").cast("double") / sum(col("n_trans")).over(byFrom))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val markovTransitionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events
+      |), t AS (
+      |  SELECT event_type AS from_type,
+      |         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM e
+      |), g AS (
+      |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+      |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT from_type, to_type, n_trans,
+      |  CAST(n_trans AS DOUBLE) / SUM(n_trans) OVER (PARTITION BY from_type) AS prob
+      |FROM g ORDER BY from_type, to_type""".stripMargin
+
+  /** Interval ANTI join — the abandonment query: clicks with NO
+    * purchase by the same user inside the attribution window. The
+    * naive NOT EXISTS over a time-range predicate plans as a per-user
+    * nested loop; the scalable form reuses [[clickPurchaseBatch]]'s
+    * binning (every candidate pair meets on exactly one (user, bin)
+    * key), LEFT joins, and keeps the clicks whose every candidate
+    * failed the exact interval predicate — one hash join + one
+    * combiner-reduced aggregate, no theta join anywhere.
+    */
+  def intervalAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val winUs = 30L * 60 * 1000000
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"), unix_micros(col("ts")).as("c_us"))
+      .withColumn("bin", expr(s"c_us div $winUs"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      .withColumn("pbin", expr(s"p_us div $winUs"))
+      .select(col("user_id"), col("p_us"),
+        explode(array(col("pbin"), col("pbin") - 1)).as("bin"))
+    clicks.join(purchases, Seq("user_id", "bin"), "left")
+      .withColumn("hit", col("p_us").isNotNull &&
+        col("p_us") >= col("c_us") && col("p_us") <= col("c_us") + winUs)
+      .groupBy(col("click_id"), col("user_id"), col("click_ts"))
+      .agg(max(when(col("hit"), 1L).otherwise(0L)).as("any_hit"))
+      .filter(col("any_hit") === 0L)
+      .select(col("click_id"), col("user_id"), col("click_ts"))
+      .orderBy(col("click_id"))
+  }
+
+  val intervalAntiSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+      |), c AS (
+      |  SELECT event_id AS click_id, user_id, ts AS click_ts
+      |  FROM e WHERE event_type = 'click'
+      |)
+      |SELECT click_id, user_id, click_ts
+      |FROM c
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM e p
+      |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      |    AND p.ts >= c.click_ts AND p.ts <= c.click_ts + INTERVAL 30 MINUTE)
+      |ORDER BY click_id""".stripMargin
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds 30 minutes. Classic
     * lag → flag → running-sum window pattern; session stats per

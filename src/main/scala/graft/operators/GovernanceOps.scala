@@ -287,6 +287,48 @@ object GovernanceOps {
       |WHERE rn = 1
       |ORDER BY client_id""".stripMargin
 
+  private[graft] def upsertLifecycleBase(sfDir: String): String =
+    "graft_ups_lc_" + Layout.corpusTag(sfDir)
+
+  /** The keep-latest-UPSERT lifecycle under the oracle — stream ≡
+    * batch proof #12, and the first over CUSTOM KEYED STREAMING STATE
+    * (`flatMapGroupsWithState`, not a built-in aggregate or join):
+    * EVEN client_ids bootstrapped as a batch snapshot (one keep-latest
+    * row each — the production "initial load" shape) into a fresh
+    * epoch; ODD client_ids replayed through
+    * [[graft.streaming.CdcStream.upsertStateStream]], whose per-key
+    * state emits every improvement into the same epoch. The final
+    * serve is ONE keep-latest reduce over the accumulated rows under
+    * the verbatim [[cdcUpsertSql]] oracle.
+    *
+    * Why the final reduce doesn't weaken the proof: emissions are
+    * always REAL feed rows, and a key's true latest record always
+    * strictly improves the stream state on arrival, so it always
+    * emits — the reduce can only land on the true latest if the state
+    * discipline actually tracked it (keep-first, or a missed
+    * improvement, leaves the latest un-emitted and fails the hash).
+    * Deterministic regardless of file replay order: max by (ts, seq)
+    * is order-free. Rotates a fresh epoch every call and prunes to two.
+    */
+  def upsertLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = upsertLifecycleBase(sfDir)
+    val feed = changeFeed(spark, sfDir)
+    val t = Layout.rotateEpoch(spark, base) { name =>
+      latestSnapshot(feed.filter(col("client_id") % 2 === 0))
+        .select(col("client_id"), col("updated_at").as("ts"),
+          col("last_seq").as("seq"), col("tier"))
+        .write.format("parquet").mode("overwrite").saveAsTable(name)
+    }
+    Layout.replayAsStream(feed.filter(col("client_id") % 2 =!= 0), "graft-upslc") {
+      stream =>
+        graft.streaming.CdcStream.upsertStateStream(
+          stream.as[graft.streaming.CdcStream.ChangeRec], base)
+    }
+    Layout.pruneEpochs(spark, base, keep = 2)
+    latestSnapshot(spark.table(t)).orderBy(col("client_id"))
+  }
+
   // ------------------------------------------------------- snapshot diff
 
   /** Cutoff splitting the orders feed into the two replicas' slices —

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
 
 import graft.operators.Layout
 
@@ -33,4 +33,54 @@ object CdcStream {
         ()
       }
       .start()
+
+  /** One typed change record — the feed shape every CDC operator in
+    * GovernanceOps consumes (key, change time, unique monotone
+    * tiebreaker, tracked attribute). */
+  case class ChangeRec(client_id: Long, ts: java.sql.Timestamp,
+                       seq: Long, tier: String)
+
+  /** Streaming KEEP-LATEST upsert state — the stateful "silver"
+    * counterpart to [[appendChangesStream]]'s stateless log: per key,
+    * `flatMapGroupsWithState` holds the current best change record
+    * (max by (ts, seq)) and EMITS it whenever a micro-batch improves
+    * it (Update mode). Downstream appends each emission to the current
+    * epoch; the accumulated emissions contain every key's true latest
+    * record (its arrival always strictly improves the state, so it
+    * always emits), which is what the lifecycle's final keep-latest
+    * reduce serves — a wrong state discipline here (e.g. keep-first,
+    * or a dropped improvement) never emits the true latest and fails
+    * the oracle hash.
+    *
+    * State is one record per key with NO timeout: a dimension's key
+    * space is the entity population (customers), not the event stream
+    * — bounded state by the domain, the same argument as the batch
+    * upsert's groupBy key grain. An unbounded-key deployment would add
+    * the [[EventStream.dedupFirstStream]] TTL discipline.
+    */
+  def upsertStateStream(changes: Dataset[ChangeRec], base: String): StreamingQuery = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.client_id)
+      .flatMapGroupsWithState[ChangeRec, ChangeRec](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[ChangeRec], state) =>
+          val bestNew = it.maxBy(c => (c.ts.getTime, c.seq))
+          val improves = state.getOption.forall { cur =>
+            bestNew.ts.getTime > cur.ts.getTime ||
+              (bestNew.ts.getTime == cur.ts.getTime && bestNew.seq > cur.seq)
+          }
+          if (improves) { state.update(bestNew); Iterator(bestNew) }
+          else Iterator.empty
+      }
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[ChangeRec], _: Long) =>
+        val name = Layout.currentEpochTable(batch.sparkSession, base)
+          .getOrElse(sys.error(s"no published epoch for upsert family $base"))
+        batch.toDF().write.mode("append").format("parquet").saveAsTable(name)
+        ()
+      }
+      .start()
+  }
 }

@@ -169,4 +169,38 @@ class EventOpsSpec extends SparkSpec {
     }.map { case (k, v) => (k, v.length.toLong) }
     assert(d.map(r => ((r.getDate(0).toLocalDate, r.getLong(1)), r.getLong(2))).toMap === cells)
   }
+
+  test("markovTransitions: rows normalize to 1 per from_type, counts replay") {
+    val d = EventOps.markovTransitions(spark, sf).collect()
+    d.groupBy(_.getString(0)).values.foreach { rows =>
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-12)
+      rows.foreach(r => assert(r.getDouble(3) ===
+        r.getLong(2).toDouble / rows.map(_.getLong(2)).sum))
+    }
+    // driver replay: per-user (ts, event_id)-ordered successor pairs
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val pairs = evs.groupBy(_._1).values.flatMap { u =>
+      val s = u.sortBy(e => (e._2, e._3)).map(_._4)
+      s.zip(s.tail)
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(d.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap === pairs)
+  }
+
+  test("intervalAnti: partitions clicks disjointly with the matched set") {
+    val anti = EventOps.intervalAnti(spark, sf)
+      .select(col("click_id")).collect().map(_.getLong(0)).toSet
+    val matched = EventOps.clickPurchaseBatch(
+      Tables.events(spark, sf)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")))
+      .select(col("click_id")).distinct().collect().map(_.getLong(0)).toSet
+    val allClicks = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert((anti & matched).isEmpty)
+    assert((anti | matched) === allClicks)
+  }
 }

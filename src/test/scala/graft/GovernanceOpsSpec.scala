@@ -461,6 +461,32 @@ class GovernanceOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("upsertLifecycle: bootstrapped evens + stateful-streamed odds serve " +
+    "the batch cdcUpsert exactly; state suppresses non-improvements") {
+    try {
+      val got = GovernanceOps.upsertLifecycle(spark, sf).collect().toSeq
+      val expected = GovernanceOps.cdcUpsert(spark, sf).collect().toSeq
+      assert(got === expected)
+      // the accumulated epoch holds one bootstrap row per even client
+      // and only the IMPROVING emissions per odd client — strictly
+      // fewer rows than the odd half of the feed (the state did work)
+      val base = GovernanceOps.upsertLifecycleBase(sf)
+      val acc = spark.table(
+        graft.operators.Layout.currentEpochTable(spark, base).get)
+      val feed = Tables.orders(spark, sf)
+      val oddFeedRows = feed.filter(col("o_custkey") % 2 =!= 0).count()
+      val accOdd = acc.filter(col("client_id") % 2 =!= 0).count()
+      assert(accOdd < oddFeedRows,
+        "streamed state emitted every row — keep-latest suppressed nothing")
+      val evenClients = feed.filter(col("o_custkey") % 2 === 0)
+        .select(col("o_custkey")).distinct().count()
+      assert(acc.filter(col("client_id") % 2 === 0).count() === evenClients)
+    } finally {
+      graft.operators.Layout.dropEpochFamily(spark,
+        GovernanceOps.upsertLifecycleBase(sf))
+    }
+  }
+
   // ------------------------------------------------------ FK inference
 
   test("fkInference: the seven true FKs are inferred from data, the control is not") {

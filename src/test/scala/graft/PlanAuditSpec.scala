@@ -103,7 +103,11 @@ class PlanAuditSpec extends SparkSpec {
     // FK inference prunes every scan to the single candidate column
     "q_fk_inference"      -> (1, false),
     // sketch + exact twin both read (user_id, event_type) only
-    "q_hll_intersect"     -> (2, false)
+    "q_hll_intersect"     -> (2, false),
+    // successor window reads (user_id, ts, event_id, event_type)
+    "q_markov_transitions" -> (4, false),
+    // binned anti: clicks (event_id, user_id, ts, type), purchases narrower
+    "q_interval_anti"     -> (4, false)
   )
 
   for ((name, (maxCols, wantPush)) <- scanBudgets.toSeq.sortBy(_._1)) {

@@ -418,6 +418,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("HLL sketch is MERGEABLE: union of arbitrary shard sketches " +
+    "estimates identically to the whole-stream sketch, over a two-level tree") {
+    val s = spark; import s.implicits._
+    // register-wise max is associative/commutative/idempotent, so any
+    // shard partition and any merge tree must land on the SAME sketch
+    // state — estimates compare exactly, not approximately
+    def sketchOf(items: Seq[Long]): Array[Byte] =
+      items.toDF("v").agg(hll_sketch_agg(col("v"))).head().getAs[Array[Byte]](0)
+    def unionOf(sks: Seq[Array[Byte]]): Array[Byte] =
+      sks.map(Tuple1(_)).toDF("sk").agg(hll_union_agg(col("sk")))
+        .head().getAs[Array[Byte]](0)
+    def estOf(sk: Array[Byte]): Long =
+      Seq(Tuple1(sk)).toDF("sk")
+        .select(hll_sketch_estimate(col("sk"))).head().getLong(0)
+    val gen = for {
+      n <- Gen.chooseNum(50, 400)
+      vals <- Gen.listOfN(n, Gen.chooseNum(1L, 150L)) // dense duplicates
+      cuts <- Gen.chooseNum(2, 5)
+      assign <- Gen.listOfN(n, Gen.chooseNum(0, cuts - 1))
+    } yield (vals, cuts, assign)
+    for ((vals, cuts, assign) <- samples(gen, 3)) {
+      val whole = sketchOf(vals)
+      val shards = (0 until cuts)
+        .map(c => vals.zip(assign).collect { case (v, a) if a == c => v })
+        .filter(_.nonEmpty)
+      val flat = unionOf(shards.map(sketchOf))
+      assert(estOf(flat) === estOf(whole), "one-level shard union diverged")
+      val grouped = shards.grouped(2).toSeq.map(g => unionOf(g.map(sketchOf)))
+      assert(estOf(unionOf(grouped)) === estOf(whole), "two-level merge tree diverged")
+      // and the estimate tracks the truth at this density
+      val exact = vals.distinct.size.toLong
+      assert(math.abs(estOf(whole) - exact) <= math.max(2L, (exact * 0.1).toLong))
+    }
+  }
+
   test("unigramViterbi: achieves the brute-force-optimal score on random " +
     "models; segmentation valid; empty iff no full segmentation exists") {
     import graft.operators.TextOps
