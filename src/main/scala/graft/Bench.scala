@@ -45,6 +45,10 @@ object Bench {
     "q_markov_transitions" -> 0.477, // r11 seed: one user_id window exchange, k x k grain after
     "q_upsert_lifecycle" -> 2.547, // r11 seed: rebuild-by-design lifecycle #12 — snapshot bootstrap + flatMapGroupsWithState keep-latest replay every call
     "q_interval_anti" -> 0.688, // r11 seed: binned left join + any-hit aggregate, no theta join
+    "q_moving_avg" -> 0.317, // r11 seed: day-grain exchange + bounded 7-way fan-out join, no global window
+    "q_numeric_histogram" -> 0.247, // r11 seed: bounds collect + row-local binning under a 20-group agg
+    "q_triangle_count" -> 1.379, // r11 seed: oriented-edge self-join + semi probe off the shingle pair index (slow-host state)
+    "q_shard_assignment" -> 0.188, // r11 seed: row-local md5 shard + 32-group agg + 1-row broadcast ratio
     "q_hll_intersect" -> 0.183, // r11 seed: one-scan 3-sketch aggregate crossed with the exact user-grain twin
     "q_fk_inference" -> 1.256, // r11 seed: 8 candidate pairs x (distinct + semi-join + 1-row stat crosses), 1-col pruned scans
     "q_zorder_layout" -> 1.161, // r11 seed: bounded-domain z-histogram ranking + per-z row_number + 64-file extent agg

@@ -58,6 +58,10 @@ object SparkEntry {
     "q_join_lifecycle"    -> (EventOps.joinLifecycle _),
     "q_markov_transitions" -> (EventOps.markovTransitions _),
     "q_interval_anti"     -> (EventOps.intervalAnti _),
+    "q_moving_avg"        -> (RelOps.movingAvgDaily _),
+    "q_numeric_histogram" -> (RelOps.numericHistogram _),
+    "q_triangle_count"    -> (GraphOps.triangleStats _),
+    "q_shard_assignment"  -> (GovernanceOps.shardAssignment _),
     // §2b — text analysis
     "q_token_counts"      -> (TextOps.tokenCounts _),
     "q_quality_score"     -> (TextOps.qualityScore _),
@@ -211,6 +215,10 @@ object SparkEntry {
     "q_join_lifecycle"    -> EventOps.joinLifecycleSql,
     "q_markov_transitions" -> EventOps.markovTransitionsSql,
     "q_interval_anti"     -> EventOps.intervalAntiSql,
+    "q_moving_avg"        -> RelOps.movingAvgDailySql,
+    "q_numeric_histogram" -> RelOps.numericHistogramSql,
+    "q_triangle_count"    -> GraphOps.triangleStatsSql,
+    "q_shard_assignment"  -> GovernanceOps.shardAssignmentSql,
     "q_token_counts"      -> TextOps.tokenCountsSql,
     "q_quality_score"     -> TextOps.qualityScoreSql,
     "q_quality_classifier" -> TextOps.qualityClassifierSql,

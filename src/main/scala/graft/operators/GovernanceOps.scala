@@ -702,6 +702,48 @@ object GovernanceOps {
         |  (n_contained = n_child_distinct AND n_parent_distinct = n_parent) AS inferred
         |FROM pairs ORDER BY child_col, parent_col""".stripMargin)
 
+  // ------------------------------------------------------ shard balance
+
+  /** Hash-shard assignment audit — the balance check a layout planner
+    * runs before committing a partitioning key: assign every document
+    * to one of 32 shards by a content-independent hash of its key
+    * (md5 prefix — the repo's engine-portable hash idiom), and report
+    * per-shard row/byte loads plus each shard's deviation from the
+    * ideal. A skewed key choice surfaces here BEFORE it becomes a
+    * straggler executor.
+    *
+    * Scale: one row-local hash projection under a 32-group
+    * combiner-reduced aggregate; the ideal-load reference is a 1-row
+    * total broadcast back onto the 32 shard rows (the house 1×32
+    * cross, allowlisted). Nothing global, nothing skewed by
+    * construction — which is exactly what the output verifies.
+    */
+  def shardAssignment(spark: SparkSession, sfDir: String): DataFrame = {
+    val shards = Tables.documents(spark, sfDir)
+      .select(
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 32).as("shard"),
+        col("n_chars"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    val total = shards.agg(sum(col("n_docs")).as("total_docs"))
+    shards.crossJoin(broadcast(total)) // 32×1 — bounded, allowlisted
+      .select(col("shard"), col("n_docs"), col("n_chars"),
+        (col("n_docs").cast("double") * 32 / col("total_docs")).as("load_ratio"))
+      .orderBy(col("shard"))
+  }
+
+  val shardAssignmentSql: String =
+    """WITH g AS (
+      |  SELECT CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS shard,
+      |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |  FROM documents GROUP BY 1
+      |)
+      |SELECT shard, n_docs, n_chars,
+      |  CAST(n_docs AS DOUBLE) * 32 / SUM(n_docs) OVER () AS load_ratio
+      |FROM g ORDER BY shard""".stripMargin
+
   // ------------------------------------------------------------- Z-order
 
   /** Bit-interleave of two 8-bit bucket coordinates into a 16-bit

@@ -171,4 +171,69 @@ object GraphOps {
        |SELECT doc_id, rank_micro FROM r$Iterations
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Triangle census of the near-dup graph — the clique-density signal
+    * that separates template FAMILIES (near-dup clusters that are
+    * mutual, triangle-rich) from chains of pairwise-coincidental
+    * overlap: edge count, node count, wedge count (Σ deg·(deg−1)/2),
+    * triangle count, and the global clustering coefficient
+    * 3·triangles / wedges.
+    *
+    * Plan: oriented edges (a<b, the pair generator's native form) are
+    * materialized once; wedges come from ONE self-join on the middle
+    * vertex (every wedge a<b<c appears exactly once) and triangles
+    * from a LEFT SEMI probe of the closing edge — two shuffled
+    * equi-joins, never an all-pairs product. Wedge counts come from
+    * the degree frame, not the wedge join (arithmetic beats
+    * enumeration). The scalar panels cross 1×1 aggregates (bounded,
+    * allowlisted). At 100 TB the classic refinement is degree-ordered
+    * orientation (point each edge at the higher-degree endpoint) to
+    * cap the join fan-out of hub vertices; the fixtures' near-dup
+    * graph has no such hubs, so the simple a<b orientation is the
+    * honest plan here — noted as the documented switch.
+    */
+  def triangleStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = DedupOps.jaccardPairsIndexed(spark, sfDir, 0.5)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .corpusCheckpoint() // reread by three consumers below
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e2.b").as("c"))
+    // closing-edge probe renamed to sidestep self-join lineage ambiguity
+    val closing = e.select(col("a").as("x"), col("b").as("y"))
+    val tri = wedges.join(closing,
+      col("a") === col("x") && col("c") === col("y"), "left_semi")
+    val edgeStats = e.agg(count(lit(1)).as("n_edges"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+    val triStats = tri.agg(count(lit(1)).as("n_triangles"))
+    edgeStats.crossJoin(nodeStats).crossJoin(triStats) // 1×1×1
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0L, lit(0.0))
+          .otherwise(col("n_triangles") * lit(3.0) / col("n_wedges"))
+          .as("clustering"))
+  }
+
+  val triangleStatsSql: String =
+    s"""WITH ${DedupOps.jaccardPairCtes}, e AS MATERIALIZED (
+       |  SELECT doc_a AS a, doc_b AS b FROM jpairs
+       |), deg AS (
+       |  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+       |  GROUP BY v
+       |), tri AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+       |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+       |)
+       |SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       |  (SELECT CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       |  tri.n_triangles,
+       |  CASE WHEN (SELECT SUM((deg * (deg - 1)) // 2) FROM deg) = 0 THEN 0.0
+       |       ELSE tri.n_triangles * 3.0
+       |            / (SELECT SUM((deg * (deg - 1)) // 2) FROM deg) END AS clustering
+       |FROM tri""".stripMargin
 }

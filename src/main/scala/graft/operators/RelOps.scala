@@ -353,6 +353,96 @@ object RelOps {
       |WHERE l_orderkey <= 100
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** 7-day trailing moving average of daily order revenue — the time-
+    * series smoothing query, WITHOUT the global-ordered window the
+    * textbook form plans (an unpartitioned RANGE window drags every
+    * row to one partition — the scale-killer PlanAuditSpec bans).
+    * Scalable form: ONE combiner-reduced exchange to the day grain,
+    * then each day's total is exploded onto the ≤7 target days it
+    * contributes to and re-aggregated — a bounded fan-out equi-join in
+    * place of an ordered window, exact to the RANGE-frame semantics
+    * (average over the EXISTING days in [d−6, d], which the oracle
+    * states as a native RANGE INTERVAL window). Revenue floors to
+    * integer cents so both engines sum exactly.
+    */
+  def movingAvgDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("day_cents"))
+    val contrib = daily
+      .select(col("day"), col("day_cents"),
+        explode(array((0 to 6).map(lit): _*)).as("off"))
+      .select(date_add(col("day"), col("off")).as("day"),
+        col("day_cents").as("c"))
+    val win = contrib.groupBy(col("day"))
+      .agg(sum(col("c")).as("win_cents"), count(lit(1)).as("win_days"))
+    daily.join(win, "day") // inner: drop fan-out days with no real row
+      .select(col("day"), col("day_cents"),
+        (col("win_cents").cast("double") / col("win_days")).as("ma7_cents"))
+      .orderBy(col("day"))
+  }
+
+  val movingAvgDailySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT day, day_cents,
+      |  CAST(SUM(day_cents) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma7_cents
+      |FROM daily
+      |WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY day""".stripMargin
+
+  /** Equi-width numeric histogram of order totals in exact integer
+    * cents — the distribution panel a catalog profiler publishes next
+    * to [[GovernanceOps.profileStats]]'s min/max. Bin edges derive
+    * from the data's own min/max span with pure integer arithmetic
+    * (both engines run the identical div formula), so the 20 bins,
+    * their edges, and their counts are all exact.
+    *
+    * Scale: bounds are one combiner-reduced aggregate (collected — one
+    * row); the binning is a row-local expression under a 20-group
+    * hash aggregate. Nothing global anywhere.
+    */
+  def numericHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = Tables.orders(spark, sfDir)
+      .select(floor(col("o_totalprice") * 100).cast("long").as("c"))
+    // bounds collect: one 3-column row (recompute-safe)
+    val b = cents.agg(min(col("c")), max(col("c")), count(lit(1))).head()
+    val (cMin, cMax, total) = (b.getLong(0), b.getLong(1), b.getLong(2))
+    val span = cMax - cMin + 1
+    cents
+      .select(expr(s"((c - $cMin) * 20) div $span").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("bucket"),
+        (lit(cMin) + expr(s"(bucket * $span) div 20")).as("lo_cents"),
+        (lit(cMin) + expr(s"((bucket + 1) * $span) div 20") - 1).as("hi_cents"),
+        col("n_rows"),
+        (col("n_rows").cast("double") / lit(total.toDouble)).as("frac"))
+      .orderBy(col("bucket"))
+  }
+
+  val numericHistogramSql: String =
+    """WITH c AS (
+      |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c FROM orders
+      |), b AS (
+      |  SELECT MIN(c) AS cmin, MAX(c) AS cmax,
+      |         CAST(COUNT(*) AS BIGINT) AS total FROM c
+      |), g AS (
+      |  SELECT ((c.c - b.cmin) * 20) // (b.cmax - b.cmin + 1) AS bucket,
+      |         CAST(COUNT(*) AS BIGINT) AS n_rows
+      |  FROM c, b GROUP BY 1
+      |)
+      |SELECT bucket,
+      |  b.cmin + (bucket * (b.cmax - b.cmin + 1)) // 20 AS lo_cents,
+      |  b.cmin + ((bucket + 1) * (b.cmax - b.cmin + 1)) // 20 - 1 AS hi_cents,
+      |  n_rows,
+      |  CAST(n_rows AS DOUBLE) / b.total AS frac
+      |FROM g, b
+      |ORDER BY bucket""".stripMargin
+
   /** Pivot: per-user event counts with one column per event type. The
     * value list is EXPLICIT — with it, `pivot` is a single hash
     * aggregate over (user, 5 conditional counts) and needs no

@@ -504,6 +504,37 @@ class GovernanceOpsSpec extends SparkSpec {
       }
   }
 
+  test("shardAssignment: shards partition the corpus, load ratios reconcile") {
+    val d = GovernanceOps.shardAssignment(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(d.map(_.getLong(1)).sum === nDocs)
+    assert(d.map(_.getLong(0)).forall(s => s >= 0 && s < 32))
+    d.foreach(r => assert(r.getDouble(3) ===
+      r.getLong(1).toDouble * 32 / nDocs))
+    // md5 is uniform: no shard should carry a pathological multiple
+    assert(d.map(_.getDouble(3)).max < 4.0)
+  }
+
+  test("triangleStats: census replays against a driver graph walk") {
+    val r = GraphOps.triangleStats(spark, sf).head()
+    val edges = graft.operators.DedupOps.jaccardPairsIndexed(spark, sf, 0.5)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(e => (e.getLong(0), e.getLong(1))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val deg = nodes.map(v => v ->
+      edges.count(e => e._1 == v || e._2 == v)).toMap
+    val wedges = deg.values.map(d => d.toLong * (d - 1) / 2).sum
+    val tris = (for {
+      (a, b) <- edges; (b2, c) <- edges if b2 == b
+      if edges.contains((a, c))
+    } yield (a, b, c)).size.toLong
+    assert(r.getLong(0) === nodes.size.toLong)
+    assert(r.getLong(1) === edges.size.toLong)
+    assert(r.getLong(2) === wedges)
+    assert(r.getLong(3) === tris)
+    if (wedges > 0) assert(r.getDouble(4) === tris * 3.0 / wedges)
+  }
+
   // ------------------------------------------------------------ Z-order
 
   test("zorderLayout: 64 ntile-even files; Z extents prune where date-linear cannot") {

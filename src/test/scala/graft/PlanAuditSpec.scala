@@ -52,7 +52,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_countmin_counts",    // crossJoin(broadcast(1-row total aggregate)) onto the 10-row probe
     "q_curation_funnel",    // crosses five 1-row stage aggregates; pair stage is the allowed bitmap BNLJ
     "q_hll_intersect",      // crossJoin of the 1-row exact twin with the 1-row sketch aggregate (1×1)
-    "q_fk_inference"        // per-pair cross of three 1-row stat aggregates (1×1×1, 8 pairs)
+    "q_fk_inference",       // per-pair cross of three 1-row stat aggregates (1×1×1, 8 pairs)
+    "q_triangle_count",     // consumes the all-pairs pair generator; scalar panel is a 1×1×1 cross
+    "q_shard_assignment"    // crossJoin(broadcast(1-row total)) onto the 32 shard rows
   )
 
   // -------------------------------------------------------------------
@@ -107,7 +109,13 @@ class PlanAuditSpec extends SparkSpec {
     // successor window reads (user_id, ts, event_id, event_type)
     "q_markov_transitions" -> (4, false),
     // binned anti: clicks (event_id, user_id, ts, type), purchases narrower
-    "q_interval_anti"     -> (4, false)
+    "q_interval_anti"     -> (4, false),
+    // day-grain smoothing reads (o_orderdate, o_totalprice) only
+    "q_moving_avg"        -> (2, false),
+    // histogram reads the single measure column
+    "q_numeric_histogram" -> (1, false),
+    // shard audit reads (doc_id, n_chars) only
+    "q_shard_assignment"  -> (2, false)
   )
 
   for ((name, (maxCols, wantPush)) <- scanBudgets.toSeq.sortBy(_._1)) {

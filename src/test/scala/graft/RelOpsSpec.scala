@@ -87,6 +87,38 @@ class RelOpsSpec extends SparkSpec {
     assert(totalWide === Tables.events(spark, sf).count())
   }
 
+  test("movingAvgDaily: join form equals a driver sliding-window replay") {
+    val d = RelOps.movingAvgDaily(spark, sf).collect()
+    val daily = d.map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toMap
+    d.foreach { r =>
+      val day = r.getDate(0).toLocalDate
+      val win = (0 to 6).flatMap(k => daily.get(day.minusDays(k)))
+      assert(r.getDouble(2) === win.sum.toDouble / win.size)
+    }
+    // day grain covers the orders table exactly
+    assert(d.map(_.getLong(1)).sum ===
+      Tables.orders(spark, sf)
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long"))).head().getLong(0))
+  }
+
+  test("numericHistogram: bins tile the span, counts cover every order") {
+    val d = RelOps.numericHistogram(spark, sf).collect()
+    assert(d.map(_.getLong(0)).toSeq === d.map(_.getLong(0)).toSeq.sorted)
+    assert(d.map(_.getLong(3)).sum === Tables.orders(spark, sf).count())
+    // edges tile without gap or overlap across PRESENT buckets' span
+    d.sliding(2).foreach {
+      case Array(a, b) =>
+        if (b.getLong(0) === a.getLong(0) + 1)
+          assert(b.getLong(1) === a.getLong(2) + 1, "adjacent bins must tile")
+      case _ =>
+    }
+    d.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2))
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+    assert(math.abs(d.map(_.getDouble(4)).sum - 1.0) < 1e-12)
+  }
+
   test("hllIntersect: exact twin matches a driver set replay, sketch bound holds") {
     val r = RelOps.hllIntersectGated(spark, sf).head()
     val evs = Tables.events(spark, sf)
