@@ -46,7 +46,13 @@ object StressBench {
     "q_pit_join",
     // full-width fingerprint scan over all six tables (6M lineitem +
     // 10M events dominate): the heaviest pure-scan key
-    "q_table_checksum")
+    "q_table_checksum",
+    // lifecycle #11 (stream-stream join): 200K clicks x 200K purchases
+    // buffered on both sides of the watermarked join during replay
+    "q_join_lifecycle",
+    // lifecycle #12 (flatMapGroupsWithState keep-latest): 15M change
+    // rows through 7.5M-key custom streaming state
+    "q_upsert_lifecycle")
 
   private def tenX(spark: SparkSession, src: String, dst: String): Unit = {
     val copies = explode(sequence(lit(0L), lit(9L))).as("k")
