@@ -47,6 +47,9 @@ object Bench {
     "q_interval_anti" -> 0.688, // r11 seed: binned left join + any-hit aggregate, no theta join
     "q_moving_avg" -> 0.317, // r11 seed: day-grain exchange + bounded 7-way fan-out join, no global window
     "q_numeric_histogram" -> 0.247, // r11 seed: bounds collect + row-local binning under a 20-group agg
+    "q_itemset_pairs" -> 1.894, // r11 seed: basket-bounded pair self-join (1.2M pairs at sf0.1) + TakeOrdered
+    "q_skyline_orders" -> 1.170, // r11 seed: bounded-domain bucket maxima + partitioned range-frame windows
+    "q_dq_checks" -> 0.582, // r11 seed: six combiner-reduced expectation aggregates + one FK anti-join
     "q_triangle_count" -> 1.379, // r11 seed: oriented-edge self-join + semi probe off the shingle pair index (slow-host state)
     "q_shard_assignment" -> 0.188, // r11 seed: row-local md5 shard + 32-group agg + 1-row broadcast ratio
     "q_hll_intersect" -> 0.183, // r11 seed: one-scan 3-sketch aggregate crossed with the exact user-grain twin

@@ -60,6 +60,9 @@ object SparkEntry {
     "q_interval_anti"     -> (EventOps.intervalAnti _),
     "q_moving_avg"        -> (RelOps.movingAvgDaily _),
     "q_numeric_histogram" -> (RelOps.numericHistogram _),
+    "q_itemset_pairs"     -> (RelOps.itemsetPairs _),
+    "q_skyline_orders"    -> (RelOps.skylineOrders _),
+    "q_dq_checks"         -> (GovernanceOps.dqChecks _),
     "q_triangle_count"    -> (GraphOps.triangleStats _),
     "q_shard_assignment"  -> (GovernanceOps.shardAssignment _),
     // §2b — text analysis
@@ -217,6 +220,9 @@ object SparkEntry {
     "q_interval_anti"     -> EventOps.intervalAntiSql,
     "q_moving_avg"        -> RelOps.movingAvgDailySql,
     "q_numeric_histogram" -> RelOps.numericHistogramSql,
+    "q_itemset_pairs"     -> RelOps.itemsetPairsSql,
+    "q_skyline_orders"    -> RelOps.skylineOrdersSql,
+    "q_dq_checks"         -> GovernanceOps.dqChecksSql,
     "q_triangle_count"    -> GraphOps.triangleStatsSql,
     "q_shard_assignment"  -> GovernanceOps.shardAssignmentSql,
     "q_token_counts"      -> TextOps.tokenCountsSql,

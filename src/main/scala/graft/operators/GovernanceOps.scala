@@ -702,6 +702,75 @@ object GovernanceOps {
         |  (n_contained = n_child_distinct AND n_parent_distinct = n_parent) AS inferred
         |FROM pairs ORDER BY child_col, parent_col""".stripMargin)
 
+  // ----------------------------------------------------- DQ expectations
+
+  /** Data-quality expectations suite — the dbt-test / Great-
+    * Expectations panel a pipeline gates ingestion on: each row is one
+    * named assertion over `orders` with its violation count and
+    * verdict. Checks: key not-null, key uniqueness, measure
+    * non-negativity, date range, status domain, and referential
+    * integrity to `customer` (a real anti-join, not a constant).
+    *
+    * Scale: every check is a combiner-reduced aggregate over a pruned
+    * scan; the FK check is a LEFT ANTI join on the key (broadcast when
+    * the dimension is small — Catalyst's call). The verdicts come from
+    * the DATA; planting a violation flips a row (spec-proven on a
+    * planted frame).
+    */
+  def dqChecks(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    def checkRow(name: String, violations: DataFrame): DataFrame =
+      violations.agg(coalesce(sum(lit(1L)), lit(0L)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"),
+          (col("n_violations") === 0L).as("pass"))
+    val dupKeys = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    val rows = Seq(
+      checkRow("orderkey_not_null", o.filter(col("o_orderkey").isNull)),
+      checkRow("orderkey_unique", dupKeys),
+      checkRow("totalprice_nonnegative", o.filter(col("o_totalprice") < 0)),
+      checkRow("orderdate_in_range", o.filter(
+        col("o_orderdate") < lit("1990-01-01").cast("timestamp") ||
+          col("o_orderdate") >= lit("2010-01-01").cast("timestamp"))),
+      checkRow("status_in_domain", o.filter(
+        !col("o_orderstatus").isin("O", "F", "P"))),
+      checkRow("custkey_fk_valid", o.select(col("o_custkey"))
+        .join(c.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")))
+    rows.reduce(_ unionAll _).orderBy(col("check_name"))
+  }
+
+  val dqChecksSql: String =
+    """WITH checks AS (
+      |  SELECT 'orderkey_not_null' AS check_name,
+      |    CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_violations
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orderkey_unique',
+      |    CAST(COUNT(*) AS BIGINT)
+      |  FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+      |  UNION ALL
+      |  SELECT 'totalprice_nonnegative',
+      |    CAST(COUNT(*) FILTER (WHERE o_totalprice < 0) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orderdate_in_range',
+      |    CAST(COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1990-01-01'
+      |      OR o_orderdate >= TIMESTAMP '2010-01-01') AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'status_in_domain',
+      |    CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'custkey_fk_valid',
+      |    CAST(COUNT(*) AS BIGINT)
+      |  FROM orders o WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |)
+      |SELECT check_name, n_violations, n_violations = 0 AS pass
+      |FROM checks ORDER BY check_name""".stripMargin
+
   // ------------------------------------------------------ shard balance
 
   /** Hash-shard assignment audit — the balance check a layout planner

@@ -443,6 +443,106 @@ object RelOps {
       |FROM g, b
       |ORDER BY bucket""".stripMargin
 
+  /** Frequent item PAIRS — the A-Priori first pass of market-basket
+    * mining: per order basket, every unordered part pair, counted
+    * corpus-wide; top 20 by support. The pair fan-out is bounded by
+    * the basket size (≤ C(13,2) here, and small in any retail feed),
+    * so the self-join on the basket key explodes per-basket work, not
+    * corpus² — the standard scalable formulation. Top-k is a
+    * TakeOrdered (per-partition heaps + k-row driver merge), not a
+    * global sort; ties break on the (a, b) total order.
+    */
+  def itemsetPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey"))
+      .distinct()
+    items.select(col("okey"), col("l_partkey").as("part_a"))
+      .join(items.select(col("okey"), col("l_partkey").as("part_b")), "okey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  val itemsetPairsSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey FROM lineitem
+      |)
+      |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |  CAST(COUNT(*) AS BIGINT) AS support
+      |FROM items a JOIN items b
+      |  ON a.okey = b.okey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2
+      |ORDER BY support DESC, part_a, part_b
+      |LIMIT 20""".stripMargin
+
+  /** 2-D SKYLINE (Pareto frontier) of orders — cheapest-for-latest:
+    * keep every order NOT strictly dominated (another order at most as
+    * expensive AND at least as late, strict in one). The textbook
+    * plan is a global (price, date desc) sort with a running max — a
+    * single-partition scale killer. Scalable form: price buckets the
+    * same bounded-domain trick as [[GovernanceOps.zorderLayout]] —
+    * per-bucket max-date reduces to ≤256 rows at any corpus size, the
+    * strictly-cheaper-bucket prefix max is a driver scan broadcast
+    * back, and the within-bucket strictly-cheaper frontier test is a
+    * PARTITIONED range-frame window. Dominance decomposes exactly
+    * because the bucket function is monotone in price: a lower bucket
+    * is strictly cheaper; an equal bucket defers to the exact
+    * within-bucket windows. Duplicated (price, date) points are
+    * mutually non-dominating and both survive.
+    */
+  def skylineOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = Tables.orders(spark, sfDir).select(
+      col("o_orderkey"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"),
+      datediff(to_date(col("o_orderdate")), lit("1990-01-01").cast("date"))
+        .cast("long").as("d"))
+    val b = pts.agg(min(col("cents")), max(col("cents"))).head()
+    val (cMin, cMax) = (b.getLong(0), b.getLong(1))
+    val span = cMax - cMin + 1
+    val bucketed = pts.withColumn("bucket", expr(s"((cents - $cMin) * 256) div $span"))
+    // ≤256-row bucket maxima → driver exclusive prefix max → broadcast
+    val bmax = bucketed.groupBy(col("bucket")).agg(max(col("d")).as("bd"))
+      .orderBy(col("bucket")).collect()
+    var run = Long.MinValue
+    val pref = bmax.map { r =>
+      val t = (r.getLong(0), run); run = math.max(run, r.getLong(1)); t
+    }.toSeq
+    val prefDf = broadcast(
+      pts.sparkSession.createDataFrame(pref).toDF("bucket", "pref_d"))
+    val byCentsPrev = Window.partitionBy(col("bucket")).orderBy(col("cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val byCents = Window.partitionBy(col("bucket"), col("cents"))
+    bucketed.join(prefDf, "bucket")
+      .withColumn("prev_d", max(col("d")).over(byCentsPrev))
+      .withColumn("cents_max_d", max(col("d")).over(byCents))
+      .filter(
+        col("d") > greatest(col("pref_d"), coalesce(col("prev_d"), lit(Long.MinValue))) &&
+          col("d") === col("cents_max_d"))
+      .select(col("o_orderkey"), col("cents"), col("d"))
+      .orderBy(col("cents"), col("d"), col("o_orderkey"))
+  }
+
+  val skylineOrdersSql: String =
+    """WITH pts AS (
+      |  SELECT o_orderkey,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |         CAST(date_diff('day', DATE '1990-01-01',
+      |                        CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+      |  FROM orders
+      |), g AS (
+      |  SELECT *,
+      |    MAX(d) OVER (ORDER BY cents
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_d,
+      |    MAX(d) OVER (PARTITION BY cents) AS cents_max_d
+      |  FROM pts
+      |)
+      |SELECT o_orderkey, cents, d
+      |FROM g
+      |WHERE (prev_d IS NULL OR d > prev_d) AND d = cents_max_d
+      |ORDER BY cents, d, o_orderkey""".stripMargin
+
   /** Pivot: per-user event counts with one column per event type. The
     * value list is EXPLICIT — with it, `pivot` is a single hash
     * aggregate over (user, 5 conditional counts) and needs no

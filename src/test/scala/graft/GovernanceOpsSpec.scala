@@ -504,6 +504,42 @@ class GovernanceOpsSpec extends SparkSpec {
       }
   }
 
+  test("dqChecks: clean fixtures pass all six; planted violations flip each row") {
+    val clean = GovernanceOps.dqChecks(spark, sf).collect()
+    assert(clean.length === 6)
+    clean.foreach { r =>
+      assert(r.getLong(1) === 0L, s"${r.getString(0)} violated on clean fixtures")
+      assert(r.getBoolean(2))
+    }
+    // planted frame: one violation per check
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dq").toString
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    Seq(
+      (Option(1L), 10L, "O", 5.0, ts("1995-06-01 00:00:00"), "1-URGENT"),
+      (Option(2L), 10L, "O", 5.0, ts("1995-06-01 00:00:00"), "1-URGENT"),
+      (Option(2L), 10L, "O", 5.0, ts("1995-06-01 00:00:00"), "1-URGENT"), // dup key
+      (Option(3L), 10L, "O", -1.0, ts("1995-06-01 00:00:00"), "1-URGENT"), // negative
+      (Option(4L), 10L, "X", 5.0, ts("1995-06-01 00:00:00"), "1-URGENT"), // bad status
+      (Option(5L), 10L, "O", 5.0, ts("1980-01-01 00:00:00"), "1-URGENT"), // out of range
+      (Option(6L), 99L, "O", 5.0, ts("1995-06-01 00:00:00"), "1-URGENT"), // orphan FK
+      (Option.empty[Long], 10L, "O", 5.0, ts("1995-06-01 00:00:00"), "1-URGENT")) // null key
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, "c", 1, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val planted = GovernanceOps.dqChecks(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(planted("orderkey_not_null") === ((1L, false)))
+    assert(planted("orderkey_unique") === ((1L, false))) // one duplicated key
+    assert(planted("totalprice_nonnegative") === ((1L, false)))
+    assert(planted("orderdate_in_range") === ((1L, false)))
+    assert(planted("status_in_domain") === ((1L, false)))
+    assert(planted("custkey_fk_valid") === ((1L, false)))
+  }
+
   test("shardAssignment: shards partition the corpus, load ratios reconcile") {
     val d = GovernanceOps.shardAssignment(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()

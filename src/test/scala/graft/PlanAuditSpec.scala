@@ -115,7 +115,13 @@ class PlanAuditSpec extends SparkSpec {
     // histogram reads the single measure column
     "q_numeric_histogram" -> (1, false),
     // shard audit reads (doc_id, n_chars) only
-    "q_shard_assignment"  -> (2, false)
+    "q_shard_assignment"  -> (2, false),
+    // baskets read (l_orderkey, l_partkey) only
+    "q_itemset_pairs"     -> (2, false),
+    // frontier reads (o_orderkey, o_totalprice, o_orderdate)
+    "q_skyline_orders"    -> (3, false),
+    // every expectation prunes to its single checked column
+    "q_dq_checks"         -> (1, false)
   )
 
   for ((name, (maxCols, wantPush)) <- scanBudgets.toSeq.sortBy(_._1)) {

@@ -119,6 +119,37 @@ class RelOpsSpec extends SparkSpec {
     assert(math.abs(d.map(_.getDouble(4)).sum - 1.0) < 1e-12)
   }
 
+  test("skylineOrders: bucketed two-phase frontier equals brute-force dominance") {
+    val d = RelOps.skylineOrders(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pts = Tables.orders(spark, sf).select(
+      col("o_orderkey"),
+      floor(col("o_totalprice") * 100).cast("long"),
+      datediff(to_date(col("o_orderdate")), lit("1990-01-01").cast("date")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominates(p: (Long, Long, Long), q: (Long, Long, Long)) =
+      p._2 <= q._2 && p._3 >= q._3 && (p._2 < q._2 || p._3 > q._3)
+    val brute = pts.filter(q => !pts.exists(p => dominates(p, q)))
+      .sortBy(p => (p._2, p._3, p._1))
+    assert(d.toSeq === brute.toSeq)
+    assert(d.nonEmpty)
+  }
+
+  test("itemsetPairs: support counts replay; top-20 is the true ranking head") {
+    val d = RelOps.itemsetPairs(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val counts = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val trueTop = counts.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(20)
+    assert(d.toSeq === trueTop.map { case (k, n) => (k, n) })
+  }
+
   test("hllIntersect: exact twin matches a driver set replay, sketch bound holds") {
     val r = RelOps.hllIntersectGated(spark, sf).head()
     val evs = Tables.events(spark, sf)
