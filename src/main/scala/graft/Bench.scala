@@ -44,6 +44,7 @@ object Bench {
     "q_join_lifecycle" -> 4.209, // r11 seed: rebuild-by-design lifecycle #11 — batch binned join + REAL stream-stream join replay on every call
     "q_markov_transitions" -> 0.477, // r11 seed: one user_id window exchange, k x k grain after
     "q_upsert_lifecycle" -> 2.547, // r11 seed: rebuild-by-design lifecycle #12 — snapshot bootstrap + flatMapGroupsWithState keep-latest replay every call
+    "q_session_lifecycle" -> 5.034, // r11 seed: rebuild-by-design lifecycle #13 — islands batch half + session_window merge-state replay with the two-drain sentinel protocol every call
     "q_interval_anti" -> 0.688, // r11 seed: binned left join + any-hit aggregate, no theta join
     "q_moving_avg" -> 0.317, // r11 seed: day-grain exchange + bounded 7-way fan-out join, no global window
     "q_numeric_histogram" -> 0.247, // r11 seed: bounds collect + row-local binning under a 20-group agg

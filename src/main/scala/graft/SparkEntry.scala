@@ -56,6 +56,7 @@ object SparkEntry {
     "q_range_join"        -> (EventOps.rangeJoinErrorViews _),
     "q_cohort_retention"  -> (EventOps.cohortRetention _),
     "q_join_lifecycle"    -> (EventOps.joinLifecycle _),
+    "q_session_lifecycle" -> (EventOps.sessionLifecycle _),
     "q_markov_transitions" -> (EventOps.markovTransitions _),
     "q_interval_anti"     -> (EventOps.intervalAnti _),
     "q_moving_avg"        -> (RelOps.movingAvgDaily _),
@@ -216,6 +217,7 @@ object SparkEntry {
     "q_range_join"        -> EventOps.rangeJoinErrorViewsSql,
     "q_cohort_retention"  -> EventOps.cohortRetentionSql,
     "q_join_lifecycle"    -> EventOps.joinLifecycleSql,
+    "q_session_lifecycle" -> EventOps.sessionLifecycleSql,
     "q_markov_transitions" -> EventOps.markovTransitionsSql,
     "q_interval_anti"     -> EventOps.intervalAntiSql,
     "q_moving_avg"        -> RelOps.movingAvgDailySql,

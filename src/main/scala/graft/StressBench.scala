@@ -52,7 +52,10 @@ object StressBench {
     "q_join_lifecycle",
     // lifecycle #12 (flatMapGroupsWithState keep-latest): 15M change
     // rows through 7.5M-key custom streaming state
-    "q_upsert_lifecycle")
+    "q_upsert_lifecycle",
+    // lifecycle #13 (session_window merge state): 500K streamed events
+    // through per-user session-merge state + sentinel emission
+    "q_session_lifecycle")
 
   private def tenX(spark: SparkSession, src: String, dst: String): Unit = {
     val copies = explode(sequence(lit(0L), lit(9L))).as("k")

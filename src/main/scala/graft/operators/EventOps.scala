@@ -315,6 +315,117 @@ object EventOps {
       |  AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
       |ORDER BY click_id, purchase_ts, purchase_value""".stripMargin
 
+  private[graft] def sessionLifecycleBase(sfDir: String): String =
+    "graft_sess_lc_" + Layout.corpusTag(sfDir)
+
+  /** Batch sessions in `session_window` semantics — gaps-and-islands
+    * with a break when the gap to the previous event is >= the 30-min
+    * gap (session_window merges windows that OVERLAP, i.e. a gap
+    * strictly under the gap parameter; an exactly-gap-wide silence
+    * starts a new session). Exact decimal partials for the value sum.
+    */
+  private[graft] def sessionStatsBatch(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("ts") >= col("prev") + expr("INTERVAL 30 minutes"), 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("last_ts"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("value_dec"))
+      .select(col("user_id"), col("session_start"), col("last_ts"),
+        col("n_events"), col("value_dec"))
+  }
+
+  /** The SESSION lifecycle under the oracle — stream ≡ batch proof
+    * #13, over the engine's session-MERGE state (the fourth distinct
+    * streaming-state discipline after keyed aggregates, the
+    * stream-stream join, and custom keyed state): EVEN user_ids'
+    * sessions batch-built ([[sessionStatsBatch]], the gaps-and-islands
+    * form) into a fresh epoch; ODD user_ids replayed through the REAL
+    * watermarked `session_window` aggregation
+    * ([[graft.streaming.EventStream.appendSessionStream]]), finalized
+    * sessions appending to the same epoch. Sessions are per-user, so
+    * the parity split is session-compatible. Emission follows the
+    * [[eventsLifecycle]] sentinel-pair discipline (sessions finalize
+    * only when the watermark passes session end + gap; the sentinels'
+    * own session can never finalize — their event times sit 100 days
+    * past the final watermark — so no sentinel row reaches the table).
+    * The oracle is the full-corpus gaps-and-islands SQL VERBATIM.
+    * Rotates a fresh epoch every call and prunes to two.
+    */
+  def sessionLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = sessionLifecycleBase(sfDir)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("value"))
+    val t = Layout.rotateEpoch(spark, base) { name =>
+      sessionStatsBatch(ev.filter(col("user_id") % 2 === 0))
+        .write.format("parquet").mode("overwrite").saveAsTable(name)
+    }
+    val odd = ev.filter(col("user_id") % 2 =!= 0)
+    val span = odd.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val (minTs, maxTs) = (span.getTimestamp(0), span.getTimestamp(1))
+    if (maxTs != null) {
+      val spanDays = (maxTs.getTime - minTs.getTime) / (24.0 * 3600 * 1000)
+      require(spanDays < 89.0,
+        f"events corpus spans $spanDays%.1f days; the 90-day watermark " +
+          "delay must cover an order-free replay's disorder plus the " +
+          "session gap or sessions finalize early — widen the delay")
+      Layout.withStagedParquet(odd.repartition(4), "graft-sesslc") { dir =>
+        val spKey = "spark.sql.shuffle.partitions"
+        val spOld = spark.conf.get(spKey)
+        spark.conf.set(spKey, "4")
+        val stream =
+          try graft.streaming.EventStream.appendSessionStream(
+            spark.readStream.schema(odd.schema)
+              .option("maxFilesPerTrigger", 2).parquet(dir), base)
+          finally spark.conf.set(spKey, spOld)
+        try {
+          stream.processAllAvailable()
+          // sentinel pair, two drains (the eventsLifecycle discipline):
+          // batch N advances the watermark past every real session's
+          // end + gap, batch N+1 is the real-data micro-batch where
+          // they emit; the sentinels' own session stays unfinalized
+          val s1 = new java.sql.Timestamp(maxTs.getTime + 100L * 24 * 3600 * 1000)
+          Seq((-1L, s1, 0.0)).toDF("user_id", "ts", "value")
+            .coalesce(1).write.mode("append").parquet(dir)
+          stream.processAllAvailable()
+          Seq((-1L, new java.sql.Timestamp(s1.getTime + 60000L), 0.0))
+            .toDF("user_id", "ts", "value")
+            .coalesce(1).write.mode("append").parquet(dir)
+          stream.processAllAvailable()
+        } finally stream.stop()
+      }
+    }
+    Layout.pruneEpochs(spark, base, keep = 2)
+    spark.table(t)
+      .select(col("user_id"), col("session_start"), col("last_ts"),
+        col("n_events"), col("value_dec").cast("double").as("value_sum"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val sessionLifecycleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      |), m AS (
+      |  SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+      |      OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), s AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m
+      |)
+      |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Markov transition matrix over per-user event sequences: for each
     * (from_type, to_type) pair, how often a user's event of one type
     * is immediately followed by the other, and the row-normalized

@@ -73,6 +73,39 @@ object EventStream {
         col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Streaming session MAINTENANCE for
+    * [[graft.operators.EventOps.sessionLifecycle]]: the watermarked
+    * `session_window` aggregation in Append mode — the engine's
+    * session-MERGE state (adjacent windows coalesce as members arrive,
+    * a different state discipline from keyed aggregates, joins, or
+    * custom state) — with each micro-batch's watermark-finalized
+    * sessions appended to the CURRENT epoch. `last_ts` is the
+    * session's final event time (`session_window.end` minus the gap —
+    * the engine extends the window one gap past the last member),
+    * aligning the streamed rows with the batch islands build.
+    */
+  def appendSessionStream(events: DataFrame, base: String,
+      gap: String = "30 minutes", watermark: String = "90 days")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("value_dec"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        (col("session_window.end") - expr(s"INTERVAL $gap")).as("last_ts"),
+        col("n_events"), col("value_dec"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val name = graft.operators.Layout
+          .currentEpochTable(batch.sparkSession, base)
+          .getOrElse(sys.error(s"no published epoch for session family $base"))
+        batch.write.mode("append").format("parquet").saveAsTable(name)
+        ()
+      }
+      .start()
+
   /** Streaming attribution-join MAINTENANCE for
     * [[graft.operators.EventOps.joinLifecycle]]: the REAL stream-stream
     * inner join ([[clickToPurchase]] — both sides watermarked, join

@@ -181,6 +181,29 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("sessionLifecycle: batch-islands evens + session_window-streamed odds " +
+    "accumulate to the full-corpus sessions; no sentinel leaks") {
+    import org.apache.spark.sql.functions.col
+    try {
+      val got = graft.operators.EventOps
+        .sessionLifecycle(spark, TestSpark.sf0001).collect().toSeq
+      val expected = graft.operators.EventOps.sessionStatsBatch(
+        Tables.events(spark, TestSpark.sf0001)
+          .select(col("user_id"), col("ts"), col("value")))
+        .select(col("user_id"), col("session_start"), col("last_ts"),
+          col("n_events"), col("value_dec").cast("double").as("value_sum"))
+        .orderBy(col("user_id"), col("session_start"))
+        .collect().toSeq
+      assert(got === expected)
+      assert(got.exists(_.getLong(0) % 2 != 0),
+        "streamed half contributed no sessions — the proof would be vacuous")
+      assert(!got.exists(_.getLong(0) == -1L), "sentinel session leaked")
+    } finally {
+      graft.operators.Layout.dropEpochFamily(spark,
+        graft.operators.EventOps.sessionLifecycleBase(TestSpark.sf0001))
+    }
+  }
+
   test("eventsLifecycle fails fast when the corpus span reaches the " +
     "watermark delay (a regenerated-testdata drop would otherwise " +
     "surface only as an opaque driver hash mismatch)") {
