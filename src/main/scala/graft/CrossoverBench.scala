@@ -154,9 +154,9 @@ object CrossoverBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional section filter for iteration: any of "ab","c","v","e",
-    // "s","u","w" (no args = everything, the round-record configuration)
+    // "s","u","w","k" (no args = everything, the round-record configuration)
     val only: Set[String] =
-      if (args.isEmpty) Set("ab", "c", "v", "e", "s", "u", "w") else args.toSet
+      if (args.isEmpty) Set("ab", "c", "v", "e", "s", "u", "w", "k") else args.toSet
     var failed = false
 
     if (only("ab")) {
@@ -583,6 +583,58 @@ object CrossoverBench {
         (if (wOk) "PASS" else
           s"FAIL\n  local=${localSched.take(4)}\n  dist=${distSched.take(4)}"))
       failed ||= !wOk
+    }
+
+    // ---- section K: skyline bucketed decomposition at 1M points ----
+    // The two-phase bucketed frontier (RelOps.skylineOver) must equal
+    // the textbook single-partition global-window plan on a corpus
+    // whose frontier is LARGE: for a min-cents/MAX-d objective the
+    // hard case is a POSITIVE price↔date tradeoff curve (paying more
+    // buys a later date) plus noise — thousands of running-record
+    // points contend — with planted duplicate (cents, d) pairs and
+    // same-cents ties, the edge classes the dominance decomposition
+    // has to get exactly right.
+    if (only("k")) {
+      import graft.operators.RelOps
+      val pts = timed("gen skyline corpus (1M tradeoff-curve points)") {
+        spark.range(1000000L).select(
+          col("id").as("pid"),
+          // cents uniform in [0, 1e6); duplicates planted by id % 999983
+          pmod(conv(substring(md5(pmod(col("id"), lit(999983L)).cast("string")),
+            1, 8), 16, 10).cast("long"), lit(1000000L)).as("cents"))
+          .withColumn("d",
+            col("cents") +
+              pmod(conv(substring(md5(concat(col("pid").cast("string"), lit("|d"))),
+                1, 8), 16, 10).cast("long"), lit(10000L)) - 5000L)
+          .localCheckpoint() // bench tool, single-host: both plans read it
+      }
+      val tBucketed = { val t0 = System.nanoTime()
+        val n = RelOps.skylineOver(pts).count()
+        println(s"[xover] K bucketed frontier: $n points")
+        (System.nanoTime() - t0) / 1e9 }
+      // textbook reference: ONE global range-frame window (the plan the
+      // operator exists to avoid — here it is the independent oracle)
+      val gPrev = org.apache.spark.sql.expressions.Window.orderBy(col("cents"))
+        .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val gCents = org.apache.spark.sql.expressions.Window.partitionBy(col("cents"))
+      var global: DataFrame = null
+      val tGlobal = { val t0 = System.nanoTime()
+        global = pts
+          .withColumn("prev_d", max(col("d")).over(gPrev))
+          .withColumn("cents_max_d", max(col("d")).over(gCents))
+          .filter((col("prev_d").isNull || col("d") > col("prev_d")) &&
+            col("d") === col("cents_max_d"))
+          .select(col("pid"), col("cents"), col("d"))
+          .localCheckpoint()
+        (System.nanoTime() - t0) / 1e9 }
+      println(f"[xover] K skyline at 1M points: bucketed $tBucketed%.1f s, " +
+        f"global-window reference $tGlobal%.1f s")
+      val kDiff = RelOps.skylineOver(pts).unionAll(global)
+        .groupBy(col("pid"), col("cents"), col("d"))
+        .agg(count(lit(1)).as("n")).filter(col("n") =!= 2).count()
+      println(s"[xover] K bucketed ≡ global-window frontier: diff rows = $kDiff " +
+        (if (kDiff == 0) "PASS" else "FAIL"))
+      failed ||= kDiff != 0
     }
 
     spark.stop()

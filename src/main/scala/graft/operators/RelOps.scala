@@ -494,10 +494,19 @@ object RelOps {
     */
   def skylineOrders(spark: SparkSession, sfDir: String): DataFrame = {
     val pts = Tables.orders(spark, sfDir).select(
-      col("o_orderkey"),
+      col("o_orderkey").as("pid"),
       floor(col("o_totalprice") * 100).cast("long").as("cents"),
       datediff(to_date(col("o_orderdate")), lit("1990-01-01").cast("date"))
         .cast("long").as("d"))
+    skylineOver(pts)
+      .select(col("pid").as("o_orderkey"), col("cents"), col("d"))
+      .orderBy(col("cents"), col("d"), col("o_orderkey"))
+  }
+
+  /** The bucketed skyline core over any (pid, cents, d) frame — minimize
+    * cents, maximize d; exposed for the crossover's 1M-point identity
+    * check against the textbook global-window plan. Output unsorted. */
+  private[graft] def skylineOver(pts: DataFrame): DataFrame = {
     val b = pts.agg(min(col("cents")), max(col("cents"))).head()
     val (cMin, cMax) = (b.getLong(0), b.getLong(1))
     val span = cMax - cMin + 1
@@ -520,8 +529,7 @@ object RelOps {
       .filter(
         col("d") > greatest(col("pref_d"), coalesce(col("prev_d"), lit(Long.MinValue))) &&
           col("d") === col("cents_max_d"))
-      .select(col("o_orderkey"), col("cents"), col("d"))
-      .orderBy(col("cents"), col("d"), col("o_orderkey"))
+      .select(col("pid"), col("cents"), col("d"))
   }
 
   val skylineOrdersSql: String =
