@@ -64,6 +64,7 @@ object SparkEntry {
     "q_itemset_pairs"     -> (RelOps.itemsetPairs _),
     "q_skyline_orders"    -> (RelOps.skylineOrders _),
     "q_dq_checks"         -> (GovernanceOps.dqChecks _),
+    "q_mv_rewrite"        -> (graft.plans.MvRewrite.monthlyRevenue _),
     "q_triangle_count"    -> (GraphOps.triangleStats _),
     "q_shard_assignment"  -> (GovernanceOps.shardAssignment _),
     // §2b — text analysis
@@ -225,6 +226,7 @@ object SparkEntry {
     "q_itemset_pairs"     -> RelOps.itemsetPairsSql,
     "q_skyline_orders"    -> RelOps.skylineOrdersSql,
     "q_dq_checks"         -> GovernanceOps.dqChecksSql,
+    "q_mv_rewrite"        -> graft.plans.MvRewrite.monthlyRevenueSql,
     "q_triangle_count"    -> GraphOps.triangleStatsSql,
     "q_shard_assignment"  -> GovernanceOps.shardAssignmentSql,
     "q_token_counts"      -> TextOps.tokenCountsSql,

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+import graft.plans.MvRewrite
+
+class MvRewriteSpec extends SparkSpec {
+
+  // sparkPlan, not executedPlan: AQE's AdaptiveSparkPlanExec hides the
+  // inner tree from collect() (the PlanAuditSpec precedent)
+  private def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString)
+    }.flatten
+
+  test("mv rewrite: the base-table query is transparently served from the MV") {
+    try {
+      val served = MvRewrite.monthlyRevenue(spark, sf) // ensures MV + installs rule
+      val paths = scanPaths(served)
+      assert(paths.nonEmpty)
+      assert(paths.forall(_.contains(MvRewrite.mvTable(sf))),
+        s"rewritten plan still scans the base table: $paths")
+      assert(!paths.exists(_.contains("orders.parquet")))
+      // exactness: rule-off base query on a throwaway comparison
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[MvRewrite.OrdersDailyMvRule])
+      val base = MvRewrite.monthlyRevenueBase(spark, sf)
+      assert(scanPaths(base).exists(_.contains("orders.parquet")),
+        "rule-off control unexpectedly rewritten")
+      assert(served.collect().toSeq === base.collect().toSeq)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[MvRewrite.OrdersDailyMvRule])
+    }
+  }
+
+  test("mv rewrite negative controls: finer grain and foreign measures fall through") {
+    try {
+      MvRewrite.ensureMv(spark, sf)
+      MvRewrite.install(spark, sf)
+      // day grain is NOT derivable-coarser — must scan the base table
+      val daily = Tables.orders(spark, sf)
+        .groupBy(col("o_orderstatus"),
+          date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      assert(scanPaths(daily).exists(_.contains("orders.parquet")),
+        "day-grain query was wrongly rewritten to the month-safe MV")
+      // a measure the MV does not carry — must scan the base table
+      val avgQ = Tables.orders(spark, sf)
+        .groupBy(col("o_orderstatus"))
+        .agg(avg(col("o_totalprice")).as("a"))
+      assert(scanPaths(avgQ).exists(_.contains("orders.parquet")),
+        "avg measure was wrongly rewritten")
+      // month grain + covered measures from SQL-built expressions also rewrite
+      val sqlForm = Tables.orders(spark, sf)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(sum(floor(col("o_totalprice") * 100)).as("cents"))
+      assert(scanPaths(sqlForm).forall(_.contains(MvRewrite.mvTable(sf))),
+        "status-free month grouping should also be served from the MV")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[MvRewrite.OrdersDailyMvRule])
+    }
+  }
+}
