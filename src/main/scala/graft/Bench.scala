@@ -51,6 +51,7 @@ object Bench {
     "q_itemset_pairs" -> 1.894, // r11 seed: basket-bounded pair self-join (1.2M pairs at sf0.1) + TakeOrdered
     "q_skyline_orders" -> 1.170, // r11 seed: bounded-domain bucket maxima + partitioned range-frame windows
     "q_dq_checks" -> 0.582, // r11 seed: six combiner-reduced expectation aggregates + one FK anti-join
+    "q_rfm_segments" -> 0.973, // r11 seed: customer-grain agg + 1-row quartile broadcast + row-local scoring
     "q_mv_rewrite" -> 0.330, // r11 seed: first call builds the day-grain MV; steady state is the rewritten MV re-aggregate (spec asserts the scan hits the MV, not orders)
     "q_triangle_count" -> 1.379, // r11 seed: oriented-edge self-join + semi probe off the shingle pair index (slow-host state)
     "q_shard_assignment" -> 0.188, // r11 seed: row-local md5 shard + 32-group agg + 1-row broadcast ratio

@@ -64,6 +64,7 @@ object SparkEntry {
     "q_itemset_pairs"     -> (RelOps.itemsetPairs _),
     "q_skyline_orders"    -> (RelOps.skylineOrders _),
     "q_dq_checks"         -> (GovernanceOps.dqChecks _),
+    "q_rfm_segments"      -> (GovernanceOps.rfmSegments _),
     "q_mv_rewrite"        -> (graft.plans.MvRewrite.monthlyRevenue _),
     "q_triangle_count"    -> (GraphOps.triangleStats _),
     "q_shard_assignment"  -> (GovernanceOps.shardAssignment _),
@@ -226,6 +227,7 @@ object SparkEntry {
     "q_itemset_pairs"     -> RelOps.itemsetPairsSql,
     "q_skyline_orders"    -> RelOps.skylineOrdersSql,
     "q_dq_checks"         -> GovernanceOps.dqChecksSql,
+    "q_rfm_segments"      -> GovernanceOps.rfmSegmentsSql,
     "q_mv_rewrite"        -> graft.plans.MvRewrite.monthlyRevenueSql,
     "q_triangle_count"    -> GraphOps.triangleStatsSql,
     "q_shard_assignment"  -> GovernanceOps.shardAssignmentSql,

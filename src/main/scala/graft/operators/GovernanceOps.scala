@@ -702,6 +702,96 @@ object GovernanceOps {
         |  (n_contained = n_child_distinct AND n_parent_distinct = n_parent) AS inferred
         |FROM pairs ORDER BY child_col, parent_col""".stripMargin)
 
+  // --------------------------------------------------- RFM segmentation
+
+  /** RFM customer segmentation — the classic lifecycle-marketing
+    * partition: per customer, Recency (days since last order),
+    * Frequency (order count), Monetary (lifetime cents); each scored
+    * 1-4 against the population's QUARTILE boundaries; segments
+    * labeled from the score triple. Quartiles (not quintiles) on
+    * purpose: 0.25/0.5/0.75 are exact binary fractions, so the
+    * interpolated boundaries over integer inputs are bit-identical
+    * cross-engine (the q_anomaly_mad discipline extended from the
+    * median to all three quartiles).
+    *
+    * Scale: one combiner-reduced aggregate to customer grain, one
+    * 1-row quartile aggregate over it broadcast back (allowlisted
+    * 1×n cross), row-local scoring, and a ≤64-cell final rollup.
+    * Output at the segment grain — corpus-size-independent.
+    */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val anchor = o.agg(max(to_date(col("o_orderdate")))).head().getDate(0)
+    val perCust = o.groupBy(col("o_custkey"))
+      .agg(
+        datediff(lit(anchor), max(to_date(col("o_orderdate")))).cast("long").as("r"),
+        count(lit(1)).as("f"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("m"))
+    val qs = perCust.agg(
+      percentile(col("r"), lit(0.25)).as("r1"), percentile(col("r"), lit(0.5)).as("r2"),
+      percentile(col("r"), lit(0.75)).as("r3"),
+      percentile(col("f"), lit(0.25)).as("f1"), percentile(col("f"), lit(0.5)).as("f2"),
+      percentile(col("f"), lit(0.75)).as("f3"),
+      percentile(col("m"), lit(0.25)).as("m1"), percentile(col("m"), lit(0.5)).as("m2"),
+      percentile(col("m"), lit(0.75)).as("m3"))
+    def upScore(v: Column, b1: Column, b2: Column, b3: Column): Column =
+      lit(1L) + when(v > b1, 1L).otherwise(0L) +
+        when(v > b2, 1L).otherwise(0L) + when(v > b3, 1L).otherwise(0L)
+    def downScore(v: Column, b1: Column, b2: Column, b3: Column): Column =
+      lit(1L) + when(v < b3, 1L).otherwise(0L) +
+        when(v < b2, 1L).otherwise(0L) + when(v < b1, 1L).otherwise(0L)
+    perCust.crossJoin(broadcast(qs)) // 1-row boundary panel
+      .select(
+        downScore(col("r"), col("r1"), col("r2"), col("r3")).as("r_score"),
+        upScore(col("f"), col("f1"), col("f2"), col("f3")).as("f_score"),
+        upScore(col("m"), col("m1"), col("m2"), col("m3")).as("m_score"))
+      .withColumn("segment",
+        when(col("r_score") >= 3 && col("f_score") >= 3 && col("m_score") >= 3, "champion")
+          .when(col("r_score") >= 3 && col("f_score") >= 2, "loyal")
+          .when(col("r_score") >= 3, "recent")
+          .when(col("f_score") >= 3 && col("m_score") >= 3, "at_risk_valuable")
+          .otherwise("hibernating"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"), col("segment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH per_cust AS (
+      |  SELECT o_custkey,
+      |    CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+      |      (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS BIGINT) AS r,
+      |    CAST(COUNT(*) AS BIGINT) AS f,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m
+      |  FROM orders GROUP BY 1
+      |), qs AS (
+      |  SELECT
+      |    quantile_cont(r, 0.25) AS r1, quantile_cont(r, 0.5) AS r2, quantile_cont(r, 0.75) AS r3,
+      |    quantile_cont(f, 0.25) AS f1, quantile_cont(f, 0.5) AS f2, quantile_cont(f, 0.75) AS f3,
+      |    quantile_cont(m, 0.25) AS m1, quantile_cont(m, 0.5) AS m2, quantile_cont(m, 0.75) AS m3
+      |  FROM per_cust
+      |), scored AS (
+      |  SELECT
+      |    1 + CASE WHEN r < r3 THEN 1 ELSE 0 END + CASE WHEN r < r2 THEN 1 ELSE 0 END
+      |      + CASE WHEN r < r1 THEN 1 ELSE 0 END AS r_score,
+      |    1 + CASE WHEN f > f1 THEN 1 ELSE 0 END + CASE WHEN f > f2 THEN 1 ELSE 0 END
+      |      + CASE WHEN f > f3 THEN 1 ELSE 0 END AS f_score,
+      |    1 + CASE WHEN m > m1 THEN 1 ELSE 0 END + CASE WHEN m > m2 THEN 1 ELSE 0 END
+      |      + CASE WHEN m > m3 THEN 1 ELSE 0 END AS m_score
+      |  FROM per_cust, qs
+      |)
+      |SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+      |  CAST(m_score AS BIGINT) AS m_score,
+      |  CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3 THEN 'champion'
+      |       WHEN r_score >= 3 AND f_score >= 2 THEN 'loyal'
+      |       WHEN r_score >= 3 THEN 'recent'
+      |       WHEN f_score >= 3 AND m_score >= 3 THEN 'at_risk_valuable'
+      |       ELSE 'hibernating' END AS segment,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers
+      |FROM scored
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY r_score, f_score, m_score""".stripMargin
+
   // ----------------------------------------------------- DQ expectations
 
   /** Data-quality expectations suite — the dbt-test / Great-

@@ -504,6 +504,44 @@ class GovernanceOpsSpec extends SparkSpec {
       }
   }
 
+  test("rfmSegments: scores bounded, cells partition the customer base, " +
+    "quartile scoring replays on the driver") {
+    val d = GovernanceOps.rfmSegments(spark, sf).collect()
+    val nCust = Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(d.map(_.getLong(4)).sum === nCust)
+    d.foreach { r =>
+      (0 to 2).foreach(i => assert(r.getLong(i) >= 1 && r.getLong(i) <= 4))
+      assert(Set("champion", "loyal", "recent", "at_risk_valuable",
+        "hibernating")(r.getString(3)))
+    }
+    // driver replay of the full scoring pipeline
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        floor(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val anchor = rows.map(_._2).max
+    val per = rows.groupBy(_._1).map { case (_, os) =>
+      (java.time.temporal.ChronoUnit.DAYS.between(os.map(_._2).max, anchor),
+        os.length.toLong, os.map(_._3).sum)
+    }.toSeq
+    def q(vs: Seq[Long], p: Double): Double = {
+      val s = vs.sorted; val h = (s.length - 1) * p
+      val lo = h.toInt; val frac = h - lo
+      if (lo + 1 < s.length) s(lo) + (s(lo + 1) - s(lo)) * frac else s(lo).toDouble
+    }
+    def scoreUp(v: Long, vs: Seq[Long]) =
+      1L + Seq(0.25, 0.5, 0.75).count(p => v > q(vs, p))
+    def scoreDown(v: Long, vs: Seq[Long]) =
+      1L + Seq(0.25, 0.5, 0.75).count(p => v < q(vs, p))
+    val (rs, fs, ms) = (per.map(_._1), per.map(_._2), per.map(_._3))
+    val cells = per.groupBy { case (r, f, m) =>
+      (scoreDown(r, rs), scoreUp(f, fs), scoreUp(m, ms))
+    }.map { case (k, v) => (k, v.size.toLong) }
+    assert(d.map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(4))).toMap
+      === cells)
+  }
+
   test("dqChecks: clean fixtures pass all six; planted violations flip each row") {
     val clean = GovernanceOps.dqChecks(spark, sf).collect()
     assert(clean.length === 6)

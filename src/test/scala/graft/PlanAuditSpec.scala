@@ -54,7 +54,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_hll_intersect",      // crossJoin of the 1-row exact twin with the 1-row sketch aggregate (1×1)
     "q_fk_inference",       // per-pair cross of three 1-row stat aggregates (1×1×1, 8 pairs)
     "q_triangle_count",     // consumes the all-pairs pair generator; scalar panel is a 1×1×1 cross
-    "q_shard_assignment"    // crossJoin(broadcast(1-row total)) onto the 32 shard rows
+    "q_shard_assignment",   // crossJoin(broadcast(1-row total)) onto the 32 shard rows
+    "q_rfm_segments"        // crossJoin(broadcast(1-row quartile panel)) onto customer grain
   )
 
   // -------------------------------------------------------------------
@@ -121,7 +122,9 @@ class PlanAuditSpec extends SparkSpec {
     // frontier reads (o_orderkey, o_totalprice, o_orderdate)
     "q_skyline_orders"    -> (3, false),
     // every expectation prunes to its single checked column
-    "q_dq_checks"         -> (1, false)
+    "q_dq_checks"         -> (1, false),
+    // RFM reads (o_custkey, o_orderdate, o_totalprice)
+    "q_rfm_segments"      -> (3, false)
   )
 
   for ((name, (maxCols, wantPush)) <- scanBudgets.toSeq.sortBy(_._1)) {
