@@ -40,24 +40,24 @@ object Bench {
     "q_pit_join" -> 0.809, // r11 seed: temporal join via the as-of union trick — one client_id exchange for 600K facts × versioned dimension
     "q_snapshot_diff" -> 0.613, // r11 isolated seed: two combiner-reduced keep-latest aggs, full-outer join reuses their client_id partitioning (exchange-audited)
     "q_cube_orders" -> 0.491, // r11 seed: one Expand(4 levels) hash aggregate + range sort
-    "q_cohort_retention" -> 0.232, // r11 seed: (user,week)-grain distinct + per-user window min + cohort-grain agg
-    "q_join_lifecycle" -> 4.209, // r11 seed: rebuild-by-design lifecycle #11 — batch binned join + REAL stream-stream join replay on every call
-    "q_markov_transitions" -> 0.477, // r11 seed: one user_id window exchange, k x k grain after
-    "q_upsert_lifecycle" -> 2.547, // r11 seed: rebuild-by-design lifecycle #12 — snapshot bootstrap + flatMapGroupsWithState keep-latest replay every call
-    "q_session_lifecycle" -> 5.034, // r11 seed: rebuild-by-design lifecycle #13 — islands batch half + session_window merge-state replay with the two-drain sentinel protocol every call
-    "q_interval_anti" -> 0.688, // r11 seed: binned left join + any-hit aggregate, no theta join
-    "q_moving_avg" -> 0.317, // r11 seed: day-grain exchange + bounded 7-way fan-out join, no global window
-    "q_numeric_histogram" -> 0.247, // r11 seed: bounds collect + row-local binning under a 20-group agg
-    "q_itemset_pairs" -> 1.894, // r11 seed: basket-bounded pair self-join (1.2M pairs at sf0.1) + TakeOrdered
-    "q_skyline_orders" -> 1.170, // r11 seed: bounded-domain bucket maxima + partitioned range-frame windows
-    "q_dq_checks" -> 0.582, // r11 seed: six combiner-reduced expectation aggregates + one FK anti-join
-    "q_rfm_segments" -> 0.973, // r11 seed: customer-grain agg + 1-row quartile broadcast + row-local scoring
-    "q_mv_rewrite" -> 0.330, // r11 seed: first call builds the day-grain MV; steady state is the rewritten MV re-aggregate (spec asserts the scan hits the MV, not orders)
-    "q_triangle_count" -> 1.379, // r11 seed: oriented-edge self-join + semi probe off the shingle pair index (slow-host state)
-    "q_shard_assignment" -> 0.188, // r11 seed: row-local md5 shard + 32-group agg + 1-row broadcast ratio
-    "q_hll_intersect" -> 0.183, // r11 seed: one-scan 3-sketch aggregate crossed with the exact user-grain twin
-    "q_fk_inference" -> 1.256, // r11 seed: 8 candidate pairs x (distinct + semi-join + 1-row stat crosses), 1-col pruned scans
-    "q_zorder_layout" -> 1.161, // r11 seed: bounded-domain z-histogram ranking + per-z row_number + 64-file extent agg
+    "q_cohort_retention" -> 0.212, // r11 floor (min of 2 full close passes; isolated seed was looser): (user,week)-grain distinct + per-user window min + cohort-grain agg
+    "q_join_lifecycle" -> 3.471, // r11 floor (min of 2 full close passes; isolated seed was looser): rebuild-by-design lifecycle #11 — batch binned join + REAL stream-stream join replay on every call
+    "q_markov_transitions" -> 0.289, // r11 floor (min of 2 full close passes; isolated seed was looser): one user_id window exchange, k x k grain after
+    "q_upsert_lifecycle" -> 1.725, // r11 floor (min of 2 full close passes; isolated seed was looser): rebuild-by-design lifecycle #12 — snapshot bootstrap + flatMapGroupsWithState keep-latest replay every call
+    "q_session_lifecycle" -> 3.708, // r11 floor (min of 2 full close passes; isolated seed was looser): rebuild-by-design lifecycle #13 — islands batch half + session_window merge-state replay with the two-drain sentinel protocol every call
+    "q_interval_anti" -> 0.277, // r11 floor (min of 2 full close passes; isolated seed was looser): binned left join + any-hit aggregate, no theta join
+    "q_moving_avg" -> 0.194, // r11 floor (min of 2 full close passes; isolated seed was looser): day-grain exchange + bounded 7-way fan-out join, no global window
+    "q_numeric_histogram" -> 0.177, // r11 floor (min of 2 full close passes; isolated seed was looser): bounds collect + row-local binning under a 20-group agg
+    "q_itemset_pairs" -> 1.608, // r11 floor (min of 2 full close passes; isolated seed was looser): basket-bounded pair self-join (1.2M pairs at sf0.1) + TakeOrdered
+    "q_skyline_orders" -> 0.637, // r11 floor (min of 2 full close passes; isolated seed was looser): bounded-domain bucket maxima + partitioned range-frame windows
+    "q_dq_checks" -> 0.375, // r11 floor (min of 2 full close passes; isolated seed was looser): six combiner-reduced expectation aggregates + one FK anti-join
+    "q_rfm_segments" -> 0.413, // r11 floor (min of 2 full close passes; isolated seed was looser): customer-grain agg + 1-row quartile broadcast + row-local scoring
+    "q_mv_rewrite" -> 0.115, // r11 floor (min of 2 full close passes; isolated seed was looser): first call builds the day-grain MV; steady state is the rewritten MV re-aggregate (spec asserts the scan hits the MV, not orders)
+    "q_triangle_count" -> 1.230, // r11 floor (min of 2 full close passes; isolated seed was looser): oriented-edge self-join + semi probe off the shingle pair index (slow-host state)
+    "q_shard_assignment" -> 0.130, // r11 floor (min of 2 full close passes; isolated seed was looser): row-local md5 shard + 32-group agg + 1-row broadcast ratio
+    "q_hll_intersect" -> 0.155, // r11 floor (min of 2 full close passes; isolated seed was looser): one-scan 3-sketch aggregate crossed with the exact user-grain twin
+    "q_fk_inference" -> 1.209, // r11 floor (min of 2 full close passes; isolated seed was looser): 8 candidate pairs x (distinct + semi-join + 1-row stat crosses), 1-col pruned scans
+    "q_zorder_layout" -> 1.061, // r11 floor (min of 2 full close passes; isolated seed was looser): bounded-domain z-histogram ranking + per-z row_number + 64-file extent agg
     "q_table_checksum" -> 0.394, // r11 floor (min of 2 full passes; isolated seed was looser): six full-width scans → per-row md5 → 1-row exact sums
     "q_profile_stats" -> 0.380, // r11 floor (min of 2 full passes; isolated seed was looser): one documents scan, 5-column Expand for exact distincts
     "q_pagerank" -> 0.974, // r11s3 adjudicated slow-host floor (hot-host 0.350 in refMinFast): shingle-index pairs + driver tier (477-node graph; distributed rounds spec-identical)

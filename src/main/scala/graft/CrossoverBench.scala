@@ -608,9 +608,12 @@ object CrossoverBench {
                 1, 8), 16, 10).cast("long"), lit(10000L)) - 5000L)
           .localCheckpoint() // bench tool, single-host: both plans read it
       }
+      var bucketed: DataFrame = null
       val tBucketed = { val t0 = System.nanoTime()
-        val n = RelOps.skylineOver(pts).count()
-        println(s"[xover] K bucketed frontier: $n points")
+        // localCheckpoint like the global side: both timings include one
+        // full materialization, and the diff check below reuses it
+        bucketed = RelOps.skylineOver(pts).localCheckpoint()
+        println(s"[xover] K bucketed frontier: ${bucketed.count()} points")
         (System.nanoTime() - t0) / 1e9 }
       // textbook reference: ONE global range-frame window (the plan the
       // operator exists to avoid — here it is the independent oracle)
@@ -629,7 +632,7 @@ object CrossoverBench {
         (System.nanoTime() - t0) / 1e9 }
       println(f"[xover] K skyline at 1M points: bucketed $tBucketed%.1f s, " +
         f"global-window reference $tGlobal%.1f s")
-      val kDiff = RelOps.skylineOver(pts).unionAll(global)
+      val kDiff = bucketed.unionAll(global)
         .groupBy(col("pid"), col("cents"), col("d"))
         .agg(count(lit(1)).as("n")).filter(col("n") =!= 2).count()
       println(s"[xover] K bucketed ≡ global-window frontier: diff rows = $kDiff " +

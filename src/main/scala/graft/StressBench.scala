@@ -50,8 +50,8 @@ object StressBench {
     // lifecycle #11 (stream-stream join): 200K clicks x 200K purchases
     // buffered on both sides of the watermarked join during replay
     "q_join_lifecycle",
-    // lifecycle #12 (flatMapGroupsWithState keep-latest): 15M change
-    // rows through 7.5M-key custom streaming state
+    // lifecycle #12 (flatMapGroupsWithState keep-latest): 1.5M change
+    // rows through ~150K-key custom streaming state
     "q_upsert_lifecycle",
     // lifecycle #13 (session_window merge state): 500K streamed events
     // through per-user session-merge state + sentinel emission

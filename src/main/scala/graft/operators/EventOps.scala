@@ -217,23 +217,32 @@ object EventOps {
     * own 30-min bin and the previous one, candidates equi-join on
     * (user_id, bin), and the exact inclusive interval predicate
     * filters in the join output. */
-  private[graft] def clickPurchaseBatch(ev: DataFrame): DataFrame = {
-    val winUs = 30L * 60 * 1000000
-    val clicks = ev.filter(col("event_type") === "click")
+  /** One attribution-window constant + one binned-candidate generator
+    * pair shared by the join ([[clickPurchaseBatch]]) and the anti-join
+    * ([[intervalAnti]]) — the bin discipline must never desynchronize
+    * between them. */
+  private[graft] val AttributionWindowUs = 30L * 60 * 1000000
+
+  private def attributionClicks(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"), unix_micros(col("ts")).as("c_us"))
-      .withColumn("bin", expr(s"c_us div $winUs"))
-    val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("bin", expr(s"c_us div $AttributionWindowUs"))
+
+  private def attributionPurchases(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("purchase_ts"),
         col("value").as("purchase_value"), unix_micros(col("ts")).as("p_us"))
-      .withColumn("pbin", expr(s"p_us div $winUs"))
+      .withColumn("pbin", expr(s"p_us div $AttributionWindowUs"))
       .select(col("user_id"), col("purchase_ts"), col("purchase_value"), col("p_us"),
         explode(array(col("pbin"), col("pbin") - 1)).as("bin"))
-    clicks.join(purchases, Seq("user_id", "bin"))
-      .filter(col("p_us") >= col("c_us") && col("p_us") <= col("c_us") + winUs)
+
+  private[graft] def clickPurchaseBatch(ev: DataFrame): DataFrame =
+    attributionClicks(ev).join(attributionPurchases(ev), Seq("user_id", "bin"))
+      .filter(col("p_us") >= col("c_us") &&
+        col("p_us") <= col("c_us") + AttributionWindowUs)
       .select(col("user_id"), col("click_id"), col("click_ts"),
         col("purchase_ts"), col("purchase_value"))
-  }
 
   /** The stream-stream-JOIN lifecycle under the oracle — stream ≡
     * batch proof #11, and the first over a BINARY stateful operator
@@ -479,20 +488,13 @@ object EventOps {
     * combiner-reduced aggregate, no theta join anywhere.
     */
   def intervalAnti(spark: SparkSession, sfDir: String): DataFrame = {
-    val winUs = 30L * 60 * 1000000
     val ev = Tables.events(spark, sfDir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"),
-        col("ts").as("click_ts"), unix_micros(col("ts")).as("c_us"))
-      .withColumn("bin", expr(s"c_us div $winUs"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
-      .withColumn("pbin", expr(s"p_us div $winUs"))
-      .select(col("user_id"), col("p_us"),
-        explode(array(col("pbin"), col("pbin") - 1)).as("bin"))
-    clicks.join(purchases, Seq("user_id", "bin"), "left")
+    val purchases = attributionPurchases(ev)
+      .select(col("user_id"), col("p_us"), col("bin"))
+    attributionClicks(ev).join(purchases, Seq("user_id", "bin"), "left")
       .withColumn("hit", col("p_us").isNotNull &&
-        col("p_us") >= col("c_us") && col("p_us") <= col("c_us") + winUs)
+        col("p_us") >= col("c_us") &&
+        col("p_us") <= col("c_us") + AttributionWindowUs)
       .groupBy(col("click_id"), col("user_id"), col("click_ts"))
       .agg(max(when(col("hit"), 1L).otherwise(0L)).as("any_hit"))
       .filter(col("any_hit") === 0L)

@@ -416,9 +416,12 @@ object RelOps {
       .select(expr(s"((c - $cMin) * 20) div $span").as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"))
+      // edge formula must match MEMBERSHIP: value c lands in bucket b iff
+      // (c-cMin)*20 div span == b, i.e. c >= cMin + ceil(b*span/20) — the
+      // floor form would claim boundary values for the wrong bin
       .select(col("bucket"),
-        (lit(cMin) + expr(s"(bucket * $span) div 20")).as("lo_cents"),
-        (lit(cMin) + expr(s"((bucket + 1) * $span) div 20") - 1).as("hi_cents"),
+        (lit(cMin) + expr(s"(bucket * $span + 19) div 20")).as("lo_cents"),
+        (lit(cMin) + expr(s"((bucket + 1) * $span + 19) div 20") - 1).as("hi_cents"),
         col("n_rows"),
         (col("n_rows").cast("double") / lit(total.toDouble)).as("frac"))
       .orderBy(col("bucket"))
@@ -436,8 +439,8 @@ object RelOps {
       |  FROM c, b GROUP BY 1
       |)
       |SELECT bucket,
-      |  b.cmin + (bucket * (b.cmax - b.cmin + 1)) // 20 AS lo_cents,
-      |  b.cmin + ((bucket + 1) * (b.cmax - b.cmin + 1)) // 20 - 1 AS hi_cents,
+      |  b.cmin + (bucket * (b.cmax - b.cmin + 1) + 19) // 20 AS lo_cents,
+      |  b.cmin + ((bucket + 1) * (b.cmax - b.cmin + 1) + 19) // 20 - 1 AS hi_cents,
       |  n_rows,
       |  CAST(n_rows AS DOUBLE) / b.total AS frac
       |FROM g, b

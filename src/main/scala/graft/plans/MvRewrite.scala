@@ -166,7 +166,7 @@ object MvRewrite {
 
       def mergeAggregate(ae: AggregateExpression): Option[AggregateExpression] =
         ae.aggregateFunction match {
-          case Count(Seq(Literal(_, _))) if !ae.isDistinct =>
+          case Count(Seq(Literal(v, _))) if v != null && !ae.isDistinct =>
             Some(AggregateExpression(Sum(mvN), Complete, isDistinct = false))
           case Sum(e, _) if inline(e).semanticEquals(centsTemplate) && !ae.isDistinct =>
             Some(AggregateExpression(Sum(mvCents), Complete, isDistinct = false))
@@ -212,6 +212,12 @@ object MvRewrite {
       others :+ OrdersDailyMvRule(spark, sfDir)
   }
 
+  /** Remove the rule from the session. */
+  def uninstall(spark: SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[OrdersDailyMvRule])
+
   /** The BASE-table query — written against `orders`, no knowledge of
     * the MV. With the rule installed, planning serves it from the MV. */
   private[graft] def monthlyRevenueBase(spark: SparkSession, sfDir: String): DataFrame =
@@ -224,11 +230,21 @@ object MvRewrite {
 
   /** q_mv_rewrite: ensure the MV, install the rule, run the BASE query
     * — the oracle (plain SQL over orders) gates that the transparent
-    * rewrite is exact. */
+    * rewrite is exact. The install window is BOUNDED: the physical plan
+    * is forced (and cached on the DataFrame) while the rule is live,
+    * then the rule is removed — a session-global optimizer rule left
+    * installed would silently subject every later query to rewriting
+    * against an ensureTable-cached MV keyed by corpus PATH, not
+    * content (a regenerated corpus under the same path would serve
+    * stale data through unrelated keys). */
   def monthlyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     ensureMv(spark, sfDir)
     install(spark, sfDir)
-    monthlyRevenueBase(spark, sfDir)
+    try {
+      val df = monthlyRevenueBase(spark, sfDir)
+      df.queryExecution.executedPlan // force + cache the rewritten plan
+      df
+    } finally uninstall(spark)
   }
 
   val monthlyRevenueSql: String =

@@ -117,6 +117,19 @@ class RelOpsSpec extends SparkSpec {
       assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
     }
     assert(math.abs(d.map(_.getDouble(4)).sum - 1.0) < 1e-12)
+    // MEMBERSHIP: every value's assigned bucket must contain it within
+    // the REPORTED edges (the floor-edge formula failed this on
+    // boundary values; the ceil form is what membership implies)
+    val edges = d.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cents = Tables.orders(spark, sf)
+      .select(floor(col("o_totalprice") * 100).cast("long")).collect().map(_.getLong(0))
+    val (cMin, cMax) = (cents.min, cents.max)
+    val span = cMax - cMin + 1
+    cents.foreach { c =>
+      val b = ((c - cMin) * 20) / span
+      val (lo, hi) = edges(b)
+      assert(lo <= c && c <= hi, s"value $c outside its bucket $b's edges [$lo,$hi]")
+    }
   }
 
   test("skylineOrders: bucketed two-phase frontier equals brute-force dominance") {
