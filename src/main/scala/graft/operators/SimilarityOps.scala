@@ -115,11 +115,16 @@ object SimilarityOps {
     * distances in expectation as well as Gaussian projections and costs
     * only adds). 64-D float → [[ProjDims]]-D exact integer micros:
     * component i of output dim j is `floor(emb[i]·1e6) · sign(i,j)`
-    * with sign(i,j) = parity of the first hex char of md5("i|j") — a
-    * DETERMINISTIC matrix both engines derive independently from the
-    * same literal strings (Catalyst constant-folds the Spark side's
-    * md5 calls to literals at optimization time; DuckDB evaluates its
-    * own md5 — agreement is part of what the hash gates).
+    * with sign(i,j) = parity of the first hex char of md5("i|j"),
+    * materialized ONCE in [[projSigns]] and consumed as LITERALS by
+    * both engines. Round-11 lesson: the earlier form had each engine
+    * evaluate the md5→substring→ascii→%2 chain itself (Catalyst
+    * constant-folded its side, DuckDB ran its own md5) — that is
+    * engine-version-sensitive by construction, and the adjudicating
+    * oracle host disagreed on one link of the chain while three local
+    * engines agreed. Shared literals close the whole drift class: the
+    * oracle SQL is now pure ±term arithmetic with no hash, string, or
+    * lambda functions at all.
     *
     * Plan: entirely ROW-LOCAL — 512 multiply-adds per row inside
     * whole-stage codegen, no shuffle anywhere before the presentation
@@ -128,9 +133,20 @@ object SimilarityOps {
     */
   val ProjDims = 8
 
-  private def projSign(i: Int, j: Int) =
-    when(expr(s"ascii(substring(md5('$i|$j'), 1, 1)) % 2 = 0"), lit(1L))
-      .otherwise(lit(-1L))
+  /** The 64×[[ProjDims]] ±1 sign matrix, generated once from the
+    * md5-parity rule. `projSigns(j)(i-1)` is sign(i,j) for embedding
+    * component i ∈ [1,64], output dim j ∈ [0,ProjDims).
+    */
+  private[graft] val projSigns: IndexedSeq[IndexedSeq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until ProjDims).map { j =>
+      (1 to 64).map { i =>
+        val hex = md.digest(s"$i|$j".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (hex.charAt(0).toInt % 2 == 0) 1L else -1L
+      }
+    }
+  }
 
   def randomProjection(spark: SparkSession, sfDir: String): DataFrame = {
     val dims = (0 until ProjDims).map { j =>
@@ -138,7 +154,7 @@ object SimilarityOps {
         // explicit double BEFORE the multiply: float*int would stay in
         // float precision in Spark while DuckDB promotes to double
         floor(element_at(col("embedding"), i).cast("double") * lit(1000000L))
-          .cast("long") * projSign(i, j)
+          .cast("long") * lit(projSigns(j)(i - 1))
       }.reduce(_ + _).as(s"p$j")
     }
     Tables.embeddingsFanned(spark, sfDir)
@@ -146,12 +162,18 @@ object SimilarityOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Oracle twin: the same 512 terms written out as explicit signed
+    * arithmetic — `± CAST(floor(CAST(embedding[i] AS DOUBLE)*1e6) AS
+    * BIGINT)` — so the oracle engine only parses numbers, casts, floor,
+    * and addition. Deliberately verbose: every function here is bedrock
+    * ANSI SQL with one portable semantic, which is the point.
+    */
   val randomProjectionSql: String = {
     val cols = (0 until ProjDims).map { j =>
-      s"""  list_sum(list_transform(generate_series(1, 64), i ->
-         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) *
-         |    (CASE WHEN ascii(substring(md5(CONCAT(i, '|$j')), 1, 1)) % 2 = 0
-         |          THEN 1 ELSE -1 END))) AS p$j""".stripMargin
+      (1 to 64).map { i =>
+        val op = if (projSigns(j)(i - 1) == 1L) "+" else "-"
+        s"$op CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000000) AS BIGINT)"
+      }.mkString("  (0\n    ", "\n    ", s"\n  ) AS p$j")
     }.mkString(",\n")
     s"""SELECT vec_id,
        |$cols

@@ -3026,21 +3026,38 @@ object TextOps {
   }
 
   /** Distributed MG summary of a one-array-column frame of token
-    * arrays: per-partition imperative pass (genuinely sequential
-    * counter logic — the documented `mapPartitions` escape hatch), then
-    * a TWO-LEVEL merge: the ≤ k·P partial rows are shuffled down to
-    * ~√P tasks and mgMerge'd there, so the driver merges only
-    * ≤ k·√P rows. At 100 TB (~800k input splits, k=16) the one-level
-    * driver merge would see ~13M entries; two-level keeps it ≤ ~14K.
-    * Mergeable-summaries (Agarwal et al., PODS'12) is tree-shape
-    * independent, so the sequential error bound survives unchanged —
-    * bounded small state, the codebook-collect precedent,
-    * never O(corpus). */
+    * arrays. Round-12 re-plan (the q_countmin_counts precedent): the
+    * corpus-sized pass is now a codegen'd map-side-combined
+    * `groupBy(token).count()` — ONE hash-aggregate job whose output is
+    * Heap's-law vocabulary-bounded, the same one-job-at-any-corpus-size
+    * claim the tokenizer trainers make — and Misra-Gries runs WEIGHTED
+    * over that vocab-sized count table. The imperative `mapPartitions`
+    * MG pass over raw tokens (a whole-stage-codegen exit on
+    * corpus-sized data, 2-3× the aggregate's cost on a slow host) is
+    * gone from this path; [[mgSummarize]] remains the per-stream form,
+    * property-tested against the same bound. */
   private[graft] def mgSummaryOf(spark: SparkSession, toksDf: DataFrame,
       k: Int): Map[String, Long] = {
+    val tokCol = col(toksDf.columns.head)
+    mgSummaryOfCounts(spark,
+      toksDf.select(explode(tokCol).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt")), k)
+  }
+
+  /** Weighted MG over an exact (token, cnt) table: a single count row
+    * is itself a ZERO-error MG summary of its sub-stream, so the merge
+    * tree below is exactly the Agarwal et al. (PODS'12) MERGE
+    * operation and the sequential guarantee
+    * `true(t) − n/(k+1) ≤ est(t) ≤ true(t)` (n = total weight) holds
+    * for every token regardless of partitioning or tree shape.
+    * TWO-LEVEL merge: ≤ k·P partial rows shuffle down to ~√P tasks,
+    * so the driver merges only ≤ k·√P rows — bounded small state, the
+    * codebook-collect precedent, never O(corpus). */
+  private[graft] def mgSummaryOfCounts(spark: SparkSession,
+      counts: DataFrame, k: Int): Map[String, Long] = {
     import spark.implicits._
-    val partials = toksDf.as[Seq[String]]
-      .mapPartitions(it => mgSummarize(it.flatten, k))
+    val partials = counts.as[(String, Long)]
+      .mapPartitions(it => mgMerge(it.toSeq, k).iterator)
     val p = partials.rdd.getNumPartitions
     val mid = math.max(1, math.sqrt(p.toDouble).round.toInt)
     val level1 = partials.repartition(mid)
@@ -3061,22 +3078,28 @@ object TextOps {
     * hold under any partitioning (spec-asserted by re-running the
     * summary under adversarial repartitioning, plus a planted-skew
     * fixture proving the membership guarantee for true heavy items).
-    * Scale shape: one `mapPartitions` pass with O(k) state per task +
-    * a ≤ k·partitions driver merge; the exact twin is the same
-    * explode → map-side-combined count the token keys already run.
+    * Scale shape (round-12 re-plan): ONE codegen'd tokenize + explode +
+    * map-side-combined count over the corpus, localCheckpointed at
+    * vocab size (Heap's-bounded — the CMS counter-table precedent at
+    * [[countMinGated]]) and reused by the weighted MG summary, the
+    * total, and the exact top-10 twin; the former second corpus pass
+    * (imperative per-token `mapPartitions` MG outside whole-stage
+    * codegen) is gone.
     */
   def heavyHittersGated(spark: SparkSession, sfDir: String): DataFrame = {
     val k = MgCapacity
     val docs = Tables.documentsFanned(spark, sfDir)
-    val summary = mgSummaryOf(spark,
-      docs.select(tokens(col("text")).as("toks")), k)
-    val exploded = docs.select(explode(tokens(col("text"))).as("token"))
-    val totals = exploded.agg(count(lit(1)).as("n_total"))
+    val counts = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // vocab-sized; read by summary + total + twin
+    val summary = mgSummaryOfCounts(spark, counts, k)
+    val totals = counts.agg(sum(col("cnt")).as("n_total"))
     val estOf: Column = if (summary.isEmpty) lit(0L)
       else coalesce(element_at(
         map(summary.toSeq.sortBy(_._1).flatMap { case (t, e) =>
           Seq(lit(t), lit(e)) }: _*), col("token")), lit(0L))
-    exploded.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    counts
       .orderBy(col("cnt").desc, col("token")).limit(10)
       .crossJoin(broadcast(totals))
       .select(col("token"), col("cnt"),

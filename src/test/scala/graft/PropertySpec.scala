@@ -291,6 +291,26 @@ class PropertySpec extends SparkSpec {
       for ((t, cnt) <- exact if cnt > bound)
         assert(twoLevel.contains(t),
           s"k=$k chunks=$chunks 2-level: heavy $t (cnt=$cnt > $bound) evicted")
+      // WEIGHTED composition — exactly mgSummaryOfCounts' shape: each
+      // exact (token, cnt) row is a zero-error MG summary of its own
+      // sub-stream, chunked arbitrarily (the vocab table's partitioning)
+      // and merged through the same two-level tree. Same bounds, same
+      // membership guarantee — n is the total WEIGHT, unchanged.
+      val countRows = scala.util.Random.shuffle(exact.toSeq)
+      val wChunk = math.max(1, countRows.size / chunks)
+      val wLevel1 = countRows.grouped(wChunk).toSeq
+        .map(g => TextOps.mgMerge(g, k).toSeq)
+      val weighted = TextOps.mgMerge(wLevel1.flatten, k)
+      assert(weighted.size <= k)
+      for ((t, cnt) <- exact) {
+        val est = weighted.getOrElse(t, 0L)
+        assert(est <= cnt, s"k=$k chunks=$chunks weighted: $t over ($est > $cnt)")
+        assert(est >= cnt - bound,
+          s"k=$k chunks=$chunks weighted: $t est $est below $cnt - $bound")
+      }
+      for ((t, cnt) <- exact if cnt > bound)
+        assert(weighted.contains(t),
+          s"k=$k chunks=$chunks weighted: heavy $t (cnt=$cnt > $bound) evicted")
     }
   }
 
