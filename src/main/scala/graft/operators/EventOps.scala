@@ -169,33 +169,36 @@ object EventOps {
         // shuffle partition PER MICRO-BATCH; a replayed half-corpus is
         // small by construction, so pin the stream's shuffle width low
         // (the window-key space, not the corpus, bounds state rows) and
-        // restore the session setting afterwards. At production scale
+        // restore the session setting only after the stream is drained
+        // and stopped — StreamExecution clones the session conf
+        // asynchronously on the query thread, so restoring right after
+        // start() races the clone. At production scale
         // the stream is a separate always-on job sized to its state.
         val spKey = "spark.sql.shuffle.partitions"
         val spOld = spark.conf.get(spKey)
         spark.conf.set(spKey, "4")
-        val stream =
-          try graft.streaming.EventStream.appendWindowPartialsStream(
+        try {
+          val stream = graft.streaming.EventStream.appendWindowPartialsStream(
             spark.readStream.schema(odd.schema)
               .option("maxFilesPerTrigger", 2).parquet(dir), base)
-          finally spark.conf.set(spKey, spOld)
-        try {
-          stream.processAllAvailable()
-          // sentinel pair staged as TWO drains so the second sentinel is
-          // guaranteed its own real-data micro-batch: batch N (sentinel 1)
-          // advances the watermark past every real window, batch N+1
-          // (sentinel 2) is where they emit — no reliance on the engine's
-          // optional no-data batch (a single append of both sentinels can
-          // land them in ONE trigger under maxFilesPerTrigger)
-          val s1 = new java.sql.Timestamp(maxTs.getTime + 100L * 24 * 3600 * 1000)
-          Seq((s1, 0.0)).toDF("ts", "value")
-            .coalesce(1).write.mode("append").parquet(dir)
-          stream.processAllAvailable()
-          Seq((new java.sql.Timestamp(s1.getTime + 60000L), 0.0))
-            .toDF("ts", "value")
-            .coalesce(1).write.mode("append").parquet(dir)
-          stream.processAllAvailable()
-        } finally stream.stop()
+          try {
+            stream.processAllAvailable()
+            // sentinel pair staged as TWO drains so the second sentinel is
+            // guaranteed its own real-data micro-batch: batch N (sentinel 1)
+            // advances the watermark past every real window, batch N+1
+            // (sentinel 2) is where they emit — no reliance on the engine's
+            // optional no-data batch (a single append of both sentinels can
+            // land them in ONE trigger under maxFilesPerTrigger)
+            val s1 = new java.sql.Timestamp(maxTs.getTime + 100L * 24 * 3600 * 1000)
+            Seq((s1, 0.0)).toDF("ts", "value")
+              .coalesce(1).write.mode("append").parquet(dir)
+            stream.processAllAvailable()
+            Seq((new java.sql.Timestamp(s1.getTime + 60000L), 0.0))
+              .toDF("ts", "value")
+              .coalesce(1).write.mode("append").parquet(dir)
+            stream.processAllAvailable()
+          } finally stream.stop()
+        } finally spark.conf.set(spKey, spOld)
       }
     }
     Layout.pruneEpochs(spark, base, keep = 2)
@@ -286,20 +289,23 @@ object EventOps {
           "minus the 30-min join window must cover an order-free replay's " +
           "full disorder or matches drop — widen the delay in joinLifecycle")
       Layout.withStagedParquet(odd.repartition(4), "graft-joinlc") { dir =>
+        // pinned width restored only after drain+stop: the query thread
+        // clones the session conf asynchronously (Layout.replayAsStream
+        // discipline)
         val spKey = "spark.sql.shuffle.partitions"
         val spOld = spark.conf.get(spKey)
         spark.conf.set(spKey, "4")
-        // two independent file-source readers over the same staged dir —
-        // a genuine two-source stream-stream join, no self-join aliasing
-        def src() = spark.readStream.schema(odd.schema)
-          .option("maxFilesPerTrigger", 2).parquet(dir)
-        val stream =
-          try graft.streaming.EventStream.appendClickPurchaseStream(
+        try {
+          // two independent file-source readers over the same staged dir —
+          // a genuine two-source stream-stream join, no self-join aliasing
+          def src() = spark.readStream.schema(odd.schema)
+            .option("maxFilesPerTrigger", 2).parquet(dir)
+          val stream = graft.streaming.EventStream.appendClickPurchaseStream(
             src().filter(col("event_type") === "click"),
             src().filter(col("event_type") === "purchase"),
             base, "30 minutes", "90 days")
-          finally spark.conf.set(spKey, spOld)
-        try stream.processAllAvailable() finally stream.stop()
+          try stream.processAllAvailable() finally stream.stop()
+        } finally spark.conf.set(spKey, spOld)
       }
     }
     Layout.pruneEpochs(spark, base, keep = 2)
@@ -385,29 +391,32 @@ object EventOps {
           "delay must cover an order-free replay's disorder plus the " +
           "session gap or sessions finalize early — widen the delay")
       Layout.withStagedParquet(odd.repartition(4), "graft-sesslc") { dir =>
+        // pinned width restored only after drain+stop: the query thread
+        // clones the session conf asynchronously (Layout.replayAsStream
+        // discipline)
         val spKey = "spark.sql.shuffle.partitions"
         val spOld = spark.conf.get(spKey)
         spark.conf.set(spKey, "4")
-        val stream =
-          try graft.streaming.EventStream.appendSessionStream(
+        try {
+          val stream = graft.streaming.EventStream.appendSessionStream(
             spark.readStream.schema(odd.schema)
               .option("maxFilesPerTrigger", 2).parquet(dir), base)
-          finally spark.conf.set(spKey, spOld)
-        try {
-          stream.processAllAvailable()
-          // sentinel pair, two drains (the eventsLifecycle discipline):
-          // batch N advances the watermark past every real session's
-          // end + gap, batch N+1 is the real-data micro-batch where
-          // they emit; the sentinels' own session stays unfinalized
-          val s1 = new java.sql.Timestamp(maxTs.getTime + 100L * 24 * 3600 * 1000)
-          Seq((-1L, s1, 0.0)).toDF("user_id", "ts", "value")
-            .coalesce(1).write.mode("append").parquet(dir)
-          stream.processAllAvailable()
-          Seq((-1L, new java.sql.Timestamp(s1.getTime + 60000L), 0.0))
-            .toDF("user_id", "ts", "value")
-            .coalesce(1).write.mode("append").parquet(dir)
-          stream.processAllAvailable()
-        } finally stream.stop()
+          try {
+            stream.processAllAvailable()
+            // sentinel pair, two drains (the eventsLifecycle discipline):
+            // batch N advances the watermark past every real session's
+            // end + gap, batch N+1 is the real-data micro-batch where
+            // they emit; the sentinels' own session stays unfinalized
+            val s1 = new java.sql.Timestamp(maxTs.getTime + 100L * 24 * 3600 * 1000)
+            Seq((-1L, s1, 0.0)).toDF("user_id", "ts", "value")
+              .coalesce(1).write.mode("append").parquet(dir)
+            stream.processAllAvailable()
+            Seq((-1L, new java.sql.Timestamp(s1.getTime + 60000L), 0.0))
+              .toDF("user_id", "ts", "value")
+              .coalesce(1).write.mode("append").parquet(dir)
+            stream.processAllAvailable()
+          } finally stream.stop()
+        } finally spark.conf.set(spKey, spOld)
       }
     }
     Layout.pruneEpochs(spark, base, keep = 2)

@@ -158,6 +158,12 @@ object Layout {
     * replay genuinely crosses micro-batch boundaries, and the stream
     * drained and stopped before returning. `mkStream` receives the
     * streaming frame and must `start()` the query.
+    *
+    * The pinned width stays set until the stream is drained AND
+    * stopped: StreamExecution clones the session conf asynchronously on
+    * the query thread, so restoring as soon as `start()` returns races
+    * the clone and micro-batches (and the state-store partition count)
+    * could silently run at the session width instead.
     */
   def replayAsStream(df: DataFrame, prefix: String)(
       mkStream: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
@@ -166,11 +172,11 @@ object Layout {
       val spKey = "spark.sql.shuffle.partitions"
       val spOld = spark.conf.get(spKey)
       spark.conf.set(spKey, "4")
-      val stream =
-        try mkStream(spark.readStream.schema(df.schema)
+      try {
+        val stream = mkStream(spark.readStream.schema(df.schema)
           .option("maxFilesPerTrigger", 2).parquet(dir))
-        finally spark.conf.set(spKey, spOld)
-      try stream.processAllAvailable() finally stream.stop()
+        try stream.processAllAvailable() finally stream.stop()
+      } finally spark.conf.set(spKey, spOld)
     }
   }
 

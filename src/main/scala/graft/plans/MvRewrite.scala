@@ -51,17 +51,63 @@ object MvRewrite {
   def mvTable(sfDir: String): String =
     "graft_mv_orders_daily_" + Layout.corpusTag(sfDir)
 
-  /** Build (once per corpus) the day-grain partial-aggregate MV:
-    * (status, day, n_orders, cents). */
-  def ensureMv(spark: SparkSession, sfDir: String): String =
-    Layout.ensureTable(spark, mvTable(sfDir)) { name =>
+  /** Driver-side freshness fingerprint of the base table: (path,
+    * length, modification time) of every physical file under
+    * `sfDir/orders.parquet`, md5'd. METADATA-ONLY by design — a
+    * freshness probe that scanned the fact table would cost exactly
+    * what the MV exists to avoid; file-listing is the same cheap
+    * signal warehouse MV engines key refresh on. */
+  private[graft] def ordersFingerprint(spark: SparkSession, sfDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/orders.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      val entries = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val s = it.next()
+        entries += s"${s.getPath}|${s.getLen}|${s.getModificationTime}"
+      }
+      entries.sorted.foreach(e => md.update((e + ";").getBytes("UTF-8")))
+    } else md.update("absent".getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def fpTable(sfDir: String): String = mvTable(sfDir) + "_fp"
+
+  /** Build (once per corpus CONTENT) the day-grain partial-aggregate
+    * MV: (status, day, n_orders, cents). The MV is keyed by corpus
+    * path but guarded by [[ordersFingerprint]]: a 1-row sidecar holds
+    * the base table's file fingerprint at build time, and a drifted
+    * fingerprint (corpus regenerated under the same path) drops and
+    * rebuilds the MV instead of transparently serving stale
+    * aggregates. The sidecar is written AFTER the MV, so a crash
+    * between the two re-runs the build rather than publishing stale. */
+  def ensureMv(spark: SparkSession, sfDir: String): String = {
+    val name = mvTable(sfDir)
+    val fpName = fpTable(sfDir)
+    val fp = ordersFingerprint(spark, sfDir)
+    val stale = spark.catalog.tableExists(name) &&
+      (!spark.catalog.tableExists(fpName) ||
+        spark.table(fpName).head().getString(0) != fp)
+    if (stale) {
+      spark.sql(s"DROP TABLE IF EXISTS $fpName")
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+    Layout.ensureTable(spark, name) { n =>
       Tables.orders(spark, sfDir)
         .groupBy(col("o_orderstatus").as("status"),
           to_date(col("o_orderdate")).as("day"))
         .agg(count(lit(1)).as("n_orders"),
           sum(floor(col("o_totalprice") * 100)).as("cents"))
-        .write.format("parquet").saveAsTable(name)
+        .write.format("parquet").saveAsTable(n)
+      spark.sql(s"DROP TABLE IF EXISTS $fpName") // any orphaned sidecar
+      Layout.ensureTable(spark, fpName) { f =>
+        import spark.implicits._
+        Seq(fp).toDF("fp").write.format("parquet").saveAsTable(f)
+      }
     }
+  }
 
   /** The rewrite rule bound to one corpus's base path + MV table. */
   case class OrdersDailyMvRule(spark: SparkSession, sfDir: String)
@@ -233,10 +279,10 @@ object MvRewrite {
     * rewrite is exact. The install window is BOUNDED: the physical plan
     * is forced (and cached on the DataFrame) while the rule is live,
     * then the rule is removed — a session-global optimizer rule left
-    * installed would silently subject every later query to rewriting
-    * against an ensureTable-cached MV keyed by corpus PATH, not
-    * content (a regenerated corpus under the same path would serve
-    * stale data through unrelated keys). */
+    * installed would silently subject every later query to rewriting.
+    * Freshness is [[ensureMv]]'s fingerprint sidecar: a corpus
+    * regenerated under the same path drops and rebuilds the MV rather
+    * than serving stale aggregates. */
   def monthlyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     ensureMv(spark, sfDir)
     install(spark, sfDir)

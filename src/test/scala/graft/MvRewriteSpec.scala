@@ -38,6 +38,37 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("mv freshness: a regenerated corpus under the same path rebuilds the MV") {
+    // temp corpus: copy orders so we can mutate it in place
+    val dir = java.nio.file.Files.createTempDirectory("graft-mvfresh").toString
+    try {
+      Tables.orders(spark, sf).limit(200)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      MvRewrite.ensureMv(spark, dir)
+      val before = spark.table(MvRewrite.mvTable(dir)).agg(sum("n_orders")).head().getLong(0)
+      // steady state: a second ensure with untouched files must NOT rebuild
+      val fp1 = MvRewrite.ordersFingerprint(spark, dir)
+      MvRewrite.ensureMv(spark, dir)
+      assert(MvRewrite.ordersFingerprint(spark, dir) === fp1)
+      assert(spark.table(MvRewrite.mvTable(dir))
+        .agg(sum("n_orders")).head().getLong(0) === before)
+      // regenerate the corpus under the SAME path with different content
+      Tables.orders(spark, sf).limit(450)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      assert(MvRewrite.ordersFingerprint(spark, dir) !== fp1,
+        "fingerprint blind to a rewritten base table")
+      MvRewrite.ensureMv(spark, dir)
+      val after = spark.table(MvRewrite.mvTable(dir)).agg(sum("n_orders")).head().getLong(0)
+      assert(after === 450L, s"stale MV served after corpus regeneration (n=$after)")
+      assert(before === 200L)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${MvRewrite.mvTable(dir)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${MvRewrite.mvTable(dir)}_fp")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("mv rewrite negative controls: finer grain and foreign measures fall through") {
     try {
       MvRewrite.ensureMv(spark, sf)
