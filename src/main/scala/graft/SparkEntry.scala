@@ -66,6 +66,7 @@ object SparkEntry {
     "q_dq_checks"         -> (GovernanceOps.dqChecks _),
     "q_rfm_segments"      -> (GovernanceOps.rfmSegments _),
     "q_mv_rewrite"        -> (graft.plans.MvRewrite.monthlyRevenue _),
+    "q_mv_join_rewrite"   -> (graft.plans.MvJoinRewrite.monthlyClientRollup _),
     "q_triangle_count"    -> (GraphOps.triangleStats _),
     "q_shard_assignment"  -> (GovernanceOps.shardAssignment _),
     // §2b — text analysis
@@ -229,6 +230,7 @@ object SparkEntry {
     "q_dq_checks"         -> GovernanceOps.dqChecksSql,
     "q_rfm_segments"      -> GovernanceOps.rfmSegmentsSql,
     "q_mv_rewrite"        -> graft.plans.MvRewrite.monthlyRevenueSql,
+    "q_mv_join_rewrite"   -> graft.plans.MvJoinRewrite.monthlyClientRollupSql,
     "q_triangle_count"    -> GraphOps.triangleStatsSql,
     "q_shard_assignment"  -> GovernanceOps.shardAssignmentSql,
     "q_token_counts"      -> TextOps.tokenCountsSql,

@@ -1,0 +1,381 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, TimestampType}
+
+import graft.Tables
+import graft.operators.Layout
+
+/** JOIN-aggregate materialized-view rewrite — the second MV shape a
+  * warehouse registry needs after [[MvRewrite]]'s single-table form:
+  * the reference's own `monthly_transaction_summary`
+  * (main.py:197-207) is a month×client rollup over the
+  * customer⋈orders⋈lineitem join, and at 100 TB that query re-joins
+  * the full fact table on every dashboard refresh. The MV here is the
+  * classic summary table: the 3-table join pre-joined AND
+  * pre-aggregated once to (client, day) grain — day-grain keeps it
+  * derivable for every month-or-coarser grain, client-grain keeps the
+  * reference's GROUP BY — so the rollup becomes a re-aggregate of a
+  * ~|clients|×|days| summary instead of a two-shuffle fact join.
+  *
+  * Matching is structural and narrow, like the single-table rule: an
+  * `Aggregate` whose child strips (through optimizer-inserted
+  * Projects) to an INNER equi-join tree of exactly the three base
+  * scans on exactly the reference's keys (c_custkey = o_custkey,
+  * o_orderkey = l_orderkey), whose every grouping expression is the
+  * client name or a month-or-coarser `date_trunc` of the ship date,
+  * and whose every aggregate is `count(*)` or the exact-decimal
+  * `sum(cast(l_extendedprice as decimal(18,2)))`. Anything else — an
+  * extra/missing join edge, a finer grain, a foreign measure — falls
+  * through to the base plan (spec'd negative controls). The
+  * partial-aggregate algebra is exact: count → sum of day counts,
+  * decimal sum → sum of day decimal sums (associative, widened
+  * losslessly, cast back to the original result type).
+  */
+object MvJoinRewrite {
+
+  private val CoarseFmts = Set("month", "mon", "mm", "quarter", "year", "yyyy", "yy")
+
+  def mvTable(sfDir: String): String =
+    "graft_mv_client_daily_" + Layout.corpusTag(sfDir)
+
+  private def fpTable(sfDir: String): String = mvTable(sfDir) + "_fp"
+
+  /** Metadata-only freshness fingerprint over ALL THREE base tables —
+    * the [[MvRewrite.ordersFingerprint]] discipline, widened to the
+    * join MV's full lineage: a regenerated customer, orders, OR
+    * lineitem under the same path must rebuild. */
+  private[graft] def baseFingerprint(spark: SparkSession, sfDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (t <- Seq("customer", "orders", "lineitem")) {
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val it = fs.listFiles(p, true)
+        val entries = scala.collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) {
+          val s = it.next()
+          entries += s"${s.getPath}|${s.getLen}|${s.getModificationTime}"
+        }
+        entries.sorted.foreach(e => md.update((e + ";").getBytes("UTF-8")))
+      } else md.update(s"absent:$t".getBytes("UTF-8"))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Build (once per corpus CONTENT) the day×client join MV:
+    * (client_email, day, n_tx, amount) with `amount` the exact
+    * decimal(28,2) day-grain sum — the widened type `sum` over
+    * decimal(18,2) produces, so re-aggregation stays in exact decimal
+    * arithmetic end to end. Fingerprint sidecar written AFTER the MV
+    * (crash between the two re-runs the build). */
+  def ensureMv(spark: SparkSession, sfDir: String): String = {
+    val name = mvTable(sfDir)
+    val fpName = fpTable(sfDir)
+    val fp = baseFingerprint(spark, sfDir)
+    val stale = spark.catalog.tableExists(name) &&
+      (!spark.catalog.tableExists(fpName) ||
+        spark.table(fpName).head().getString(0) != fp)
+    if (stale) {
+      spark.sql(s"DROP TABLE IF EXISTS $fpName")
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+    Layout.ensureTable(spark, name) { n =>
+      val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
+      val o = Tables.orders(spark, sfDir).select(col("o_custkey"), col("o_orderkey"))
+      val l = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(c("c_name").as("client_email"),
+          to_date(col("l_shipdate")).as("day"))
+        .agg(count(lit(1)).as("n_tx"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("amount"))
+        .write.format("parquet").saveAsTable(n)
+      spark.sql(s"DROP TABLE IF EXISTS $fpName") // any orphaned sidecar
+      Layout.ensureTable(spark, fpName) { f =>
+        import spark.implicits._
+        Seq(fp).toDF("fp").write.format("parquet").saveAsTable(f)
+      }
+    }
+  }
+
+  /** The rewrite rule bound to one corpus's base paths + MV table. */
+  case class ClientDailyMvRule(spark: SparkSession, sfDir: String)
+      extends Rule[LogicalPlan] {
+
+    /** Strip optimizer-inserted Projects down to the inner equi-join
+      * tree, composing the alias map (PullOutGroupingExpressions +
+      * column pruning interpose computed Projects) and collecting the
+      * base relations by path, every equi-join condition, and the
+      * attributes of pushed-down `IsNotNull` filters (InferFiltersFrom
+      * Constraints materializes the inner join's implicit key-not-null
+      * constraints as real Filter nodes on the scans — redundant
+      * w.r.t. the MV, but only when they target JOIN KEYS, which
+      * [[rewrite]] validates). Returns None on any other node — an
+      * outer join, a value filter, or a fourth table means the MV does
+      * not answer this query. */
+    private def stripJoinTree(plan: LogicalPlan): Option[(
+        Map[String, LogicalRelation],
+        Map[ExprId, Expression],
+        Seq[(Expression, Expression)],
+        Seq[Expression])] = plan match {
+      case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        Seq("customer", "orders", "lineitem").collectFirst {
+          case t if fs.location.rootPaths.exists(
+              _.toString.endsWith(s"$sfDir/$t.parquet")) =>
+            (Map(t -> lr), Map.empty[ExprId, Expression],
+              Seq.empty[(Expression, Expression)], Seq.empty[Expression])
+        }
+      case Project(ps, child) =>
+        stripJoinTree(child).map { case (rels, inner, conds, nn) =>
+          def inline(e: Expression): Expression = e.transformUp {
+            case a: AttributeReference if inner.contains(a.exprId) => inner(a.exprId)
+          }
+          val here = ps.collect {
+            case al @ Alias(c, _) => al.exprId -> inline(c)
+          }.toMap
+          (rels, inner ++ here, conds, nn)
+        }
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
+        def notNullTargets(e: Expression): Option[Seq[Expression]] = e match {
+          case And(a, b) =>
+            for (l <- notNullTargets(a); r <- notNullTargets(b)) yield l ++ r
+          case IsNotNull(t) => Some(Seq(t))
+          case _ => None
+        }
+        for {
+          targets <- notNullTargets(cond)
+          (rels, inner, conds, nn) <- stripJoinTree(child)
+        } yield (rels, inner, conds, nn ++ targets)
+      case Join(left, right, Inner, cond, _) =>
+        for {
+          (lr, li, lc, ln) <- stripJoinTree(left)
+          (rr, ri, rc, rn) <- stripJoinTree(right)
+          if lr.keySet.intersect(rr.keySet).isEmpty
+          pairs <- equiPairs(cond)
+        } yield (lr ++ rr, li ++ ri, lc ++ rc ++ pairs, ln ++ rn)
+      case _ => None
+    }
+
+    /** Decompose a conjunctive join condition into equi-pairs; None if
+      * any conjunct is not a plain equality. */
+    private def equiPairs(cond: Option[Expression])
+        : Option[Seq[(Expression, Expression)]] = cond match {
+      case None => Some(Seq.empty)
+      case Some(e) =>
+        def split(x: Expression): Option[Seq[(Expression, Expression)]] = x match {
+          case And(a, b) => for (l <- split(a); r <- split(b)) yield l ++ r
+          case EqualTo(a, b) => Some(Seq((a, b)))
+          case _ => None
+        }
+        split(e)
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+      case agg @ Aggregate(_, _, child, _) =>
+        stripJoinTree(child).flatMap { case (rels, aliasMap, conds, notNulls) =>
+          if (rels.size == 3) rewrite(agg, rels, aliasMap, conds, notNulls)
+          else None
+        }.getOrElse(agg)
+    }
+
+    private def attr(rel: LogicalRelation, name: String): Option[AttributeReference] =
+      rel.output.collectFirst {
+        case a: AttributeReference if a.name == name => a
+      }
+
+    private def rewrite(agg: Aggregate, rels: Map[String, LogicalRelation],
+        aliasMap: Map[ExprId, Expression],
+        conds: Seq[(Expression, Expression)],
+        notNulls: Seq[Expression]): Option[LogicalPlan] = {
+      val custKey = attr(rels("customer"), "c_custkey")
+      val clientA = attr(rels("customer"), "c_name")
+      val oCustKey = attr(rels("orders"), "o_custkey")
+      val oOrderKey = attr(rels("orders"), "o_orderkey")
+      val lOrderKey = attr(rels("lineitem"), "l_orderkey")
+      val shipA = attr(rels("lineitem"), "l_shipdate")
+      val priceA = attr(rels("lineitem"), "l_extendedprice")
+      if (Seq(custKey, clientA, oCustKey, oOrderKey, lOrderKey, shipA, priceA)
+            .exists(_.isEmpty)) return None
+
+      // the join graph must be EXACTLY the reference's two edges
+      def sameEdge(p: (Expression, Expression), a: Attribute, b: Attribute) = {
+        def strip(e: Expression): Expression = e match {
+          case Cast(c, _, _, _) => strip(c); case x => x
+        }
+        val (x, y) = (strip(p._1), strip(p._2))
+        (x.semanticEquals(a) && y.semanticEquals(b)) ||
+          (x.semanticEquals(b) && y.semanticEquals(a))
+      }
+      val edgesOk = conds.size == 2 &&
+        conds.exists(sameEdge(_, custKey.get, oCustKey.get)) &&
+        conds.exists(sameEdge(_, oOrderKey.get, lOrderKey.get))
+      if (!edgesOk) return None
+
+      // pushed-down IsNotNull filters are redundant ONLY on join keys
+      // (the inner equi-join already excludes null keys, and MV rows
+      // derive exclusively from joined rows); a not-null filter on any
+      // OTHER column is a real predicate the MV cannot honor
+      val keyAttrs = Seq(custKey.get, oCustKey.get, oOrderKey.get, lOrderKey.get)
+      def stripCasts(e: Expression): Expression = e match {
+        case Cast(c, _, _, _) => stripCasts(c); case x => x
+      }
+      if (!notNulls.forall(t => keyAttrs.exists(stripCasts(t).semanticEquals(_))))
+        return None
+
+      def inline(e: Expression): Expression = e.transformUp {
+        case a: AttributeReference if aliasMap.contains(a.exprId) => aliasMap(a.exprId)
+      }
+
+      val mv = EliminateSubqueryAliases(
+        spark.table(mvTable(sfDir)).queryExecution.analyzed)
+      def mvAttr(name: String) = mv.output.collectFirst {
+        case a: AttributeReference if a.name == name => a
+      }.get
+      val (mvClient, mvDay, mvN, mvAmount) =
+        (mvAttr("client_email"), mvAttr("day"), mvAttr("n_tx"), mvAttr("amount"))
+
+      // sum(cast(price as decimal(18,2))) — the reference view's measure
+      val amountTemplate: Expression = Cast(priceA.get, DecimalType(18, 2))
+
+      def isShipRef(e: Expression): Boolean = e match {
+        case a: AttributeReference => a.semanticEquals(shipA.get)
+        case Cast(c, _, _, _) => isShipRef(c)
+        case _ => false
+      }
+      def coarseFmtOf(e: Expression): Option[(Expression, Option[String])] = e match {
+        case TruncTimestamp(f @ Literal(fmt, _), d, tz)
+            if isShipRef(d) && CoarseFmts(String.valueOf(fmt).toLowerCase) =>
+          Some((f, tz))
+        case _ => None
+      }
+
+      val sessionTz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+      val groupingRepl: Seq[Option[(Expression, NamedExpression)]] =
+        agg.groupingExpressions.map { g =>
+          val gi = inline(g)
+          if (gi.semanticEquals(clientA.get)) Some((g, mvClient))
+          else coarseFmtOf(gi).map { case (fmt, tz) =>
+            val e = TruncTimestamp(fmt, Cast(mvDay, TimestampType, sessionTz), tz)
+            (g, Alias(e, "_mv_grouping")())
+          }
+        }
+      if (groupingRepl.exists(_.isEmpty)) return None
+      val replacements = groupingRepl.flatten
+
+      val gAttrOf: Map[Expression, Attribute] = replacements.map {
+        case (orig, named) => (orig.canonicalized, named.toAttribute)
+      }.toMap
+
+      // count(*) → sum of day counts; decimal sum → decimal sum of day
+      // sums, cast back to the ORIGINAL result type so every downstream
+      // reference (and the plan schema) is unchanged
+      def mergeAggregate(ae: AggregateExpression): Option[Expression] =
+        ae.aggregateFunction match {
+          case Count(Seq(Literal(v, _))) if v != null && !ae.isDistinct =>
+            Some(AggregateExpression(Sum(mvN), Complete, isDistinct = false))
+          case Sum(e, _) if inline(e).semanticEquals(amountTemplate) && !ae.isDistinct =>
+            Some(Cast(
+              AggregateExpression(Sum(mvAmount), Complete, isDistinct = false),
+              ae.dataType, sessionTz))
+          case _ => None
+        }
+      var rewritable = true
+      agg.aggregateExpressions.foreach(_.foreachUp {
+        case ae: AggregateExpression if mergeAggregate(ae).isEmpty => rewritable = false
+        case _ => ()
+      })
+      if (!rewritable) return None
+
+      val projected = Project(
+        mv.output ++ replacements.collect { case (_, al: Alias) => al }, mv)
+      def mapOut(e: Expression): Expression = e match {
+        case ae: AggregateExpression => mergeAggregate(ae).get
+        case other =>
+          gAttrOf.get(other.canonicalized)
+            .orElse(gAttrOf.get(inline(other).canonicalized))
+            .getOrElse(other match {
+              case a: AttributeReference if a.semanticEquals(clientA.get) => mvClient
+              case x => x.mapChildren(mapOut)
+            })
+      }
+      val newGroupings = agg.groupingExpressions.map(mapOut)
+      val newAggs = agg.aggregateExpressions.map {
+        case a: AttributeReference =>
+          Alias(mapOut(a), a.name)(exprId = a.exprId)
+        case ne => mapOut(ne).asInstanceOf[NamedExpression]
+      }
+      Some(Aggregate(newGroupings, newAggs, projected, None))
+    }
+  }
+
+  /** Install (or refresh) the rule on the session — idempotent. */
+  def install(spark: SparkSession, sfDir: String): Unit = {
+    val others = spark.experimental.extraOptimizations
+      .filterNot(_.isInstanceOf[ClientDailyMvRule])
+    spark.experimental.extraOptimizations =
+      others :+ ClientDailyMvRule(spark, sfDir)
+  }
+
+  /** Remove the rule from the session. */
+  def uninstall(spark: SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[ClientDailyMvRule])
+
+  /** The BASE query — the reference's monthly_transaction_summary
+    * rollup (3-table join, month×client grain, count + exact decimal
+    * amount; month as the date_trunc timestamp, terminal DOUBLE cast
+    * for cross-engine comparability as in q_monthly_summary), written
+    * with no knowledge of the MV. */
+  private[graft] def monthlyClientRollupBase(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
+    val o = Tables.orders(spark, sfDir).select(col("o_custkey"), col("o_orderkey"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"),
+        c("c_name").as("client_email"))
+      .agg(count(lit(1)).as("transaction_count"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("decimal(20,2)").cast("double").as("total_amount"))
+      .orderBy(col("month"), col("client_email"))
+  }
+
+  /** q_mv_join_rewrite: ensure the join MV, install the rule, run the
+    * BASE 3-table query — the oracle (plain SQL joining the base
+    * tables) gates that the transparent rewrite is exact. Bounded
+    * install window + fingerprint freshness, the [[MvRewrite]]
+    * discipline. */
+  def monthlyClientRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureMv(spark, sfDir)
+    install(spark, sfDir)
+    try {
+      val df = monthlyClientRollupBase(spark, sfDir)
+      df.queryExecution.executedPlan // force + cache the rewritten plan
+      df
+    } finally uninstall(spark)
+  }
+
+  val monthlyClientRollupSql: String =
+    """SELECT
+      |  CAST(date_trunc('month', CAST(t.l_shipdate AS TIMESTAMP)) AS TIMESTAMP) AS month,
+      |  c.c_name AS client_email,
+      |  CAST(COUNT(*) AS BIGINT) AS transaction_count,
+      |  CAST(CAST(SUM(CAST(t.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(20,2)) AS DOUBLE) AS total_amount
+      |FROM customer c
+      |JOIN orders a ON c.c_custkey = a.o_custkey
+      |JOIN lineitem t ON a.o_orderkey = t.l_orderkey
+      |GROUP BY 1, 2
+      |ORDER BY month, client_email""".stripMargin
+}
