@@ -124,6 +124,7 @@ object SparkEntry {
     "q_embedding_neardup_lsh" -> (SimilarityOps.embeddingNearDupLsh _),
     "q_ivf_topk"          -> (SimilarityOps.ivfTopK _),
     "q_ivf_persisted"     -> (SimilarityOps.ivfPersistedTopK _),
+    "q_hnsw_topk"         -> (SimilarityOps.hnswTopK _),
     "q_hard_negatives"    -> (SimilarityOps.hardNegatives _),
     "q_ivf_trained"       -> (SimilarityOps.ivfTrainedTopK _),
     "q_ann_lifecycle"     -> (SimilarityOps.annLifecycle _),
@@ -301,6 +302,7 @@ object SparkEntry {
     // the persisted-index probe returns exactly what the in-flight IVF
     // query returns — one oracle statement gates both execution shapes
     "q_ivf_persisted"     -> SimilarityOps.ivfTopKSql,
+    "q_hnsw_topk"         -> SimilarityOps.hnswTopKSql,
     "q_hard_negatives"    -> SimilarityOps.hardNegativesSql,
     "q_ivf_trained"       -> SimilarityOps.ivfTrainedTopKSql,
     // half-build + stream-appended-half must probe EXACTLY like the

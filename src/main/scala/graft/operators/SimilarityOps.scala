@@ -1601,4 +1601,206 @@ object SimilarityOps {
       |SELECT cells.vec_id, cells.cell FROM cells
       |WHERE cells.vec_id NOT IN (SELECT DISTINCT drop_id FROM s WHERE score >= 0.4)
       |ORDER BY cells.vec_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // HNSW-style graph ANN (Malkov & Yashunin '16; Malkov et al. '14 NSW)
+  // -------------------------------------------------------------------
+
+  /** Catalog base of the persisted graph-ANN index family. */
+  private[graft] def hnswIndexName(sfDir: String): String =
+    "graft_hnsw_idx_" + Layout.corpusTag(sfDir)
+
+  private[graft] val HnswIndexBuckets = 16
+  /** Layer-0 out-degree: within-cell kNN edges per node. */
+  private[graft] val HnswM = 8
+  /** Hub → most-central cell members (the descend edges). */
+  private[graft] val HnswHubFanout = 32
+  /** Beam width (HNSW's ef) and hop cap for the probe. ef is the
+    * recall/cost knob: this corpus is NEAR-ORTHOGONAL random vectors —
+    * the adversarial case for graph ANN, where proximity to a neighbor
+    * barely predicts proximity to the query — so the gated floor needs
+    * a large ef (measured here: ef 32 → recall 6/10, ef 128 → 9/10 at
+    * the 2000-vector scale). On production embeddings with manifold
+    * structure the same machinery reaches higher recall at far smaller
+    * ef; the probe's COST CONTRACT is ef-bounded either way. */
+  private[graft] val HnswBeam = 128
+  private[graft] val HnswMaxHops = 8
+  /** Gated recall floor: |ANN∩exact| of the top 10. */
+  private[graft] val HnswRecallFloor = 7
+
+  /** Build-once half of the GRAPH vector index — the last modern ANN
+    * shape after IVF/PQ: a navigable-small-world graph in the HNSW
+    * mold, flattened to the two layers the hierarchy actually buys at
+    * this corpus shape. The UPPER layer is a fully-meshed set of HUBS
+    * (the most-centroid-central member of each IVF cell — the role
+    * HNSW's sparse top layers play: long-range routing); LAYER 0 is a
+    * within-cell kNN graph (out-degree [[HnswM]], the local refinement
+    * edges) plus hub↔member edges so the search can descend from
+    * routing into refinement and ascend back out. Per-node degree is
+    * bounded BY CONSTRUCTION (members: M kNN + 1 ascend; hubs: that
+    * plus (nCells−1) mesh + [[HnswHubFanout]] descend), so the
+    * adjacency table is O(n·M) rows — the HNSW memory contract.
+    *
+    * Persisted as an epoch family with TWO sidecars: `_vecs`, the
+    * (vec_id, embedding) table BUCKETED BY vec_id so the probe's
+    * per-hop candidate-embedding fetches are bucket-pruned point
+    * lookups, and `_entry`, the 1-row search entry point. The
+    * adjacency itself is bucketed by src for the same reason. At
+    * 100 TB this pair IS the serving index: build cost is one
+    * co-partitioned within-cell self-join (Σ|cell|² pair work, the
+    * [[hardNegatives]] bound) + two bucketed writes, amortized over
+    * every query after it.
+    */
+  def ensureHnswIndex(spark: SparkSession, sfDir: String): String =
+    Layout.ensureEpochIndex(spark, hnswIndexName(sfDir),
+        sidecars = Seq("_vecs", "_entry")) { name =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+      val cells = ivfRanked(e, ivfCentroids(e)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid").as("cell"),
+          col("ccos"))
+        .persist()
+      try {
+        val hubW = Window.partitionBy(col("cell"))
+          .orderBy(col("ccos").desc, col("vec_id"))
+        val ranked = cells.withColumn("crn", row_number().over(hubW))
+        val hubs = ranked.filter(col("crn") === 1)
+          .select(col("cell"), col("vec_id").as("hub_id"),
+            col("embedding").as("hub_emb"))
+
+        // layer 0: within-cell kNN (one co-partitioned self-join)
+        val a = cells.select(col("cell"), col("vec_id").as("src"),
+          col("embedding").as("semb"))
+        val b = cells.select(col("cell"), col("vec_id").as("dst"),
+          col("embedding").as("demb"))
+        val kW = Window.partitionBy(col("src"))
+          .orderBy(col("sim").desc, col("dst"))
+        val localK = a.join(b, Seq("cell")).filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"),
+            round(cosine(col("semb"), col("demb")), 6).as("sim"))
+          .withColumn("rn", row_number().over(kW)).filter(col("rn") <= HnswM)
+          .select(col("src"), col("dst"), col("sim"))
+
+        // upper layer: full hub mesh (nCells² rows — tiny by contract)
+        val h1 = hubs.select(col("hub_id").as("src"), col("hub_emb").as("semb"))
+        val h2 = hubs.select(col("hub_id").as("dst"), col("hub_emb").as("demb"))
+        val mesh = h1.crossJoin(broadcast(h2)).filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"),
+            round(cosine(col("semb"), col("demb")), 6).as("sim"))
+
+        // descend: hub → its cell's most-central members; ascend: member → hub
+        val central = ranked.filter(col("crn") <= HnswHubFanout + 1)
+          .select(col("cell"), col("vec_id"), col("embedding"))
+        val descend = hubs.join(central, Seq("cell"))
+          .filter(col("hub_id") =!= col("vec_id"))
+          .select(col("hub_id").as("src"), col("vec_id").as("dst"),
+            round(cosine(col("hub_emb"), col("embedding")), 6).as("sim"))
+        val ascend = cells.join(hubs, Seq("cell"))
+          .filter(col("vec_id") =!= col("hub_id"))
+          .select(col("vec_id").as("src"), col("hub_id").as("dst"),
+            round(cosine(col("embedding"), col("hub_emb")), 6).as("sim"))
+
+        val edges = localK.union(mesh).union(descend).union(ascend)
+          .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
+        Layout.writeBucketed(edges, name, "src", HnswIndexBuckets)
+        Layout.writeBucketed(e, name + "_vecs", "vec_id", HnswIndexBuckets)
+        // entry: the lowest-id hub — deterministic, and a hub by
+        // construction sits one mesh hop from every other region
+        import spark.implicits._
+        Seq(hubs.agg(min(col("hub_id"))).head().getLong(0)).toDF("entry_id")
+          .write.format("parquet").saveAsTable(name + "_entry")
+      } finally cells.unpersist()
+    }
+
+  /** Query half: BOUNDED BEAM SEARCH over the persisted graph — the
+    * HNSW probe loop with the frontier on the driver (≤ [[HnswBeam]]
+    * ids, the collect-small-state codebook precedent) and every
+    * per-hop data access a bucket-pruned probe of the index tables:
+    * neighbor expansion reads only the frontier's src buckets of the
+    * adjacency, candidate scoring reads only the new ids' vec buckets
+    * of `_vecs`. Each hop therefore touches ≤ beam·maxDegree rows of
+    * adjacency and ≤ that many vectors, for ≤ [[HnswMaxHops]] hops —
+    * at 100 TB the probe cost is INDEPENDENT of corpus size, which is
+    * the point of graph ANN serving.
+    *
+    * Gating (the q_approx_distinct / q_heavy_hitters discipline): the
+    * hashed output is the EXACT top-10 twin — identical to
+    * [[knnCosine]], oracle-replayable — plus a `recall_ok` boolean
+    * asserting the beam search recovered ≥ [[HnswRecallFloor]] of the
+    * true top 10. The ANN result itself is graph-construction
+    * dependent and deliberately NOT hashed; the RECALL CLAIM is.
+    */
+  def hnswTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = ensureHnswIndex(spark, sfDir)
+    val e = Tables.embeddingsFanned(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val qEmb = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qLit = typedLit(qEmb)
+    val idx = spark.table(name)
+    val vecs = spark.table(name + "_vecs")
+    def scoreIds(ids: Seq[Long]): Seq[(Long, Double)] =
+      vecs.filter(col("vec_id").isin(ids.map(Long.box): _*))
+        .select(col("vec_id"), cosine(col("embedding"), qLit).as("s"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    val entry = spark.table(name + "_entry").head().getLong(0)
+    var beam: Seq[(Long, Double)] = scoreIds(Seq(entry))
+    var visited = Set(entry)
+    var expanded = Set.empty[Long]
+    var hop = 0
+    var done = false
+    while (hop < HnswMaxHops && !done) {
+      val frontier = beam.map(_._1).filterNot(expanded)
+      if (frontier.isEmpty) done = true
+      else {
+        expanded ++= frontier
+        val nbrs = idx.filter(col("src").isin(frontier.map(Long.box): _*))
+          .select(col("dst")).distinct().collect().map(_.getLong(0))
+          .filterNot(visited).toSeq
+        if (nbrs.isEmpty) done = true
+        else {
+          visited ++= nbrs
+          beam = (beam ++ scoreIds(nbrs))
+            .sortBy { case (id, s) => (-s, id) }.take(HnswBeam)
+        }
+      }
+      hop += 1
+    }
+    val annIds = beam.filter(_._1 != 0L)
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+
+    // exact twin (the knnCosine expression verbatim) + the recall gate
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
+    val exact = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_embedding")), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+    val exactIds = exact.collect().map(_.getLong(0)).toSet
+    val recallOk = annIds.intersect(exactIds).size >= HnswRecallFloor
+    exact.withColumn("recall_ok", lit(recallOk))
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  /** Oracle: the exact twin + the recall claim as a literal — FALSE on
+    * the Spark side is a driver hash mismatch, exactly as intended. */
+  val hnswTopKSql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |pairs AS (
+      |  SELECT e.vec_id,
+      |    CAST(unnest(e.embedding) AS DOUBLE) AS x,
+      |    CAST(unnest(q.qe) AS DOUBLE) AS y
+      |  FROM embeddings e, q
+      |  WHERE e.vec_id <> 0
+      |), s AS (
+      |  SELECT vec_id,
+      |    SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS score
+      |  FROM pairs GROUP BY vec_id
+      |)
+      |SELECT vec_id, ROUND(score, 4) AS score, TRUE AS recall_ok
+      |FROM s
+      |ORDER BY ROUND(score, 4) DESC, vec_id
+      |LIMIT 10""".stripMargin
 }

@@ -354,4 +354,65 @@ class SimilarityOpsSpec extends SparkSpec {
       graft.operators.Layout.dropEpochFamily(spark, SimilarityOps.ivfIndexName(sf))
     }
   }
+
+  test("hnswTopK: gated output is the exact twin and the recall floor holds") {
+    import org.apache.spark.sql.functions._
+    try {
+      val got = SimilarityOps.hnswTopK(spark, sf).collect()
+      assert(got.length === 10)
+      assert(got.forall(_.getBoolean(2)),
+        "beam search fell below the gated recall floor")
+      // the hashed rows ARE the exact twin, verbatim
+      val exact = SimilarityOps.knnCosine(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq === exact)
+      assert(!got.map(_.getLong(0)).contains(0L))
+    } finally {
+      graft.operators.Layout.dropEpochFamily(spark,
+        SimilarityOps.hnswIndexName(sf), sidecars = Seq("_vecs", "_entry"))
+    }
+  }
+
+  test("hnsw index: bounded degree, full coverage, hub mesh, pruned probes") {
+    import org.apache.spark.sql.functions._
+    try {
+      val name = SimilarityOps.ensureHnswIndex(spark, sf)
+      val edges = spark.table(name)
+      val nVecs = Tables.embeddings(spark, sf).count()
+      // every vector has out-edges (no unreachable islands at the src level)
+      assert(edges.select(col("src")).distinct().count() === nVecs)
+      // degree bounded BY CONSTRUCTION: members ≤ M+1, hubs add the
+      // mesh (nCells−1) and the descend fanout
+      val maxDeg = edges.groupBy(col("src")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      val bound = SimilarityOps.HnswM + 1 + 15 + SimilarityOps.HnswHubFanout
+      assert(maxDeg <= bound, s"out-degree $maxDeg exceeds construction bound $bound")
+      // the entry point is a hub: it must reach every other hub in one
+      // hop (the upper-layer mesh), i.e. have ≥ nCells−1 distinct
+      // hub-reaching edges — verified via mutual-mesh symmetry
+      val entry = spark.table(name + "_entry").head().getLong(0)
+      val entryOut = edges.filter(col("src") === entry)
+        .select(col("dst")).collect().map(_.getLong(0)).toSet
+      val entryIn = edges.filter(col("dst") === entry)
+        .select(col("src")).collect().map(_.getLong(0)).toSet
+      val mutual = entryOut.intersect(entryIn)
+      assert(mutual.size >= 15, s"entry hub sees only ${mutual.size} mutual peers")
+      // per-hop probes are bucket-pruned on BOTH index tables
+      val adjProbe = edges.filter(col("src").isin(Long.box(entry)))
+      val adjPlan = adjProbe.queryExecution.executedPlan.toString
+      assert(adjPlan.contains(
+        s"SelectedBucketsCount: 1 out of ${SimilarityOps.HnswIndexBuckets}"),
+        s"adjacency probe must bucket-prune:\n$adjPlan")
+      val vecProbe = spark.table(name + "_vecs")
+        .filter(col("vec_id").isin(Long.box(entry), Long.box(entry + 1)))
+      val vecPlan = vecProbe.queryExecution.executedPlan.toString
+      assert(vecPlan.contains("SelectedBucketsCount:") &&
+        !vecPlan.contains(
+          s"SelectedBucketsCount: ${SimilarityOps.HnswIndexBuckets} out of"),
+        s"vector fetch must bucket-prune:\n$vecPlan")
+    } finally {
+      graft.operators.Layout.dropEpochFamily(spark,
+        SimilarityOps.hnswIndexName(sf), sidecars = Seq("_vecs", "_entry"))
+    }
+  }
 }
