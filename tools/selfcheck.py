@@ -8,6 +8,12 @@ out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
 sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
 
+# Record the oracle engine version in every selfcheck transcript: the
+# r11 q_random_projection mismatch was builder-vs-driver DuckDB skew,
+# undiagnosable because no record said WHICH engine the green selfchecks
+# ran against.
+print(f"oracle engine: duckdb {duckdb.__version__}")
+
 with open(f"{out_dir}/oracle_sql.json") as f:
     oracles = json.load(f)
 
