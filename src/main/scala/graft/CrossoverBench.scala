@@ -154,9 +154,9 @@ object CrossoverBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional section filter for iteration: any of "ab","c","v","e",
-    // "s","u","w","k" (no args = everything, the round-record configuration)
+    // "s","u","w","k","h" (no args = everything, the round-record configuration)
     val only: Set[String] =
-      if (args.isEmpty) Set("ab", "c", "v", "e", "s", "u", "w", "k") else args.toSet
+      if (args.isEmpty) Set("ab", "c", "v", "e", "s", "u", "w", "k", "h") else args.toSet
     var failed = false
 
     if (only("ab")) {
@@ -638,6 +638,81 @@ object CrossoverBench {
       println(s"[xover] K bucketed ≡ global-window frontier: diff rows = $kDiff " +
         (if (kDiff == 0) "PASS" else "FAIL"))
       failed ||= kDiff != 0
+    }
+
+    // ---- section H: graph-ANN build gate + beam search at 100K ----
+    // Two claims executed at natural scale: (1) the within-cell kNN
+    // build crosses the HnswSubBucketGate (cells of ~6250 ≫ 512, so
+    // candidates come from the (cell × sign-LSH) intersection — the
+    // sf-scale spec corpora never fire this branch), and (2) on
+    // CLUSTERED vectors (the production regime; the sf embeddings are
+    // near-orthogonal noise, documented as the adversarial case needing
+    // ef=128) a MODEST beam reaches the gated recall floor while
+    // visiting a tiny fraction of the corpus — the sublinearity the
+    // graph index exists for.
+    if (only("h")) {
+      import graft.operators.{Layout, SimilarityOps}
+      val dirV = "/tmp/crossover/v"
+      timed("gen vectors (100K × 64d, 64 planted clusters)")(
+        genVectors(spark, dirV))
+      val vecs = spark.read.parquet(dirV)
+      val hName = "graft_xover_hnsw"
+      Seq(hName, hName + "_vecs", hName + "_entry").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        Layout.clearStaleTableLocation(spark, t)
+      }
+      timed("H graph build (100K, sub-bucketed kNN)") {
+        SimilarityOps.buildHnswEpochFrom(spark, vecs)(hName)
+      }
+      // the gate actually fired: no node's kNN pool was its whole
+      // ~6250-member cell, so out-degree stays at the bounded contract
+      val maxDeg = spark.table(hName).groupBy(col("src")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      val degBound = SimilarityOps.HnswMaxDegreeBound
+      println(s"[xover] H max out-degree $maxDeg (bound $degBound): " +
+        (if (maxDeg <= degBound) "PASS" else "FAIL"))
+      val qEmb = vecs.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val exact = vecs.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          SimilarityOps.cosine(col("embedding"), typedLit(qEmb)).as("s"))
+        .orderBy(col("s").desc, col("vec_id")).limit(10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val exactIds = exact.map(_._1).toSet
+      val exact10th = exact.map(_._2).min
+      // ε-RECALL is the honest gate on THIS corpus: the planted
+      // clusters put >3000 members within 0.002 cosine of each other
+      // (ten of them EXACTLY equal to the query), so exact-SET recall
+      // is tie-break noise — the ann-benchmarks convention scores a
+      // result correct when its similarity is within ε of the true
+      // k-th (here ε = 0.01, five times the within-cluster spread)
+      var eps32 = 0.0; var visited32 = 0
+      for (ef <- Seq(16, 32, 64)) {
+        var ids: Seq[Long] = null; var scores: Seq[Double] = null
+        var vis = 0; var bt = Double.MaxValue
+        (1 to 2).foreach { _ =>
+          val t0 = System.nanoTime()
+          val (beam, v) = SimilarityOps.hnswBeamSearch(spark, hName, qEmb,
+            ef, SimilarityOps.HnswMaxHops)
+          val top = beam.filter(_._1 != 0L).take(10)
+          ids = top.map(_._1); scores = top.map(_._2); vis = v
+          bt = math.min(bt, (System.nanoTime() - t0) / 1e9)
+        }
+        val setRec = ids.count(exactIds) / 10.0
+        val epsRec = scores.count(_ >= exact10th - 0.01) / 10.0
+        if (ef == 32) { eps32 = epsRec; visited32 = vis }
+        println(f"[xover] H ef=$ef%3d: ε-recall@10 $epsRec%.1f (set-recall $setRec%.1f), visited $vis of 100000, $bt%.2f s (min of 2)")
+      }
+      // clustered-regime claims: the beam navigates from a random
+      // entry into the query's cluster at MODEST ef (vs the ef=128 the
+      // near-orthogonal sf corpus needs) while visiting <5% of the
+      // corpus — bounded probe, sublinear by two orders
+      val hPass = eps32 >= 0.9 && visited32 < 5000
+      println(s"[xover] H ef=32 ε-recall ≥ 0.9 and visited < 5%: " +
+        (if (hPass) "PASS" else "FAIL"))
+      failed ||= maxDeg > degBound || !hPass
+      Seq(hName, hName + "_vecs", hName + "_entry")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
 
     spark.stop()

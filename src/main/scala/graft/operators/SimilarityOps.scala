@@ -1651,11 +1651,40 @@ object SimilarityOps {
     * [[hardNegatives]] bound) + two bucketed writes, amortized over
     * every query after it.
     */
+  /** Cells larger than this sub-bucket their within-cell kNN candidate
+    * pool by a 4-plane sign-LSH key — the adaptive gate that keeps the
+    * build's pair cost bounded when cells grow with the corpus (the
+    * bitmap↔prefix-filter crossover discipline: below the gate the
+    * exact within-cell pool is affordable and fires at the sf test
+    * scales; above it, candidates come from the (cell × LSH-bucket)
+    * intersection — directionally close, the HNSW-build candidate
+    * restriction — executed at natural scale by CrossoverBench's graph
+    * section). */
+  private[graft] val HnswSubBucketGate = 512L
+  private[graft] val HnswSubPlanes = 4
+  private[graft] val HnswDim = 64
+
+  /** Construction bound on per-node out-degree: a member carries ≤ M
+    * kNN + 1 ascend edges; a hub adds the (nCells−1) mesh plus the
+    * descend fanout (central members + one rep per sign-LSH direction
+    * bucket). Spec- and crossover-asserted. */
+  private[graft] val HnswMaxDegreeBound: Long =
+    HnswM + 1 + 15 + HnswHubFanout + (1 << HnswSubPlanes)
+
   def ensureHnswIndex(spark: SparkSession, sfDir: String): String =
     Layout.ensureEpochIndex(spark, hnswIndexName(sfDir),
         sidecars = Seq("_vecs", "_entry")) { name =>
+      buildHnswEpochFrom(spark,
+        Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")))(name)
+    }
+
+  /** Build one epoch of the graph index from an explicit vector frame
+    * (the buildIvfPqEpochFrom shape, shared with CrossoverBench's
+    * 100K-vector section). */
+  private[graft] def buildHnswEpochFrom(spark: SparkSession, e0: DataFrame)
+      (name: String): Unit = {
       import org.apache.spark.sql.expressions.Window
-      val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+      val e = e0.select(col("vec_id"), col("embedding"))
       val cells = ivfRanked(e, ivfCentroids(e)).filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("cid").as("cell"),
           col("ccos"))
@@ -1668,14 +1697,21 @@ object SimilarityOps {
           .select(col("cell"), col("vec_id").as("hub_id"),
             col("embedding").as("hub_emb"))
 
-        // layer 0: within-cell kNN (one co-partitioned self-join)
-        val a = cells.select(col("cell"), col("vec_id").as("src"),
+        // layer 0: within-cell kNN (one co-partitioned self-join); the
+        // candidate pool sub-buckets by sign-LSH above the adaptive gate
+        val cellN = Window.partitionBy(col("cell"))
+        val withSub = cells
+          .withColumn("csize", count(lit(1)).over(cellN))
+          .withColumn("sub", when(col("csize") > HnswSubBucketGate,
+            annBucket(col("embedding"), HnswSubPlanes, HnswDim))
+            .otherwise(lit("")))
+        val a = withSub.select(col("cell"), col("sub"), col("vec_id").as("src"),
           col("embedding").as("semb"))
-        val b = cells.select(col("cell"), col("vec_id").as("dst"),
+        val b = withSub.select(col("cell"), col("sub"), col("vec_id").as("dst"),
           col("embedding").as("demb"))
         val kW = Window.partitionBy(col("src"))
           .orderBy(col("sim").desc, col("dst"))
-        val localK = a.join(b, Seq("cell")).filter(col("src") =!= col("dst"))
+        val localK = a.join(b, Seq("cell", "sub")).filter(col("src") =!= col("dst"))
           .select(col("src"), col("dst"),
             round(cosine(col("semb"), col("demb")), 6).as("sim"))
           .withColumn("rn", row_number().over(kW)).filter(col("rn") <= HnswM)
@@ -1688,10 +1724,25 @@ object SimilarityOps {
           .select(col("src"), col("dst"),
             round(cosine(col("semb"), col("demb")), 6).as("sim"))
 
-        // descend: hub → its cell's most-central members; ascend: member → hub
+        // descend: hub → its cell's most-central members PLUS the
+        // most-central representative of every (cell × sign-LSH
+        // direction bucket) — HNSW's neighbor-DIVERSITY heuristic:
+        // central fanout alone never reaches a peripheral sub-cluster
+        // (its members rank low on centrality and ascend edges point
+        // the wrong way), so the hub needs one edge into each
+        // DIRECTION class of its cell; local kNN takes over from the
+        // representative. Ascend: member → hub.
         val central = ranked.filter(col("crn") <= HnswHubFanout + 1)
           .select(col("cell"), col("vec_id"), col("embedding"))
-        val descend = hubs.join(central, Seq("cell"))
+        val repW = Window.partitionBy(col("cell"), col("sub"))
+          .orderBy(col("ccos").desc, col("vec_id"))
+        val reps = cells
+          .withColumn("sub", annBucket(col("embedding"), HnswSubPlanes, HnswDim))
+          .withColumn("srn", row_number().over(repW)).filter(col("srn") === 1)
+          .select(col("cell"), col("vec_id"), col("embedding"))
+        val descendTargets = central.union(reps)
+          .dropDuplicates("cell", "vec_id")
+        val descend = hubs.join(descendTargets, Seq("cell"))
           .filter(col("hub_id") =!= col("vec_id"))
           .select(col("hub_id").as("src"), col("vec_id").as("dst"),
             round(cosine(col("hub_emb"), col("embedding")), 6).as("sim"))
@@ -1710,7 +1761,47 @@ object SimilarityOps {
         Seq(hubs.agg(min(col("hub_id"))).head().getLong(0)).toDF("entry_id")
           .write.format("parquet").saveAsTable(name + "_entry")
       } finally cells.unpersist()
+  }
+
+  /** The beam-search loop over a built graph index — shared by
+    * [[hnswTopK]] and CrossoverBench's 100K section so the probe
+    * semantics cannot drift between them. Returns the final beam
+    * (scored, best-first) and the number of nodes visited. */
+  private[graft] def hnswBeamSearch(spark: SparkSession, name: String,
+      qEmb: Seq[Float], ef: Int, maxHops: Int): (Seq[(Long, Double)], Int) = {
+    val qLit = typedLit(qEmb)
+    val idx = spark.table(name)
+    val vecs = spark.table(name + "_vecs")
+    def scoreIds(ids: Seq[Long]): Seq[(Long, Double)] =
+      vecs.filter(col("vec_id").isin(ids.map(Long.box): _*))
+        .select(col("vec_id"), cosine(col("embedding"), qLit).as("s"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    val entry = spark.table(name + "_entry").head().getLong(0)
+    var beam: Seq[(Long, Double)] = scoreIds(Seq(entry))
+    var visited = Set(entry)
+    var expanded = Set.empty[Long]
+    var hop = 0
+    var done = false
+    while (hop < maxHops && !done) {
+      val frontier = beam.map(_._1).filterNot(expanded)
+      if (frontier.isEmpty) done = true
+      else {
+        expanded ++= frontier
+        val nbrs = idx.filter(col("src").isin(frontier.map(Long.box): _*))
+          .select(col("dst")).distinct().collect().map(_.getLong(0))
+          .filterNot(visited).toSeq
+        if (nbrs.isEmpty) done = true
+        else {
+          visited ++= nbrs
+          beam = (beam ++ scoreIds(nbrs))
+            .sortBy { case (id, s) => (-s, id) }.take(ef)
+        }
+      }
+      hop += 1
     }
+    (beam.sortBy { case (id, s) => (-s, id) }, visited.size)
+  }
 
   /** Query half: BOUNDED BEAM SEARCH over the persisted graph — the
     * HNSW probe loop with the frontier on the driver (≤ [[HnswBeam]]
@@ -1736,39 +1827,8 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding"))
     val qEmb = e.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
-    val qLit = typedLit(qEmb)
-    val idx = spark.table(name)
-    val vecs = spark.table(name + "_vecs")
-    def scoreIds(ids: Seq[Long]): Seq[(Long, Double)] =
-      vecs.filter(col("vec_id").isin(ids.map(Long.box): _*))
-        .select(col("vec_id"), cosine(col("embedding"), qLit).as("s"))
-        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-
-    val entry = spark.table(name + "_entry").head().getLong(0)
-    var beam: Seq[(Long, Double)] = scoreIds(Seq(entry))
-    var visited = Set(entry)
-    var expanded = Set.empty[Long]
-    var hop = 0
-    var done = false
-    while (hop < HnswMaxHops && !done) {
-      val frontier = beam.map(_._1).filterNot(expanded)
-      if (frontier.isEmpty) done = true
-      else {
-        expanded ++= frontier
-        val nbrs = idx.filter(col("src").isin(frontier.map(Long.box): _*))
-          .select(col("dst")).distinct().collect().map(_.getLong(0))
-          .filterNot(visited).toSeq
-        if (nbrs.isEmpty) done = true
-        else {
-          visited ++= nbrs
-          beam = (beam ++ scoreIds(nbrs))
-            .sortBy { case (id, s) => (-s, id) }.take(HnswBeam)
-        }
-      }
-      hop += 1
-    }
-    val annIds = beam.filter(_._1 != 0L)
-      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    val (beam, _) = hnswBeamSearch(spark, name, qEmb, HnswBeam, HnswMaxHops)
+    val annIds = beam.filter(_._1 != 0L).take(10).map(_._1).toSet
 
     // exact twin (the knnCosine expression verbatim) + the recall gate
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"))

@@ -385,7 +385,7 @@ class SimilarityOpsSpec extends SparkSpec {
       // mesh (nCells−1) and the descend fanout
       val maxDeg = edges.groupBy(col("src")).count()
         .agg(max(col("count"))).head().getLong(0)
-      val bound = SimilarityOps.HnswM + 1 + 15 + SimilarityOps.HnswHubFanout
+      val bound = SimilarityOps.HnswMaxDegreeBound
       assert(maxDeg <= bound, s"out-degree $maxDeg exceeds construction bound $bound")
       // the entry point is a hub: it must reach every other hub in one
       // hop (the upper-layer mesh), i.e. have ≥ nCells−1 distinct
