@@ -657,7 +657,7 @@ object CrossoverBench {
         genVectors(spark, dirV))
       val vecs = spark.read.parquet(dirV)
       val hName = "graft_xover_hnsw"
-      Seq(hName, hName + "_vecs", hName + "_entry").foreach { t =>
+      (hName +: SimilarityOps.HnswSidecars.map(hName + _)).foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
         Layout.clearStaleTableLocation(spark, t)
       }
@@ -711,7 +711,7 @@ object CrossoverBench {
       println(s"[xover] H ef=32 ε-recall ≥ 0.9 and visited < 5%: " +
         (if (hPass) "PASS" else "FAIL"))
       failed ||= maxDeg > degBound || !hPass
-      Seq(hName, hName + "_vecs", hName + "_entry")
+      (hName +: SimilarityOps.HnswSidecars.map(hName + _))
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
 

@@ -125,6 +125,7 @@ object SparkEntry {
     "q_ivf_topk"          -> (SimilarityOps.ivfTopK _),
     "q_ivf_persisted"     -> (SimilarityOps.ivfPersistedTopK _),
     "q_hnsw_topk"         -> (SimilarityOps.hnswTopK _),
+    "q_hnsw_lifecycle"    -> (SimilarityOps.hnswLifecycle _),
     "q_hard_negatives"    -> (SimilarityOps.hardNegatives _),
     "q_ivf_trained"       -> (SimilarityOps.ivfTrainedTopK _),
     "q_ann_lifecycle"     -> (SimilarityOps.annLifecycle _),
@@ -303,6 +304,7 @@ object SparkEntry {
     // query returns — one oracle statement gates both execution shapes
     "q_ivf_persisted"     -> SimilarityOps.ivfTopKSql,
     "q_hnsw_topk"         -> SimilarityOps.hnswTopKSql,
+    "q_hnsw_lifecycle"    -> SimilarityOps.hnswTopKSql,
     "q_hard_negatives"    -> SimilarityOps.hardNegativesSql,
     "q_ivf_trained"       -> SimilarityOps.ivfTrainedTopKSql,
     // half-build + stream-appended-half must probe EXACTLY like the

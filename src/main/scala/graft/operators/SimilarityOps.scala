@@ -1671,21 +1671,34 @@ object SimilarityOps {
   private[graft] val HnswMaxDegreeBound: Long =
     HnswM + 1 + 15 + HnswHubFanout + (1 << HnswSubPlanes)
 
+  /** The graph family's full sidecar set: `_vecs` (vec_id-bucketed
+    * point lookups for the probe), `_cells` (cell-bucketed assignment
+    * layout for the APPEND path's candidate reads — the same relation
+    * in the other physical layout, the price of pruned access from
+    * both sides), `_hubs` + `_cent` (routing metadata the append
+    * re-encodes under), `_entry` (search start). */
+  private[graft] val HnswSidecars =
+    Seq("_vecs", "_entry", "_cent", "_cells", "_hubs")
+
   def ensureHnswIndex(spark: SparkSession, sfDir: String): String =
     Layout.ensureEpochIndex(spark, hnswIndexName(sfDir),
-        sidecars = Seq("_vecs", "_entry")) { name =>
+        sidecars = HnswSidecars) { name =>
       buildHnswEpochFrom(spark,
         Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")))(name)
     }
 
   /** Build one epoch of the graph index from an explicit vector frame
     * (the buildIvfPqEpochFrom shape, shared with CrossoverBench's
-    * 100K-vector section). */
-  private[graft] def buildHnswEpochFrom(spark: SparkSession, e0: DataFrame)
-      (name: String): Unit = {
+    * 100K-vector section). `centSource` overrides where the coarse
+    * centroids come from — the lifecycle trains them on the FULL
+    * corpus while building from half (the annLifecycle codebook
+    * convention), so streamed appends route under the same cells. */
+  private[graft] def buildHnswEpochFrom(spark: SparkSession, e0: DataFrame,
+      centSource: Option[DataFrame] = None)(name: String): Unit = {
       import org.apache.spark.sql.expressions.Window
       val e = e0.select(col("vec_id"), col("embedding"))
-      val cells = ivfRanked(e, ivfCentroids(e)).filter(col("rn") === 1)
+      val cents = ivfCentroids(centSource.getOrElse(e))
+      val cells = ivfRanked(e, cents).filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("cid").as("cell"),
           col("ccos"))
         .persist()
@@ -1755,12 +1768,84 @@ object SimilarityOps {
           .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
         Layout.writeBucketed(edges, name, "src", HnswIndexBuckets)
         Layout.writeBucketed(e, name + "_vecs", "vec_id", HnswIndexBuckets)
+        Layout.writeBucketed(
+          cells.select(col("vec_id"), col("embedding"), col("cell"), col("ccos")),
+          name + "_cells", "cell", HnswIndexBuckets)
+        hubs.write.format("parquet").saveAsTable(name + "_hubs")
+        cents.write.format("parquet").saveAsTable(name + "_cent")
         // entry: the lowest-id hub — deterministic, and a hub by
         // construction sits one mesh hop from every other region
         import spark.implicits._
         Seq(hubs.agg(min(col("hub_id"))).head().getLong(0)).toDF("entry_id")
           .write.format("parquet").saveAsTable(name + "_entry")
       } finally cells.unpersist()
+  }
+
+  /** Streamed-append half of the graph family — the per-micro-batch
+    * maintenance step [[graft.streaming.VectorStream.appendGraphStream]]
+    * drives: assign arrivals to their cells under the epoch's OWN
+    * `_cent` sidecar (never a retrained one), read ONLY the touched
+    * cells' existing members from the cell-bucketed `_cells` layout
+    * (pruned — the append path never scans the index), kNN the
+    * arrivals against existing + intra-batch candidates, and append
+    * four edge classes: arrival→kNN, the REVERSE kNN edges (without
+    * them an appended node is undiscoverable — edges into it must
+    * exist), and the hub ascend/descend pair. Appends preserve every
+    * table's bucket spec, so probes keep pruning over build + appends
+    * alike. Append-phase caveat, documented: reverse and descend
+    * edges GROW old nodes' out-degree (bounded per batch by M·|batch|
+    * and |batch| respectively) — an append-only table cannot re-prune
+    * its neighbors; compaction back to the construction bound is the
+    * next epoch rotation, exactly how HNSW deployments handle it. */
+  private[graft] def appendToHnswIndex(spark: SparkSession, name: String,
+      batch: DataFrame): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = spark.table(name + "_cent")
+    val hubs = spark.table(name + "_hubs")
+    val assigned = ivfRanked(batch.select(col("vec_id"), col("embedding")), cents)
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"), col("ccos"))
+      .localCheckpoint() // batch-sized; read plan must not list appended files
+    if (assigned.isEmpty) return
+    val batchCells = assigned.select(col("cell")).distinct()
+      .collect().map(_.getLong(0))
+    val existing = spark.table(name + "_cells")
+      .filter(col("cell").isin(batchCells.map(Long.box): _*))
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    val cand = existing.union(
+      assigned.select(col("cell"), col("vec_id"), col("embedding")))
+    val kW = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    val knn = assigned
+      .select(col("cell"), col("vec_id").as("src"), col("embedding").as("semb"))
+      .join(cand.select(col("cell"), col("vec_id").as("dst"),
+        col("embedding").as("demb")), Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(cosine(col("semb"), col("demb")), 6).as("sim"))
+      .withColumn("rn", row_number().over(kW)).filter(col("rn") <= HnswM)
+      .select(col("src"), col("dst"), col("sim"))
+    val rev = knn.select(col("dst").as("src"), col("src").as("dst"), col("sim"))
+    val hubEdges = assigned.join(hubs, Seq("cell"))
+      .filter(col("vec_id") =!= col("hub_id"))
+      .select(col("vec_id"), col("hub_id"),
+        round(cosine(col("embedding"), col("hub_emb")), 6).as("sim"))
+    val ascend = hubEdges
+      .select(col("vec_id").as("src"), col("hub_id").as("dst"), col("sim"))
+    val descend = hubEdges
+      .select(col("hub_id").as("src"), col("vec_id").as("dst"), col("sim"))
+    val edges = knn.union(rev).union(ascend).union(descend)
+      .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
+      .localCheckpoint()
+    edges.write.format("parquet")
+      .bucketBy(HnswIndexBuckets, "src").sortBy("src")
+      .mode("append").saveAsTable(name)
+    assigned.select(col("vec_id"), col("embedding")).write.format("parquet")
+      .bucketBy(HnswIndexBuckets, "vec_id").sortBy("vec_id")
+      .mode("append").saveAsTable(name + "_vecs")
+    assigned.select(col("vec_id"), col("embedding"), col("cell"), col("ccos"))
+      .write.format("parquet")
+      .bucketBy(HnswIndexBuckets, "cell").sortBy("cell")
+      .mode("append").saveAsTable(name + "_cells")
   }
 
   /** The beam-search loop over a built graph index — shared by
@@ -1823,14 +1908,21 @@ object SimilarityOps {
     */
   def hnswTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val name = ensureHnswIndex(spark, sfDir)
-    val e = Tables.embeddingsFanned(spark, sfDir)
-      .select(col("vec_id"), col("embedding"))
+    hnswGatedOutput(spark, name,
+      Tables.embeddingsFanned(spark, sfDir).select(col("vec_id"), col("embedding")))
+  }
+
+  /** The gated-output contract shared by [[hnswTopK]] and
+    * [[hnswLifecycle]]: beam-search the given graph epoch, then emit
+    * the exact top-10 twin (the knnCosine expression verbatim) with
+    * the recall-floor boolean — one place, so the gate cannot drift
+    * between the one-shot and the streamed-append form. */
+  private def hnswGatedOutput(spark: SparkSession, name: String,
+      e: DataFrame): DataFrame = {
     val qEmb = e.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
     val (beam, _) = hnswBeamSearch(spark, name, qEmb, HnswBeam, HnswMaxHops)
     val annIds = beam.filter(_._1 != 0L).take(10).map(_._1).toSet
-
-    // exact twin (the knnCosine expression verbatim) + the recall gate
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
     val exact = e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
@@ -1842,6 +1934,50 @@ object SimilarityOps {
     val recallOk = annIds.intersect(exactIds).size >= HnswRecallFloor
     exact.withColumn("recall_ok", lit(recallOk))
       .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  /** Catalog base of [[hnswLifecycle]]'s OWN epoch family — separate
+    * from [[hnswIndexName]] so the lifecycle rebuild never races the
+    * shared index [[hnswTopK]] probes. */
+  private[graft] def hnswLifecycleIndexName(sfDir: String): String =
+    "graft_hnsw_lc_" + Layout.corpusTag(sfDir)
+
+  /** The graph family's stream ≡ batch LIFECYCLE (#14) — completing
+    * the discipline that EVERY persisted index family carries a
+    * driver-gated streamed-append proof: build one graph epoch from
+    * HALF the vectors (even vec_ids; centroids from the full corpus,
+    * the annLifecycle codebook convention), stream the odd half
+    * through the REAL maintenance path
+    * ([[graft.streaming.VectorStream.appendGraphStream]] —
+    * micro-batches cell-assigning under the epoch's own `_cent`,
+    * kNN-ing against only the touched cells' members via the pruned
+    * `_cells` layout, appending forward+reverse+hub edges
+    * bucket-spec-preserving), then beam-search the appended epoch and
+    * gate with the UNCHANGED [[hnswTopKSql]] oracle — exact twin +
+    * recall floor over the FULL corpus. A graph built-then-appended
+    * is structurally different from a one-shot build (kNN edges see
+    * arrival order), which is exactly why the gate is the RECALL
+    * CLAIM, not graph equality: the index must still FIND the true
+    * neighbors after any maintenance history. Rotates a fresh epoch
+    * every call (the build+append IS the operator) and prunes to two.
+    */
+  def hnswLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = hnswLifecycleIndexName(sfDir)
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val t = Layout.rotateEpoch(spark, base, sidecars = HnswSidecars) { name =>
+      buildHnswEpochFrom(spark, e.filter(col("vec_id") % 2 === 0),
+        centSource = Some(e))(name)
+    }
+    val odd = e.filter(col("vec_id") % 2 =!= 0)
+    Layout.withStagedParquet(odd.repartition(4), "graft-hnswlc") { arrivals =>
+      val stream = graft.streaming.VectorStream.appendGraphStream(
+        spark.readStream.schema(odd.schema)
+          .option("maxFilesPerTrigger", 2).parquet(arrivals), base)
+      try stream.processAllAvailable() finally stream.stop()
+    }
+    Layout.pruneEpochs(spark, base, keep = 2, sidecars = HnswSidecars)
+    hnswGatedOutput(spark, t,
+      Tables.embeddingsFanned(spark, sfDir).select(col("vec_id"), col("embedding")))
   }
 
   /** Oracle: the exact twin + the recall claim as a literal — FALSE on

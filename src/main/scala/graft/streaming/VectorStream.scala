@@ -57,6 +57,26 @@ object VectorStream {
     appendLoop(vectors, base)(
       SimilarityOps.encodeForIvfPqIndex, SimilarityOps.appendToIvfPqIndex)
 
+  /** The same ingest loop for the GRAPH (HNSW-style) family: each
+    * batch resolves the current epoch and runs
+    * [[SimilarityOps.appendToHnswIndex]] — cell assignment under the
+    * epoch's own `_cent` sidecar, candidate kNN against only the
+    * touched cells (pruned `_cells` reads), forward+reverse+hub edge
+    * appends preserving every table's bucket spec. Not routed through
+    * [[appendLoop]] because a graph append writes THREE tables
+    * (adjacency, `_vecs`, `_cells`), not one.
+    */
+  def appendGraphStream(vectors: DataFrame, base: String): StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val name = Layout.currentEpochTable(batch.sparkSession, base)
+          .getOrElse(sys.error(s"no published epoch for index family $base"))
+        SimilarityOps.appendToHnswIndex(batch.sparkSession, name, batch)
+        ()
+      }
+      .start()
+
   /** The shared per-batch protocol of every index-append stream —
     * resolve the family's CURRENT epoch, encode under that epoch's own
     * sidecar state, MATERIALIZE the encoded rows before appending (the

@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_ensemble_groups",    // unions that generator's pairs with the banded signals
     "q_knn_cosine",         // crossJoin(broadcast(single query vector))
     "q_hnsw_topk",          // the gated exact twin IS knnCosine's crossJoin(broadcast(q)) shape
+    "q_hnsw_lifecycle",     // same gated exact twin over the appended epoch
     "q_embedding_neardup",  // documented bounded brute-force baseline
     "q_ivf_topk",           // crossJoin(broadcast(16-row centroid table))
     "q_ivf_persisted",      // crossJoin(broadcast(1-row query vector)) over the pruned index scan

@@ -369,7 +369,35 @@ class SimilarityOpsSpec extends SparkSpec {
       assert(!got.map(_.getLong(0)).contains(0L))
     } finally {
       graft.operators.Layout.dropEpochFamily(spark,
-        SimilarityOps.hnswIndexName(sf), sidecars = Seq("_vecs", "_entry"))
+        SimilarityOps.hnswIndexName(sf), sidecars = SimilarityOps.HnswSidecars)
+    }
+  }
+
+  test("hnswLifecycle: streamed-append graph passes the same gate as the one-shot build") {
+    import org.apache.spark.sql.functions._
+    val base = SimilarityOps.hnswLifecycleIndexName(sf)
+    try {
+      val got = SimilarityOps.hnswLifecycle(spark, sf).collect()
+      assert(got.length === 10)
+      assert(got.forall(_.getBoolean(2)),
+        "beam search over the appended graph fell below the recall floor")
+      // hashed rows are STILL the full-corpus exact twin
+      val exact = SimilarityOps.knnCosine(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq === exact)
+      // every odd vector really went through the append path: the
+      // appended epoch's vector table carries the FULL corpus
+      val t = graft.operators.Layout.currentEpochTable(spark, base).get
+      assert(spark.table(t + "_vecs").count() ===
+        Tables.embeddings(spark, sf).count())
+      val oddAppended = spark.table(t + "_cells")
+        .filter(col("vec_id") % 2 =!= 0).count()
+      assert(oddAppended > 0)
+      // appended nodes are DISCOVERABLE: edges INTO odd nodes exist
+      assert(spark.table(t).filter(col("dst") % 2 =!= 0).count() > 0)
+    } finally {
+      graft.operators.Layout.dropEpochFamily(spark, base,
+        sidecars = SimilarityOps.HnswSidecars)
     }
   }
 
@@ -412,7 +440,7 @@ class SimilarityOpsSpec extends SparkSpec {
         s"vector fetch must bucket-prune:\n$vecPlan")
     } finally {
       graft.operators.Layout.dropEpochFamily(spark,
-        SimilarityOps.hnswIndexName(sf), sidecars = Seq("_vecs", "_entry"))
+        SimilarityOps.hnswIndexName(sf), sidecars = SimilarityOps.HnswSidecars)
     }
   }
 }
