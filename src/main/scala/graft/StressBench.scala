@@ -55,7 +55,14 @@ object StressBench {
     "q_upsert_lifecycle",
     // lifecycle #13 (session_window merge state): 500K streamed events
     // through per-user session-merge state + sentinel emission
-    "q_session_lifecycle")
+    "q_session_lifecycle",
+    // lifecycle #14 (graph-ANN streamed appends): 20K vectors — cells
+    // of ~1250 cross the HnswSubBucketGate, so the stress run ALSO
+    // executes the sub-bucketed build branch on the production path
+    "q_hnsw_lifecycle",
+    // join-aggregate MV: the summary build joins 6M lineitem facts
+    // once; the served rollup re-aggregates the day×client summary
+    "q_mv_join_rewrite")
 
   private def tenX(spark: SparkSession, src: String, dst: String): Unit = {
     val copies = explode(sequence(lit(0L), lit(9L))).as("k")
