@@ -107,6 +107,7 @@ object SparkEntry {
     "q_substring_lifecycle" -> (DedupOps.substringLifecycle _),
     "q_incremental_dedup" -> (DedupOps.incrementalDedup _),
     "q_ngram_jaccard"     -> (DedupOps.ngramJaccard _),
+    "q_tfidf_neardup"     -> (DedupOps.tfidfNeardup _),
     "q_minhash_lsh"       -> (DedupOps.minhashLsh _),
     "q_minhash_persisted" -> (DedupOps.minhashPersisted _),
     "q_dedup_lifecycle"   -> (DedupOps.dedupLifecycle _),
@@ -279,6 +280,7 @@ object SparkEntry {
     "q_substring_lifecycle" -> DedupOps.substringDedupSql,
     "q_incremental_dedup" -> DedupOps.incrementalDedupSql,
     "q_ngram_jaccard"     -> DedupOps.ngramJaccardSql,
+    "q_tfidf_neardup"     -> DedupOps.tfidfNeardupSql,
     "q_minhash_lsh"       -> DedupOps.minhashLshSql,
     // served from the persisted band index — same result, same oracle
     "q_minhash_persisted" -> DedupOps.minhashLshSql,

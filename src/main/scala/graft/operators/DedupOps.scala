@@ -872,6 +872,123 @@ object DedupOps {
        |SELECT doc_a, doc_b, n_inter, jaccard FROM jpairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** IDF-weighted cosine near-duplicate pairs over word-shingle TF
+    * vectors — the SpotSigs-style signal (Theobald et al. SIGIR'08):
+    * each document is a sparse vector over its word 3-gram shingles
+    * weighted `tf · ln(N/df)`, and a near-dup is a pair with cosine
+    * ≥ 0.5 in the vector space RESTRICTED to discriminative shingles
+    * (df ≤ 32). This completes the near-dup family's third axis:
+    * [[ngramJaccard]] treats every shingle equally (set overlap),
+    * [[simhash]] compresses the weighted vector to one 32-bit word
+    * (lossy), while IDF-weighted cosine keys the decision on shared
+    * DISCRIMINATIVE phrasing — boilerplate shingles that appear
+    * corpus-wide cannot vote a pair together no matter how many a pair
+    * shares.
+    *
+    * The df cap is load-bearing twice. Semantically it defines the
+    * restricted vector space (the stopword-pruning every VSM retrieval
+    * system applies). Physically it is the candidate bound: pairs are
+    * generated per-shingle, and Σ_{df≤cap} df² ≤ cap · |restricted
+    * postings| — LINEAR in corpus size at constant cap, never
+    * all-pairs. The generation is exact (not probabilistic like LSH
+    * banding): any pair with nonzero restricted cosine shares ≥1
+    * restricted shingle by definition, so no qualifying pair can be
+    * missed.
+    *
+    * Plan at 100 TB: one corpus tokenize→shingle hash-aggregate for tf
+    * (map-side combined), one vocab-sized df aggregate off it, the
+    * df-capped self-join on `shingle` (fan-out bounded as above), one
+    * doc-grain norm aggregate, and the candidate-pair aggregate whose
+    * norm joins AQE broadcasts while the candidate set is small. The
+    * tf and restricted-weight frames materialize once
+    * ([[Materialize.corpus]]) because each feeds multiple consumers.
+    * Double sums (dot, norms) are order-ambiguous across engines only
+    * below ~1e-12 relative; rounding the cosine to 6 decimals before
+    * the threshold compare absorbs that (the bm25/keywordSearch
+    * precedent), and the corpus's score distribution is bimodal
+    * (planted near-dups ≥ 0.92, unrelated pairs ≤ 0.13 at sf0.01) so
+    * the 0.5 threshold sits in a wide margin.
+    */
+  def tfidfNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    tfidfNeardupPairs(Tables.documentsFanned(spark, sfDir), dfCap = 32L, t = 0.5)
+
+  /** Library core of [[tfidfNeardup]] for any (doc_id, text) frame —
+    * parameterized so specs can exercise the df cap on planted
+    * fixtures (a corpus-wide boilerplate shingle must be excluded from
+    * both weights and candidate generation). */
+  private[graft] def tfidfNeardupPairs(
+      docs: DataFrame, dfCap: Long, t: Double): DataFrame = {
+    val toksed = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3) // sequence(1, n-2) needs n ≥ 3 (negative-step pitfall)
+    val sh = toksed.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("toks")) - 2), i =>
+        concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2)))).as("shingle"))
+    val tf = sh.groupBy(col("shingle"), col("doc_id"))
+      .agg(count(lit(1)).as("tf")).corpusCheckpoint()
+    // N = full corpus size (standard VSM idf), incl. docs too short to shingle
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val dfT = tf.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val r = tf.join(dfT.filter(col("df") <= dfCap), "shingle")
+      .crossJoin(broadcast(nDocs))
+      .select(col("shingle"), col("doc_id"),
+        (col("tf").cast("double") * log(col("n_docs") / col("df").cast("double")))
+          .as("w"))
+      .corpusCheckpoint()
+    val nrm = r.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val dot = r.select(col("shingle"), col("doc_id").as("doc_a"), col("w").as("wa"))
+      .join(r.select(col("shingle"), col("doc_id").as("doc_b"), col("w").as("wb")),
+        Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    dot
+      .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+      .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("cosine"))
+      .filter(col("cosine") >= t)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val tfidfNeardupSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                         FOR i IN range(1, len(toks) - 1)]) AS shingle
+      |  FROM tok WHERE len(toks) >= 3
+      |), tf AS (
+      |  SELECT doc_id, shingle, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM sh GROUP BY 1, 2
+      |), n AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+      |), dfs AS (
+      |  SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+      |), r AS (
+      |  SELECT tf.doc_id, tf.shingle,
+      |    CAST(tf.tf AS DOUBLE) * LN(n.n_docs / CAST(dfs.df AS DOUBLE)) AS w
+      |  FROM tf JOIN dfs USING (shingle) CROSS JOIN n
+      |  WHERE dfs.df <= 32
+      |), nrm AS (
+      |  SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM r GROUP BY 1
+      |), dt AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+      |  FROM r a JOIN r b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT dt.doc_a, dt.doc_b,
+      |  ROUND(dt.dot / (na.nrm * nb.nrm), 6) AS cosine
+      |FROM dt
+      |JOIN nrm na ON na.doc_id = dt.doc_a
+      |JOIN nrm nb ON nb.doc_id = dt.doc_b
+      |WHERE ROUND(dt.dot / (na.nrm * nb.nrm), 6) >= 0.5
+      |ORDER BY dt.doc_a, dt.doc_b""".stripMargin
+
   /** 32-bit SimHash signatures over token features (Charikar '02):
     * token hash = first 8 hex chars of md5 (engine-portable); each of
     * the 32 bit positions accumulates +tf when the token hash has the

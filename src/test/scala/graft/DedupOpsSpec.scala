@@ -523,4 +523,78 @@ class DedupOpsSpec extends SparkSpec {
       graft.operators.Layout.dropEpochFamily(spark, DedupOps.minhashIndexName(sf))
     }
   }
+
+  /** Driver-side recompute of the IDF-weighted shingle-cosine pairs —
+    * an implementation-independent third opinion beside the Spark
+    * operator and the DuckDB oracle. Returns UNROUNDED cosines. */
+  private def naiveTfidfCosine(
+      docs: Seq[(Long, String)], cap: Long, t: Double): Map[(Long, Long), Double] = {
+    val n = docs.size.toDouble
+    val sh: Seq[(Long, Map[String, Int])] = docs.map { case (id, txt) =>
+      val ts = txt.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val ss = if (ts.size >= 3) ts.sliding(3).map(_.mkString(" ")).toSeq else Seq.empty
+      id -> ss.groupBy(identity).map { case (k, v) => k -> v.size }
+    }
+    val df = sh.flatMap(_._2.keys).groupBy(identity).map { case (k, v) => k -> v.size }
+    val w: Seq[(Long, Map[String, Double])] = sh.map { case (id, m) =>
+      id -> m.collect { case (s, c) if df(s) <= cap => s -> c * math.log(n / df(s)) }
+    }
+    val nrm = w.map { case (id, m) => id -> math.sqrt(m.values.map(x => x * x).sum) }.toMap
+    (for {
+      (a, wa) <- w; (b, wb) <- w if a < b
+      dot = wa.keySet.intersect(wb.keySet).toSeq.map(s => wa(s) * wb(s)).sum
+      if dot > 0
+      c = dot / (nrm(a) * nrm(b))
+      if c >= t
+    } yield (a, b) -> c).toMap
+  }
+
+  test("tfidfNeardup: df cap is load-bearing and cosines match a driver recompute") {
+    val s = spark; import s.implicits._
+    // docs 1,2 share an 8-token DISTINCTIVE phrase (its shingles have
+    // df=2); docs 3,4,5 share only a 12-token BOILERPLATE run (df=3);
+    // doc 6 is unique filler keeping N=6. With dfCap=2 the boilerplate
+    // shingles are outside the vector space, so only (1,2) pairs; the
+    // idf weight alone would NOT have excluded df=3 shingles (ln(6/3)
+    // is the same weight class as ln(6/2)), so the uncapped twin pairs
+    // the boilerplate trio too — the cap, not the weighting, is what
+    // keeps template-heavy corpora from voting pairs together.
+    val phrase = "quantum flux capacitor alignment protocol for stellar drives"
+    val boiler = "standard footer text follows here please disregard " +
+      "this generated notice entirely now"
+    val docs = Seq(
+      (1L, s"$phrase engaged"),
+      (2L, s"$phrase review"),
+      (3L, s"alpha $boiler"),
+      (4L, s"beta $boiler"),
+      (5L, s"gamma $boiler"),
+      (6L, "entirely unrelated filler content about gardening tools")
+    )
+    val docsDf = docs.toDF("doc_id", "text")
+    val capped = DedupOps.tfidfNeardupPairs(docsDf, dfCap = 2L, t = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(capped.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)))
+    val expect = naiveTfidfCosine(docs, cap = 2L, t = 0.5)
+    assert(expect.keySet === Set((1L, 2L)))
+    assert(math.abs(capped.head._3 - expect((1L, 2L))) < 5.1e-7) // operator rounds to 6 dp
+    // uncapped twin: the boilerplate trio's cosine crosses the threshold
+    val uncapped = DedupOps.tfidfNeardupPairs(docsDf, dfCap = 1000000L, t = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val expectUncapped = naiveTfidfCosine(docs, cap = 1000000L, t = 0.5)
+    assert(uncapped.keySet === expectUncapped.keySet)
+    assert(Set((3L, 4L), (3L, 5L), (4L, 5L)).subsetOf(uncapped.keySet))
+    for ((k, v) <- uncapped) assert(math.abs(v - expectUncapped(k)) < 5.1e-7)
+  }
+
+  test("tfidfNeardup on the corpus: planted near-dups found, separation is bimodal") {
+    val got = DedupOps.tfidfNeardup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    for ((a, b, c) <- got) { assert(a < b); assert(c >= 0.5 && c <= 1.000001) }
+    // the corpus's planted twins sit far above the threshold — the 0.5
+    // cut operates in a wide margin, not on a knife edge (the oracle
+    // compares ROUNDED cosines, so a near-threshold population would
+    // make the gate flaky; this pins the distribution assumption)
+    assert(got.map(_._3).min > 0.8)
+  }
 }
