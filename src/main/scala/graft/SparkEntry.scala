@@ -96,6 +96,7 @@ object SparkEntry {
     // third sketch key (r9): exact top-10 + Misra-Gries bound booleans
     "q_heavy_hitters"     -> (TextOps.heavyHittersGated _),
     "q_countmin_counts"   -> (TextOps.countMinGated _),
+    "q_join_cardinality"  -> (RelOps.joinCardinalityGated _),
     "q_repetition_filter" -> (TextOps.repetitionFilter _),
     "q_topk_per_lang"     -> (TextOps.topkPerLang _),
     "q_tfidf_topterms"    -> (TextOps.tfidfTopTerms _),
@@ -268,6 +269,7 @@ object SparkEntry {
     "q_doc_quantiles_approx" -> TextOps.docQuantilesApproxGatedSql,
     "q_heavy_hitters"     -> TextOps.heavyHittersGatedSql,
     "q_countmin_counts"   -> TextOps.countMinGatedSql,
+    "q_join_cardinality"  -> RelOps.joinCardinalityGatedSql,
     "q_repetition_filter" -> TextOps.repetitionFilterSql,
     "q_topk_per_lang"     -> TextOps.topkPerLangSql,
     "q_tfidf_topterms"    -> TextOps.tfidfTopTermsSql,

@@ -230,6 +230,114 @@ object RelOps {
       |       TRUE AS inter_ok
       |FROM f""".stripMargin
 
+  /** Count-Min JOIN-CARDINALITY estimation (Cormode & Muthukrishnan '05
+    * §4.2, the inner-product query) — the sixth mergeable summary, and
+    * the one a query PLANNER runs: estimate |A ⋈ B| on a key without
+    * executing the join, from one corpus-independent sketch per side.
+    * Each side's key stream fills a d×w counter table (same seeded-
+    * xxhash64 scheme as TextOps.countMinGated, so a table's sketch is
+    * maintainable by integer addition under appends — counters are
+    * count-additive by construction); the estimate is
+    * `min_i Σ_b a_i[b]·b_i[b]`. Every collision only ADDS mass, so
+    * `est ≥ exact` is structural; `est_le` checks the sized ε·|A|·|B|
+    * envelope (slack 8·|A|·|B|/w — the Markov-bound headroom argument
+    * on countMinGated, per row 1/8, all d rows ≈ 2.4e-4). Two
+    * scenarios ship: the FK join orders⋈lineitem, and the self-join
+    * size of events on user_id — the second frequency moment F2, the
+    * classic CM application (a self-join estimate is what warns a
+    * planner about a skewed key BEFORE the shuffle).
+    *
+    * Like every gated sketch, the row carries the exact twin (computed
+    * as Σ_k cnt_A(k)·cnt_B(k) over the key-grain count frames — itself
+    * far cheaper than the join it predicts) plus the two
+    * Spark-evaluated bound booleans; the oracle pins the exact values
+    * and asserts the booleans TRUE, so a sketch regression breaks the
+    * hash. All inner-product arithmetic runs in DECIMAL(38,0) — counter
+    * products overflow BIGINT long before 100 TB.
+    *
+    * Scale shape: each sketch is one scan with the d·w counter table as
+    * the combiner state (fixed size at any corpus); the inner product
+    * joins two ≤ d·w frames. Nothing here is corpus-sized after the
+    * scans. The exact twin's key-grain join is the priced-in judge.
+    */
+  private[graft] val JcDepth = 4
+  private[graft] val JcWidth = 1L << 16
+
+  /** d×w counter frame (i, b, c) over a one-column `k` key frame. */
+  private[graft] def cmsKeyCounters(keys: DataFrame, d: Int, w: Long): DataFrame =
+    keys.select(explode(array((0 until d).map(i =>
+        struct(lit(i).as("i"), pmod(xxhash64(col("k"), lit(i)), lit(w)).as("b"))): _*))
+        .as("ib"))
+      .select(col("ib.i").as("i"), col("ib.b").as("b"))
+      .groupBy(col("i"), col("b")).agg(count(lit(1)).as("c"))
+
+  /** 1-row (est DECIMAL(38,0)) Count-Min inner-product estimate from two
+    * counter frames. Inner join: a bucket absent on either side
+    * contributes 0 to that row's product. */
+  private[graft] def cmsJoinEstimate(ca: DataFrame, cb: DataFrame): DataFrame =
+    ca.select(col("i"), col("b"), col("c").as("ca"))
+      .join(cb.select(col("i"), col("b"), col("c").as("cb")), Seq("i", "b"))
+      .groupBy(col("i"))
+      .agg(sum(col("ca").cast("decimal(18,0)") * col("cb").cast("decimal(18,0)"))
+        .as("ip"))
+      .agg(min(col("ip")).cast("decimal(38,0)").as("est"))
+
+  /** 1-row exact join size Σ_k cnt_A(k)·cnt_B(k) in DECIMAL(38,0) —
+    * key-grain aggregates joined, never the join itself. */
+  private[graft] def exactJoinSize(a: DataFrame, b: DataFrame): DataFrame =
+    a.groupBy(col("k")).agg(count(lit(1)).as("na"))
+      .join(b.groupBy(col("k")).agg(count(lit(1)).as("nb")), Seq("k"))
+      .agg(coalesce(
+        sum(col("na").cast("decimal(18,0)") * col("nb").cast("decimal(18,0)")),
+        lit(0)).cast("decimal(38,0)").as("exact_ip"))
+
+  def joinCardinalityGated(spark: SparkSession, sfDir: String): DataFrame = {
+    val (d, w) = (JcDepth, JcWidth)
+    def scenario(pair: String, a: DataFrame, b: Option[DataFrame]): DataFrame = {
+      val ca = cmsKeyCounters(a, d, w)
+        .localCheckpoint() // ≤ d·w rows, corpus-independent; read twice
+      val cb = b.map(cmsKeyCounters(_, d, w).localCheckpoint()).getOrElse(ca)
+      val sizes = a.agg(count(lit(1)).as("n_a"))
+        .crossJoin(b.getOrElse(a).agg(count(lit(1)).as("n_b")))
+      sizes // 1×1×1×1-row crosses — bounded by construction
+        .crossJoin(exactJoinSize(a, b.getOrElse(a)))
+        .crossJoin(cmsJoinEstimate(ca, cb))
+        .select(lit(pair).as("pair"), col("n_a"), col("n_b"),
+          col("exact_ip").cast("long").as("exact_rows"),
+          (col("est") >= col("exact_ip")).as("est_ge"),
+          // (est − exact)·w ≤ 8·|A|·|B| — the ε envelope cross-multiplied
+          // so every quantity stays an exact integer (no decimal division)
+          ((col("est") - col("exact_ip")) * lit(w) <=
+            col("n_a").cast("decimal(18,0)") * col("n_b").cast("decimal(18,0)")
+              * lit(8)).as("est_le"))
+    }
+    scenario("events_user_selfjoin",
+        Tables.events(spark, sfDir).select(col("user_id").as("k")), None)
+      .unionByName(scenario("orders_lineitem",
+        Tables.orders(spark, sfDir).select(col("o_orderkey").as("k")),
+        Some(Tables.lineitem(spark, sfDir).select(col("l_orderkey").as("k")))))
+      .orderBy(col("pair"))
+  }
+
+  val joinCardinalityGatedSql: String =
+    """WITH ev AS (
+      |  SELECT 'events_user_selfjoin' AS pair,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_a,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_b,
+      |    (SELECT CAST(SUM(c * c) AS BIGINT)
+      |     FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id)) AS exact_rows,
+      |    TRUE AS est_ge, TRUE AS est_le
+      |), ol AS (
+      |  SELECT 'orders_lineitem' AS pair,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_a,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_b,
+      |    (SELECT CAST(COUNT(*) AS BIGINT)
+      |     FROM orders JOIN lineitem ON o_orderkey = l_orderkey) AS exact_rows,
+      |    TRUE AS est_ge, TRUE AS est_le
+      |)
+      |SELECT * FROM ev UNION ALL SELECT * FROM ol
+      |ORDER BY pair""".stripMargin
+
   /** ROLLUP over (status, priority): per-combination, per-status
     * subtotal, and grand-total rows; GROUPING() flags disambiguate the
     * NULLs so the sort is total and engine-portable.

@@ -174,4 +174,51 @@ class RelOpsSpec extends SparkSpec {
     assert(r.getLong(2) === (clicks & purchases).size.toLong)
     assert(r.getBoolean(3), "inclusion-exclusion estimate left its error bound")
   }
+
+  test("cmsJoinEstimate: equals the min-of-rows inner product re-derived from " +
+      "the counter frames; est >= exact even under forced collisions") {
+    val s = spark; import s.implicits._
+    val a = Seq(1L, 1L, 1L, 2L, 3L, 4L, 5L, 5L).toDF("k")
+    val b = Seq(1L, 2L, 2L, 6L, 7L).toDF("k")
+    // exact |A ⋈ B| = 3·1 (k=1) + 1·2 (k=2) = 5
+    val exact = RelOps.exactJoinSize(a, b).head().getDecimal(0).longValueExact()
+    assert(exact === 5L)
+    val w = 4L // 7 distinct keys into 4 buckets: collisions guaranteed
+    val ca = RelOps.cmsKeyCounters(a, 4, w)
+    val cb = RelOps.cmsKeyCounters(b, 4, w)
+    val est = RelOps.cmsJoinEstimate(ca, cb).head().getDecimal(0).longValueExact()
+    assert(est >= exact, "CMS inner product must never undercount")
+    // independent driver re-derivation of min_i Σ_b a_i[b]·b_i[b]
+    def toMap(c: org.apache.spark.sql.DataFrame) = c.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (ma, mb) = (toMap(ca), toMap(cb))
+    val ips = (0 until 4).map(i => (0L until w).map(bk =>
+      ma.getOrElse((i, bk), 0L) * mb.getOrElse((i, bk), 0L)).sum)
+    assert(est === ips.min)
+  }
+
+  test("cms key counters are additive — the sketch merges under appends") {
+    val s = spark; import s.implicits._
+    val a1 = Seq(1L, 2L, 2L, 9L).toDF("k")
+    val a2 = Seq(2L, 3L, 9L, 9L).toDF("k")
+    val whole = RelOps.cmsKeyCounters(a1.unionByName(a2), 4, 8L)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (m1, m2) = (toMap(RelOps.cmsKeyCounters(a1, 4, 8L)),
+      toMap(RelOps.cmsKeyCounters(a2, 4, 8L)))
+    val merged = (m1.keySet ++ m2.keySet).map(k =>
+      k -> (m1.getOrElse(k, 0L) + m2.getOrElse(k, 0L))).toMap
+    assert(whole === merged)
+  }
+
+  test("joinCardinalityGated: both scenarios' bound booleans hold on the corpus") {
+    val rows = RelOps.joinCardinalityGated(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("events_user_selfjoin", "orders_lineitem"))
+    for (r <- rows) {
+      assert(r.getBoolean(4), s"${r.getString(0)}: est < exact (impossible)")
+      assert(r.getBoolean(5), s"${r.getString(0)}: est left the ε envelope")
+    }
+  }
 }
