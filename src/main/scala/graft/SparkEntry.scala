@@ -179,6 +179,7 @@ object SparkEntry {
     "q_fk_inference"      -> (GovernanceOps.fkInference _),
     "q_upsert_lifecycle"  -> (GovernanceOps.upsertLifecycle _),
     "q_zorder_layout"     -> (GovernanceOps.zorderLayout _),
+    "q_compaction_plan"   -> (GovernanceOps.compactionPlan _),
     "q_anomaly_mad"       -> (GovernanceOps.anomalyMad _),
     // §2b — graph analytics beyond connected components
     "q_pagerank"          -> (GraphOps.pagerank _),
@@ -379,6 +380,7 @@ object SparkEntry {
     "q_fk_inference"      -> GovernanceOps.fkInferenceSql,
     "q_upsert_lifecycle"  -> GovernanceOps.cdcUpsertSql,
     "q_zorder_layout"     -> GovernanceOps.zorderLayoutSql,
+    "q_compaction_plan"   -> GovernanceOps.compactionPlanSql,
     // exact integer-cents space: percentile interpolation over
     // integers yields exact binary fractions, so median/MAD/fence
     // comparisons are bit-identical cross-engine

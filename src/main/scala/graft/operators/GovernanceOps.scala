@@ -983,6 +983,96 @@ object GovernanceOps {
   private def daysBetween(a: java.sql.Date, b: java.sql.Date): Long =
     java.time.temporal.ChronoUnit.DAYS.between(a.toLocalDate, b.toLocalDate)
 
+  // ------------------------------------------------- compaction planning
+
+  /** Target compacted-file size for [[compactionPlan]] — 256 KiB against
+    * the testdata's KB-scale partition "files" (a production table
+    * service uses 128 MiB–1 GiB; the arithmetic is identical). */
+  private[graft] val CompactionTargetBytes = 262144L
+
+  /** Small-file COMPACTION planning — the bin-packing step a lakehouse
+    * table service (Delta OPTIMIZE, Iceberg rewrite_data_files) runs
+    * before rewriting: given the small-file inventory, assign files to
+    * target-sized output bins. Inventory here = one "file" per
+    * (event_type, day) hive-partition cell of events, bytes = payload
+    * octet length + fixed row overhead. The packing rule is the
+    * standard sorted next-fit: order files by (bytes DESC, key) and cut
+    * the exclusive running sum at target boundaries —
+    * `bin = cum_before div target`. Two structural guarantees follow
+    * (spec-asserted on the corpus AND a crafted fixture):
+    * n_bins ≤ ⌈total/target⌉ (never more output files than ideal), and
+    * every bin's total < target + max_file_bytes (next-fit's additive
+    * overshoot bound).
+    *
+    * Scale: the inventory is FILE-GRAIN METADATA — a 100 TB table at
+    * 128 MiB files is ~800K rows, and the plan never touches data. The
+    * running sum still refuses a global window (the plan-audit
+    * invariant): bytes bit-length is a BOUNDED partition key (≤64
+    * classes, and class k's every file strictly outranks class k−1's,
+    * so concatenating classes descending IS the global bytes-DESC
+    * order), giving the zorder/skyline decomposition — per-class
+    * PARTITIONED windows + a ≤64-row driver prefix scan + broadcast
+    * class bases. The oracle computes the same sum with DuckDB's
+    * native global window — two independent formulations that must
+    * agree to the byte.
+    */
+  def compactionPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val inv = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(octet_length(col("props")) + lit(48L)).as("bytes"))
+    compactionBins(inv, CompactionTargetBytes)
+  }
+
+  /** Library core of [[compactionPlan]]: bin assignment for any
+    * (event_type, day, bytes) inventory frame — factored out so specs
+    * can drive crafted inventories (bigger-than-target files, exact
+    * boundary hits). */
+  private[graft] def compactionBins(inventory: DataFrame, target: Long): DataFrame = {
+    val spark = inventory.sparkSession
+    val inv = inventory.localCheckpoint() // file-grain metadata rows
+    // size class = bit length of bytes — exact integer log2 bucketing
+    // (a double log2 could misbucket at power-of-two boundaries)
+    val classed = inv.withColumn("sc",
+      length(conv(col("bytes"), 10, 2)).cast("long"))
+    val classTotals = classed.groupBy(col("sc")).agg(sum(col("bytes")).as("cb"))
+      .orderBy(col("sc").desc).collect() // ≤64 rows at any corpus size
+    var acc = 0L
+    val bases = classTotals.map { r =>
+      val t = (r.getLong(0), acc); acc += r.getLong(1); t
+    }.toSeq
+    val baseDf = broadcast(
+      spark.createDataFrame(bases).toDF("sc", "base"))
+    val w = Window.partitionBy(col("sc"))
+      .orderBy(col("bytes").desc, col("event_type"), col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    classed.join(baseDf, "sc")
+      .withColumn("cum_before",
+        col("base") + coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $target"))
+      .select(col("event_type"), col("day"), col("bytes"),
+        col("cum_before"), col("bin"))
+      .orderBy(col("bytes").desc, col("event_type"), col("day"))
+  }
+
+  val compactionPlanSql: String =
+    s"""WITH inv AS (
+       |  SELECT event_type,
+       |    CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    CAST(SUM(strlen(props) + 48) AS BIGINT) AS bytes -- strlen = BYTE length (Spark octet_length)
+       |  FROM events GROUP BY 1, 2
+       |), c AS (
+       |  SELECT event_type, day, bytes,
+       |    CAST(COALESCE(SUM(bytes) OVER (
+       |      ORDER BY bytes DESC, event_type, day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM inv
+       |)
+       |SELECT event_type, day, bytes, cum_before,
+       |  cum_before // $CompactionTargetBytes AS bin
+       |FROM c ORDER BY bytes DESC, event_type, day""".stripMargin
+
   val zorderLayoutSql: String =
     s"""WITH b AS (
        |  SELECT MIN(o_custkey) AS kmin, MAX(o_custkey) AS kmax,

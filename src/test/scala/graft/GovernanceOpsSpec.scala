@@ -645,4 +645,54 @@ class GovernanceOpsSpec extends SparkSpec {
     assert(zHit * 4 <= linHit,
       s"Z-order must prune at least 4x better than linear ($zHit vs $linHit)")
   }
+
+  test("compactionBins: next-fit-on-sorted packing matches a driver replay, " +
+      "incl. a bigger-than-target file and an exact boundary hit") {
+    val s = spark; import s.implicits._
+    val target = 1000L
+    // crafted inventory: one file OVER target (2500), one exactly at a
+    // boundary landing (cum_before = 3000 → bin 3), mixed small tails;
+    // sizes straddle several bit-length classes so the class-prefix
+    // decomposition is exercised, not bypassed
+    val inv = Seq(
+      ("a", "2024-01-01", 2500L), ("b", "2024-01-01", 500L),
+      ("c", "2024-01-01", 400L), ("d", "2024-01-01", 300L),
+      ("e", "2024-01-01", 300L), ("f", "2024-01-01", 120L),
+      ("g", "2024-01-01", 60L), ("h", "2024-01-01", 60L),
+      ("i", "2024-01-01", 7L)
+    ).toDF("event_type", "day_s", "bytes")
+      .select(col("event_type"), to_date(col("day_s")).as("day"), col("bytes"))
+    val got = GovernanceOps.compactionBins(inv, target).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // driver replay of the rule: sort bytes desc (keys tie-break),
+    // exclusive running sum, bin = cum div target
+    val sorted = Seq(("a", 2500L), ("b", 500L), ("c", 400L), ("d", 300L),
+      ("e", 300L), ("f", 120L), ("g", 60L), ("h", 60L), ("i", 7L))
+    val cums = sorted.map(_._2).scanLeft(0L)(_ + _).init
+    val expect = sorted.zip(cums).map { case ((k, b), c) => (k, b, c, c / target) }
+    assert(got.toSeq === expect)
+    // structural guarantees
+    val total = sorted.map(_._2).sum
+    val nBins = got.map(_._4).distinct.length
+    assert(nBins <= ((total + target - 1) / target).toInt)
+    val maxFile = sorted.map(_._2).max
+    for ((_, rows) <- got.groupBy(_._4))
+      assert(rows.map(_._2).sum < target + maxFile)
+    // files within a bin are contiguous in packing order (next-fit)
+    val binSeq = got.map(_._4).toSeq
+    assert(binSeq === binSeq.sorted)
+  }
+
+  test("compactionPlan on the corpus: guarantees hold at the gated target") {
+    val got = GovernanceOps.compactionPlan(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val target = 262144L
+    val total = got.map(_._1).sum
+    val nBins = got.map(_._3).distinct.length
+    assert(nBins <= ((total + target - 1) / target).toInt)
+    val maxFile = got.map(_._1).max
+    for ((_, rows) <- got.groupBy(_._3))
+      assert(rows.map(_._1).sum < target + maxFile)
+  }
 }
