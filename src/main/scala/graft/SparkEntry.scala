@@ -67,6 +67,7 @@ object SparkEntry {
     "q_rfm_segments"      -> (GovernanceOps.rfmSegments _),
     "q_mv_rewrite"        -> (graft.plans.MvRewrite.monthlyRevenue _),
     "q_mv_join_rewrite"   -> (graft.plans.MvJoinRewrite.monthlyClientRollup _),
+    "q_mv_lifecycle"      -> (graft.plans.MvJoinRewrite.mvLifecycle _),
     "q_triangle_count"    -> (GraphOps.triangleStats _),
     "q_shard_assignment"  -> (GovernanceOps.shardAssignment _),
     // §2b — text analysis
@@ -236,6 +237,7 @@ object SparkEntry {
     "q_rfm_segments"      -> GovernanceOps.rfmSegmentsSql,
     "q_mv_rewrite"        -> graft.plans.MvRewrite.monthlyRevenueSql,
     "q_mv_join_rewrite"   -> graft.plans.MvJoinRewrite.monthlyClientRollupSql,
+    "q_mv_lifecycle"      -> graft.plans.MvJoinRewrite.monthlyClientRollupSql,
     "q_triangle_count"    -> GraphOps.triangleStatsSql,
     "q_shard_assignment"  -> GovernanceOps.shardAssignmentSql,
     "q_token_counts"      -> TextOps.tokenCountsSql,

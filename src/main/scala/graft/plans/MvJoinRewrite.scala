@@ -89,16 +89,9 @@ object MvJoinRewrite {
       spark.sql(s"DROP TABLE IF EXISTS $name")
     }
     Layout.ensureTable(spark, name) { n =>
-      val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
-      val o = Tables.orders(spark, sfDir).select(col("o_custkey"), col("o_orderkey"))
-      val l = Tables.lineitem(spark, sfDir)
-        .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
-      c.join(o, c("c_custkey") === o("o_custkey"))
-        .join(l, o("o_orderkey") === l("l_orderkey"))
-        .groupBy(c("c_name").as("client_email"),
-          to_date(col("l_shipdate")).as("day"))
-        .agg(count(lit(1)).as("n_tx"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("amount"))
+      dayClientPartialsOf(spark, sfDir,
+          Tables.lineitem(spark, sfDir)
+            .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice")))
         .write.format("parquet").saveAsTable(n)
       spark.sql(s"DROP TABLE IF EXISTS $fpName") // any orphaned sidecar
       Layout.ensureTable(spark, fpName) { f =>
@@ -106,6 +99,26 @@ object MvJoinRewrite {
         Seq(fp).toDF("fp").write.format("parquet").saveAsTable(f)
       }
     }
+  }
+
+  /** The MV's partial-aggregate DELTA for any lineitem-shaped fact
+    * frame: join the STATIC dimensions, aggregate to (client_email,
+    * day) partials. One definition shared by the bulk MV build, the
+    * full-corpus [[ensureMv]], and the streamed IVM appends
+    * ([[graft.streaming.MvStream.appendMvDeltasStream]]) — the encode
+    * path cannot drift between build and maintenance. Count and the
+    * exact-decimal sum are ASSOCIATIVE partials: deltas from any batch
+    * split re-aggregate to the one-shot values to the cent. */
+  private[graft] def dayClientPartialsOf(spark: SparkSession, sfDir: String,
+      facts: DataFrame): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
+    val o = Tables.orders(spark, sfDir).select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(facts, o("o_orderkey") === facts("l_orderkey"))
+      .groupBy(c("c_name").as("client_email"),
+        to_date(col("l_shipdate")).as("day"))
+      .agg(count(lit(1)).as("n_tx"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("amount"))
   }
 
   /** The rewrite rule bound to one corpus's base paths + MV table. */
@@ -378,4 +391,48 @@ object MvJoinRewrite {
       |JOIN lineitem t ON a.o_orderkey = t.l_orderkey
       |GROUP BY 1, 2
       |ORDER BY month, client_email""".stripMargin
+
+  private[graft] def mvLifecycleBase(sfDir: String): String =
+    "graft_mvlc_" + Layout.corpusTag(sfDir)
+
+  /** INCREMENTAL-VIEW-MAINTENANCE lifecycle (stream ≡ batch #15) — the
+    * maintenance story the [[monthlyClientRollup]] rewrite presumes: a
+    * summary table is only useful if it can be kept CURRENT without
+    * re-joining the full fact table. Even l_orderkey facts bulk-build
+    * a fresh partials epoch (one shot of [[dayClientPartialsOf]]); the
+    * odd half replays as a parquet-source stream through
+    * [[graft.streaming.MvStream.appendMvDeltasStream]] — per batch:
+    * static-dim join, day×client DELTA aggregate, append. Serving
+    * re-aggregates the accumulated partials to the month×client rollup
+    * under the VERBATIM [[monthlyClientRollupSql]] oracle — the driver
+    * hash-match proves bulk build + streamed deltas ≡ the one-pass
+    * 3-table join to the cent. Deterministic with no watermark or
+    * sentinel machinery because the served rollup is a pure function
+    * of the partial-row SET (count/decimal-sum partials are
+    * associative and commutative), the accumulated-state lifecycle
+    * shape. Rotates a fresh epoch per call, prunes to two.
+    */
+  def mvLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = mvLifecycleBase(sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+    val t = Layout.rotateEpoch(spark, base) { name =>
+      dayClientPartialsOf(spark, sfDir, l.filter(col("l_orderkey") % 2 === 0))
+        .write.format("parquet").mode("overwrite").saveAsTable(name)
+    }
+    val odd = l.filter(col("l_orderkey") % 2 =!= 0)
+    Layout.withStagedParquet(odd.repartition(4), "graft-mvlc") { dir =>
+      val stream = graft.streaming.MvStream.appendMvDeltasStream(
+        spark.readStream.schema(odd.schema)
+          .option("maxFilesPerTrigger", 2).parquet(dir), sfDir, t)
+      try stream.processAllAvailable() finally stream.stop()
+    }
+    Layout.pruneEpochs(spark, base, keep = 2)
+    spark.table(t)
+      .groupBy(date_trunc("month", col("day").cast("timestamp")).as("month"),
+        col("client_email"))
+      .agg(sum(col("n_tx")).as("transaction_count"),
+        sum(col("amount")).cast("decimal(20,2)").cast("double").as("total_amount"))
+      .orderBy(col("month"), col("client_email"))
+  }
 }

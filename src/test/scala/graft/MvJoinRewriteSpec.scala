@@ -132,4 +132,27 @@ class MvJoinRewriteSpec extends SparkSpec {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
+
+  test("mv lifecycle: bulk half + streamed delta appends ≡ the one-shot rollup, " +
+      "and the streamed half actually lands as appended partials") {
+    import graft.plans.MvJoinRewrite
+    import graft.operators.Layout
+    val base = MvJoinRewrite.mvLifecycleBase(sf)
+    try {
+      val got = MvJoinRewrite.mvLifecycle(spark, sf).collect()
+      val want = MvJoinRewrite.monthlyClientRollupBase(spark, sf).collect()
+      assert(got.nonEmpty)
+      assert(got.toSeq === want.toSeq)
+      // provenance check: the epoch holds MORE partial rows than the
+      // bulk (even-orderkey) half alone produced — the streamed deltas
+      // are load-bearing, not vacuously empty
+      val t = Layout.currentEpochTable(spark, base).get
+      val bulkRows = MvJoinRewrite.dayClientPartialsOf(spark, sf,
+        Tables.lineitem(spark, sf)
+          .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+          .filter(col("l_orderkey") % 2 === 0)).count()
+      assert(spark.table(t).count() > bulkRows,
+        "no streamed partials landed — the odd half never reached the epoch")
+    } finally Layout.dropEpochFamily(spark, base)
+  }
 }
