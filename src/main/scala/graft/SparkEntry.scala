@@ -161,6 +161,7 @@ object SparkEntry {
     "q_dsir_weights"      -> (CurationOps.dsirWeights _),
     "q_cluster_balance"   -> (CurationOps.clusterBalance _),
     "q_keyword_search"    -> (TextOps.keywordSearch _),
+    "q_rocchio_search"    -> (TextOps.rocchioSearch _),
     "q_phrase_search"     -> (TextOps.phraseSearch _),
     "q_boolean_search"    -> (TextOps.booleanSearch _),
     "q_search_lifecycle"  -> (TextOps.searchLifecycle _),
@@ -351,6 +352,7 @@ object SparkEntry {
     "q_dsir_weights"      -> CurationOps.dsirWeightsSql,
     "q_cluster_balance"   -> CurationOps.clusterBalanceSql,
     "q_keyword_search"    -> TextOps.keywordSearchSql,
+    "q_rocchio_search"    -> TextOps.rocchioSearchSql,
     "q_phrase_search"     -> TextOps.phraseSearchSql,
     "q_boolean_search"    -> TextOps.booleanSearchSql,
     "q_hybrid_search"     -> TextOps.hybridSearchSql,

@@ -2747,10 +2747,26 @@ object TextOps {
 
   /** [[keywordSearch]] against an explicit epoch table — the probe the
     * streaming ingest spec points at stream-built state. */
-  private[graft] def keywordSearchIndex(spark: SparkSession, name: String): DataFrame = {
-    val (k1, b, k) = (1.2, 0.75, 20)
+  private[graft] def keywordSearchIndex(spark: SparkSession, name: String): DataFrame =
+    bm25Probe(spark, name, SearchTerms.map(_ -> 1.0), 20)
+
+  /** The WEIGHTED BM25 probe every index-served retrieval leg shares:
+    * per-term contributions scaled by a query-side weight (1.0 = plain
+    * BM25; Rocchio feedback terms ride in at β), summed per doc,
+    * rounded to 6 decimals, top-k by (score desc, doc_id). Exactly the
+    * historical keywordSearch plan — pruned postings scan, exact df
+    * aggregated from the SAME pruned rows, broadcast stats — with one
+    * broadcast (term, wt) join added; `wt·x` at wt = 1.0 is
+    * bit-identical to `x` for the positive scores BM25 produces, so
+    * factoring q_keyword_search through this probe changes nothing it
+    * gates. */
+  private[graft] def bm25Probe(spark: SparkSession, name: String,
+      weights: Seq[(String, Double)], k: Int): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val terms = weights.map(_._1)
+    val wDf = spark.createDataFrame(weights).toDF("term", "wt")
     val p = spark.table(name)
-      .filter(col("term").isin(SearchTerms: _*))
+      .filter(col("term").isin(terms: _*))
       .select(col("term"), col("doc_id"), col("dl"), col("tf"))
     val dfs = p.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     // derive (n_docs, avgdl) doubles from the exact long sidecar
@@ -2760,9 +2776,10 @@ object TextOps {
     val tf = col("tf").cast("double")
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-    val contrib = idf * (tf * (k1 + 1)) /
+    val contrib = col("wt") * idf * (tf * (k1 + 1)) /
       (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
     p.join(broadcast(dfs), "term")
+      .join(broadcast(wDf), "term")
       .crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
       .agg(round(sum(contrib), 6).as("score"))
@@ -2795,6 +2812,127 @@ object TextOps {
       |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 6) AS score
       |FROM p JOIN dfs USING (term) CROSS JOIN stats
       |GROUP BY doc_id
+      |ORDER BY score DESC, doc_id
+      |LIMIT 20""".stripMargin
+
+  // --------------------------------------- pseudo-relevance feedback
+
+  /** Catalog base of the FEEDBACK sidecar family for one corpus: the
+    * forward index (doc_id → its (term, tf, dl) rows, bucketed by
+    * doc_id — the doc-keyed access path feedback/snippets need that a
+    * term-bucketed postings table cannot serve without a corpus scan)
+    * plus the `_lex` lexicon sidecar (term → exact df, vocab-sized,
+    * bucketed by term). Both derive from the postings index in one
+    * pass each. */
+  private[graft] def fbIndexName(sfDir: String): String =
+    "graft_fb_idx_" + Layout.corpusTag(sfDir)
+
+  def ensureFeedbackIndex(spark: SparkSession, sfDir: String): String = {
+    val inv = ensureInvertedIndex(spark, sfDir)
+    Layout.ensureEpochIndex(spark, fbIndexName(sfDir), sidecars = Seq("_lex")) {
+      name =>
+        Layout.writeBucketed(
+          spark.table(inv).select(col("doc_id"), col("term"), col("tf"), col("dl")),
+          name, "doc_id", InvIndexBuckets)
+        Layout.writeBucketed(
+          spark.table(inv).groupBy(col("term")).agg(count(lit(1)).as("df")),
+          name + "_lex", "term", InvIndexBuckets)
+    }
+  }
+
+  /** Seed query and interpolation weight for [[rocchioSearch]] —
+    * 'dup' is the one discriminative token in the corpus vocabulary,
+    * so the feedback set is topical, not uniform. β = 0.5 is Rocchio's
+    * standard expansion weight. */
+  private[graft] val RocchioQuery = Seq("dup", "sort")
+  private[graft] val RocchioBeta = 0.5
+
+  /** PSEUDO-RELEVANCE-FEEDBACK retrieval (Rocchio '71, the RM3-style
+    * loop every production ranker ships as an option): (1) BM25 top-10
+    * for the seed query off the postings index; (2) rank expansion
+    * terms by the Rocchio weight Σ_feedback tf · ln(N/df) — computed
+    * from the FORWARD index's doc-bucket-pruned point reads of just
+    * those 10 docs and the lexicon's exact df — take the top 5
+    * (rounded weight desc, term asc); (3) re-probe BM25 with the seed
+    * terms at weight 1.0 and the expansion terms at β = 0.5, top-20.
+    *
+    * Scale: after the build, a query touches ≤|terms| postings buckets
+    * (stage 1, 3) and ≤10 forward-index doc buckets (stage 2) — no
+    * corpus pass anywhere; the two driver collects are the 10-row
+    * feedback id list and the 5-row expansion term list, bounded by
+    * the algorithm's own constants. This is WHY the forward index and
+    * lexicon exist as index structures: without them stage 2 is a
+    * full postings scan per query.
+    */
+  def rocchioSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val inv = ensureInvertedIndex(spark, sfDir)
+    val fb = ensureFeedbackIndex(spark, sfDir)
+    val seedIds = bm25Probe(spark, inv, RocchioQuery.map(_ -> 1.0), 10)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq // ≤10 — bounded
+    val nDocs = spark.table(inv + "_stats")
+      .select(col("n_docs").cast("double").as("n_docs"))
+    val expansion =
+      if (seedIds.isEmpty) Seq.empty[String]
+      else spark.table(fb)
+        .filter(col("doc_id").isin(seedIds: _*)) // doc-bucket-pruned point reads
+        .filter(!col("term").isin(RocchioQuery: _*))
+        .groupBy(col("term")).agg(sum(col("tf")).as("ftf"))
+        .join(spark.table(fb + "_lex"), "term")
+        .crossJoin(broadcast(nDocs))
+        .select(col("term"),
+          round(col("ftf").cast("double") *
+            log(col("n_docs") / col("df").cast("double")), 6).as("rw"))
+        .orderBy(col("rw").desc, col("term")).limit(5)
+        .collect().map(_.getString(0)).toSeq // ≤5 — bounded
+    bm25Probe(spark, inv,
+      RocchioQuery.map(_ -> 1.0) ++ expansion.map(_ -> RocchioBeta), 20)
+  }
+
+  val rocchioSearchSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents
+      |), stats AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |    AVG(CAST(len(toks) AS BIGINT)) AS avgdl
+      |  FROM base
+      |), p AS (
+      |  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+      |          unnest(toks) AS term FROM base)
+      |  GROUP BY 1, 2, 3
+      |), lex AS (
+      |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM p GROUP BY 1
+      |), s1 AS (
+      |  SELECT p.doc_id,
+      |    ROUND(SUM(LN(1 + (stats.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+      |      * (CAST(p.tf AS DOUBLE) * 2.2)
+      |      / (CAST(p.tf AS DOUBLE)
+      |         + 1.2 * (0.25 + 0.75 * CAST(p.dl AS DOUBLE) / stats.avgdl))), 6)
+      |      AS score
+      |  FROM p JOIN lex USING (term) CROSS JOIN stats
+      |  WHERE p.term IN ('dup', 'sort')
+      |  GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10
+      |), expn AS (
+      |  SELECT p.term,
+      |    ROUND(CAST(SUM(p.tf) AS DOUBLE) * LN(stats.n_docs / lex.df), 6) AS rw
+      |  FROM p JOIN s1 USING (doc_id) JOIN lex USING (term) CROSS JOIN stats
+      |  WHERE p.term NOT IN ('dup', 'sort')
+      |  GROUP BY p.term, lex.df, stats.n_docs
+      |  ORDER BY rw DESC, term LIMIT 5
+      |), w AS (
+      |  SELECT term, 1.0 AS wt FROM (VALUES ('dup'), ('sort')) t(term)
+      |  UNION ALL SELECT term, 0.5 AS wt FROM expn
+      |)
+      |SELECT p.doc_id,
+      |  ROUND(SUM(w.wt * LN(1 + (stats.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+      |    * (CAST(p.tf AS DOUBLE) * 2.2)
+      |    / (CAST(p.tf AS DOUBLE)
+      |       + 1.2 * (0.25 + 0.75 * CAST(p.dl AS DOUBLE) / stats.avgdl))), 6)
+      |    AS score
+      |FROM p JOIN w USING (term) JOIN lex USING (term) CROSS JOIN stats
+      |GROUP BY p.doc_id
       |ORDER BY score DESC, doc_id
       |LIMIT 20""".stripMargin
 

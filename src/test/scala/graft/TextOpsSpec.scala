@@ -731,4 +731,46 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
     assert(run2.toSeq === run1.toSeq)
   }
+
+  test("rocchioSearch: feedback is load-bearing, forward index mirrors the " +
+      "postings rows, and the stage-2 probe doc-bucket-prunes") {
+    import graft.operators.{Layout, TextOps}
+    try {
+      val inv = TextOps.ensureInvertedIndex(spark, sf)
+      val fb = TextOps.ensureFeedbackIndex(spark, sf)
+      // the forward index is the postings re-keyed by doc — same rows
+      assert(spark.table(fb).count() === spark.table(inv).count())
+      // lexicon df is the exact per-term doc count
+      val lex = spark.table(fb + "_lex").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val dfTruth = spark.table(inv).groupBy(col("term")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(lex === dfTruth)
+      // feedback changes the ranking: the final list must differ from a
+      // plain seed-terms-only top-20 (expansion terms carry real weight)
+      val rocchio = TextOps.rocchioSearch(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val plain = TextOps.bm25Probe(spark, inv,
+          TextOps.RocchioQuery.map(_ -> 1.0), 20).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rocchio.nonEmpty)
+      assert(rocchio !== plain,
+        "expansion had no effect — the feedback loop is vacuous")
+      // stage-2 access path: the forward probe reads only the feedback
+      // docs' buckets, never the corpus
+      val seedIds = TextOps.bm25Probe(spark, inv,
+          TextOps.RocchioQuery.map(_ -> 1.0), 10)
+        .collect().map(_.getLong(0))
+      val plan = spark.table(fb).filter(col("doc_id").isin(seedIds: _*))
+        .queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined, s"forward probe must bucket-prune:\n$plan")
+      assert(sel.get.group(1).toInt <= seedIds.length &&
+        sel.get.group(2).toInt == TextOps.InvIndexBuckets)
+    } finally {
+      Layout.dropEpochFamily(spark, TextOps.fbIndexName(sf), sidecars = Seq("_lex"))
+      Layout.dropEpochFamily(spark, TextOps.invIndexName(sf), sidecars = Seq("_stats"))
+    }
+  }
 }
