@@ -122,6 +122,7 @@ object SparkEntry {
     "q_knn_cosine"        -> (SimilarityOps.knnCosine _),
     "q_ann_lsh_topk"      -> (SimilarityOps.annLshTopK _),
     "q_embedding_stats"   -> (SimilarityOps.embeddingStats _),
+    "q_embedding_covariance" -> (SimilarityOps.embeddingCovariance _),
     "q_random_projection" -> (SimilarityOps.randomProjection _),
     "q_embedding_neardup" -> (SimilarityOps.embeddingNearDup _),
     "q_embedding_neardup_lsh" -> (SimilarityOps.embeddingNearDupLsh _),
@@ -301,6 +302,7 @@ object SparkEntry {
     "q_knn_cosine"        -> SimilarityOps.knnCosineSql,
     "q_ann_lsh_topk"      -> SimilarityOps.annLshTopKSql,
     "q_embedding_stats"   -> SimilarityOps.embeddingStatsSql,
+    "q_embedding_covariance" -> SimilarityOps.embeddingCovarianceSql,
     // the ±1 projection matrix is derived INDEPENDENTLY by each engine
     // from md5 parity on the same literal strings — agreement is part
     // of what the hash gates; all arithmetic exact integer micros

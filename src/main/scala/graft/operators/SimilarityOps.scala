@@ -109,6 +109,75 @@ object SimilarityOps {
       |FROM norms GROUP BY label
       |ORDER BY label""".stripMargin
 
+  /** EXACT second-moment (Gram) matrix of the embedding corpus plus
+    * the centered-covariance NUMERATORS — the input every PCA /
+    * whitening / ZCA step of an embedding pipeline reduces first.
+    * Vectors quantize to integer micros up front (`round(x·1e6)`, the
+    * [[pqTopK]] discipline), so for each dimension pair i ≤ j the
+    * outputs are exact integers both engines must reproduce digit for
+    * digit: `dot = Σ_v m_i·m_j` and
+    * `cov_numer = N·dot − (Σ m_i)·(Σ m_j)` — N² times the centered
+    * covariance, kept as an undivided DECIMAL(38,0) so no division or
+    * float ever enters (N·Σm² ≥ (Σm)² by Cauchy–Schwarz, so the
+    * diagonal is provably non-negative, spec-asserted). The eigensolve
+    * that follows PCA is an O(d³) driver-side step on this 64×64
+    * result at any corpus size — the reduction here is the 100 TB part.
+    *
+    * Plan: one posexplode to (vec_id, i, m) materialized once, a
+    * co-partitioned equi-self-join on vec_id whose i ≤ j output feeds
+    * a map-side-combined aggregate straight down to ≤ d(d+1)/2 = 2080
+    * groups (the joined rows never shuffle — the final exchange
+    * carries partial rows per (i,j) group only), plus a 64-row
+    * dimension-sum aggregate and a 1-row count. At 100 TB the N·d²
+    * multiply-adds are the honest Gramian FLOPs any implementation
+    * pays; nothing corpus-sized moves after the vec_id exchange.
+    */
+  def embeddingCovariance(spark: SparkSession, sfDir: String): DataFrame = {
+    val micros = transform(col("embedding"),
+      x => round(x.cast("double") * 1000000d).cast("long"))
+    val e = Tables.embeddingsFanned(spark, sfDir)
+      .select(col("vec_id"), posexplode(micros).as(Seq("p", "m")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("i"), col("m"))
+      .corpusCheckpoint() // N·d rows; read by both join sides + dim sums
+    val dot = e.select(col("vec_id"), col("i"), col("m"))
+      .join(e.select(col("vec_id"), col("i").as("j"), col("m").as("mj")), "vec_id")
+      .filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("m").cast("decimal(18,0)") * col("mj").cast("decimal(18,0)"))
+        .cast("decimal(38,0)").as("dot"))
+    val dims = e.groupBy(col("i"))
+      .agg(sum(col("m").cast("decimal(18,0)")).cast("decimal(18,0)").as("s"))
+    val n = Tables.embeddings(spark, sfDir)
+      .agg(count(lit(1)).cast("decimal(10,0)").as("n"))
+    dot
+      .join(dims.select(col("i"), col("s").as("si")), "i")
+      .join(dims.select(col("i").as("j"), col("s").as("sj")), "j")
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"), col("dot"),
+        (col("n") * col("dot") - col("si") * col("sj"))
+          .cast("decimal(38,0)").as("cov_numer"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val embeddingCovarianceSql: String =
+    """WITH m AS (
+      |  SELECT vec_id, CAST(t.i AS BIGINT) AS i,
+      |    CAST(ROUND(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS m
+      |  FROM embeddings, range(1, 65) t(i)
+      |), s AS (
+      |  SELECT a.i AS i, b.i AS j, SUM(CAST(a.m AS HUGEINT) * b.m) AS dot
+      |  FROM m a JOIN m b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY 1, 2
+      |), d AS (
+      |  SELECT i, SUM(CAST(m AS HUGEINT)) AS sm FROM m GROUP BY 1
+      |), n AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings
+      |)
+      |SELECT s.i, s.j, CAST(s.dot AS DECIMAL(38,0)) AS dot,
+      |  CAST(n.n * s.dot - da.sm * db.sm AS DECIMAL(38,0)) AS cov_numer
+      |FROM s JOIN d da ON da.i = s.i JOIN d db ON db.i = s.j CROSS JOIN n
+      |ORDER BY s.i, s.j""".stripMargin
+
   /** Johnson-Lindenstrauss random projection — the dimensionality
     * reduction a 100 TB embedding pipeline runs BEFORE clustering or
     * coarse ANN (Achlioptas '01: a ±1 sign matrix preserves pairwise

@@ -443,4 +443,28 @@ class SimilarityOpsSpec extends SparkSpec {
         SimilarityOps.hnswIndexName(sf), sidecars = SimilarityOps.HnswSidecars)
     }
   }
+
+  test("embeddingCovariance: matches a BigInt driver recompute; diagonal " +
+      "cov numerators non-negative (Cauchy–Schwarz)") {
+    val got = SimilarityOps.embeddingCovariance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (BigInt(r.getDecimal(2).toBigInteger), BigInt(r.getDecimal(3).toBigInteger)))
+      .toMap
+    assert(got.size === 64 * 65 / 2) // upper triangle incl. diagonal only
+    // independent BigInt recompute from the raw vectors
+    val vecs = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(x => BigInt(math.round(x.toDouble * 1e6))).toArray)
+    val n = BigInt(vecs.length)
+    val d = 64
+    val sums = Array.fill(d)(BigInt(0))
+    for (v <- vecs; i <- 0 until d) sums(i) += v(i)
+    for (i <- 0 until d; j <- i until d) {
+      val dot = vecs.map(v => v(i) * v(j)).sum
+      val (gdot, gcov) = got((i + 1L, j + 1L))
+      assert(gdot === dot, s"dot($i,$j)")
+      assert(gcov === n * dot - sums(i) * sums(j), s"cov_numer($i,$j)")
+      if (i == j) assert(gcov >= 0, s"negative variance numerator at $i")
+    }
+  }
 }
