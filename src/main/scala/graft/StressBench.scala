@@ -62,7 +62,20 @@ object StressBench {
     "q_hnsw_lifecycle",
     // join-aggregate MV: the summary build joins 6M lineitem facts
     // once; the served rollup re-aggregates the day×client summary
-    "q_mv_join_rewrite")
+    "q_mv_join_rewrite",
+    // lifecycle #15 (IVM): 3M even facts bulk-built + 3M odd facts
+    // streamed as per-batch static-dim-join delta appends
+    "q_mv_lifecycle",
+    // IDF-weighted cosine near-dup at 10×: the salted copies push
+    // shingle df past the 32 cap, so the stress run exercises the
+    // cap-ACTIVE candidate bound (at sf0.1 max df is 25 — cap inactive)
+    "q_tfidf_neardup",
+    // CM join-cardinality: sketches over ~17.5M keys + the exact
+    // key-grain twins at 10×
+    "q_join_cardinality",
+    // exact Gramian: 200K vectors × 2080 dimension pairs ≈ 416M
+    // decimal multiply-adds through the co-partitioned self-join
+    "q_embedding_covariance")
 
   private def tenX(spark: SparkSession, src: String, dst: String): Unit = {
     val copies = explode(sequence(lit(0L), lit(9L))).as("k")
