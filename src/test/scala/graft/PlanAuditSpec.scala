@@ -57,7 +57,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_fk_inference",       // per-pair cross of three 1-row stat aggregates (1×1×1, 8 pairs)
     "q_triangle_count",     // consumes the all-pairs pair generator; scalar panel is a 1×1×1 cross
     "q_shard_assignment",   // crossJoin(broadcast(1-row total)) onto the 32 shard rows
-    "q_rfm_segments"        // crossJoin(broadcast(1-row quartile panel)) onto customer grain
+    "q_rfm_segments",       // crossJoin(broadcast(1-row quartile panel)) onto customer grain
+    "q_rocchio_search",     // the keywordSearch probe's 1-row stats sidecar crossJoin, ×2 probes
+    "q_join_cardinality",   // crosses of 1-row size/exact/estimate aggregates (1×1×1×1, 2 scenarios)
+    "q_embedding_covariance" // crossJoin(broadcast(1-row count)) onto the 2080-row pair grain
   )
 
   // -------------------------------------------------------------------
