@@ -22,6 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2a — the reference's query surface (Q1-Q9)
     "q_client_txn_counts" -> (RefViews.clientTransactionCounts _),
+    "q_view_sql"          -> (RefViews.viewSqlSurface _),
     "q_monthly_summary"   -> (RefViews.monthlyTransactionSummary _),
     "q_high_txn_accounts" -> (RefViews.highTransactionAccounts _),
     "q_count"             -> (RefViews.importCounts _),
@@ -181,6 +182,7 @@ object SparkEntry {
     "q_profile_stats"     -> (GovernanceOps.profileStats _),
     "q_fk_inference"      -> (GovernanceOps.fkInference _),
     "q_upsert_lifecycle"  -> (GovernanceOps.upsertLifecycle _),
+    "q_equidepth_histogram" -> (GovernanceOps.equidepthHistogram _),
     "q_zorder_layout"     -> (GovernanceOps.zorderLayout _),
     "q_compaction_plan"   -> (GovernanceOps.compactionPlan _),
     "q_anomaly_mad"       -> (GovernanceOps.anomalyMad _),
@@ -193,6 +195,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q_client_txn_counts" -> RefViews.clientTransactionCountsSql,
+    "q_view_sql"          -> RefViews.clientTransactionCountsSql,
     "q_monthly_summary"   -> RefViews.monthlyTransactionSummarySql,
     "q_high_txn_accounts" -> RefViews.highTransactionAccountsSql,
     "q_count"             -> RefViews.importCountsSql,
@@ -385,6 +388,7 @@ object SparkEntry {
     "q_profile_stats"     -> GovernanceOps.profileStatsSql,
     "q_fk_inference"      -> GovernanceOps.fkInferenceSql,
     "q_upsert_lifecycle"  -> GovernanceOps.cdcUpsertSql,
+    "q_equidepth_histogram" -> GovernanceOps.equidepthHistogramSql,
     "q_zorder_layout"     -> GovernanceOps.zorderLayoutSql,
     "q_compaction_plan"   -> GovernanceOps.compactionPlanSql,
     // exact integer-cents space: percentile interpolation over

@@ -903,6 +903,78 @@ object GovernanceOps {
       |  CAST(n_docs AS DOUBLE) * 32 / SUM(n_docs) OVER () AS load_ratio
       |FROM g ORDER BY shard""".stripMargin
 
+  // ------------------------------------------- equi-depth histogram
+
+  /** EQUI-DEPTH histogram of order totals — the statistic ANALYZE
+    * actually stores for an optimizer's selectivity estimates
+    * (equi-WIDTH, [[graft.operators.RelOps]]'s q_numeric_histogram
+    * sibling, wastes buckets on empty ranges under skew; equi-depth
+    * puts ~N/16 rows in each). Boundaries are the exact type-7
+    * interpolated quantiles at k/16 over INTEGER CENTS: every
+    * interpolation fraction is a multiple of 1/16 — an exact binary
+    * fraction — so `16·quantile` is an exact integer both engines must
+    * reproduce digit for digit (the RFM-quartile discipline at
+    * power-of-two grain). Output per bucket: (lo, hi] boundaries in
+    * 16th-cent units plus the exact member count (bucket 1 inclusive
+    * of the minimum); ties can legitimately skew counts, which the
+    * oracle pins exactly rather than asserting a bound.
+    *
+    * Plan: one percentile aggregate (1 row), a 17-value bounded driver
+    * collect, then ONE corpus pass assigning buckets via a row-local
+    * 16-arm CASE ladder (codegen'd — no 16-row range join, no BNLJ, no
+    * global sort) into a 16-group aggregate joined back onto the
+    * boundary frame.
+    */
+  def equidepthHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("c"))
+    val ps = (0 to 16).map(k => s"${k}d/16d").mkString(", ")
+    val b16 = o.agg(expr(s"percentile(c, array($ps))")).head()
+      .getSeq[Double](0).map(v => math.round(v * 16)) // exact dyadics
+    val s = spark; import s.implicits._
+    val buckets = (1 to 16)
+      .map(k => (k.toLong, b16(k - 1), b16(k)))
+      .toDF("bucket", "lo_16ths", "hi_16ths")
+    val c16 = col("c") * 16
+    val ladder = (1 to 15).foldRight(lit(16L)) { (k, rest) =>
+      when(c16 <= b16(k), k.toLong).otherwise(rest)
+    }
+    val counts = o.select(ladder.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+    buckets.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), col("lo_16ths"), col("hi_16ths"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+      .orderBy(col("bucket"))
+  }
+
+  val equidepthHistogramSql: String =
+    """WITH v AS (
+      |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+      |), q AS (
+      |  -- constant dyadic quantile list: k/16 for k = 0..16, all exact
+      |  SELECT quantile_cont(c, [0.0, 0.0625, 0.125, 0.1875, 0.25, 0.3125,
+      |    0.375, 0.4375, 0.5, 0.5625, 0.625, 0.6875, 0.75, 0.8125, 0.875,
+      |    0.9375, 1.0]) AS qs
+      |  FROM v
+      |), b AS (
+      |  SELECT CAST(t.k AS BIGINT) AS k,
+      |    CAST(ROUND(qs[t.k + 1] * 16) AS BIGINT) AS b16
+      |  FROM q, range(0, 17) t(k)
+      |), asg AS (
+      |  SELECT (SELECT MIN(b.k) FROM b WHERE b.k >= 1 AND v.c * 16 <= b.b16)
+      |    AS bucket
+      |  FROM v
+      |), g AS (
+      |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows FROM asg GROUP BY 1
+      |)
+      |SELECT CAST(hi.k AS BIGINT) AS bucket, lo.b16 AS lo_16ths,
+      |  hi.b16 AS hi_16ths, COALESCE(g.n_rows, 0) AS n_rows
+      |FROM b hi
+      |JOIN b lo ON lo.k = hi.k - 1
+      |LEFT JOIN g ON g.bucket = hi.k
+      |WHERE hi.k >= 1
+      |ORDER BY bucket""".stripMargin
+
   // ------------------------------------------------------------- Z-order
 
   /** Bit-interleave of two 8-bit bucket coordinates into a 16-bit

@@ -178,4 +178,32 @@ object RefViews {
       |  CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS clients,
       |  CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS accounts,
       |  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS transactions""".stripMargin
+
+  /** The K3 DDL surface under the ORACLE GATE (it was spec-only until
+    * round 12): the flagship view built the way the reference actually
+    * builds it — base tables registered as temp views, the view created
+    * with `CREATE OR REPLACE TEMPORARY VIEW … AS SELECT` DDL text
+    * through `spark.sql` (main.py:175-191 ships the same DDL string to
+    * Postgres), then read back with a SQL SELECT. Same oracle as
+    * [[clientTransactionCounts]] — Catalyst must plan the SQL text and
+    * the DataFrame form to identical results, and the spec asserts
+    * row-identity between the two entry paths. COUNT(tr-key) mirrors
+    * the reference's COUNT(tr.transaction_id) literally (≡ COUNT(*)
+    * post-inner-join: the key is non-null).
+    */
+  def viewSqlSurface(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_ref_clients")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_ref_accounts")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_ref_transactions")
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY VIEW graft_client_transaction_counts AS
+      SELECT c.c_custkey AS client_id,
+             COUNT(t.l_orderkey) AS transaction_count
+      FROM graft_ref_clients c
+      JOIN graft_ref_accounts a ON c.c_custkey = a.o_custkey
+      JOIN graft_ref_transactions t ON a.o_orderkey = t.l_orderkey
+      GROUP BY c.c_custkey
+      ORDER BY client_id""")
+    spark.sql("SELECT * FROM graft_client_transaction_counts")
+  }
 }

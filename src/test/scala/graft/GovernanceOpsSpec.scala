@@ -683,6 +683,38 @@ class GovernanceOpsSpec extends SparkSpec {
     assert(binSeq === binSeq.sorted)
   }
 
+  test("equidepthHistogram: boundaries and counts match a BigInt driver " +
+      "recompute of the type-7 quantiles; depth sums to N") {
+    val got = GovernanceOps.equidepthHistogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 16)
+    // driver recompute: sorted cents, boundary_16ths[k] at rank (N-1)k/16
+    val cents = Tables.orders(spark, sf)
+      .select(round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length
+    val b16 = (0 to 16).map { k =>
+      val num = (n - 1).toLong * k        // rank in 16ths = num/16
+      val (lo, m) = (num / 16, num % 16)
+      val hi = math.min(lo + 1, n - 1)
+      cents(lo.toInt) * (16 - m) + cents(hi.toInt) * m
+    }
+    for (((bk, lo, hi, cnt), k) <- got.zipWithIndex) {
+      assert(bk === k + 1L)
+      assert(lo === b16(k), s"lo boundary $k")
+      assert(hi === b16(k + 1), s"hi boundary $k")
+      assert(lo <= hi)
+      // driver count replay of the (lo, hi] / first-bucket-inclusive rule
+      val want = cents.count { c =>
+        val c16 = c * 16
+        val bucket = (1 to 15).find(j => c16 <= b16(j)).getOrElse(16)
+        bucket == k + 1
+      }
+      assert(cnt === want.toLong, s"bucket ${k + 1} count")
+    }
+    assert(got.map(_._4).sum === n.toLong)
+  }
+
   test("compactionPlan on the corpus: guarantees hold at the gated target") {
     val got = GovernanceOps.compactionPlan(spark, sf).collect()
       .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))

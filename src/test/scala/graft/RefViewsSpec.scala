@@ -69,4 +69,19 @@ class RefViewsSpec extends SparkSpec {
     // the exact gap the map exists to close
     assert(Bench.refMin.keySet === SparkEntry.queries.keySet)
   }
+
+  test("viewSqlSurface: the DDL/SQL entry path is row-identical to the " +
+      "DataFrame form of the same view") {
+    val viaSql = RefViews.viewSqlSurface(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val viaDf = RefViews.clientTransactionCounts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSql.nonEmpty)
+    assert(viaSql.toSeq === viaDf.toSeq)
+    // the view is re-creatable (CREATE OR REPLACE semantics) and reads
+    // back identically — the K3 DDL idempotence the reference relies on
+    val again = RefViews.viewSqlSurface(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq === viaSql.toSeq)
+  }
 }
