@@ -154,9 +154,10 @@ object CrossoverBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional section filter for iteration: any of "ab","c","v","e",
-    // "s","u","w","k","h" (no args = everything, the round-record configuration)
+    // "s","u","w","k","h","p" (no args = everything, the round-record configuration)
     val only: Set[String] =
-      if (args.isEmpty) Set("ab", "c", "v", "e", "s", "u", "w", "k", "h") else args.toSet
+      if (args.isEmpty) Set("ab", "c", "v", "e", "s", "u", "w", "k", "h", "p")
+      else args.toSet
     var failed = false
 
     if (only("ab")) {
@@ -638,6 +639,63 @@ object CrossoverBench {
       println(s"[xover] K bucketed ≡ global-window frontier: diff rows = $kDiff " +
         (if (kDiff == 0) "PASS" else "FAIL"))
       failed ||= kDiff != 0
+    }
+
+    // ---- section P: compaction class-decomposed sum at 1M files ----
+    // The bounded bit-length-class decomposition
+    // (GovernanceOps.compactionBins: per-class PARTITIONED windows + a
+    // ≤64-row driver prefix) must equal the textbook single-partition
+    // global-window running sum on an inventory at metadata scale: 1M
+    // files spanning ~18 size classes with heavy planted byte-size
+    // ties — the regime where a class boundary slicing a tie group or
+    // an off-by-one in the class prefix would corrupt bins wholesale.
+    if (only("p")) {
+      import graft.operators.GovernanceOps
+      val target = 268435456L // 256 MiB
+      val inv = timed("gen inventory (1M files, 18 size classes, planted ties)") {
+        spark.range(1000000L).select(
+          concat(lit("t"), pmod(col("id"), lit(64L))).as("event_type"),
+          date_add(lit("2024-01-01").cast("date"),
+            (col("id") / 64L).cast("int")).as("day"), // unique (type, day) keys
+          // mantissa from a SMALL space (1..1000, ties guaranteed) shifted
+          // into an md5-derived bit class 0..17 (SQL shiftleft accepts a
+          // column shift; the Scala function wrapper is Int-only)
+          expr("""shiftleft(
+            pmod(conv(substring(md5(concat(cast(id AS string), '|m')), 1, 8),
+              16, 10), 1000) + 1,
+            cast(pmod(conv(substring(md5(concat(cast(id AS string), '|e')), 1, 6),
+              16, 10), 18) AS int))""").cast("long").as("bytes"))
+          .localCheckpoint() // bench tool, single host: both plans read it
+      }
+      var classed: DataFrame = null
+      val tClassed = { val t0 = System.nanoTime()
+        classed = GovernanceOps.compactionBins(inv, target).localCheckpoint()
+        println(s"[xover] P class-decomposed plan: ${classed.count()} files, " +
+          s"${classed.select(col("bin")).distinct().count()} bins")
+        (System.nanoTime() - t0) / 1e9 }
+      // textbook reference: ONE global running-sum window (the plan the
+      // gated key refuses — here it is the independent oracle)
+      val gw = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bytes").desc, col("event_type"), col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      var global: DataFrame = null
+      val tGlobal = { val t0 = System.nanoTime()
+        global = inv
+          .withColumn("cum_before", coalesce(sum(col("bytes")).over(gw), lit(0L)))
+          .select(col("event_type"), col("day"), col("bytes"), col("cum_before"),
+            expr(s"cum_before div $target").as("bin"))
+          .localCheckpoint()
+        global.count()
+        (System.nanoTime() - t0) / 1e9 }
+      println(f"[xover] P compaction at 1M files: class-decomposed $tClassed%.1f s, " +
+        f"global-window reference $tGlobal%.1f s")
+      val pDiff = classed.unionAll(global)
+        .groupBy(col("event_type"), col("day"), col("bytes"),
+          col("cum_before"), col("bin"))
+        .agg(count(lit(1)).as("n")).filter(col("n") =!= 2).count()
+      println(s"[xover] P class-decomposed ≡ global-window bins: diff rows = $pDiff " +
+        (if (pDiff == 0) "PASS" else "FAIL"))
+      failed ||= pDiff != 0
     }
 
     // ---- section H: graph-ANN build gate + beam search at 100K ----
