@@ -62,6 +62,7 @@ object Bench {
     "q_embedding_covariance" -> 0.984, // r12 seed (min of 2 isolated): N·d² Gramian — one vec_id-co-partitioned self-join feeding a 2080-group map-side-combined aggregate
     "q_view_sql" -> 0.924, // r12 seed (min of 2 isolated): the flagship view through temp-view DDL + spark.sql — same plan family as q_client_txn_counts
     "q_equidepth_histogram" -> 0.667, // r12 seed (min of 2 isolated): one percentile agg + 17-value driver collect + one CASE-ladder corpus pass into a 16-group agg
+    "q_kcore" -> 0.970, // r12 seed (min of 2 isolated): data-bounded peel rounds (degree agg + two semi filters per round) over the indexed near-dup pairs
     "q_triangle_count" -> 1.230, // r11 floor (min of 2 full close passes; isolated seed was looser): oriented-edge self-join + semi probe off the shingle pair index (slow-host state)
     "q_shard_assignment" -> 0.198, // r12 driver-host adjudicated floor (BENCH_r11 post-isolation min; builder-host floor 0.130 retained in refMinFast)
     "q_hll_intersect" -> 0.155, // r11 floor (min of 2 full close passes; isolated seed was looser): one-scan 3-sketch aggregate crossed with the exact user-grain twin

@@ -70,6 +70,7 @@ object SparkEntry {
     "q_mv_join_rewrite"   -> (graft.plans.MvJoinRewrite.monthlyClientRollup _),
     "q_mv_lifecycle"      -> (graft.plans.MvJoinRewrite.mvLifecycle _),
     "q_triangle_count"    -> (GraphOps.triangleStats _),
+    "q_kcore"             -> (GraphOps.kcore _),
     "q_shard_assignment"  -> (GovernanceOps.shardAssignment _),
     // §2b — text analysis
     "q_token_counts"      -> (TextOps.tokenCounts _),
@@ -244,6 +245,7 @@ object SparkEntry {
     "q_mv_join_rewrite"   -> graft.plans.MvJoinRewrite.monthlyClientRollupSql,
     "q_mv_lifecycle"      -> graft.plans.MvJoinRewrite.monthlyClientRollupSql,
     "q_triangle_count"    -> GraphOps.triangleStatsSql,
+    "q_kcore"             -> GraphOps.kcoreSql,
     "q_shard_assignment"  -> GovernanceOps.shardAssignmentSql,
     "q_token_counts"      -> TextOps.tokenCountsSql,
     "q_quality_score"     -> TextOps.qualityScoreSql,

@@ -236,4 +236,97 @@ object GraphOps {
        |       ELSE tri.n_triangles * 3.0
        |            / (SELECT SUM((deg * (deg - 1)) // 2) FROM deg) END AS clustering
        |FROM tri""".stripMargin
+
+  /** k-core peel depth and round cap for [[kcore]]. k = 2 extracts the
+    * cyclic cores of the near-dup graph (pendant coincidental-overlap
+    * edges peel away; mutual template families survive). The cap is a
+    * fail-fast guard, not a semantic bound: [[kcoreOver]] REQUIRES the
+    * peel to reach its fixpoint within the cap — the oracle unrolls
+    * exactly [[KCoreRounds]] levels, and post-fixpoint levels are
+    * identities, so a converged peel matches the oracle no matter how
+    * early it stopped, while an unconverged one fails loudly instead
+    * of hash-mismatching. Peel rounds needed = the longest pendant
+    * chain hanging off a core — spec plants a length-9 chain; a
+    * near-dup graph's chains are short because edges require J ≥ 0.5
+    * mutual overlap.
+    */
+  val KCoreK = 2
+  val KCoreRounds = 12
+
+  /** K-CORE decomposition of the near-dup graph (Seidman '83, the
+    * degeneracy peel): iteratively delete nodes with fewer than k
+    * alive neighbors until the fixpoint; what remains is the maximal
+    * subgraph of minimum degree k — the dense mutual-duplication
+    * CORES a boilerplate/template miner keeps after discarding
+    * pairwise-coincidental pendants (the degree-ordered complement to
+    * [[triangleStats]]' closure signal). Output: surviving doc_ids
+    * with their core-subgraph degree.
+    *
+    * Plan: each round is one degree aggregate over the alive edge
+    * frame + two LEFT SEMI filters against the keep-set — edge-sized
+    * work shrinking monotonically, checkpointed per round so the
+    * iterative lineage stays linear (the PageRank round discipline).
+    * Rounds are data-bounded (longest pendant chain), not corpus-
+    * bounded; the loop exits at the fixpoint and [[KCoreRounds]] is
+    * only the fail-fast cap.
+    */
+  def kcore(spark: SparkSession, sfDir: String): DataFrame =
+    kcoreOver(DedupOps.jaccardPairsIndexed(spark, sfDir, 0.5)
+      .select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_id"))
+
+  private[graft] def kcoreOver(pairs: DataFrame): DataFrame = {
+    def undirected(e: DataFrame) =
+      e.select(col("doc_a").as("doc_id"))
+        .unionAll(e.select(col("doc_b").as("doc_id")))
+    var edges = pairs.select(col("doc_a"), col("doc_b")).corpusCheckpoint()
+    var prev = -1L
+    var n = edges.count()
+    var rounds = 0
+    while (n != prev) {
+      require(rounds < KCoreRounds,
+        s"k-core peel did not converge within $KCoreRounds rounds — the " +
+          "oracle unrolls exactly that many levels; raise KCoreRounds " +
+          "in BOTH places")
+      val keep = undirected(edges)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KCoreK)
+        .select(col("doc_id"))
+      edges = edges
+        .join(keep.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+        .join(keep.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+        .corpusCheckpoint()
+      prev = n; n = edges.count(); rounds += 1
+    }
+    undirected(edges).groupBy(col("doc_id")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** [[KCoreRounds]] unrolled peel levels over the same `jpairs` CTE —
+    * each level recomputes alive degrees and re-filters both edge
+    * endpoints; identities once the fixpoint is reached. */
+  val kcoreSql: String = {
+    // every level MATERIALIZED: each references its predecessor three
+    // times (degree union ×2, edge filter), and un-materialized CTE
+    // inlining would re-expand the chain 3^rounds-fold
+    val levels = (1 to KCoreRounds).map { i =>
+      s"""k$i AS MATERIALIZED (
+         |  SELECT v AS doc_id
+         |  FROM (SELECT doc_a AS v FROM e${i - 1}
+         |        UNION ALL SELECT doc_b AS v FROM e${i - 1})
+         |  GROUP BY v HAVING COUNT(*) >= $KCoreK
+         |), e$i AS MATERIALIZED (
+         |  SELECT e.doc_a, e.doc_b FROM e${i - 1} e
+         |  JOIN k$i x ON x.doc_id = e.doc_a
+         |  JOIN k$i y ON y.doc_id = e.doc_b
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${DedupOps.jaccardPairCtes}, e0 AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM jpairs
+       |), $levels
+       |SELECT v AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+       |FROM (SELECT doc_a AS v FROM e$KCoreRounds
+       |      UNION ALL SELECT doc_b AS v FROM e$KCoreRounds)
+       |GROUP BY v
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -683,6 +683,33 @@ class GovernanceOpsSpec extends SparkSpec {
     assert(binSeq === binSeq.sorted)
   }
 
+  test("kcore: pendant chain peels over many rounds, clique survives with " +
+      "exact core degrees; over-cap chain fails fast") {
+    val s = spark; import s.implicits._
+    // 4-clique {1,2,3,4} + a 9-node pendant chain off node 4 + an
+    // isolated pair {100,101}: the chain needs 9 peel rounds (one
+    // endpoint per round) — inside the 12-round cap — and the pair and
+    // the whole chain must vanish, leaving the clique at core_deg 3
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val chain = (0 until 9).map(i => (if (i == 0) 4L else 10L + i - 1, 10L + i))
+    val pairs = (clique ++ chain ++ Seq((100L, 101L))).toDF("doc_a", "doc_b")
+    val got = GraphOps.kcoreOver(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a chain longer than the round cap must fail fast (the oracle
+    // unrolls exactly KCoreRounds levels — silence would be a hash
+    // mismatch in the driver gate instead of an actionable error)
+    val longChain = (0 until 14).map(i => (if (i == 0) 4L else 200L + i - 1, 200L + i))
+    val tooDeep = (clique ++ longChain).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.kcoreOver(tooDeep).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // corpus sanity: every survivor keeps >= k alive neighbors
+    val corpus = GraphOps.kcore(spark, sf).collect()
+    assert(corpus.forall(_.getLong(1) >= GraphOps.KCoreK))
+  }
+
   test("equidepthHistogram: boundaries and counts match a BigInt driver " +
       "recompute of the type-7 quantiles; depth sums to N") {
     val got = GovernanceOps.equidepthHistogram(spark, sf).collect()
