@@ -280,7 +280,10 @@ object RelOps {
       .groupBy(col("i"))
       .agg(sum(col("ca").cast("decimal(18,0)") * col("cb").cast("decimal(18,0)"))
         .as("ip"))
-      .agg(min(col("ip")).cast("decimal(38,0)").as("est"))
+      // an EMPTY side leaves zero (i, b) matches → min over no rows is
+      // NULL; the true inner product of anything with the empty
+      // multiset is 0, and a NULL here would null both gate booleans
+      .agg(coalesce(min(col("ip")), lit(0)).cast("decimal(38,0)").as("est"))
 
   /** 1-row exact join size Σ_k cnt_A(k)·cnt_B(k) in DECIMAL(38,0) —
     * key-grain aggregates joined, never the join itself. */

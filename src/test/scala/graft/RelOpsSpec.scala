@@ -197,6 +197,17 @@ class RelOpsSpec extends SparkSpec {
     assert(est === ips.min)
   }
 
+  test("cmsJoinEstimate: an empty side estimates 0, not NULL") {
+    val s = spark; import s.implicits._
+    val a = Seq(1L, 2L, 3L).toDF("k")
+    val empty = Seq.empty[Long].toDF("k")
+    val est = RelOps.cmsJoinEstimate(
+        RelOps.cmsKeyCounters(a, 4, 8L), RelOps.cmsKeyCounters(empty, 4, 8L))
+      .head()
+    assert(!est.isNullAt(0))
+    assert(est.getDecimal(0).longValueExact() === 0L)
+  }
+
   test("cms key counters are additive — the sketch merges under appends") {
     val s = spark; import s.implicits._
     val a1 = Seq(1L, 2L, 2L, 9L).toDF("k")
