@@ -326,7 +326,7 @@ object CrossoverBench {
     val qm = vecs.filter(col("vec_id").isin(0L, 1L))
       .orderBy(col("vec_id"))
       .select(transform(col("embedding"),
-        x => round(x.cast("double") * 1000000d).cast("long")))
+        x => floor(x.cast("double") * 1000000d + 0.5d).cast("long")))
       .collect().map(_.getSeq[Long](0))
     val q0 = Array.tabulate(qm(0).length)(i => (qm(0)(i) + qm(1)(i)) / 2)
     val nCells = SimilarityOps.IvfPqCells

@@ -112,8 +112,14 @@ object SimilarityOps {
   /** EXACT second-moment (Gram) matrix of the embedding corpus plus
     * the centered-covariance NUMERATORS — the input every PCA /
     * whitening / ZCA step of an embedding pipeline reduces first.
-    * Vectors quantize to integer micros up front (`round(x·1e6)`, the
-    * [[pqTopK]] discipline), so for each dimension pair i ≤ j the
+    * Vectors quantize to integer micros up front with
+    * `floor(x·1e6 + 0.5)` — NOT `round`: a float32 component of the
+    * form odd/2^k can land on an exact .5 tie under ×1e6, and ROUND's
+    * tie convention (half-up vs half-to-even) is an engine-version
+    * choice, the exact cross-engine drift class that bit
+    * q_random_projection in round 11. `floor` is unambiguous in every
+    * engine, so no tie convention is on the hash path. With micros
+    * pinned, for each dimension pair i ≤ j the
     * outputs are exact integers both engines must reproduce digit for
     * digit: `dot = Σ_v m_i·m_j` and
     * `cov_numer = N·dot − (Σ m_i)·(Σ m_j)` — N² times the centered
@@ -134,7 +140,7 @@ object SimilarityOps {
     */
   def embeddingCovariance(spark: SparkSession, sfDir: String): DataFrame = {
     val micros = transform(col("embedding"),
-      x => round(x.cast("double") * 1000000d).cast("long"))
+      x => floor(x.cast("double") * 1000000d + 0.5d).cast("long"))
     val e = Tables.embeddingsFanned(spark, sfDir)
       .select(col("vec_id"), posexplode(micros).as(Seq("p", "m")))
       .select(col("vec_id"), (col("p") + 1).cast("long").as("i"), col("m"))
@@ -162,7 +168,7 @@ object SimilarityOps {
   val embeddingCovarianceSql: String =
     """WITH m AS (
       |  SELECT vec_id, CAST(t.i AS BIGINT) AS i,
-      |    CAST(ROUND(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS m
+      |    CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
       |  FROM embeddings, range(1, 65) t(i)
       |), s AS (
       |  SELECT a.i AS i, b.i AS j, SUM(CAST(a.m AS HUGEINT) * b.m) AS dot
@@ -785,8 +791,9 @@ object SimilarityOps {
     * (the [[ensureIvfIndex]] convention — swap per-subspace
     * [[ivfKmeans]] in for trained ones; the encode/ADC mechanics are
     * unchanged). Exactness: components quantize to integer MICROS up
-    * front (`round(x·1e6)` — float→double is exact, the scaled double
-    * rounds identically half-away-from-zero in both engines), so every
+    * front (`floor(x·1e6 + 0.5)` — float→double is exact, and floor is
+    * tie-convention-free so no engine's ROUND choice is on the hash
+    * path), so every
     * subspace distance is an exact BIGINT sum of squares — encode
     * argmins, the ADC table, and the final score carry NO floating
     * point and NO rounding ambiguity anywhere (unlike the cosine
@@ -805,7 +812,7 @@ object SimilarityOps {
   def pqTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val (m, sub, k, topk) = (PqSubspaces, PqSubDim, PqCentroids, 10)
     val micros = transform(col("embedding"),
-      x => round(x.cast("double") * 1000000d).cast("long"))
+      x => floor(x.cast("double") * 1000000d + 0.5d).cast("long"))
     val e = Tables.embeddingsFanned(spark, sfDir)
       .select(col("vec_id"), micros.as("q"))
     // codebook + query vector in ONE bounded collect (65 rows of 64
@@ -848,7 +855,7 @@ object SimilarityOps {
   val pqTopKSql: String =
     """WITH x AS (
       |  SELECT vec_id,
-      |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v,
+      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v,
       |    generate_subscripts(embedding, 1) AS i
       |  FROM embeddings
       |), c AS (
@@ -917,7 +924,7 @@ object SimilarityOps {
     val (m, sub, k, topk) = (PqSubspaces, PqSubDim, PqCentroids, 10)
     import spark.implicits._
     val micros = transform(col("embedding"),
-      x => round(x.cast("double") * 1000000d).cast("long"))
+      x => floor(x.cast("double") * 1000000d + 0.5d).cast("long"))
     val comps = Tables.embeddingsFanned(spark, sfDir)
       .select(col("vec_id"), micros.as("q"))
       .select(col("vec_id"), posexplode(col("q")).as(Seq("i0", "v")))
@@ -1044,7 +1051,7 @@ object SimilarityOps {
          |)""".stripMargin
     s"""WITH x AS MATERIALIZED (
        |  SELECT vec_id,
-       |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v,
+       |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v,
        |    generate_subscripts(embedding, 1) AS i
        |  FROM embeddings
        |), cb0 AS MATERIALIZED (
@@ -1151,7 +1158,7 @@ object SimilarityOps {
       corpus: DataFrame, name: String): Unit = {
     val (k, nc) = (PqCentroids, IvfPqCells)
     val micros = transform(col("embedding"),
-      x => round(x.cast("double") * 1000000d).cast("long"))
+      x => floor(x.cast("double") * 1000000d + 0.5d).cast("long"))
     val seedComps = corpus
       .filter(col("vec_id").between(1, nc) ||
         col("vec_id").between(IvfPqBookSeedFrom, IvfPqBookSeedFrom + k - 1))
@@ -1201,7 +1208,7 @@ object SimilarityOps {
       vectors: DataFrame): DataFrame = {
     val (sub, k, nc) = (PqSubDim, PqCentroids, IvfPqCells)
     val micros = transform(col("embedding"),
-      x => round(x.cast("double") * 1000000d).cast("long"))
+      x => floor(x.cast("double") * 1000000d + 0.5d).cast("long"))
     val comps = vectors
       .select(col("vec_id"), posexplode(micros).as(Seq("i0", "v")))
       .corpusCheckpoint() // read by assignment and residual stages
@@ -1265,7 +1272,7 @@ object SimilarityOps {
     Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") === 0)
       .select(transform(col("embedding"),
-        x => round(x.cast("double") * 1000000d).cast("long")))
+        x => floor(x.cast("double") * 1000000d + 0.5d).cast("long")))
       .head().getSeq[Long](0).toArray
 
   /** Catalog base of [[ivfPqLifecycle]]'s OWN epoch family. */
@@ -1347,7 +1354,7 @@ object SimilarityOps {
   val ivfPqTopKSql: String =
     s"""WITH x AS MATERIALIZED (
        |  SELECT vec_id,
-       |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v,
+       |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v,
        |    generate_subscripts(embedding, 1) AS i
        |  FROM embeddings
        |), coarse AS (

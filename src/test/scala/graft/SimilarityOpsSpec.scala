@@ -117,8 +117,7 @@ class SimilarityOpsSpec extends SparkSpec {
       // recall scales with nprobe as expected (4→6/10, 6→8/10 measured).
       // The floor guards against the index going blind, not against the
       // corpus being hostile to cell pruning.
-      val micro = (x: Float) => java.math.BigDecimal.valueOf(x.toDouble * 1e6)
-        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      val micro = (x: Float) => math.floor(x.toDouble * 1e6 + 0.5).toLong
       val vecs = Tables.embeddings(spark, sf)
         .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(micro).toArray).toMap
       val q0 = vecs(0L)
@@ -195,12 +194,11 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(rows.map(_._2).toSeq === rows.map(_._2).toSeq.sorted)
     assert(!rows.map(_._1).contains(0L))
     // driver-exact reference over the SAME integer-micro quantization
-    // (BigDecimal HALF_UP mirrors both engines' round(x*1e6))
+    // (floor(x*1e6 + 0.5) mirrors both engines' tie-free quantizer)
     val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(f =>
-        java.math.BigDecimal.valueOf(f.toDouble * 1e6)
-          .setScale(0, java.math.RoundingMode.HALF_UP).longValue).toArray)
+        math.floor(f.toDouble * 1e6 + 0.5).toLong).toArray)
       .toMap
     val q = e(0L)
     def l2(v: Array[Long]): Long =
@@ -220,7 +218,7 @@ class SimilarityOpsSpec extends SparkSpec {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"),
         htransform(col("embedding"),
-          x => round(x.cast("double") * 1000000d).cast("long")).as("q"))
+          x => floor(x.cast("double") * 1000000d + 0.5d).cast("long")).as("q"))
       .localCheckpoint()
     val comps = e
       .select(col("vec_id"), posexplode(col("q")).as(Seq("i0", "v")))
@@ -454,7 +452,8 @@ class SimilarityOpsSpec extends SparkSpec {
     // independent BigInt recompute from the raw vectors
     val vecs = Tables.embeddings(spark, sf)
       .select(org.apache.spark.sql.functions.col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(x => BigInt(math.round(x.toDouble * 1e6))).toArray)
+      .map(_.getSeq[Float](0)
+        .map(x => BigInt(math.floor(x.toDouble * 1e6 + 0.5).toLong)).toArray)
     val n = BigInt(vecs.length)
     val d = 64
     val sums = Array.fill(d)(BigInt(0))

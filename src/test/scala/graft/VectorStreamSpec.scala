@@ -137,7 +137,7 @@ class VectorStreamSpec extends SparkSpec {
       // probe answers identical, and the top-k reaches streamed codes
       val q0 = all.filter(col("vec_id") === 0)
         .select(transform(col("embedding"),
-          x => round(x.cast("double") * 1000000d).cast("long")))
+          x => floor(x.cast("double") * 1000000d + 0.5d).cast("long")))
         .head().getSeq[Long](0).toArray
       def probe(t: String) = SimilarityOps.probeIvfPqIndex(spark, t, q0)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
