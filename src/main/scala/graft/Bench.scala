@@ -90,7 +90,7 @@ object Bench {
     "q_intersect_users" -> 0.317,
     "q_ivf_kmeans" -> 1.239, "q_ivf_persisted" -> 0.347,
     "q_hnsw_topk" -> 2.042,
-    "q_hnsw_lifecycle" -> 10.304, // r12 seed: rebuild-by-design lifecycle #14 — even-half graph build + streamed odd-half appends (assign, pruned-cell kNN, 3 bucketed appends per batch) + beam probe + exact twin, EVERY call // r12 seed: graph build (first call) + ef=128 beam probe + exact twin — the ef needed by the near-orthogonal corpus (see HnswBeam scaladoc)
+    "q_hnsw_lifecycle" -> 10.304, // r12 seed: rebuild-by-design lifecycle #14 — even-half graph build + streamed odd-half appends (assign, pruned-cell kNN, 3 bucketed appends per batch) + ef=128 beam probe (the ef the near-orthogonal corpus needs, see HnswBeam scaladoc) + exact twin, EVERY call
     "q_ivf_trained" -> 0.628, "q_ivf_topk" -> 0.841, // r12 driver-host adjudicated floor (BENCH_r11 post-isolation min; builder-host floor 0.445 retained in refMinFast)
     "q_ann_lifecycle" -> 4.675, // r9 seed (isolated min): rebuild-by-design — full-corpus codebook train + half-corpus bucketed build + streamed append of the other half + probe, EVERY call (the vector twin of q_search_lifecycle)
     "q_json_extract" -> 0.184, "q_knn_cosine" -> 0.185,

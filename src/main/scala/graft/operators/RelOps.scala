@@ -274,16 +274,25 @@ object RelOps {
   /** 1-row (est DECIMAL(38,0)) Count-Min inner-product estimate from two
     * counter frames. Inner join: a bucket absent on either side
     * contributes 0 to that row's product. */
-  private[graft] def cmsJoinEstimate(ca: DataFrame, cb: DataFrame): DataFrame =
-    ca.select(col("i"), col("b"), col("c").as("ca"))
+  private[graft] def cmsJoinEstimate(ca: DataFrame, cb: DataFrame): DataFrame = {
+    val perRow = ca.select(col("i"), col("b"), col("c").as("ca"))
       .join(cb.select(col("i"), col("b"), col("c").as("cb")), Seq("i", "b"))
       .groupBy(col("i"))
       .agg(sum(col("ca").cast("decimal(18,0)") * col("cb").cast("decimal(18,0)"))
         .as("ip"))
-      // an EMPTY side leaves zero (i, b) matches → min over no rows is
-      // NULL; the true inner product of anything with the empty
-      // multiset is 0, and a NULL here would null both gate booleans
-      .agg(coalesce(min(col("ip")), lit(0)).cast("decimal(38,0)").as("est"))
+    // the min must range over ALL depth rows: a row whose buckets never
+    // overlap has a true per-row inner product of 0 but is dropped by
+    // the inner join + groupBy above, which would leave the min over
+    // only the surviving rows (> the Count-Min min-of-rows definition,
+    // and possibly > the exact size). Re-seat every row index present
+    // in either sketch and coalesce its missing product to 0; an
+    // entirely EMPTY pair of sketches estimates 0 via the outer
+    // coalesce (the true inner product with the empty multiset).
+    ca.select(col("i")).union(cb.select(col("i"))).distinct()
+      .join(perRow, Seq("i"), "left")
+      .agg(coalesce(min(coalesce(col("ip"), lit(0).cast("decimal(38,0)"))),
+        lit(0)).cast("decimal(38,0)").as("est"))
+  }
 
   /** 1-row exact join size Σ_k cnt_A(k)·cnt_B(k) in DECIMAL(38,0) —
     * key-grain aggregates joined, never the join itself. */

@@ -81,9 +81,11 @@ object MvJoinRewrite {
     val name = mvTable(sfDir)
     val fpName = fpTable(sfDir)
     val fp = baseFingerprint(spark, sfDir)
+    // take(1).headOption: a ZERO-ROW sidecar (partial failure between
+    // table creation and data commit) must read as stale, not throw
     val stale = spark.catalog.tableExists(name) &&
       (!spark.catalog.tableExists(fpName) ||
-        spark.table(fpName).head().getString(0) != fp)
+        spark.table(fpName).take(1).headOption.forall(_.getString(0) != fp))
     if (stale) {
       spark.sql(s"DROP TABLE IF EXISTS $fpName")
       spark.sql(s"DROP TABLE IF EXISTS $name")
@@ -210,6 +212,11 @@ object MvJoinRewrite {
         aliasMap: Map[ExprId, Expression],
         conds: Seq[(Expression, Expression)],
         notNulls: Seq[Expression]): Option[LogicalPlan] = {
+      // a grouping-free (global) aggregate is not servable: on an empty
+      // base corpus COUNT(*) returns 0 where SUM(n_tx) over the empty MV
+      // returns NULL, and Sum's nullable output would change the plan's
+      // schema nullability — bail out rather than alter semantics
+      if (agg.groupingExpressions.isEmpty) return None
       val custKey = attr(rels("customer"), "c_custkey")
       val clientA = attr(rels("customer"), "c_name")
       val oCustKey = attr(rels("orders"), "o_custkey")

@@ -87,9 +87,11 @@ object MvRewrite {
     val name = mvTable(sfDir)
     val fpName = fpTable(sfDir)
     val fp = ordersFingerprint(spark, sfDir)
+    // take(1).headOption: a ZERO-ROW sidecar (partial failure between
+    // table creation and data commit) must read as stale, not throw
     val stale = spark.catalog.tableExists(name) &&
       (!spark.catalog.tableExists(fpName) ||
-        spark.table(fpName).head().getString(0) != fp)
+        spark.table(fpName).take(1).headOption.forall(_.getString(0) != fp))
     if (stale) {
       spark.sql(s"DROP TABLE IF EXISTS $fpName")
       spark.sql(s"DROP TABLE IF EXISTS $name")
@@ -151,6 +153,11 @@ object MvRewrite {
 
     private def rewrite(agg: Aggregate, rel: LogicalRelation,
         aliasMap: Map[ExprId, Expression]): Option[LogicalPlan] = {
+      // a grouping-free (global) aggregate is not servable: COUNT(*)
+      // over an empty base is 0 where SUM(n_orders) over the empty MV
+      // is NULL, and Sum's nullable output would change the plan's
+      // schema nullability — bail out rather than alter semantics
+      if (agg.groupingExpressions.isEmpty) return None
       val (statusA, dateA, priceA) = (
         attr(rel, "o_orderstatus"), attr(rel, "o_orderdate"), attr(rel, "o_totalprice"))
       if (statusA.isEmpty || dateA.isEmpty || priceA.isEmpty) return None

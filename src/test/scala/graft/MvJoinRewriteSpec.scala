@@ -79,6 +79,12 @@ class MvJoinRewriteSpec extends SparkSpec {
         .agg(count(lit(1)).as("n"))
       assert(scanPaths(filtered).exists(_.contains("lineitem.parquet")),
         "value-filtered query was wrongly rewritten")
+      // a grouping-free GLOBAL count over the matched join tree: COUNT(*)
+      // over an empty base is 0 but SUM(n_tx) over an empty MV is NULL
+      // (and flips schema nullability) — the rule must bail out
+      val globalCnt = joined.agg(count(lit(1)).as("n"))
+      assert(scanPaths(globalCnt).exists(_.contains("lineitem.parquet")),
+        "global (grouping-free) count was wrongly rewritten")
       // month grain WITHOUT the client key also rewrites (coarser
       // grouping subsets stay derivable), with exact agreement
       val monthOnly = joined

@@ -86,6 +86,11 @@ class MvRewriteSpec extends SparkSpec {
         .agg(avg(col("o_totalprice")).as("a"))
       assert(scanPaths(avgQ).exists(_.contains("orders.parquet")),
         "avg measure was wrongly rewritten")
+      // a grouping-free GLOBAL aggregate: COUNT(*) over an empty base is
+      // 0 but SUM over an empty MV is NULL (and flips nullability) — bail
+      val globalCnt = Tables.orders(spark, sf).agg(count(lit(1)).as("n"))
+      assert(scanPaths(globalCnt).exists(_.contains("orders.parquet")),
+        "global (grouping-free) count was wrongly rewritten")
       // month grain + covered measures from SQL-built expressions also rewrite
       val sqlForm = Tables.orders(spark, sf)
         .groupBy(date_trunc("month", col("o_orderdate")).as("m"))

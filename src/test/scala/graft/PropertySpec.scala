@@ -296,7 +296,7 @@ class PropertySpec extends SparkSpec {
       // sub-stream, chunked arbitrarily (the vocab table's partitioning)
       // and merged through the same two-level tree. Same bounds, same
       // membership guarantee — n is the total WEIGHT, unchanged.
-      val countRows = scala.util.Random.shuffle(exact.toSeq)
+      val countRows = new scala.util.Random(42).shuffle(exact.toSeq)
       val wChunk = math.max(1, countRows.size / chunks)
       val wLevel1 = countRows.grouped(wChunk).toSeq
         .map(g => TextOps.mgMerge(g, k).toSeq)

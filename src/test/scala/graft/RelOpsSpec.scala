@@ -208,6 +208,23 @@ class RelOpsSpec extends SparkSpec {
     assert(est.getDecimal(0).longValueExact() === 0L)
   }
 
+  test("cmsJoinEstimate: a depth row with zero overlapping buckets drives " +
+      "the min to 0 (disjoint key sets)") {
+    val s = spark; import s.implicits._
+    // wide sketch, two disjoint singleton keys: overwhelmingly likely no
+    // bucket collision in ANY row, so every per-row inner product is 0 —
+    // the estimate must be 0, not the min over surviving joined rows
+    val a = Seq(1L).toDF("k")
+    val b = Seq(2L).toDF("k")
+    val est = RelOps.cmsJoinEstimate(
+        RelOps.cmsKeyCounters(a, 4, RelOps.JcWidth),
+        RelOps.cmsKeyCounters(b, 4, RelOps.JcWidth))
+      .head().getDecimal(0).longValueExact()
+    val exact = RelOps.exactJoinSize(a, b).head().getDecimal(0).longValueExact()
+    assert(exact === 0L)
+    assert(est === 0L, "zero-overlap rows must participate in the min")
+  }
+
   test("cms key counters are additive — the sketch merges under appends") {
     val s = spark; import s.implicits._
     val a1 = Seq(1L, 2L, 2L, 9L).toDF("k")
