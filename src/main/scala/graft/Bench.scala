@@ -61,6 +61,8 @@ object Bench {
     "q_rocchio_search" -> 0.933, // r12 seed (min of 2 isolated): three index probes (seed BM25, forward-index expansion, weighted re-probe) + two bounded driver collects (10 ids, 5 terms)
     "q_embedding_covariance" -> 0.984, // r12 seed (min of 2 isolated): N·d² Gramian — one vec_id-co-partitioned self-join feeding a 2080-group map-side-combined aggregate
     "q_view_sql" -> 0.924, // r12 seed (min of 2 isolated): the flagship view through temp-view DDL + spark.sql — same plan family as q_client_txn_counts
+    "q_view_sql_monthly" -> 1.694, // r13 seed (min of 2 isolated): monthly summary through temp-view DDL + spark.sql — same plan family as q_monthly_summary
+    "q_view_sql_high" -> 0.775, // r13 seed (min of 2 isolated): HAVING view through temp-view DDL + spark.sql — same plan family as q_high_txn_accounts
     "q_equidepth_histogram" -> 0.667, // r12 seed (min of 2 isolated): one percentile agg + 17-value driver collect + one CASE-ladder corpus pass into a 16-group agg
     "q_kcore" -> 0.970, // r12 seed (min of 2 isolated): data-bounded peel rounds (degree agg + two semi filters per round) over the indexed near-dup pairs
     "q_triangle_count" -> 1.230, // r11 floor (min of 2 full close passes; isolated seed was looser): oriented-edge self-join + semi probe off the shingle pair index (slow-host state)

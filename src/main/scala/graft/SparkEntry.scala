@@ -23,6 +23,8 @@ object SparkEntry {
     // §2a — the reference's query surface (Q1-Q9)
     "q_client_txn_counts" -> (RefViews.clientTransactionCounts _),
     "q_view_sql"          -> (RefViews.viewSqlSurface _),
+    "q_view_sql_monthly"  -> (RefViews.viewSqlMonthly _),
+    "q_view_sql_high"     -> (RefViews.viewSqlHigh _),
     "q_monthly_summary"   -> (RefViews.monthlyTransactionSummary _),
     "q_high_txn_accounts" -> (RefViews.highTransactionAccounts _),
     "q_count"             -> (RefViews.importCounts _),
@@ -197,6 +199,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_client_txn_counts" -> RefViews.clientTransactionCountsSql,
     "q_view_sql"          -> RefViews.clientTransactionCountsSql,
+    "q_view_sql_monthly"  -> RefViews.monthlyTransactionSummarySql,
+    "q_view_sql_high"     -> RefViews.highTransactionAccountsSql,
     "q_monthly_summary"   -> RefViews.monthlyTransactionSummarySql,
     "q_high_txn_accounts" -> RefViews.highTransactionAccountsSql,
     "q_count"             -> RefViews.importCountsSql,

@@ -206,4 +206,53 @@ object RefViews {
       ORDER BY client_id""")
     spark.sql("SELECT * FROM graft_client_transaction_counts")
   }
+
+  /** K3 DDL surface, view 2 of 3 — `monthly_transaction_summary`
+    * (main.py:197-207) as CREATE-VIEW text + SQL readback, completing
+    * the DDL path [[viewSqlSurface]] opened for the flagship. Same
+    * oracle as [[monthlyTransactionSummary]]; the month renders as the
+    * reference's TO_CHAR 'YYYY-MM-01' (a yyyy-MM format + literal
+    * '-01' concat so no engine's pattern dialect is on the hash path),
+    * and the sum runs in exact widened decimal with the one terminal
+    * DOUBLE cast the DataFrame form documents.
+    */
+  def viewSqlMonthly(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_ref_clients")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_ref_accounts")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_ref_transactions")
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY VIEW graft_monthly_transaction_summary AS
+      SELECT concat(date_format(date_trunc('month', t.l_shipdate), 'yyyy-MM'), '-01')
+               AS month,
+             c.c_name AS client_email,
+             COUNT(t.l_orderkey) AS transaction_count,
+             CAST(CAST(SUM(CAST(t.l_extendedprice AS DECIMAL(18,2)))
+               AS DECIMAL(20,2)) AS DOUBLE) AS total_amount
+      FROM graft_ref_clients c
+      JOIN graft_ref_accounts a ON c.c_custkey = a.o_custkey
+      JOIN graft_ref_transactions t ON a.o_orderkey = t.l_orderkey
+      GROUP BY 1, 2
+      ORDER BY month, client_email""")
+    spark.sql("SELECT * FROM graft_monthly_transaction_summary")
+  }
+
+  /** K3 DDL surface, view 3 of 3 — `high_transaction_accounts`
+    * (main.py:213-221) as CREATE-VIEW text + SQL readback: the
+    * single-table agg + HAVING form, preserving the month-as-`date`
+    * oddity (the column NAMED date always holds a month start). Same
+    * oracle as [[highTransactionAccounts]].
+    */
+  def viewSqlHigh(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_ref_transactions")
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY VIEW graft_high_transaction_accounts AS
+      SELECT date_format(date_trunc('month', l_shipdate), 'yyyy-MM-dd') AS date,
+             l_orderkey AS account_id,
+             COUNT(*) AS transaction_count
+      FROM graft_ref_transactions
+      GROUP BY 1, 2
+      HAVING COUNT(*) > 2
+      ORDER BY date, account_id""")
+    spark.sql("SELECT * FROM graft_high_transaction_accounts")
+  }
 }

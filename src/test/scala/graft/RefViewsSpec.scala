@@ -84,4 +84,27 @@ class RefViewsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(again.toSeq === viaSql.toSeq)
   }
+
+  test("viewSqlMonthly / viewSqlHigh: the remaining two views' DDL paths are " +
+      "row-identical to their DataFrame forms and re-creatable") {
+    val monthlySql = RefViews.viewSqlMonthly(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val monthlyDf = RefViews.monthlyTransactionSummary(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(monthlySql.nonEmpty)
+    assert(monthlySql.toSeq === monthlyDf.toSeq)
+    assert(RefViews.viewSqlMonthly(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq === monthlySql.toSeq) // CREATE OR REPLACE idempotence
+
+    val highSql = RefViews.viewSqlHigh(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val highDf = RefViews.highTransactionAccounts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(highSql.nonEmpty)
+    assert(highSql.toSeq === highDf.toSeq)
+    assert(RefViews.viewSqlHigh(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq === highSql.toSeq)
+  }
 }
