@@ -70,6 +70,7 @@ object SparkEntry {
     "q_rfm_segments"      -> (GovernanceOps.rfmSegments _),
     "q_mv_rewrite"        -> (graft.plans.MvRewrite.monthlyRevenue _),
     "q_mv_join_rewrite"   -> (graft.plans.MvJoinRewrite.monthlyClientRollup _),
+    "q_mv_avg_rewrite"    -> (graft.plans.MvJoinRewrite.monthlyClientAvgRollup _),
     "q_mv_lifecycle"      -> (graft.plans.MvJoinRewrite.mvLifecycle _),
     "q_triangle_count"    -> (GraphOps.triangleStats _),
     "q_kcore"             -> (GraphOps.kcore _),
@@ -247,6 +248,7 @@ object SparkEntry {
     "q_rfm_segments"      -> GovernanceOps.rfmSegmentsSql,
     "q_mv_rewrite"        -> graft.plans.MvRewrite.monthlyRevenueSql,
     "q_mv_join_rewrite"   -> graft.plans.MvJoinRewrite.monthlyClientRollupSql,
+    "q_mv_avg_rewrite"    -> graft.plans.MvJoinRewrite.monthlyClientAvgRollupSql,
     "q_mv_lifecycle"      -> graft.plans.MvJoinRewrite.monthlyClientRollupSql,
     "q_triangle_count"    -> GraphOps.triangleStatsSql,
     "q_kcore"             -> GraphOps.kcoreSql,

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
@@ -55,6 +55,11 @@ object MvJoinRewrite {
     * lineitem under the same path must rebuild. */
   private[graft] def baseFingerprint(spark: SparkSession, sfDir: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
+    // MV SCHEMA version — bumping it makes every existing MV read as
+    // stale, so a schema evolution (r13: + n_amt avg-divisor partial)
+    // rebuilds instead of serving a column the rule expects but the
+    // persisted table lacks
+    md.update("schema:v2;".getBytes("UTF-8"))
     for (t <- Seq("customer", "orders", "lineitem")) {
       val p = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -120,7 +125,11 @@ object MvJoinRewrite {
       .groupBy(c("c_name").as("client_email"),
         to_date(col("l_shipdate")).as("day"))
       .agg(count(lit(1)).as("n_tx"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("amount"))
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("amount"),
+        // avg's divisor: COUNT of the measure itself (Average excludes
+        // NULL measures where COUNT(*) does not) — its own associative
+        // partial so the decomposition stays exact under any null mix
+        count(col("l_extendedprice").cast("decimal(18,2)")).as("n_amt"))
   }
 
   /** The rewrite rule bound to one corpus's base paths + MV table. */
@@ -261,8 +270,9 @@ object MvJoinRewrite {
       def mvAttr(name: String) = mv.output.collectFirst {
         case a: AttributeReference if a.name == name => a
       }.get
-      val (mvClient, mvDay, mvN, mvAmount) =
-        (mvAttr("client_email"), mvAttr("day"), mvAttr("n_tx"), mvAttr("amount"))
+      val (mvClient, mvDay, mvN, mvAmount, mvNAmt) =
+        (mvAttr("client_email"), mvAttr("day"), mvAttr("n_tx"), mvAttr("amount"),
+          mvAttr("n_amt"))
 
       // sum(cast(price as decimal(18,2))) — the reference view's measure
       val amountTemplate: Expression = Cast(priceA.get, DecimalType(18, 2))
@@ -298,7 +308,17 @@ object MvJoinRewrite {
 
       // count(*) → sum of day counts; decimal sum → decimal sum of day
       // sums, cast back to the ORIGINAL result type so every downstream
-      // reference (and the plan schema) is unchanged
+      // reference (and the plan schema) is unchanged; avg → sum/count
+      // decomposition from the same partials, rebuilt with EXACTLY the
+      // operand types Average uses internally so the served value is
+      // bit-identical: Average(decimal(18,2)) evaluates
+      // Divide(sumBuffer: decimal(28,2), count: decimal(20,0), LEGACY)
+      // .cast(decimal(22,6)) — we feed Divide the re-aggregated
+      // Sum(amount) cast to the same decimal(28,2) buffer type (exact:
+      // it is the very total Average's own buffer held; overflow →
+      // NULL, matching nullOnOverflow) and Sum(n_amt) cast to
+      // decimal(20,0), then cast to the original result type. Same
+      // input types → same Divide result scale → same final rounding.
       def mergeAggregate(ae: AggregateExpression): Option[Expression] =
         ae.aggregateFunction match {
           case Count(Seq(Literal(v, _))) if v != null && !ae.isDistinct =>
@@ -307,6 +327,15 @@ object MvJoinRewrite {
             Some(Cast(
               AggregateExpression(Sum(mvAmount), Complete, isDistinct = false),
               ae.dataType, sessionTz))
+          case Average(e, _) if inline(e).semanticEquals(amountTemplate) &&
+              !ae.isDistinct =>
+            val sumAmt = Cast(
+              AggregateExpression(Sum(mvAmount), Complete, isDistinct = false),
+              DecimalType(28, 2), sessionTz)
+            val cnt = Cast(
+              AggregateExpression(Sum(mvNAmt), Complete, isDistinct = false),
+              DecimalType(20, 0), sessionTz)
+            Some(Cast(Divide(sumAmt, cnt, EvalMode.LEGACY), ae.dataType, sessionTz))
           case _ => None
         }
       var rewritable = true
@@ -393,6 +422,65 @@ object MvJoinRewrite {
       |  c.c_name AS client_email,
       |  CAST(COUNT(*) AS BIGINT) AS transaction_count,
       |  CAST(CAST(SUM(CAST(t.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(20,2)) AS DOUBLE) AS total_amount
+      |FROM customer c
+      |JOIN orders a ON c.c_custkey = a.o_custkey
+      |JOIN lineitem t ON a.o_orderkey = t.l_orderkey
+      |GROUP BY 1, 2
+      |ORDER BY month, client_email""".stripMargin
+
+  /** The avg-measure BASE query: the same month×client rollup asking
+    * for AVG of the reference measure — the shape the r12 verdict noted
+    * real users write constantly over monthly rollups. Output discipline
+    * for the cross-engine gate: the exact columns (count + exact-decimal
+    * total with the one terminal DOUBLE cast) are oracle-pinned, and the
+    * served avg rides as the Spark-evaluated bound boolean
+    * `avg_ok = |avg − total/n| ≤ 5.1e-7` (decimal(22,6) rounding bound
+    * 0.5e-6 plus double-division slack — the sketch keys' precedent,
+    * because DuckDB's AVG returns DOUBLE and cannot reproduce Spark's
+    * decimal(22,6) double-rounding digit for digit). The BIT-exactness
+    * of the served avg against the rule-off base avg is spec-asserted
+    * (MvJoinRewriteSpec), which is the stronger check. */
+  private[graft] def monthlyClientAvgBase(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
+    val o = Tables.orders(spark, sfDir).select(col("o_custkey"), col("o_orderkey"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"),
+        c("c_name").as("client_email"))
+      .agg(count(lit(1)).as("transaction_count"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("decimal(20,2)").cast("double").as("total_amount"),
+        avg(col("l_extendedprice").cast("decimal(18,2)")).as("avg_dec"))
+      .select(col("month"), col("client_email"), col("transaction_count"),
+        col("total_amount"),
+        (abs(col("avg_dec").cast("double") -
+          col("total_amount") / col("transaction_count")) <= lit(5.1e-7))
+          .as("avg_ok"))
+      .orderBy(col("month"), col("client_email"))
+  }
+
+  /** q_mv_avg_rewrite: ensure the MV, install the rule, run the BASE
+    * avg rollup — the rewrite must serve count, sum, AND the avg
+    * decomposition from the day×client partials. */
+  def monthlyClientAvgRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureMv(spark, sfDir)
+    install(spark, sfDir)
+    try {
+      val df = monthlyClientAvgBase(spark, sfDir)
+      df.queryExecution.executedPlan // force + cache the rewritten plan
+      df
+    } finally uninstall(spark)
+  }
+
+  val monthlyClientAvgRollupSql: String =
+    """SELECT
+      |  CAST(date_trunc('month', CAST(t.l_shipdate AS TIMESTAMP)) AS TIMESTAMP) AS month,
+      |  c.c_name AS client_email,
+      |  CAST(COUNT(*) AS BIGINT) AS transaction_count,
+      |  CAST(CAST(SUM(CAST(t.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(20,2)) AS DOUBLE) AS total_amount,
+      |  TRUE AS avg_ok
       |FROM customer c
       |JOIN orders a ON c.c_custkey = a.o_custkey
       |JOIN lineitem t ON a.o_orderkey = t.l_orderkey

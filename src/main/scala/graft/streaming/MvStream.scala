@@ -22,8 +22,8 @@ import graft.plans.MvJoinRewrite
   */
 object MvStream {
 
-  /** Append each micro-batch's (client_email, day, n_tx, amount) delta
-    * partials to `table`, encoding through the SAME
+  /** Append each micro-batch's (client_email, day, n_tx, amount, n_amt)
+    * delta partials to `table`, encoding through the SAME
     * [[MvJoinRewrite.dayClientPartialsOf]] as the bulk build. */
   def appendMvDeltasStream(facts: DataFrame, sfDir: String,
       table: String): StreamingQuery =

@@ -59,12 +59,13 @@ class MvJoinRewriteSpec extends SparkSpec {
         .agg(count(lit(1)).as("n"))
       assert(scanPaths(daily).exists(_.contains("lineitem.parquet")),
         "day-grain query was wrongly rewritten")
-      // a measure the MV does not carry
+      // avg of a measure the MV does not carry (the RAW double price,
+      // not the reference's decimal(18,2) cast) must still fall through
       val avgQ = joined
         .groupBy(date_trunc("month", col("l_shipdate")).as("m"))
         .agg(avg(col("l_extendedprice")).as("a"))
       assert(scanPaths(avgQ).exists(_.contains("lineitem.parquet")),
-        "avg measure was wrongly rewritten")
+        "avg of the un-cast double measure was wrongly rewritten")
       // a 2-table join (missing the customer edge) — different row set
       val twoTable = o.join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy(date_trunc("month", col("l_shipdate")).as("m"))
@@ -100,6 +101,40 @@ class MvJoinRewriteSpec extends SparkSpec {
           sum(col("l_extendedprice").cast("decimal(18,2)")).as("amt"))
       assert(monthOnly.orderBy("m").collect().toSeq ===
         monthOnlyBase.orderBy("m").collect().toSeq)
+    }
+  }
+
+  test("join-mv avg measure: served from the MV via sum/count decomposition, " +
+      "BIT-identical to the rule-off Average") {
+    uninstalled {
+      MvJoinRewrite.ensureMv(spark, sf)
+      MvJoinRewrite.install(spark, sf)
+      val c = Tables.customer(spark, sf).select(col("c_custkey"), col("c_name"))
+      val o = Tables.orders(spark, sf).select(col("o_custkey"), col("o_orderkey"))
+      val l = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+      def avgQuery = c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).as("m"), c("c_name"))
+        .agg(avg(col("l_extendedprice").cast("decimal(18,2)")).as("a"),
+          count(lit(1)).as("n"))
+        .orderBy(col("m"), col("c_name"))
+      val served = avgQuery
+      val paths = scanPaths(served)
+      assert(paths.nonEmpty && paths.forall(_.contains(MvJoinRewrite.mvTable(sf))),
+        s"avg rollup not served from the MV: $paths")
+      // avg result type must be unchanged by the rewrite (decimal(22,6))
+      assert(served.schema("a").dataType ===
+        org.apache.spark.sql.types.DecimalType(22, 6))
+      val got = served.collect()
+      MvJoinRewrite.uninstall(spark)
+      val base = avgQuery
+      assert(scanPaths(base).exists(_.contains("lineitem.parquet")),
+        "rule-off control unexpectedly rewritten")
+      // exact java.math.BigDecimal equality — the decomposition must
+      // reproduce Average's decimal double-rounding digit for digit
+      assert(got.nonEmpty)
+      assert(got.toSeq === base.collect().toSeq)
     }
   }
 
