@@ -55,6 +55,7 @@ object Bench {
     "q_mv_rewrite" -> 0.24, // r12 driver-host adjudicated floor (BENCH_r11 post-isolation min; builder-host floor 0.115 retained in refMinFast)
     "q_mv_join_rewrite" -> 1.498, // r12 seed (min of 2): first call builds the day×client join MV, steady state re-aggregates it (vs 1.73 for the un-rewritten 3-table join key)
     "q_mv_avg_rewrite" -> 1.544, // r13 seed (min of 2 isolated): same MV re-aggregate plus the avg sum/count decomposition division
+    "q_cms_join_planned" -> 1.219, // r13 seed (min of 2 isolated): first call builds the 2-row CMS stats sidecar (3 one-scan sketches), steady state is the sketch-hinted broadcast FK join rollup
     "q_tfidf_neardup" -> 2.113, // r12 seed (min of 2 isolated): one corpus tokenize→shingle tf agg + vocab df + df-capped candidate self-join + norm joins
     "q_join_cardinality" -> 2.016, // r12 seed (min of 2 isolated): four d×w sketch builds over ~1.75M keys + two exact key-grain twins (the priced-in judges)
     "q_compaction_plan" -> 0.672, // r12 seed (min of 2 isolated): one (type, day) inventory agg + ≤64-class driver prefix + partitioned running-sum windows

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+
+import graft.plans.CmsJoinPlanner
+
+class CmsJoinPlannerSpec extends SparkSpec {
+
+  // sparkPlan, not executedPlan: AQE hides the inner tree (the
+  // PlanAuditSpec / MvJoinRewriteSpec precedent)
+  private def joinExecs(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    val p = df.queryExecution.sparkPlan
+    (p.collect { case b: BroadcastHashJoinExec => b }.size,
+      p.collect { case s: SortMergeJoinExec => s }.size)
+  }
+
+  private def uninstalled[T](body: => T): T =
+    try body finally CmsJoinPlanner.uninstall(spark)
+
+  private def withConf[T](key: String, value: String)(body: => T): T = {
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, value)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  private def fkJoin = {
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_orderpriority"))
+    val l = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_extendedprice"))
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderpriority").as("p"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("p"))
+  }
+
+  private def eventsSelfJoin = {
+    val a = Tables.events(spark, sf).select(col("user_id"))
+    val b = Tables.events(spark, sf).select(col("user_id"))
+    a.join(b, a("user_id") === b("user_id")).agg(count(lit(1)).as("n"))
+  }
+
+  test("low estimate → BROADCAST where the static threshold refused; " +
+      "rule-off rows identical") {
+    uninstalled {
+      CmsJoinPlanner.install(spark, sf)
+      withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+        // static judgment (threshold disabled): SMJ. The sketch says the
+        // FK join's output ≈ |lineitem| (no explosion) and orders is
+        // small in ROWS — the rule alone flips the plan to broadcast.
+        val served = fkJoin
+        val (bhj, smj) = joinExecs(served)
+        assert(bhj === 1 && smj === 0,
+          s"sketch-hinted FK join must broadcast (bhj=$bhj smj=$smj)")
+        val got = served.collect()
+        CmsJoinPlanner.uninstall(spark)
+        val base = fkJoin
+        val (bhj0, smj0) = joinExecs(base)
+        assert(bhj0 === 0 && smj0 === 1,
+          s"rule-off control must sort-merge under a disabled threshold (bhj=$bhj0 smj=$smj0)")
+        assert(got.nonEmpty)
+        assert(got.toSeq === base.collect().toSeq)
+      }
+    }
+  }
+
+  test("exploding estimate (events self-join F2) → SHUFFLE_MERGE where the " +
+      "static threshold would broadcast; rule-off rows identical") {
+    uninstalled {
+      CmsJoinPlanner.install(spark, sf)
+      // static judgment with a huge threshold: broadcast. The sketch's
+      // F2 estimate (skewed users) exceeds 8·(n_a+n_b) — the rule forces
+      // the shuffle join so AQE can split the skew.
+      withConf("spark.sql.autoBroadcastJoinThreshold", (512L << 20).toString) {
+        val served = eventsSelfJoin
+        val (bhj, smj) = joinExecs(served)
+        assert(smj === 1 && bhj === 0,
+          s"exploding self-join must sort-merge (bhj=$bhj smj=$smj)")
+        val got = served.collect()
+        CmsJoinPlanner.uninstall(spark)
+        val base = eventsSelfJoin
+        val (bhj0, smj0) = joinExecs(base)
+        assert(bhj0 === 1 && smj0 === 0,
+          s"rule-off control must broadcast under the huge threshold (bhj=$bhj0 smj=$smj0)")
+        assert(got.toSeq === base.collect().toSeq)
+      }
+    }
+  }
+
+  test("negative controls: a value-filtered side and an unregistered key " +
+      "are left to the static planner") {
+    uninstalled {
+      CmsJoinPlanner.install(spark, sf)
+      withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+        // a value predicate means the sketch no longer describes the
+        // side — the rule must decline and leave the static SMJ
+        val o = Tables.orders(spark, sf)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .filter(col("o_totalprice") > 1000)
+        val l = Tables.lineitem(spark, sf).select(col("l_orderkey"))
+        val filtered = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .agg(count(lit(1)).as("n"))
+        val (bhj, smj) = joinExecs(filtered)
+        assert(bhj === 0 && smj === 1,
+          s"value-filtered side must fall through to static planning (bhj=$bhj smj=$smj)")
+        // an unregistered join key (customer edge is not in the registry)
+        val c = Tables.customer(spark, sf).select(col("c_custkey"))
+        val o2 = Tables.orders(spark, sf).select(col("o_custkey"))
+        val unreg = c.join(o2, c("c_custkey") === o2("o_custkey"))
+          .agg(count(lit(1)).as("n"))
+        val (bhj2, smj2) = joinExecs(unreg)
+        assert(bhj2 === 0 && smj2 === 1,
+          s"unregistered key must fall through (bhj=$bhj2 smj=$smj2)")
+      }
+    }
+  }
+
+  test("stats sidecar: 2 registered rows, est ≥ exact per pair, freshness " +
+      "fingerprint stable across idempotent ensures") {
+    CmsJoinPlanner.ensureStats(spark, sf)
+    val rows = spark.table(CmsJoinPlanner.statsTable(sf)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        BigInt(r.getDecimal(3).toBigInteger)))).toMap
+    assert(rows.keySet === Set("orders|o_orderkey|lineitem|l_orderkey",
+      "events|user_id|events|user_id"))
+    // est ≥ exact (structural: collisions only add mass)
+    val (na, nb, estFk) = rows("orders|o_orderkey|lineitem|l_orderkey")
+    val exactFk = graft.operators.RelOps.exactJoinSize(
+      Tables.orders(spark, sf).select(col("o_orderkey").as("k")),
+      Tables.lineitem(spark, sf).select(col("l_orderkey").as("k")))
+      .head().getDecimal(0).toBigInteger
+    assert(estFk >= BigInt(exactFk))
+    assert(na === Tables.orders(spark, sf).count())
+    assert(nb === Tables.lineitem(spark, sf).count())
+    // the decision inputs behave as designed on this corpus: FK join is
+    // non-exploding, the events self-join explodes
+    assert(estFk <= BigInt(CmsJoinPlanner.ExplosionFactor) * BigInt(na + nb))
+    val (ne, _, estF2) = rows("events|user_id|events|user_id")
+    assert(estF2 > BigInt(CmsJoinPlanner.ExplosionFactor) * BigInt(2 * ne))
+    // idempotence: re-ensure neither rebuilds nor drifts
+    val fp = CmsJoinPlanner.baseFingerprint(spark, sf)
+    CmsJoinPlanner.ensureStats(spark, sf)
+    assert(CmsJoinPlanner.baseFingerprint(spark, sf) === fp)
+    assert(spark.table(CmsJoinPlanner.statsTable(sf)).count() === 2L)
+  }
+}
