@@ -56,6 +56,7 @@ object Bench {
     "q_mv_join_rewrite" -> 1.498, // r12 seed (min of 2): first call builds the day×client join MV, steady state re-aggregates it (vs 1.73 for the un-rewritten 3-table join key)
     "q_mv_avg_rewrite" -> 1.544, // r13 seed (min of 2 isolated): same MV re-aggregate plus the avg sum/count decomposition division
     "q_cms_join_planned" -> 1.219, // r13 seed (min of 2 isolated): first call builds the 2-row CMS stats sidecar (3 one-scan sketches), steady state is the sketch-hinted broadcast FK join rollup
+    "q_hnsw_batch" -> 3.459, // r13 seed (min of 2 isolated): 8-query frame-keyed beam sweep (2 scans/hop amortized over all queries) + 8-query exact twin
     "q_tfidf_neardup" -> 2.113, // r12 seed (min of 2 isolated): one corpus tokenize→shingle tf agg + vocab df + df-capped candidate self-join + norm joins
     "q_join_cardinality" -> 2.016, // r12 seed (min of 2 isolated): four d×w sketch builds over ~1.75M keys + two exact key-grain twins (the priced-in judges)
     "q_compaction_plan" -> 0.672, // r12 seed (min of 2 isolated): one (type, day) inventory agg + ≤64-class driver prefix + partitioned running-sum windows

@@ -72,6 +72,7 @@ object SparkEntry {
     "q_mv_join_rewrite"   -> (graft.plans.MvJoinRewrite.monthlyClientRollup _),
     "q_mv_avg_rewrite"    -> (graft.plans.MvJoinRewrite.monthlyClientAvgRollup _),
     "q_cms_join_planned"  -> (graft.plans.CmsJoinPlanner.cmsPlannedJoin _),
+    "q_hnsw_batch"        -> (SimilarityOps.hnswBatchTopK _),
     "q_mv_lifecycle"      -> (graft.plans.MvJoinRewrite.mvLifecycle _),
     "q_triangle_count"    -> (GraphOps.triangleStats _),
     "q_kcore"             -> (GraphOps.kcore _),
@@ -251,6 +252,7 @@ object SparkEntry {
     "q_mv_join_rewrite"   -> graft.plans.MvJoinRewrite.monthlyClientRollupSql,
     "q_mv_avg_rewrite"    -> graft.plans.MvJoinRewrite.monthlyClientAvgRollupSql,
     "q_cms_join_planned"  -> graft.plans.CmsJoinPlanner.cmsPlannedJoinSql,
+    "q_hnsw_batch"        -> SimilarityOps.hnswBatchTopKSql,
     "q_mv_lifecycle"      -> graft.plans.MvJoinRewrite.monthlyClientRollupSql,
     "q_triangle_count"    -> GraphOps.triangleStatsSql,
     "q_kcore"             -> GraphOps.kcoreSql,

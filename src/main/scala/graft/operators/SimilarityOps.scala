@@ -2056,6 +2056,145 @@ object SimilarityOps {
       Tables.embeddingsFanned(spark, sfDir).select(col("vec_id"), col("embedding")))
   }
 
+  /** Batched probe: how many planted queries ride one sweep. */
+  private[graft] val HnswBatchQueries = 8
+
+  /** BATCH-OF-QUERIES beam search — the THROUGHPUT form of the graph
+    * probe (the r12 verdict's stretch): [[hnswBeamSearch]] is the
+    * serving shape, one driver round-trip per hop per query with
+    * bucket-pruned point reads; an offline 100 TB consumer (hard-
+    * negative mining, bulk re-ranking) runs MILLIONS of queries, where
+    * the right shape flips to a FRONTIER FRAME keyed by query_id and
+    * one join per hop for ALL queries simultaneously: neighbor
+    * expansion is `adjacency ⋈ broadcast(frontier)` (one adjacency
+    * access per hop TOTAL, amortized over every query, instead of one
+    * per query), scoring is `vecs ⋈ broadcast(candidates)` with the
+    * query embeddings riding the tiny broadcast. Per-hop driver state
+    * is only the loop counter and an emptiness probe — beams, expanded
+    * sets, and candidates stay distributed frames bounded by
+    * nQueries·ef (+ ·maxDegree for one hop's candidates). The
+    * crossover: per-query pruned point reads win while
+    * nQueries·ef < index buckets; the batched scan-join wins as soon
+    * as the frontier would touch every bucket anyway — the same
+    * adaptive-posture story as the CC/bitmap gates.
+    *
+    * Algorithmic note: candidates are anti-joined against the expanded
+    * set and the CURRENT beam rather than a full visited set — a
+    * previously EVICTED node can re-enter and re-score (idempotent:
+    * same cosine), which costs bounded rework instead of carrying a
+    * visited frame; expansion itself is exactly-once per (query, node).
+    */
+  private[graft] def hnswBeamSearchBatch(spark: SparkSession, name: String,
+      queries: DataFrame, ef: Int, maxHops: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adj = spark.table(name)
+    val vecs = spark.table(name + "_vecs")
+    val q = queries.select(col("query_id"), col("q_emb")).localCheckpoint()
+    val entry = spark.table(name + "_entry").head().getLong(0)
+    val beamW = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("vec_id"))
+
+    def scored(cand: DataFrame): DataFrame =
+      vecs.join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("embedding"), col("q_emb")).as("s"))
+
+    var beam = scored(q.select(col("query_id"), lit(entry).as("vec_id")))
+      .localCheckpoint()
+    var expanded = q.select(col("query_id"), lit(entry).as("vec_id")).limit(0)
+    var hop = 0
+    var done = false
+    while (hop < maxHops && !done) {
+      val frontier = beam.select(col("query_id"), col("vec_id"))
+        .join(expanded, Seq("query_id", "vec_id"), "left_anti")
+        .localCheckpoint()
+      if (frontier.isEmpty) done = true
+      else {
+        expanded = expanded.union(frontier).distinct().localCheckpoint()
+        val cand = adj.join(broadcast(frontier.withColumnRenamed("vec_id", "src")),
+            Seq("src"))
+          .select(col("query_id"), col("dst").as("vec_id")).distinct()
+          .join(expanded, Seq("query_id", "vec_id"), "left_anti")
+          .join(beam.select(col("query_id"), col("vec_id")),
+            Seq("query_id", "vec_id"), "left_anti")
+        beam = beam.union(scored(cand))
+          .withColumn("rn", row_number().over(beamW)).filter(col("rn") <= ef)
+          .select(col("query_id"), col("vec_id"), col("s"))
+          .localCheckpoint()
+      }
+      hop += 1
+    }
+    beam
+  }
+
+  /** q_hnsw_batch: the batched probe under the exact-twin + recall-floor
+    * gate, per query — [[HnswBatchQueries]] planted queries (vec_ids
+    * 0..7) swept through ONE frame-keyed beam search over the shared
+    * graph epoch. Output per query: the exact top-10 twin (knnCosine's
+    * expression, self-excluded, oracle-replayable) plus that query's
+    * `recall_ok` boolean; the ANN result itself is construction-
+    * dependent and NOT hashed — the per-query RECALL CLAIM is, so one
+    * query's beam going blind turns the driver row red. */
+  def hnswBatchTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val name = ensureHnswIndex(spark, sfDir)
+    val e = Tables.embeddingsFanned(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") < HnswBatchQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val beams = hnswBeamSearchBatch(spark, name, queries, HnswBeam, HnswMaxHops)
+    val annW = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("vec_id"))
+    val annIds = beams.filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rn", row_number().over(annW)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"))
+      .collect().groupBy(_.getLong(0)).map { case (k, rs) =>
+        k -> rs.map(_.getLong(1)).toSet
+      } // ≤ nQueries·10 rows — the gate's own constants
+    val exactW = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("score"))
+      .withColumn("rn", row_number().over(exactW)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"), col("score"))
+      .localCheckpoint() // ≤ nQueries·10 rows, read twice
+    val recallOf = exact.collect().groupBy(_.getLong(0)).map { case (k, rs) =>
+      k -> (rs.map(_.getLong(1)).toSet
+        .intersect(annIds.getOrElse(k, Set.empty)).size >= HnswRecallFloor)
+    }
+    import spark.implicits._
+    val flags = recallOf.toSeq.toDF("query_id", "recall_ok")
+    exact.join(broadcast(flags), Seq("query_id"))
+      .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+  }
+
+  val hnswBatchTopKSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $HnswBatchQueries
+       |), pairs AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    CAST(unnest(e.embedding) AS DOUBLE) AS x,
+       |    CAST(unnest(q.qe) AS DOUBLE) AS y
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id <> q.query_id
+       |), s AS (
+       |  SELECT query_id, vec_id,
+       |    SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS score
+       |  FROM pairs GROUP BY 1, 2
+       |), r AS (
+       |  SELECT query_id, vec_id, ROUND(score, 4) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ROUND(score, 4) DESC, vec_id) AS rn
+       |  FROM s
+       |)
+       |SELECT query_id, vec_id, score, TRUE AS recall_ok
+       |FROM r WHERE rn <= 10
+       |ORDER BY query_id, score DESC, vec_id""".stripMargin
+
   /** Oracle: the exact twin + the recall claim as a literal — FALSE on
     * the Spark side is a driver hash mismatch, exactly as intended. */
   val hnswTopKSql: String =

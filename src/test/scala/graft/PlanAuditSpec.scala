@@ -60,7 +60,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_rfm_segments",       // crossJoin(broadcast(1-row quartile panel)) onto customer grain
     "q_rocchio_search",     // the keywordSearch probe's 1-row stats sidecar crossJoin, ×2 probes
     "q_join_cardinality",   // crosses of 1-row size/exact/estimate aggregates (1×1×1×1, 2 scenarios)
-    "q_embedding_covariance" // crossJoin(broadcast(1-row count)) onto the 2080-row pair grain
+    "q_embedding_covariance", // crossJoin(broadcast(1-row count)) onto the 2080-row pair grain
+    "q_hnsw_batch"          // exact twin = crossJoin(broadcast(8-row query panel)), the knnCosine shape batched
   )
 
   // -------------------------------------------------------------------

@@ -442,6 +442,34 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("hnswBatchTopK: per-query beams bounded by ef, every query clears the " +
+      "recall floor, twin rows are 10 per query") {
+    try {
+      val out = SimilarityOps.hnswBatchTopK(spark, sf).collect()
+      val perQ = out.groupBy(_.getLong(0))
+      assert(perQ.keySet === (0L until SimilarityOps.HnswBatchQueries).toSet)
+      assert(perQ.values.forall(_.length === 10))
+      assert(out.forall(_.getBoolean(3)),
+        "a query's batched beam went blind (recall_ok=false)")
+      // no query returns itself in its own twin
+      assert(out.forall(r => r.getLong(1) != r.getLong(0)))
+      // beams stay ef-bounded per query — the frame-keyed loop's memory contract
+      val name = SimilarityOps.ensureHnswIndex(spark, sf)
+      val e = Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        .filter(col("query_id") < SimilarityOps.HnswBatchQueries)
+      val beams = SimilarityOps.hnswBeamSearchBatch(spark, name, e,
+        SimilarityOps.HnswBeam, SimilarityOps.HnswMaxHops)
+      val sizes = beams.groupBy("query_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sizes.values.forall(_ <= SimilarityOps.HnswBeam))
+      assert(sizes.keySet === (0L until SimilarityOps.HnswBatchQueries).toSet)
+    } finally {
+      graft.operators.Layout.dropEpochFamily(spark,
+        SimilarityOps.hnswIndexName(sf), sidecars = SimilarityOps.HnswSidecars)
+    }
+  }
+
   test("embeddingCovariance: matches a BigInt driver recompute; diagonal " +
       "cov numerators non-negative (Cauchy–Schwarz)") {
     val got = SimilarityOps.embeddingCovariance(spark, sf).collect()
