@@ -139,7 +139,7 @@ object Bench {
     "q_ivfpq_lifecycle" -> 6.781, // r9 seed (isolated min): rebuild-by-design — heaviest of the lifecycle trilogy because the streamed half takes the full coarse-assign + residual-PQ-encode path under the epoch sidecars, EVERY call
     "q_image_neardup" -> 0.452, // r8: ANN over the persisted feature index (in-flight decode form was 0.76)
     "q_phash_neardup" -> 0.373, // r8: dHash over the persisted feature index (in-flight decode form was 0.82-0.90)
-    "q_audio_fingerprint" -> 0.380, // r8: fingerprints from the persisted index (in-flight decode form was 1.55-1.90)
+    "q_audio_fingerprint" -> 0.513, // r13 adjudicated slow-host floor (min of 2 isolated passes on the 2100 MHz host, unchanged code; the r12 verdict's 0.24→0.44 drift re-timed isolated per its ask — IO/host noise, no re-plan; hot-host r8 floor 0.380 retained in refMinFast)
     "q_video_neardup" -> 0.781, // r8: frame hashes from the persisted index (in-flight decode form was 2.78-4.25)
     "q_pq_topk" -> 1.351, // r11s3 adjudicated slow-host floor (hot-host 0.80 in refMinFast)
     "q_pq_trained" -> 3.200, // r10 adjudicated floor (the r9 re-plan's 2.46 was hot-host): UNCHANGED code, min 3.20 over 3 isolated r10 quiet-host runs; driver r9 observed 4.06 = 1.65× of the old floor — host anchoring. The re-plan itself stands (5 passes → 3; the r7 join form was 3.61 on the HOT host, i.e. ~4.7 here)
@@ -179,6 +179,9 @@ object Bench {
     "q_bpe_apply" -> 0.372, "q_pq_trained" -> 2.46,
     "q_quality_classifier" -> 0.154, "q_chunk_docs" -> 0.133,
     "q_tfidf_topterms" -> 0.768,
+    // r13 adjudication: audio re-timed isolated per the r12 verdict ask —
+    // slow-host minimum moved to refMin, this hot-host r8 floor retained
+    "q_audio_fingerprint" -> 0.380,
     // r11 session-3 adjudication: the codegen'd BNLJ/popcount family ran
     // a uniform ~2.3-2.8x its hot-host floors on UNCHANGED code (git-diff
     // verified) across one full pass + two isolated subset passes on the

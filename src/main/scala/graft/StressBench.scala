@@ -75,7 +75,16 @@ object StressBench {
     "q_join_cardinality",
     // exact Gramian: 200K vectors × 2080 dimension pairs ≈ 416M
     // decimal multiply-adds through the co-partitioned self-join
-    "q_embedding_covariance")
+    "q_embedding_covariance",
+    // r13: batched graph-ANN probe at 10× — 8-query frame-keyed sweep
+    // over a 200K-vector graph (build crosses the sub-bucket gate)
+    "q_hnsw_batch",
+    // r13: sketch-driven join planning at 10× — stats sidecar build
+    // over ~17.5M keys, then the hinted broadcast FK join over 6M facts
+    "q_cms_join_planned",
+    // r13: avg-measure MV serve at 10× — the same 6M-fact summary
+    // build plus the sum/count decomposition re-aggregate
+    "q_mv_avg_rewrite")
 
   private def tenX(spark: SparkSession, src: String, dst: String): Unit = {
     val copies = explode(sequence(lit(0L), lit(9L))).as("k")
