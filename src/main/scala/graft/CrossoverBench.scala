@@ -154,9 +154,9 @@ object CrossoverBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional section filter for iteration: any of "ab","c","v","e",
-    // "s","u","w","k","h","p" (no args = everything, the round-record configuration)
+    // "s","u","w","k","h","p","q" (no args = everything, the round-record configuration)
     val only: Set[String] =
-      if (args.isEmpty) Set("ab", "c", "v", "e", "s", "u", "w", "k", "h", "p")
+      if (args.isEmpty) Set("ab", "c", "v", "e", "s", "u", "w", "k", "h", "p", "q")
       else args.toSet
     var failed = false
 
@@ -769,6 +769,93 @@ object CrossoverBench {
       println(s"[xover] H ef=32 ε-recall ≥ 0.9 and visited < 5%: " +
         (if (hPass) "PASS" else "FAIL"))
       failed ||= maxDeg > degBound || !hPass
+      (hName +: SimilarityOps.HnswSidecars.map(hName + _))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+
+    // ---- section Q: batched vs per-query graph probe at 100K ----
+    // The q_hnsw_batch crossover claim EXECUTED at natural scale: for
+    // the same 8 queries over the same 100K-vector clustered graph,
+    // the frame-keyed batched sweep (one adjacency join + one vecs
+    // join per hop for ALL queries) must reach the same ε-recall as 8
+    // independent serving-loop probes — result-quality parity is the
+    // gate; the printed timings are the amortization evidence (the
+    // serving loop pays hops·2 driver round-trips PER QUERY, the
+    // batch pays them ONCE for the whole panel).
+    if (only("q")) {
+      import graft.operators.{Layout, SimilarityOps}
+      val dirV = "/tmp/crossover/v"
+      timed("gen vectors (100K × 64d, 64 planted clusters)")(
+        genVectors(spark, dirV))
+      val vecs = spark.read.parquet(dirV)
+      val hName = "graft_xover_hnswq"
+      (hName +: SimilarityOps.HnswSidecars.map(hName + _)).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        Layout.clearStaleTableLocation(spark, t)
+      }
+      timed("Q graph build (100K)") {
+        SimilarityOps.buildHnswEpochFrom(spark, vecs)(hName)
+      }
+      val nQ = SimilarityOps.HnswBatchQueries
+      val ef = 32
+      val qEmbs = vecs.filter(col("vec_id") < nQ)
+        .orderBy(col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      // exact ε thresholds per query (ann-benchmarks convention, the
+      // section-H discipline: clustered ties make set-recall noise)
+      val exact10thOf = (0L until nQ.toLong).map { q =>
+        val tenth = vecs.filter(col("vec_id") =!= q)
+          .select(SimilarityOps.cosine(col("embedding"),
+            typedLit(qEmbs(q))).as("s"))
+          .orderBy(col("s").desc).limit(10)
+          .collect().map(_.getDouble(0)).min
+        q -> tenth
+      }.toMap
+      // serving loop: 8 independent beam searches (min of 2 passes)
+      var serveScores: Map[Long, Seq[Double]] = null
+      var tServe = Double.MaxValue
+      (1 to 2).foreach { _ =>
+        val t0 = System.nanoTime()
+        serveScores = (0L until nQ.toLong).map { q =>
+          val (beam, _) = SimilarityOps.hnswBeamSearch(spark, hName,
+            qEmbs(q), ef, SimilarityOps.HnswMaxHops)
+          q -> beam.filter(_._1 != q).take(10).map(_._2)
+        }.toMap
+        tServe = math.min(tServe, (System.nanoTime() - t0) / 1e9)
+      }
+      // batched sweep: ONE frame-keyed search for the whole panel
+      val queries = vecs.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      var batchScores: Map[Long, Seq[Double]] = null
+      var tBatch = Double.MaxValue
+      (1 to 2).foreach { _ =>
+        val t0 = System.nanoTime()
+        val beams = SimilarityOps.hnswBeamSearchBatch(spark, hName,
+          queries, ef, SimilarityOps.HnswMaxHops)
+        batchScores = beams.filter(col("vec_id") =!= col("query_id"))
+          .collect().groupBy(_.getLong(0)).map { case (q, rs) =>
+            q -> rs.map(r => (r.getDouble(2), r.getLong(1)))
+              .sortBy { case (s, id) => (-s, id) }.take(10).map(_._1).toSeq
+          }
+        tBatch = math.min(tBatch, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"[xover] Q probe of $nQ queries at ef=$ef: batched sweep " +
+        f"$tBatch%.2f s vs serving loop $tServe%.2f s (min of 2 each)")
+      val eps = 0.01
+      var qPass = true
+      (0L until nQ.toLong).foreach { q =>
+        val th = exact10thOf(q) - eps
+        val sRec = serveScores(q).count(_ >= th) / 10.0
+        val bRec = batchScores.getOrElse(q, Seq.empty).count(_ >= th) / 10.0
+        val ok = bRec >= 0.9 && sRec >= 0.9
+        if (!ok) qPass = false
+        println(f"[xover] Q query $q: ε-recall batched $bRec%.1f / serving $sRec%.1f" +
+          (if (ok) "" else " FAIL"))
+      }
+      println(s"[xover] Q batched ≡ serving result quality (every query ≥ 0.9): " +
+        (if (qPass) "PASS" else "FAIL"))
+      failed ||= !qPass
       (hName +: SimilarityOps.HnswSidecars.map(hName + _))
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
