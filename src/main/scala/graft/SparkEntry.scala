@@ -130,6 +130,8 @@ object SparkEntry {
     "q_ann_lsh_topk"      -> (SimilarityOps.annLshTopK _),
     "q_embedding_stats"   -> (SimilarityOps.embeddingStats _),
     "q_embedding_covariance" -> (SimilarityOps.embeddingCovariance _),
+    "q_power_iteration"   -> (SimilarityOps.powerIteration _),
+    "q_cluster_topics"    -> (CurationOps.clusterTopics _),
     "q_random_projection" -> (SimilarityOps.randomProjection _),
     "q_embedding_neardup" -> (SimilarityOps.embeddingNearDup _),
     "q_embedding_neardup_lsh" -> (SimilarityOps.embeddingNearDupLsh _),
@@ -318,6 +320,8 @@ object SparkEntry {
     "q_ann_lsh_topk"      -> SimilarityOps.annLshTopKSql,
     "q_embedding_stats"   -> SimilarityOps.embeddingStatsSql,
     "q_embedding_covariance" -> SimilarityOps.embeddingCovarianceSql,
+    "q_power_iteration"   -> SimilarityOps.powerIterationSql,
+    "q_cluster_topics"    -> CurationOps.clusterTopicsSql,
     // the ±1 projection matrix is derived INDEPENDENTLY by each engine
     // from md5 parity on the same literal strings — agreement is part
     // of what the hash gates; all arithmetic exact integer micros

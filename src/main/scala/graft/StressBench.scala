@@ -84,7 +84,13 @@ object StressBench {
     "q_cms_join_planned",
     // r13: avg-measure MV serve at 10× — the same 6M-fact summary
     // build plus the sum/count decomposition re-aggregate
-    "q_mv_avg_rewrite")
+    "q_mv_avg_rewrite",
+    // r13: PCA power iteration at 10× — the 200K-vector distributed
+    // Gramian (416M decimal multiply-adds) + the d²-bounded driver steps
+    "q_power_iteration",
+    // r13: cluster labeling at 10× — postings tf ⋈ 20K-vector IVF cells
+    // on the doc spine, (cell, term)-grain tf·idf
+    "q_cluster_topics")
 
   private def tenX(spark: SparkSession, src: String, dst: String): Unit = {
     val copies = explode(sequence(lit(0L), lit(9L))).as("k")

@@ -1012,6 +1012,77 @@ object CurationOps {
       .orderBy(col("vec_id"))
   }
 
+  /** CLUSTER LABELING (cluster-then-label — the "data map" step after
+    * clustering: Nomic-Atlas / lilac-style corpus cartography, and the
+    * per-cluster inspection signal quality audits run before setting
+    * mixing rates): every trained-IVF cell labeled by its members' top-3
+    * tf·idf terms. Composes TWO persisted indexes the repo already
+    * serves — the cell-bucketed IVF assignments
+    * ([[SimilarityOps.ensureIvfTrainedIndex]]) and the term-bucketed
+    * positional postings ([[TextOps.ensureInvertedIndex]], whose tf and
+    * n_docs sidecar are already oracle-gated elsewhere) — joined on the
+    * doc spine (vec_id ≡ doc_id in the testdata contract, FIXTURES.md).
+    * Scoring is the [[TextOps.tfidfTopTerms]] discipline verbatim
+    * (tf·ln(N/df) at round-6) aggregated to cell grain, ranked by ONE
+    * window over the (cell, term) grain — k·|cells| output rows.
+    *
+    * Scale shape: the postings tf scan and the index scan each pay one
+    * doc_id exchange into the join (neither is bucketed by doc — the
+    * honest cost of crossing the two index layouts), then everything
+    * downstream lives at (cell, term) grain ≤ vocab·k rows; map-side
+    * combine bounds the exchange. The window partitions by cell — no
+    * global sort, no corpus-sized window.
+    */
+  def clusterTopics(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 3
+    val idx = SimilarityOps.ensureIvfTrainedIndex(spark, sfDir)
+    val cells = spark.table(idx).select(col("vec_id").as("doc_id"), col("cell"))
+    val name = TextOps.ensureInvertedIndex(spark, sfDir)
+    val tf = spark.table(name).select(col("doc_id"), col("term"), col("tf"))
+    val nDocs = spark.table(name + "_stats")
+      .select(col("n_docs").cast("double").as("n_docs"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val cellTf = tf.join(cells, "doc_id")
+      .groupBy(col("cell"), col("term")).agg(sum(col("tf")).as("ctf"))
+    val scored = cellTf.join(dfT, "term").crossJoin(broadcast(nDocs))
+      .select(col("cell"), col("term"),
+        round(col("ctf").cast("double") * log(col("n_docs") / col("df")), 6)
+          .as("score"))
+    val w = Window.partitionBy(col("cell")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("cell"), col("rank"), col("term"), col("score"))
+      .orderBy(col("cell"), col("rank"))
+  }
+
+  val clusterTopicsSql: String =
+    s"""WITH ${SimilarityOps.ivfAssignCtes}, tok AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+       |  FROM documents
+       |), tfq AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+       |), nn AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+       |), dfq AS (
+       |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tfq GROUP BY term
+       |), ctf AS (
+       |  SELECT cells.cell, tfq.term, SUM(tfq.tf) AS ctf
+       |  FROM tfq JOIN cells ON tfq.doc_id = cells.vec_id
+       |  GROUP BY 1, 2
+       |), sc AS (
+       |  SELECT ctf.cell, ctf.term,
+       |    ROUND(CAST(ctf.ctf AS DOUBLE) * LN(nn.n_docs / dfq.df), 6) AS score
+       |  FROM ctf JOIN dfq USING (term) CROSS JOIN nn
+       |), rr AS (
+       |  SELECT cell, term, score,
+       |    CAST(row_number() OVER (PARTITION BY cell
+       |      ORDER BY score DESC, term) AS BIGINT) AS rank
+       |  FROM sc
+       |)
+       |SELECT cell, rank, term, score FROM rr WHERE rank <= 3
+       |ORDER BY cell, rank""".stripMargin
+
   val clusterBalanceSql: String =
     s"""WITH ${SimilarityOps.ivfAssignCtes}, counts AS (
        |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_cell FROM cells GROUP BY 1

@@ -184,6 +184,87 @@ object SimilarityOps {
       |FROM s JOIN d da ON da.i = s.i JOIN d db ON db.i = s.j CROSS JOIN n
       |ORDER BY s.i, s.j""".stripMargin
 
+  /** EXACT-INTEGER POWER ITERATION on the embedding Gramian — the PCA
+    * step that CONSUMES [[embeddingCovariance]]'s reduction: the
+    * dominant principal direction of the corpus, the vector a whitening
+    * / low-rank-projection pipeline extracts first. The corpus-scale
+    * work is the distributed N·d² Gramian (the covariance plan,
+    * unchanged); the iteration itself is O(d²) per step on the
+    * 2080-entry matrix — driver-sized at ANY corpus size by the
+    * algorithm's own bound (the PQ codebook / ADC-table
+    * collect-small-state precedent, d(d+1)/2 rows).
+    *
+    * Every quantity is an exact integer so both engines reproduce the
+    * composition digit for digit: v₀ = 1e6·𝟙; one step is
+    * w = G·v (BigInt — |w| ≤ d·N·1e12·1e6 < 10³⁸ at any tested scale)
+    * followed by the rescale v' = trunc(w·1e6 / max|w|) — truncating
+    * division toward zero, which BigInt, Spark, and DuckDB's `//` all
+    * share (verified incl. negative dividends), so no rounding
+    * convention is on the hash path. [[PowerIters]] unrolled steps; the
+    * oracle replays the Gramian AND every step as chained CTEs, so ONE
+    * hash gates reduction + iteration end to end. Convergence to the
+    * top eigenvector is spec-asserted semantically (monotone Rayleigh
+    * quotient + ≥0.999 cosine agreement with a double-precision
+    * reference); the GATE is exactness of the fixed-step computation.
+    */
+  private[graft] val PowerIters = 3
+
+  def powerIteration(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = 64
+    val tri = embeddingCovariance(spark, sfDir)
+      .select(col("i"), col("j"), col("dot"))
+      .collect() // d(d+1)/2 = 2080 rows — the algorithm's own constant
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt,
+        BigInt(r.getDecimal(2).toBigInteger)))
+    val g = Array.ofDim[BigInt](d + 1, d + 1)
+    for (i <- 1 to d; j <- 1 to d) g(i)(j) = BigInt(0)
+    tri.foreach { case (i, j, v) => g(i)(j) = v; g(j)(i) = v }
+    var v = Array.fill(d)(BigInt(1000000))
+    for (_ <- 1 to PowerIters) {
+      val w = Array.tabulate(d)(i0 =>
+        (1 to d).map(j => g(i0 + 1)(j) * v(j - 1)).sum)
+      val m = w.map(_.abs).max
+      if (m.signum > 0) v = w.map(x => x * 1000000 / m) // BigInt / truncates toward 0
+    }
+    import spark.implicits._
+    v.zipWithIndex
+      .map { case (x, i0) => ((i0 + 1).toLong, x.toLong) }.toSeq
+      .toDF("i", "v")
+      .orderBy(col("i"))
+  }
+
+  /** Oracle: the covariance Gramian CTEs + every power step as chained
+    * CTEs — `//` is DuckDB's truncate-toward-zero integer division,
+    * matching BigInt exactly. */
+  val powerIterationSql: String = {
+    val steps = (1 to PowerIters).map { t =>
+      s"""w$t AS (
+         |  SELECT g.i, SUM(g.dot * v${t - 1}.v) AS w
+         |  FROM g JOIN v${t - 1} ON v${t - 1}.i = g.j GROUP BY 1
+         |), m$t AS (SELECT MAX(ABS(w)) AS m FROM w$t),
+         |v$t AS (
+         |  SELECT i, (w * 1000000) // m AS v FROM w$t, m$t
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH mm AS (
+       |  SELECT vec_id, CAST(t.i AS BIGINT) AS i,
+       |    CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+       |  FROM embeddings, range(1, 65) t(i)
+       |), s AS (
+       |  SELECT a.i AS i, b.i AS j, SUM(CAST(a.m AS HUGEINT) * b.m) AS dot
+       |  FROM mm a JOIN mm b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |  GROUP BY 1, 2
+       |), g AS (
+       |  SELECT i, j, dot FROM s
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, dot FROM s WHERE i <> j
+       |), v0 AS (
+       |  SELECT DISTINCT i, CAST(1000000 AS HUGEINT) AS v FROM g
+       |), $steps
+       |SELECT i, CAST(v AS BIGINT) AS v FROM v$PowerIters
+       |ORDER BY i""".stripMargin
+  }
+
   /** Johnson-Lindenstrauss random projection — the dimensionality
     * reduction a 100 TB embedding pipeline runs BEFORE clustering or
     * coarse ANN (Achlioptas '01: a ±1 sign matrix preserves pairwise

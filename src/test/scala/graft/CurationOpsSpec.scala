@@ -248,6 +248,45 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.forall { case (id, _, _, rate, keep) => keep === (bucket(id) < rate) })
   }
 
+  test("clusterTopics: every cell labeled with ≤3 dense-ranked terms, scores " +
+      "non-increasing, one cell's scores replay from a driver tf·idf recompute") {
+    val rows = CurationOps.clusterTopics(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val idx = graft.operators.SimilarityOps.ensureIvfTrainedIndex(spark, sf)
+    val allCells = spark.table(idx).select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val byCell = rows.groupBy(_._1)
+    assert(byCell.keySet === allCells, "every trained cell must be labeled")
+    for ((cell, rs) <- byCell) {
+      val ranks = rs.map(_._2).sorted.toSeq
+      assert(ranks === (1L to rs.length).toSeq, s"cell $cell ranks not dense")
+      assert(rs.length <= 3)
+      val scoresByRank = rs.sortBy(_._2).map(_._4).toSeq
+      assert(scoresByRank === scoresByRank.sorted.reverse, s"cell $cell order")
+    }
+    // independent recompute for the first cell: members' summed tf,
+    // corpus df, round-6 tf·ln(N/df) — the tfidfTopTerms discipline
+    val cell0 = byCell.keySet.min
+    val members = spark.table(idx).filter(col("cell") === cell0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val nDocs = docs.size.toDouble
+    val df = docs.values.flatMap(t => toks(t).distinct)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toDouble }
+    val ctf = members.toSeq.flatMap(id => docs.get(id).toSeq.flatMap(toks))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val expect = ctf.map { case (t, c) =>
+      t -> BigDecimal(c.toDouble * math.log(nDocs / df(t)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toSeq.sortBy { case (t, s) => (-s, t) }.take(3)
+    val got = byCell(cell0).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+    assert(got === expect, s"cell $cell0 labels diverge from the recompute")
+  }
+
   test("bloom decontamination: planted leak flagged, clean corpus under the FP budget, corpus booleans green") {
     val s = spark; import s.implicits._
     // 102 docs: ids 0,50,100 are benchmark (doc_id % 50 == 0); doc 7

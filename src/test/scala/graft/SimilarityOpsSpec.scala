@@ -442,6 +442,41 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("powerIteration: integer iterate aligns with a double-precision " +
+      "reference (cos ≥ 0.999) and the Rayleigh quotient is monotone") {
+    val got = SimilarityOps.powerIteration(spark, sf).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1))).sortBy(_._1).map(_._2)
+    assert(got.length === 64)
+    assert(got.map(math.abs).max === 1000000L,
+      "rescale must pin the largest component to ±1e6")
+    // double-precision reference over the same micro-quantized Gramian
+    val vecs = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1e6 + 0.5)).toArray)
+    val d = 64
+    val g = Array.ofDim[Double](d, d)
+    for (v <- vecs; i <- 0 until d; j <- 0 until d) g(i)(j) += v(i) * v(j)
+    def matVec(x: Array[Double]) =
+      Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * x(j)).sum)
+    def rayleigh(x: Array[Double]) = {
+      val gx = matVec(x)
+      (0 until d).map(i => x(i) * gx(i)).sum / (0 until d).map(i => x(i) * x(i)).sum
+    }
+    var ref = Array.fill(d)(1.0)
+    var lastR = Double.NegativeInfinity
+    for (_ <- 1 to SimilarityOps.PowerIters) {
+      val r = rayleigh(ref)
+      assert(r >= lastR - 1e-6, "Rayleigh quotient must be non-decreasing")
+      lastR = r
+      val w = matVec(ref)
+      val m = w.map(math.abs).max
+      ref = w.map(_ / m)
+    }
+    val dot = (0 until d).map(i => got(i).toDouble * ref(i)).sum
+    val cos = dot / (math.sqrt(got.map(x => x.toDouble * x).sum) *
+      math.sqrt(ref.map(x => x * x).sum))
+    assert(cos >= 0.999, s"integer iterate diverged from the double reference: $cos")
+  }
+
   test("hnswBatchTopK: per-query beams bounded by ef, every query clears the " +
       "recall floor, twin rows are 10 per query") {
     try {
