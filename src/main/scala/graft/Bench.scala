@@ -63,8 +63,8 @@ object Bench {
     "q_mv_lifecycle" -> 4.590, // r12 seed (min of 2 isolated): rebuild-by-design lifecycle #15 — even-half partials build + streamed IVM delta appends (static-dim join per batch) + 466K-row served rollup every call
     "q_rocchio_search" -> 0.933, // r12 seed (min of 2 isolated): three index probes (seed BM25, forward-index expansion, weighted re-probe) + two bounded driver collects (10 ids, 5 terms)
     "q_embedding_covariance" -> 0.984, // r12 seed (min of 2 isolated): N·d² Gramian — one vec_id-co-partitioned self-join feeding a 2080-group map-side-combined aggregate
-    "q_power_iteration" -> 1.504, // r13 seed (min of 2 isolated, 2100 MHz host): the same distributed Gramian + a d²-bounded driver BigInt iteration (3 unrolled steps)
-    "q_cluster_topics" -> 1.203, // r13 seed (min of 2 isolated, 2100 MHz host): postings tf ⋈ IVF cells on the doc spine + (cell, term)-grain tf·idf + per-cell window top-3
+    "q_power_iteration" -> 2.063, // r13 seed (min of 2 isolated, 2100 MHz host): the same distributed Gramian + a d²-bounded driver BigInt iteration (3 unrolled steps)
+    "q_cluster_topics" -> 0.682, // r13 seed (min of 2 isolated, 2100 MHz host): postings tf ⋈ IVF cells on the doc spine + (cell, term)-grain tf·idf + per-cell window top-3
     "q_view_sql" -> 0.924, // r12 seed (min of 2 isolated): the flagship view through temp-view DDL + spark.sql — same plan family as q_client_txn_counts
     "q_view_sql_monthly" -> 1.555, // r13 seed (min of 2 isolated, 2100 MHz host): monthly summary through temp-view DDL + spark.sql — same plan family as q_monthly_summary
     "q_view_sql_high" -> 1.072, // r13 seed (min of 2 isolated, 2100 MHz host): HAVING view through temp-view DDL + spark.sql — same plan family as q_high_txn_accounts
