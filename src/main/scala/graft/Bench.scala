@@ -55,7 +55,7 @@ object Bench {
     "q_mv_rewrite" -> 0.24, // r12 driver-host adjudicated floor (BENCH_r11 post-isolation min; builder-host floor 0.115 retained in refMinFast)
     "q_mv_join_rewrite" -> 1.498, // r12 seed (min of 2): first call builds the day×client join MV, steady state re-aggregates it (vs 1.73 for the un-rewritten 3-table join key)
     "q_mv_avg_rewrite" -> 1.477, // r13 seed (min of 2 isolated, 2100 MHz host): same MV re-aggregate plus the avg sum/count decomposition division
-    "q_cms_join_planned" -> 0.975, // r13 seed (min of 2 isolated, 2100 MHz host): first call builds the 2-row CMS stats sidecar (3 one-scan sketches), steady state is the sketch-hinted broadcast FK join rollup
+    "q_cms_join_planned" -> 0.867, // r13 seed (min of 2 isolated, 2100 MHz host): first call builds the 3-row CMS stats sidecar (4 one-scan sketches), steady state is the sketch-hinted broadcast FK join rollup
     "q_hnsw_batch" -> 4.316, // r13 seed (min of 2 isolated, 2100 MHz host): 8-query frame-keyed beam sweep (2 scans/hop amortized over all queries) + 8-query exact twin
     "q_tfidf_neardup" -> 2.113, // r12 seed (min of 2 isolated): one corpus tokenize→shingle tf agg + vocab df + df-capped candidate self-join + norm joins
     "q_join_cardinality" -> 2.016, // r12 seed (min of 2 isolated): four d×w sketch builds over ~1.75M keys + two exact key-grain twins (the priced-in judges)
@@ -64,6 +64,7 @@ object Bench {
     "q_rocchio_search" -> 0.933, // r12 seed (min of 2 isolated): three index probes (seed BM25, forward-index expansion, weighted re-probe) + two bounded driver collects (10 ids, 5 terms)
     "q_embedding_covariance" -> 0.984, // r12 seed (min of 2 isolated): N·d² Gramian — one vec_id-co-partitioned self-join feeding a 2080-group map-side-combined aggregate
     "q_power_iteration" -> 2.063, // r13 seed (min of 2 isolated, 2100 MHz host): the same distributed Gramian + a d²-bounded driver BigInt iteration (3 unrolled steps)
+    "q_power_lifecycle" -> 4.480, // r13 seed (min of 2 isolated, 2100 MHz host): rebuild-by-design lifecycle #16 — even-half Gramian partials build + streamed odd-half delta appends + served re-aggregate + iteration, EVERY call
     "q_cluster_topics" -> 0.682, // r13 seed (min of 2 isolated, 2100 MHz host): postings tf ⋈ IVF cells on the doc spine + (cell, term)-grain tf·idf + per-cell window top-3
     "q_view_sql" -> 0.924, // r12 seed (min of 2 isolated): the flagship view through temp-view DDL + spark.sql — same plan family as q_client_txn_counts
     "q_view_sql_monthly" -> 1.555, // r13 seed (min of 2 isolated, 2100 MHz host): monthly summary through temp-view DDL + spark.sql — same plan family as q_monthly_summary

@@ -131,6 +131,7 @@ object SparkEntry {
     "q_embedding_stats"   -> (SimilarityOps.embeddingStats _),
     "q_embedding_covariance" -> (SimilarityOps.embeddingCovariance _),
     "q_power_iteration"   -> (SimilarityOps.powerIteration _),
+    "q_power_lifecycle"   -> (SimilarityOps.powerLifecycle _),
     "q_cluster_topics"    -> (CurationOps.clusterTopics _),
     "q_random_projection" -> (SimilarityOps.randomProjection _),
     "q_embedding_neardup" -> (SimilarityOps.embeddingNearDup _),
@@ -321,6 +322,7 @@ object SparkEntry {
     "q_embedding_stats"   -> SimilarityOps.embeddingStatsSql,
     "q_embedding_covariance" -> SimilarityOps.embeddingCovarianceSql,
     "q_power_iteration"   -> SimilarityOps.powerIterationSql,
+    "q_power_lifecycle"   -> SimilarityOps.powerIterationSql,
     "q_cluster_topics"    -> CurationOps.clusterTopicsSql,
     // the ±1 projection matrix is derived INDEPENDENTLY by each engine
     // from md5 parity on the same literal strings — agreement is part

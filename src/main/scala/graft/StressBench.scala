@@ -90,7 +90,10 @@ object StressBench {
     "q_power_iteration",
     // r13: cluster labeling at 10× — postings tf ⋈ 20K-vector IVF cells
     // on the doc spine, (cell, term)-grain tf·idf
-    "q_cluster_topics")
+    "q_cluster_topics",
+    // r13: lifecycle #16 at 10× — 100K even vectors bulk Gramian +
+    // 100K odd vectors streamed as per-batch 2080-row delta partials
+    "q_power_lifecycle")
 
   private def tenX(spark: SparkSession, src: String, dst: String): Unit = {
     val copies = explode(sequence(lit(0L), lit(9L))).as("k")

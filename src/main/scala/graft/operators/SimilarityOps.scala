@@ -138,19 +138,42 @@ object SimilarityOps {
     * multiply-adds are the honest Gramian FLOPs any implementation
     * pays; nothing corpus-sized moves after the vec_id exchange.
     */
-  def embeddingCovariance(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (vec_id, i, m) integer-micro component rows for any vector frame —
+    * the ONE quantize+explode definition shared by [[embeddingCovariance]]
+    * and the Gramian partial encode path ([[gramPartialsOf]]), so bulk
+    * build, full reduction, and streamed maintenance cannot drift. */
+  private[graft] def microComponents(vectors: DataFrame): DataFrame = {
     val micros = transform(col("embedding"),
       x => floor(x.cast("double") * 1000000d + 0.5d).cast("long"))
-    val e = Tables.embeddingsFanned(spark, sfDir)
+    vectors
       .select(col("vec_id"), posexplode(micros).as(Seq("p", "m")))
       .select(col("vec_id"), (col("p") + 1).cast("long").as("i"), col("m"))
-      .corpusCheckpoint() // N·d rows; read by both join sides + dim sums
-    val dot = e.select(col("vec_id"), col("i"), col("m"))
+      .corpusCheckpoint() // N·d rows; read by both join sides (+ dim sums)
+  }
+
+  /** Upper-triangle Gramian (i ≤ j, exact DECIMAL(38,0) dot) over a
+    * component frame — the covariance plan's dot leg. */
+  private def dotOf(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("i"), col("m"))
       .join(e.select(col("vec_id"), col("i").as("j"), col("m").as("mj")), "vec_id")
       .filter(col("i") <= col("j"))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("m").cast("decimal(18,0)") * col("mj").cast("decimal(18,0)"))
         .cast("decimal(38,0)").as("dot"))
+
+  /** The Gramian PARTIAL for any vector subset — dot is additive over
+    * vector subsets (Σ_v m_i·m_j splits over any partition of v), so
+    * per-batch partials from this one definition re-aggregate exactly
+    * to the full-corpus Gramian: the encode path shared by
+    * [[powerLifecycle]]'s bulk build and streamed appends
+    * ([[graft.streaming.VectorStream.appendGramStream]]). */
+  private[graft] def gramPartialsOf(vectors: DataFrame): DataFrame =
+    dotOf(microComponents(vectors))
+
+  def embeddingCovariance(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = microComponents(
+      Tables.embeddingsFanned(spark, sfDir).select(col("vec_id"), col("embedding")))
+    val dot = dotOf(e)
     val dims = e.groupBy(col("i"))
       .agg(sum(col("m").cast("decimal(18,0)")).cast("decimal(18,0)").as("s"))
     val n = Tables.embeddings(spark, sfDir)
@@ -209,10 +232,17 @@ object SimilarityOps {
     */
   private[graft] val PowerIters = 3
 
-  def powerIteration(spark: SparkSession, sfDir: String): DataFrame = {
+  def powerIteration(spark: SparkSession, sfDir: String): DataFrame =
+    powerIterationFrom(spark,
+      embeddingCovariance(spark, sfDir).select(col("i"), col("j"), col("dot")))
+
+  /** The iteration itself over any upper-triangle (i, j, dot) frame —
+    * shared by [[powerIteration]] and [[powerLifecycle]] so the
+    * fixed-step computation cannot drift between the one-shot and the
+    * maintained-Gramian form. */
+  private def powerIterationFrom(spark: SparkSession, triDf: DataFrame): DataFrame = {
     val d = 64
-    val tri = embeddingCovariance(spark, sfDir)
-      .select(col("i"), col("j"), col("dot"))
+    val tri = triDf
       .collect() // d(d+1)/2 = 2080 rows — the algorithm's own constant
       .map(r => (r.getLong(0).toInt, r.getLong(1).toInt,
         BigInt(r.getDecimal(2).toBigInteger)))
@@ -231,6 +261,45 @@ object SimilarityOps {
       .map { case (x, i0) => ((i0 + 1).toLong, x.toLong) }.toSeq
       .toDF("i", "v")
       .orderBy(col("i"))
+  }
+
+  /** Catalog base of [[powerLifecycle]]'s Gramian-partials epoch family. */
+  private[graft] def gramLifecycleBase(sfDir: String): String =
+    "graft_gramlc_" + Layout.corpusTag(sfDir)
+
+  /** Stream ≡ batch LIFECYCLE #16 — INCREMENTAL GRAMIAN MAINTENANCE,
+    * the streaming-PCA story: a second-moment matrix is exactly
+    * maintainable under appends because `dot(i,j) = Σ_v m_i·m_j` is
+    * additive over any partition of the vector set. Even vec_ids
+    * bulk-build a partials epoch (one shot of [[gramPartialsOf]]); the
+    * odd half replays as a parquet-source stream through
+    * [[graft.streaming.VectorStream.appendGramStream]] — per batch ONE
+    * 2080-row delta partial appended, NO streaming state store (the
+    * q_mv_lifecycle shape applied to the embedding pipeline). Serving
+    * re-aggregates the partial-row SET to the full Gramian and runs
+    * the UNCHANGED [[powerIterationFrom]] under the VERBATIM
+    * [[powerIterationSql]] oracle — the driver hash proves bulk build
+    * + streamed deltas ≡ the one-pass reduction digit for digit.
+    * Rotates a fresh epoch per call, prunes to two.
+    */
+  def powerLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = gramLifecycleBase(sfDir)
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val t = Layout.rotateEpoch(spark, base) { name =>
+      gramPartialsOf(e.filter(col("vec_id") % 2 === 0))
+        .write.format("parquet").mode("overwrite").saveAsTable(name)
+    }
+    val odd = e.filter(col("vec_id") % 2 =!= 0)
+    Layout.withStagedParquet(odd.repartition(4), "graft-gramlc") { dir =>
+      val stream = graft.streaming.VectorStream.appendGramStream(
+        spark.readStream.schema(odd.schema)
+          .option("maxFilesPerTrigger", 2).parquet(dir), t)
+      try stream.processAllAvailable() finally stream.stop()
+    }
+    Layout.pruneEpochs(spark, base, keep = 2)
+    powerIterationFrom(spark,
+      spark.table(t).groupBy(col("i"), col("j"))
+        .agg(sum(col("dot")).cast("decimal(38,0)").as("dot")))
   }
 
   /** Oracle: the covariance Gramian CTEs + every power step as chained

@@ -47,10 +47,10 @@ import graft.operators.{Layout, RelOps}
   * threshold that would have broadcast) plus rule-off row identity, and
   * q_cms_join_planned gates result identity end to end.
   *
-  * Scale shape: the stats sidecar is one 2-row catalog table per corpus
-  * (built from 3 one-scan sketches, metadata-fingerprint fresh like the
-  * MVs); the rule's driver state is that 2-row map. At 100 TB the same
-  * sidecar costs three columnar scans amortized over every query that
+  * Scale shape: the stats sidecar is one 3-row catalog table per corpus
+  * (built from 4 one-scan sketches, metadata-fingerprint fresh like the
+  * MVs); the rule's driver state is that 3-row map. At 100 TB the same
+  * sidecar costs four columnar scans amortized over every query that
   * plans against it.
   */
 object CmsJoinPlanner {
@@ -64,9 +64,12 @@ object CmsJoinPlanner {
   val BroadcastRowCap = 4L * 1024 * 1024
 
   /** Registered (table, key, table, key) pairs the sidecar sketches:
-    * the reference's FK chain edge and the events self-join (F2, the
-    * skew tripwire) — the two scenarios q_join_cardinality gates. */
+    * BOTH edges of the reference's Q1 join chain (main.py:186-188 —
+    * clients⋈accounts and accounts⋈transactions in the testdata
+    * domain mapping) and the events self-join (F2, the skew
+    * tripwire). */
   private[graft] val Registry: Seq[(String, String, String, String)] = Seq(
+    ("customer", "c_custkey", "orders", "o_custkey"),
     ("orders", "o_orderkey", "lineitem", "l_orderkey"),
     ("events", "user_id", "events", "user_id"))
 
@@ -79,8 +82,8 @@ object CmsJoinPlanner {
     * table (the MvJoinRewrite.baseFingerprint discipline). */
   private[graft] def baseFingerprint(spark: SparkSession, sfDir: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update("cms_stats:v1;".getBytes("UTF-8"))
-    for (t <- Seq("orders", "lineitem", "events")) {
+    md.update("cms_stats:v2;".getBytes("UTF-8"))
+    for (t <- Seq("customer", "orders", "lineitem", "events")) {
       val p = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) {
@@ -99,6 +102,7 @@ object CmsJoinPlanner {
   private def keyFrame(spark: SparkSession, sfDir: String,
       table: String, key: String): DataFrame = {
     val t = table match {
+      case "customer" => Tables.customer(spark, sfDir)
       case "orders" => Tables.orders(spark, sfDir)
       case "lineitem" => Tables.lineitem(spark, sfDir)
       case "events" => Tables.events(spark, sfDir)
@@ -106,8 +110,8 @@ object CmsJoinPlanner {
     t.select(col(key).as("k"))
   }
 
-  /** Build (once per corpus CONTENT) the 2-row stats sidecar:
-    * (pair, n_a, n_b, est) per registered join edge — three one-scan
+  /** Build (once per corpus CONTENT) the 3-row stats sidecar:
+    * (pair, n_a, n_b, est) per registered join edge — four one-scan
     * d×w sketches plus exact side counts, est from the Count-Min
     * inner product. Fingerprint sidecar written AFTER the stats. */
   def ensureStats(spark: SparkSession, sfDir: String): String = {
@@ -151,7 +155,7 @@ object CmsJoinPlanner {
   case class CmsJoinHintRule(spark: SparkSession, sfDir: String)
       extends Rule[LogicalPlan] {
 
-    // 2-row driver state, loaded once per install window
+    // 3-row driver state, loaded once per install window
     private lazy val stats: Map[String, (Long, Long, BigInt)] =
       spark.table(statsTable(sfDir)).collect().map { r =>
         r.getString(0) -> ((r.getLong(1), r.getLong(2),
@@ -165,7 +169,7 @@ object CmsJoinPlanner {
       * sketch no longer describes the input → None. */
     private def sideOf(plan: LogicalPlan): Option[String] = plan match {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        Seq("orders", "lineitem", "events").find(t =>
+        Seq("customer", "orders", "lineitem", "events").find(t =>
           fs.location.rootPaths.exists(
             _.toString.endsWith(s"$sfDir/$t.parquet")))
       case Project(_, child) => sideOf(child)

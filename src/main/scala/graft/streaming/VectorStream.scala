@@ -66,6 +66,25 @@ object VectorStream {
     * [[appendLoop]] because a graph append writes THREE tables
     * (adjacency, `_vecs`, `_cells`), not one.
     */
+  /** Gramian-maintenance ingest (lifecycle #16,
+    * [[SimilarityOps.powerLifecycle]]): each micro-batch encodes its
+    * OWN 2080-row Gramian delta partial through the SAME
+    * [[SimilarityOps.gramPartialsOf]] as the bulk build and appends it
+    * to the partials epoch — no streaming state store; dot partials
+    * are additive over any vector split, so batch boundaries are
+    * unobservable in the served reduction. Appends to the resolved
+    * epoch `table` directly (the MvStream delta shape, not the
+    * epoch-pointer loop: the serve step re-aggregates the SET). */
+  def appendGramStream(vectors: DataFrame, table: String): StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        SimilarityOps.gramPartialsOf(batch)
+          .write.format("parquet").mode("append").saveAsTable(table)
+        ()
+      }
+      .start()
+
   def appendGraphStream(vectors: DataFrame, base: String): StreamingQuery =
     vectors.writeStream
       .outputMode("append")

@@ -102,10 +102,11 @@ class CmsJoinPlannerSpec extends SparkSpec {
         val (bhj, smj) = joinExecs(filtered)
         assert(bhj === 0 && smj === 1,
           s"value-filtered side must fall through to static planning (bhj=$bhj smj=$smj)")
-        // an unregistered join key (customer edge is not in the registry)
-        val c = Tables.customer(spark, sf).select(col("c_custkey"))
+        // an unregistered join key (registered tables, but the custkey →
+        // suppkey pairing is not a sketched edge)
         val o2 = Tables.orders(spark, sf).select(col("o_custkey"))
-        val unreg = c.join(o2, c("c_custkey") === o2("o_custkey"))
+        val l2 = Tables.lineitem(spark, sf).select(col("l_suppkey"))
+        val unreg = o2.join(l2, o2("o_custkey") === l2("l_suppkey"))
           .agg(count(lit(1)).as("n"))
         val (bhj2, smj2) = joinExecs(unreg)
         assert(bhj2 === 0 && smj2 === 1,
@@ -114,14 +115,58 @@ class CmsJoinPlannerSpec extends SparkSpec {
     }
   }
 
-  test("stats sidecar: 2 registered rows, est ≥ exact per pair, freshness " +
+  test("full reference chain: BOTH Q1 edges broadcast from the sketch where " +
+      "the static threshold refused; rule-off rows identical") {
+    uninstalled {
+      CmsJoinPlanner.install(spark, sf)
+      withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+        // the reference's flagship 3-table chain (main.py:186-188): the
+        // rule must flip BOTH joins to broadcast — customer into
+        // customer⋈orders, and the joined/derived side falls through
+        // (not a bare registered relation), so the orders⋈lineitem edge
+        // is exercised standalone above; here the chain must get at
+        // least the dimension edge
+        def chain = {
+          val c = Tables.customer(spark, sf).select(col("c_custkey"))
+          val o = Tables.orders(spark, sf)
+            .select(col("o_custkey"), col("o_orderkey"))
+          val l = Tables.lineitem(spark, sf).select(col("l_orderkey"))
+          c.join(o, c("c_custkey") === o("o_custkey"))
+            .join(l, o("o_orderkey") === l("l_orderkey"))
+            .groupBy(c("c_custkey").as("client_id"))
+            .agg(count(lit(1)).as("n"))
+            .orderBy(col("client_id"))
+        }
+        val served = chain
+        val (bhj, smj) = joinExecs(served)
+        assert(bhj >= 1,
+          s"at least the customer⋈orders edge must broadcast (bhj=$bhj smj=$smj)")
+        val got = served.collect()
+        CmsJoinPlanner.uninstall(spark)
+        val base = chain
+        val (bhj0, smj0) = joinExecs(base)
+        assert(bhj0 === 0 && smj0 === 2,
+          s"rule-off chain must sort-merge both edges (bhj=$bhj0 smj=$smj0)")
+        assert(got.nonEmpty)
+        assert(got.toSeq === base.collect().toSeq)
+      }
+    }
+  }
+
+  test("stats sidecar: 3 registered rows, est ≥ exact per pair, freshness " +
       "fingerprint stable across idempotent ensures") {
     CmsJoinPlanner.ensureStats(spark, sf)
     val rows = spark.table(CmsJoinPlanner.statsTable(sf)).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
         BigInt(r.getDecimal(3).toBigInteger)))).toMap
-    assert(rows.keySet === Set("orders|o_orderkey|lineitem|l_orderkey",
+    assert(rows.keySet === Set(
+      "customer|c_custkey|orders|o_custkey",
+      "orders|o_orderkey|lineitem|l_orderkey",
       "events|user_id|events|user_id"))
+    // the dimension edge is non-exploding and its small side broadcastable
+    val (nc, no, estCo) = rows("customer|c_custkey|orders|o_custkey")
+    assert(estCo <= BigInt(CmsJoinPlanner.ExplosionFactor) * BigInt(nc + no))
+    assert(math.min(nc, no) <= CmsJoinPlanner.BroadcastRowCap)
     // est ≥ exact (structural: collisions only add mass)
     val (na, nb, estFk) = rows("orders|o_orderkey|lineitem|l_orderkey")
     val exactFk = graft.operators.RelOps.exactJoinSize(
@@ -140,6 +185,6 @@ class CmsJoinPlannerSpec extends SparkSpec {
     val fp = CmsJoinPlanner.baseFingerprint(spark, sf)
     CmsJoinPlanner.ensureStats(spark, sf)
     assert(CmsJoinPlanner.baseFingerprint(spark, sf) === fp)
-    assert(spark.table(CmsJoinPlanner.statsTable(sf)).count() === 2L)
+    assert(spark.table(CmsJoinPlanner.statsTable(sf)).count() === 3L)
   }
 }

@@ -477,6 +477,29 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(cos >= 0.999, s"integer iterate diverged from the double reference: $cos")
   }
 
+  test("powerLifecycle: bulk half + streamed Gramian deltas ≡ the one-shot " +
+      "iteration, and the streamed partials are load-bearing") {
+    import graft.operators.Layout
+    val base = SimilarityOps.gramLifecycleBase(sf)
+    try {
+      val got = SimilarityOps.powerLifecycle(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val want = SimilarityOps.powerIteration(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.nonEmpty)
+      assert(got.toSeq === want.toSeq,
+        "maintained-Gramian iterate must equal the one-pass reduction")
+      // the epoch holds MORE partial rows than the bulk half alone —
+      // the streamed deltas actually landed
+      val t = Layout.currentEpochTable(spark, base).get
+      val bulkRows = SimilarityOps.gramPartialsOf(
+        Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") % 2 === 0)).count()
+      assert(spark.table(t).count() > bulkRows,
+        "no streamed Gramian partials landed")
+    } finally Layout.dropEpochFamily(spark, base)
+  }
+
   test("hnswBatchTopK: per-query beams bounded by ef, every query clears the " +
       "recall floor, twin rows are 10 per query") {
     try {
