@@ -76,6 +76,11 @@ object Bench {
     "q_hll_intersect" -> 0.155, // r11 floor (min of 2 full close passes; isolated seed was looser): one-scan 3-sketch aggregate crossed with the exact user-grain twin
     "q_fk_inference" -> 2.176, // r12 driver-host adjudicated floor (BENCH_r11 post-isolation min; builder-host floor 1.209 retained in refMinFast)
     "q_zorder_layout" -> 1.061, // r11 floor (min of 2 full close passes; isolated seed was looser): bounded-domain z-histogram ranking + per-z row_number + 64-file extent agg
+    "q_zonemap_prune" -> 0.343, // r13 close-pass minimum (isolated seed 0.630 on the erratic-write host was looser): steady-state = metadata-only sidecar collect + partition-pruned scan of ~5/64 files (the one-time 64-file clustered build amortizes across calls via ensureEpochIndex)
+    "q_zonemap_lifecycle" -> 5.024, // r13 close-pass minimum (isolated seed 7.376; erratic-write host swings to 20-30 s under its documented multi-second write stalls — the key is the surface's most FS-metadata-heavy): rebuild-by-design lifecycle #17 — 64-dir clustered bulk write + 2 streamed file-appends + metadata-only probe, EVERY call
+    "q_zonemap_optimize" -> 6.730, // r13 close-pass minimum (isolated seed 8.602, erratic-write host): TWO epoch builds by design — clustered bulk + 2 ingest appends, then the OPTIMIZE re-cluster — plus the metadata-only probe, EVERY call
+    "q_compaction_exec" -> 1.522, // r13 close-pass minimum (isolated seed 3.409, erratic-write host): rebuild-by-design — plan + one shuffle-by-bin rewrite of events + filesystem file count + two checksum scans, EVERY call
+    "q_cms_join_reorder" -> 0.795, // r13 close-pass minimum (isolated seed 1.394, erratic-write host): steady state = the reassociated 3-table chain (stats sidecar fingerprint-cached across calls)
     "q_table_checksum" -> 0.394, // r11 floor (min of 2 full passes; isolated seed was looser): six full-width scans → per-row md5 → 1-row exact sums
     "q_profile_stats" -> 0.619, // r12 driver-host adjudicated floor (BENCH_r11 post-isolation min; builder-host floor 0.380 retained in refMinFast)
     "q_pagerank" -> 0.974, // r11s3 adjudicated slow-host floor (hot-host 0.350 in refMinFast): shingle-index pairs + driver tier (477-node graph; distributed rounds spec-identical)

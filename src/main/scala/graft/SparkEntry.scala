@@ -193,7 +193,12 @@ object SparkEntry {
     "q_upsert_lifecycle"  -> (GovernanceOps.upsertLifecycle _),
     "q_equidepth_histogram" -> (GovernanceOps.equidepthHistogram _),
     "q_zorder_layout"     -> (GovernanceOps.zorderLayout _),
+    "q_zonemap_prune"     -> (GovernanceOps.zonemapPrune _),
+    "q_zonemap_lifecycle" -> (GovernanceOps.zonemapLifecycle _),
+    "q_zonemap_optimize"  -> (GovernanceOps.zonemapOptimize _),
     "q_compaction_plan"   -> (GovernanceOps.compactionPlan _),
+    "q_compaction_exec"   -> (GovernanceOps.compactionExec _),
+    "q_cms_join_reorder"  -> (graft.plans.CmsJoinPlanner.cmsReorderedJoin _),
     "q_anomaly_mad"       -> (GovernanceOps.anomalyMad _),
     // §2b — graph analytics beyond connected components
     "q_pagerank"          -> (GraphOps.pagerank _),
@@ -408,7 +413,12 @@ object SparkEntry {
     "q_upsert_lifecycle"  -> GovernanceOps.cdcUpsertSql,
     "q_equidepth_histogram" -> GovernanceOps.equidepthHistogramSql,
     "q_zorder_layout"     -> GovernanceOps.zorderLayoutSql,
+    "q_zonemap_prune"     -> GovernanceOps.zonemapPruneSql,
+    "q_zonemap_lifecycle" -> GovernanceOps.zonemapLifecycleSql,
+    "q_zonemap_optimize"  -> GovernanceOps.zonemapOptimizeSql,
     "q_compaction_plan"   -> GovernanceOps.compactionPlanSql,
+    "q_compaction_exec"   -> GovernanceOps.compactionExecSql,
+    "q_cms_join_reorder"  -> graft.plans.CmsJoinPlanner.cmsReorderedJoinSql,
     // exact integer-cents space: percentile interpolation over
     // integers yields exact binary fractions, so median/MAD/fence
     // comparisons are bit-identical cross-engine

@@ -1014,16 +1014,40 @@ object GovernanceOps {
     val o = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_custkey").cast("long").as("k"),
         to_date(col("o_orderdate")).as("d"))
+    zAssign(o).groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .orderBy(col("file_id"))
+  }
+
+  /** Row→file Z-order assignment for ANY (o_orderkey, k, d, …) frame —
+    * the ONE layout definition shared by [[zorderLayout]] (the planning
+    * key), [[ensureZonemapIndex]]'s physical build, and the zone-map
+    * lifecycle's bulk epoch, so the PLANNED layout and the WRITTEN
+    * layout cannot drift. Passthrough columns survive; adds x, y
+    * (8-bit bucket coords anchored on the input's own min/max) and
+    * file_id 1..64 — an exact NTILE(64) over (z, o_orderkey) built as
+    * a Z-histogram (combiner-reduced groupBy, ≤ 2¹⁶ rows at ANY corpus
+    * size), a driver exclusive prefix scan bounded by the domain,
+    * broadcast rank bases, and a row_number PARTITIONED by z — never a
+    * global sort (see [[zorderLayout]]'s scaladoc for the decomposition
+    * argument).
+    */
+  private[graft] def zAssign(rows: DataFrame): DataFrame = {
     // bounds collect: one 4-column row — the min/max anchors any
     // equi-width bucketing needs (recompute-safe, 1 row)
-    val b = o.agg(min(col("k")), max(col("k")), min(col("d")), max(col("d"))).head()
+    val b = rows.agg(min(col("k")), max(col("k")), min(col("d")), max(col("d"))).head()
+    if (b.isNullAt(0)) // empty input: no anchors, no files
+      return rows.withColumn("x", lit(0L)).withColumn("y", lit(0L))
+        .withColumn("file_id", lit(1L)).filter(lit(false))
     val (kMin, kMax) = (b.getLong(0), b.getLong(1))
     val (dMin, dMax) = (b.getDate(2), b.getDate(3))
     val kSpan = kMax - kMin + 1
-    val coords = o.select(
-      col("o_orderkey"),
-      expr(s"((k - $kMin) * 256) div $kSpan").as("x"),
-      expr(s"(datediff(d, date'$dMin') * 256) div ${daysBetween(dMin, dMax) + 1}").as("y"))
+    val coords = rows
+      .withColumn("x", expr(s"((k - $kMin) * 256) div $kSpan"))
+      .withColumn("y",
+        expr(s"(datediff(d, date'$dMin') * 256) div ${daysBetween(dMin, dMax) + 1}"))
     val zed = coords.withColumn("z", zInterleave(col("x"), col("y")))
     // Z-histogram → driver exclusive scan → broadcast rank bases.
     // Bounded by the 2^16 Z domain at any corpus size, not by the data.
@@ -1035,21 +1059,17 @@ object GovernanceOps {
       val t = (r.getLong(0), acc); acc += r.getLong(1); t
     }.toSeq
     val baseDf = broadcast(
-      o.sparkSession.createDataFrame(bases).toDF("z", "rank_base"))
+      rows.sparkSession.createDataFrame(bases).toDF("z", "rank_base"))
     // ntile(64) replicated exactly: first n%64 files get size+1 rows
     val (size, rem) = (n / 64, n % 64)
     val cut = rem * (size + 1)
-    val ranked = zed.join(baseDf, "z")
+    zed.join(baseDf, "z")
       .withColumn("rank0", col("rank_base") +
         row_number().over(Window.partitionBy(col("z")).orderBy(col("o_orderkey"))) - 1)
       .withColumn("file_id",
         when(col("rank0") < cut, expr(s"rank0 div ${size + 1}"))
           .otherwise(lit(rem) + expr(s"(rank0 - $cut) div ${math.max(size, 1)}")) + 1L)
-    ranked.groupBy(col("file_id"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
-        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
-      .orderBy(col("file_id"))
+      .drop("z", "rank_base", "rank0")
   }
 
   private def daysBetween(a: java.sql.Date, b: java.sql.Date): Long =
@@ -1166,4 +1186,417 @@ object GovernanceOps {
        |SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
        |  MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------ zone-map file skipping
+
+  /** Sidecar suffix of the zone-map index families. */
+  private[graft] val ZmapSuffix = "_zmap"
+
+  /** The (o_orderkey, k, d, prio, cents) projection every zone-map path
+    * shares: the two clustering dimensions plus the serve columns, cents
+    * as the exact-integer money discipline (`floor(price·100)`). */
+  private[graft] def ordersKd(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).select(
+      col("o_orderkey"),
+      col("o_custkey").cast("long").as("k"),
+      to_date(col("o_orderdate")).as("d"),
+      col("o_orderpriority").as("prio"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+
+  /** One zone-map row per physical file: the min/max VALUE extents a
+    * reader's pruner consults, plus the row count — FILE-GRAIN metadata
+    * (64 rows for the bulk layout + one per appended batch; a 100 TB
+    * table at 128 MiB files is ~800K rows, and the pruner never touches
+    * data). */
+  private def zmapOf(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("file_id"))
+      .agg(min(col("k")).as("k_min"), max(col("k")).as("k_max"),
+        min(col("d")).as("d_min"), max(col("d")).as("d_max"),
+        count(lit(1)).as("n_rows"))
+
+  /** Physically write one zone-map epoch: the Z-assigned rows land as
+    * ONE parquet file per file_id (a `repartition(64, file_id)` ahead
+    * of `partitionBy` keeps each file_id in exactly one task, so each
+    * partition directory holds exactly one file), and the `_zmap`
+    * sidecar records each file's value extents — aggregated from a
+    * READ-BACK of the written table, so the stats ledger what is
+    * physically on disk rather than what the writer intended (the
+    * distinction a partial write failure exposes). */
+  private[graft] def buildZonemapEpoch(spark: SparkSession, name: String,
+      rows: DataFrame): Unit = {
+    zAssign(rows)
+      .select(col("o_orderkey"), col("k"), col("d"), col("prio"),
+        col("cents"), col("file_id"))
+      .repartition(64, col("file_id"))
+      .write.format("parquet").partitionBy("file_id")
+      .mode("overwrite").saveAsTable(name)
+    zmapOf(spark.table(name)).write.format("parquet").mode("overwrite")
+      .saveAsTable(name + ZmapSuffix)
+  }
+
+  private[graft] def zonemapBase(sfDir: String): String =
+    "graft_zmap_" + Layout.corpusTag(sfDir)
+
+  /** Resolve-or-build the persisted zone-map index family over orders
+    * (build once per corpus; probes across calls reuse the epoch). */
+  private[graft] def ensureZonemapIndex(spark: SparkSession, sfDir: String): String =
+    Layout.ensureEpochIndex(spark, zonemapBase(sfDir), Seq(ZmapSuffix)) { name =>
+      buildZonemapEpoch(spark, name, ordersKd(spark, sfDir))
+    }
+
+  /** The probe box from explicit corpus anchors: custkey slice
+    * [2/8, 3/8) × orderdate slice [1/4, 2/4) — exact integer arithmetic
+    * both engines reproduce (truncating division on positive operands,
+    * identical in Scala `/`, Spark `div`, and DuckDB `//`). Under the
+    * Z-curve this box pins the top four interleaved bits (x₇=0 x₆=1,
+    * y₇=0 y₆=1), so it covers ~1/16 of the Z range — the shape where
+    * clustered extents prune hard. */
+  private[graft] def boxOf(kMin: Long, kMax: Long,
+      dMin: java.sql.Date, dMax: java.sql.Date)
+      : (Long, Long, java.sql.Date, java.sql.Date) = {
+    val kSpan = kMax - kMin + 1
+    val dSpan = daysBetween(dMin, dMax) + 1
+    (kMin + kSpan * 2 / 8, kMin + kSpan * 3 / 8 - 1,
+      java.sql.Date.valueOf(dMin.toLocalDate.plusDays(dSpan * 1 / 4)),
+      java.sql.Date.valueOf(dMin.toLocalDate.plusDays(dSpan * 2 / 4 - 1)))
+  }
+
+  /** The probe box derived from the BASE table — the specs' reference
+    * twin of the sidecar-derived box [[zonemapServe]] actually uses
+    * (they must agree exactly: zone maps ledger actual row extents, so
+    * the sidecar's global min/max IS the corpus min/max). */
+  private[graft] def zonemapBox(spark: SparkSession, sfDir: String)
+      : (Long, Long, java.sql.Date, java.sql.Date) = {
+    val b = Tables.orders(spark, sfDir).agg(
+      min(col("o_custkey").cast("long")), max(col("o_custkey").cast("long")),
+      min(to_date(col("o_orderdate"))), max(to_date(col("o_orderdate")))).head()
+    boxOf(b.getLong(0), b.getLong(1), b.getDate(2), b.getDate(3))
+  }
+
+  /** Prune + read + residual-filter + aggregate against one zone-map
+    * epoch — a METADATA-ONLY plan up to the pruned scan: ONE collect of
+    * the file-grain sidecar yields the corpus anchors (global min/max
+    * over per-file extents), the probe box, the surviving file_ids
+    * (extent-overlap test), and the file total — the base table is
+    * never touched to DECIDE what to read. The data scan then filters
+    * on the PARTITION column file_id so pruned files are never even
+    * listed, and the row-level residual re-applies the predicate inside
+    * surviving files (zone maps are conservative: an overlapping extent
+    * does not mean every row matches). Returns (served aggregate, files
+    * scanned, files total, box). */
+  private[graft] def zonemapServe(spark: SparkSession, t: String)
+      : (DataFrame, Long, Long, (Long, Long, java.sql.Date, java.sql.Date)) = {
+    val zm = spark.table(t + ZmapSuffix)
+      .select(col("file_id"), col("k_min"), col("k_max"),
+        col("d_min"), col("d_max")).collect() // ≤ #files rows
+    val box @ (kLo, kHi, dLo, dHi) = boxOf(
+      zm.map(_.getLong(1)).min, zm.map(_.getLong(2)).max,
+      zm.map(_.getDate(3)).minBy(_.getTime), zm.map(_.getDate(4)).maxBy(_.getTime))
+    val hits = zm.filter { r =>
+      r.getLong(2) >= kLo && r.getLong(1) <= kHi &&
+        r.getDate(4).getTime >= dLo.getTime && r.getDate(3).getTime <= dHi.getTime
+    }.map(_.getLong(0))
+    val served = spark.table(t)
+      .filter(col("file_id").isin(hits.toSeq: _*))
+      .filter(col("k").between(kLo, kHi) &&
+        col("d").between(lit(dLo), lit(dHi)))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+    (served, hits.length.toLong, zm.length.toLong, box)
+  }
+
+  /** ZONE-MAP FILE SKIPPING — the scan path that CONSUMES the Z-order
+    * layout ([[zorderLayout]] plans extents; this key WRITES the
+    * 64-file clustered table plus its `_zmap` min/max sidecar and
+    * answers a 2-D box predicate by reading ONLY the files whose
+    * extents overlap). This is the mechanism a lakehouse reader
+    * (Delta/Iceberg data skipping, parquet row-group pruning writ
+    * large) uses to make a 100 TB scan proportional to the predicate's
+    * selectivity instead of the table size — and it prunes on VALUE
+    * extents of non-partition columns, which hive-style partition
+    * pruning cannot express.
+    *
+    * The gate covers the PRUNING DECISION itself, not only the query
+    * result: the served rows carry files_scanned/files_total, and the
+    * oracle recomputes the same counts by replaying the layout (the
+    * proven NTILE twin of [[zorderLayoutSql]]), deriving each file's
+    * extents, and running the same overlap rule — a wrong or drifted
+    * zone map flips the row red even when the answer happens to be
+    * right. Correctness never depends on the pruner: the row-level
+    * residual inside surviving files makes skipping semantics-
+    * preserving (spec-asserted: pruned-away files contain zero
+    * matching rows; rule-off full-scan identity).
+    */
+  def zonemapPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = ensureZonemapIndex(spark, sfDir)
+    val (served, scanned, total, _) = zonemapServe(spark, t)
+    served
+      .withColumn("files_scanned", lit(scanned))
+      .withColumn("files_total", lit(total))
+      .orderBy(col("prio"))
+  }
+
+  /** Shared oracle CTE block: corpus anchors + the probe box. */
+  private def zonemapBoxSql: String =
+    """b AS (
+      |  SELECT MIN(o_custkey) AS kmin, MAX(o_custkey) AS kmax,
+      |         MIN(CAST(o_orderdate AS DATE)) AS dmin,
+      |         MAX(CAST(o_orderdate AS DATE)) AS dmax
+      |  FROM orders
+      |), box AS (
+      |  SELECT kmin + ((kmax - kmin + 1) * 2) // 8 AS klo,
+      |         kmin + ((kmax - kmin + 1) * 3) // 8 - 1 AS khi,
+      |         dmin + CAST(((date_diff('day', dmin, dmax) + 1) * 1) // 4
+      |                     AS INTEGER) AS dlo,
+      |         dmin + CAST(((date_diff('day', dmin, dmax) + 1) * 2) // 4 - 1
+      |                     AS INTEGER) AS dhi
+      |  FROM b
+      |)""".stripMargin
+
+  val zonemapPruneSql: String =
+    s"""WITH $zonemapBoxSql, e AS (
+       |  SELECT o_orderkey, o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+       |    ((o_custkey - kmin) * 256) // (kmax - kmin + 1) AS x,
+       |    (date_diff('day', dmin, CAST(o_orderdate AS DATE)) * 256)
+       |      // (date_diff('day', dmin, dmax) + 1) AS y
+       |  FROM orders, b
+       |), z AS (
+       |  SELECT o_orderkey, k, d, ${zInterleaveSql("x", "y")} AS zv FROM e
+       |), t AS (
+       |  SELECT k, d,
+       |    CAST(NTILE(64) OVER (ORDER BY zv, o_orderkey) AS BIGINT) AS file_id
+       |  FROM z
+       |), zm AS (
+       |  SELECT file_id, MIN(k) AS k_min, MAX(k) AS k_max,
+       |         MIN(d) AS d_min, MAX(d) AS d_max
+       |  FROM t GROUP BY 1
+       |), fs AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS files_scanned FROM zm, box
+       |  WHERE k_max >= klo AND k_min <= khi AND d_max >= dlo AND d_min <= dhi
+       |), ft AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS files_total FROM zm
+       |)
+       |SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+       |  files_scanned, files_total
+       |FROM orders, box, fs, ft
+       |WHERE o_custkey BETWEEN klo AND khi
+       |  AND CAST(o_orderdate AS DATE) BETWEEN dlo AND dhi
+       |GROUP BY 1, 4, 5
+       |ORDER BY 1""".stripMargin
+
+  /** Per-batch maintenance of a zone-map epoch: the streamed rows land
+    * as ONE new file (a fresh file_id partition, `1000 + batchId` so
+    * appended files can never collide with the bulk layout's 1..64) and
+    * the `_zmap` sidecar gains that file's extent row — computed from
+    * the SAME materialized batch the data append consumed. Zone maps
+    * are what make this maintainable without a rewrite: a new file's
+    * stats are purely LOCAL to the batch (min/max/count), so ingest
+    * appends metadata instead of re-clustering — exactly how a
+    * lakehouse table absorbs arrivals between OPTIMIZE runs (appended
+    * files carry batch-grain extents until the next re-cluster). */
+  private[graft] def appendZonemapBatch(name: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    val rows = batch
+      .select(col("o_orderkey"), col("k"), col("d"), col("prio"), col("cents"))
+      .withColumn("file_id", lit(1000L + batchId))
+      .localCheckpoint() // materialize BEFORE appending (appendLoop discipline)
+    if (!rows.isEmpty) {
+      // insertInto: position-based, dynamic-partition append — the
+      // select above lists columns in the table's physical order
+      // (partition column last)
+      rows.coalesce(1).write.mode("append").insertInto(name)
+      zmapOf(rows).write.format("parquet").mode("append")
+        .saveAsTable(name + ZmapSuffix)
+    }
+    rows.unpersist()
+  }
+
+  private[graft] def zonemapLifecycleBase(sfDir: String): String =
+    "graft_zmaplc_" + Layout.corpusTag(sfDir)
+
+  /** Stream ≡ batch LIFECYCLE #17 — ZONE-MAP MAINTENANCE UNDER INGEST:
+    * even o_orderkeys bulk-build a Z-clustered epoch (the UNCHANGED
+    * [[buildZonemapEpoch]] path, anchored on its own rows); the odd
+    * half replays as a parquet-source stream through
+    * [[graft.streaming.LayoutStream.appendZonemapStream]] — per batch
+    * ONE appended data file plus ONE appended extent row, NO streaming
+    * state store (stats are batch-local). Serving runs the UNCHANGED
+    * [[zonemapServe]] probe over the final 64+B-file state: the
+    * aggregate must equal the full-corpus predicate oracle (pruning is
+    * conservative regardless of HOW rows are laid out), and the
+    * did_prune bound boolean asserts the maintained sidecar still
+    * skipped at least one file. Rotates a fresh epoch per call, prunes
+    * to two.
+    */
+  def zonemapLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = zonemapLifecycleBase(sfDir)
+    val o = ordersKd(spark, sfDir)
+    val t = Layout.rotateEpoch(spark, base, Seq(ZmapSuffix)) { name =>
+      buildZonemapEpoch(spark, name, o.filter(col("o_orderkey") % 2 === 0))
+    }
+    Layout.replayAsStream(o.filter(col("o_orderkey") % 2 =!= 0), "graft-zmaplc") {
+      sdf => graft.streaming.LayoutStream.appendZonemapStream(sdf, base)
+    }
+    Layout.pruneEpochs(spark, base, keep = 2)
+    val (served, scanned, total, _) = zonemapServe(spark, t)
+    served
+      .withColumn("did_prune", lit(scanned < total))
+      .orderBy(col("prio"))
+  }
+
+  val zonemapLifecycleSql: String =
+    s"""WITH $zonemapBoxSql
+       |SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+       |  TRUE AS did_prune
+       |FROM orders, box
+       |WHERE o_custkey BETWEEN klo AND khi
+       |  AND CAST(o_orderdate AS DATE) BETWEEN dlo AND dhi
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  private[graft] def zonemapOptimizeBase(sfDir: String): String =
+    "graft_zmopt_" + Layout.corpusTag(sfDir)
+
+  /** OPTIMIZE — the third act of the zone-map story, the re-cluster a
+    * lakehouse table service runs after ingest has degraded the layout:
+    * even o_orderkeys bulk-build a Z-clustered epoch, the odd half then
+    * lands as two batch-grain ingest files (the [[appendZonemapBatch]]
+    * path — their extents span the whole key domain, so the pruner must
+    * scan them for ANY box), and OPTIMIZE rebuilds the clustered layout
+    * from the TABLE'S OWN ROWS through the UNCHANGED
+    * [[buildZonemapEpoch]] path into a fresh epoch (the old epoch stays
+    * published until the pointer flips — an OPTIMIZE never blocks
+    * readers). Because Z-assignment is a pure function of the row SET
+    * (ranks over (z, o_orderkey) are storage-order-independent), the
+    * optimized state is BIT-IDENTICAL to a from-scratch build of the
+    * full corpus — so this key is gated by the VERBATIM
+    * [[zonemapPruneSql]] oracle, files_scanned/files_total included:
+    * the gate proves ingest → OPTIMIZE → probe converges exactly to the
+    * one-shot clustered layout, skip efficiency restored (the spec
+    * additionally asserts the DEGRADED state scanned strictly more
+    * files than the optimized one).
+    */
+  def zonemapOptimize(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = zonemapOptimizeBase(sfDir)
+    val o = ordersKd(spark, sfDir)
+    // Act 1: clustered bulk of the even half
+    val t0 = Layout.rotateEpoch(spark, base, Seq(ZmapSuffix)) { name =>
+      buildZonemapEpoch(spark, name, o.filter(col("o_orderkey") % 2 === 0))
+    }
+    // Act 2: ingest — the odd half arrives as two batch-grain files
+    val odd = o.filter(col("o_orderkey") % 2 =!= 0)
+    appendZonemapBatch(t0, odd.filter(col("o_orderkey") % 4 === 1), 0L)
+    appendZonemapBatch(t0, odd.filter(col("o_orderkey") % 4 === 3), 1L)
+    // Act 3: OPTIMIZE — re-cluster from the table's own rows
+    val t1 = Layout.rotateEpoch(spark, base, Seq(ZmapSuffix)) { name =>
+      buildZonemapEpoch(spark, name, spark.table(t0)
+        .select(col("o_orderkey"), col("k"), col("d"), col("prio"), col("cents")))
+    }
+    Layout.pruneEpochs(spark, base, keep = 2)
+    val (served, scanned, total, _) = zonemapServe(spark, t1)
+    served
+      .withColumn("files_scanned", lit(scanned))
+      .withColumn("files_total", lit(total))
+      .orderBy(col("prio"))
+  }
+
+  /** The optimized state IS the one-shot clustered state — same oracle,
+    * to the file count. */
+  val zonemapOptimizeSql: String = zonemapPruneSql
+
+  // ------------------------------------------------ compaction execution
+
+  private[graft] def compactionExecBase(sfDir: String): String =
+    "graft_compact_" + Layout.corpusTag(sfDir)
+
+  /** COMPACTION EXECUTED — the rewrite [[compactionPlan]] only plans
+    * (closing the planned-but-never-run gap the way q_cms_join_planned
+    * and q_zonemap_prune closed it for the CMS sketch and the Z-order
+    * layout): route every events row to its planned bin (broadcast join
+    * against the file-grain plan), write ONE physical parquet file per
+    * bin into a fresh epoch (repartition by bin keeps each bin in
+    * exactly one task), and PROVE the rewrite lossless with the
+    * order-independent table checksum — addition-commutative 56-bit row
+    * hashes, so a rewrite that dropped, duplicated, or mutated any row
+    * changes the sum no matter how the files were re-arranged.
+    *
+    * The gate covers the execution facts, not just the plan: n_files is
+    * counted from the FILESYSTEM under the rewritten table's location
+    * and must equal the oracle's COUNT(DISTINCT bin); the checksum
+    * column is computed over the REWRITTEN rows and must equal the
+    * oracle's checksum of the base table; checksum_match re-asserts the
+    * equality in-engine against a second checksum of the base. Scale:
+    * the rewrite is ONE shuffle of the data by bin — the movement
+    * compaction inherently pays — and everything else is file-grain
+    * metadata (the plan) or a 1-row aggregate (the checksums).
+    */
+  def compactionExec(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val inv = e.groupBy(col("event_type"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(octet_length(col("props")) + lit(48L)).as("bytes"))
+    val plan = compactionBins(inv, CompactionTargetBytes)
+      .select(col("event_type"), col("day"), col("bin"))
+    val base = compactionExecBase(sfDir)
+    val t = Layout.rotateEpoch(spark, base) { name =>
+      e.withColumn("day", to_date(date_trunc("day", col("ts"))))
+        .join(broadcast(plan), Seq("event_type", "day"))
+        .drop("day")
+        .repartition(col("bin"))
+        .write.format("parquet").partitionBy("bin")
+        .mode("overwrite").saveAsTable(name)
+    }
+    Layout.pruneEpochs(spark, base, keep = 2)
+    // execution fact #1: physical file count under the table location
+    val loc = Layout.tableLocation(spark, t)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(loc, true)
+    var nFiles = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) nFiles += 1
+    }
+    // execution fact #2: the rewritten rows checksum like the base rows
+    val cols = checksumTables.toMap.apply("events")
+    def ck(df: DataFrame): DataFrame =
+      df.select(rowHash(cols).as("hv"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("hv").cast("decimal(38,0)")).cast("string").as("checksum"))
+    ck(spark.table(t))
+      .crossJoin(broadcast(ck(e)
+        .select(col("checksum").as("base_checksum"))))
+      .select(
+        lit(nFiles).as("n_files"),
+        col("n_rows"), col("checksum"),
+        (col("checksum") === col("base_checksum")).as("checksum_match"))
+  }
+
+  val compactionExecSql: String =
+    s"""WITH inv AS (
+       |  SELECT event_type,
+       |    CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    CAST(SUM(strlen(props) + 48) AS BIGINT) AS bytes
+       |  FROM events GROUP BY 1, 2
+       |), c AS (
+       |  SELECT event_type, day,
+       |    CAST(COALESCE(SUM(bytes) OVER (
+       |      ORDER BY bytes DESC, event_type, day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      // $CompactionTargetBytes AS bin
+       |  FROM inv
+       |), nb AS (
+       |  SELECT CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_files FROM c
+       |), ck AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(CAST(SUM(CAST(CONCAT('0x', substring(md5(${
+      checksumTables.toMap.apply("events")
+        .map { case (n, k) => canonSqlColumn(n, k) }
+        .mkString("CONCAT_WS('|', ", ", ", ")")
+    }), 1, 14)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+       |  FROM events
+       |)
+       |SELECT n_files, n_rows, checksum, TRUE AS checksum_match
+       |FROM nb, ck""".stripMargin
 }

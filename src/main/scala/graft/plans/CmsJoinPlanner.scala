@@ -151,50 +151,65 @@ object CmsJoinPlanner {
     }
   }
 
-  /** The rule bound to one corpus's base paths + stats sidecar. */
-  case class CmsJoinHintRule(spark: SparkSession, sfDir: String)
-      extends Rule[LogicalPlan] {
-
-    // 3-row driver state, loaded once per install window
-    private lazy val stats: Map[String, (Long, Long, BigInt)] =
-      spark.table(statsTable(sfDir)).collect().map { r =>
-        r.getString(0) -> ((r.getLong(1), r.getLong(2),
-          BigInt(r.getDecimal(3).toBigInteger)))
-      }.toMap
-
-    /** Resolve a join side to a registered base table, tolerating only
-      * Projects and IsNotNull-on-any-column Filters (the inner join's
-      * own implied constraints — they do not change cardinality of the
-      * MATCHED rows the estimate predicts). A value predicate means the
-      * sketch no longer describes the input → None. */
-    private def sideOf(plan: LogicalPlan): Option[String] = plan match {
+  /** Resolve a join side to a registered base table, tolerating only
+    * Projects and IsNotNull-on-any-column Filters (the inner join's
+    * own implied constraints — they do not change cardinality of the
+    * MATCHED rows the estimate predicts). A value predicate means the
+    * sketch no longer describes the input → None. Shared by the hint
+    * rule and the reorder rule so table resolution cannot drift. */
+  private[plans] def sideOf(sfDir: String, plan: LogicalPlan): Option[String] =
+    plan match {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         Seq("customer", "orders", "lineitem", "events").find(t =>
           fs.location.rootPaths.exists(
             _.toString.endsWith(s"$sfDir/$t.parquet")))
-      case Project(_, child) => sideOf(child)
+      case Project(_, child) => sideOf(sfDir, child)
       case Filter(cond, child) =>
         def onlyNotNull(e: Expression): Boolean = e match {
           case And(a, b) => onlyNotNull(a) && onlyNotNull(b)
           case IsNotNull(_) => true
           case _ => false
         }
-        if (onlyNotNull(cond)) sideOf(child) else None
+        if (onlyNotNull(cond)) sideOf(sfDir, child) else None
       case _ => None
     }
 
-    /** The single equi-key pair (leftName, rightName), verified to
-      * belong to the respective sides. */
-    private def equiKey(cond: Expression, left: LogicalPlan,
-        right: LogicalPlan): Option[(String, String)] = cond match {
+  /** The single equi-condition's ATTRIBUTE pair, left-side first,
+    * verified to belong to the respective sides. */
+  private[plans] def equiAttrs(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[(AttributeReference, AttributeReference)] =
+    cond match {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
         if (left.outputSet.contains(a) && right.outputSet.contains(b))
-          Some((a.name, b.name))
+          Some((a, b))
         else if (left.outputSet.contains(b) && right.outputSet.contains(a))
-          Some((b.name, a.name))
+          Some((b, a))
         else None
       case _ => None
     }
+
+  /** Load the stats sidecar as the rules' driver state (3 rows). */
+  private[plans] def loadStats(spark: SparkSession, sfDir: String)
+      : Map[String, (Long, Long, BigInt)] =
+    spark.table(statsTable(sfDir)).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        BigInt(r.getDecimal(3).toBigInteger)))
+    }.toMap
+
+  /** The rule bound to one corpus's base paths + stats sidecar. */
+  case class CmsJoinHintRule(spark: SparkSession, sfDir: String)
+      extends Rule[LogicalPlan] {
+
+    // 3-row driver state, loaded once per install window
+    private lazy val stats: Map[String, (Long, Long, BigInt)] =
+      loadStats(spark, sfDir)
+
+    private def sideOf(plan: LogicalPlan): Option[String] =
+      CmsJoinPlanner.sideOf(sfDir, plan)
+
+    private def equiKey(cond: Expression, left: LogicalPlan,
+        right: LogicalPlan): Option[(String, String)] =
+      equiAttrs(cond, left, right).map { case (a, b) => (a.name, b.name) }
 
     private def lookup(lt: String, lk: String, rt: String, rk: String)
         : Option[(Long, Long, BigInt)] =
@@ -283,4 +298,143 @@ object CmsJoinPlanner {
       |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |GROUP BY 1
       |ORDER BY priority""".stripMargin
+
+  // ------------------------------------------------------ join reordering
+
+  /** Reassociate only when the alternative intermediate is at most HALF
+    * the written one: the margin makes the rewrite and its reverse
+    * mutually exclusive, so the rule is a fixpoint under the optimizer's
+    * repeated application and never flaps on near-equal estimates. */
+  val ReorderMargin = 2L
+
+  /** Sketch-driven JOIN REORDERING — the other half of what a
+    * cost-based planner does with cardinality estimates (the hint rule
+    * picks the ALGORITHM; this rule picks the ORDER). A user who writes
+    * the reference's Q1 chain fact-first —
+    * `(orders ⋈ lineitem) ⋈ customer` — materializes a lineitem-sized
+    * intermediate where `(customer ⋈ orders) ⋈ lineitem` would have
+    * carried an orders-sized one; a static planner cannot see that
+    * without statistics, and Spark's CBO needs ANALYZE-collected column
+    * stats. This rule reads the same Count-Min sidecar as the hint
+    * rule: for `(A ⋈ B on k1) ⋈ C on k2`, when k2's inner-side
+    * attribute comes from A and est|A ⋈ C| · [[ReorderMargin]] ≤
+    * est|A ⋈ B|, it reassociates to `(A ⋈ C) ⋈ B` (same two edges, same
+    * rows — reassociativity of inner joins), wrapping the result in a
+    * Project that preserves the original output order, the
+    * CostBasedJoinReorder discipline. Anything the sketch does not
+    * describe — an unregistered table or edge, a value-filtered side, a
+    * user hint, a non-equi condition — is left untouched.
+    *
+    * Decisions are plan-level only (rows provably identical by
+    * reassociativity); CmsJoinPlannerSpec asserts the bottom join flips
+    * to {customer, orders} on the fact-first chain, stays put on the
+    * well-written chain and on an unregistered-edge chain, with
+    * rule-off row identity; q_cms_join_reorder gates result identity
+    * end to end under the oracle.
+    */
+  case class CmsJoinReorderRule(spark: SparkSession, sfDir: String)
+      extends Rule[LogicalPlan] {
+
+    private lazy val stats: Map[String, (Long, Long, BigInt)] =
+      loadStats(spark, sfDir)
+
+    private def estOf(lt: String, lk: String, rt: String, rk: String)
+        : Option[BigInt] =
+      stats.get(s"$lt|$lk|$rt|$rk").map(_._3).orElse(
+        stats.get(s"$rt|$rk|$lt|$lk").map(_._3))
+
+    /** Peel the column-pruning Projects the optimizer inserts between
+      * chained joins — dropping them in a rewrite is safe because the
+      * top-level Project(top.output) restores the schema and pruning
+      * re-narrows the scan either way. */
+    private def innerJoinOf(p: LogicalPlan): Option[Join] = p match {
+      case j: Join => Some(j)
+      case Project(_, child) => innerJoinOf(child)
+      case _ => None
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+      case top @ Join(l, c, Inner, Some(c2), JoinHint.NONE) =>
+        (innerJoinOf(l) match {
+          case Some(inner @ Join(a, b, Inner, Some(c1), JoinHint.NONE)) =>
+            for {
+              ta <- sideOf(sfDir, a)
+              tb <- sideOf(sfDir, b)
+              tc <- sideOf(sfDir, c)
+              (aK, bK) <- equiAttrs(c1, a, b)
+              (iK, cK) <- equiAttrs(c2, inner, c)
+              // which sub-side feeds the top join's key?
+              (pivot, pivotT, pivotK, other) <-
+                (if (a.outputSet.contains(iK)) Some((a, ta, iK, b))
+                 else if (b.outputSet.contains(iK)) Some((b, tb, iK, a))
+                 else None): Option[(LogicalPlan, String, AttributeReference, LogicalPlan)]
+              estWritten <- estOf(ta, aK.name, tb, bK.name)
+              estAlt <- estOf(pivotT, pivotK.name, tc, cK.name)
+              if estAlt * BigInt(ReorderMargin) <= estWritten
+            } yield Project(top.output,
+              Join(Join(pivot, c, Inner, Some(c2), JoinHint.NONE),
+                other, Inner, Some(c1), JoinHint.NONE))
+          case _ => None
+        }).getOrElse(top)
+    }
+  }
+
+  /** Install (or refresh) the reorder rule on the session — idempotent. */
+  def installReorder(spark: SparkSession, sfDir: String): Unit = {
+    ensureStats(spark, sfDir)
+    val others = spark.experimental.extraOptimizations
+      .filterNot(_.isInstanceOf[CmsJoinReorderRule])
+    spark.experimental.extraOptimizations =
+      others :+ CmsJoinReorderRule(spark, sfDir)
+  }
+
+  /** Remove the reorder rule from the session. */
+  def uninstallReorder(spark: SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[CmsJoinReorderRule])
+
+  /** The BAD-ORDER base query: the reference chain written fact-first,
+    * with no knowledge of the rule — the shape a naive user (or a query
+    * generator walking FK edges outward from the fact table) produces. */
+  private[graft] def segmentRollupBase(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("decimal(28,2)").cast("double").as("total_price"))
+      .orderBy(col("segment"))
+  }
+
+  /** q_cms_join_reorder: ensure the sketch sidecar, install the reorder
+    * rule, run the fact-first chain — the sketch's est|customer ⋈
+    * orders| ≈ |orders| vs est|orders ⋈ lineitem| ≈ |lineitem| carries
+    * the reassociation, and the oracle gates that the re-ordered plan
+    * is exact. Bounded install window. */
+  def cmsReorderedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    installReorder(spark, sfDir)
+    try {
+      val df = segmentRollupBase(spark, sfDir)
+      df.queryExecution.executedPlan // force + cache the re-planned join
+      df
+    } finally uninstallReorder(spark)
+  }
+
+  val cmsReorderedJoinSql: String =
+    """SELECT c.c_mktsegment AS segment,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_price
+      |FROM orders o
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY 1
+      |ORDER BY segment""".stripMargin
 }

@@ -187,4 +187,65 @@ class CmsJoinPlannerSpec extends SparkSpec {
     assert(CmsJoinPlanner.baseFingerprint(spark, sf) === fp)
     assert(spark.table(CmsJoinPlanner.statsTable(sf)).count() === 3L)
   }
+
+  // ------------------------------------------------------ join reordering
+
+  /** The parquet file names under the BOTTOM join of the optimized
+    * logical plan — where the reorder decision is visible. */
+  private def bottomJoinTables(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val joins = df.queryExecution.optimizedPlan
+      .collect { case j: logical.Join => j }
+    val bottom = joins.filter(j =>
+      j.collect { case jj: logical.Join => jj }.size == 1)
+    assert(bottom.size === 1, s"expected one bottom join, got ${bottom.size}")
+    bottom.head.collectLeaves().flatMap {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.getName)
+      case _ => Nil
+    }.toSet
+  }
+
+  test("join reorder: fact-first chain reassociates to dimension-first from the " +
+      "sketch; rows identical; well-written and unregistered chains untouched") {
+    try {
+      CmsJoinPlanner.installReorder(spark, sf)
+      val served = CmsJoinPlanner.segmentRollupBase(spark, sf)
+      assert(bottomJoinTables(served) ===
+        Set("customer.parquet", "orders.parquet"),
+        "the orders-sized intermediate must be joined first")
+      val got = served.collect()
+      // well-written chain: nothing to improve — the margin keeps it put
+      val good = {
+        val c = Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment"))
+        val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+        val l = Tables.lineitem(spark, sf).select(col("l_orderkey"))
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n"))
+      }
+      assert(bottomJoinTables(good) === Set("customer.parquet", "orders.parquet"))
+      // unregistered edge (part is not a sketched table): untouched
+      val unreg = {
+        val l = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"))
+        val p = Tables.read(spark, sf, "part").select(col("p_partkey"))
+        val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_orderpriority"))
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_orderpriority").as("pr"))
+          .agg(count(lit(1)).as("n"))
+      }
+      assert(bottomJoinTables(unreg) === Set("lineitem.parquet", "part.parquet"),
+        "an unregistered edge must fall through untouched")
+      CmsJoinPlanner.uninstallReorder(spark)
+      val base = CmsJoinPlanner.segmentRollupBase(spark, sf)
+      assert(bottomJoinTables(base) ===
+        Set("orders.parquet", "lineitem.parquet"),
+        "rule-off control must keep the written fact-first order")
+      assert(got.nonEmpty)
+      assert(got.toSeq === base.collect().toSeq)
+    } finally CmsJoinPlanner.uninstallReorder(spark)
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{GovernanceOps, GraphOps}
+import graft.operators.{GovernanceOps, GraphOps, Layout}
 
 class GovernanceOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -753,5 +753,116 @@ class GovernanceOpsSpec extends SparkSpec {
     val maxFile = got.map(_._1).max
     for ((_, rows) <- got.groupBy(_._3))
       assert(rows.map(_._1).sum < target + maxFile)
+  }
+
+  // ------------------------------------------- zone-map file skipping
+
+  test("zonemap: pruned scan ≡ full-table filter (rule-off control), and pruning is real") {
+    val t = GovernanceOps.ensureZonemapIndex(spark, sf)
+    val (served, scanned, total, box) = GovernanceOps.zonemapServe(spark, t)
+    // the sidecar-derived box IS the base-table-derived box: zone maps
+    // ledger actual row extents, so their global min/max is the corpus'
+    assert(box === GovernanceOps.zonemapBox(spark, sf))
+    val (kLo, kHi, dLo, dHi) = box
+    val full = GovernanceOps.ordersKd(spark, sf)
+      .filter(col("k").between(kLo, kHi) &&
+        col("d").between(lit(dLo), lit(dHi)))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+    assert(served.orderBy("prio").collect().toSeq ===
+      full.orderBy("prio").collect().toSeq)
+    assert(scanned > 0 && scanned < total)
+    // the 2-D box pins the top four interleaved bits → ~1/16 of the Z
+    // range; even with boundary files the pruner must beat 1/4
+    assert(scanned.toDouble / total < 0.25)
+  }
+
+  test("zonemap: skipping is conservative and exact — pruned-away files hold zero matching rows; the scan's row universe is exactly the surviving files") {
+    val t = GovernanceOps.ensureZonemapIndex(spark, sf)
+    val (kLo, kHi, dLo, dHi) = GovernanceOps.zonemapBox(spark, sf)
+    val zmap = spark.table(t + GovernanceOps.ZmapSuffix)
+    val hits = zmap
+      .filter(col("k_max") >= kLo && col("k_min") <= kHi &&
+        col("d_max") >= lit(dLo) && col("d_min") <= lit(dHi))
+    val hitIds = hits.select("file_id").collect().map(_.getLong(0)).toSeq
+    val inBox = col("k").between(kLo, kHi) &&
+      col("d").between(lit(dLo), lit(dHi))
+    // conservative: no matching row lives in a pruned file
+    assert(spark.table(t)
+      .filter(!col("file_id").isin(hitIds: _*) && inBox).count() === 0L)
+    // exact: the pruned scan reads precisely the surviving files' rows
+    assert(spark.table(t).filter(col("file_id").isin(hitIds: _*)).count() ===
+      hits.agg(sum("n_rows")).head().getLong(0))
+  }
+
+  test("zonemap: the file_id restriction reaches the scan as a PARTITION filter — pruned files are never listed") {
+    val t = GovernanceOps.ensureZonemapIndex(spark, sf)
+    val (served, _, _, _) = GovernanceOps.zonemapServe(spark, t)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*file_id[^\\]]*\\].*"),
+      s"no partition filter on file_id in:\n$plan")
+  }
+
+  test("zonemap optimize: ingest degrades skipping, OPTIMIZE restores the one-shot clustered state exactly") {
+    val out = GovernanceOps.zonemapOptimize(spark, sf).collect()
+    // the optimized state is bit-identical to the one-shot build's
+    val oneShot = GovernanceOps.zonemapPrune(spark, sf).collect()
+    assert(out.toSeq === oneShot.toSeq)
+    // the degraded (pre-OPTIMIZE) epoch is still retained: it must have
+    // scanned strictly more files — the two ingest appends span the box
+    val base = GovernanceOps.zonemapOptimizeBase(sf)
+    val cur = graft.operators.Layout.currentEpoch(spark, base).get
+    val degraded = graft.operators.Layout.epochTable(base, cur - 1)
+    val (_, scannedDeg, totalDeg, _) = GovernanceOps.zonemapServe(spark, degraded)
+    val scannedOpt = out.head.getLong(3)
+    assert(totalDeg === 66L) // 64 clustered + 2 ingest files
+    assert(scannedDeg > scannedOpt)
+    assert(out.head.getLong(4) === 64L)
+    // no rows lost across ingest + OPTIMIZE
+    val t = graft.operators.Layout.epochTable(base, cur)
+    assert(spark.table(t).count() === graft.Tables.orders(spark, sf).count())
+  }
+
+  test("compactionExec: one physical file per planned bin; rewrite is lossless to the row") {
+    val out = GovernanceOps.compactionExec(spark, sf).collect()
+    assert(out.length === 1)
+    val (nFiles, nRows, match_) =
+      (out.head.getLong(0), out.head.getLong(1), out.head.getBoolean(3))
+    assert(match_, "rewritten checksum must equal the base checksum")
+    val e = graft.Tables.events(spark, sf)
+    assert(nRows === e.count())
+    // n_files equals the plan's bin count — execution matched the plan
+    val nBins = GovernanceOps.compactionPlan(spark, sf)
+      .select("bin").distinct().count()
+    assert(nFiles === nBins)
+    // set-level losslessness, stronger than the checksum: rewritten \ base
+    // and base \ rewritten are both empty (multiset semantics)
+    val t = graft.operators.Layout.currentEpochTable(
+      spark, GovernanceOps.compactionExecBase(sf)).get
+    val rw = spark.table(t).drop("bin").select(e.columns.map(col): _*)
+    assert(rw.exceptAll(e).isEmpty && e.exceptAll(rw).isEmpty)
+  }
+
+  test("zonemap lifecycle: bulk + streamed appends ≡ batch; sidecar maintained per batch") {
+    val out = GovernanceOps.zonemapLifecycle(spark, sf)
+    val got = out.collect()
+    assert(got.forall(_.getBoolean(3)), "did_prune must hold after appends")
+    val (kLo, kHi, dLo, dHi) = GovernanceOps.zonemapBox(spark, sf)
+    val full = GovernanceOps.ordersKd(spark, sf)
+      .filter(col("k").between(kLo, kHi) &&
+        col("d").between(lit(dLo), lit(dHi)))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+      .orderBy("prio").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      full.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    val t = Layout.currentEpochTable(spark,
+      GovernanceOps.zonemapLifecycleBase(sf)).get
+    val zm = spark.table(t + GovernanceOps.ZmapSuffix)
+    val dataRows = spark.table(t).count()
+    // 64 bulk files + one per streamed micro-batch, extents ledgered
+    assert(zm.count() >= 65L)
+    assert(dataRows === graft.Tables.orders(spark, sf).count())
+    assert(zm.agg(sum("n_rows")).head().getLong(0) === dataRows)
   }
 }

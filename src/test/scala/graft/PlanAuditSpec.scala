@@ -62,7 +62,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_join_cardinality",   // crosses of 1-row size/exact/estimate aggregates (1×1×1×1, 2 scenarios)
     "q_embedding_covariance", // crossJoin(broadcast(1-row count)) onto the 2080-row pair grain
     "q_hnsw_batch",         // exact twin = crossJoin(broadcast(8-row query panel)), the knnCosine shape batched
-    "q_cluster_topics"      // crossJoin(broadcast(1-row n_docs stats sidecar)), the tfidfTopTerms shape at cell grain
+    "q_cluster_topics",     // crossJoin(broadcast(1-row n_docs stats sidecar)), the tfidfTopTerms shape at cell grain
+    "q_compaction_exec"     // crossJoin(broadcast(1-row base-checksum aggregate)) onto the 1-row rewrite checksum (1×1)
   )
 
   // -------------------------------------------------------------------
