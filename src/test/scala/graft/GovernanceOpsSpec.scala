@@ -757,6 +757,38 @@ class GovernanceOpsSpec extends SparkSpec {
 
   // ------------------------------------------- zone-map file skipping
 
+  test("zAssign: exact NTILE(64) semantics on a random fixture — file sizes and Z-ordering replay on the driver; empty input yields no files") {
+    val rnd = new scala.util.Random(42)
+    val n = 1000
+    import spark.implicits._
+    val rows = (0 until n).map { i =>
+      (i.toLong, rnd.nextInt(5000).toLong, java.sql.Date.valueOf(
+        java.time.LocalDate.of(2020, 1, 1).plusDays(rnd.nextInt(1000).toLong)))
+    }.toDF("o_orderkey", "k", "d")
+    val a = GovernanceOps.zAssign(rows).collect()
+    assert(a.length === n)
+    // ntile sizes: the first n%64 files carry one extra row
+    val bySize = a.groupBy(_.getAs[Long]("file_id")).view.mapValues(_.length).toMap
+    val (size, rem) = (n / 64, n % 64)
+    for (f <- 1L to 64L)
+      assert(bySize(f) === (if (f <= rem) size + 1 else size), s"file $f size")
+    // file boundaries respect the (z, o_orderkey) total order — recompute
+    // the interleave on the driver, independently of the Column expression
+    def zOf(r: org.apache.spark.sql.Row): Long = {
+      val x = r.getAs[Long]("x"); val y = r.getAs[Long]("y")
+      (0 until 8).map(i =>
+        (((x >> i) & 1L) << (2 * i + 1)) + (((y >> i) & 1L) << (2 * i))).sum
+    }
+    val fileSeq = a.sortBy(r => (zOf(r), r.getAs[Long]("o_orderkey")))
+      .map(_.getAs[Long]("file_id")).toSeq
+    assert(fileSeq === fileSeq.sorted,
+      "file ids must be non-decreasing along the (z, key) order")
+    // empty input: no anchors, no files, schema intact
+    val empty = GovernanceOps.zAssign(rows.filter(lit(false)))
+    assert(empty.collect().isEmpty)
+    assert(empty.columns.contains("file_id"))
+  }
+
   test("zonemap: pruned scan ≡ full-table filter (rule-off control), and pruning is real") {
     val t = GovernanceOps.ensureZonemapIndex(spark, sf)
     val (served, scanned, total, box) = GovernanceOps.zonemapServe(spark, t)
