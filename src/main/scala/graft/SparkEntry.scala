@@ -130,6 +130,7 @@ object SparkEntry {
     "q_ann_lsh_topk"      -> (SimilarityOps.annLshTopK _),
     "q_embedding_stats"   -> (SimilarityOps.embeddingStats _),
     "q_embedding_covariance" -> (SimilarityOps.embeddingCovariance _),
+    "q_embedding_micros"  -> (SimilarityOps.embeddingMicros _),
     "q_power_iteration"   -> (SimilarityOps.powerIteration _),
     "q_power_lifecycle"   -> (SimilarityOps.powerLifecycle _),
     "q_cluster_topics"    -> (CurationOps.clusterTopics _),
@@ -326,6 +327,7 @@ object SparkEntry {
     "q_ann_lsh_topk"      -> SimilarityOps.annLshTopKSql,
     "q_embedding_stats"   -> SimilarityOps.embeddingStatsSql,
     "q_embedding_covariance" -> SimilarityOps.embeddingCovarianceSql,
+    "q_embedding_micros"  -> SimilarityOps.embeddingMicrosSql,
     "q_power_iteration"   -> SimilarityOps.powerIterationSql,
     "q_power_lifecycle"   -> SimilarityOps.powerIterationSql,
     "q_cluster_topics"    -> CurationOps.clusterTopicsSql,

@@ -1283,7 +1283,17 @@ object GovernanceOps {
     * listed, and the row-level residual re-applies the predicate inside
     * surviving files (zone maps are conservative: an overlapping extent
     * does not mean every row matches). Returns (served aggregate, files
-    * scanned, files total, box). */
+    * scanned, files total, box).
+    *
+    * SCOPE: the driver-side collect + literal `isin` pruning predicate
+    * is sized for the file counts this family actually produces (64
+    * bulk files + batch-grain appends — hundreds of sidecar rows). At
+    * lakehouse file counts (~800K files / 100 TB) the collect stays
+    * cheap but a literal IN-list does not: there, prune via a broadcast
+    * LEFT SEMI join of the scan against the filtered sidecar on
+    * file_id instead — dynamic partition pruning turns the broadcast
+    * side into a runtime partition filter, the same skip decision
+    * without a driver-built predicate. */
   private[graft] def zonemapServe(spark: SparkSession, t: String)
       : (DataFrame, Long, Long, (Long, Long, java.sql.Date, java.sql.Date)) = {
     val zm = spark.table(t + ZmapSuffix)
@@ -1438,7 +1448,7 @@ object GovernanceOps {
     Layout.replayAsStream(o.filter(col("o_orderkey") % 2 =!= 0), "graft-zmaplc") {
       sdf => graft.streaming.LayoutStream.appendZonemapStream(sdf, base)
     }
-    Layout.pruneEpochs(spark, base, keep = 2)
+    Layout.pruneEpochs(spark, base, keep = 2, sidecars = Seq(ZmapSuffix))
     val (served, scanned, total, _) = zonemapServe(spark, t)
     served
       .withColumn("did_prune", lit(scanned < total))
@@ -1494,7 +1504,7 @@ object GovernanceOps {
       buildZonemapEpoch(spark, name, spark.table(t0)
         .select(col("o_orderkey"), col("k"), col("d"), col("prio"), col("cents")))
     }
-    Layout.pruneEpochs(spark, base, keep = 2)
+    Layout.pruneEpochs(spark, base, keep = 2, sidecars = Seq(ZmapSuffix))
     val (served, scanned, total, _) = zonemapServe(spark, t1)
     served
       .withColumn("files_scanned", lit(scanned))

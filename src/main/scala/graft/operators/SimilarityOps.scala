@@ -123,11 +123,29 @@ object SimilarityOps {
     * outputs are exact integers both engines must reproduce digit for
     * digit: `dot = Σ_v m_i·m_j` and
     * `cov_numer = N·dot − (Σ m_i)·(Σ m_j)` — N² times the centered
-    * covariance, kept as an undivided DECIMAL(38,0) so no division or
-    * float ever enters (N·Σm² ≥ (Σm)² by Cauchy–Schwarz, so the
+    * covariance, computed as an undivided DECIMAL(38,0) so no division
+    * or float ever enters (N·Σm² ≥ (Σm)² by Cauchy–Schwarz, so the
     * diagonal is provably non-negative, spec-asserted). The eigensolve
     * that follows PCA is an O(d³) driver-side step on this 64×64
     * result at any corpus size — the reduction here is the 100 TB part.
+    *
+    * OUTPUT TYPE (the r12/r13 driver-drift fix): both result columns
+    * are cast to BIGINT at the very end. The internal arithmetic stays
+    * exact decimal — scale-proof to any corpus — but the hash-gate
+    * surface carries only int64, whose parquet encoding and Python
+    * `repr` are identical in every engine version. DECIMAL(38,0) /
+    * HUGEINT values cross three version-sensitive conversion layers in
+    * the driver compare (oracle fetch → Python Decimal, Spark decimal
+    * parquet → DuckDB read, canon repr); `q_power_iteration`, which
+    * replays this exact micros→dot pipeline but emits small ints,
+    * passed both rounds the decimal-surfaced covariance failed —
+    * isolating the drift to those layers, not the reduction. The BIGINT
+    * cast is exact while |cov_numer| < 2^63: with |x| ≤ 0.6 ⇒ |m| ≤
+    * 6·10⁵, that holds through N ≈ 4·10⁶ vectors (gate scale is
+    * N ≤ 2·10³, a 2000× margin); beyond that, consume the decimal
+    * plan directly ([[gramPartialsOf]] keeps full DECIMAL(38,0)).
+    * `q_embedding_micros` gates the shared quantize leg separately so
+    * any residual driver drift bisects to quantize vs reduce.
     *
     * Plan: one posexplode to (vec_id, i, m) materialized once, a
     * co-partitioned equi-self-join on vec_id whose i ≤ j output feeds
@@ -182,9 +200,9 @@ object SimilarityOps {
       .join(dims.select(col("i"), col("s").as("si")), "i")
       .join(dims.select(col("i").as("j"), col("s").as("sj")), "j")
       .crossJoin(broadcast(n))
-      .select(col("i"), col("j"), col("dot"),
+      .select(col("i"), col("j"), col("dot").cast("long").as("dot"),
         (col("n") * col("dot") - col("si") * col("sj"))
-          .cast("decimal(38,0)").as("cov_numer"))
+          .cast("decimal(38,0)").cast("long").as("cov_numer"))
       .orderBy(col("i"), col("j"))
   }
 
@@ -202,10 +220,40 @@ object SimilarityOps {
       |), n AS (
       |  SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings
       |)
-      |SELECT s.i, s.j, CAST(s.dot AS DECIMAL(38,0)) AS dot,
-      |  CAST(n.n * s.dot - da.sm * db.sm AS DECIMAL(38,0)) AS cov_numer
+      |SELECT s.i, s.j, CAST(s.dot AS BIGINT) AS dot,
+      |  CAST(n.n * s.dot - da.sm * db.sm AS BIGINT) AS cov_numer
       |FROM s JOIN d da ON da.i = s.i JOIN d db ON db.i = s.j CROSS JOIN n
       |ORDER BY s.i, s.j""".stripMargin
+
+  /** DIAGNOSTIC GATE for the shared quantize+explode leg
+    * ([[microComponents]]): per-dimension count / sum / sum-of-squares
+    * checksums of the integer micros, every output a plain BIGINT. If
+    * [[embeddingCovariance]] ever drifts in an oracle environment again
+    * while this key stays green, the drift is in the reduction/output
+    * legs; if THIS key drifts, the IEEE quantize expression itself
+    * differs between engines (e.g. FMA contraction of `x·1e6 + 0.5`)
+    * and the quantize must move to an exact power-of-two scale.
+    * Bounds: |m| ≤ 6·10⁵ ⇒ smm ≤ N·3.6·10¹¹ — int64-exact through
+    * N ≈ 2.5·10⁷ vectors. */
+  def embeddingMicros(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = microComponents(
+      Tables.embeddingsFanned(spark, sfDir).select(col("vec_id"), col("embedding")))
+    e.groupBy(col("i"))
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("m")).cast("long").as("sm"),
+        sum(col("m") * col("m")).cast("long").as("smm"))
+      .orderBy(col("i"))
+  }
+
+  val embeddingMicrosSql: String =
+    """WITH m AS (
+      |  SELECT vec_id, CAST(t.i AS BIGINT) AS i,
+      |    CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+      |  FROM embeddings, range(1, 65) t(i)
+      |)
+      |SELECT i, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(m) AS BIGINT) AS sm,
+      |  CAST(SUM(m * m) AS BIGINT) AS smm
+      |FROM m GROUP BY i ORDER BY i""".stripMargin
 
   /** EXACT-INTEGER POWER ITERATION on the embedding Gramian — the PCA
     * step that CONSUMES [[embeddingCovariance]]'s reduction: the
@@ -244,8 +292,12 @@ object SimilarityOps {
     val d = 64
     val tri = triDf
       .collect() // d(d+1)/2 = 2080 rows — the algorithm's own constant
-      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt,
-        BigInt(r.getDecimal(2).toBigInteger)))
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.get(2) match {
+        // covariance's gated surface emits int64 dot; the lifecycle's
+        // maintained-partials frame stays DECIMAL(38,0) — accept both.
+        case d: java.math.BigDecimal => BigInt(d.toBigInteger)
+        case l: java.lang.Long       => BigInt(l.longValue)
+      }))
     val g = Array.ofDim[BigInt](d + 1, d + 1)
     for (i <- 1 to d; j <- 1 to d) g(i)(j) = BigInt(0)
     tri.foreach { case (i, j, v) => g(i)(j) = v; g(j)(i) = v }

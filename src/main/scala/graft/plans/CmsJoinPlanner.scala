@@ -344,12 +344,19 @@ object CmsJoinPlanner {
         stats.get(s"$rt|$rk|$lt|$lk").map(_._3))
 
     /** Peel the column-pruning Projects the optimizer inserts between
-      * chained joins — dropping them in a rewrite is safe because the
-      * top-level Project(top.output) restores the schema and pruning
-      * re-narrows the scan either way. */
+      * chained joins — dropping them in a rewrite is safe ONLY when the
+      * projectList is pure AttributeReferences (the pruning shape): the
+      * top-level Project(top.output) then restores the schema and
+      * pruning re-narrows the scan either way. A Project that COMPUTES
+      * anything (an Alias from e.g. withColumn between the joins) must
+      * stop the peel — dropping it would leave top.output referencing
+      * an attribute no child produces, an unresolved plan. Fall through
+      * to no-rewrite there rather than risk it. */
     private def innerJoinOf(p: LogicalPlan): Option[Join] = p match {
       case j: Join => Some(j)
-      case Project(_, child) => innerJoinOf(child)
+      case Project(projectList, child)
+          if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        innerJoinOf(child)
       case _ => None
     }
 

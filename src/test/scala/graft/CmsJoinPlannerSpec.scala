@@ -248,4 +248,30 @@ class CmsJoinPlannerSpec extends SparkSpec {
       assert(got.toSeq === base.collect().toSeq)
     } finally CmsJoinPlanner.uninstallReorder(spark)
   }
+
+  test("join reorder: a COMPUTING Project between the chained joins (withColumn " +
+      "alias) stops the peel — plan resolves and rows match rule-off") {
+    // Regression: peeling an Alias-bearing Project used to leave the
+    // rewritten top Project referencing an attribute no child produces.
+    def chain() = {
+      val l = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+      val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .withColumn("qty2", col("l_quantity") * 2) // Alias between the joins
+        .join(c, col("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"), sum(col("qty2")).as("q"))
+    }
+    val expected =
+      try { CmsJoinPlanner.uninstallReorder(spark); chain().collect().toSeq }
+      finally ()
+    try {
+      CmsJoinPlanner.installReorder(spark, sf)
+      val got = chain()
+      assert(bottomJoinTables(got) === Set("lineitem.parquet", "orders.parquet"),
+        "an Alias-carrying Project must stop the peel (no rewrite)")
+      assert(got.collect().toSeq === expected)
+    } finally CmsJoinPlanner.uninstallReorder(spark)
+  }
 }

@@ -154,4 +154,48 @@ class PipelineSpec extends SparkSpec {
       assert(r.completionLine === "ZYLYTY Data Import Completed [0, 0, 0]")
     } finally server.stop(0)
   }
+
+  test("graft.Main entrypoint: env config, config echo, ETL, completion " +
+      "line on stdout — the runnable program end to end") {
+    serve { base =>
+      val lines = scala.collection.mutable.ArrayBuffer[String]()
+      val env = Map("API_BASE_URL" -> base, "ADMIN_API_KEY" -> "tok")
+      val r = Main.run(spark, env.get, lines += _)
+      assert(r === Pipeline.Result(clients = 3, accounts = 4, transactions = 6))
+      // config echo parity (main.py:32-38): every line present, unset → null
+      assert(lines.contains("Admin API Key: tok"))
+      assert(lines.contains("Database Host: null"))
+      assert(lines.contains(s"API Base URL: $base"))
+      // the completion line is the LAST thing printed (main.py:58)
+      assert(lines.last === "ZYLYTY Data Import Completed [3, 4, 6]")
+    }
+  }
+
+  test("graft.Main entrypoint: DB_* env routes the load through the live " +
+      "JDBC sink (GRAFT_JDBC_URL override, embedded Derby)") {
+    serve { base =>
+      System.setProperty("derby.stream.error.file",
+        new java.io.File(System.getProperty("java.io.tmpdir"), "derby.log").getPath)
+      val url = "jdbc:derby:memory:graft_main_spec;create=true"
+      val env = Map(
+        "API_BASE_URL" -> base, "ADMIN_API_KEY" -> "tok",
+        "DB_HOST" -> "h", "DB_PORT" -> "5432", "DB_USERNAME" -> "u",
+        "DB_PASSWORD" -> "p", "DB_NAME" -> "d",
+        "GRAFT_JDBC_URL" -> url,
+        "GRAFT_JDBC_DRIVER" -> "org.apache.derby.jdbc.EmbeddedDriver")
+      try {
+        // Derby has no user/password auth by default — a bare-props read
+        val props = new java.util.Properties()
+        props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        val r = Main.run(spark, env.get, _ => ())
+        assert(spark.read.jdbc(url, "transactions", props).count() === r.transactions)
+        assert(spark.read.jdbc(url, "clients", props).count() === r.clients)
+        assert(spark.read.jdbc(url, "accounts", props).count() === r.accounts)
+      } finally {
+        try java.sql.DriverManager.getConnection(
+          "jdbc:derby:memory:graft_main_spec;drop=true")
+        catch { case _: java.sql.SQLException => () }
+      }
+    }
+  }
 }

@@ -532,7 +532,7 @@ class SimilarityOpsSpec extends SparkSpec {
       "cov numerators non-negative (Cauchy–Schwarz)") {
     val got = SimilarityOps.embeddingCovariance(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
-        (BigInt(r.getDecimal(2).toBigInteger), BigInt(r.getDecimal(3).toBigInteger)))
+        (BigInt(r.getLong(2)), BigInt(r.getLong(3))))
       .toMap
     assert(got.size === 64 * 65 / 2) // upper triangle incl. diagonal only
     // independent BigInt recompute from the raw vectors
@@ -550,6 +550,30 @@ class SimilarityOpsSpec extends SparkSpec {
       assert(gdot === dot, s"dot($i,$j)")
       assert(gcov === n * dot - sums(i) * sums(j), s"cov_numer($i,$j)")
       if (i == j) assert(gcov >= 0, s"negative variance numerator at $i")
+    }
+    // the int64 output surface must be exact: recomputed BigInt values
+    // must themselves fit int64 (the documented N ≈ 4·10⁶ margin)
+    assert(got.values.forall { case (d0, c0) =>
+      d0.isValidLong && c0.isValidLong })
+  }
+
+  test("embeddingMicros: per-dimension checksums match a driver recompute; " +
+      "all-BIGINT output schema") {
+    val df = SimilarityOps.embeddingMicros(spark, sf)
+    assert(df.schema.fields.map(_.dataType).forall(_ ==
+      org.apache.spark.sql.types.LongType))
+    val got = df.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size === 64)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("embedding")).collect()
+      .map(_.getSeq[Float](0)
+        .map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray)
+    for (i <- 0 until 64) {
+      val (cnt, sm, smm) = got(i + 1L)
+      assert(cnt === vecs.length.toLong, s"cnt($i)")
+      assert(sm === vecs.map(_(i)).sum, s"sm($i)")
+      assert(smm === vecs.map(v => v(i) * v(i)).sum, s"smm($i)")
     }
   }
 }
