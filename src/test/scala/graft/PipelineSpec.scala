@@ -25,8 +25,12 @@ class PipelineSpec extends SparkSpec {
         "client_id,client_name,client_email,client_birth_date\n" +
           "c1,Ann,ann@x.io,1990-01-01\nc2,Bob,bob@x.io,1985-05-05\nc3,Cyd,cyd@x.io,2000-12-31\n"))
     server.createContext("/transactions", (ex: HttpExchange) => {
-      val page = ex.getRequestURI.getQuery.split("&")
-        .find(_.startsWith("page=")).get.drop(5).toInt
+      val qp = ex.getRequestURI.getQuery.split("&")
+      val page = qp.find(_.startsWith("page=")).get.drop(5).toInt
+      // honor the requested page size like a real API: limit=5 callers
+      // exercise the multi-page path (5 + 2 rows), default-limit
+      // callers (graft.Main) get everything in one short page
+      val lim = qp.find(_.startsWith("limit=")).map(_.drop(6).toInt).getOrElse(5)
       // 5 rows page 0, 2 rows page 1 (short → stop). Duplicate key
       // (timestamp, account_id) across rows 1/2 — first (arrival) wins.
       // Row 4 has a dirty amount → coerced to 0.
@@ -38,7 +42,7 @@ class PipelineSpec extends SparkSpec {
         """{"transaction_id": 5, "timestamp": "2024-02-05 09:00:00", "account_id": 10, "amount": "1.10", "type": "buy", "medium": "app"}""",
         """{"transaction_id": 6, "timestamp": "2024-02-06 09:00:00", "account_id": 10, "amount": "2.20", "type": "buy", "medium": "app"}""",
         """{"transaction_id": 7, "timestamp": "2024-02-07 09:00:00", "account_id": 10, "amount": "3.30", "type": "buy", "medium": "app"}""")
-      val pageRows = rows.slice(page * 5, page * 5 + 5)
+      val pageRows = rows.slice(page * lim, page * lim + lim)
       reply(ex, 200, s"""{"results": [${pageRows.mkString(",")}]}""")
     })
     server.start()
@@ -184,9 +188,12 @@ class PipelineSpec extends SparkSpec {
         "GRAFT_JDBC_URL" -> url,
         "GRAFT_JDBC_DRIVER" -> "org.apache.derby.jdbc.EmbeddedDriver")
       try {
-        // Derby has no user/password auth by default — a bare-props read
+        // Derby ignores the password but scopes tables to the USER's
+        // schema — read back as the same user Main wrote as
         val props = new java.util.Properties()
         props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        props.setProperty("user", "u")
+        props.setProperty("password", "p")
         val r = Main.run(spark, env.get, _ => ())
         assert(spark.read.jdbc(url, "transactions", props).count() === r.transactions)
         assert(spark.read.jdbc(url, "clients", props).count() === r.clients)
