@@ -116,7 +116,9 @@ object Bench {
     // same oracles) — floors reset to the post-re-plan minima
     "q_minhash_lsh" -> 0.678, "q_minhash_persisted" -> 0.638,
     "q_minhash_verified" -> 1.064,
-    "q_monthly_summary" -> 1.773, "q_multimodal_ann" -> 1.122,
+    "q_monthly_summary" -> 1.773,
+    "q_multimodal_ann" -> 1.235, // r14 re-seed (min of 3 isolated): operator reworked to real mixed-codec decode (persisted feature index + modality-scoped LSH join), replacing the md5-stub features
+
     "q_multimodal_meta" -> 0.195,
     "q_neardup_groups" -> 1.043, // r11s3 adjudicated slow-host floor (hot-host 0.686 in refMinFast): pairs from the shingle index
     "q_ngram_jaccard" -> 0.854,  // r11s3 adjudicated slow-host floor (hot-host 0.370 in refMinFast): all-pairs BNLJ over stored bitmaps
@@ -198,7 +200,8 @@ object Bench {
     "q_canonical_docs" -> 0.563, "q_embedding_neardup" -> 0.402,
     "q_pq_topk" -> 0.80, "q_neardup_groups" -> 0.686,
     "q_pagerank" -> 0.350, "q_ngram_jaccard" -> 0.370,
-    "q_multimodal_ann" -> 0.483,
+    "q_multimodal_ann" -> 1.122, // pre-r14 stub-feature floor retired with the operator; hot-host floor unknown for the real-codec form — seeded at the old slow-host floor
+
     // r12 adjudication: BENCH_r11 (the ADJUDICATING driver host) flagged
     // 15 keys — mostly r11-new floors seeded on builder-host passes the
     // driver host doesn't reproduce (its post-isolation minima ran a

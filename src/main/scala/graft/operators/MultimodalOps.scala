@@ -117,9 +117,10 @@ object MultimodalOps {
     * embedding) — and the md5 stub only for payloads no JDK codec
     * accepts. Same mapPartitions shape and output contract as
     * [[extractFeaturesStub]], so the ANN/dedup operators downstream are
-    * oblivious to which path produced a vector. [[multimodalAnn]] keeps
-    * calling the stub directly: its payloads are text bytes (never a
-    * real image), and its DuckDB oracle re-derives the md5 formula.
+    * oblivious to which path produced a vector. No GATED key rides the
+    * stub anymore: [[multimodalAnn]] decodes a mixed PNG/WAV corpus
+    * through [[decodeMixedFeatures]], which drops (never stubs)
+    * undecodable payloads.
     */
   def extractImageFeatures(payloads: DataFrame, dim: Int = 64): DataFrame = {
     import graft.functions.ImageHeader
@@ -194,31 +195,111 @@ object MultimodalOps {
     }
   }
 
-  /** The full multimodal→vector pipeline under the oracle: opaque
-    * payloads → per-partition feature extraction ([[extractFeaturesStub]])
-    * → sign-LSH bucketing → bucket-local pairwise cosine — i.e. media
-    * near-dup detection the way a production pipeline runs it (identical
-    * payloads land identical features, score 1.0; the 0.25 floor keeps
-    * the incidental same-bucket pairs that make the scoring observable).
-    * One shuffle on the 8-bit bucket key; the quadratic work is confined
-    * within buckets exactly as [[SimilarityOps.embeddingNearDupLsh]].
+  /** Mean-centered audio feature: the 64-bin energy profile
+    * ([[energyBins]] — exact BIGINTs) recentered by the exact
+    * power-of-two division `e_b − Σe/bins` so cosine behaves like
+    * correlation (cross-template positive-energy profiles would
+    * otherwise all score near 1). Every value is float32-EXACT:
+    * energies ≤ 3.5·10⁴ need 16 integer bits, /64 adds 6 fraction
+    * bits — 22 ≤ 24-bit mantissa — so the DuckDB oracle's
+    * `CAST(en AS DOUBLE) − tot/64.0` reproduces the floats digit for
+    * digit (the audio analog of the image LUT argument). `bins` must
+    * stay a power of two for the exact-division claim. */
+  private[graft] def audioCenteredFeature(samples: Array[Int],
+      bins: Int): Array[Float] = {
+    val e = energyBins(samples, bins)
+    if (e == null) null
+    else {
+      val s = e.sum
+      Array.tabulate(bins)(b => (e(b) - s / bins.toDouble).toFloat)
+    }
+  }
+
+  /** MAGIC-BYTE DECODE DISPATCH — the real multimodal-column decode
+    * path: one opaque binary column carries MIXED media, and each
+    * payload routes to its modality's REAL codec by container
+    * signature ([[graft.functions.ImageHeader]] parse for
+    * BMP/netpbm/PNG/JPEG/GIF → `ImageIO` luminance grid;
+    * `javax.sound.sampled` for WAV → centered energy profile).
+    * Payloads neither codec accepts are DROPPED, mid-job-safe — no
+    * md5 stub on this path, a decode failure surfaces as a missing
+    * row the oracle would catch. Emits (item_id, modality, feature)
+    * with a fixed-`dim` float vector either way, so downstream
+    * ANN/dedup is modality-oblivious. */
+  private[graft] def decodeMixedFeatures(payloads: DataFrame,
+      dim: Int = 64): DataFrame = {
+    import graft.functions.ImageHeader
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val info = ImageHeader.parse(bytes)
+          val img =
+            if (info != null) ImageHeader.decodeGridFeatures(bytes, info, dim)
+            else null
+          if (img != null) Some((id, "image", img))
+          else Option(audioCenteredFeature(wavSamples(bytes), dim))
+            .map((id, "audio", _))
+        }
+      }
+      .toDF("item_id", "modality", "feature")
+  }
+
+  private[graft] def mixedFeatureIndexName(sfDir: String): String =
+    "graft_mmfeat_idx_" + Layout.corpusTag(sfDir)
+
+  /** Persist the decoded mixed-modality feature table once per corpus
+    * epoch (the [[ensureImageFeatureIndex]] convention): a 100 TB
+    * media column is decoded once, and every ANN/dedup consumer reads
+    * the bucketed float vectors. */
+  def ensureMixedFeatureIndex(spark: SparkSession, sfDir: String): String =
+    Layout.ensureEpochIndex(spark, mixedFeatureIndexName(sfDir)) { name =>
+      import spark.implicits._
+      val payloads = Tables.documentsFanned(spark, sfDir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(it => it.map(id =>
+          (id, if (id % 2 == 0) syntheticPng(id) else syntheticWav(id))))
+        .toDF("doc_id", "payload")
+      Layout.writeBucketed(decodeMixedFeatures(payloads, 64),
+        name, "item_id", MediaIndexBuckets)
+    }
+
+  /** The full multimodal→vector pipeline under the oracle, REAL CODECS
+    * ONLY (the r13 verdict's last-stub retirement): a mixed media
+    * column — even doc_ids carry a synthetic PNG, odd a synthetic WAV —
+    * goes through [[decodeMixedFeatures]]' magic-byte dispatch to
+    * `ImageIO` pixel decode / `javax.sound` PCM decode, then sign-LSH
+    * bucketing and bucket-local pairwise cosine ≥ 0.9 WITHIN each
+    * modality (modality rides the join key — an image can never pair
+    * with an audio clip however their vectors collide). The DuckDB
+    * oracle re-derives both modalities' features from their closed
+    * forms ([[syntheticPng]] raster + LUT floats; [[audioSamples]]
+    * energies centered by exact /64) and replays bucket + cosine — so
+    * the single hash gates BOTH real codec paths and the dispatch
+    * itself (a payload taking the wrong branch, or any stub fallback,
+    * drops/moves rows and mismatches). Scale shape: decode once per
+    * corpus epoch into the persisted feature index, one shuffle on the
+    * (modality, bucket) key, quadratic work confined within buckets
+    * exactly as [[SimilarityOps.embeddingNearDupLsh]].
     */
   def multimodalAnn(spark: SparkSession, sfDir: String): DataFrame = {
     val dim = 64; val nPlanes = 8
-    val payloads = Tables.documentsFanned(spark, sfDir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-    // features pass through a typed mapPartitions (no lineage-free reuse:
-    // the self-join below would re-run extraction per side) — checkpoint
-    val feats = extractFeaturesStub(payloads, dim)
-      .select(col("item_id"), col("feature"),
+    val feats = spark.table(ensureMixedFeatureIndex(spark, sfDir))
+      .select(col("item_id"), col("modality"), col("feature"),
         SimilarityOps.annBucket(col("feature"), nPlanes, dim).as("bucket"))
       .corpusCheckpoint()
     val a = feats.as("a"); val b = feats.as("b")
     a.join(b,
-        col("a.bucket") === col("b.bucket") && col("a.item_id") < col("b.item_id"))
+        col("a.modality") === col("b.modality") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.item_id") < col("b.item_id"))
       .select(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"),
+        col("a.modality").as("modality"),
         round(SimilarityOps.cosine(col("a.feature"), col("b.feature")), 4).as("score"))
-      .filter(col("score") >= 0.25)
+      .filter(col("score") >= 0.9)
       .orderBy(col("item_a"), col("item_b"))
   }
 
@@ -392,7 +473,7 @@ object MultimodalOps {
     * engines share bit-identical features by construction. Ends in
     * `x(doc_id, i, v)` (1-based component index, double-widened value).
     */
-  private val imageFeatureCtes: String = {
+  private def imageFeatureCtes(pred: String = "TRUE"): String = {
     val lut = (0 until 256).map { l =>
       val f = (l / 255.0f) * 2.0f - 1.0f
       s"($l, ${BigDecimal(f.toDouble).bigDecimal.toPlainString})"
@@ -400,7 +481,7 @@ object MultimodalOps {
     s"""params AS (
        |  SELECT doc_id, 24 + (doc_id % 5) AS w, 24 + (doc_id % 7) AS h,
        |         doc_id % $ImgTemplates AS t, (doc_id // $ImgTemplates) % 4 AS v
-       |  FROM documents
+       |  FROM documents WHERE $pred
        |), grid AS (
        |  SELECT doc_id, k, t, v,
        |    LEAST(w - 1, ((k % 8) * w + w // 2) // 8) AS gx,
@@ -428,7 +509,7 @@ object MultimodalOps {
     val planeRows = (0 until 8).map { p =>
       s"($p, [${SimilarityOps.planeWeights(p, 64).map(w => if (w > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
     }.mkString(",\n  ")
-    s"""WITH $imageFeatureCtes, planes(p, w) AS (VALUES
+    s"""WITH ${imageFeatureCtes()}, planes(p, w) AS (VALUES
        |  $planeRows
        |), bkt AS (
        |  SELECT doc_id,
@@ -454,7 +535,7 @@ object MultimodalOps {
   }
 
   val phashNearDupSql: String =
-    s"""WITH $imageFeatureCtes, hash AS (
+    s"""WITH ${imageFeatureCtes()}, hash AS (
        |  SELECT x1.doc_id,
        |    CAST(SUM(CASE WHEN x2.v > x1.v THEN CAST(POW(2, 55 - s.i) AS BIGINT)
        |             ELSE 0 END) AS BIGINT) AS dh
@@ -527,6 +608,34 @@ object MultimodalOps {
     * here; null (→ caller-visible empty) on undecodable payloads rather
     * than a throw mid-job.
     */
+  /** WAV container → signed PCM16 samples via `javax.sound.sampled`
+    * (the JDK audio codec), null on undecodable bytes — the decode
+    * shared by [[decodeAudioEnergy]] and the mixed-modality dispatch
+    * ([[decodeMixedFeatures]]) so the two can never drift. */
+  private[graft] def wavSamples(bytes: Array[Byte]): Array[Int] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val pcm = ais.readAllBytes()
+      Array.tabulate(pcm.length / 2) { i =>
+        ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1).toInt << 8))
+      }
+    } catch { case _: Exception => null }
+
+  /** Per-bin absolute-energy profile of a decoded sample array —
+    * exact BIGINTs (no FP). Null when too short to bin. */
+  private[graft] def energyBins(samples: Array[Int], bins: Int): Array[Long] =
+    if (samples == null || samples.length < bins) null
+    else {
+      val frame = samples.length / bins
+      Array.tabulate(bins) { b =>
+        var acc = 0L
+        var i = b * frame
+        while (i < (b + 1) * frame) { acc += math.abs(samples(i)); i += 1 }
+        acc
+      }
+    }
+
   private[graft] def decodeAudioEnergy(payloads: DataFrame,
       bins: Int = 64): DataFrame = {
     val spark = payloads.sparkSession
@@ -536,25 +645,7 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val samples =
-            try {
-              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-              val pcm = ais.readAllBytes()
-              Array.tabulate(pcm.length / 2) { i =>
-                ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1).toInt << 8))
-              }
-            } catch { case _: Exception => null }
-          if (samples == null || samples.length < bins) None
-          else {
-            val frame = samples.length / bins
-            Some((id, Array.tabulate(bins) { b =>
-              var acc = 0L
-              var i = b * frame
-              while (i < (b + 1) * frame) { acc += math.abs(samples(i)); i += 1 }
-              acc
-            }))
-          }
+          Option(energyBins(wavSamples(bytes), bins)).map((id, _))
         }
       }
       .toDF("doc_id", "energy")
@@ -953,39 +1044,63 @@ object MultimodalOps {
        |WHERE max_hamming <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Replays BOTH real codec paths from their closed forms: the image
+    * leg is the [[imageFeatureCtes]] chain restricted to even doc_ids,
+    * the audio leg re-derives [[audioSamples]] energies for odd
+    * doc_ids and centers them with the exact `/64.0`, then the union
+    * takes the shared bucket + cosine pipeline with modality on the
+    * pair key. */
   val multimodalAnnSql: String = {
     val planeRows = (0 until 8).map { p =>
       s"($p, [${SimilarityOps.planeWeights(p, 64).map(w => if (w > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
     }.mkString(",\n  ")
-    s"""WITH planes(p, w) AS (VALUES
+    s"""WITH ${imageFeatureCtes("doc_id % 2 = 0")}, aparams AS (
+       |  SELECT doc_id, 512 + (doc_id % 7) * 64 AS n,
+       |         doc_id % $ImgTemplates AS t, (doc_id // $ImgTemplates) % 4 AS v
+       |  FROM documents WHERE doc_id % 2 = 1
+       |), smp AS (
+       |  SELECT doc_id, i, i // (n // 64) AS b,
+       |    ABS(((i * (3 + t)) % 2000) - 1000
+       |      + ((i * (7 + 2*t)) % 2000) - 1000
+       |      + CASE WHEN i < v * 64 THEN 500 ELSE 0 END) AS a
+       |  FROM aparams, generate_series(0, 895) AS g(i)
+       |  WHERE i < n
+       |), e AS (
+       |  SELECT doc_id, b, CAST(SUM(a) AS BIGINT) AS en
+       |  FROM smp GROUP BY 1, 2
+       |), etot AS (
+       |  SELECT doc_id, CAST(SUM(en) AS BIGINT) AS tot FROM e GROUP BY 1
+       |), ax AS (
+       |  SELECT e.doc_id, e.b + 1 AS i,
+       |    CAST(e.en AS DOUBLE) - etot.tot / 64.0 AS v
+       |  FROM e JOIN etot USING (doc_id)
+       |), allx AS (
+       |  SELECT doc_id, i, v, 'image' AS m FROM x
+       |  UNION ALL
+       |  SELECT doc_id, i, v, 'audio' AS m FROM ax
+       |), planes(p, w) AS (VALUES
        |  $planeRows
-       |), f AS (
-       |  SELECT doc_id, j,
-       |    CAST(CAST(CONCAT('0x', substring(md5(md5(text) || '-' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
-       |      / 4294967296.0 * 2 - 1 AS FLOAT) AS v
-       |  FROM documents, generate_series(0, 63) AS t(j)
-       |), x AS (
-       |  SELECT doc_id, j + 1 AS i, CAST(v AS DOUBLE) AS v FROM f
-       |), b AS (
-       |  SELECT doc_id,
+       |), bkt AS (
+       |  SELECT doc_id, m,
        |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
        |  FROM (
-       |    SELECT x.doc_id, planes.p, SUM(x.v * planes.w[x.i]) AS s
-       |    FROM x, planes GROUP BY x.doc_id, planes.p)
-       |  GROUP BY doc_id
+       |    SELECT allx.doc_id, allx.m, planes.p, SUM(allx.v * planes.w[allx.i]) AS s
+       |    FROM allx, planes GROUP BY allx.doc_id, allx.m, planes.p)
+       |  GROUP BY doc_id, m
        |), pr AS (
-       |  SELECT l.doc_id AS item_a, r.doc_id AS item_b
-       |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |  SELECT l.doc_id AS item_a, r.doc_id AS item_b, l.m AS modality
+       |  FROM bkt l JOIN bkt r
+       |    ON l.m = r.m AND l.bucket = r.bucket AND l.doc_id < r.doc_id
        |), s AS (
-       |  SELECT pr.item_a, pr.item_b,
+       |  SELECT pr.item_a, pr.item_b, pr.modality,
        |    ROUND(SUM(xa.v*xb.v) / (SQRT(SUM(xa.v*xa.v)) * SQRT(SUM(xb.v*xb.v))), 4) AS score
        |  FROM pr
-       |  JOIN x xa ON xa.doc_id = pr.item_a
-       |  JOIN x xb ON xb.doc_id = pr.item_b AND xb.i = xa.i
-       |  GROUP BY 1, 2
+       |  JOIN allx xa ON xa.doc_id = pr.item_a
+       |  JOIN allx xb ON xb.doc_id = pr.item_b AND xb.i = xa.i
+       |  GROUP BY 1, 2, 3
        |)
-       |SELECT item_a, item_b, score FROM s
-       |WHERE score >= 0.25
+       |SELECT item_a, item_b, modality, score FROM s
+       |WHERE score >= 0.9
        |ORDER BY item_a, item_b""".stripMargin
   }
 }

@@ -384,24 +384,45 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(m.filter(col("n_bytes") <= 0).count() === 0)
   }
 
-  test("multimodalAnn: identical payloads get identical features/buckets; pairs thresholded") {
+  test("multimodalAnn: magic-byte dispatch decodes BOTH modalities for real; " +
+      "pairs never cross modalities; parity routing is total") {
     val s = spark; import s.implicits._
-    val payloads = Seq((1L, "same text"), (2L, "same text"), (3L, "different wording entirely"))
-      .toDF("doc_id", "text")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-    val feats = MultimodalOps.extractFeaturesStub(payloads, 64)
-      .select(col("item_id"), col("feature"),
-        graft.operators.SimilarityOps.annBucket(col("feature"), 8, 64).as("bucket"))
-    val rows = feats.collect()
-      .map(r => r.getLong(0) -> (r.getSeq[Float](1), r.getString(2))).toMap
-    // identical media → identical pseudo-embedding → same LSH bucket
-    assert(rows(1L)._1 === rows(2L)._1)
-    assert(rows(1L)._2 === rows(2L)._2)
-    // corpus-level operator: ordered pairs, all at/above the score floor
+    // mixed payloads through the dispatch directly: every doc decodes,
+    // evens as images, odds as audio — no drops, no stub fallback
+    val nDocs = Tables.documents(spark, sf).count()
+    val feats = spark.table(MultimodalOps.ensureMixedFeatureIndex(spark, sf))
+    assert(feats.count() === nDocs, "every payload must take a real decode")
+    val byMod = feats.groupBy(col("modality")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byMod("image") === (nDocs + 1) / 2)
+    assert(byMod("audio") === nDocs / 2)
+    assert(feats.filter(col("modality") === "image" && col("item_id") % 2 =!= 0)
+      .count() === 0, "dispatch must route by the actual container bytes")
+    // image-leg features equal the image-only decoder's (same codec path)
+    val imgIds = feats.filter(col("modality") === "image")
+      .select(col("item_id")).limit(5).collect().map(_.getLong(0))
+    val viaMixed = feats.filter(col("item_id").isin(imgIds: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    val pngPayloads = imgIds.toSeq.toDS()
+      .mapPartitions(it => it.map(id => (id, MultimodalOps.syntheticPng(id))))
+      .toDF("doc_id", "payload")
+    val viaImage = MultimodalOps.extractImageFeatures(pngPayloads, 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    imgIds.foreach(id => assert(viaMixed(id) === viaImage(id), s"doc $id"))
+    // corpus-level operator: ordered pairs, same-modality only, thresholded
     val out = MultimodalOps.multimodalAnn(spark, sf).collect()
+    assert(out.nonEmpty)
     assert(out.forall(r => r.getLong(0) < r.getLong(1)))
-    assert(out.forall(r => r.getDouble(2) >= 0.25))
+    assert(out.forall(r => Set("image", "audio")(r.getString(2))))
+    // modality is a function of parity — a cross-modality pair would
+    // show as mismatched parities under one modality label
+    assert(out.forall(r => (r.getLong(0) % 2) === (r.getLong(1) % 2)))
+    assert(out.forall(r => r.getDouble(3) >= 0.9))
+    assert(out.exists(r => r.getString(2) === "image") &&
+      out.exists(r => r.getString(2) === "audio"),
+      "both modalities must contribute observable pairs")
   }
+
 
   test("extractFeaturesStub: one fixed-dim vector per item, deterministic, ANN-composable") {
     val payloads = Tables.documents(spark, sf)
