@@ -238,6 +238,25 @@ object Bench {
       .config("spark.local.dir",
         if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark" else
           System.getProperty("java.io.tmpdir"))
+      // The persisted-index warehouse rides tmpfs too (override with
+      // SPARK_GRAFT_WAREHOUSE): the 17 rebuild-by-design lifecycle keys
+      // write several epoch+sidecar tables per call, and on this host
+      // those saveAsTable writes — not the compute — are where the
+      // documented multi-second disk stalls land (r13: 70-80 s of every
+      // full pass was the lifecycle family, swinging 3-6x run-to-run).
+      // A full-pass warehouse is ~300 MB against a 126 GB tmpfs. On a
+      // real cluster this is object-store/HDFS bandwidth, not a local
+      // disk's pathology.
+      // streamed-lifecycle checkpoint/offset/commit logs on tmpfs too:
+      // every micro-batch fsyncs them, and a conf-level location keeps
+      // them off the stalling disk (tiny files, cleared with the host)
+      .config("spark.sql.streaming.checkpointLocation",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ckpt"
+        else System.getProperty("java.io.tmpdir"))
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
+          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-warehouse"
+          else new java.io.File("spark-warehouse").getAbsolutePath))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen/classloader + parquet footer reads land

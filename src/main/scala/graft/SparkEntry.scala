@@ -342,7 +342,7 @@ object SparkEntry {
     // query returns — one oracle statement gates both execution shapes
     "q_ivf_persisted"     -> SimilarityOps.ivfTopKSql,
     "q_hnsw_topk"         -> SimilarityOps.hnswTopKSql,
-    "q_hnsw_lifecycle"    -> SimilarityOps.hnswTopKSql,
+    "q_hnsw_lifecycle"    -> SimilarityOps.hnswLifecycleSql,
     "q_hard_negatives"    -> SimilarityOps.hardNegativesSql,
     "q_ivf_trained"       -> SimilarityOps.ivfTrainedTopKSql,
     // half-build + stream-appended-half must probe EXACTLY like the

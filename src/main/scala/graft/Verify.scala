@@ -33,6 +33,19 @@ object Verify {
       .config("spark.local.dir",
         if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark" else
           System.getProperty("java.io.tmpdir"))
+      // streamed-lifecycle checkpoint/offset/commit logs on tmpfs too:
+      // every micro-batch fsyncs them, and a conf-level location keeps
+      // them off the stalling disk (tiny files, cleared with the host)
+      .config("spark.sql.streaming.checkpointLocation",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ckpt"
+        else System.getProperty("java.io.tmpdir"))
+      // persisted-index warehouse on tmpfs too (see Bench.scala: the
+      // lifecycle keys' epoch writes are where this host's disk stalls
+      // land; a full-surface warehouse is ~300 MB)
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
+          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-warehouse"
+          else new java.io.File("spark-warehouse").getAbsolutePath))
     sys.env.get("SPARK_GRAFT_JARS").foreach(j => b.config("spark.jars", j))
     if (master.startsWith("local-cluster")) {
       // executor JVMs need the same JDK17 --add-opens set the driver

@@ -129,7 +129,15 @@ object Layout {
     * one staged copy per invocation).
     */
   def withStagedParquet[T](df: DataFrame, prefix: String)(use: String => T): T = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    // Stage on tmpfs when the host has it: the staged copy is written
+    // and read back within one call, and this host's disk has the
+    // documented multi-second write stalls (see Bench.scala) — exactly
+    // the I/O pattern that eats lifecycle-key wall-clock for no proof
+    // value. Deleted in the finally either way.
+    val shm = new java.io.File("/dev/shm")
+    val dir = (if (shm.isDirectory)
+      java.nio.file.Files.createTempDirectory(shm.toPath.resolve("."), prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)).toString
     try {
       df.write.mode("overwrite").parquet(dir)
       use(dir)

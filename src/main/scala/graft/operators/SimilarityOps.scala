@@ -2195,7 +2195,7 @@ object SimilarityOps {
     * the exact top-10 twin (the knnCosine expression verbatim) with
     * the recall-floor boolean — one place, so the gate cannot drift
     * between the one-shot and the streamed-append form. */
-  private def hnswGatedOutput(spark: SparkSession, name: String,
+  private[graft] def hnswGatedOutput(spark: SparkSession, name: String,
       e: DataFrame): DataFrame = {
     val qEmb = e.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
@@ -2239,24 +2239,59 @@ object SimilarityOps {
     * neighbors after any maintenance history. Rotates a fresh epoch
     * every call (the build+append IS the operator) and prunes to two.
     */
+  /** The lifecycle runs on the `vec_id % 4 = 0` QUARTER of the corpus
+    * (r14, the r13 verdict's lifecycle fixed-cost item): the stream ≡
+    * batch claim — a graph built then maintained through the real
+    * append path still finds the true neighbors — is corpus-SIZE
+    * invariant, while the rebuild-every-call cost is linear-plus in
+    * corpus, so the sub-corpus sets suite cost, not proof strength.
+    * Scale evidence for the BUILD lives where it belongs:
+    * [[ensureHnswIndex]] builds the full corpus once for
+    * [[hnswTopK]]/[[hnswBeamSearchBatch]], and CrossoverBench §H
+    * proves the build at 100K vectors. */
+  private[graft] val HnswLcMod = 4L
+
   def hnswLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
     val base = hnswLifecycleIndexName(sfDir)
-    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val sub = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % HnswLcMod === 0)
     val t = Layout.rotateEpoch(spark, base, sidecars = HnswSidecars) { name =>
-      buildHnswEpochFrom(spark, e.filter(col("vec_id") % 2 === 0),
-        centSource = Some(e))(name)
+      buildHnswEpochFrom(spark, sub.filter(col("vec_id") % (2 * HnswLcMod) === 0),
+        centSource = Some(sub))(name)
     }
-    val odd = e.filter(col("vec_id") % 2 =!= 0)
-    Layout.withStagedParquet(odd.repartition(4), "graft-hnswlc") { arrivals =>
+    val arriving = sub.filter(col("vec_id") % (2 * HnswLcMod) =!= 0)
+    Layout.withStagedParquet(arriving.repartition(4), "graft-hnswlc") { arrivals =>
       val stream = graft.streaming.VectorStream.appendGraphStream(
-        spark.readStream.schema(odd.schema)
+        spark.readStream.schema(arriving.schema)
           .option("maxFilesPerTrigger", 2).parquet(arrivals), base)
       try stream.processAllAvailable() finally stream.stop()
     }
     Layout.pruneEpochs(spark, base, keep = 2, sidecars = HnswSidecars)
     hnswGatedOutput(spark, t,
-      Tables.embeddingsFanned(spark, sfDir).select(col("vec_id"), col("embedding")))
+      Tables.embeddingsFanned(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") % HnswLcMod === 0))
   }
+
+  /** [[hnswTopKSql]] restricted to the lifecycle's sub-corpus. */
+  val hnswLifecycleSql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |pairs AS (
+      |  SELECT e.vec_id,
+      |    CAST(unnest(e.embedding) AS DOUBLE) AS x,
+      |    CAST(unnest(q.qe) AS DOUBLE) AS y
+      |  FROM embeddings e, q
+      |  WHERE e.vec_id <> 0 AND e.vec_id % 4 = 0
+      |), s AS (
+      |  SELECT vec_id,
+      |    SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS score
+      |  FROM pairs GROUP BY vec_id
+      |)
+      |SELECT vec_id, ROUND(score, 4) AS score, TRUE AS recall_ok
+      |FROM s
+      |ORDER BY ROUND(score, 4) DESC, vec_id
+      |LIMIT 10""".stripMargin
 
   /** Batched probe: how many planted queries ride one sweep. */
   private[graft] val HnswBatchQueries = 8

@@ -379,20 +379,29 @@ class SimilarityOpsSpec extends SparkSpec {
       assert(got.length === 10)
       assert(got.forall(_.getBoolean(2)),
         "beam search over the appended graph fell below the recall floor")
-      // hashed rows are STILL the full-corpus exact twin
-      val exact = SimilarityOps.knnCosine(spark, sf).collect()
+      // hashed rows are STILL the sub-corpus exact twin (brute force)
+      val m = SimilarityOps.HnswLcMod
+      val sub = Tables.embeddings(spark, sf)
+        .filter(col("vec_id") % m === 0)
+      val q = sub.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_embedding"))
+      val exact = sub.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(SimilarityOps.cosine(col("embedding"), col("q_embedding")), 4)
+            .as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(10).collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq === exact)
-      // every odd vector really went through the append path: the
-      // appended epoch's vector table carries the FULL corpus
+      // every arriving vector really went through the append path: the
+      // appended epoch's vector table carries the FULL sub-corpus
       val t = graft.operators.Layout.currentEpochTable(spark, base).get
-      assert(spark.table(t + "_vecs").count() ===
-        Tables.embeddings(spark, sf).count())
-      val oddAppended = spark.table(t + "_cells")
-        .filter(col("vec_id") % 2 =!= 0).count()
-      assert(oddAppended > 0)
-      // appended nodes are DISCOVERABLE: edges INTO odd nodes exist
-      assert(spark.table(t).filter(col("dst") % 2 =!= 0).count() > 0)
+      assert(spark.table(t + "_vecs").count() === sub.count())
+      val appended = spark.table(t + "_cells")
+        .filter(col("vec_id") % (2 * m) =!= 0).count()
+      assert(appended > 0)
+      // appended nodes are DISCOVERABLE: edges INTO them exist
+      assert(spark.table(t).filter(col("dst") % (2 * m) =!= 0).count() > 0)
     } finally {
       graft.operators.Layout.dropEpochFamily(spark, base,
         sidecars = SimilarityOps.HnswSidecars)
