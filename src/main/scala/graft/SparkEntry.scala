@@ -238,7 +238,7 @@ object SparkEntry {
     // batch-half + streamed-half merged partials must equal the
     // one-pass aggregation — the stream ≡ batch proof under the
     // unchanged oracle
-    "q_events_lifecycle"  -> EventOps.eventWindowsSql,
+    "q_events_lifecycle"  -> EventOps.eventsLifecycleSql,
     "q_user_sessions"     -> EventOps.userSessionsSql,
     // the skew-safe segmented path must produce the same sessions —
     // one oracle statement gates both execution shapes
@@ -262,7 +262,7 @@ object SparkEntry {
     "q_mv_avg_rewrite"    -> graft.plans.MvJoinRewrite.monthlyClientAvgRollupSql,
     "q_cms_join_planned"  -> graft.plans.CmsJoinPlanner.cmsPlannedJoinSql,
     "q_hnsw_batch"        -> SimilarityOps.hnswBatchTopKSql,
-    "q_mv_lifecycle"      -> graft.plans.MvJoinRewrite.monthlyClientRollupSql,
+    "q_mv_lifecycle"      -> graft.plans.MvJoinRewrite.mvLifecycleSql,
     "q_triangle_count"    -> GraphOps.triangleStatsSql,
     "q_kcore"             -> GraphOps.kcoreSql,
     "q_shard_assignment"  -> GovernanceOps.shardAssignmentSql,
@@ -317,7 +317,7 @@ object SparkEntry {
     "q_minhash_persisted" -> DedupOps.minhashLshSql,
     // lifecycle #6: half-built + streamed-append band index answers the
     // SAME one-pass oracle — the stream ≡ batch proof for dedup
-    "q_dedup_lifecycle"   -> DedupOps.minhashLshSql,
+    "q_dedup_lifecycle"   -> DedupOps.dedupLifecycleSql,
     "q_minhash_verified"  -> DedupOps.minhashVerifiedSql,
     "q_neardup_groups"    -> DedupOps.neardupGroupsSql,
     "q_ensemble_groups"   -> DedupOps.ensembleGroupsSql,
@@ -360,7 +360,7 @@ object SparkEntry {
     "q_video_neardup"     -> MultimodalOps.videoNearDupSql,
     // half-built + streamed-half media index probed under the unchanged
     // full-corpus oracle — stream ≡ batch for the media family
-    "q_media_lifecycle"   -> MultimodalOps.videoNearDupSql,
+    "q_media_lifecycle"   -> MultimodalOps.mediaLifecycleSql,
     "q_semantic_dedup"    -> SimilarityOps.semanticDedupSql,
     "q_multimodal_meta"   -> MultimodalOps.multimodalMetaSql,
     "q_multimodal_ann"    -> MultimodalOps.multimodalAnnSql,
@@ -390,7 +390,7 @@ object SparkEntry {
     "q_trainval_split"    -> DedupOps.trainValSplitSql,
     // build-half + stream-appended-half must serve EXACTLY what a
     // one-pass build serves — the full-corpus keyword oracle verbatim
-    "q_search_lifecycle"  -> TextOps.keywordSearchSql,
+    "q_search_lifecycle"  -> TextOps.searchLifecycleSql,
     "q_collocations"      -> TextOps.collocationsSql,
     "q_curation_funnel"   -> CurationPipeline.curationFunnelSql,
     "q_scd2_merge"        -> GovernanceOps.scd2MergeSql,

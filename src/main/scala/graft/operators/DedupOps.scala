@@ -1278,10 +1278,17 @@ object DedupOps {
     */
   def dedupLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
     val base = dedupLifecycleBase(sfDir)
+    // quarter-corpus (doc_id % 4 = 0) under the matching filtered
+    // oracle ([[dedupLifecycleSql]]) — r14 lifecycle fixed-cost
+    // discipline: banding is per-document independent, so the
+    // build+append ≡ one-pass claim is corpus-size invariant, while
+    // the per-call shingle+minhash rebuild is corpus-linear. The batch
+    // key q_minhash_lsh keeps the full-corpus oracle.
     val docs = Tables.documentsFanned(spark, sfDir)
       .select(col("doc_id"), col("text"))
-    val even = docs.filter(col("doc_id") % 2 === 0)
-    val odd = docs.filter(col("doc_id") % 2 =!= 0)
+      .filter(col("doc_id") % 4 === 0)
+    val even = docs.filter(col("doc_id") % 8 === 0)
+    val odd = docs.filter(col("doc_id") % 8 =!= 0)
     val t = Layout.rotateEpoch(spark, base) { name =>
       Layout.writeBucketed(bandRowsOf(even), name, "bucket", MinhashIndexBuckets)
     }
@@ -1635,6 +1642,15 @@ object DedupOps {
        |), bands AS (
        |  $bandRows
        |)""".stripMargin
+  }
+
+  /** [[minhashLshSql]] with the corpus predicate narrowed to
+    * [[dedupLifecycle]]'s quarter — derived by substitution so the
+    * band CTEs can never drift from the batch oracle's. */
+  lazy val dedupLifecycleSql: String = {
+    val full = "WHERE length(text) >= 5"
+    require(minhashLshSql.contains(full), "band CTE corpus predicate moved")
+    minhashLshSql.replace(full, full + " AND doc_id % 4 = 0")
   }
 
   val minhashLshSql: String =

@@ -87,6 +87,16 @@ object EventOps {
       |GROUP BY 1
       |ORDER BY window_start""".stripMargin
 
+  /** [[eventWindowsSql]] restricted to [[eventsLifecycle]]'s quarter. */
+  val eventsLifecycleSql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      |FROM events
+      |WHERE event_id % 4 = 0
+      |GROUP BY 1
+      |ORDER BY window_start""".stripMargin
+
   /** The MERGEABLE form of [[windowedAgg]]: same tumbling-window
     * grouping, but the value sum stays an exact decimal (un-finalized)
     * so partial rows from independent passes — a batch backfill and a
@@ -142,13 +152,18 @@ object EventOps {
   def eventsLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val base = eventsLifecycleBase(sfDir)
+    // quarter-corpus (event_id % 4 = 0) under a matching filtered
+    // oracle — the r14 lifecycle fixed-cost discipline (see
+    // SimilarityOps.hnswLifecycle): window-state merge correctness is
+    // corpus-size invariant, the replay cost is not
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("value"))
+      .filter(col("event_id") % 4 === 0)
     val t = Layout.rotateEpoch(spark, base) { name =>
-      windowedAggPartial(ev.filter(col("event_id") % 2 === 0))
+      windowedAggPartial(ev.filter(col("event_id") % 8 === 0))
         .write.format("parquet").mode("overwrite").saveAsTable(name)
     }
-    val odd = ev.filter(col("event_id") % 2 =!= 0).select(col("ts"), col("value"))
+    val odd = ev.filter(col("event_id") % 8 =!= 0).select(col("ts"), col("value"))
     val span = odd.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
     val (minTs, maxTs) = (span.getTimestamp(0), span.getTimestamp(1))
     // Fail-fast guard on the stream≡batch precondition: the file source
@@ -271,6 +286,10 @@ object EventOps {
     */
   def joinLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
     val base = joinLifecycleBase(sfDir)
+    // NO sub-corpus here (unlike the r14 quarter-corpus lifecycles):
+    // click->purchase pairs within 30 minutes are already sparse, and a
+    // quartered corpus produced ZERO pairs at the spec scale — a vacuous
+    // stream-stream-join proof is worse than a slower one
     val ev = Tables.events(spark, sfDir)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("ts"), col("user_id"),
@@ -375,13 +394,16 @@ object EventOps {
   def sessionLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val base = sessionLifecycleBase(sfDir)
+    // quarter-corpus (user_id % 4 = 0), matching filtered oracle —
+    // sessions are per-user, so the sub-corpus is session-complete
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("value"))
+      .filter(col("user_id") % 4 === 0)
     val t = Layout.rotateEpoch(spark, base) { name =>
-      sessionStatsBatch(ev.filter(col("user_id") % 2 === 0))
+      sessionStatsBatch(ev.filter(col("user_id") % 8 === 0))
         .write.format("parquet").mode("overwrite").saveAsTable(name)
     }
-    val odd = ev.filter(col("user_id") % 2 =!= 0)
+    val odd = ev.filter(col("user_id") % 8 =!= 0)
     val span = odd.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
     val (minTs, maxTs) = (span.getTimestamp(0), span.getTimestamp(1))
     if (maxTs != null) {
@@ -429,6 +451,7 @@ object EventOps {
   val sessionLifecycleSql: String =
     """WITH e AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      |  WHERE user_id % 4 = 0
       |), m AS (
       |  SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
       |      OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk

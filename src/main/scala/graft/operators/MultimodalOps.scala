@@ -957,13 +957,19 @@ object MultimodalOps {
     */
   def mediaLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
     val base = mediaLifecycleBase(sfDir)
+    // quarter-corpus (doc_id % 4 = 0) under the matching filtered
+    // oracle ([[mediaLifecycleSql]]) — r14 lifecycle fixed-cost
+    // discipline: decode is stateless per payload, so stream-grown ≡
+    // one-pass is corpus-size invariant while the per-call GIF decode
+    // is corpus-linear. q_video_neardup keeps the full-corpus oracle.
     val vids = syntheticVideos(spark, sfDir)
+      .filter(col("doc_id") % 4 === 0)
     val t = Layout.rotateEpoch(spark, base) { name =>
       Layout.writeBucketed(
-        decodeFrameHashes(vids.filter(col("doc_id") % 2 === 0)),
+        decodeFrameHashes(vids.filter(col("doc_id") % 8 === 0)),
         name, "doc_id", MediaIndexBuckets)
     }
-    val odd = vids.filter(col("doc_id") % 2 =!= 0)
+    val odd = vids.filter(col("doc_id") % 8 =!= 0)
     Layout.withStagedParquet(odd, "graft-medlc") { arrivals =>
       val stream = graft.streaming.MediaStream.appendVideoFramesStream(
         spark.readStream.schema(odd.schema).parquet(arrivals), base)
@@ -991,6 +997,16 @@ object MultimodalOps {
         max(bit_count(col("ha").bitwiseXOR(col("hb")))).cast("long").as("max_hamming"))
       .filter(col("max_hamming") <= 3)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** [[videoNearDupSql]] with the corpus narrowed to
+    * [[mediaLifecycle]]'s quarter — derived by substitution so the
+    * closed-form raster CTEs can never drift from the batch oracle. */
+  lazy val mediaLifecycleSql: String = {
+    require(videoNearDupSql.contains("FROM documents"),
+      "video oracle corpus anchor moved")
+    videoNearDupSql.replaceFirst("FROM documents",
+      "FROM documents WHERE doc_id % 4 = 0")
   }
 
   val videoNearDupSql: String =

@@ -2787,6 +2787,17 @@ object TextOps {
       .limit(k)
   }
 
+  /** [[keywordSearchSql]] with the corpus narrowed to
+    * [[searchLifecycle]]'s quarter — derived by substitution so the
+    * BM25 CTE chain can never drift from the batch oracle's (n_docs /
+    * avgdl / df all re-derive from the filtered base). */
+  lazy val searchLifecycleSql: String = {
+    require(keywordSearchSql.contains("FROM documents"),
+      "keyword oracle corpus anchor moved")
+    keywordSearchSql.replaceFirst("FROM documents",
+      "FROM documents WHERE doc_id % 4 = 0")
+  }
+
   val keywordSearchSql: String =
     """WITH base AS (
       |  SELECT doc_id, list_filter(
@@ -3097,10 +3108,17 @@ object TextOps {
     */
   def searchLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
     val base = lifecycleIndexName(sfDir)
+    // quarter-corpus (doc_id % 4 = 0) under the matching filtered
+    // oracle ([[searchLifecycleSql]]) — r14 lifecycle fixed-cost
+    // discipline: postings/stats maintenance correctness is
+    // corpus-size invariant (BM25 stats re-derive from the indexed
+    // set on both sides), the per-call tokenize+index rebuild is not.
+    // q_keyword_search keeps the full-corpus oracle.
     val docs = Tables.documentsFanned(spark, sfDir)
       .select(col("doc_id"), col("text"))
-    val even = docs.filter(col("doc_id") % 2 === 0)
-    val odd = docs.filter(col("doc_id") % 2 =!= 0)
+      .filter(col("doc_id") % 4 === 0)
+    val even = docs.filter(col("doc_id") % 8 === 0)
+    val odd = docs.filter(col("doc_id") % 8 =!= 0)
     val t = Layout.rotateEpoch(spark, base, sidecars = Seq("_stats")) { name =>
       buildInvertedIndex(spark, name, even)
     }

@@ -386,11 +386,16 @@ object MvJoinRewrite {
     * amount; month as the date_trunc timestamp, terminal DOUBLE cast
     * for cross-engine comparability as in q_monthly_summary), written
     * with no knowledge of the MV. */
-  private[graft] def monthlyClientRollupBase(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def monthlyClientRollupBase(spark: SparkSession, sfDir: String): DataFrame =
+    monthlyClientRollupOf(spark, sfDir, Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice")))
+
+  /** The rollup over an explicit fact frame — the one-shot twin the
+    * lifecycle spec compares its quarter-fact run against. */
+  private[graft] def monthlyClientRollupOf(spark: SparkSession, sfDir: String,
+      l: DataFrame): DataFrame = {
     val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
     val o = Tables.orders(spark, sfDir).select(col("o_custkey"), col("o_orderkey"))
-    val l = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
     c.join(o, c("c_custkey") === o("o_custkey"))
       .join(l, o("o_orderkey") === l("l_orderkey"))
       .groupBy(date_trunc("month", col("l_shipdate")).as("month"),
@@ -487,6 +492,21 @@ object MvJoinRewrite {
       |GROUP BY 1, 2
       |ORDER BY month, client_email""".stripMargin
 
+  /** [[monthlyClientRollupSql]] restricted to [[mvLifecycle]]'s
+    * quarter of the fact table. */
+  val mvLifecycleSql: String =
+    """SELECT
+      |  CAST(date_trunc('month', CAST(t.l_shipdate AS TIMESTAMP)) AS TIMESTAMP) AS month,
+      |  c.c_name AS client_email,
+      |  CAST(COUNT(*) AS BIGINT) AS transaction_count,
+      |  CAST(CAST(SUM(CAST(t.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(20,2)) AS DOUBLE) AS total_amount
+      |FROM customer c
+      |JOIN orders a ON c.c_custkey = a.o_custkey
+      |JOIN lineitem t ON a.o_orderkey = t.l_orderkey
+      |WHERE t.l_orderkey % 4 = 0
+      |GROUP BY 1, 2
+      |ORDER BY month, client_email""".stripMargin
+
   private[graft] def mvLifecycleBase(sfDir: String): String =
     "graft_mvlc_" + Layout.corpusTag(sfDir)
 
@@ -509,13 +529,19 @@ object MvJoinRewrite {
     */
   def mvLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
     val base = mvLifecycleBase(sfDir)
+    // quarter-fact sub-corpus (l_orderkey % 4 = 0) under the matching
+    // filtered oracle ([[mvLifecycleSql]]) — r14 lifecycle fixed-cost
+    // discipline: partial-row associativity is fact-set invariant, the
+    // per-call rebuild over 600K facts is not. The REWRITE keys
+    // (q_mv_join_rewrite et al.) keep the full-fact oracle.
     val l = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+      .filter(col("l_orderkey") % 4 === 0)
     val t = Layout.rotateEpoch(spark, base) { name =>
-      dayClientPartialsOf(spark, sfDir, l.filter(col("l_orderkey") % 2 === 0))
+      dayClientPartialsOf(spark, sfDir, l.filter(col("l_orderkey") % 8 === 0))
         .write.format("parquet").mode("overwrite").saveAsTable(name)
     }
-    val odd = l.filter(col("l_orderkey") % 2 =!= 0)
+    val odd = l.filter(col("l_orderkey") % 8 =!= 0)
     Layout.withStagedParquet(odd.repartition(4), "graft-mvlc") { dir =>
       val stream = graft.streaming.MvStream.appendMvDeltasStream(
         spark.readStream.schema(odd.schema)

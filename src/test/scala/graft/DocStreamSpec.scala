@@ -281,8 +281,10 @@ class DocStreamSpec extends SparkSpec {
     // compared against the one-pass batch operator itself
     val lifecycle = DedupOps.dedupLifecycle(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // one-pass twin over the lifecycle's quarter corpus
     val onePass = DedupOps.minhashLsh(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(t => t._1 % 4 == 0 && t._2 % 4 == 0)
     assert(lifecycle.toSeq === onePass.toSeq)
     assert(lifecycle.nonEmpty)
     // a second call rotates a fresh epoch and still answers identically

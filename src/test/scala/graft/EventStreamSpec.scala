@@ -141,8 +141,11 @@ class EventStreamSpec extends SparkSpec {
 
   test("eventsLifecycle: batch half + streamed half merge to the one-pass windows") {
     try {
-      val expected = graft.operators.EventOps
-        .eventWindows(spark, TestSpark.sf0001).collect().toSeq
+      val expected = graft.operators.EventOps.windowedAgg(
+          Tables.events(spark, TestSpark.sf0001)
+            .filter(org.apache.spark.sql.functions.col("event_id") % 4 === 0))
+        .orderBy(org.apache.spark.sql.functions.col("window_start"))
+        .collect().toSeq
       val got = graft.operators.EventOps
         .eventsLifecycle(spark, TestSpark.sf0001).collect().toSeq
       // row-identical INCLUDING the double value_sum: both sides finalize
@@ -189,14 +192,15 @@ class EventStreamSpec extends SparkSpec {
         .sessionLifecycle(spark, TestSpark.sf0001).collect().toSeq
       val expected = graft.operators.EventOps.sessionStatsBatch(
         Tables.events(spark, TestSpark.sf0001)
-          .select(col("user_id"), col("ts"), col("value")))
+          .select(col("user_id"), col("ts"), col("value"))
+          .filter(col("user_id") % 4 === 0))
         .select(col("user_id"), col("session_start"), col("last_ts"),
           col("n_events"), col("value_dec").cast("double").as("value_sum"))
         .orderBy(col("user_id"), col("session_start"))
         .collect().toSeq
       assert(got === expected)
-      assert(got.exists(_.getLong(0) % 2 != 0),
-        "streamed half contributed no sessions — the proof would be vacuous")
+      assert(got.exists(_.getLong(0) % 8 != 0),
+        "streamed users contributed no sessions — the proof would be vacuous")
       assert(!got.exists(_.getLong(0) == -1L), "sentinel session leaked")
     } finally {
       graft.operators.Layout.dropEpochFamily(spark,
@@ -210,10 +214,11 @@ class EventStreamSpec extends SparkSpec {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evspan").toString
     try {
-      // odd-id events 100 days apart — wider than the 90-day delay
+      // streamed-leg events (id % 4 = 0, % 8 != 0) 100 days apart —
+      // wider than the 90-day delay
       Seq(
-        (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
-        (3L, java.sql.Timestamp.valueOf("2024-04-10 00:00:00"), 2.0))
+        (4L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+        (12L, java.sql.Timestamp.valueOf("2024-04-10 00:00:00"), 2.0))
         .toDF("event_id", "ts", "value")
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
       val e = intercept[IllegalArgumentException] {

@@ -79,11 +79,16 @@ class MediaStreamSpec extends SparkSpec {
   test("mediaLifecycle: half-built + streamed-half epoch answers the one-pass query") {
     import graft.operators.MultimodalOps
     try {
+      // one-pass twin over the lifecycle's quarter corpus (hamming is
+      // pair-local and banding per-doc, so filtering the full-corpus
+      // pairs to quarter members IS the quarter-corpus answer)
       val expected = MultimodalOps.videoNearDup(spark, TestSpark.sf0001)
         .collect().toSeq
+        .filter(r => r.getLong(0) % 4 == 0 && r.getLong(1) % 4 == 0)
       val got = MultimodalOps.mediaLifecycle(spark, TestSpark.sf0001)
         .collect().toSeq
       assert(got === expected)
+      assert(got.nonEmpty, "quarter corpus produced no near-dup pairs")
     } finally {
       Layout.dropEpochFamily(spark,
         MultimodalOps.mediaLifecycleBase(TestSpark.sf0001))

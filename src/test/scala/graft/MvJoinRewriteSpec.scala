@@ -181,19 +181,23 @@ class MvJoinRewriteSpec extends SparkSpec {
     val base = MvJoinRewrite.mvLifecycleBase(sf)
     try {
       val got = MvJoinRewrite.mvLifecycle(spark, sf).collect()
-      val want = MvJoinRewrite.monthlyClientRollupBase(spark, sf).collect()
+      // one-shot twin over the lifecycle's quarter of the fact table
+      val want = MvJoinRewrite.monthlyClientRollupOf(spark, sf,
+        Tables.lineitem(spark, sf)
+          .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+          .filter(col("l_orderkey") % 4 === 0)).collect()
       assert(got.nonEmpty)
       assert(got.toSeq === want.toSeq)
       // provenance check: the epoch holds MORE partial rows than the
-      // bulk (even-orderkey) half alone produced — the streamed deltas
-      // are load-bearing, not vacuously empty
+      // bulk (l_orderkey % 8 = 0) leg alone produced — the streamed
+      // deltas are load-bearing, not vacuously empty
       val t = Layout.currentEpochTable(spark, base).get
       val bulkRows = MvJoinRewrite.dayClientPartialsOf(spark, sf,
         Tables.lineitem(spark, sf)
           .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
-          .filter(col("l_orderkey") % 2 === 0)).count()
+          .filter(col("l_orderkey") % 8 === 0)).count()
       assert(spark.table(t).count() > bulkRows,
-        "no streamed partials landed — the odd half never reached the epoch")
+        "no streamed partials landed — the arriving leg never reached the epoch")
     } finally Layout.dropEpochFamily(spark, base)
   }
 }

@@ -637,8 +637,22 @@ class TextOpsSpec extends SparkSpec {
       val viaLifecycle = TextOps.searchLifecycle(spark, sf).collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(viaLifecycle.nonEmpty)
-      val onePass = TextOps.keywordSearch(spark, sf).collect()
-        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // one-pass twin over the lifecycle's quarter corpus: a fresh
+      // single-shot index build over the same filtered docs (BM25
+      // stats re-derive from the indexed set, so a full-corpus probe
+      // would NOT match — the quarter changes n_docs/avgdl/df)
+      val onePassName = "graft_slc_onepass_spec"
+      val onePass = try {
+        TextOps.buildInvertedIndex(spark, onePassName,
+          Tables.documentsFanned(spark, sf)
+            .select(col("doc_id"), col("text"))
+            .filter(col("doc_id") % 4 === 0))
+        TextOps.keywordSearchIndex(spark, onePassName).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      } finally {
+        spark.sql(s"DROP TABLE IF EXISTS $onePassName")
+        spark.sql(s"DROP TABLE IF EXISTS ${onePassName}_stats")
+      }
       assert(viaLifecycle === onePass)
       // a second call must rotate a fresh epoch and still agree
       assert(TextOps.searchLifecycle(spark, sf).collect()
