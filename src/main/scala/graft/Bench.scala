@@ -63,6 +63,7 @@ object Bench {
     "q_mv_lifecycle" -> 4.590, // r12 seed (min of 2 isolated): rebuild-by-design lifecycle #15 — even-half partials build + streamed IVM delta appends (static-dim join per batch) + 466K-row served rollup every call
     "q_rocchio_search" -> 0.933, // r12 seed (min of 2 isolated): three index probes (seed BM25, forward-index expansion, weighted re-probe) + two bounded driver collects (10 ids, 5 terms)
     "q_embedding_covariance" -> 0.984, // r12 seed (min of 2 isolated): N·d² Gramian — one vec_id-co-partitioned self-join feeding a 2080-group map-side-combined aggregate
+    "q_embedding_micros" -> 0.908, // r14 seed (min of 3 isolated on a 2.3-2.6x-slow canary host — expect a quiet-host floor nearer 0.4): the shared quantize+explode leg's 64-group checksum diagnostic
     "q_power_iteration" -> 2.063, // r13 seed (min of 2 isolated, 2100 MHz host): the same distributed Gramian + a d²-bounded driver BigInt iteration (3 unrolled steps)
     "q_power_lifecycle" -> 4.480, // r13 seed (min of 2 isolated, 2100 MHz host): rebuild-by-design lifecycle #16 — even-half Gramian partials build + streamed odd-half delta appends + served re-aggregate + iteration, EVERY call
     "q_cluster_topics" -> 0.682, // r13 seed (min of 2 isolated, 2100 MHz host): postings tf ⋈ IVF cells on the doc spine + (cell, term)-grain tf·idf + per-cell window top-3
