@@ -93,7 +93,14 @@ object StressBench {
     "q_cluster_topics",
     // r13: lifecycle #16 at 10× — 100K even vectors bulk Gramian +
     // 100K odd vectors streamed as per-batch 2080-row delta partials
-    "q_power_lifecycle")
+    "q_power_lifecycle",
+    // r14: the named near-dup batch key itself (minhash_verified rides
+    // the same band index; this is the raw banded-candidate form whose
+    // salted copies flood the buckets)
+    "q_minhash_lsh",
+    // r14: mixed-modality real-codec ANN at 10× — 50K PNG/WAV payloads
+    // through the magic-byte dispatch into the persisted feature epoch
+    "q_multimodal_ann")
 
   private def tenX(spark: SparkSession, src: String, dst: String): Unit = {
     val copies = explode(sequence(lit(0L), lit(9L))).as("k")
@@ -171,7 +178,9 @@ object StressBench {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val dst = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR", "/tmp/graft-stress10x")
+    val dst = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR",
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-stress10x"
+      else "/tmp/graft-stress10x")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -181,6 +190,16 @@ object StressBench {
       .config("spark.local.dir",
         if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark" else
           System.getProperty("java.io.tmpdir"))
+      // same tmpfs routing as Bench/Verify (r14): lifecycle epoch
+      // writes, staged arrivals, and stream checkpoints off the
+      // stalling disk
+      .config("spark.sql.streaming.checkpointLocation",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ckpt"
+        else System.getProperty("java.io.tmpdir"))
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
+          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-warehouse"
+          else new java.io.File("spark-warehouse").getAbsolutePath))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
