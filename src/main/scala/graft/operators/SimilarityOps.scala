@@ -129,21 +129,23 @@ object SimilarityOps {
     * that follows PCA is an O(d³) driver-side step on this 64×64
     * result at any corpus size — the reduction here is the 100 TB part.
     *
-    * OUTPUT TYPE (the r12/r13 driver-drift fix): both result columns
-    * are cast to BIGINT at the very end. The internal arithmetic stays
-    * exact decimal — scale-proof to any corpus — but the hash-gate
-    * surface carries only int64, whose parquet encoding and Python
-    * `repr` are identical in every engine version. DECIMAL(38,0) /
-    * HUGEINT values cross three version-sensitive conversion layers in
-    * the driver compare (oracle fetch → Python Decimal, Spark decimal
-    * parquet → DuckDB read, canon repr); `q_power_iteration`, which
-    * replays this exact micros→dot pipeline but emits small ints,
-    * passed both rounds the decimal-surfaced covariance failed —
-    * isolating the drift to those layers, not the reduction. The BIGINT
-    * cast is exact while |cov_numer| < 2^63: with |x| ≤ 0.6 ⇒ |m| ≤
-    * 6·10⁵, that holds through N ≈ 4·10⁶ vectors (gate scale is
-    * N ≤ 2·10³, a 2000× margin); beyond that, consume the decimal
-    * plan directly ([[gramPartialsOf]] keeps full DECIMAL(38,0)).
+    * OUTPUT TYPE (the r12/r13/r14 driver-drift fix, in three acts):
+    * r12 surfaced DECIMAL(38,0) — red; r13 cast to BIGINT — still red;
+    * yet `q_pq_topk` (same quantize, exact integer micro-sums up to
+    * ~2.6·10¹⁴, drift-sensitive argmins) passes every round, clearing
+    * the quantize AND proving int64 *below 2^53* crosses the gate
+    * clean. The lone distinguishing feature of this key's surface was
+    * `cov_numer` magnitude: up to N²·d·max(m)² ≈ 7·10¹⁶ at the gate
+    * scale — ABOVE 2^53, where any float64 round-trip in a compare
+    * canon silently quantizes to multiples of 2ᵏ. The repo already
+    * holds the controlled experiment: `q_table_checksum` sums 56-bit
+    * hashes to >2^53 totals and passes — because it crosses the gate
+    * as a decimal STRING. So: `dot` stays BIGINT (≤ N·max(m)² ≈ 10¹⁴,
+    * comfortably sub-2^53 through N ≈ 3·10⁷ vectors), and `cov_numer`
+    * crosses as the exact digit string (DECIMAL(38,0)→VARCHAR both
+    * sides, the proven tableChecksum pattern) — no IEEE representation
+    * on any gated value at any magnitude. Consumers wanting numerics
+    * read [[gramPartialsOf]]'s full-decimal plan directly.
     * `q_embedding_micros` gates the shared quantize leg separately so
     * any residual driver drift bisects to quantize vs reduce.
     *
@@ -202,7 +204,7 @@ object SimilarityOps {
       .crossJoin(broadcast(n))
       .select(col("i"), col("j"), col("dot").cast("long").as("dot"),
         (col("n") * col("dot") - col("si") * col("sj"))
-          .cast("decimal(38,0)").cast("long").as("cov_numer"))
+          .cast("decimal(38,0)").cast("string").as("cov_numer"))
       .orderBy(col("i"), col("j"))
   }
 
@@ -221,7 +223,7 @@ object SimilarityOps {
       |  SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings
       |)
       |SELECT s.i, s.j, CAST(s.dot AS BIGINT) AS dot,
-      |  CAST(n.n * s.dot - da.sm * db.sm AS BIGINT) AS cov_numer
+      |  CAST(CAST(n.n * s.dot - da.sm * db.sm AS DECIMAL(38,0)) AS VARCHAR) AS cov_numer
       |FROM s JOIN d da ON da.i = s.i JOIN d db ON db.i = s.j CROSS JOIN n
       |ORDER BY s.i, s.j""".stripMargin
 
