@@ -63,7 +63,7 @@ object Bench {
     "q_mv_lifecycle" -> 4.590, // r12 seed (min of 2 isolated): rebuild-by-design lifecycle #15 — even-half partials build + streamed IVM delta appends (static-dim join per batch) + 466K-row served rollup every call
     "q_rocchio_search" -> 0.933, // r12 seed (min of 2 isolated): three index probes (seed BM25, forward-index expansion, weighted re-probe) + two bounded driver collects (10 ids, 5 terms)
     "q_embedding_covariance" -> 0.984, // r12 seed (min of 2 isolated): N·d² Gramian — one vec_id-co-partitioned self-join feeding a 2080-group map-side-combined aggregate
-    "q_embedding_micros" -> 0.908, // r14 seed (min of 3 isolated on a 2.3-2.6x-slow canary host — expect a quiet-host floor nearer 0.4): the shared quantize+explode leg's 64-group checksum diagnostic
+    "q_embedding_micros" -> 0.908, // r14 seed (min of 3 isolated on a 2.3-2.6x-slow canary host — the r14 quiet-host full-pass minimum 0.292 lives in refMinFast per the dual-floor rule): the shared quantize+explode leg's 64-group checksum diagnostic
     "q_power_iteration" -> 2.063, // r13 seed (min of 2 isolated, 2100 MHz host): the same distributed Gramian + a d²-bounded driver BigInt iteration (3 unrolled steps)
     "q_power_lifecycle" -> 4.480, // r13 seed (min of 2 isolated, 2100 MHz host): rebuild-by-design lifecycle #16 — even-half Gramian partials build + streamed odd-half delta appends + served re-aggregate + iteration, EVERY call
     "q_cluster_topics" -> 0.682, // r13 seed (min of 2 isolated, 2100 MHz host): postings tf ⋈ IVF cells on the doc spine + (cell, term)-grain tf·idf + per-cell window top-3
@@ -118,7 +118,7 @@ object Bench {
     "q_minhash_lsh" -> 0.678, "q_minhash_persisted" -> 0.638,
     "q_minhash_verified" -> 1.064,
     "q_monthly_summary" -> 1.773,
-    "q_multimodal_ann" -> 1.235, // r14 re-seed (min of 3 isolated): operator reworked to real mixed-codec decode (persisted feature index + modality-scoped LSH join), replacing the md5-stub features
+    "q_multimodal_ann" -> 1.235, // r14 re-seed (min of 3 isolated on the degraded canary host — the r14 quiet-host full-pass minimum 0.390 lives in refMinFast): operator reworked to real mixed-codec decode (persisted feature index + modality-scoped LSH join), replacing the md5-stub features
 
     "q_multimodal_meta" -> 0.195,
     "q_neardup_groups" -> 1.043, // r11s3 adjudicated slow-host floor (hot-host 0.686 in refMinFast): pairs from the shingle index
@@ -201,7 +201,8 @@ object Bench {
     "q_canonical_docs" -> 0.563, "q_embedding_neardup" -> 0.402,
     "q_pq_topk" -> 0.80, "q_neardup_groups" -> 0.686,
     "q_pagerank" -> 0.350, "q_ngram_jaccard" -> 0.370,
-    "q_multimodal_ann" -> 1.122, // pre-r14 stub-feature floor retired with the operator; hot-host floor unknown for the real-codec form — seeded at the old slow-host floor
+    "q_multimodal_ann" -> 0.390, // r14 quiet-host min of 3 isolated full passes for the real-codec form (the 1.122 stub-feature floor died with the stub)
+    "q_embedding_micros" -> 0.292, // r14 quiet-host min of 3 isolated full passes (refMin keeps the degraded-canary seed per the dual-floor rule)
 
     // r12 adjudication: BENCH_r11 (the ADJUDICATING driver host) flagged
     // 15 keys — mostly r11-new floors seeded on builder-host passes the
