@@ -32,6 +32,8 @@ object SparkEntry {
     "q_dedup_first"       -> (Cleaning.dedupFirst _),
     "q_coerce_fill"       -> (Cleaning.coerceFill _),
     "q_union_pages"       -> (Cleaning.unionPages _),
+    // dataset-grain file formats: CSV→JSONL→ORC lossless round-trip
+    "q_format_roundtrip"  -> (graft.sources.FileFormats.formatRoundtrip _),
     // relational breadth (categories absent from the reference)
     "q_outer_counts"      -> (RelOps.outerOrderCounts _),
     "q_anti_clients"      -> (RelOps.clientsWithoutOrders _),
@@ -219,6 +221,7 @@ object SparkEntry {
     "q_dedup_first"       -> Cleaning.dedupFirstSql,
     "q_coerce_fill"       -> Cleaning.coerceFillSql,
     "q_union_pages"       -> Cleaning.unionPagesSql,
+    "q_format_roundtrip"  -> graft.sources.FileFormats.formatRoundtripSql,
     "q_outer_counts"      -> RelOps.outerOrderCountsSql,
     "q_anti_clients"      -> RelOps.clientsWithoutOrdersSql,
     "q_semi_urgent"       -> RelOps.clientsWithUrgentOrdersSql,

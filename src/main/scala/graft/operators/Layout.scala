@@ -128,32 +128,40 @@ object Layout {
     * its streaming file source; without cleanup a bench session leaks
     * one staged copy per invocation).
     */
-  def withStagedParquet[T](df: DataFrame, prefix: String)(use: String => T): T = {
-    // Stage on tmpfs when the host has it: the staged copy is written
-    // and read back within one call, and this host's disk has the
-    // documented multi-second write stalls (see Bench.scala) — exactly
-    // the I/O pattern that eats lifecycle-key wall-clock for no proof
-    // value. Deleted in the finally either way.
+  def withStagedParquet[T](df: DataFrame, prefix: String)(use: String => T): T =
+    withStagedDir(df.sparkSession, prefix) { dir =>
+      df.write.mode("overwrite").parquet(dir)
+      use(dir)
+    }
+
+  /** A fresh temp directory handed to `use` and deleted afterwards —
+    * the staging primitive under [[withStagedParquet]], exposed for
+    * callers staging OTHER formats (the file-format round-trip gate
+    * writes CSV/JSONL/ORC through it). Stages on tmpfs when the host
+    * has it: staged copies are written and read back within one call,
+    * and this host's disk has the documented multi-second write stalls
+    * (see Bench.scala) — exactly the I/O pattern that eats wall-clock
+    * for no proof value. Deleted in the finally either way.
+    */
+  def withStagedDir[T](spark: SparkSession, prefix: String)(use: String => T): T = {
     val shm = new java.io.File("/dev/shm")
     val dir = (if (shm.isDirectory)
       java.nio.file.Files.createTempDirectory(shm.toPath.resolve("."), prefix)
     else java.nio.file.Files.createTempDirectory(prefix)).toString
-    try {
-      df.write.mode("overwrite").parquet(dir)
-      use(dir)
-    } finally {
+    try use(dir)
+    finally {
       val p = new org.apache.hadoop.fs.Path(dir)
       scala.util.Try(p.getFileSystem(
-        df.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)) match {
+        spark.sparkContext.hadoopConfiguration).delete(p, true)) match {
         case scala.util.Failure(e) =>
-          // A swallowed failure here leaks one half-corpus copy per
-          // lifecycle invocation with no signal — surface it.
+          // A swallowed failure here leaks one staged copy per
+          // invocation with no signal — surface it.
           org.slf4j.LoggerFactory.getLogger(getClass)
-            .warn(s"withStagedParquet: failed to delete staged dir $dir", e)
+            .warn(s"withStagedDir: failed to delete staged dir $dir", e)
         case scala.util.Success(deleted) =>
           if (!deleted)
             org.slf4j.LoggerFactory.getLogger(getClass)
-              .warn(s"withStagedParquet: staged dir $dir not deleted (fs returned false)")
+              .warn(s"withStagedDir: staged dir $dir not deleted (fs returned false)")
       }
     }
   }

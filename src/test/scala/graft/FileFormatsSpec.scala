@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+import graft.sources.FileFormats
+
+/** The file-format round-trip gate's local proofs: each format
+  * generation is the IDENTITY on the adversarial payload (multiset
+  * equality, not just aggregate equality), the armor actually covers
+  * the loss classes it claims, and the pinned CSV option set is
+  * load-bearing (the default-options read demonstrably loses data on
+  * the same files).
+  */
+class FileFormatsSpec extends SparkSpec {
+
+  private def hard = FileFormats.hardenedDocs(spark, sf).cache()
+
+  test("payload armor covers every claimed loss class") {
+    val p = hard.select(col("payload")).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getString(0))
+    assert(p.contains(null), "null case present")
+    assert(p.contains(""), "empty-string case present (distinct from null)")
+    val armored = p.filter(s => s != null && s.nonEmpty)
+    assert(armored.nonEmpty)
+    for (needle <- Seq("\n", "\r", "\"", ",", "\t", "\\", "😀"))
+      assert(armored.forall(_.contains(needle)), s"armor carries ${needle.map(_.toInt)}")
+    // the CSV null sentinel must never occur as content — the format's
+    // documented ambiguity, kept out of the derivation by construction
+    assert(armored.forall(!_.contains("\\N")))
+  }
+
+  test("each format generation is the identity (multiset equality)") {
+    def assertSame(a: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      assert(a.exceptAll(hard).count() === 0, s"$label added/changed rows")
+      assert(hard.exceptAll(a).count() === 0, s"$label lost rows")
+    }
+    Layout.withStagedDir(spark, "fmtspec-csv") { dir =>
+      assertSame(FileFormats.throughCsv(spark, hard, dir).localCheckpoint(true), "csv")
+    }
+    Layout.withStagedDir(spark, "fmtspec-json") { dir =>
+      assertSame(FileFormats.throughJsonl(spark, hard, dir).localCheckpoint(true), "jsonl")
+    }
+    Layout.withStagedDir(spark, "fmtspec-orc") { dir =>
+      assertSame(FileFormats.throughOrc(spark, hard, dir).localCheckpoint(true), "orc")
+    }
+  }
+
+  test("the pinned CSV options are load-bearing: the default-option read " +
+      "of the same files loses rows or folds null/empty") {
+    Layout.withStagedDir(spark, "fmtspec-neg") { dir =>
+      hard.sparkSession // force init
+      FileFormats.throughCsv(spark, hard, dir) // writes with the pinned set
+      val naive = spark.read
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.StringType))))
+        .option("header", "true") // but default escape/multiLine/null handling
+        .csv(dir).localCheckpoint(true)
+      val nHard = hard.count()
+      val naiveDiffers =
+        naive.count() != nHard ||
+          naive.exceptAll(hard).count() != 0 ||
+          naive.filter(col("payload") === "").count() !=
+            hard.filter(col("payload") === "").count()
+      assert(naiveDiffers,
+        "default-option CSV read round-tripped the armored payload — the " +
+          "pinned option set would be dead weight")
+    }
+  }
+
+  test("gated aggregate is stable across the triple round-trip re-run " +
+      "(deterministic derivation, order-invariant checksum)") {
+    val a = FileFormats.formatRoundtrip(spark, sf).collect()
+    val b = FileFormats.formatRoundtrip(spark, sf).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    assert(a.nonEmpty)
+  }
+}
