@@ -34,6 +34,10 @@ object SparkEntry {
     "q_union_pages"       -> (Cleaning.unionPages _),
     // dataset-grain file formats: CSV→JSONL→ORC lossless round-trip
     "q_format_roundtrip"  -> (graft.sources.FileFormats.formatRoundtrip _),
+    // record linkage: blocking + Levenshtein entity resolution
+    "q_record_linkage"    -> (LinkageOps.recordLinkage _),
+    // time-series densify + forward fill
+    "q_gap_fill"          -> (EventOps.gapFill _),
     // relational breadth (categories absent from the reference)
     "q_outer_counts"      -> (RelOps.outerOrderCounts _),
     "q_anti_clients"      -> (RelOps.clientsWithoutOrders _),
@@ -222,6 +226,8 @@ object SparkEntry {
     "q_coerce_fill"       -> Cleaning.coerceFillSql,
     "q_union_pages"       -> Cleaning.unionPagesSql,
     "q_format_roundtrip"  -> graft.sources.FileFormats.formatRoundtripSql,
+    "q_record_linkage"    -> LinkageOps.recordLinkageSql,
+    "q_gap_fill"          -> EventOps.gapFillSql,
     "q_outer_counts"      -> RelOps.outerOrderCountsSql,
     "q_anti_clients"      -> RelOps.clientsWithoutOrdersSql,
     "q_semi_urgent"       -> RelOps.clientsWithUrgentOrdersSql,

@@ -919,4 +919,67 @@ object EventOps {
       |  CAST(n_active AS DOUBLE) /
       |    FIRST_VALUE(n_active) OVER (PARTITION BY cohort_week ORDER BY weeks_since) AS retention
       |FROM g ORDER BY cohort_week, weeks_since""".stripMargin
+
+  /** TIME-SERIES GAP FILL (densify + forward fill) — the operator every
+    * per-entity daily rollup needs before charting, anomaly scoring, or
+    * model featurization, and one Spark has no native verb for: emit a
+    * COMPLETE day grid per user from its first to its last active day,
+    * zero-filling event counts on silent days and carrying the last
+    * known daily cents total forward (`last(_, ignoreNulls)` over an
+    * unbounded-preceding row frame — the canonical Spark gap-fill
+    * composition: aggregate → span → `sequence`/`explode` grid → left
+    * join → ignore-nulls running last).
+    *
+    * All hash-path arithmetic is exact: counts, and daily cents via the
+    * `floor(value·100)` integer-cents convention ([[anomalyMad]]'s
+    * precedent). Scale shape: the grid explode is bounded by each
+    * user's calendar span (not corpus rows); the grid↔daily join and
+    * the forward-fill window are both partitioned by user_id, so the
+    * single user_id exchange from the daily rollup serves all three —
+    * and per-user calendar spans are bounded by time itself, the one
+    * skew dimension that cannot blow up with corpus size. The first
+    * grid row per user is its first ACTIVE day by construction, so the
+    * forward-filled column is never null.
+    */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"),
+        coalesce(col("n_events"), lit(0L)).cast("long").as("n_events"),
+        last(col("cents"), ignoreNulls = true).over(w).cast("long").as("cents_ff"))
+      .orderBy(col("user_id"), col("d"))
+  }
+
+  val gapFillSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1, 2
+      |), spans AS (
+      |  SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1
+      |), grid AS (
+      |  -- list-returning generate_series + unnest (the lateral table
+      |  -- function form rejects column arguments in the oracle engine)
+      |  SELECT user_id, CAST(unnest(generate_series(
+      |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+      |  FROM spans
+      |)
+      |SELECT g.user_id, g.d,
+      |  CAST(COALESCE(dd.n_events, 0) AS BIGINT) AS n_events,
+      |  CAST(LAST_VALUE(dd.cents IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_ff
+      |FROM grid g LEFT JOIN daily dd ON dd.user_id = g.user_id AND dd.d = g.d
+      |ORDER BY g.user_id, g.d""".stripMargin
 }

@@ -203,4 +203,41 @@ class EventOpsSpec extends SparkSpec {
     assert((anti & matched).isEmpty)
     assert((anti | matched) === allClicks)
   }
+
+  test("gapFill: per-user grid is complete and consecutive, zero-fill and " +
+      "forward-fill match a driver recompute") {
+    val rows = EventOps.gapFill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_._1)
+    // independent recompute of the daily rollup
+    val daily = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c")).collect()
+      .map(r => (r.getLong(0), r.getDate(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    for ((u, rs) <- byUser) {
+      val sorted = rs.sortBy(_._2.getTime)
+      // consecutive days from first to last active day, no holes
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2.getTime - a._2.getTime === 86400000L,
+            s"gap or duplicate between ${a._2} and ${b._2} for user $u")
+        case _ =>
+      }
+      assert(daily.contains((u, sorted.head._2)), s"user $u grid starts on an active day")
+      assert(daily.contains((u, sorted.last._2)), s"user $u grid ends on an active day")
+      var ff = Option.empty[Long]
+      for ((_, d, n, cff) <- sorted) {
+        daily.get((u, d)) match {
+          case Some((dn, dc)) => assert(n === dn); ff = Some(dc)
+          case None           => assert(n === 0L, s"silent day $d for $u zero-filled")
+        }
+        assert(ff.nonEmpty && cff === ff.get, s"forward fill at $d for $u")
+      }
+    }
+    // the densified grid genuinely adds silent days at this SF
+    assert(rows.length > daily.size, "no gaps were filled - fixture too dense to prove anything")
+  }
 }
