@@ -100,7 +100,16 @@ object StressBench {
     "q_minhash_lsh",
     // r14: mixed-modality real-codec ANN at 10× — 50K PNG/WAV payloads
     // through the magic-byte dispatch into the persisted feature epoch
-    "q_multimodal_ann")
+    "q_multimodal_ann",
+    // r14: triple file-format round-trip at 10× — 50K armored payloads
+    // through distributed CSV/JSONL/ORC encode+decode on tmpfs
+    "q_format_roundtrip",
+    // r14: entity resolution at 10× — 150K-registry suffix-block join
+    // (blocks grow to ~15 members: the fan-out bound under load)
+    "q_record_linkage",
+    // r14: densify+fill at 10× — 10M events rolled up and gap-filled
+    // through one user_id exchange
+    "q_gap_fill")
 
   private def tenX(spark: SparkSession, src: String, dst: String): Unit = {
     val copies = explode(sequence(lit(0L), lit(9L))).as("k")
