@@ -206,6 +206,10 @@ object Bench {
     "q_pagerank" -> 0.350, "q_ngram_jaccard" -> 0.370,
     "q_multimodal_ann" -> 0.390, // r14 quiet-host min of 3 isolated full passes for the real-codec form (the 1.122 stub-feature floor died with the stub)
     "q_embedding_micros" -> 0.292, // r14 quiet-host min of 3 isolated full passes (refMin keeps the degraded-canary seed per the dual-floor rule)
+    // r14 close-pass warm minima for the three new keys (refMin keeps
+    // the conservative cold-run seeds per the dual-floor rule)
+    "q_format_roundtrip" -> 0.635, "q_record_linkage" -> 0.314,
+    "q_gap_fill" -> 0.153,
 
     // r12 adjudication: BENCH_r11 (the ADJUDICATING driver host) flagged
     // 15 keys — mostly r11-new floors seeded on builder-host passes the
