@@ -177,7 +177,9 @@ object Bench {
     "q_union_pages" -> 0.285, "q_user_sessions" -> 0.678,
     "q_format_roundtrip" -> 0.963, // r14 seed (min of 3 isolated cold runs): CSV→JSONL→ORC triple write+read over the 5K-doc armored payload — tmpfs-staged, cost is format encode/decode not data
     "q_record_linkage" -> 0.734, // r14 seed (min of 3 isolated): suffix-block equi-join + Levenshtein verify + per-dirty-record best-match window
-    "q_gap_fill" -> 0.342) // r14 seed (min of 3 isolated): daily rollup + span-bounded sequence/explode grid + co-partitioned left join + ignore-nulls running last
+    "q_gap_fill" -> 0.342, // r14 seed (min of 3 isolated): daily rollup + span-bounded sequence/explode grid + co-partitioned left join + ignore-nulls running last
+    "q_schema_evolution" -> 0.763, // r14 seed (min of 3 isolated): two staged parquet generations + one mergeSchema read + 20-group rollup
+    "q_winsorize" -> 0.608) // r14 seed (min of 3 isolated): exact dyadic-16th percentile bounds pass + broadcast clip pass over 600K events
 
   /** Superseded HOT-HOST floors for keys whose [[refMin]] entry was
     * re-adjudicated upward on quiet-host evidence of UNCHANGED code

@@ -34,6 +34,10 @@ object SparkEntry {
     "q_union_pages"       -> (Cleaning.unionPages _),
     // dataset-grain file formats: CSV→JSONL→ORC lossless round-trip
     "q_format_roundtrip"  -> (graft.sources.FileFormats.formatRoundtrip _),
+    // parquet schema drift served by one mergeSchema read
+    "q_schema_evolution"  -> (graft.sources.FileFormats.schemaEvolution _),
+    // per-group dyadic-quantile value clipping
+    "q_winsorize"         -> (GovernanceOps.winsorize _),
     // record linkage: blocking + Levenshtein entity resolution
     "q_record_linkage"    -> (LinkageOps.recordLinkage _),
     // time-series densify + forward fill
@@ -226,6 +230,8 @@ object SparkEntry {
     "q_coerce_fill"       -> Cleaning.coerceFillSql,
     "q_union_pages"       -> Cleaning.unionPagesSql,
     "q_format_roundtrip"  -> graft.sources.FileFormats.formatRoundtripSql,
+    "q_schema_evolution"  -> graft.sources.FileFormats.schemaEvolutionSql,
+    "q_winsorize"         -> GovernanceOps.winsorizeSql,
     "q_record_linkage"    -> LinkageOps.recordLinkageSql,
     "q_gap_fill"          -> EventOps.gapFillSql,
     "q_outer_counts"      -> RelOps.outerOrderCountsSql,

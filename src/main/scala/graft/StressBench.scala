@@ -109,7 +109,11 @@ object StressBench {
     "q_record_linkage",
     // r14: densify+fill at 10× — 10M events rolled up and gap-filled
     // through one user_id exchange
-    "q_gap_fill")
+    "q_gap_fill",
+    // r14 s2: exact percentile bounds + broadcast clip over 10M events
+    "q_winsorize",
+    // r14 s2: two staged parquet generations + one mergeSchema read
+    "q_schema_evolution")
 
   private def tenX(spark: SparkSession, src: String, dst: String): Unit = {
     val copies = explode(sequence(lit(0L), lit(9L))).as("k")

@@ -578,6 +578,61 @@ object GovernanceOps {
       |GROUP BY 1, 2, 3, 4
       |ORDER BY s.event_type""".stripMargin
 
+  /** WINSORIZATION — the per-group quantile clipping every tabular
+    * featurization pipeline runs before a heavy tail poisons a model
+    * (cap each event's value at its type's [1/16, 15/16] quantiles).
+    * The bound fractions are DYADIC SIXTEENTHS by design, the
+    * [[q_equidepth_histogram]]/[[docQuantiles]] exactness rule: type-7
+    * interpolation computes h = (n−1)·p, and a dyadic p makes every
+    * interpolated bound an exact binary fraction of integer cents —
+    * bit-identical in both engines, no data value ever one ulp from a
+    * clip fence (the conventional 1%/99% fractions interpolate in
+    * hundredths, which ARE lossy in binary floating point). The gated
+    * sum carries 16·clip(cents) — an exact integer both engines must
+    * reproduce digit for digit (|16·w| bounded far under 2^53).
+    *
+    * Plan: one pass computes the per-type exact percentile bounds
+    * (map-side-combinable percentile state), the k-row bounds frame
+    * broadcasts back onto the second pass — the [[anomalyMad]] shape.
+    * At 100 TB the exact percentile switches to the KLL sketch per the
+    * q_doc_quantiles_approx precedent; clipping stays a row-local
+    * predicate against broadcast bounds.
+    */
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("cents"))
+    val bounds = e.groupBy(col("event_type"))
+      .agg(percentile(col("cents"), lit(0.0625)).as("lo"),
+        percentile(col("cents"), lit(0.9375)).as("hi"))
+    e.join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(when(col("cents") < col("lo"), 1L).otherwise(0L))
+          .cast("long").as("n_clipped_lo"),
+        sum(when(col("cents") > col("hi"), 1L).otherwise(0L))
+          .cast("long").as("n_clipped_hi"),
+        sum((greatest(col("lo"), least(col("hi"), col("cents").cast("double")))
+          * 16d).cast("long")).cast("long").as("wsum16"))
+      .orderBy(col("event_type"))
+  }
+
+  val winsorizeSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), b AS (
+      |  SELECT event_type, quantile_cont(cents, 0.0625) AS lo,
+      |    quantile_cont(cents, 0.9375) AS hi
+      |  FROM e GROUP BY event_type
+      |)
+      |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN e.cents < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+      |  CAST(SUM(CASE WHEN e.cents > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+      |  CAST(SUM(CAST(GREATEST(b.lo, LEAST(b.hi, CAST(e.cents AS DOUBLE))) * 16
+      |    AS BIGINT)) AS BIGINT) AS wsum16
+      |FROM e JOIN b ON e.event_type = b.event_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------- profile
 
   private val profileColumns =

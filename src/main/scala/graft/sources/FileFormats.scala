@@ -153,6 +153,60 @@ object FileFormats {
   def formatRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
     gateAgg(tripleRoundtrip(spark, sfDir))
 
+  /** SCHEMA EVOLUTION under mergeSchema — the lake-mechanics gate for
+    * the drift every long-lived dataset accumulates: generation 1 is
+    * written WITHOUT the `quality` column, generation 2 adds it, and a
+    * single merged read must serve both — old files surfacing a typed
+    * NULL for the column they never carried, new files carrying their
+    * values, with nothing dropped, duplicated, or coerced. The split
+    * and the added column are derived deterministically from the
+    * documents table (doc_id parity; quality = n_chars % 100), and the
+    * oracle replays the same derivation with an explicit NULL for the
+    * old generation — so the gate pins Spark's parquet schema-merge
+    * semantics (footer union, by-name reconciliation, null back-fill)
+    * against a file-free recompute.
+    *
+    * Scale note: `mergeSchema` unions footers at planning time — cost
+    * scales with FILE COUNT, not data; a 100 TB lake amortizes it by
+    * pinning the merged schema in a catalog after one inference pass.
+    * The read path itself (per-file projection with missing-column
+    * null fill) is the stock vectorized reader either way.
+    */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame =
+    Layout.withStagedDir(spark, "graft-schema-evo") { dir =>
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dir/gen1")
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .withColumn("quality", (col("n_chars") % 100).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/gen2")
+      val merged = spark.read.option("mergeSchema", "true")
+        .parquet(s"$dir/gen1", s"$dir/gen2")
+      merged.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(when(col("quality").isNull, 1L).otherwise(0L))
+            .cast("long").as("n_legacy"),
+          sum(coalesce(col("quality"), lit(0L))).cast("long").as("quality_sum"),
+          sum(col("n_chars")).cast("long").as("chars_sum"))
+        .orderBy(col("source"))
+        .localCheckpoint(true) // off-file before the staged dir deletes
+    }
+
+  val schemaEvolutionSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, source, n_chars, CAST(NULL AS BIGINT) AS quality
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, source, n_chars, CAST(n_chars % 100 AS BIGINT) AS quality
+      |  FROM documents WHERE doc_id % 2 <> 0
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+      |  CAST(SUM(COALESCE(quality, 0)) AS BIGINT) AS quality_sum,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
+
   /** Oracle: the same aggregates over the same derivation, straight off
     * the base table — files never enter; identity is the only way to
     * match. */

@@ -77,4 +77,31 @@ class FileFormatsSpec extends SparkSpec {
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
     assert(a.nonEmpty)
   }
+
+  test("schemaEvolution: the merged read is exactly the derived union — " +
+      "legacy rows carry typed NULL quality, new rows their values") {
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val expected = docs.filter(col("doc_id") % 2 === 0)
+      .withColumn("quality", lit(null).cast(LongType))
+      .unionByName(docs.filter(col("doc_id") % 2 =!= 0)
+        .withColumn("quality", (col("n_chars") % 100).cast(LongType)))
+    graft.operators.Layout.withStagedDir(spark, "fmtspec-evo") { dir =>
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dir/gen1")
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .withColumn("quality", (col("n_chars") % 100).cast(LongType))
+        .write.mode("overwrite").parquet(s"$dir/gen2")
+      val merged = spark.read.option("mergeSchema", "true")
+        .parquet(s"$dir/gen1", s"$dir/gen2").localCheckpoint(true)
+      assert(merged.schema("quality").dataType === LongType,
+        "merged schema carries the evolved column as its declared type")
+      assert(merged.exceptAll(expected).count() === 0)
+      assert(expected.exceptAll(merged).count() === 0)
+      // the gate is load-bearing: the old generation really lacks the
+      // column on disk (reading gen1 alone has no quality field)
+      assert(!spark.read.parquet(s"$dir/gen1").schema.fieldNames.contains("quality"))
+    }
+  }
 }

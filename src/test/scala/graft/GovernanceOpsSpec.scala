@@ -897,4 +897,36 @@ class GovernanceOpsSpec extends SparkSpec {
     assert(dataRows === graft.Tables.orders(spark, sf).count())
     assert(zm.agg(sum("n_rows")).head().getLong(0) === dataRows)
   }
+
+  test("winsorize: bounds and clipped sum match an exact driver recompute; " +
+      "clipping is idempotent") {
+    val got = GovernanceOps.winsorize(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val cents = Tables.events(spark, sf)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((t, xs) <- cents) {
+      // type-7 interpolation at dyadic sixteenths: h = (n-1)*k/16 is an
+      // exact binary fraction, so double arithmetic below is exact
+      def q(p16: Int): Double = {
+        val h = (xs.length - 1).toDouble * p16 / 16d
+        val i = h.toInt
+        if (i + 1 < xs.length) xs(i) + (h - i) * (xs(i + 1) - xs(i)) else xs(i).toDouble
+      }
+      val (lo, hi) = (q(1), q(15))
+      val (n, nLo, nHi, w16) = got(t)
+      assert(n === xs.length.toLong, s"$t n")
+      assert(nLo === xs.count(_ < lo).toLong, s"$t clipped lo")
+      assert(nHi === xs.count(_ > hi).toLong, s"$t clipped hi")
+      val expect16 = xs.map(x => (math.max(lo, math.min(hi, x.toDouble)) * 16).toLong).sum
+      assert(w16 === expect16, s"$t wsum16")
+      // idempotence: every clipped value already lies inside [lo, hi],
+      // so re-winsorizing the clipped data clips nothing
+      val clipped = xs.map(x => math.max(lo, math.min(hi, x.toDouble)))
+      assert(clipped.forall(v => v >= lo && v <= hi))
+    }
+  }
 }
