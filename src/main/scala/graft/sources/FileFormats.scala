@@ -30,7 +30,17 @@ import graft.operators.Layout
   *     loss: the default Spark CSV round-trip folds '' into null. The
   *     writer/reader pin `nullValue="\N"` (the classic dump sentinel)
   *     and `emptyValue=""""` so the distinction survives; the gated
-  *     n_nulls / n_empty columns make any fold a hash mismatch.
+  *     n_nulls / n_empty columns make any fold a hash mismatch,
+  *   - LEADING/TRAILING whitespace and ≤0x20 control characters — the
+  *     second silent default loss: Spark's CSV WRITER trims them
+  *     (`ignore*WhiteSpace` default TRUE on write, Java `String.trim`
+  *     semantics) before quoting is even considered, so a trailing
+  *     newline or tab vanishes with no error. Both options are pinned
+  *     false on both sides, the armor starts with a space and ends
+  *     with tab+space, and the spec's adversarial battery (NUL, BEL,
+  *     ESC, BOM, bidi override, combining marks, ZWJ/ZWSP, edge
+  *     CR/LF/CRLF/tabs/spaces) proves the only residual divergence in
+  *     any format generation is the declared `\N` sentinel fold.
   *
   * The payload is DERIVED deterministically from the documents corpus
   * (doc_id-mod case ladder over transformed text — no synthesized
@@ -62,15 +72,17 @@ object FileFormats {
     when(col("doc_id") % 11 === 0, lit(null).cast("string"))
       .when(col("doc_id") % 11 === 1, lit(""))
       .otherwise(concat(
-        lit("\"q\",\n\tté¥😀\\|"),
+        lit(" \"q\",\n\tté¥😀\\|"),
         substring(col("text"), 1, 40),
         lit("\r;'"),
-        col("doc_id").cast("string")))
+        col("doc_id").cast("string"),
+        lit("\t "))) // leading/trailing whitespace: the writer-trim class
 
   private[graft] val hardenedPayloadSql: String =
     "CASE WHEN doc_id % 11 = 0 THEN NULL WHEN doc_id % 11 = 1 THEN '' " +
-      "ELSE '\"q\",' || chr(10) || chr(9) || 'té¥😀\\|' || " +
-      "substring(text, 1, 40) || chr(13) || ';''' || CAST(doc_id AS VARCHAR) END"
+      "ELSE ' \"q\",' || chr(10) || chr(9) || 'té¥😀\\|' || " +
+      "substring(text, 1, 40) || chr(13) || ';''' || CAST(doc_id AS VARCHAR) " +
+      "|| chr(9) || ' ' END"
 
   private[graft] def hardenedDocs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -90,6 +102,13 @@ object FileFormats {
       .option("escape", "\"")
       .option("nullValue", "\\N")
       .option("emptyValue", "\"\"")
+      // the WRITER trims by default (ignore*WhiteSpace default TRUE on
+      // write, and the trim is Java String.trim semantics — every char
+      // ≤ 0x20, so trailing newlines/tabs/control chars silently vanish
+      // before quoting is even considered; caught by the adversarial
+      // battery in FileFormatsSpec, invisible to digit-suffixed armor)
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(dir)
     spark.read.schema(roundtripSchema)
       .option("header", "true")
@@ -97,6 +116,8 @@ object FileFormats {
       .option("escape", "\"")
       .option("nullValue", "\\N")
       .option("emptyValue", "")
+      .option("ignoreLeadingWhiteSpace", "false") // read defaults are
+      .option("ignoreTrailingWhiteSpace", "false") // false; pin anyway
       .csv(dir)
   }
 

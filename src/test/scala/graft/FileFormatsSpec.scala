@@ -25,6 +25,8 @@ class FileFormatsSpec extends SparkSpec {
     assert(armored.nonEmpty)
     for (needle <- Seq("\n", "\r", "\"", ",", "\t", "\\", "😀"))
       assert(armored.forall(_.contains(needle)), s"armor carries ${needle.map(_.toInt)}")
+    // edge whitespace — the writer-trim loss class is on the gated hash
+    assert(armored.forall(s => s.startsWith(" ") && s.endsWith("\t ")))
     // the CSV null sentinel must never occur as content — the format's
     // documented ambiguity, kept out of the derivation by construction
     assert(armored.forall(!_.contains("\\N")))
@@ -102,6 +104,44 @@ class FileFormatsSpec extends SparkSpec {
       // the gate is load-bearing: the old generation really lacks the
       // column on disk (reading gen1 alone has no quality field)
       assert(!spark.read.parquet(s"$dir/gen1").schema.fieldNames.contains("quality"))
+    }
+  }
+
+  test("adversarial battery: CSV and JSONL round-trip control chars, BOM, " +
+      "bidi overrides, combining marks, and edge whitespace; the CSV null " +
+      "sentinel is the ONLY documented exception") {
+    import spark.implicits._
+    val nasty: Seq[String] = Seq(
+      "nul:" + "\u0000", "bell:" + "\u0007", "esc:" + "\u001b[0m",
+      "bom:" + "\ufeff" + "x", "comb:e" + "\u0301",
+      "zwj:" + "\u200d" + "\u200b", "rtl:" + "\u202e" + "abc",
+      "crlf:\r\n", "cr:\r", "lf:\n", "tabs:\t\t",
+      "q:\"\"q", "\\N", "\\", "''", ",,,", " lead", "trail ", "  ",
+      new String(Character.toChars(0x1f600)) + new String(Character.toChars(0x1d54a)),
+      "mix:\"y,\n\tz\\w")
+    val df = nasty.zipWithIndex.map { case (v, i) => (i.toLong, "s", v) }
+      .toDF("doc_id", "source", "payload")
+    val sentinelIds = nasty.zipWithIndex.collect { case (v, i) if v == "\\N" => i.toLong }
+    assert(sentinelIds.nonEmpty, "battery must include the sentinel itself")
+    Layout.withStagedDir(spark, "fmtspec-nasty-csv") { dir =>
+      val back = FileFormats.throughCsv(spark, df, dir).localCheckpoint(true)
+      val lost = df.exceptAll(back).collect()
+      // the ONLY acceptable divergence: a payload equal to the null
+      // sentinel folds to NULL — the format limit the scaladoc declares
+      assert(lost.map(_.getLong(0)).toSet === sentinelIds.toSet,
+        s"csv lost more than the declared sentinel: ${lost.mkString("; ")}")
+      assert(back.exceptAll(df).collect()
+        .forall(r => sentinelIds.contains(r.getLong(0)) && r.isNullAt(2)))
+    }
+    Layout.withStagedDir(spark, "fmtspec-nasty-json") { dir =>
+      val back = FileFormats.throughJsonl(spark, df, dir).localCheckpoint(true)
+      assert(back.exceptAll(df).count() === 0 && df.exceptAll(back).count() === 0,
+        "jsonl must be lossless on the whole battery")
+    }
+    Layout.withStagedDir(spark, "fmtspec-nasty-orc") { dir =>
+      val back = FileFormats.throughOrc(spark, df, dir).localCheckpoint(true)
+      assert(back.exceptAll(df).count() === 0 && df.exceptAll(back).count() === 0,
+        "orc must be lossless on the whole battery")
     }
   }
 }
