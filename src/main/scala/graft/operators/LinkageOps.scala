@@ -62,9 +62,17 @@ object LinkageOps {
       |       ELSE c_name END AS dirty_name
       |FROM customer WHERE c_custkey % 10 IN (0, 3, 5)""".stripMargin
 
-  /** Blocking key: the name's trailing 4 characters (digit suffix). */
+  /** Blocking key: the name's trailing 4 characters (digit suffix).
+    * Length-clamped to mirror the oracle's
+    * `substring(s, length(s)-3, 4)` exactly: for strings shorter than
+    * 4 chars DuckDB clamps the start position and yields the whole
+    * string, whereas Spark's negative-start `substring(name, -4, 4)`
+    * yields '' — so the short case is made explicit on the Spark side
+    * rather than left to diverging engine conventions. Safe for
+    * today's 'Customer#NNNNNNNNN' fixtures either way; the clamp makes
+    * the helper reusable on free-form columns (r14 ADVICE). */
   private def blockOf(name: org.apache.spark.sql.Column) =
-    substring(name, -4, 4)
+    when(length(name) < 4, name).otherwise(substring(name, -4, 4))
 
   def recordLinkage(spark: SparkSession, sfDir: String): DataFrame = {
     val dirty = dirtyRecords(spark, sfDir)

@@ -73,7 +73,13 @@ object FileFormats {
       .when(col("doc_id") % 11 === 1, lit(""))
       .otherwise(concat(
         lit(" \"q\",\n\tté¥😀\\|"),
-        substring(col("text"), 1, 40),
+        // strip backslashes from the embedded corpus text (both engine
+        // sides, r14 ADVICE): the "never emits the `\N` sentinel"
+        // guarantee is then structural, not data-dependent — a future
+        // corpus containing literal '\N' can no longer fold to NULL in
+        // the CSV generation. No-op on the current corpus (0 backslash
+        // rows at sf0.1), so gated hashes are unchanged.
+        translate(substring(col("text"), 1, 40), "\\", ""),
         lit("\r;'"),
         col("doc_id").cast("string"),
         lit("\t "))) // leading/trailing whitespace: the writer-trim class
@@ -81,8 +87,8 @@ object FileFormats {
   private[graft] val hardenedPayloadSql: String =
     "CASE WHEN doc_id % 11 = 0 THEN NULL WHEN doc_id % 11 = 1 THEN '' " +
       "ELSE ' \"q\",' || chr(10) || chr(9) || 'té¥😀\\|' || " +
-      "substring(text, 1, 40) || chr(13) || ';''' || CAST(doc_id AS VARCHAR) " +
-      "|| chr(9) || ' ' END"
+      "replace(substring(text, 1, 40), chr(92), '') || chr(13) || ';''' || " +
+      "CAST(doc_id AS VARCHAR) || chr(9) || ' ' END"
 
   private[graft] def hardenedDocs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)

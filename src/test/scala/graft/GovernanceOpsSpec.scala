@@ -827,12 +827,50 @@ class GovernanceOpsSpec extends SparkSpec {
       hits.agg(sum("n_rows")).head().getLong(0))
   }
 
-  test("zonemap: the file_id restriction reaches the scan as a PARTITION filter — pruned files are never listed") {
+  test("zonemap: the file_id restriction reaches the scan as a RUNTIME " +
+      "partition filter (DPP), not a driver literal — pruned files are " +
+      "never listed and the plan is O(1)-sized at any inventory") {
     val t = GovernanceOps.ensureZonemapIndex(spark, sf)
-    val (served, _, _, _) = GovernanceOps.zonemapServe(spark, t)
-    val plan = served.queryExecution.executedPlan.toString
+    val (served, scanned, total, _) = GovernanceOps.zonemapServe(spark, t)
+    served.collect() // finalize the adaptive plan before inspecting it
+    def finalPlan(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val plan = finalPlan(served.queryExecution.executedPlan).toString
     assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*file_id[^\\]]*\\].*"),
       s"no partition filter on file_id in:\n$plan")
+    // the r14 scale-killer retired: the skip decision reaches the scan
+    // as dynamicpruningexpression(file_id IN subquery) — a runtime
+    // filter fed by the broadcast sidecar join, NOT an IN-list literal
+    // whose plan size grows with the file count
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning expression in:\n$plan")
+    assert(!plan.matches("(?s).*file_id[^\\n]*IN \\(1,2,3.*"),
+      s"driver-built literal IN-list found in:\n$plan")
+    // and the runtime skip actually happened: the fact scan listed
+    // exactly the surviving partitions, not the whole inventory
+    // (AQE query stages are leaf nodes — descend into them explicitly)
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    val fact = allScans(served.queryExecution.executedPlan)
+      .filter(_.tableIdentifier.exists(_.table == t))
+    assert(fact.nonEmpty, s"fact scan not found in:\n$plan")
+    fact.foreach { s =>
+      val read = s.metrics.get("numPartitions").map(_.value)
+      assert(read.contains(scanned),
+        s"DPP must list exactly the $scanned surviving partitions " +
+          s"(of $total), got $read")
+    }
   }
 
   test("zonemap optimize: ingest degrades skipping, OPTIMIZE restores the one-shot clustered state exactly") {
@@ -923,6 +961,20 @@ class GovernanceOpsSpec extends SparkSpec {
       assert(nHi === xs.count(_ > hi).toLong, s"$t clipped hi")
       val expect16 = xs.map(x => (math.max(lo, math.min(hi, x.toDouble)) * 16).toLong).sum
       assert(w16 === expect16, s"$t wsum16")
+      // DYADIC-SIXTEENTH INVARIANT PIN (r14 ADVICE): cross-engine
+      // agreement of wsum16 rests on clip(cents)*16 being an EXACT
+      // integer for every value — Spark CAST(double AS long) truncates
+      // toward zero while DuckDB CAST(double AS BIGINT) rounds
+      // half-to-even, and the two only agree when there is nothing to
+      // round. If anyone edits the bound fractions away from k/16 (or
+      // the ×16 scale), this assertion fails the suite rather than the
+      // driver's oracle gate.
+      for (x <- xs) {
+        val scaled = math.max(lo, math.min(hi, x.toDouble)) * 16d
+        assert(scaled == math.floor(scaled),
+          s"$t: clip($x)*16=$scaled is not an exact integer — " +
+            "non-dyadic winsorize bound broke the cast-agreement invariant")
+      }
       // idempotence: every clipped value already lies inside [lo, hi],
       // so re-winsorizing the clipped data clips nothing
       val clipped = xs.map(x => math.max(lo, math.min(hi, x.toDouble)))

@@ -166,8 +166,14 @@ class PipelineSpec extends SparkSpec {
       val env = Map("API_BASE_URL" -> base, "ADMIN_API_KEY" -> "tok")
       val r = Main.run(spark, env.get, lines += _)
       assert(r === Pipeline.Result(clients = 3, accounts = 4, transactions = 6))
-      // config echo parity (main.py:32-38): every line present, unset → null
-      assert(lines.contains("Admin API Key: tok"))
+      // config echo parity (main.py:32-38): every line present, unset →
+      // null — but secrets are MASKED (SURVEY.md §5 forbids replicating
+      // the reference's verbatim key/password echo): the set key prints
+      // ****, the unset password prints null, and the raw token value
+      // never reaches stdout on any line.
+      assert(lines.contains("Admin API Key: ****"))
+      assert(lines.contains("Database Password: null"))
+      assert(!lines.exists(l => l.contains("tok") && l.startsWith("Admin")))
       assert(lines.contains("Database Host: null"))
       assert(lines.contains(s"API Base URL: $base"))
       // the completion line is the LAST thing printed (main.py:58)
