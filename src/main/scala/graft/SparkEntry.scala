@@ -207,6 +207,10 @@ object SparkEntry {
     "q_zonemap_prune"     -> (GovernanceOps.zonemapPrune _),
     "q_zonemap_lifecycle" -> (GovernanceOps.zonemapLifecycle _),
     "q_zonemap_optimize"  -> (GovernanceOps.zonemapOptimize _),
+    "q_merge_on_read"     -> (GovernanceOps.mergeOnRead _),
+    "q_mor_lifecycle"     -> (GovernanceOps.mergeOnReadLifecycle _),
+    "q_dpp_prune"         -> (GovernanceOps.dppPrune _),
+    "q_ndv_agg_planned"   -> (graft.plans.NdvAggPlanner.ndvPlannedAgg _),
     "q_compaction_plan"   -> (GovernanceOps.compactionPlan _),
     "q_compaction_exec"   -> (GovernanceOps.compactionExec _),
     "q_cms_join_reorder"  -> (graft.plans.CmsJoinPlanner.cmsReorderedJoin _),
@@ -433,6 +437,10 @@ object SparkEntry {
     "q_zonemap_prune"     -> GovernanceOps.zonemapPruneSql,
     "q_zonemap_lifecycle" -> GovernanceOps.zonemapLifecycleSql,
     "q_zonemap_optimize"  -> GovernanceOps.zonemapOptimizeSql,
+    "q_merge_on_read"     -> GovernanceOps.mergeOnReadSql,
+    "q_mor_lifecycle"     -> GovernanceOps.mergeOnReadLifecycleSql,
+    "q_dpp_prune"         -> GovernanceOps.dppPruneSql,
+    "q_ndv_agg_planned"   -> graft.plans.NdvAggPlanner.ndvPlannedAggSql,
     "q_compaction_plan"   -> GovernanceOps.compactionPlanSql,
     "q_compaction_exec"   -> GovernanceOps.compactionExecSql,
     "q_cms_join_reorder"  -> graft.plans.CmsJoinPlanner.cmsReorderedJoinSql,

@@ -1263,7 +1263,7 @@ object GovernanceOps {
     * (64 rows for the bulk layout + one per appended batch; a 100 TB
     * table at 128 MiB files is ~800K rows, and the pruner never touches
     * data). */
-  private def zmapOf(assigned: DataFrame): DataFrame =
+  private[graft] def zmapOf(assigned: DataFrame): DataFrame =
     assigned.groupBy(col("file_id"))
       .agg(min(col("k")).as("k_min"), max(col("k")).as("k_max"),
         min(col("d")).as("d_min"), max(col("d")).as("d_max"),
@@ -1579,6 +1579,297 @@ object GovernanceOps {
   /** The optimized state IS the one-shot clustered state — same oracle,
     * to the file count. */
   val zonemapOptimizeSql: String = zonemapPruneSql
+
+  // --------------------------------- dynamic partition pruning (runtime)
+
+  private[graft] def dppBase(sfDir: String): String =
+    "graft_dpp_" + Layout.corpusTag(sfDir)
+
+  /** Hive-partitioned fact epoch for the DPP gate: orders by month —
+    * the canonical star-schema fact layout (one directory per month;
+    * `repartition(m)` keeps each month in one task → one file). */
+  private[graft] def ensureDppIndex(spark: SparkSession, sfDir: String): String =
+    Layout.ensureEpochIndex(spark, dppBase(sfDir)) { name =>
+      Tables.orders(spark, sfDir).select(
+          col("o_orderkey"),
+          col("o_orderpriority").as("prio"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          to_date(date_trunc("month", to_date(col("o_orderdate")))).as("m"))
+        .repartition(col("m"))
+        .write.format("parquet").partitionBy("m")
+        .mode("overwrite").saveAsTable(name)
+    }
+
+  /** DYNAMIC PARTITION PRUNING EXECUTED — the star-schema runtime
+    * prune, gated (the r14 verdict's ask: LayoutSpec asserted static
+    * PartitionFilters, but the runtime dim-filter → fact-partition
+    * prune was never oracle-gated). The fact table is Hive-partitioned
+    * by month; the dim side is the per-month totals with a
+    * DATA-DEPENDENT filter (total cents ≡ 0 mod 3) that is opaque to
+    * static analysis — `InferFiltersFromConstraints` cannot rewrite it
+    * onto the fact side because the surviving month set exists only
+    * after the dim aggregate RUNS. Only runtime DPP can skip the fact
+    * partitions: the broadcast of the filtered dim feeds a
+    * `dynamicpruningexpression(m IN ...)` partition filter on the scan
+    * (spec-asserted, with listed-partitions == months_scanned).
+    *
+    * The gate covers the skip decision like q_zonemap_prune does:
+    * months_scanned/months_total ride the output, and the oracle
+    * recomputes both from the same per-month totals — a fact row
+    * leaking through from a month the dim filter rejected flips the
+    * aggregate AND the counts. At 100 TB this is THE mechanism that
+    * makes dimension-filtered fact queries proportional to the
+    * qualifying partitions instead of the table: no driver literal,
+    * no manual partition list, one broadcast reused as the runtime
+    * filter. */
+  def dppPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = ensureDppIndex(spark, sfDir)
+    val fact = spark.table(t)
+    val dim = fact.groupBy(col("m")).agg(sum(col("cents")).as("tot"))
+    val sel = dim.filter(pmod(col("tot"), lit(3L)) === 0L).select(col("m"))
+    val counts = broadcast(
+      sel.agg(count(lit(1)).as("months_scanned"))
+        .crossJoin(dim.agg(count(lit(1)).as("months_total"))))
+    fact.join(broadcast(sel), Seq("m"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+      .crossJoin(counts) // broadcast 1-row counts frame
+      .orderBy(col("prio"))
+  }
+
+  val dppPruneSql: String =
+    """WITH f AS (
+      |  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS m,
+      |    o_orderpriority AS prio,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), d AS (
+      |  SELECT m, SUM(cents) AS tot FROM f GROUP BY 1
+      |), sel AS (
+      |  SELECT m FROM d WHERE tot % 3 = 0
+      |), ms AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS months_scanned FROM sel
+      |), mt AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS months_total FROM d
+      |)
+      |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS cents, months_scanned, months_total
+      |FROM f JOIN sel USING (m), ms, mt
+      |GROUP BY 1, 4, 5
+      |ORDER BY 1""".stripMargin
+
+  // --------------------------------------- merge-on-read DELETE / MERGE
+
+  /** Tombstone sidecar suffix — the deletion-vector analog at key
+    * grain: each row (o_orderkey, upto_file) voids every stored version
+    * of that key in files ≤ upto_file. Real DV formats (Delta deletion
+    * vectors, Iceberg position deletes) void (file, offset) pairs; the
+    * key+sequence form carries the same read/OPTIMIZE semantics while
+    * staying expressible to the SQL oracle, and file_id doubles as the
+    * commit sequence (bulk = 1..64, ingest appends = 1000+batch). */
+  private[graft] val DvSuffix = "_dv"
+
+  private[graft] def morBase(sfDir: String): String =
+    "graft_mor_" + Layout.corpusTag(sfDir)
+
+  private def emptyDv(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("o_orderkey", LongType),
+        StructField("upto_file", LongType))))
+  }
+
+  /** DELETE as metadata: tombstones append to the `_dv` sidecar; no
+    * data file is rewritten (the merge-on-read contract — deletes cost
+    * O(deleted keys), not O(table)). */
+  private[graft] def appendTombstones(spark: SparkSession, t: String,
+      keys: DataFrame, uptoFile: Long): Unit =
+    keys.select(col("o_orderkey"))
+      .withColumn("upto_file", lit(uptoFile))
+      .write.format("parquet").mode("append").saveAsTable(t + DvSuffix)
+
+  /** The merge-on-read scan: every stored row version, minus the ones a
+    * tombstone voids — a broadcast LEFT ANTI join on the key with the
+    * sequence residual (file_id ≤ upto_file keeps a key's POST-merge
+    * version visible while its tombstoned pre-merge version dies).
+    * Scale: the `_dv` sidecar is bounded by deletes SINCE the last
+    * OPTIMIZE (which folds it to empty), so broadcast is the right
+    * default; a delete backlog past the broadcast threshold drops the
+    * hint and runs the same anti-join as a shuffle on o_orderkey. */
+  private[graft] def morRead(spark: SparkSession, t: String): DataFrame = {
+    val data = spark.table(t)
+    val dv = spark.table(t + DvSuffix)
+    data.join(broadcast(dv),
+      data("o_orderkey") === dv("o_orderkey") &&
+        data("file_id") <= dv("upto_file"), "left_anti")
+  }
+
+  private def morRows(df: DataFrame): DataFrame =
+    df.select(col("o_orderkey"), col("k"), col("d"), col("prio"), col("cents"))
+
+  /** MERGE-ON-READ — the lakehouse DELETE/MERGE primitive executed end
+    * to end on the zone-map table family: (1) bulk-build a Z-clustered
+    * epoch of the full corpus with an empty tombstone sidecar; (2)
+    * DELETE every o_orderkey ≡ 3 (mod 7) — tombstones only, zero data
+    * files touched; (3) MERGE (upsert) every key ≡ 5 (mod 7) with
+    * cents+11 — tombstone the stored version, land the new version as
+    * one ingest file through the UNCHANGED [[appendZonemapBatch]] path
+    * (its extent row joins the `_zmap` sidecar like any arrival); (4)
+    * OPTIMIZE folds the tombstones into a rewritten epoch — the
+    * [[zonemapOptimize]] convergence discipline: re-cluster from the
+    * MERGED READ's own rows, publish, sidecar reset to empty.
+    *
+    * The gate covers all four acts at once: the served aggregate runs
+    * the UNCHANGED [[zonemapServe]] box probe over the OPTIMIZED epoch,
+    * and the oracle replays the tombstone-filtered, merge-applied
+    * corpus through the verbatim layout replay of [[zonemapPruneSql]] —
+    * files_scanned/files_total included, so the optimized layout must
+    * be BIT-IDENTICAL to a one-shot clustered build of the post-merge
+    * corpus (rank determinism makes that well-defined). mor_converged
+    * additionally pins ROW-multiset equality between the pre-OPTIMIZE
+    * merge-on-read view and the optimized table (except-both-ways in
+    * engine), and dv_remaining proves the fold emptied the sidecar.
+    */
+  def mergeOnRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = morBase(sfDir)
+    val o = ordersKd(spark, sfDir)
+    // Act 1: bulk epoch — full corpus, clustered, no tombstones
+    val t0 = Layout.rotateEpoch(spark, base, Seq(ZmapSuffix, DvSuffix)) { name =>
+      buildZonemapEpoch(spark, name, o)
+      emptyDv(spark).write.format("parquet").mode("overwrite")
+        .saveAsTable(name + DvSuffix)
+    }
+    // Act 2: DELETE — metadata-only
+    appendTombstones(spark, t0,
+      o.filter(col("o_orderkey") % 7 === 3), uptoFile = 64L)
+    // Act 3: MERGE — tombstone the old version, append the new
+    val upd = o.filter(col("o_orderkey") % 7 === 5)
+      .withColumn("cents", col("cents") + 11L)
+    appendTombstones(spark, t0, upd, uptoFile = 64L)
+    appendZonemapBatch(t0, upd, batchId = 0L)
+    val pre = morRows(morRead(spark, t0))
+    // Act 4: OPTIMIZE — fold tombstones into a rewritten epoch
+    val t1 = Layout.rotateEpoch(spark, base, Seq(ZmapSuffix, DvSuffix)) { name =>
+      buildZonemapEpoch(spark, name, morRows(morRead(spark, t0)))
+      emptyDv(spark).write.format("parquet").mode("overwrite")
+        .saveAsTable(name + DvSuffix)
+    }
+    Layout.pruneEpochs(spark, base, keep = 2, sidecars = Seq(ZmapSuffix, DvSuffix))
+    val post = morRows(spark.table(t1))
+    val flags = broadcast(
+      pre.exceptAll(post).unionAll(post.exceptAll(pre))
+        .agg(count(lit(1)).as("n_diff"))
+        .crossJoin(spark.table(t1 + DvSuffix)
+          .agg(count(lit(1)).as("dv_remaining")))
+        .select((col("n_diff") === 0L).as("mor_converged"),
+          col("dv_remaining")))
+    val (served, scanned, total, _) = zonemapServe(spark, t1)
+    served
+      .withColumn("files_scanned", lit(scanned))
+      .withColumn("files_total", lit(total))
+      .crossJoin(flags) // broadcast 1-row flags frame
+      .orderBy(col("prio"))
+  }
+
+  /** The post-merge corpus replayed through the verbatim zone-map
+    * layout + probe oracle: DELETE drops keys ≡3 (mod 7), MERGE adds
+    * 11 cents to keys ≡5 (mod 7), and the NTILE(64) layout re-ranks
+    * over what remains — exactly what OPTIMIZE converged to. */
+  val mergeOnReadSql: String =
+    s"""WITH m AS (
+       |  SELECT o_orderkey, o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+       |    o_orderpriority AS prio,
+       |    CAST(floor(o_totalprice * 100) AS BIGINT)
+       |      + CASE WHEN o_orderkey % 7 = 5 THEN 11 ELSE 0 END AS cents
+       |  FROM orders WHERE o_orderkey % 7 <> 3
+       |), b AS (
+       |  SELECT MIN(k) AS kmin, MAX(k) AS kmax,
+       |         MIN(d) AS dmin, MAX(d) AS dmax
+       |  FROM m
+       |), box AS (
+       |  SELECT kmin + ((kmax - kmin + 1) * 2) // 8 AS klo,
+       |         kmin + ((kmax - kmin + 1) * 3) // 8 - 1 AS khi,
+       |         dmin + CAST(((date_diff('day', dmin, dmax) + 1) * 1) // 4
+       |                     AS INTEGER) AS dlo,
+       |         dmin + CAST(((date_diff('day', dmin, dmax) + 1) * 2) // 4 - 1
+       |                     AS INTEGER) AS dhi
+       |  FROM b
+       |), e AS (
+       |  SELECT o_orderkey, k, d,
+       |    ((k - kmin) * 256) // (kmax - kmin + 1) AS x,
+       |    (date_diff('day', dmin, d) * 256)
+       |      // (date_diff('day', dmin, dmax) + 1) AS y
+       |  FROM m, b
+       |), z AS (
+       |  SELECT o_orderkey, k, d, ${zInterleaveSql("x", "y")} AS zv FROM e
+       |), t AS (
+       |  SELECT k, d,
+       |    CAST(NTILE(64) OVER (ORDER BY zv, o_orderkey) AS BIGINT) AS file_id
+       |  FROM z
+       |), zm AS (
+       |  SELECT file_id, MIN(k) AS k_min, MAX(k) AS k_max,
+       |         MIN(d) AS d_min, MAX(d) AS d_max
+       |  FROM t GROUP BY 1
+       |), fs AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS files_scanned FROM zm, box
+       |  WHERE k_max >= klo AND k_min <= khi AND d_max >= dlo AND d_min <= dhi
+       |), ft AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS files_total FROM zm
+       |)
+       |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(cents) AS BIGINT) AS cents,
+       |  files_scanned, files_total,
+       |  TRUE AS mor_converged, CAST(0 AS BIGINT) AS dv_remaining
+       |FROM m, box, fs, ft
+       |WHERE k BETWEEN klo AND khi AND d BETWEEN dlo AND dhi
+       |GROUP BY 1, 4, 5
+       |ORDER BY 1""".stripMargin
+
+  private[graft] def morLifecycleBase(sfDir: String): String =
+    "graft_morlc_" + Layout.corpusTag(sfDir)
+
+  /** Stream ≡ batch LIFECYCLE — TOMBSTONES UNDER INGEST: the DELETE
+    * side of merge-on-read maintained by a stream. Bulk-build the full
+    * clustered epoch, then replay the delete set (keys ≡ 3 mod 7) as a
+    * parquet-source stream whose every micro-batch appends its keys to
+    * the `_dv` sidecar through
+    * [[graft.streaming.LayoutStream.appendTombstoneStream]] — metadata
+    * appends only, NO data file rewritten, NO streaming state store
+    * (a tombstone is batch-local). The final merge-on-read scan over
+    * the accumulated sidecar must equal the predicate oracle on the
+    * base table, and did_tombstone asserts the stream really landed
+    * voiding rows (a lost batch reads extra rows and flips the hash).
+    */
+  def mergeOnReadLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = morLifecycleBase(sfDir)
+    val o = ordersKd(spark, sfDir)
+    val t = Layout.rotateEpoch(spark, base, Seq(ZmapSuffix, DvSuffix)) { name =>
+      buildZonemapEpoch(spark, name, o)
+      emptyDv(spark).write.format("parquet").mode("overwrite")
+        .saveAsTable(name + DvSuffix)
+    }
+    Layout.replayAsStream(
+      o.filter(col("o_orderkey") % 7 === 3).select(col("o_orderkey")),
+      "graft-morlc") { sdf =>
+      graft.streaming.LayoutStream.appendTombstoneStream(sdf, base, 64L)
+    }
+    Layout.pruneEpochs(spark, base, keep = 2, sidecars = Seq(ZmapSuffix, DvSuffix))
+    val nDv = broadcast(spark.table(t + DvSuffix)
+      .agg(count(lit(1)).as("n_dv"))
+      .select((col("n_dv") > 0L).as("did_tombstone")))
+    morRead(spark, t)
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+      .crossJoin(nDv) // broadcast 1-row flag frame
+      .orderBy(col("prio"))
+  }
+
+  val mergeOnReadLifecycleSql: String =
+    """SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |  TRUE AS did_tombstone
+      |FROM orders WHERE o_orderkey % 7 <> 3
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ------------------------------------------------ compaction execution
 

@@ -28,4 +28,23 @@ object LayoutStream {
         ()
       }
       .start()
+
+  /** Streamed DELETE for the merge-on-read family: each micro-batch of
+    * (o_orderkey) keys appends tombstone rows to the CURRENT epoch's
+    * `_dv` sidecar — metadata-only maintenance, no data file touched,
+    * no state store (a tombstone is batch-local). `uptoFile` is the
+    * commit sequence the delete observed (rows in files ≤ it are
+    * voided), fixed for the whole stream by the caller. */
+  def appendTombstoneStream(keys: DataFrame, base: String,
+      uptoFile: Long): StreamingQuery =
+    keys.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val name = Layout.currentEpochTable(batch.sparkSession, base)
+          .getOrElse(sys.error(s"no published epoch for index family $base"))
+        GovernanceOps.appendTombstones(batch.sparkSession, name,
+          batch, uptoFile)
+        ()
+      }
+      .start()
 }

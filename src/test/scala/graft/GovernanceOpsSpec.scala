@@ -893,6 +893,94 @@ class GovernanceOpsSpec extends SparkSpec {
     assert(spark.table(t).count() === graft.Tables.orders(spark, sf).count())
   }
 
+  test("dppPrune: the dim filter reaches the fact scan as a runtime DPP " +
+      "subquery; the scan lists exactly the qualifying months") {
+    val out = GovernanceOps.dppPrune(spark, sf)
+    val got = out.collect()
+    assert(got.nonEmpty)
+    val (scanned, total) = (got.head.getLong(3), got.head.getLong(4))
+    assert(scanned > 0 && scanned < total, s"prune must be real: $scanned/$total")
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a runtime DPP subquery on the fact scan in:\n$plan")
+    // the fact-side scan (the one carrying the DPP partition filter)
+    // listed exactly the qualifying months; the dim-side scan of the
+    // same table reads all partitions — that is the dim build cost
+    val dppScans = allScans(out.queryExecution.executedPlan).filter(
+      _.toString.contains("dynamicpruning"))
+    assert(dppScans.nonEmpty, s"no scan carries the DPP filter in:\n$plan")
+    dppScans.foreach { s =>
+      val read = s.metrics.get("numPartitions").map(_.value)
+      assert(read.contains(scanned),
+        s"DPP fact scan must list exactly $scanned months, got $read")
+    }
+    // result sanity: the joined aggregate only covers qualifying months
+    val t = GovernanceOps.ensureDppIndex(spark, sf)
+    val fact = spark.table(t)
+    val keep = fact.groupBy(col("m")).agg(sum(col("cents")).as("tot"))
+      .filter(pmod(col("tot"), lit(3L)) === 0L)
+    assert(got.map(_.getLong(1)).sum ===
+      fact.join(keep.select("m"), Seq("m")).count())
+  }
+
+  test("mergeOnRead: DELETE/MERGE are metadata-plus-one-file; the MOR view " +
+      "applies both before OPTIMIZE; OPTIMIZE folds tombstones to empty") {
+    val out = GovernanceOps.mergeOnRead(spark, sf).collect()
+    assert(out.nonEmpty)
+    // convergence + fold facts carried by the gated row itself
+    assert(out.forall(_.getBoolean(5)), "mor_converged must hold")
+    assert(out.forall(_.getLong(6) === 0L), "dv must be empty after OPTIMIZE")
+    // the retained pre-OPTIMIZE epoch still carries the merge-on-read
+    // state: tombstones + the one ingest file, data files NOT rewritten
+    val base = GovernanceOps.morBase(sf)
+    val cur = Layout.currentEpoch(spark, base).get
+    val t0 = Layout.epochTable(base, cur - 1)
+    val o = GovernanceOps.ordersKd(spark, sf)
+    val nDel = o.filter(col("o_orderkey") % 7 === 3).count()
+    val nUpd = o.filter(col("o_orderkey") % 7 === 5).count()
+    assert(spark.table(t0 + GovernanceOps.DvSuffix).count() === nDel + nUpd)
+    // 64 bulk files + exactly one ingest file for the merged versions
+    assert(spark.table(t0).select("file_id").distinct().count() === 65L)
+    // the MOR read of the degraded epoch: deleted keys gone, merged keys
+    // served from the NEW version only (old version voided by sequence)
+    val mor = GovernanceOps.morRead(spark, t0)
+    assert(mor.filter(col("o_orderkey") % 7 === 3).count() === 0L)
+    val merged = mor.filter(col("o_orderkey") % 7 === 5)
+    assert(merged.count() === nUpd, "exactly one surviving version per merged key")
+    assert(merged.filter(col("file_id") <= 64L).count() === 0L,
+      "surviving merged versions must come from the ingest file")
+    // count parity: all − deleted (merge replaces, never duplicates)
+    assert(mor.count() === o.count() - nDel)
+  }
+
+  test("mergeOnRead lifecycle: streamed tombstones accumulate batch-local; " +
+      "final MOR scan equals the predicate oracle") {
+    val out = GovernanceOps.mergeOnReadLifecycle(spark, sf).collect()
+    assert(out.forall(_.getBoolean(3)), "did_tombstone must hold")
+    val o = GovernanceOps.ordersKd(spark, sf)
+    val expect = o.filter(col("o_orderkey") % 7 =!= 3)
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+      .orderBy("prio").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      expect.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    // the sidecar holds every streamed delete, no data file rewritten
+    val t = Layout.currentEpochTable(spark,
+      GovernanceOps.morLifecycleBase(sf)).get
+    assert(spark.table(t + GovernanceOps.DvSuffix).count() ===
+      o.filter(col("o_orderkey") % 7 === 3).count())
+    assert(spark.table(t).count() === o.count(), "data files untouched")
+  }
+
   test("compactionExec: one physical file per planned bin; rewrite is lossless to the row") {
     val out = GovernanceOps.compactionExec(spark, sf).collect()
     assert(out.length === 1)

@@ -211,4 +211,65 @@ class PipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("packaging parity: the app jar runs through spark-submit — masked " +
+      "config echo, ETL against the stub API, completion line (the " +
+      "reference's `docker run` contract, Dockerfile:13)") {
+    val sparkHome = new java.io.File("/opt/spark")
+    assume(sparkHome.isDirectory && new java.io.File(sparkHome, "bin/spark-submit").canExecute,
+      "no Spark distribution on this host")
+    serve { base =>
+      // jar the compiled classes — byte-identical content to the `sbt
+      // package` artifact a user ships (graft has no non-Spark deps, so
+      // the THIN jar is the complete spark-submit deployable; a fat
+      // assembly would only re-bundle jars the cluster already provides)
+      val classesDir = new java.io.File(
+        Main.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+      assume(classesDir.isDirectory, s"classes not exploded: $classesDir")
+      val jar = java.io.File.createTempFile("graft-app", ".jar")
+      val jos = new java.util.jar.JarOutputStream(
+        new java.io.FileOutputStream(jar))
+      def add(f: java.io.File, prefix: String): Unit =
+        if (f.isDirectory) f.listFiles.foreach(c => add(c, prefix + f.getName + "/"))
+        else {
+          jos.putNextEntry(new java.util.jar.JarEntry(prefix + f.getName))
+          java.nio.file.Files.copy(f.toPath, jos)
+          jos.closeEntry()
+        }
+      classesDir.listFiles.foreach(c => add(c, ""))
+      jos.close()
+      try {
+        val pb = new ProcessBuilder(
+          new java.io.File(sparkHome, "bin/spark-submit").getPath,
+          "--class", "graft.Main", "--master", "local[2]",
+          "--conf", "spark.ui.enabled=false",
+          "--conf", "spark.sql.shuffle.partitions=4",
+          jar.getPath)
+        pb.environment().put("SPARK_HOME", sparkHome.getPath)
+        pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+        pb.environment().put("API_BASE_URL", base)
+        pb.environment().put("ADMIN_API_KEY", "tok")
+        pb.redirectErrorStream(true)
+        val p = pb.start()
+        // drain concurrently: spark-submit's log volume would fill the
+        // pipe buffer and deadlock a plain waitFor
+        val buf = new java.io.ByteArrayOutputStream()
+        val drainer = new Thread(() => p.getInputStream.transferTo(buf))
+        drainer.setDaemon(true); drainer.start()
+        val done = p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) p.destroyForcibly()
+        drainer.join(5000)
+        val out = new String(buf.toByteArray, "UTF-8")
+        assert(done, s"spark-submit timed out:\n${out.takeRight(4000)}")
+        assert(p.exitValue === 0, s"spark-submit failed:\n${out.takeRight(4000)}")
+        // the container contract end to end: masked echo, no secret
+        // leak, ETL counts in the completion line
+        assert(out.contains("=== Hello ZYLYTY! ==="))
+        assert(out.contains("Admin API Key: ****"))
+        assert(!out.contains("Admin API Key: tok"))
+        assert(out.contains(s"API Base URL: $base"))
+        assert(out.contains("ZYLYTY Data Import Completed [3, 4, 6]"))
+      } finally jar.delete()
+    }
+  }
 }
