@@ -1672,9 +1672,14 @@ object GovernanceOps {
   private[graft] def morBase(sfDir: String): String =
     "graft_mor_" + Layout.corpusTag(sfDir)
 
-  private def emptyDv(spark: SparkSession): DataFrame = {
+  /** An ABSENT `_dv` sidecar IS the empty tombstone set — a fresh or
+    * freshly-OPTIMIZEd epoch writes no sidecar at all (one fewer
+    * write job per epoch; the first DELETE creates it via append). */
+  private[graft] def dvOf(spark: SparkSession, t: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+    if (spark.catalog.tableExists(t + DvSuffix)) spark.table(t + DvSuffix)
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
       StructType(Seq(StructField("o_orderkey", LongType),
         StructField("upto_file", LongType))))
   }
@@ -1698,7 +1703,7 @@ object GovernanceOps {
     * hint and runs the same anti-join as a shuffle on o_orderkey. */
   private[graft] def morRead(spark: SparkSession, t: String): DataFrame = {
     val data = spark.table(t)
-    val dv = spark.table(t + DvSuffix)
+    val dv = dvOf(spark, t)
     data.join(broadcast(dv),
       data("o_orderkey") === dv("o_orderkey") &&
         data("file_id") <= dv("upto_file"), "left_anti")
@@ -1730,37 +1735,44 @@ object GovernanceOps {
     * merge-on-read view and the optimized table (except-both-ways in
     * engine), and dv_remaining proves the fold emptied the sidecar.
     */
+  /** The key runs on the deterministic `% 4 = 0` QUARTER of orders
+    * (the hnsw/zonemap sub-corpus discipline): the merge-on-read
+    * claims — tombstones void, sequences order versions, OPTIMIZE
+    * converges bit-identically — are corpus-size invariant, while the
+    * two epoch builds the gate requires are linear in corpus; the
+    * quarter sets suite cost, not proof strength. The oracle applies
+    * the same predicate before replaying the layout. */
   def mergeOnRead(spark: SparkSession, sfDir: String): DataFrame = {
     val base = morBase(sfDir)
-    val o = ordersKd(spark, sfDir)
-    // Act 1: bulk epoch — full corpus, clustered, no tombstones
+    val o = ordersKd(spark, sfDir).filter(col("o_orderkey") % 4 === 0)
+    // Act 1: bulk epoch — clustered, no tombstone sidecar (absent = empty)
     val t0 = Layout.rotateEpoch(spark, base, Seq(ZmapSuffix, DvSuffix)) { name =>
       buildZonemapEpoch(spark, name, o)
-      emptyDv(spark).write.format("parquet").mode("overwrite")
-        .saveAsTable(name + DvSuffix)
     }
-    // Act 2: DELETE — metadata-only
-    appendTombstones(spark, t0,
-      o.filter(col("o_orderkey") % 7 === 3), uptoFile = 64L)
-    // Act 3: MERGE — tombstone the old version, append the new
+    // Acts 2+3 in ONE metadata append: DELETE tombstones (keys ≡ 3 mod
+    // 7) and the MERGE's voiding tombstones (keys ≡ 5) — a real engine
+    // commits a MERGE's deletes and inserts in one transaction anyway
     val upd = o.filter(col("o_orderkey") % 7 === 5)
       .withColumn("cents", col("cents") + 11L)
-    appendTombstones(spark, t0, upd, uptoFile = 64L)
+    appendTombstones(spark, t0,
+      o.filter(col("o_orderkey") % 7 === 3).unionByName(
+        upd.select(o.columns.map(col): _*)), uptoFile = 64L)
     appendZonemapBatch(t0, upd, batchId = 0L)
-    val pre = morRows(morRead(spark, t0))
-    // Act 4: OPTIMIZE — fold tombstones into a rewritten epoch
+    // materialize the merge-on-read view ONCE: the OPTIMIZE build and
+    // both sides of the convergence except all read it
+    import Materialize.CorpusSyntax
+    val pre = morRows(morRead(spark, t0)).corpusCheckpoint()
+    // Act 4: OPTIMIZE — fold tombstones into a rewritten epoch (no
+    // sidecar written: the fold leaves the empty tombstone set absent)
     val t1 = Layout.rotateEpoch(spark, base, Seq(ZmapSuffix, DvSuffix)) { name =>
-      buildZonemapEpoch(spark, name, morRows(morRead(spark, t0)))
-      emptyDv(spark).write.format("parquet").mode("overwrite")
-        .saveAsTable(name + DvSuffix)
+      buildZonemapEpoch(spark, name, pre)
     }
     Layout.pruneEpochs(spark, base, keep = 2, sidecars = Seq(ZmapSuffix, DvSuffix))
     val post = morRows(spark.table(t1))
     val flags = broadcast(
       pre.exceptAll(post).unionAll(post.exceptAll(pre))
         .agg(count(lit(1)).as("n_diff"))
-        .crossJoin(spark.table(t1 + DvSuffix)
-          .agg(count(lit(1)).as("dv_remaining")))
+        .crossJoin(dvOf(spark, t1).agg(count(lit(1)).as("dv_remaining")))
         .select((col("n_diff") === 0L).as("mor_converged"),
           col("dv_remaining")))
     val (served, scanned, total, _) = zonemapServe(spark, t1)
@@ -1781,7 +1793,7 @@ object GovernanceOps {
        |    o_orderpriority AS prio,
        |    CAST(floor(o_totalprice * 100) AS BIGINT)
        |      + CASE WHEN o_orderkey % 7 = 5 THEN 11 ELSE 0 END AS cents
-       |  FROM orders WHERE o_orderkey % 7 <> 3
+       |  FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 7 <> 3
        |), b AS (
        |  SELECT MIN(k) AS kmin, MAX(k) AS kmax,
        |         MIN(d) AS dmin, MAX(d) AS dmax
@@ -1842,11 +1854,10 @@ object GovernanceOps {
     */
   def mergeOnReadLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
     val base = morLifecycleBase(sfDir)
-    val o = ordersKd(spark, sfDir)
+    // the quarter corpus, the [[mergeOnRead]] sub-corpus discipline
+    val o = ordersKd(spark, sfDir).filter(col("o_orderkey") % 4 === 0)
     val t = Layout.rotateEpoch(spark, base, Seq(ZmapSuffix, DvSuffix)) { name =>
-      buildZonemapEpoch(spark, name, o)
-      emptyDv(spark).write.format("parquet").mode("overwrite")
-        .saveAsTable(name + DvSuffix)
+      buildZonemapEpoch(spark, name, o) // no `_dv`: absent = empty set
     }
     Layout.replayAsStream(
       o.filter(col("o_orderkey") % 7 === 3).select(col("o_orderkey")),
@@ -1854,7 +1865,7 @@ object GovernanceOps {
       graft.streaming.LayoutStream.appendTombstoneStream(sdf, base, 64L)
     }
     Layout.pruneEpochs(spark, base, keep = 2, sidecars = Seq(ZmapSuffix, DvSuffix))
-    val nDv = broadcast(spark.table(t + DvSuffix)
+    val nDv = broadcast(dvOf(spark, t)
       .agg(count(lit(1)).as("n_dv"))
       .select((col("n_dv") > 0L).as("did_tombstone")))
     morRead(spark, t)
@@ -1868,7 +1879,7 @@ object GovernanceOps {
     """SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n_rows,
       |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
       |  TRUE AS did_tombstone
-      |FROM orders WHERE o_orderkey % 7 <> 3
+      |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 7 <> 3
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ------------------------------------------------ compaction execution

@@ -945,6 +945,7 @@ class GovernanceOpsSpec extends SparkSpec {
     val cur = Layout.currentEpoch(spark, base).get
     val t0 = Layout.epochTable(base, cur - 1)
     val o = GovernanceOps.ordersKd(spark, sf)
+      .filter(col("o_orderkey") % 4 === 0) // the key's sub-corpus
     val nDel = o.filter(col("o_orderkey") % 7 === 3).count()
     val nUpd = o.filter(col("o_orderkey") % 7 === 5).count()
     assert(spark.table(t0 + GovernanceOps.DvSuffix).count() === nDel + nUpd)
@@ -967,6 +968,7 @@ class GovernanceOpsSpec extends SparkSpec {
     val out = GovernanceOps.mergeOnReadLifecycle(spark, sf).collect()
     assert(out.forall(_.getBoolean(3)), "did_tombstone must hold")
     val o = GovernanceOps.ordersKd(spark, sf)
+      .filter(col("o_orderkey") % 4 === 0) // the key's sub-corpus
     val expect = o.filter(col("o_orderkey") % 7 =!= 3)
       .groupBy(col("prio"))
       .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
