@@ -99,7 +99,7 @@ class SimilarityOpsSpec extends SparkSpec {
         s"trained probe must bucket-prune to the nprobe cells:\n$plan")
     } finally {
       graft.operators.Layout.dropEpochFamily(spark,
-        SimilarityOps.ivfTrainedIndexName(sf), sidecars = Seq("_codebook"))
+        SimilarityOps.annLifecycleIndexName(sf), sidecars = Seq("_codebook"))
     }
   }
 
@@ -140,7 +140,7 @@ class SimilarityOpsSpec extends SparkSpec {
         s"ivfpq probe must bucket-prune to the nprobe cells:\n$plan")
     } finally {
       graft.operators.Layout.dropEpochFamily(spark,
-        SimilarityOps.ivfPqIndexName(sf), sidecars = Seq("_coarse", "_books"))
+        SimilarityOps.ivfPqLifecycleIndexName(sf), sidecars = Seq("_coarse", "_books"))
     }
   }
 
@@ -290,37 +290,58 @@ class SimilarityOpsSpec extends SparkSpec {
   }
 
   test("annLifecycle: half-build + streamed-append epoch probes like the one-pass trained index") {
+    // the one-pass twin is built into its OWN family here — the probe
+    // keys now SERVE from the lifecycle family (the r14 verdict's
+    // build-sharing ask), so an independent build is what keeps this
+    // stream ≡ batch assertion non-circular
+    val onePassName = "graft_ivft_onepass_spec"
     try {
+      val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
       val viaLifecycle = SimilarityOps.annLifecycle(spark, sf).collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(viaLifecycle.nonEmpty)
-      val onePass = SimilarityOps.ivfTrainedTopK(spark, sf).collect()
-        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      SimilarityOps.buildVectorEpoch(spark, sf, e)(onePassName)
+      val onePass = SimilarityOps.probeIndexWithCodebook(spark, onePassName, e)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(viaLifecycle === onePass)
       // a second call must rotate a fresh epoch and still agree
       assert(SimilarityOps.annLifecycle(spark, sf).collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq === onePass)
+      // and the shared-family probe key serves the lifecycle's epoch
+      assert(SimilarityOps.ivfTrainedTopK(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq === onePass)
     } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $onePassName")
+      spark.sql(s"DROP TABLE IF EXISTS ${onePassName}_codebook")
       graft.operators.Layout.dropEpochFamily(spark,
         SimilarityOps.annLifecycleIndexName(sf), sidecars = Seq("_codebook"))
-      graft.operators.Layout.dropEpochFamily(spark,
-        SimilarityOps.ivfTrainedIndexName(sf), sidecars = Seq("_codebook"))
     }
   }
 
   test("ivfPqLifecycle: half-build + streamed-append composed index probes like the one-pass build") {
+    val onePassName = "graft_ivfpq_onepass_spec"
     try {
+      val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
       val viaLifecycle = SimilarityOps.ivfPqLifecycle(spark, sf).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(viaLifecycle.nonEmpty)
-      val onePass = SimilarityOps.ivfPqTopK(spark, sf).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // independent one-pass build (see the annLifecycle twin note)
+      SimilarityOps.buildIvfPqEpoch(spark, sf, e)(onePassName)
+      val q0 = e.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000d + 0.5d).cast("long")))
+        .head().getSeq[Long](0).toArray
+      val onePass = SimilarityOps.probeIvfPqIndex(spark, onePassName, q0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(viaLifecycle === onePass)
+      // and the shared-family probe key serves the lifecycle's epoch
+      assert(SimilarityOps.ivfPqTopK(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq === onePass)
     } finally {
+      Seq("", "_coarse", "_books").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS $onePassName$s"))
       graft.operators.Layout.dropEpochFamily(spark,
         SimilarityOps.ivfPqLifecycleIndexName(sf), sidecars = Seq("_coarse", "_books"))
-      graft.operators.Layout.dropEpochFamily(spark,
-        SimilarityOps.ivfPqIndexName(sf), sidecars = Seq("_coarse", "_books"))
     }
   }
 
