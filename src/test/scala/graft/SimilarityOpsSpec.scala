@@ -381,14 +381,22 @@ class SimilarityOpsSpec extends SparkSpec {
       assert(got.length === 10)
       assert(got.forall(_.getBoolean(2)),
         "beam search fell below the gated recall floor")
-      // the hashed rows ARE the exact twin, verbatim
-      val exact = SimilarityOps.knnCosine(spark, sf).collect()
+      // the hashed rows ARE the exact twin over the shared family's
+      // quarter corpus — recomputed independently here by brute force
+      val e = Tables.embeddings(spark, sf)
+        .filter(col("vec_id") % SimilarityOps.HnswLcMod === 0)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      val exact = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(SimilarityOps.cosine(col("embedding"), col("qe")), 4).as("s"))
+        .orderBy(col("s").desc, col("vec_id")).limit(10).collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq === exact)
       assert(!got.map(_.getLong(0)).contains(0L))
     } finally {
       graft.operators.Layout.dropEpochFamily(spark,
-        SimilarityOps.hnswIndexName(sf), sidecars = SimilarityOps.HnswSidecars)
+        SimilarityOps.hnswLifecycleIndexName(sf), sidecars = SimilarityOps.HnswSidecars)
     }
   }
 
@@ -434,7 +442,9 @@ class SimilarityOpsSpec extends SparkSpec {
     try {
       val name = SimilarityOps.ensureHnswIndex(spark, sf)
       val edges = spark.table(name)
-      val nVecs = Tables.embeddings(spark, sf).count()
+      // the shared family indexes the quarter sub-corpus (r15 sharing)
+      val nVecs = Tables.embeddings(spark, sf)
+        .filter(col("vec_id") % SimilarityOps.HnswLcMod === 0).count()
       // every vector has out-edges (no unreachable islands at the src level)
       assert(edges.select(col("src")).distinct().count() === nVecs)
       // degree bounded BY CONSTRUCTION: members ≤ M+1, hubs add the
@@ -468,7 +478,7 @@ class SimilarityOpsSpec extends SparkSpec {
         s"vector fetch must bucket-prune:\n$vecPlan")
     } finally {
       graft.operators.Layout.dropEpochFamily(spark,
-        SimilarityOps.hnswIndexName(sf), sidecars = SimilarityOps.HnswSidecars)
+        SimilarityOps.hnswLifecycleIndexName(sf), sidecars = SimilarityOps.HnswSidecars)
     }
   }
 
@@ -554,7 +564,7 @@ class SimilarityOpsSpec extends SparkSpec {
       assert(sizes.keySet === (0L until SimilarityOps.HnswBatchQueries).toSet)
     } finally {
       graft.operators.Layout.dropEpochFamily(spark,
-        SimilarityOps.hnswIndexName(sf), sidecars = SimilarityOps.HnswSidecars)
+        SimilarityOps.hnswLifecycleIndexName(sf), sidecars = SimilarityOps.HnswSidecars)
     }
   }
 
