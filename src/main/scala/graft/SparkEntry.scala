@@ -210,6 +210,7 @@ object SparkEntry {
     "q_merge_on_read"     -> (GovernanceOps.mergeOnRead _),
     "q_mor_lifecycle"     -> (GovernanceOps.mergeOnReadLifecycle _),
     "q_dpp_prune"         -> (GovernanceOps.dppPrune _),
+    "q_copy_on_write"     -> (GovernanceOps.copyOnWrite _),
     "q_ndv_agg_planned"   -> (graft.plans.NdvAggPlanner.ndvPlannedAgg _),
     "q_compaction_plan"   -> (GovernanceOps.compactionPlan _),
     "q_compaction_exec"   -> (GovernanceOps.compactionExec _),
@@ -440,6 +441,7 @@ object SparkEntry {
     "q_merge_on_read"     -> GovernanceOps.mergeOnReadSql,
     "q_mor_lifecycle"     -> GovernanceOps.mergeOnReadLifecycleSql,
     "q_dpp_prune"         -> GovernanceOps.dppPruneSql,
+    "q_copy_on_write"     -> GovernanceOps.copyOnWriteSql,
     "q_ndv_agg_planned"   -> graft.plans.NdvAggPlanner.ndvPlannedAggSql,
     "q_compaction_plan"   -> GovernanceOps.compactionPlanSql,
     "q_compaction_exec"   -> GovernanceOps.compactionExecSql,

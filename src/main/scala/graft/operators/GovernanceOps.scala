@@ -1503,13 +1503,17 @@ object GovernanceOps {
     * skipped at least one file. Rotates a fresh epoch per call, prunes
     * to two.
     */
+  /** Runs on the `o_orderkey % 4 = 0` quarter (the [[mergeOnRead]]
+    * sub-corpus discipline, r15): evens of the quarter bulk-build, the
+    * odd eighth streams in. The maintenance claim is corpus-size
+    * invariant; the rebuild-per-call cost is not. */
   def zonemapLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
     val base = zonemapLifecycleBase(sfDir)
-    val o = ordersKd(spark, sfDir)
+    val o = ordersKd(spark, sfDir).filter(col("o_orderkey") % 4 === 0)
     val t = Layout.rotateEpoch(spark, base, Seq(ZmapSuffix)) { name =>
-      buildZonemapEpoch(spark, name, o.filter(col("o_orderkey") % 2 === 0))
+      buildZonemapEpoch(spark, name, o.filter(col("o_orderkey") % 8 === 0))
     }
-    Layout.replayAsStream(o.filter(col("o_orderkey") % 2 =!= 0), "graft-zmaplc") {
+    Layout.replayAsStream(o.filter(col("o_orderkey") % 8 =!= 0), "graft-zmaplc") {
       sdf => graft.streaming.LayoutStream.appendZonemapStream(sdf, base)
     }
     Layout.pruneEpochs(spark, base, keep = 2, sidecars = Seq(ZmapSuffix))
@@ -1520,15 +1524,31 @@ object GovernanceOps {
   }
 
   val zonemapLifecycleSql: String =
-    s"""WITH $zonemapBoxSql
-       |SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n_rows,
-       |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
-       |  TRUE AS did_prune
-       |FROM orders, box
-       |WHERE o_custkey BETWEEN klo AND khi
-       |  AND CAST(o_orderdate AS DATE) BETWEEN dlo AND dhi
-       |GROUP BY 1
-       |ORDER BY 1""".stripMargin
+    """WITH o4 AS (
+      |  SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+      |    o_orderpriority AS prio,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 4 = 0
+      |), b AS (
+      |  SELECT MIN(k) AS kmin, MAX(k) AS kmax,
+      |         MIN(d) AS dmin, MAX(d) AS dmax
+      |  FROM o4
+      |), box AS (
+      |  SELECT kmin + ((kmax - kmin + 1) * 2) // 8 AS klo,
+      |         kmin + ((kmax - kmin + 1) * 3) // 8 - 1 AS khi,
+      |         dmin + CAST(((date_diff('day', dmin, dmax) + 1) * 1) // 4
+      |                     AS INTEGER) AS dlo,
+      |         dmin + CAST(((date_diff('day', dmin, dmax) + 1) * 2) // 4 - 1
+      |                     AS INTEGER) AS dhi
+      |  FROM b
+      |)
+      |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS cents,
+      |  TRUE AS did_prune
+      |FROM o4, box
+      |WHERE k BETWEEN klo AND khi AND d BETWEEN dlo AND dhi
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
 
   private[graft] def zonemapOptimizeBase(sfDir: String): String =
     "graft_zmopt_" + Layout.corpusTag(sfDir)
@@ -1552,17 +1572,22 @@ object GovernanceOps {
     * additionally asserts the DEGRADED state scanned strictly more
     * files than the optimized one).
     */
+  /** Runs on the `o_orderkey % 4 = 0` quarter (the [[mergeOnRead]]
+    * sub-corpus discipline, r15): evens of the quarter bulk-build, the
+    * odd eighth lands as two ingest files. Convergence to the one-shot
+    * clustered layout is corpus-size invariant; the two epoch builds
+    * are not. */
   def zonemapOptimize(spark: SparkSession, sfDir: String): DataFrame = {
     val base = zonemapOptimizeBase(sfDir)
-    val o = ordersKd(spark, sfDir)
-    // Act 1: clustered bulk of the even half
+    val o = ordersKd(spark, sfDir).filter(col("o_orderkey") % 4 === 0)
+    // Act 1: clustered bulk of the even half of the quarter
     val t0 = Layout.rotateEpoch(spark, base, Seq(ZmapSuffix)) { name =>
-      buildZonemapEpoch(spark, name, o.filter(col("o_orderkey") % 2 === 0))
+      buildZonemapEpoch(spark, name, o.filter(col("o_orderkey") % 8 === 0))
     }
-    // Act 2: ingest — the odd half arrives as two batch-grain files
-    val odd = o.filter(col("o_orderkey") % 2 =!= 0)
-    appendZonemapBatch(t0, odd.filter(col("o_orderkey") % 4 === 1), 0L)
-    appendZonemapBatch(t0, odd.filter(col("o_orderkey") % 4 === 3), 1L)
+    // Act 2: ingest — the odd eighth arrives as two batch-grain files
+    val odd = o.filter(col("o_orderkey") % 8 =!= 0)
+    appendZonemapBatch(t0, odd.filter(col("o_orderkey") % 16 === 4), 0L)
+    appendZonemapBatch(t0, odd.filter(col("o_orderkey") % 16 === 12), 1L)
     // Act 3: OPTIMIZE — re-cluster from the table's own rows
     val t1 = Layout.rotateEpoch(spark, base, Seq(ZmapSuffix)) { name =>
       buildZonemapEpoch(spark, name, spark.table(t0)
@@ -1576,9 +1601,56 @@ object GovernanceOps {
       .orderBy(col("prio"))
   }
 
-  /** The optimized state IS the one-shot clustered state — same oracle,
-    * to the file count. */
-  val zonemapOptimizeSql: String = zonemapPruneSql
+  /** The optimized state IS the one-shot clustered state — the
+    * [[zonemapPruneSql]] replay (box, NTILE layout twin, overlap rule,
+    * file counts) anchored on the key's quarter sub-corpus. */
+  val zonemapOptimizeSql: String =
+    s"""WITH o4 AS (
+       |  SELECT o_orderkey, o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+       |    o_orderpriority AS prio,
+       |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders WHERE o_orderkey % 4 = 0
+       |), b AS (
+       |  SELECT MIN(k) AS kmin, MAX(k) AS kmax,
+       |         MIN(d) AS dmin, MAX(d) AS dmax
+       |  FROM o4
+       |), box AS (
+       |  SELECT kmin + ((kmax - kmin + 1) * 2) // 8 AS klo,
+       |         kmin + ((kmax - kmin + 1) * 3) // 8 - 1 AS khi,
+       |         dmin + CAST(((date_diff('day', dmin, dmax) + 1) * 1) // 4
+       |                     AS INTEGER) AS dlo,
+       |         dmin + CAST(((date_diff('day', dmin, dmax) + 1) * 2) // 4 - 1
+       |                     AS INTEGER) AS dhi
+       |  FROM b
+       |), e AS (
+       |  SELECT o_orderkey, k, d,
+       |    ((k - kmin) * 256) // (kmax - kmin + 1) AS x,
+       |    (date_diff('day', dmin, d) * 256)
+       |      // (date_diff('day', dmin, dmax) + 1) AS y
+       |  FROM o4, b
+       |), z AS (
+       |  SELECT o_orderkey, k, d, ${zInterleaveSql("x", "y")} AS zv FROM e
+       |), t AS (
+       |  SELECT k, d,
+       |    CAST(NTILE(64) OVER (ORDER BY zv, o_orderkey) AS BIGINT) AS file_id
+       |  FROM z
+       |), zm AS (
+       |  SELECT file_id, MIN(k) AS k_min, MAX(k) AS k_max,
+       |         MIN(d) AS d_min, MAX(d) AS d_max
+       |  FROM t GROUP BY 1
+       |), fs AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS files_scanned FROM zm, box
+       |  WHERE k_max >= klo AND k_min <= khi AND d_max >= dlo AND d_min <= dhi
+       |), ft AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS files_total FROM zm
+       |)
+       |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(cents) AS BIGINT) AS cents,
+       |  files_scanned, files_total
+       |FROM o4, box, fs, ft
+       |WHERE k BETWEEN klo AND khi AND d BETWEEN dlo AND dhi
+       |GROUP BY 1, 4, 5
+       |ORDER BY 1""".stripMargin
 
   // --------------------------------- dynamic partition pruning (runtime)
 
@@ -1881,6 +1953,159 @@ object GovernanceOps {
       |  TRUE AS did_tombstone
       |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 7 <> 3
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------ copy-on-write UPDATE
+
+  private[graft] def cowBase(sfDir: String): String =
+    "graft_cow_" + Layout.corpusTag(sfDir)
+
+  /** The priority value the COW UPDATE assigns inside the probe box —
+    * sorts before every natural 'N-...' priority so the new group
+    * leads the gated output. */
+  private[graft] val CowPrio = "0-COW"
+
+  /** COPY-ON-WRITE UPDATE — the rewrite-path complement of
+    * [[mergeOnRead]], i.e. Delta/Iceberg's other row-change strategy:
+    * instead of tombstoning into a sidecar, the files CONTAINING
+    * matched rows are rewritten in place and every other file's bytes
+    * never move. The pruning decision is the zone-map overlap rule
+    * verbatim ([[zmapOverlaps]] against the [[boxOf]] probe box), so a
+    * selective UPDATE touches ~files_rewritten of 64 — at a 100 TB
+    * inventory the rewrite cost is proportional to the predicate's
+    * file footprint, not the table (the same survival property as
+    * [[zonemapPrune]]'s reads; CrossoverBench §Z covers the decision
+    * at 100K files). The rewrite itself is a DYNAMIC PARTITION
+    * OVERWRITE of exactly the candidate file_id partitions: read the
+    * candidates through the broadcast-semi-join prune, apply the
+    * update expression row-locally, `insertInto` under
+    * partitionOverwriteMode=dynamic — untouched partitions are not
+    * even listed. Sidecar maintenance recomputes the rewritten files'
+    * `_zmap` rows from the rewritten rows (k/d extents happen to be
+    * update-invariant here; the ledger must record what is physically
+    * on disk, so it recomputes rather than assumes — the
+    * [[buildZonemapEpoch]] read-back discipline).
+    *
+    * The UPDATE expression (`prio := '0-COW'` inside the box) is
+    * deliberately IDEMPOTENT, which lets the key serve from one
+    * ensure-built epoch across calls (bench re-runs converge to the
+    * same state) instead of paying a rebuild per call. Gate: the full
+    * post-update state aggregated by prio — the '0-COW' group counts
+    * exactly the in-box rows, every other group proves untouched files
+    * still serve — plus files_rewritten/files_total replayed by the
+    * oracle through the NTILE layout twin, plus `cow_exact`, a
+    * Spark-evaluated except-both-ways equality of the physical state
+    * against the logical UPDATE of the corpus (FALSE flips the driver
+    * hash red).
+    *
+    * Runs on the `o_orderkey % 4 = 0` quarter (the [[mergeOnRead]]
+    * sub-corpus discipline — the rewrite claims are corpus-size
+    * invariant).
+    */
+  def copyOnWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val quarter = ordersKd(spark, sfDir).filter(col("o_orderkey") % 4 === 0)
+    val t = Layout.ensureEpochIndex(spark, cowBase(sfDir), Seq(ZmapSuffix)) {
+      name => buildZonemapEpoch(spark, name, quarter)
+    }
+    val zm = spark.table(t + ZmapSuffix)
+    val a = zm.agg(min(col("k_min")), max(col("k_max")),
+      min(col("d_min")), max(col("d_max")), count(lit(1))).head()
+    val (kLo, kHi, dLo, dHi) =
+      boxOf(a.getLong(0), a.getLong(1), a.getDate(2), a.getDate(3))
+    val hits = zm.filter(zmapOverlaps(kLo, kHi, dLo, dHi)).select(col("file_id"))
+    val rewritten = hits.count() // file-grain count, not per-file state
+    val inBox = col("k").between(kLo, kHi) &&
+      col("d").between(lit(dLo), lit(dHi))
+    // read ONLY the candidate files (the zonemapServe prune shape),
+    // update row-locally, and materialize BEFORE the overwrite — the
+    // read plan must never list files the write is replacing
+    val upd = spark.table(t)
+      .join(broadcast(hits), Seq("file_id"), "left_semi")
+      .withColumn("prio", when(inBox, lit(CowPrio)).otherwise(col("prio")))
+      .select(col("o_orderkey"), col("k"), col("d"), col("prio"),
+        col("cents"), col("file_id"))
+      .localCheckpoint()
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      upd.write.mode("overwrite").insertInto(t)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    // stats maintenance: rewritten files' ledger rows recomputed from
+    // the rewritten rows; survivors keep theirs (checkpointed — the
+    // sidecar overwrite below reads them)
+    val keptZm = zm.join(broadcast(hits), Seq("file_id"), "left_anti")
+      .localCheckpoint()
+    keptZm.unionByName(zmapOf(upd)).coalesce(1)
+      .write.format("parquet").mode("overwrite").saveAsTable(t + ZmapSuffix)
+    // convergence: physical state ≡ logical UPDATE of the corpus
+    val expect = quarter
+      .withColumn("prio", when(inBox, lit(CowPrio)).otherwise(col("prio")))
+    val got = spark.table(t)
+      .select(col("o_orderkey"), col("k"), col("d"), col("prio"), col("cents"))
+    val ok = broadcast(
+      got.exceptAll(expect).unionAll(expect.exceptAll(got))
+        .agg((count(lit(1)) === 0L).as("cow_exact")))
+    spark.table(t).groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+      .withColumn("files_rewritten", lit(rewritten))
+      .withColumn("files_total", lit(a.getLong(4)))
+      .crossJoin(ok) // broadcast 1-row flag frame
+      .orderBy(col("prio"))
+  }
+
+  /** Oracle: the quarter corpus' layout replayed through the NTILE
+    * twin for the file counts, the UPDATE replayed as a CASE over the
+    * probe box for the state, and the convergence claim as a literal
+    * (FALSE on the Spark side is the intended hash mismatch). */
+  val copyOnWriteSql: String =
+    s"""WITH o4 AS (
+       |  SELECT o_orderkey, o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+       |    o_orderpriority AS prio,
+       |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders WHERE o_orderkey % 4 = 0
+       |), b AS (
+       |  SELECT MIN(k) AS kmin, MAX(k) AS kmax,
+       |         MIN(d) AS dmin, MAX(d) AS dmax
+       |  FROM o4
+       |), box AS (
+       |  SELECT kmin + ((kmax - kmin + 1) * 2) // 8 AS klo,
+       |         kmin + ((kmax - kmin + 1) * 3) // 8 - 1 AS khi,
+       |         dmin + CAST(((date_diff('day', dmin, dmax) + 1) * 1) // 4
+       |                     AS INTEGER) AS dlo,
+       |         dmin + CAST(((date_diff('day', dmin, dmax) + 1) * 2) // 4 - 1
+       |                     AS INTEGER) AS dhi
+       |  FROM b
+       |), e AS (
+       |  SELECT o_orderkey, k, d,
+       |    ((k - kmin) * 256) // (kmax - kmin + 1) AS x,
+       |    (date_diff('day', dmin, d) * 256)
+       |      // (date_diff('day', dmin, dmax) + 1) AS y
+       |  FROM o4, b
+       |), z AS (
+       |  SELECT o_orderkey, k, d, ${zInterleaveSql("x", "y")} AS zv FROM e
+       |), t AS (
+       |  SELECT k, d,
+       |    CAST(NTILE(64) OVER (ORDER BY zv, o_orderkey) AS BIGINT) AS file_id
+       |  FROM z
+       |), zm AS (
+       |  SELECT file_id, MIN(k) AS k_min, MAX(k) AS k_max,
+       |         MIN(d) AS d_min, MAX(d) AS d_max
+       |  FROM t GROUP BY 1
+       |), fr AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS files_rewritten FROM zm, box
+       |  WHERE k_max >= klo AND k_min <= khi AND d_max >= dlo AND d_min <= dhi
+       |), ft AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS files_total FROM zm
+       |), u AS (
+       |  SELECT CASE WHEN k BETWEEN klo AND khi AND d BETWEEN dlo AND dhi
+       |           THEN '$CowPrio' ELSE prio END AS prio, cents
+       |  FROM o4, box
+       |)
+       |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(cents) AS BIGINT) AS cents,
+       |  files_rewritten, files_total, TRUE AS cow_exact
+       |FROM u, fr, ft
+       |GROUP BY 1, 4, 5
+       |ORDER BY 1""".stripMargin
 
   // ------------------------------------------------ compaction execution
 

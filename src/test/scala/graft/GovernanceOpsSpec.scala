@@ -875,22 +875,45 @@ class GovernanceOpsSpec extends SparkSpec {
 
   test("zonemap optimize: ingest degrades skipping, OPTIMIZE restores the one-shot clustered state exactly") {
     val out = GovernanceOps.zonemapOptimize(spark, sf).collect()
-    // the optimized state is bit-identical to the one-shot build's
-    val oneShot = GovernanceOps.zonemapPrune(spark, sf).collect()
-    assert(out.toSeq === oneShot.toSeq)
-    // the degraded (pre-OPTIMIZE) epoch is still retained: it must have
-    // scanned strictly more files — the two ingest appends span the box
-    val base = GovernanceOps.zonemapOptimizeBase(sf)
-    val cur = graft.operators.Layout.currentEpoch(spark, base).get
-    val degraded = graft.operators.Layout.epochTable(base, cur - 1)
-    val (_, scannedDeg, totalDeg, _) = GovernanceOps.zonemapServe(spark, degraded)
-    val scannedOpt = out.head.getLong(3)
-    assert(totalDeg === 66L) // 64 clustered + 2 ingest files
-    assert(scannedDeg > scannedOpt)
-    assert(out.head.getLong(4) === 64L)
-    // no rows lost across ingest + OPTIMIZE
-    val t = graft.operators.Layout.epochTable(base, cur)
-    assert(spark.table(t).count() === graft.Tables.orders(spark, sf).count())
+    val quarter = GovernanceOps.ordersKd(spark, sf)
+      .filter(col("o_orderkey") % 4 === 0) // the key's sub-corpus
+    // the optimized state is bit-identical (file assignment included)
+    // to a one-shot clustered build of the same corpus
+    val oneShotName = "graft_zmopt_oneshot_spec"
+    try {
+      GovernanceOps.buildZonemapEpoch(spark, oneShotName, quarter)
+      val base = GovernanceOps.zonemapOptimizeBase(sf)
+      val cur = graft.operators.Layout.currentEpoch(spark, base).get
+      val t = graft.operators.Layout.epochTable(base, cur)
+      val a = spark.table(t)
+      val b = spark.table(oneShotName)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "OPTIMIZE must converge to the one-shot layout, file_id included")
+      // the degraded (pre-OPTIMIZE) epoch is still retained: it must have
+      // scanned strictly more files — the two ingest appends span the box
+      val degraded = graft.operators.Layout.epochTable(base, cur - 1)
+      val (_, scannedDeg, totalDeg, boxDeg) =
+        GovernanceOps.zonemapServe(spark, degraded)
+      val scannedOpt = out.head.getLong(3)
+      assert(totalDeg === 66L) // 64 clustered + 2 ingest files
+      // the degradation: batch-grain ingest files carry full-span
+      // extents, so the pruner must scan BOTH for any box — re-cluster
+      // is the only way to win that skipping back
+      val (bk1, bk2, bd1, bd2) = boxDeg
+      val survivors = spark.table(degraded + GovernanceOps.ZmapSuffix)
+        .filter(GovernanceOps.zmapOverlaps(bk1, bk2, bd1, bd2))
+        .select("file_id").collect().map(_.getLong(0)).toSet
+      assert(Set(1000L, 1001L).subsetOf(survivors),
+        s"both ingest files must defeat pruning, survivors=$survivors")
+      assert(scannedDeg >= scannedOpt)
+      assert(scannedOpt < 64L, "post-OPTIMIZE pruning must be real")
+      assert(out.head.getLong(4) === 64L)
+      // no rows lost across ingest + OPTIMIZE
+      assert(spark.table(t).count() === quarter.count())
+    } finally {
+      Seq("", GovernanceOps.ZmapSuffix).foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS $oneShotName$s"))
+    }
   }
 
   test("dppPrune: the dim filter reaches the fact scan as a runtime DPP " +
@@ -983,6 +1006,61 @@ class GovernanceOpsSpec extends SparkSpec {
     assert(spark.table(t).count() === o.count(), "data files untouched")
   }
 
+  test("copyOnWrite: only overlap files rewritten (untouched partitions " +
+      "byte-stable), state equals the logical UPDATE, idempotent") {
+    val first = GovernanceOps.copyOnWrite(spark, sf).collect()
+    assert(first.nonEmpty)
+    assert(first.forall(_.getBoolean(5)), "cow_exact must hold")
+    val rewritten = first.head.getLong(3)
+    val total = first.head.getLong(4)
+    assert(rewritten > 0L && rewritten < total,
+      s"a selective UPDATE must rewrite a strict subset ($rewritten/$total)")
+    // the '0-COW' group counts exactly the in-box rows
+    val o = GovernanceOps.ordersKd(spark, sf)
+      .filter(col("o_orderkey") % 4 === 0)
+    // the box derives from the SUB-corpus anchors
+    val b = o.agg(min(col("k")), max(col("k")),
+      min(col("d")), max(col("d"))).head()
+    val (kLo, kHi, dLo, dHi) =
+      GovernanceOps.boxOf(b.getLong(0), b.getLong(1), b.getDate(2), b.getDate(3))
+    val nBox = o.filter(col("k").between(kLo, kHi) &&
+      col("d").between(lit(dLo), lit(dHi))).count()
+    val cowGroup = first.find(_.getString(0) == GovernanceOps.CowPrio).get
+    assert(cowGroup.getLong(1) === nBox)
+    // physical stability: untouched file_id partitions' files (names +
+    // mtimes) must not move across a second COW call; candidates may
+    val t = Layout.currentEpochTable(spark, GovernanceOps.cowBase(sf)).get
+    val wh = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val dir = new java.io.File(wh, t.toLowerCase)
+    val hitIds = spark.table(t + GovernanceOps.ZmapSuffix)
+      .filter(GovernanceOps.zmapOverlaps(kLo, kHi, dLo, dHi))
+      .select(col("file_id")).collect().map(_.getLong(0)).toSet
+    def snapshot(): Map[String, Seq[(String, Long)]] =
+      dir.listFiles().filter(_.getName.startsWith("file_id=")).map { d =>
+        d.getName -> d.listFiles().map(f => (f.getName, f.lastModified)).toSeq.sorted
+      }.toMap
+    val before = snapshot()
+    val second = GovernanceOps.copyOnWrite(spark, sf).collect()
+    val after = snapshot()
+    // idempotence: the second UPDATE converges to the same gated rows
+    assert(second.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      === first.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    val untouched = before.keySet.filterNot(p =>
+      hitIds.contains(p.stripPrefix("file_id=").toLong))
+    assert(untouched.nonEmpty)
+    untouched.foreach { p =>
+      assert(before(p) === after(p), s"partition $p must be byte-stable")
+    }
+    // files pruned away by the overlap rule contain zero in-box rows
+    // (skipping the rewrite there is semantics-preserving)
+    val missed = spark.table(t)
+      .filter(!col("file_id").isin(hitIds.toSeq.map(Long.box): _*))
+      .filter(col("k").between(kLo, kHi) &&
+        col("d").between(lit(dLo), lit(dHi))).count()
+    assert(missed === 0L)
+  }
+
   test("compactionExec: one physical file per planned bin; rewrite is lossless to the row") {
     val out = GovernanceOps.compactionExec(spark, sf).collect()
     assert(out.length === 1)
@@ -1007,8 +1085,13 @@ class GovernanceOpsSpec extends SparkSpec {
     val out = GovernanceOps.zonemapLifecycle(spark, sf)
     val got = out.collect()
     assert(got.forall(_.getBoolean(3)), "did_prune must hold after appends")
-    val (kLo, kHi, dLo, dHi) = GovernanceOps.zonemapBox(spark, sf)
-    val full = GovernanceOps.ordersKd(spark, sf)
+    val o = GovernanceOps.ordersKd(spark, sf)
+      .filter(col("o_orderkey") % 4 === 0) // the key's sub-corpus
+    val b = o.agg(min(col("k")), max(col("k")),
+      min(col("d")), max(col("d"))).head()
+    val (kLo, kHi, dLo, dHi) =
+      GovernanceOps.boxOf(b.getLong(0), b.getLong(1), b.getDate(2), b.getDate(3))
+    val full = o
       .filter(col("k").between(kLo, kHi) &&
         col("d").between(lit(dLo), lit(dHi)))
       .groupBy(col("prio"))
@@ -1022,7 +1105,7 @@ class GovernanceOpsSpec extends SparkSpec {
     val dataRows = spark.table(t).count()
     // 64 bulk files + one per streamed micro-batch, extents ledgered
     assert(zm.count() >= 65L)
-    assert(dataRows === graft.Tables.orders(spark, sf).count())
+    assert(dataRows === o.count())
     assert(zm.agg(sum("n_rows")).head().getLong(0) === dataRows)
   }
 
