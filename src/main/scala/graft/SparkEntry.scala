@@ -211,6 +211,8 @@ object SparkEntry {
     "q_mor_lifecycle"     -> (GovernanceOps.mergeOnReadLifecycle _),
     "q_dpp_prune"         -> (GovernanceOps.dppPrune _),
     "q_copy_on_write"     -> (GovernanceOps.copyOnWrite _),
+    "q_time_travel"       -> (GovernanceOps.timeTravel _),
+    "q_bloom_skip"        -> (GovernanceOps.bloomSkip _),
     "q_ndv_agg_planned"   -> (graft.plans.NdvAggPlanner.ndvPlannedAgg _),
     "q_compaction_plan"   -> (GovernanceOps.compactionPlan _),
     "q_compaction_exec"   -> (GovernanceOps.compactionExec _),
@@ -442,6 +444,8 @@ object SparkEntry {
     "q_mor_lifecycle"     -> GovernanceOps.mergeOnReadLifecycleSql,
     "q_dpp_prune"         -> GovernanceOps.dppPruneSql,
     "q_copy_on_write"     -> GovernanceOps.copyOnWriteSql,
+    "q_time_travel"       -> GovernanceOps.timeTravelSql,
+    "q_bloom_skip"        -> GovernanceOps.bloomSkipSql,
     "q_ndv_agg_planned"   -> graft.plans.NdvAggPlanner.ndvPlannedAggSql,
     "q_compaction_plan"   -> GovernanceOps.compactionPlanSql,
     "q_compaction_exec"   -> GovernanceOps.compactionExecSql,

@@ -2107,6 +2107,207 @@ object GovernanceOps {
        |GROUP BY 1, 4, 5
        |ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------ time travel / rollback
+
+  private[graft] def ttBase(sfDir: String): String =
+    "graft_tt_" + Layout.corpusTag(sfDir)
+
+  /** TIME TRAVEL + ROLLBACK under the oracle — the read-side payoff of
+    * the epoch layout every index family here already uses (Delta
+    * `VERSION AS OF` / Iceberg snapshot reads): retained epochs ARE
+    * queryable versions, and the publish pointer makes rollback a
+    * 1-row metadata flip ([[Layout.rollbackEpoch]] — which until this
+    * key existed in the layout API but was never driver-gated). Two
+    * deterministic versions of the quarter corpus are ensure-built
+    * once (v0 = the even-eighth bulk, v1 = the full quarter — an
+    * ingest between the snapshots); every call then reads BOTH
+    * versions as-of their epochs, rolls the pointer back, PROVES the
+    * published resolver now serves the v0 state (`rolled_back_ok`,
+    * Spark-evaluated except-both-ways), and restores the pointer —
+    * reads never block, nothing is rewritten, exactly the production
+    * mechanics. At 100 TB a version read is one pointer lookup + the
+    * epoch's own pruned scan; retention is [[Layout.pruneEpochs]]'s
+    * existing policy.
+    */
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = ttBase(sfDir)
+    val o = ordersKd(spark, sfDir).filter(col("o_orderkey") % 4 === 0)
+    def writeVersion(rows: DataFrame)(name: String): Unit =
+      rows.select(col("o_orderkey"), col("k"), col("d"), col("prio"),
+        col("cents")).repartition(4)
+        .write.format("parquet").mode("overwrite").saveAsTable(name)
+    // ensure the two-version history (deterministic content; calls
+    // after the first pay reads + the pointer probe only)
+    val cur0 = Layout.currentEpoch(spark, base)
+    if (!cur0.exists(c => c >= 1 &&
+        spark.catalog.tableExists(Layout.epochTable(base, c)) &&
+        spark.catalog.tableExists(Layout.epochTable(base, c - 1)))) {
+      Layout.rotateEpoch(spark, base)(
+        writeVersion(o.filter(col("o_orderkey") % 8 === 0)))
+      Layout.rotateEpoch(spark, base)(writeVersion(o))
+    }
+    val cur = Layout.currentEpoch(spark, base).get
+    val (v0, v1) = (Layout.epochTable(base, cur - 1), Layout.epochTable(base, cur))
+    // rollback probe: flip the pointer back, the PUBLISHED resolver
+    // must serve the v0 state, then restore the pointer
+    Layout.rollbackEpoch(spark, base)
+    val publishedAfterRollback = Layout.currentEpochTable(spark, base).get
+    val asPublished = spark.table(publishedAfterRollback)
+    val okDf = broadcast(
+      asPublished.exceptAll(spark.table(v0))
+        .unionAll(spark.table(v0).exceptAll(asPublished))
+        .agg((count(lit(1)) === 0L && lit(publishedAfterRollback == v0))
+          .as("rolled_back_ok")))
+    Layout.publishEpoch(spark, base, cur)
+    def agg(t: String, v: Int) = spark.table(t)
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+      .withColumn("version", lit(v))
+    agg(v0, 0).unionByName(agg(v1, 1))
+      .select(col("version"), col("prio"), col("n_rows"), col("cents"))
+      .crossJoin(okDf) // broadcast 1-row flag frame
+      .orderBy(col("version"), col("prio"))
+  }
+
+  /** Oracle: both snapshot states replayed by their predicates; the
+    * rollback claim as a literal. */
+  val timeTravelSql: String =
+    """WITH o4 AS (
+      |  SELECT o_orderkey, o_orderpriority AS prio,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 4 = 0
+      |)
+      |SELECT 0 AS version, prio, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS cents, TRUE AS rolled_back_ok
+      |FROM o4 WHERE o_orderkey % 8 = 0 GROUP BY 2
+      |UNION ALL
+      |SELECT 1, prio, CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(cents) AS BIGINT), TRUE
+      |FROM o4 GROUP BY 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------ bloom file skipping
+
+  private[graft] def bloomBase(sfDir: String): String =
+    "graft_bloomidx_" + Layout.corpusTag(sfDir)
+
+  /** Bloom sidecar geometry: m bits per file / k hashes. Sized for the
+    * test corpus' ≤ ~600 keys/file at sf0.1 (load ≈ 0.25 set bits →
+    * FP ≈ 0.4%); a production table service scales m with file row
+    * count (SSB-style blocked blooms) — the probe below is geometry-
+    * independent. */
+  private[graft] val BloomBits = 8192L
+  private[graft] val BloomHashes = 4
+
+  private def bloomPositions(key: Column): Column =
+    array((0 until BloomHashes).map(i =>
+      pmod(xxhash64(key, lit(i)), lit(BloomBits))): _*)
+
+  /** One long-format bloom row per (file, word): OR of the 64-bit
+    * words covering every key's [[BloomHashes]] positions — built with
+    * one explode + map-side-combinable BIT_OR, no driver state. */
+  private def bloomSidecarOf(data: DataFrame): DataFrame =
+    data.select(col("file_id"),
+        explode(bloomPositions(col("o_orderkey"))).as("pos"))
+      .select(col("file_id"), (col("pos") / 64).cast("int").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
+      .groupBy(col("file_id"), col("word"))
+      .agg(expr("bit_or(mask)").as("bits"))
+
+  /** BLOOM-FILTER FILE SKIPPING — the membership complement of the
+    * zone map: min/max extents prune RANGE predicates on the
+    * clustering columns, but a point lookup on a column the layout
+    * does NOT cluster by (here o_orderkey, which the Z-order on (k,d)
+    * scatters uniformly) overlaps every extent — the zone map is
+    * blind. A per-file Bloom sidecar answers exactly that: file-grain
+    * membership with zero false negatives and a bounded false-positive
+    * rate (Delta/Iceberg bloom column stats, ClickHouse bloom skip
+    * indexes). Build: one pass, [[BloomHashes]] xxhash64 positions per
+    * key, OR-folded into [[BloomBits]]-bit per-file bitmaps stored
+    * long-format (file_id, word, bits) — ≤ 128 sidecar rows per file,
+    * metadata-scale at any inventory. Probe: the planted keys' bit
+    * positions are checked against the sidecar (a metadata-only join —
+    * a file survives for a key iff ALL k bits are set), and the data
+    * scan reads ONLY surviving files via the broadcast-semi-join /
+    * DPP shape of [[zonemapServe]], with the exact predicate
+    * re-applied as the residual.
+    *
+    * Gate (the q_approx_distinct bound-boolean discipline): the hashed
+    * rows are the EXACT lookup results for 5 planted present keys +
+    * 1 absent key (found counts and cents the oracle replays), plus
+    * `bloom_pruned` — a Spark-evaluated claim that the probe scanned a
+    * strict subset of files AND every present key's result came
+    * through the prune (a false negative loses a row and flips the
+    * hash red; the FP rate only moves files_scanned, which is
+    * deliberately NOT hashed — bloom FPs are seed-determined, not
+    * semantics).
+    */
+  def bloomSkip(spark: SparkSession, sfDir: String): DataFrame = {
+    val quarter = ordersKd(spark, sfDir).filter(col("o_orderkey") % 4 === 0)
+    val t = Layout.ensureEpochIndex(spark, bloomBase(sfDir),
+        Seq(ZmapSuffix, "_bloom")) { name =>
+      buildZonemapEpoch(spark, name, quarter)
+      bloomSidecarOf(spark.table(name))
+        .write.format("parquet").mode("overwrite").saveAsTable(name + "_bloom")
+    }
+    // planted lookups: the 5 smallest corpus keys + one absent key —
+    // deterministic, oracle-replayable (bounded collect: 6 longs)
+    val kb = quarter.agg(max(col("o_orderkey"))).head().getLong(0)
+    val present = quarter.select(col("o_orderkey")).orderBy(col("o_orderkey"))
+      .limit(5).collect().map(_.getLong(0)).toSeq
+    val keys = present :+ (kb + 1)
+    import spark.implicits._
+    val kdf = keys.toDF("key")
+      .select(col("key"), explode(bloomPositions(col("key"))).as("pos"))
+      .select(col("key"), (col("pos") / 64).cast("int").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
+    // membership: a file survives for a key iff ALL k positions hit —
+    // metadata-only (≤ 6·k probe rows × ≤ files·128 sidecar rows)
+    val blm = spark.table(t + "_bloom")
+    val cand = kdf.join(blm, Seq("word"))
+      .filter((col("bits").bitwiseAND(col("mask"))) === col("mask"))
+      .groupBy(col("key"), col("file_id"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === BloomHashes)
+      .select(col("key"), col("file_id"))
+    val files = cand.select(col("file_id")).distinct()
+    val scanned = files.count()
+    val total = spark.table(t).select(col("file_id")).distinct().count()
+    // pruned scan + exact residual; left join back so the absent key
+    // still emits its (0, 0) row
+    val served = spark.table(t)
+      .join(broadcast(files), Seq("file_id"), "left_semi")
+      .filter(col("o_orderkey").isin(keys.map(Long.box): _*))
+      .groupBy(col("o_orderkey").as("key"))
+      .agg(count(lit(1)).as("n_found"), sum(col("cents")).as("cents"))
+    keys.toDF("key").join(served, Seq("key"), "left")
+      .select(col("key").as("o_orderkey"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        coalesce(col("cents"), lit(0L)).as("cents"),
+        lit(scanned < total && scanned > 0L).as("bloom_pruned"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Oracle: the exact point lookups (present keys found with their
+    * cents, the absent key a (0,0) row); the pruning claim as a
+    * literal. */
+  val bloomSkipSql: String =
+    """WITH o4 AS (
+      |  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 4 = 0
+      |), ks AS (
+      |  (SELECT o_orderkey AS key FROM o4 ORDER BY 1 LIMIT 5)
+      |  UNION ALL
+      |  (SELECT MAX(o_orderkey) + 1 FROM o4)
+      |)
+      |SELECT ks.key AS o_orderkey,
+      |  CAST(COUNT(o4.o_orderkey) AS BIGINT) AS n_found,
+      |  CAST(COALESCE(SUM(o4.cents), 0) AS BIGINT) AS cents,
+      |  TRUE AS bloom_pruned
+      |FROM ks LEFT JOIN o4 ON o4.o_orderkey = ks.key
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   // ------------------------------------------------ compaction execution
 
   private[graft] def compactionExecBase(sfDir: String): String =

@@ -222,7 +222,9 @@ object Layout {
   def currentEpochTable(spark: SparkSession, base: String): Option[String] =
     currentEpoch(spark, base).map(epochTable(base, _))
 
-  private def publishEpoch(spark: SparkSession, base: String, epoch: Int): Unit = {
+  /** `private[graft]`: [[graft.operators.GovernanceOps.timeTravel]]
+    * restores the pointer after its rollback probe. */
+  private[graft] def publishEpoch(spark: SparkSession, base: String, epoch: Int): Unit = {
     val p = ptrTable(base)
     if (!spark.catalog.tableExists(p)) clearStaleTableLocation(spark, p)
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
