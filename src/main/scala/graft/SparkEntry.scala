@@ -213,6 +213,7 @@ object SparkEntry {
     "q_copy_on_write"     -> (GovernanceOps.copyOnWrite _),
     "q_time_travel"       -> (GovernanceOps.timeTravel _),
     "q_bloom_skip"        -> (GovernanceOps.bloomSkip _),
+    "q_bloom_lifecycle"   -> (GovernanceOps.bloomSkipLifecycle _),
     "q_ndv_agg_planned"   -> (graft.plans.NdvAggPlanner.ndvPlannedAgg _),
     "q_compaction_plan"   -> (GovernanceOps.compactionPlan _),
     "q_compaction_exec"   -> (GovernanceOps.compactionExec _),
@@ -446,6 +447,7 @@ object SparkEntry {
     "q_copy_on_write"     -> GovernanceOps.copyOnWriteSql,
     "q_time_travel"       -> GovernanceOps.timeTravelSql,
     "q_bloom_skip"        -> GovernanceOps.bloomSkipSql,
+    "q_bloom_lifecycle"   -> GovernanceOps.bloomSkipLifecycleSql,
     "q_ndv_agg_planned"   -> graft.plans.NdvAggPlanner.ndvPlannedAggSql,
     "q_compaction_plan"   -> GovernanceOps.compactionPlanSql,
     "q_compaction_exec"   -> GovernanceOps.compactionExecSql,

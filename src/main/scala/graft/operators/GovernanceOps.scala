@@ -2250,6 +2250,14 @@ object GovernanceOps {
       bloomSidecarOf(spark.table(name))
         .write.format("parquet").mode("overwrite").saveAsTable(name + "_bloom")
     }
+    bloomProbe(spark, t, quarter)
+  }
+
+  /** The probe half of [[bloomSkip]], shared with
+    * [[bloomSkipLifecycle]] so the gate cannot drift between the
+    * one-shot and streamed index states. */
+  private[graft] def bloomProbe(spark: SparkSession, t: String,
+      quarter: DataFrame): DataFrame = {
     // planted lookups: the 5 smallest corpus keys + one absent key —
     // deterministic, oracle-replayable (bounded collect: 6 longs)
     val kb = quarter.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -2307,6 +2315,59 @@ object GovernanceOps {
       |FROM ks LEFT JOIN o4 ON o4.o_orderkey = ks.key
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
+
+  /** Per-batch maintenance of a bloom-indexed epoch: the
+    * [[appendZonemapBatch]] protocol (one new data file, one `_zmap`
+    * extent row) PLUS the new file's bloom rows — membership stats are
+    * batch-local exactly like extents, so ingest appends ≤ 128
+    * metadata rows per file and never rebuilds existing bitmaps. */
+  private[graft] def appendBloomBatch(name: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    val rows = batch
+      .select(col("o_orderkey"), col("k"), col("d"), col("prio"), col("cents"))
+      .withColumn("file_id", lit(1000L + batchId))
+      .localCheckpoint()
+    if (!rows.isEmpty) {
+      rows.coalesce(1).write.mode("append").insertInto(name)
+      zmapOf(rows).write.format("parquet").mode("append")
+        .saveAsTable(name + ZmapSuffix)
+      bloomSidecarOf(rows).write.format("parquet").mode("append")
+        .saveAsTable(name + "_bloom")
+    }
+    rows.unpersist()
+  }
+
+  private[graft] def bloomLifecycleBase(sfDir: String): String =
+    "graft_bloomlc_" + Layout.corpusTag(sfDir)
+
+  /** Stream ≡ batch LIFECYCLE for the bloom family — the discipline
+    * that EVERY persisted index family carries a streamed-append
+    * proof: evens of the quarter bulk-build the bloom-indexed epoch,
+    * the odd eighth streams through [[appendBloomBatch]] (per batch
+    * one data file + one extent row + that file's bloom rows, no
+    * state store), and the UNCHANGED [[bloomProbe]] runs against the
+    * maintained state under the VERBATIM [[bloomSkipSql]] oracle. The
+    * planted keys are the corpus' 5 smallest, some of which arrive by
+    * stream — a lost batch (or a bloom row that never landed) loses
+    * that key's row and flips the driver hash red. */
+  def bloomSkipLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = bloomLifecycleBase(sfDir)
+    val o = ordersKd(spark, sfDir).filter(col("o_orderkey") % 4 === 0)
+    val t = Layout.rotateEpoch(spark, base, Seq(ZmapSuffix, "_bloom")) { name =>
+      buildZonemapEpoch(spark, name, o.filter(col("o_orderkey") % 8 === 0))
+      bloomSidecarOf(spark.table(name))
+        .write.format("parquet").mode("overwrite").saveAsTable(name + "_bloom")
+    }
+    Layout.replayAsStream(o.filter(col("o_orderkey") % 8 =!= 0), "graft-bloomlc") {
+      sdf => graft.streaming.LayoutStream.appendBloomStream(sdf, base)
+    }
+    Layout.pruneEpochs(spark, base, keep = 2, sidecars = Seq(ZmapSuffix, "_bloom"))
+    bloomProbe(spark, t, o)
+  }
+
+  /** The streamed bloom index must answer exactly like the one-shot
+    * build — [[bloomSkipSql]] verbatim. */
+  val bloomSkipLifecycleSql: String = bloomSkipSql
 
   // ------------------------------------------------ compaction execution
 

@@ -29,6 +29,20 @@ object LayoutStream {
       }
       .start()
 
+  /** Streamed ingest for a BLOOM-indexed epoch: the zonemap protocol
+    * plus the new file's bloom rows (membership stats are batch-local
+    * like extents — see [[GovernanceOps.appendBloomBatch]]). */
+  def appendBloomStream(rows: DataFrame, base: String): StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val name = Layout.currentEpochTable(batch.sparkSession, base)
+          .getOrElse(sys.error(s"no published epoch for index family $base"))
+        GovernanceOps.appendBloomBatch(name, batch, batchId)
+        ()
+      }
+      .start()
+
   /** Streamed DELETE for the merge-on-read family: each micro-batch of
     * (o_orderkey) keys appends tombstone rows to the CURRENT epoch's
     * `_dv` sidecar — metadata-only maintenance, no data file touched,

@@ -1060,6 +1060,31 @@ class GovernanceOpsSpec extends SparkSpec {
     assert(words <= GovernanceOps.BloomBits / 64)
   }
 
+  test("bloomSkipLifecycle: streamed bloom rows serve their keys; " +
+      "per-batch metadata appends only") {
+    val out = GovernanceOps.bloomSkipLifecycle(spark, sf).collect()
+    // identical gate to the one-shot index (verbatim-oracle claim)
+    val oneShot = GovernanceOps.bloomSkip(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq === oneShot.map(_.toSeq).toSeq)
+    assert(out.forall(_.getBoolean(3)))
+    val t = Layout.currentEpochTable(spark,
+      GovernanceOps.bloomLifecycleBase(sf)).get
+    val o = GovernanceOps.ordersKd(spark, sf)
+      .filter(col("o_orderkey") % 4 === 0)
+    // every streamed row landed; streamed files carry bloom rows
+    assert(spark.table(t).count() === o.count())
+    val streamedBloom = spark.table(t + "_bloom")
+      .filter(col("file_id") >= 1000L)
+    assert(streamedBloom.select("file_id").distinct().count() >= 2L,
+      "each micro-batch must append its file's bloom rows")
+    // at least one planted key arrives by stream (the gate's teeth)
+    val streamedKeys = spark.table(t).filter(col("file_id") >= 1000L)
+      .select(col("o_orderkey"))
+    val plantedStreamed = o.orderBy(col("o_orderkey")).limit(5)
+      .join(streamedKeys, Seq("o_orderkey"), "left_semi").count()
+    assert(plantedStreamed >= 1L)
+  }
+
   test("copyOnWrite: only overlap files rewritten (untouched partitions " +
       "byte-stable), state equals the logical UPDATE, idempotent") {
     val first = GovernanceOps.copyOnWrite(spark, sf).collect()
