@@ -156,7 +156,8 @@ object CrossoverBench {
     // optional section filter for iteration: any of "ab","c","v","e",
     // "s","u","w","k","h","p","q" (no args = everything, the round-record configuration)
     val only: Set[String] =
-      if (args.isEmpty) Set("ab", "c", "v", "e", "s", "u", "w", "k", "h", "p", "q", "z")
+      if (args.isEmpty)
+        Set("ab", "c", "v", "e", "s", "u", "w", "k", "h", "p", "q", "z", "b")
       else args.toSet
     var failed = false
 
@@ -1006,6 +1007,96 @@ object CrossoverBench {
       org.apache.hadoop.fs.FileSystem.getLocal(
         spark.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(zLoc), true)
+    }
+
+    // ---- section B: bloom membership decision at a 100K-file inventory ----
+    // The r15 bloom family's 100 TB posture, executed: the per-file
+    // Bloom sidecar of a 100,489-file / 10M-key inventory (the §Z
+    // table model) built in ONE distributed explode + BIT_OR pass, and
+    // the point-lookup membership decision run against it metadata-
+    // only. Physical-file pruning at this inventory is §Z's proven
+    // ground (the scan side is the same semi-join/DPP shape); what is
+    // new at scale here is the DECISION: (1) sidecar cardinality is
+    // files × ≤128 words — metadata, not data; (2) the k-bit check is
+    // a distributed join of a 6·k-row probe frame against it, with the
+    // only driver materialization the surviving-file count; (3) zero
+    // false negatives — every planted key's true file survives; (4)
+    // the false-positive footprint stays ≪ the inventory (the zone map
+    // is BLIND for this predicate: a scattered key column gives every
+    // file full-span extents, so its overlap rule prunes nothing —
+    // measured as the control).
+    if (only("b")) {
+      import graft.operators.GovernanceOps
+      val nFiles = 100489L
+      val rowsPerFile = 100L
+      val nKeys = nFiles * rowsPerFile
+      // scattered assignment: key i lands in file (i*37 mod nFiles) —
+      // the layout a Z-order on OTHER columns produces for this key
+      val assign = spark.range(nKeys).select(
+        col("id").as("o_orderkey"),
+        pmod(col("id") * 37L, lit(nFiles)).as("file_id"))
+      val bName = "graft_xover_bloom"
+      spark.sql(s"DROP TABLE IF EXISTS $bName")
+      graft.operators.Layout.clearStaleTableLocation(spark, bName)
+      val tBuild = timed(s"B bloom sidecar build ($nFiles files × $rowsPerFile keys)") {
+        GovernanceOps.bloomSidecarOf(assign)
+          .write.format("parquet").mode("overwrite").saveAsTable(bName)
+      }
+      val sidecarRows = spark.table(bName).count()
+      val maxWords = spark.table(bName).groupBy("file_id").count()
+        .agg(max("count")).head().getLong(0)
+      val metaOk = sidecarRows <= nFiles * (GovernanceOps.BloomBits / 64) &&
+        maxWords <= GovernanceOps.BloomBits / 64
+      println(s"[xover] B sidecar $sidecarRows rows (≤ files×128), " +
+        s"max $maxWords words/file: " + (if (metaOk) "PASS" else "FAIL"))
+      // the decision: 5 planted keys + 1 absent, k-bit check
+      val keys = Seq(7L, 12345L, 999999L, 5000000L, nKeys - 3) :+ (nKeys + 17)
+      import spark.implicits._
+      val kdf = keys.toDF("key")
+        .select(col("key"),
+          explode(GovernanceOps.bloomPositions(col("key"))).as("pos"))
+        .select(col("key"), (col("pos") / 64).cast("int").as("word"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
+      var cand: Array[(Long, Long)] = null
+      var tProbe = Double.MaxValue
+      (1 to 2).foreach { _ =>
+        val t0 = System.nanoTime()
+        cand = kdf.join(spark.table(bName), Seq("word"))
+          .filter((col("bits").bitwiseAND(col("mask"))) === col("mask"))
+          .groupBy(col("key"), col("file_id"))
+          .agg(count(lit(1)).as("hits"))
+          .filter(col("hits") === GovernanceOps.BloomHashes)
+          .select(col("key"), col("file_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        tProbe = math.min(tProbe, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"[xover] B membership decision over $sidecarRows%,d sidecar " +
+        f"rows: $tProbe%.2f s, ${cand.length} surviving (key,file) pairs")
+      // zero false negatives: each present key's true file survives
+      val fnOk = keys.dropRight(1).forall { k =>
+        cand.contains((k, (k * 37L) % nFiles))
+      }
+      println(s"[xover] B zero false negatives (5/5 true files survive): " +
+        (if (fnOk) "PASS" else "FAIL"))
+      // FP footprint ≪ inventory (m=8192,k=4 at 100 keys/file → ~0):
+      // allow ≤ 64 total survivors of 6×100,489 possible
+      val fpOk = cand.length <= 64
+      println(s"[xover] B false-positive footprint ≤ 64 of ${6 * nFiles}: " +
+        (if (fpOk) "PASS" else s"FAIL (${cand.length})"))
+      // control: the zone map is blind here — the scattered assignment
+      // gives every file a near-domain-spanning key extent, so a
+      // mid-domain point probe overlaps ~every file's [min,max]
+      val ext = assign.groupBy("file_id")
+        .agg(min("o_orderkey").as("k_min"), max("o_orderkey").as("k_max"))
+      val mid = keys(3) // 5,000,000 — inside every file's stride span
+      val blind = ext.filter(col("k_min") <= mid && col("k_max") >= mid).count()
+      println(f"[xover] B zone-map control: $blind of $nFiles files " +
+        f"overlap a mid-domain point probe (${100.0 * blind / nFiles}%.1f%% — " +
+        "extents are blind; membership is the only pruner): " +
+        (if (blind > nFiles / 2) "PASS" else "UNEXPECTED-TIGHT"))
+      failed ||= !(metaOk && fnOk && fpOk)
+      spark.sql(s"DROP TABLE IF EXISTS $bName")
+      val _ = tBuild
     }
 
     spark.stop()

@@ -2199,14 +2199,14 @@ object GovernanceOps {
   private[graft] val BloomBits = 8192L
   private[graft] val BloomHashes = 4
 
-  private def bloomPositions(key: Column): Column =
+  private[graft] def bloomPositions(key: Column): Column =
     array((0 until BloomHashes).map(i =>
       pmod(xxhash64(key, lit(i)), lit(BloomBits))): _*)
 
   /** One long-format bloom row per (file, word): OR of the 64-bit
     * words covering every key's [[BloomHashes]] positions — built with
     * one explode + map-side-combinable BIT_OR, no driver state. */
-  private def bloomSidecarOf(data: DataFrame): DataFrame =
+  private[graft] def bloomSidecarOf(data: DataFrame): DataFrame =
     data.select(col("file_id"),
         explode(bloomPositions(col("o_orderkey"))).as("pos"))
       .select(col("file_id"), (col("pos") / 64).cast("int").as("word"),
