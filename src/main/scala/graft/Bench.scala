@@ -179,7 +179,14 @@ object Bench {
     "q_record_linkage" -> 0.734, // r14 seed (min of 3 isolated): suffix-block equi-join + Levenshtein verify + per-dirty-record best-match window
     "q_gap_fill" -> 0.342, // r14 seed (min of 3 isolated): daily rollup + span-bounded sequence/explode grid + co-partitioned left join + ignore-nulls running last
     "q_schema_evolution" -> 0.763, // r14 seed (min of 3 isolated): two staged parquet generations + one mergeSchema read + 20-group rollup
-    "q_winsorize" -> 0.608) // r14 seed (min of 3 isolated): exact dyadic-16th percentile bounds pass + broadcast clip pass over 600K events
+    "q_winsorize" -> 0.608, // r14 seed (min of 3 isolated): exact dyadic-16th percentile bounds pass + broadcast clip pass over 600K events
+    // r15 seeds (first full-pass observations; tighten as minima land):
+    // the lakehouse additions — MOR/COW/time-travel/bloom — plus the
+    // runtime-DPP and NDV-planner gates
+    "q_merge_on_read" -> 7.574, "q_mor_lifecycle" -> 2.793,
+    "q_dpp_prune" -> 0.305, "q_ndv_agg_planned" -> 0.538,
+    "q_copy_on_write" -> 1.468, "q_time_travel" -> 0.721,
+    "q_bloom_skip" -> 0.443, "q_bloom_lifecycle" -> 4.960)
 
   /** Superseded HOT-HOST floors for keys whose [[refMin]] entry was
     * re-adjudicated upward on quiet-host evidence of UNCHANGED code

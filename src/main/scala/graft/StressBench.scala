@@ -113,7 +113,24 @@ object StressBench {
     // r14 s2: exact percentile bounds + broadcast clip over 10M events
     "q_winsorize",
     // r14 s2: two staged parquet generations + one mergeSchema read
-    "q_schema_evolution")
+    "q_schema_evolution",
+    // r15: the lakehouse row-change pair at 10× — 375K-row quarter
+    // through two clustered epoch builds + tombstone/ingest metadata
+    // (MOR), and the zone-map-pruned dynamic partition rewrite (COW)
+    "q_merge_on_read", "q_copy_on_write",
+    // r15: streamed tombstones over the 10× quarter
+    "q_mor_lifecycle",
+    // r15: bloom family at 10× — ~5.9K keys/file pushes the fixed
+    // 8192-bit geometry toward saturation, the conservative-FP regime
+    // (no-FN and exactness must hold regardless; §B covers the scaled
+    // geometry at 100K files)
+    "q_bloom_skip", "q_bloom_lifecycle",
+    // r15: runtime DPP over the 10× month-partitioned fact
+    "q_dpp_prune",
+    // r15: NDV-planned eager aggregation over 15M orders × 1.5M-key dim
+    "q_ndv_agg_planned",
+    // r15: version reads + rollback probe over the 10× quarter
+    "q_time_travel")
 
   private def tenX(spark: SparkSession, src: String, dst: String): Unit = {
     val copies = explode(sequence(lit(0L), lit(9L))).as("k")

@@ -63,7 +63,12 @@ class PlanAuditSpec extends SparkSpec {
     "q_embedding_covariance", // crossJoin(broadcast(1-row count)) onto the 2080-row pair grain
     "q_hnsw_batch",         // exact twin = crossJoin(broadcast(8-row query panel)), the knnCosine shape batched
     "q_cluster_topics",     // crossJoin(broadcast(1-row n_docs stats sidecar)), the tfidfTopTerms shape at cell grain
-    "q_compaction_exec"     // crossJoin(broadcast(1-row base-checksum aggregate)) onto the 1-row rewrite checksum (1×1)
+    "q_compaction_exec",    // crossJoin(broadcast(1-row base-checksum aggregate)) onto the 1-row rewrite checksum (1×1)
+    "q_merge_on_read",      // crossJoin(broadcast(1-row convergence/dv-remaining flag frame))
+    "q_mor_lifecycle",      // crossJoin(broadcast(1-row did_tombstone flag frame))
+    "q_dpp_prune",          // crossJoin(broadcast(1-row months_scanned/months_total aggregate))
+    "q_copy_on_write",      // crossJoin(broadcast(1-row cow_exact convergence flag frame))
+    "q_time_travel"         // crossJoin(broadcast(1-row rolled_back_ok flag frame))
   )
 
   // -------------------------------------------------------------------
