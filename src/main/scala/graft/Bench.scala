@@ -186,7 +186,10 @@ object Bench {
     "q_merge_on_read" -> 7.574, "q_mor_lifecycle" -> 2.793,
     "q_dpp_prune" -> 0.305, "q_ndv_agg_planned" -> 0.538,
     "q_copy_on_write" -> 1.468, "q_time_travel" -> 0.721,
-    "q_bloom_skip" -> 0.443, "q_bloom_lifecycle" -> 4.960)
+    "q_bloom_skip" -> 0.443, "q_bloom_lifecycle" -> 4.960,
+    // r15 post-close additions (first narrowed-run observations; the
+    // vacuum figure includes the pass's warmup — it ran first)
+    "q_vacuum" -> 3.006, "q_change_feed" -> 0.837)
 
   /** Superseded HOT-HOST floors for keys whose [[refMin]] entry was
     * re-adjudicated upward on quiet-host evidence of UNCHANGED code

@@ -212,6 +212,8 @@ object SparkEntry {
     "q_dpp_prune"         -> (GovernanceOps.dppPrune _),
     "q_copy_on_write"     -> (GovernanceOps.copyOnWrite _),
     "q_time_travel"       -> (GovernanceOps.timeTravel _),
+    "q_vacuum"            -> (GovernanceOps.vacuum _),
+    "q_change_feed"       -> (GovernanceOps.changeFeed2 _),
     "q_bloom_skip"        -> (GovernanceOps.bloomSkip _),
     "q_bloom_lifecycle"   -> (GovernanceOps.bloomSkipLifecycle _),
     "q_ndv_agg_planned"   -> (graft.plans.NdvAggPlanner.ndvPlannedAgg _),
@@ -446,6 +448,8 @@ object SparkEntry {
     "q_dpp_prune"         -> GovernanceOps.dppPruneSql,
     "q_copy_on_write"     -> GovernanceOps.copyOnWriteSql,
     "q_time_travel"       -> GovernanceOps.timeTravelSql,
+    "q_vacuum"            -> GovernanceOps.vacuumSql,
+    "q_change_feed"       -> GovernanceOps.changeFeed2Sql,
     "q_bloom_skip"        -> GovernanceOps.bloomSkipSql,
     "q_bloom_lifecycle"   -> GovernanceOps.bloomSkipLifecycleSql,
     "q_ndv_agg_planned"   -> graft.plans.NdvAggPlanner.ndvPlannedAggSql,

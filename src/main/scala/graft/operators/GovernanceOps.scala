@@ -2129,15 +2129,16 @@ object GovernanceOps {
     * epoch's own pruned scan; retention is [[Layout.pruneEpochs]]'s
     * existing policy.
     */
-  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Ensure the deterministic two-version history (v0 = the even
+    * eighth, v1 = the full quarter) — shared by [[timeTravel]] and
+    * [[changeFeed2]]; calls after the first pay reads only. */
+  private def ensureTtHistory(spark: SparkSession, sfDir: String): Int = {
     val base = ttBase(sfDir)
     val o = ordersKd(spark, sfDir).filter(col("o_orderkey") % 4 === 0)
     def writeVersion(rows: DataFrame)(name: String): Unit =
       rows.select(col("o_orderkey"), col("k"), col("d"), col("prio"),
         col("cents")).repartition(4)
         .write.format("parquet").mode("overwrite").saveAsTable(name)
-    // ensure the two-version history (deterministic content; calls
-    // after the first pay reads + the pointer probe only)
     val cur0 = Layout.currentEpoch(spark, base)
     if (!cur0.exists(c => c >= 1 &&
         spark.catalog.tableExists(Layout.epochTable(base, c)) &&
@@ -2146,7 +2147,12 @@ object GovernanceOps {
         writeVersion(o.filter(col("o_orderkey") % 8 === 0)))
       Layout.rotateEpoch(spark, base)(writeVersion(o))
     }
-    val cur = Layout.currentEpoch(spark, base).get
+    Layout.currentEpoch(spark, base).get
+  }
+
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = ttBase(sfDir)
+    val cur = ensureTtHistory(spark, sfDir)
     val (v0, v1) = (Layout.epochTable(base, cur - 1), Layout.epochTable(base, cur))
     // rollback probe: flip the pointer back, the PUBLISHED resolver
     // must serve the v0 state, then restore the pointer
@@ -2185,6 +2191,124 @@ object GovernanceOps {
       |  CAST(SUM(cents) AS BIGINT), TRUE
       |FROM o4 GROUP BY 2
       |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------- vacuum / change feed
+
+  private[graft] def vacBase(sfDir: String): String =
+    "graft_vac_" + Layout.corpusTag(sfDir)
+
+  /** How many epochs the VACUUM key writes before retention runs. */
+  private[graft] val VacEpochs = 4
+
+  /** VACUUM / RETENTION under the oracle — the destructive half of the
+    * table service ([[zonemapOptimize]] rewrites, [[timeTravel]] reads
+    * history, this key BOUNDS history): [[Layout.pruneEpochs]] ran
+    * after every lifecycle rotate but its contract — drop everything
+    * except the newest `keep` retained epochs, never the published
+    * one, rollback reach = retention — was spec-only. Here it is the
+    * gated claim: [[VacEpochs]] deterministic epoch versions of the
+    * quarter corpus' prio aggregate are written (v_i = the aggregate
+    * over keys `% 4 = 0` with `o_orderkey % 8 < 8 - i` — strictly
+    * shrinking states so every version is distinguishable), VACUUM
+    * prunes to keep=2, and the gate carries the PUBLISHED state (the
+    * newest version, oracle-replayed) plus three Spark-evaluated
+    * booleans: exactly 2 epochs retained with the older ones' tables
+    * really dropped from the catalog (`vacuumed_ok`), rollback still
+    * reaches the one retained predecessor and serves ITS state
+    * (`rollback_reaches` — pointer restored after the probe), and a
+    * second rollback attempt past retention FAILS as designed
+    * (`beyond_reach_fails` — vacuuming IS the loss of that reach).
+    * Epoch content is a 5-row aggregate, so the key prices the
+    * RETENTION MECHANICS, not data volume — at 100 TB a vacuum is
+    * exactly this catalog walk plus the dropped files' deletes.
+    */
+  def vacuum(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = vacBase(sfDir)
+    val o = ordersKd(spark, sfDir).filter(col("o_orderkey") % 4 === 0)
+    def version(i: Int): DataFrame = o
+      .filter(col("o_orderkey") % 8 < (8 - i))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+    // write the deterministic history fresh every call — the epochs
+    // are 5-row tables, so the rebuild prices retention, not data
+    (0 until VacEpochs).foreach { i =>
+      Layout.rotateEpoch(spark, base) { name =>
+        version(i).coalesce(1)
+          .write.format("parquet").mode("overwrite").saveAsTable(name)
+      }
+    }
+    val cur = Layout.currentEpoch(spark, base).get
+    Layout.pruneEpochs(spark, base, keep = 2)
+    val retained = (0 to cur)
+      .count(e => spark.catalog.tableExists(Layout.epochTable(base, e)))
+    val droppedGone = (0 to cur - 2)
+      .forall(e => !spark.catalog.tableExists(Layout.epochTable(base, e)))
+    // rollback reach: the one retained predecessor serves its state…
+    Layout.rollbackEpoch(spark, base)
+    val prevT = Layout.currentEpochTable(spark, base).get
+    val prev = spark.table(prevT)
+    val prevExpect = version(VacEpochs - 2)
+    val reachOk = prevT == Layout.epochTable(base, cur - 1) &&
+      prev.exceptAll(prevExpect).isEmpty && prevExpect.exceptAll(prev).isEmpty
+    // …and reach beyond retention fails as designed
+    val beyondFails =
+      try { Layout.rollbackEpoch(spark, base); false }
+      catch { case _: RuntimeException => true }
+    Layout.publishEpoch(spark, base, cur)
+    spark.table(Layout.epochTable(base, cur))
+      .withColumn("vacuumed_ok", lit(retained == 2 && droppedGone))
+      .withColumn("rollback_reaches", lit(reachOk))
+      .withColumn("beyond_reach_fails", lit(beyondFails))
+      .orderBy(col("prio"))
+  }
+
+  /** Oracle: the newest version's state (keys `% 8 < 5` of the
+    * quarter), retention claims as literals. */
+  val vacuumSql: String =
+    """SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |  TRUE AS vacuumed_ok, TRUE AS rollback_reaches,
+      |  TRUE AS beyond_reach_fails
+      |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 8 < 5
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** CHANGE DATA FEED between adjacent versions — the read-side diff a
+    * lakehouse CDF query (`table_changes(v0, v1)`) serves, executed
+    * over [[timeTravel]]'s OWN ensure-built two-version history (one
+    * history family, two consumers — the build-sharing discipline):
+    * the diff is computed IN-ENGINE as two exceptAlls between the
+    * epoch tables (inserts = v1∖v0, deletes = v0∖v1 — multiset
+    * semantics, so changed rows appear as delete+insert pairs), rolled
+    * up by (op, prio). The oracle replays the change set from the
+    * version predicates — v1∖v0 = the odd-eighth delta, v0∖v1 = ∅ —
+    * so a diff that invents, loses, or mislabels a row hash-mismatches.
+    * At 100 TB the same exceptAll plans as one co-partitioned
+    * hash-anti per side over the two epochs' files; a production CDF
+    * would serve from the commit log instead of diffing — the
+    * [[mergeOnRead]] `_dv` sidecar IS that log for deletes — but the
+    * diff form is the oracle-checkable ground truth both must equal.
+    */
+  def changeFeed2(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = ttBase(sfDir)
+    val cur = ensureTtHistory(spark, sfDir)
+    val v0 = spark.table(Layout.epochTable(base, cur - 1))
+    val v1 = spark.table(Layout.epochTable(base, cur))
+    val inserts = v1.exceptAll(v0).withColumn("op", lit("insert"))
+    val deletes = v0.exceptAll(v1).withColumn("op", lit("delete"))
+    inserts.unionByName(deletes)
+      .groupBy(col("op"), col("prio"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+      .orderBy(col("op"), col("prio"))
+  }
+
+  /** Oracle: the v0→v1 change set from the version predicates — the
+    * odd-eighth arrivals, all inserts. */
+  val changeFeed2Sql: String =
+    """SELECT 'insert' AS op, o_orderpriority AS prio,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 8 <> 0
+      |GROUP BY 2 ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------------ bloom file skipping
 

@@ -1060,6 +1060,51 @@ class GovernanceOpsSpec extends SparkSpec {
     assert(words <= GovernanceOps.BloomBits / 64)
   }
 
+  test("vacuum: retention keeps exactly 2 epochs, drops the rest, " +
+      "bounds rollback reach, never the published epoch") {
+    val out = GovernanceOps.vacuum(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5)),
+      "vacuumed_ok, rollback_reaches, beyond_reach_fails must all hold")
+    // the published state is the newest version, independently recomputed
+    val o = GovernanceOps.ordersKd(spark, sf)
+      .filter(col("o_orderkey") % 4 === 0)
+    val expect = o.filter(col("o_orderkey") % 8 < 5)
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .orderBy("prio").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      === expect)
+    // catalog state: exactly two epoch tables remain, pointer on newest
+    val base = GovernanceOps.vacBase(sf)
+    val cur = Layout.currentEpoch(spark, base).get
+    val alive = (0 to cur).filter(e =>
+      spark.catalog.tableExists(Layout.epochTable(base, e)))
+    assert(alive === Seq(cur - 1, cur))
+  }
+
+  test("changeFeed2: v0->v1 diff is exactly the arrival delta, all " +
+      "inserts, over the shared time-travel history") {
+    val out = GovernanceOps.changeFeed2(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getString(0) == "insert"), "v0 ⊆ v1 → no deletes")
+    val o = GovernanceOps.ordersKd(spark, sf)
+      .filter(col("o_orderkey") % 4 === 0 && col("o_orderkey") % 8 =!= 0)
+    val expect = o.groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .orderBy("prio").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      === expect)
+    // the feed and timeTravel consume ONE history family (no rebuild):
+    val base = GovernanceOps.ttBase(sf)
+    val cur = Layout.currentEpoch(spark, base).get
+    GovernanceOps.timeTravel(spark, sf).count()
+    GovernanceOps.changeFeed2(spark, sf).count()
+    assert(Layout.currentEpoch(spark, base).get === cur)
+  }
+
   test("bloomSkipLifecycle: streamed bloom rows serve their keys; " +
       "per-batch metadata appends only") {
     val out = GovernanceOps.bloomSkipLifecycle(spark, sf).collect()
