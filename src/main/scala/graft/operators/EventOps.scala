@@ -182,17 +182,14 @@ object EventOps {
       Layout.withStagedParquet(odd.repartition(4), "graft-evtlc") { dir =>
         // The stateful agg allocates one state-store partition per
         // shuffle partition PER MICRO-BATCH; a replayed half-corpus is
-        // small by construction, so pin the stream's shuffle width low
-        // (the window-key space, not the corpus, bounds state rows) and
-        // restore the session setting only after the stream is drained
-        // and stopped — StreamExecution clones the session conf
-        // asynchronously on the query thread, so restoring right after
-        // start() races the clone. At production scale
-        // the stream is a separate always-on job sized to its state.
-        val spKey = "spark.sql.shuffle.partitions"
-        val spOld = spark.conf.get(spKey)
-        spark.conf.set(spKey, "4")
-        try {
+        // small by construction, so the replay conf pins the stream's
+        // shuffle width low (the window-key space, not the corpus,
+        // bounds state rows) for the whole drain+stop — see
+        // Layout.withReplayConf for why the pin must outlive the stop
+        // and why no-data micro-batches are off (the sentinel protocol
+        // below never relies on them). At production scale the stream
+        // is a separate always-on job sized to its state.
+        Layout.withReplayConf(spark) {
           val stream = graft.streaming.EventStream.appendWindowPartialsStream(
             spark.readStream.schema(odd.schema)
               .option("maxFilesPerTrigger", 2).parquet(dir), base)
@@ -213,7 +210,7 @@ object EventOps {
               .coalesce(1).write.mode("append").parquet(dir)
             stream.processAllAvailable()
           } finally stream.stop()
-        } finally spark.conf.set(spKey, spOld)
+        }
       }
     }
     Layout.pruneEpochs(spark, base, keep = 2)
@@ -308,13 +305,9 @@ object EventOps {
           "minus the 30-min join window must cover an order-free replay's " +
           "full disorder or matches drop — widen the delay in joinLifecycle")
       Layout.withStagedParquet(odd.repartition(4), "graft-joinlc") { dir =>
-        // pinned width restored only after drain+stop: the query thread
-        // clones the session conf asynchronously (Layout.replayAsStream
-        // discipline)
-        val spKey = "spark.sql.shuffle.partitions"
-        val spOld = spark.conf.get(spKey)
-        spark.conf.set(spKey, "4")
-        try {
+        // replay conf pinned for the whole drain+stop (width 4, no-data
+        // micro-batches off) — Layout.withReplayConf
+        Layout.withReplayConf(spark) {
           // two independent file-source readers over the same staged dir —
           // a genuine two-source stream-stream join, no self-join aliasing
           def src() = spark.readStream.schema(odd.schema)
@@ -324,7 +317,7 @@ object EventOps {
             src().filter(col("event_type") === "purchase"),
             base, "30 minutes", "90 days")
           try stream.processAllAvailable() finally stream.stop()
-        } finally spark.conf.set(spKey, spOld)
+        }
       }
     }
     Layout.pruneEpochs(spark, base, keep = 2)
@@ -413,13 +406,10 @@ object EventOps {
           "delay must cover an order-free replay's disorder plus the " +
           "session gap or sessions finalize early — widen the delay")
       Layout.withStagedParquet(odd.repartition(4), "graft-sesslc") { dir =>
-        // pinned width restored only after drain+stop: the query thread
-        // clones the session conf asynchronously (Layout.replayAsStream
-        // discipline)
-        val spKey = "spark.sql.shuffle.partitions"
-        val spOld = spark.conf.get(spKey)
-        spark.conf.set(spKey, "4")
-        try {
+        // replay conf pinned for the whole drain+stop (width 4, no-data
+        // micro-batches off — the sentinel pair below forces emission
+        // with real-data batches) — Layout.withReplayConf
+        Layout.withReplayConf(spark) {
           val stream = graft.streaming.EventStream.appendSessionStream(
             spark.readStream.schema(odd.schema)
               .option("maxFilesPerTrigger", 2).parquet(dir), base)
@@ -438,7 +428,7 @@ object EventOps {
               .coalesce(1).write.mode("append").parquet(dir)
             stream.processAllAvailable()
           } finally stream.stop()
-        } finally spark.conf.set(spKey, spOld)
+        }
       }
     }
     Layout.pruneEpochs(spark, base, keep = 2)

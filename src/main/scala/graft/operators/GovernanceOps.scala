@@ -1784,6 +1784,27 @@ object GovernanceOps {
   private def morRows(df: DataFrame): DataFrame =
     df.select(col("o_orderkey"), col("k"), col("d"), col("prio"), col("cents"))
 
+  /** 1-row frame `n_diff` = |a ∖ b| + |b ∖ a| under MULTISET semantics
+    * — the size of the symmetric difference the convergence/rollback
+    * probes previously computed as `a.exceptAll(b) ∪ b.exceptAll(a)`.
+    * Σ|count_a − count_b| over full-row groups is the same quantity by
+    * definition (ExceptAll IS per-row-value count subtraction), but
+    * plans as ONE aggregate per side + one null-safe full-outer join
+    * instead of Spark's two aggregate+join+generate ExceptAll subtrees
+    * that each re-scan both inputs (guide §2.4 — the generate stage
+    * re-materialized row multiplicities only for a count to consume).
+    * Exact, not probabilistic: no hashing, the full row is the group
+    * key, null-safe like ExceptAll's own grouping. */
+  private[graft] def multisetDiffCount(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = a.columns.toSeq
+    val ca = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__na"))
+    val cb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__nb"))
+    val cond = cols.map(c => ca(c) <=> cb(c)).reduce(_ && _)
+    ca.join(cb, cond, "full_outer")
+      .agg(coalesce(sum(abs(coalesce(col("__na"), lit(0L))
+        - coalesce(col("__nb"), lit(0L)))), lit(0L)).as("n_diff"))
+  }
+
   /** MERGE-ON-READ — the lakehouse DELETE/MERGE primitive executed end
     * to end on the zone-map table family: (1) bulk-build a Z-clustered
     * epoch of the full corpus with an empty tombstone sidecar; (2)
@@ -1804,8 +1825,10 @@ object GovernanceOps {
     * be BIT-IDENTICAL to a one-shot clustered build of the post-merge
     * corpus (rank determinism makes that well-defined). mor_converged
     * additionally pins ROW-multiset equality between the pre-OPTIMIZE
-    * merge-on-read view and the optimized table (except-both-ways in
-    * engine), and dv_remaining proves the fold emptied the sidecar.
+    * merge-on-read view and the optimized table
+    * ([[multisetDiffCount]] — the exact symmetric-difference size,
+    * equal by definition to the former except-both-ways count), and
+    * dv_remaining proves the fold emptied the sidecar.
     */
   /** The key runs on the deterministic `% 4 = 0` QUARTER of orders
     * (the hnsw/zonemap sub-corpus discipline): the merge-on-read
@@ -1842,8 +1865,7 @@ object GovernanceOps {
     Layout.pruneEpochs(spark, base, keep = 2, sidecars = Seq(ZmapSuffix, DvSuffix))
     val post = morRows(spark.table(t1))
     val flags = broadcast(
-      pre.exceptAll(post).unionAll(post.exceptAll(pre))
-        .agg(count(lit(1)).as("n_diff"))
+      multisetDiffCount(pre, post) // exact symmetric-difference size
         .crossJoin(dvOf(spark, t1).agg(count(lit(1)).as("dv_remaining")))
         .select((col("n_diff") === 0L).as("mor_converged"),
           col("dv_remaining")))
@@ -2042,8 +2064,8 @@ object GovernanceOps {
     val got = spark.table(t)
       .select(col("o_orderkey"), col("k"), col("d"), col("prio"), col("cents"))
     val ok = broadcast(
-      got.exceptAll(expect).unionAll(expect.exceptAll(got))
-        .agg((count(lit(1)) === 0L).as("cow_exact")))
+      multisetDiffCount(got, expect) // exact symmetric-difference size
+        .select((col("n_diff") === 0L).as("cow_exact")))
     spark.table(t).groupBy(col("prio"))
       .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
       .withColumn("files_rewritten", lit(rewritten))
@@ -2160,9 +2182,8 @@ object GovernanceOps {
     val publishedAfterRollback = Layout.currentEpochTable(spark, base).get
     val asPublished = spark.table(publishedAfterRollback)
     val okDf = broadcast(
-      asPublished.exceptAll(spark.table(v0))
-        .unionAll(spark.table(v0).exceptAll(asPublished))
-        .agg((count(lit(1)) === 0L && lit(publishedAfterRollback == v0))
+      multisetDiffCount(asPublished, spark.table(v0))
+        .select((col("n_diff") === 0L && lit(publishedAfterRollback == v0))
           .as("rolled_back_ok")))
     Layout.publishEpoch(spark, base, cur)
     def agg(t: String, v: Int) = spark.table(t)
@@ -2249,7 +2270,7 @@ object GovernanceOps {
     val prev = spark.table(prevT)
     val prevExpect = version(VacEpochs - 2)
     val reachOk = prevT == Layout.epochTable(base, cur - 1) &&
-      prev.exceptAll(prevExpect).isEmpty && prevExpect.exceptAll(prev).isEmpty
+      multisetDiffCount(prev, prevExpect).head().getLong(0) == 0L // one action, not two isEmpty probes
     // …and reach beyond retention fails as designed
     val beyondFails =
       try { Layout.rollbackEpoch(spark, base); false }
@@ -2276,10 +2297,13 @@ object GovernanceOps {
     * lakehouse CDF query (`table_changes(v0, v1)`) serves, executed
     * over [[timeTravel]]'s OWN ensure-built two-version history (one
     * history family, two consumers — the build-sharing discipline):
-    * the diff is computed IN-ENGINE as two exceptAlls between the
-    * epoch tables (inserts = v1∖v0, deletes = v0∖v1 — multiset
-    * semantics, so changed rows appear as delete+insert pairs), rolled
-    * up by (op, prio). The oracle replays the change set from the
+    * the diff is computed IN-ENGINE as one per-row-value count
+    * comparison between the epoch tables (inserts = v1∖v0, deletes =
+    * v0∖v1 — multiset semantics, so changed rows appear as
+    * delete+insert pairs; the count form is definitionally the same
+    * change set the former exceptAll pair produced, in one aggregate
+    * per side instead of two generate subtrees), rolled up by
+    * (op, prio). The oracle replays the change set from the
     * version predicates — v1∖v0 = the odd-eighth delta, v0∖v1 = ∅ —
     * so a diff that invents, loses, or mislabels a row hash-mismatches.
     * At 100 TB the same exceptAll plans as one co-partitioned
@@ -2293,11 +2317,31 @@ object GovernanceOps {
     val cur = ensureTtHistory(spark, sfDir)
     val v0 = spark.table(Layout.epochTable(base, cur - 1))
     val v1 = spark.table(Layout.epochTable(base, cur))
-    val inserts = v1.exceptAll(v0).withColumn("op", lit("insert"))
-    val deletes = v0.exceptAll(v1).withColumn("op", lit("delete"))
-    inserts.unionByName(deletes)
+    // multiset diff as ONE count comparison (the multisetDiffCount
+    // shape, kept inline because the change set itself — per-row-value
+    // multiplicities, not just its size — feeds the rollup): __d > 0 is
+    // an insert with multiplicity __d, __d < 0 a delete with
+    // multiplicity −__d; exactly what the two ExceptAll generates
+    // re-materialized row by row before aggregating (guide §2.4).
+    val cols = v1.columns.toSeq
+    val c1 = v1.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n1"))
+    val c0 = v0.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n0"))
+    val cond = cols.map(c => c1(c) <=> c0(c)).reduce(_ && _)
+    // one subtree for BOTH ops: a row value's count delta has a single
+    // sign, so op is a row-local CASE — a union of insert/delete
+    // branches would duplicate the whole diff subtree (Spark does not
+    // share DataFrame union branches), re-scanning and re-aggregating
+    // both epochs once per op
+    val d = c1.join(c0, cond, "full_outer")
+      .select(cols.map(c => coalesce(c1(c), c0(c)).as(c)) :+
+        (coalesce(col("__n1"), lit(0L))
+          - coalesce(col("__n0"), lit(0L))).as("__d"): _*)
+    d.filter(col("__d") =!= 0L)
+      .select(when(col("__d") > 0, lit("insert")).otherwise(lit("delete")).as("op"),
+        col("prio"), abs(col("__d")).as("__m"), col("cents"))
       .groupBy(col("op"), col("prio"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+      .agg(sum(col("__m")).as("n_rows"),
+        sum(col("__m") * col("cents")).as("cents"))
       .orderBy(col("op"), col("prio"))
   }
 
@@ -2404,7 +2448,14 @@ object GovernanceOps {
       .select(col("key"), col("file_id"))
     val files = cand.select(col("file_id")).distinct()
     val scanned = files.count()
-    val total = spark.table(t).select(col("file_id")).distinct().count()
+    // files_total from the `_zmap` sidecar (one row per physical file,
+    // maintained by build and append alike) — the former
+    // distinct-count over the DATA table re-scanned the corpus for a
+    // file-grain fact the metadata ledger already holds (guide §6:
+    // metadata answers metadata questions; at an 800K-file inventory
+    // the sidecar count is file-grain either way, but the data scan
+    // was corpus-grain).
+    val total = spark.table(t + ZmapSuffix).count()
     // pruned scan + exact residual; left join back so the absent key
     // still emits its (0, 0) row
     val served = spark.table(t)

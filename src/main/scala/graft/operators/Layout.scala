@@ -185,14 +185,44 @@ object Layout {
       mkStream: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val spark = df.sparkSession
     withStagedParquet(df.repartition(4), prefix) { dir =>
-      val spKey = "spark.sql.shuffle.partitions"
-      val spOld = spark.conf.get(spKey)
-      spark.conf.set(spKey, "4")
-      try {
+      withReplayConf(spark) {
         val stream = mkStream(spark.readStream.schema(df.schema)
           .option("maxFilesPerTrigger", 2).parquet(dir))
         try stream.processAllAvailable() finally stream.stop()
-      } finally spark.conf.set(spKey, spOld)
+      }
+    }
+  }
+
+  /** The lifecycle-replay stream conf, pinned for the duration of
+    * `body` and restored after (shared by [[replayAsStream]] and the
+    * inline stateful-replay sites in EventOps):
+    *
+    *  - micro-batch shuffle width 4 — streaming state is keyed by the
+    *    operator's state key, not corpus-wide rows (each site's own
+    *    scaladoc states its bound); the pin must outlive the stream's
+    *    drain+stop because StreamExecution clones the session conf
+    *    asynchronously on the query thread.
+    *  - no-data micro-batches OFF (r15 optimization round): every
+    *    lifecycle drain is `processAllAvailable` + explicit sentinel
+    *    batches, and the sentinel protocol DOCUMENTEDLY never relies
+    *    on the engine's optional no-data batch (each sentinel is its
+    *    own real-data batch) — so the extra no-data batch after each
+    *    drain only paid one more round of offset-log commits and
+    *    state-store snapshots per stream, measured ~0.1-0.3 s each on
+    *    the stateful lifecycles. Production posture unchanged: an
+    *    always-on stream wants no-data batches for timely watermark
+    *    emission; a bounded replay that forces emission with real
+    *    sentinel rows does not.
+    */
+  private[graft] def withReplayConf[T](spark: SparkSession)(body: => T): T = {
+    val pins = Seq("spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+    val olds = pins.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pins.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
     }
   }
 
@@ -212,11 +242,52 @@ object Layout {
 
   private def ptrTable(base: String): String = base + "_ptr"
 
+  /** Session-scoped pointer-read cache (r15 optimization round, guide
+    * §5 — the driver should do almost no per-call work): every
+    * [[currentEpoch]] read was a full `spark.table(ptr).head()` —
+    * analysis + one Spark job — and a bench pass resolves pointers
+    * ~100 times across the index families, all for 1-row tables this
+    * same session last wrote. The cache short-circuits the job; it is
+    * VALIDATED against the catalog on every hit (both the pointer
+    * table and the cached epoch's table must still exist — two
+    * in-memory catalog lookups, no job), so an external DROP of either
+    * (CrossoverBench resets families by dropping `_ptr` directly)
+    * falls back to the real read. The pointer table itself is only
+    * ever written through [[publishEpoch]] (single-writer, documented
+    * above), which updates the cache in the same call; a foreachBatch
+    * micro-batch session clone is a different map key and simply reads
+    * uncached. Keys are weak on the session so test sessions don't
+    * accumulate. */
+  private val ptrCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Integer]]()
+  private def cacheOf(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, Integer] =
+    ptrCache.synchronized {
+      var m = ptrCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+        ptrCache.put(spark, m)
+      }
+      m
+    }
+
   /** The published epoch of an index family, if any. */
-  def currentEpoch(spark: SparkSession, base: String): Option[Int] =
-    if (spark.catalog.tableExists(ptrTable(base)))
-      Some(spark.table(ptrTable(base)).head().getInt(0))
-    else None
+  def currentEpoch(spark: SparkSession, base: String): Option[Int] = {
+    val c = cacheOf(spark)
+    Option(c.get(base)) match {
+      case Some(e) if spark.catalog.tableExists(ptrTable(base)) &&
+          spark.catalog.tableExists(epochTable(base, e.intValue)) =>
+        Some(e.intValue)
+      case _ =>
+        c.remove(base)
+        if (spark.catalog.tableExists(ptrTable(base))) {
+          val e = spark.table(ptrTable(base)).head().getInt(0)
+          c.put(base, e)
+          Some(e)
+        } else None
+    }
+  }
 
   /** The published epoch's physical table name, if any. */
   def currentEpochTable(spark: SparkSession, base: String): Option[String] =
@@ -232,6 +303,7 @@ object Layout {
         java.util.Collections.singletonList(org.apache.spark.sql.Row(epoch)),
         StructType(Seq(StructField("epoch", IntegerType, nullable = false))))
       .write.format("parquet").mode("overwrite").saveAsTable(p)
+    cacheOf(spark).put(base, epoch) // keep the pointer cache coherent
   }
 
   /** Build the NEXT epoch of an index family and flip the pointer to it.

@@ -2371,13 +2371,22 @@ object SimilarityOps {
         .join(expanded, Seq("query_id", "vec_id"), "left_anti")
       if (frontier.isEmpty) done = true
       else {
-        expanded = expanded.union(frontier).distinct()
+        // frontier ∩ expanded = ∅ by construction (frontier IS an
+        // anti-join against expanded) and both are duplicate-free, so
+        // the union is already distinct — the former `.distinct()`
+        // shuffled the bookkeeping frame once per hop for nothing
+        // (guide §2.4: a distinct on already-unique data is an
+        // accidental exchange).
+        expanded = expanded.union(frontier)
+        // ONE anti-join against (expanded ∪ current beam) — the same
+        // exclusion set the former anti-join PAIR applied, one join
+        // fewer per hop; re-entry semantics of evicted-but-unexpanded
+        // nodes unchanged (they are in neither side of the union).
+        val seen = expanded.union(beam.select(col("query_id"), col("vec_id")))
         val cand = adj.join(broadcast(frontier.withColumnRenamed("vec_id", "src")),
             Seq("src"))
           .select(col("query_id"), col("dst").as("vec_id")).distinct()
-          .join(expanded, Seq("query_id", "vec_id"), "left_anti")
-          .join(beam.select(col("query_id"), col("vec_id")),
-            Seq("query_id", "vec_id"), "left_anti")
+          .join(seen, Seq("query_id", "vec_id"), "left_anti")
         beam = beam.union(scored(cand))
           .withColumn("rn", row_number().over(beamW)).filter(col("rn") <= ef)
           .select(col("query_id"), col("vec_id"), col("s"))

@@ -210,15 +210,31 @@ object TextOps {
     * exists to round differently; rate-per-corpus-size is the
     * production tuning knob this fixed-rate demo pins down).
     *
-    * Scale shape: the (doc, term, tf) feature frame is built once
-    * (explode → broadcast vocab semi-join → one partial-agg shuffle)
-    * and checkpointed, labels ride the row-local
-    * [[classifierMarginCents]] (no teacher join); each iteration is
-    * two vocabulary-sized aggregations (per-doc margin, per-term
-    * gradient) whose ≤11-row results are collected to the driver
-    * exactly like [[SimilarityOps]]' ivfKmeans codebook — jobs are
-    * O(iterations), never O(corpus). Output: the trained
-    * (term, weight) table + `__bias__` row, which plugs straight into
+    * Scale shape (re-planned in the r15 optimization round, guide
+    * §2.4 — remove shuffles outright): the feature frame is ONE ROW
+    * PER DOC carrying the vocab term frequencies as a WIDE long
+    * vector (one column per term — the vocabulary is a fixed ≤10-term
+    * constant, so wide columns keep every iteration expression plain
+    * codegen'd arithmetic: no higher-order function, no per-term
+    * explode; the bias feature is the implicit constant 1), built once
+    * (explode → broadcast vocab semi-join → one pivot-agg shuffle) and
+    * checkpointed; labels ride the row-local
+    * [[classifierMarginCents]] (no teacher join). Each iteration is
+    * then ONE GLOBAL AGGREGATE with zero exchanges of doc-grain rows:
+    * the per-doc margin and error are row-local linear combinations,
+    * and every term's gradient is its own sum column in a single
+    * 1-row result collected to the driver — exactly like
+    * [[SimilarityOps]]' ivfKmeans codebook, but without even the
+    * former groupBy(term) shuffle (the old loop ran a per-doc
+    * aggregate, an err join, and a term-keyed exchange per iteration —
+    * three stages of doc-grain movement for an 11-number answer).
+    * Jobs are O(iterations), never O(corpus). All arithmetic is the
+    * same exact-decimal recurrence (decimal addition is exact and
+    * order-independent barring overflow; absent terms contribute
+    * exact zeros; every cast stays far under its precision cap), so
+    * the weights are bit-identical to the row-form loop — proven by
+    * the unchanged oracle. Output: the trained (term, weight) table +
+    * `__bias__` row, which plugs straight into
     * [[qualityClassifierWith]] (spec-proven).
     */
   private[graft] val trainVocab: Seq[String] = classifierVocab.map(_._1)
@@ -236,22 +252,28 @@ object TextOps {
     val base = docs.select(col("doc_id"),
       when(classifierMarginCents(col("text")) >= 0, 1L).otherwise(0L).as("y"),
       col("text"))
-    val feats0 = base
-      .select(col("doc_id"), col("y"), explode(tokens(col("text"))).as("term"))
+    // ONE ROW PER DOC, vocab tf as a WIDE long vector (one column per
+    // term — the vocabulary is a fixed ≤10-term constant, so wide
+    // columns beat a map: every iteration expression stays plain
+    // codegen'd arithmetic, no higher-order function, no per-term
+    // explode). The bias feature is the constant 1, kept implicit.
+    def tfc(t: String) = s"__tf_$t"
+    val docv0 = base
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .join(vocabDf, "term")
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).cast("long").as("tf"), first(col("y")).as("y"))
-      .unionByName(base.select(col("doc_id"),
-        lit(BiasTerm).as("term"), lit(1L).as("tf"), col("y")))
-      .corpusCheckpoint()
-    // The loop input hash-partitioned by doc_id, sized to the frame:
-    // every iteration's per-doc aggregation and gradient join then
-    // reuse this ONE partitioning (zero exchanges before the 11-row
-    // gradient shuffle) — iteration cost is task launch, not data
-    // movement.
+      .groupBy(col("doc_id"))
+      .pivot("term", trainVocab)
+      .agg(count(lit(1)).cast("long"))
+    val docv1 = base.select(col("doc_id"), col("y"))
+      .join(docv0, Seq("doc_id"), "left")
+      .select(col("doc_id") +: col("y") +:
+        trainVocab.map(t => coalesce(col(s"`$t`"), lit(0L)).as(tfc(t))): _*)
+    // Loop-input partition count sized to the doc count (docs.count()
+    // is a parquet metadata read), scale-adaptive like the former
+    // feature-row formula; one checkpoint materializes the loop input.
     val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
-      (feats0.count() / 65536L + 1L).toInt))
-    val feats = feats0.repartition(parts, col("doc_id")).corpusCheckpoint()
+      (docs.count() / 8192L + 1L).toInt))
+    val docv = docv1.repartition(parts, col("doc_id")).corpusCheckpoint()
     def d6(s: String) = new java.math.BigDecimal(s).setScale(6)
     var w: Map[String, java.math.BigDecimal] =
       (trainVocab :+ BiasTerm).map(_ -> d6("0")).toMap
@@ -260,26 +282,32 @@ object TextOps {
       // precision hygiene: every multiply stays far under decimal(38)
       // on BOTH engines — Spark silently ROUNDS the scale down when a
       // product's precision hits the 38 cap, which would break the
-      // exact replay (caught by the oracle during development)
-      val wMap = map(w.toSeq.flatMap { case (t, v) => Seq(lit(t), lit(v)) }: _*)
-      val z = feats
-        .select(col("doc_id"), col("y"),
-          (element_at(wMap, col("term")).cast("decimal(12,6)")
-            * col("tf").cast("decimal(10,0)")).as("zpart"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("zpart")).as("zsum"), max(col("y")).as("y"))
-      val zc = col("zsum").cast("decimal(12,6)") // every doc has the bias row
-      val err = z
-        .select(col("doc_id"),
-          ((when(zc <= -2, lit(new java.math.BigDecimal("0.00000000")))
-            .when(zc >= 2, lit(new java.math.BigDecimal("1.00000000")))
-            .otherwise((zc + lit(2)) * lit(new java.math.BigDecimal("0.25")))
-            - col("y")).cast("decimal(16,8)")).as("err"))
-      val grads = feats.join(err, "doc_id")
-        .groupBy(col("term"))
-        .agg(sum(col("err") * col("tf").cast("decimal(10,0)")).as("grad"))
-        .collect() // bounded: ≤ |trainVocab|+1 rows — the model, not data
-        .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+      // exact replay (caught by the oracle during development).
+      // Decimal addition is exact and order-independent barring
+      // overflow, so the wide linear combination reproduces the former
+      // per-row SUM bit for bit.
+      val zsum = trainVocab.map(t =>
+          lit(w(t)).cast("decimal(12,6)") * col(tfc(t)).cast("decimal(10,0)"))
+        .reduce(_ + _) +
+        lit(w(BiasTerm)).cast("decimal(12,6)") * lit(1L).cast("decimal(10,0)")
+      val zc = zsum.cast("decimal(12,6)")
+      val err = (when(zc <= -2, lit(new java.math.BigDecimal("0.00000000")))
+        .when(zc >= 2, lit(new java.math.BigDecimal("1.00000000")))
+        .otherwise((zc + lit(2)) * lit(new java.math.BigDecimal("0.25")))
+        - col("y")).cast("decimal(16,8)")
+      // ONE global aggregate per iteration — every term's gradient is
+      // its own sum column, so there is no per-term shuffle at all
+      // (the former groupBy(term) exchanged doc-grain rows; the 1-row
+      // result here is the model, never data).
+      val gradCols = trainVocab.map(t =>
+        sum(col("__err") * col(tfc(t)).cast("decimal(10,0)")).as(t)) :+
+        sum(col("__err") * lit(1L).cast("decimal(10,0)")).as(BiasTerm)
+      val gRow = docv.select(col("doc_id") +: err.as("__err") +:
+          trainVocab.map(t => col(tfc(t))): _*)
+        .agg(gradCols.head, gradCols.tail: _*)
+        .head() // bounded: 1 row × |trainVocab|+1 cols — the model, not data
+      val grads = (trainVocab :+ BiasTerm).zipWithIndex
+        .map { case (t, i) => t -> gRow.getDecimal(i) }.toMap
       w = w.map { case (t, v) =>
         t -> v.subtract(lr.multiply(
             grads.getOrElse(t, java.math.BigDecimal.ZERO)))

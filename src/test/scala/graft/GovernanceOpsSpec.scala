@@ -1278,4 +1278,26 @@ class GovernanceOpsSpec extends SparkSpec {
       assert(clipped.forall(v => v >= lo && v <= hi))
     }
   }
+
+  test("multisetDiffCount ≡ exceptAll-both-ways count on arbitrary multisets") {
+    // r15 optimization: the convergence/rollback probes compute the
+    // symmetric-difference SIZE via one grouped count comparison
+    // instead of Spark's two ExceptAll subtrees. This pins the
+    // equivalence on randomized multisets WITH duplicates and nulls —
+    // the two cases where a naive diff (set semantics, null-unsafe
+    // join) would diverge from ExceptAll.
+    import spark.implicits._
+    val rnd = new scala.util.Random(15)
+    for (trial <- 1 to 8) {
+      def mk() = Seq.fill(rnd.nextInt(30))(
+        (rnd.nextInt(4).toLong, if (rnd.nextBoolean()) null
+         else s"v${rnd.nextInt(3)}"))
+        .toDF("k", "s")
+      val (a, b) = (mk(), mk())
+      val expected =
+        a.exceptAll(b).count() + b.exceptAll(a).count()
+      val got = GovernanceOps.multisetDiffCount(a, b).head().getLong(0)
+      assert(got === expected, s"trial $trial")
+    }
+  }
 }
