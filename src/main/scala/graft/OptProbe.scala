@@ -40,17 +40,20 @@ object OptProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    case class J(id: Int, t0: Long, t1: Long, site: String, stages: Int)
+    case class J(id: Int, t0: Long, t1: Long, site: String, stages: Int,
+      stageNames: Seq[String])
     val jobs = mutable.ArrayBuffer[J]()
-    val starts = mutable.Map[Int, (Long, String, Int)]()
+    val starts = mutable.Map[Int, (Long, String, Int, Seq[String])]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = synchronized {
         val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
-        starts(js.jobId) = (js.time, site, js.stageInfos.size)
+        starts(js.jobId) =
+          (js.time, site, js.stageInfos.size,
+            js.stageInfos.map(s => s"${s.name}#${s.numTasks}t").toSeq)
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = synchronized {
-        starts.remove(je.jobId).foreach { case (t0, site, ns) =>
-          jobs += J(je.jobId, t0, je.time, site, ns)
+        starts.remove(je.jobId).foreach { case (t0, site, ns, sn) =>
+          jobs += J(je.jobId, t0, je.time, site, ns, sn)
         }
       }
     })
@@ -74,6 +77,8 @@ object OptProbe {
         println(f"[probe] ===== $q pass $r wall=$wall%.3f s, ${snap.size} jobs, sum(job)=$sumJ%.3f s =====")
         snap.foreach { j =>
           println(f"[probe]   ${(j.t1 - j.t0) / 1e3}%7.3f s  ${j.stages}%2d stg  ${j.site.take(110)}")
+          if (j.t1 - j.t0 > 300)
+            j.stageNames.foreach(n => println(s"[probe]       stage: ${n.take(130)}"))
         }
       }
     }
