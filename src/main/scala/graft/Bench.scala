@@ -41,7 +41,7 @@ object Bench {
     "q_snapshot_diff" -> 1.551, // r12 driver-host adjudicated floor (BENCH_r11 post-isolation min; builder-host floor 0.613 retained in refMinFast)
     "q_cube_orders" -> 0.751, // r12 driver-host adjudicated floor (BENCH_r11 post-isolation min; builder-host floor 0.491 retained in refMinFast)
     "q_cohort_retention" -> 0.212, // r11 floor (min of 2 full close passes; isolated seed was looser): (user,week)-grain distinct + per-user window min + cohort-grain agg
-    "q_join_lifecycle" -> 3.471, // r11 floor (min of 2 full close passes; isolated seed was looser): rebuild-by-design lifecycle #11 — batch binned join + REAL stream-stream join replay on every call
+    "q_join_lifecycle" -> 3.280, // r11 floor (min of 2 full close passes; isolated seed was looser): rebuild-by-design lifecycle #11 — batch binned join + REAL stream-stream join replay on every call
     "q_markov_transitions" -> 0.289, // r11 floor (min of 2 full close passes; isolated seed was looser): one user_id window exchange, k x k grain after
     "q_upsert_lifecycle" -> 1.725, // r11 floor (min of 2 full close passes; isolated seed was looser): rebuild-by-design lifecycle #12 — snapshot bootstrap + flatMapGroupsWithState keep-latest replay every call
     "q_session_lifecycle" -> 2.946, // r15-opt floor (full-pass min; no-data micro-batches off in the replay). r11 floor 3.708: rebuild-by-design lifecycle #13 — islands batch half + session_window merge-state replay with the two-drain sentinel protocol every call
@@ -60,7 +60,7 @@ object Bench {
     "q_tfidf_neardup" -> 2.113, // r12 seed (min of 2 isolated): one corpus tokenize→shingle tf agg + vocab df + df-capped candidate self-join + norm joins
     "q_join_cardinality" -> 2.016, // r12 seed (min of 2 isolated): four d×w sketch builds over ~1.75M keys + two exact key-grain twins (the priced-in judges)
     "q_compaction_plan" -> 0.672, // r12 seed (min of 2 isolated): one (type, day) inventory agg + ≤64-class driver prefix + partitioned running-sum windows
-    "q_mv_lifecycle" -> 3.111, // r15-opt floor (replay-conf/pointer-cache wins). r12 seed 4.590: rebuild-by-design lifecycle #15 — even-half partials build + streamed IVM delta appends (static-dim join per batch) + 466K-row served rollup every call
+    "q_mv_lifecycle" -> 2.909, // r15-opt floor (replay-conf/pointer-cache wins). r12 seed 4.590: rebuild-by-design lifecycle #15 — even-half partials build + streamed IVM delta appends (static-dim join per batch) + 466K-row served rollup every call
     "q_rocchio_search" -> 0.933, // r12 seed (min of 2 isolated): three index probes (seed BM25, forward-index expansion, weighted re-probe) + two bounded driver collects (10 ids, 5 terms)
     "q_embedding_covariance" -> 0.984, // r12 seed (min of 2 isolated): N·d² Gramian — one vec_id-co-partitioned self-join feeding a 2080-group map-side-combined aggregate
     "q_embedding_micros" -> 0.908, // r14 seed (min of 3 isolated on a 2.3-2.6x-slow canary host — the r14 quiet-host full-pass minimum 0.292 lives in refMinFast per the dual-floor rule): the shared quantize+explode leg's 64-group checksum diagnostic
@@ -78,7 +78,7 @@ object Bench {
     "q_fk_inference" -> 2.176, // r12 driver-host adjudicated floor (BENCH_r11 post-isolation min; builder-host floor 1.209 retained in refMinFast)
     "q_zorder_layout" -> 1.061, // r11 floor (min of 2 full close passes; isolated seed was looser): bounded-domain z-histogram ranking + per-z row_number + 64-file extent agg
     "q_zonemap_prune" -> 0.343, // r13 close-pass minimum (isolated seed 0.630 on the erratic-write host was looser): steady-state = metadata-only sidecar collect + partition-pruned scan of ~5/64 files (the one-time 64-file clustered build amortizes across calls via ensureEpochIndex)
-    "q_zonemap_lifecycle" -> 5.024, // r13 close-pass minimum (isolated seed 7.376; erratic-write host swings to 20-30 s under its documented multi-second write stalls — the key is the surface's most FS-metadata-heavy): rebuild-by-design lifecycle #17 — 64-dir clustered bulk write + 2 streamed file-appends + metadata-only probe, EVERY call
+    "q_zonemap_lifecycle" -> 3.939, // r13 close-pass minimum (isolated seed 7.376; erratic-write host swings to 20-30 s under its documented multi-second write stalls — the key is the surface's most FS-metadata-heavy): rebuild-by-design lifecycle #17 — 64-dir clustered bulk write + 2 streamed file-appends + metadata-only probe, EVERY call
     "q_zonemap_optimize" -> 4.573, // r15-opt floor (pointer cache + replay conf; quarter-corpus landed r15-build). r13 floor 6.730: TWO epoch builds by design — clustered bulk + 2 ingest appends, then the OPTIMIZE re-cluster — plus the metadata-only probe, EVERY call
     "q_compaction_exec" -> 1.522, // r13 close-pass minimum (isolated seed 3.409, erratic-write host): rebuild-by-design — plan + one shuffle-by-bin rewrite of events + filesystem file count + two checksum scans, EVERY call
     "q_cms_join_reorder" -> 0.795, // r13 close-pass minimum (isolated seed 1.394, erratic-write host): steady state = the reassociated 3-table chain (stats sidecar fingerprint-cached across calls)
@@ -106,7 +106,7 @@ object Bench {
     "q_hnsw_topk" -> 2.042,
     "q_hnsw_lifecycle" -> 9.013, // r15-opt floor (shared fixed-cost wins; flat ~100-job profile documented in OPTIMIZATION_r15.md). r12 seed 10.304: rebuild-by-design lifecycle #14 — even-half graph build + streamed odd-half appends (assign, pruned-cell kNN, 3 bucketed appends per batch) + ef=128 beam probe (the ef the near-orthogonal corpus needs, see HnswBeam scaladoc) + exact twin, EVERY call
     "q_ivf_trained" -> 0.628, "q_ivf_topk" -> 0.841, // r12 driver-host adjudicated floor (BENCH_r11 post-isolation min; builder-host floor 0.445 retained in refMinFast)
-    "q_ann_lifecycle" -> 4.631, // r15-opt floor. r9 seed 4.675: rebuild-by-design — full-corpus codebook train + half-corpus bucketed build + streamed append of the other half + probe, EVERY call (the vector twin of q_search_lifecycle)
+    "q_ann_lifecycle" -> 4.207, // r15-opt floor. r9 seed 4.675: rebuild-by-design — full-corpus codebook train + half-corpus bucketed build + streamed append of the other half + probe, EVERY call (the vector twin of q_search_lifecycle)
     "q_json_extract" -> 0.184, "q_knn_cosine" -> 0.185,
     "q_lang_id" -> 0.277, // r10 re-plan: row-local HOF scoring + struct argmax (the join-aggregate form's two corpus-keyed exchanges dropped); min of 2 double-pass runs
     "q_lang_ngram" -> 0.454, // r10 re-plan: codegen'd replace-based trigram counts + struct argmax, zero exchanges; min of 2 double-pass runs on a slow host
@@ -147,7 +147,7 @@ object Bench {
     "q_classifier_train" -> 2.613, // r15-opt floor: wide-tf-vector loop — one global aggregate per GD iteration (was 5.238 for the row-form 25-iteration loop; same weights, oracle-verified)
     "q_substring_dedup" -> 0.306, // r7 re-plan: agg+co-partitioned-join form
     "q_ivfpq_topk" -> 0.432, // r8 seed: epoch build + bucket-pruned ADC probe
-    "q_ivfpq_lifecycle" -> 6.015, // r15-opt floor. r9 seed 6.781: rebuild-by-design — heaviest of the lifecycle trilogy because the streamed half takes the full coarse-assign + residual-PQ-encode path under the epoch sidecars, EVERY call
+    "q_ivfpq_lifecycle" -> 5.494, // r15-opt floor. r9 seed 6.781: rebuild-by-design — heaviest of the lifecycle trilogy because the streamed half takes the full coarse-assign + residual-PQ-encode path under the epoch sidecars, EVERY call
     "q_image_neardup" -> 0.452, // r8: ANN over the persisted feature index (in-flight decode form was 0.76)
     "q_phash_neardup" -> 0.373, // r8: dHash over the persisted feature index (in-flight decode form was 0.82-0.90)
     "q_audio_fingerprint" -> 0.513, // r13 adjudicated slow-host floor (min of 2 isolated passes on the 2100 MHz host, unchanged code; the r12 verdict's 0.24→0.44 drift re-timed isolated per its ask — IO/host noise, no re-plan; hot-host r8 floor 0.380 retained in refMinFast)
@@ -159,15 +159,15 @@ object Bench {
     "q_countmin_counts" -> 1.140, // r10 seed: d×w counter agg over the exploded stream + exact-ranking twin (two corpus passes — the sketch exists to be judged)
     "q_hard_negatives" -> 0.625, // r10 seed (min of 2, DuckDB selfcheck sharing the host): co-located self-join of the cell-bucketed index over the 1% anchor sample + partitioned top-3 window
     "q_media_lifecycle" -> 3.595, // r15-opt floor. r10 seed 4.455: rebuild-by-design — half-corpus multi-frame codec decode + streamed-half decode through MediaStream + temporal near-dup probe, EVERY call (the media twin of q_search_lifecycle)
-    "q_dedup_lifecycle" -> 4.051, // r15-opt floor. r11 seed 5.700: rebuild-by-design — half-corpus band-index bulk build + streamed-half md5 signature/banding appends through DocStream + exchange-free candidate self-join, EVERY call (lifecycle #6, the dedup twin of q_search_lifecycle)
+    "q_dedup_lifecycle" -> 3.958, // r15-opt floor. r11 seed 5.700: rebuild-by-design — half-corpus band-index bulk build + streamed-half md5 signature/banding appends through DocStream + exchange-free candidate self-join, EVERY call (lifecycle #6, the dedup twin of q_search_lifecycle)
     "q_trainval_split" -> 0.788, // r10 seed (min of 2): persisted-index near-dup groups + row-local group-keyed md5 split predicate
     "q_decontaminate_bloom" -> 0.968, // r10 seed: one corpus pass computing Bloom probes (codegen) + exact twin off the same explode; build side bounded by m, not the benchmark
     "q_winnow_fingerprint" -> 0.513, // r10 seed (slow-host session): two codegen'd native expressions + explode, row-local until the output sort
     "q_winnow_overlap" -> 1.161, // r10 seed (slow-host session): capped per-fp banded self-join + map-side pair agg off one checkpointed fp pass
     "q_domain_caps" -> 0.365, // r11 seed (min of 2): WindowGroupLimit pre-shuffle rank filter + 3-col pruned scan
-    "q_curation_lifecycle" -> 2.636, // r15-opt floor. r11 seed 3.079: lifecycle #7 — by-design epoch rebuild + streamed-half replay through the real dedup-state curation on every call
-    "q_substring_lifecycle" -> 1.502, // r11 seed: lifecycle #8 — half-built + streamed window-hash state, one metric pass over the accumulated rows
-    "q_decontaminate_lifecycle" -> 4.158, // r15-opt floor. r11 seed 5.100: lifecycle #9 — bulk half off the persisted band index, arrivals band in-flight per batch, ONE indexed verification over the accumulated 420K-pair candidate state
+    "q_curation_lifecycle" -> 2.390, // r15-opt floor. r11 seed 3.079: lifecycle #7 — by-design epoch rebuild + streamed-half replay through the real dedup-state curation on every call
+    "q_substring_lifecycle" -> 1.205, // r11 seed: lifecycle #8 — half-built + streamed window-hash state, one metric pass over the accumulated rows
+    "q_decontaminate_lifecycle" -> 4.081, // r15-opt floor. r11 seed 5.100: lifecycle #9 — bulk half off the persisted band index, arrivals band in-flight per batch, ONE indexed verification over the accumulated 420K-pair candidate state
     "q_rolling_fingerprint" -> 0.229, "q_rollup_orders" -> 0.18,
     "q_running_totals" -> 0.168, "q_sample_stratified" -> 0.146,
     "q_semi_urgent" -> 0.336, "q_sessions_skewsafe" -> 1.24,
@@ -184,14 +184,14 @@ object Bench {
     // the lakehouse additions — MOR/COW/time-travel/bloom — plus the
     // runtime-DPP and NDV-planner gates
     "q_merge_on_read" -> 7.087, // r15-opt floor (multisetDiffCount convergence flags; was 7.574)
-    "q_mor_lifecycle" -> 2.793,
+    "q_mor_lifecycle" -> 2.771,
     "q_dpp_prune" -> 0.305, "q_ndv_agg_planned" -> 0.538,
     "q_copy_on_write" -> 1.177, "q_time_travel" -> 0.633, // r15-opt floors (multisetDiffCount probes)
     "q_bloom_skip" -> 0.407, // r15-opt floor (files_total from the _zmap sidecar)
-    "q_bloom_lifecycle" -> 4.960,
+    "q_bloom_lifecycle" -> 4.579,
     // r15 post-close additions (first narrowed-run observations; the
     // vacuum figure includes the pass's warmup — it ran first)
-    "q_vacuum" -> 1.857, "q_change_feed" -> 0.586) // r15-opt floors (one-action rollback probe; single-subtree CDF diff)
+    "q_vacuum" -> 1.690, "q_change_feed" -> 0.463) // r15-opt floors (one-action rollback probe; single-subtree CDF diff)
 
   /** Superseded HOT-HOST floors for keys whose [[refMin]] entry was
     * re-adjudicated upward on quiet-host evidence of UNCHANGED code

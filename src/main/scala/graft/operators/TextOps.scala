@@ -278,6 +278,18 @@ object TextOps {
     var w: Map[String, java.math.BigDecimal] =
       (trainVocab :+ BiasTerm).map(_ -> d6("0")).toMap
     val lr = new java.math.BigDecimal("0.0005")
+    // Weight columns ride a broadcast 1-ROW FRAME (LocalRelation), not
+    // per-iteration literals: literals change each iteration and force
+    // a fresh whole-stage-codegen compile per loop step (plan text =
+    // cache key); a cross-joined 1-row frame keeps every iteration's
+    // plan structurally identical, so the compiled stage is reused and
+    // only the tiny broadcast refreshes. Same exact decimal(12,6)
+    // arithmetic — createDataFrame carries the values verbatim.
+    def wc(t: String) = s"__w_$t"
+    val wSchema = org.apache.spark.sql.types.StructType(
+      (trainVocab :+ BiasTerm).map(t =>
+        org.apache.spark.sql.types.StructField(wc(t),
+          org.apache.spark.sql.types.DecimalType(12, 6), nullable = false)))
     for (_ <- 1 to TrainIters) {
       // precision hygiene: every multiply stays far under decimal(38)
       // on BOTH engines — Spark silently ROUNDS the scale down when a
@@ -286,10 +298,13 @@ object TextOps {
       // Decimal addition is exact and order-independent barring
       // overflow, so the wide linear combination reproduces the former
       // per-row SUM bit for bit.
+      val wDf = spark.createDataFrame(
+        java.util.Collections.singletonList(org.apache.spark.sql.Row(
+          (trainVocab :+ BiasTerm).map(w): _*)), wSchema)
       val zsum = trainVocab.map(t =>
-          lit(w(t)).cast("decimal(12,6)") * col(tfc(t)).cast("decimal(10,0)"))
+          col(wc(t)) * col(tfc(t)).cast("decimal(10,0)"))
         .reduce(_ + _) +
-        lit(w(BiasTerm)).cast("decimal(12,6)") * lit(1L).cast("decimal(10,0)")
+        col(wc(BiasTerm)) * lit(1L).cast("decimal(10,0)")
       val zc = zsum.cast("decimal(12,6)")
       val err = (when(zc <= -2, lit(new java.math.BigDecimal("0.00000000")))
         .when(zc >= 2, lit(new java.math.BigDecimal("1.00000000")))
@@ -302,7 +317,8 @@ object TextOps {
       val gradCols = trainVocab.map(t =>
         sum(col("__err") * col(tfc(t)).cast("decimal(10,0)")).as(t)) :+
         sum(col("__err") * lit(1L).cast("decimal(10,0)")).as(BiasTerm)
-      val gRow = docv.select(col("doc_id") +: err.as("__err") +:
+      val gRow = docv.crossJoin(broadcast(wDf))
+        .select(col("doc_id") +: err.as("__err") +:
           trainVocab.map(t => col(tfc(t))): _*)
         .agg(gradCols.head, gradCols.tail: _*)
         .head() // bounded: 1 row × |trainVocab|+1 cols — the model, not data
