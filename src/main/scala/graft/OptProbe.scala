@@ -42,16 +42,21 @@ object OptProbe {
 
     case class J(id: Int, t0: Long, t1: Long, site: String, stages: Int,
       stageNames: Seq[String])
+    // ONE lock for listener callbacks and the main thread's
+    // clear/snapshot (r15 advice): the callbacks previously
+    // synchronized on the listener instance while main synchronized on
+    // the OptProbe object — two monitors over the same buffer.
+    val lock = new Object
     val jobs = mutable.ArrayBuffer[J]()
     val starts = mutable.Map[Int, (Long, String, Int, Seq[String])]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit = synchronized {
+      override def onJobStart(js: SparkListenerJobStart): Unit = lock.synchronized {
         val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
         starts(js.jobId) =
           (js.time, site, js.stageInfos.size,
             js.stageInfos.map(s => s"${s.name}#${s.numTasks}t").toSeq)
       }
-      override def onJobEnd(je: SparkListenerJobEnd): Unit = synchronized {
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = lock.synchronized {
         starts.remove(je.jobId).foreach { case (t0, site, ns, sn) =>
           jobs += J(je.jobId, t0, je.time, site, ns, sn)
         }

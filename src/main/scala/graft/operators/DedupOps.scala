@@ -1553,9 +1553,15 @@ object DedupOps {
         .distinct().corpusCheckpoint()
       // the fixpoint check reads the superseded frames for the last
       // time; after it `large` releases deterministically and the old
-      // `edges` reference drops for ContextCleaner (see note above)
-      converged =
-        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // `edges` reference drops for ContextCleaner (see note above).
+      // ONE action per round (r16, guide §2.4): both sides are
+      // distinct sets, so |nextΔedges| = 0 ⟺ the former
+      // exceptAll-both-ways pair — multisetDiffCount plans one
+      // aggregate per side + one null-safe full-outer join instead of
+      // two Generate/ExceptAll subtrees that each re-scan both inputs,
+      // and needs one head() instead of two isEmpty actions.
+      converged = GovernanceOps
+        .multisetDiffCount(next, edges).head().getLong(0) == 0L
       large.unpersist()
       edges = next
       rounds += 1

@@ -1289,6 +1289,30 @@ object GovernanceOps {
       .saveAsTable(name + ZmapSuffix)
   }
 
+  /** [[buildZonemapEpoch]] returning the written epoch's rows,
+    * materialized from ONE physical read-back that serves BOTH the
+    * `_zmap` sidecar aggregation and the caller's post-build consumer
+    * (r16, guide §2.4 — [[mergeOnRead]]'s convergence probe previously
+    * re-scanned the freshly written 64-file table the sidecar
+    * aggregation had just read in full; at 100 TB that second scan is
+    * corpus-sized). The stats still ledger what is physically on disk
+    * — the checkpoint IS the read-back.
+    */
+  private[graft] def buildZonemapEpochReadBack(spark: SparkSession,
+      name: String, rows: DataFrame): DataFrame = {
+    zAssign(rows)
+      .select(col("o_orderkey"), col("k"), col("d"), col("prio"),
+        col("cents"), col("file_id"))
+      .repartition(64, col("file_id"))
+      .write.format("parquet").partitionBy("file_id")
+      .mode("overwrite").saveAsTable(name)
+    import Materialize.CorpusSyntax
+    val back = spark.table(name).corpusCheckpoint()
+    zmapOf(back).write.format("parquet").mode("overwrite")
+      .saveAsTable(name + ZmapSuffix)
+    back
+  }
+
   private[graft] def zonemapBase(sfDir: String): String =
     "graft_zmap_" + Layout.corpusTag(sfDir)
 
@@ -1476,12 +1500,14 @@ object GovernanceOps {
       .withColumn("file_id", lit(1000L + batchId))
       .localCheckpoint() // materialize BEFORE appending (appendLoop discipline)
     if (!rows.isEmpty) {
-      // insertInto: position-based, dynamic-partition append — the
-      // select above lists columns in the table's physical order
-      // (partition column last)
-      rows.coalesce(1).write.mode("append").insertInto(name)
-      zmapOf(rows).write.format("parquet").mode("append")
-        .saveAsTable(name + ZmapSuffix)
+      // two independent appends of the SAME materialized batch —
+      // overlapped (guide §2.6). insertInto: position-based,
+      // dynamic-partition append — the select above lists columns in
+      // the table's physical order (partition column last)
+      Layout.inParallel(
+        () => rows.coalesce(1).write.mode("append").insertInto(name),
+        () => zmapOf(rows).write.format("parquet").mode("append")
+          .saveAsTable(name + ZmapSuffix))
     }
     rows.unpersist()
   }
@@ -1846,24 +1872,30 @@ object GovernanceOps {
     }
     // Acts 2+3 in ONE metadata append: DELETE tombstones (keys ≡ 3 mod
     // 7) and the MERGE's voiding tombstones (keys ≡ 5) — a real engine
-    // commits a MERGE's deletes and inserts in one transaction anyway
+    // commits a MERGE's deletes and inserts in one transaction anyway.
+    // The tombstone append and the ingest-file append touch disjoint
+    // tables off source-derived frames — overlapped (guide §2.6).
     val upd = o.filter(col("o_orderkey") % 7 === 5)
       .withColumn("cents", col("cents") + 11L)
-    appendTombstones(spark, t0,
-      o.filter(col("o_orderkey") % 7 === 3).unionByName(
-        upd.select(o.columns.map(col): _*)), uptoFile = 64L)
-    appendZonemapBatch(t0, upd, batchId = 0L)
+    Layout.inParallel(
+      () => appendTombstones(spark, t0,
+        o.filter(col("o_orderkey") % 7 === 3).unionByName(
+          upd.select(o.columns.map(col): _*)), uptoFile = 64L),
+      () => appendZonemapBatch(t0, upd, batchId = 0L))
     // materialize the merge-on-read view ONCE: the OPTIMIZE build and
-    // both sides of the convergence except all read it
+    // both sides of the convergence diff read it
     import Materialize.CorpusSyntax
     val pre = morRows(morRead(spark, t0)).corpusCheckpoint()
     // Act 4: OPTIMIZE — fold tombstones into a rewritten epoch (no
-    // sidecar written: the fold leaves the empty tombstone set absent)
+    // sidecar written: the fold leaves the empty tombstone set absent).
+    // The build's own read-back doubles as the convergence probe's
+    // post-state (one 64-file scan instead of two — guide §2.4).
+    var postBack: DataFrame = null
     val t1 = Layout.rotateEpoch(spark, base, Seq(ZmapSuffix, DvSuffix)) { name =>
-      buildZonemapEpoch(spark, name, pre)
+      postBack = buildZonemapEpochReadBack(spark, name, pre)
     }
     Layout.pruneEpochs(spark, base, keep = 2, sidecars = Seq(ZmapSuffix, DvSuffix))
-    val post = morRows(spark.table(t1))
+    val post = morRows(postBack)
     val flags = broadcast(
       multisetDiffCount(pre, post) // exact symmetric-difference size
         .crossJoin(dvOf(spark, t1).agg(count(lit(1)).as("dv_remaining")))
@@ -2454,8 +2486,12 @@ object GovernanceOps {
     // file-grain fact the metadata ledger already holds (guide §6:
     // metadata answers metadata questions; at an 800K-file inventory
     // the sidecar count is file-grain either way, but the data scan
-    // was corpus-grain).
-    val total = spark.table(t + ZmapSuffix).count()
+    // was corpus-grain). DISTINCT file_id (r15 advice): a retried
+    // micro-batch re-appending its extent row (append sinks are not
+    // idempotent) must not inflate the total and weaken the
+    // scanned < total pruning gate.
+    val total = spark.table(t + ZmapSuffix)
+      .select(col("file_id")).distinct().count()
     // pruned scan + exact residual; left join back so the absent key
     // still emits its (0, 0) row
     val served = spark.table(t)
@@ -2503,11 +2539,14 @@ object GovernanceOps {
       .withColumn("file_id", lit(1000L + batchId))
       .localCheckpoint()
     if (!rows.isEmpty) {
-      rows.coalesce(1).write.mode("append").insertInto(name)
-      zmapOf(rows).write.format("parquet").mode("append")
-        .saveAsTable(name + ZmapSuffix)
-      bloomSidecarOf(rows).write.format("parquet").mode("append")
-        .saveAsTable(name + "_bloom")
+      // three independent appends of the SAME materialized batch —
+      // overlapped (guide §2.6): data file, extent row, bloom rows
+      Layout.inParallel(
+        () => rows.coalesce(1).write.mode("append").insertInto(name),
+        () => zmapOf(rows).write.format("parquet").mode("append")
+          .saveAsTable(name + ZmapSuffix),
+        () => bloomSidecarOf(rows).write.format("parquet").mode("append")
+          .saveAsTable(name + "_bloom"))
     }
     rows.unpersist()
   }

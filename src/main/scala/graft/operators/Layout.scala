@@ -65,6 +65,42 @@ object Layout {
     if (fs.exists(loc)) fs.delete(loc, true)
   }
 
+  /** Run INDEPENDENT actions (typically the sidecar-table writes of
+    * one epoch build or one micro-batch append) concurrently on a
+    * bounded pool — guide §2.6 (overlap independent jobs): Spark's
+    * scheduler happily runs several jobs at once inside one
+    * application; actions are only sequential because the driver
+    * calls them sequentially. For a multi-table epoch write this
+    * overlaps not just the executor compute but the DRIVER-side cost
+    * of each write — plan analysis, the commit protocol's file moves,
+    * the catalog update — which runs on the calling thread after the
+    * job ends and is the dominant per-write cost at bench scale
+    * (OptProbe r16: wall − Σjob ≈ 2-4 s on every multi-write
+    * lifecycle key).
+    *
+    * Contract: units must be MUTUALLY independent — none may read a
+    * table another unit writes, and shared input frames must be
+    * materialized (localCheckpoint/persist-and-forced) so concurrent
+    * actions cannot race their computation. Exceptions propagate:
+    * all units settle, then the first failure rethrows.
+    */
+  def inParallel(units: (() => Unit)*): Unit = {
+    if (units.size <= 1) { units.foreach(_()); return }
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(units.size, 4))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = units.map(u => Future(u()))
+      // settle ALL units (a failed write must not leave a sibling
+      // mid-flight when the caller's finally runs), then rethrow
+      val results = fs.map(f => Await.ready(f, Duration.Inf).value.get)
+      results.collectFirst { case scala.util.Failure(e) => throw e }
+      ()
+    } finally pool.shutdown()
+  }
+
   /** Write `df` bucketed + sorted by `key` as a saved table — the
     * co-location contract later joins rely on.
     */

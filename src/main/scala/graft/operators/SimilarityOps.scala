@@ -1376,11 +1376,6 @@ object SimilarityOps {
       df.groupBy(id.as("cid"))
         .agg(array_sort(collect_list(struct(col("i0"), v.as("v")))).as("p"))
         .select(col("cid"), transform(col("p"), s => s.getField("v")).as(out))
-    // coarse codebook sidecar: vectors 1..nc in exact micros
-    assemble(seedComps.filter(col("vec_id").between(1, nc)),
-        col("vec_id"), col("v"), "cemb")
-      .withColumnRenamed("cid", "cell")
-      .write.format("parquet").mode("overwrite").saveAsTable(name + "_coarse")
     val coarseComps = seedComps.filter(col("vec_id").between(1, nc))
       .select(col("vec_id").as("cell"), col("i0"), col("v").as("cv"))
     // book-seed residuals: assign each seed to its coarse cell (exact
@@ -1397,10 +1392,19 @@ object SimilarityOps {
     val rseed = bookSrc.join(cellOf, "vec_id")
       .join(broadcast(coarseComps), Seq("cell", "i0"))
       .select(col("vec_id"), col("i0"), (col("v") - col("cv")).as("rv"))
-    assemble(rseed, (col("vec_id") - IvfPqBookSeedFrom).as("c"),
-        col("rv"), "bemb")
-      .withColumnRenamed("cid", "c")
-      .write.format("parquet").mode("overwrite").saveAsTable(name + "_books")
+    // both sidecars derive from the checkpointed seedComps frame (the
+    // books path reads coarseComps the FRAME, never the `_coarse`
+    // table) — overlapped writes (guide §2.6)
+    Layout.inParallel(
+      // coarse codebook sidecar: vectors 1..nc in exact micros
+      () => assemble(seedComps.filter(col("vec_id").between(1, nc)),
+          col("vec_id"), col("v"), "cemb")
+        .withColumnRenamed("cid", "cell")
+        .write.format("parquet").mode("overwrite").saveAsTable(name + "_coarse"),
+      () => assemble(rseed, (col("vec_id") - IvfPqBookSeedFrom).as("c"),
+          col("rv"), "bemb")
+        .withColumnRenamed("cid", "c")
+        .write.format("parquet").mode("overwrite").saveAsTable(name + "_books"))
   }
 
   /** Encode vectors under an EXISTING epoch's codebook sidecars — the
@@ -1993,13 +1997,22 @@ object SimilarityOps {
         .select(col("vec_id"), col("embedding"), col("cid").as("cell"),
           col("ccos"))
         .persist()
+      // force the shared frame ONCE before the epoch's writes run
+      // concurrently (r16, guide §2.6) — parallel first actions would
+      // otherwise race its materialization
+      cells.count()
       try {
         val hubW = Window.partitionBy(col("cell"))
           .orderBy(col("ccos").desc, col("vec_id"))
         val ranked = cells.withColumn("crn", row_number().over(hubW))
+        // bounded (one row per cell) and read by five consumers — the
+        // mesh's both sides, descend, ascend, the `_hubs` write, and
+        // the entry-point head; localCheckpoint computes the window
+        // once and cuts the plan under the concurrent writes
         val hubs = ranked.filter(col("crn") === 1)
           .select(col("cell"), col("vec_id").as("hub_id"),
             col("embedding").as("hub_emb"))
+          .localCheckpoint()
 
         // layer 0: within-cell kNN (one co-partitioned self-join); the
         // candidate pool sub-buckets by sign-LSH above the adaptive gate
@@ -2057,18 +2070,24 @@ object SimilarityOps {
 
         val edges = localK.union(mesh).union(descend).union(ascend)
           .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
-        Layout.writeBucketed(edges, name, "src", HnswIndexBuckets)
-        Layout.writeBucketed(e, name + "_vecs", "vec_id", HnswIndexBuckets)
-        Layout.writeBucketed(
-          cells.select(col("vec_id"), col("embedding"), col("cell"), col("ccos")),
-          name + "_cells", "cell", HnswIndexBuckets)
-        hubs.write.format("parquet").saveAsTable(name + "_hubs")
-        cents.write.format("parquet").saveAsTable(name + "_cent")
-        // entry: the lowest-id hub — deterministic, and a hub by
-        // construction sits one mesh hop from every other region
+        // six independent writes of one epoch — overlapped (guide
+        // §2.6): every unit reads only the forced `cells` cache, the
+        // checkpointed `hubs`, or the source frame; none reads a table
+        // a sibling writes. The serial form paid each write's driver-
+        // side analysis + commit back to back.
         import spark.implicits._
-        Seq(hubs.agg(min(col("hub_id"))).head().getLong(0)).toDF("entry_id")
-          .write.format("parquet").saveAsTable(name + "_entry")
+        Layout.inParallel(
+          () => Layout.writeBucketed(edges, name, "src", HnswIndexBuckets),
+          () => Layout.writeBucketed(e, name + "_vecs", "vec_id", HnswIndexBuckets),
+          () => Layout.writeBucketed(
+            cells.select(col("vec_id"), col("embedding"), col("cell"), col("ccos")),
+            name + "_cells", "cell", HnswIndexBuckets),
+          () => hubs.write.format("parquet").saveAsTable(name + "_hubs"),
+          () => cents.write.format("parquet").saveAsTable(name + "_cent"),
+          // entry: the lowest-id hub — deterministic, and a hub by
+          // construction sits one mesh hop from every other region
+          () => Seq(hubs.agg(min(col("hub_id"))).head().getLong(0)).toDF("entry_id")
+            .write.format("parquet").saveAsTable(name + "_entry"))
       } finally cells.unpersist()
   }
 
@@ -2097,9 +2116,12 @@ object SimilarityOps {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid").as("cell"), col("ccos"))
       .localCheckpoint() // batch-sized; read plan must not list appended files
-    if (assigned.isEmpty) return
+    // one bounded collect serves BOTH the emptiness gate and the
+    // touched-cell prune (r16, guide §2.4 — the former isEmpty was its
+    // own Spark action before this same collect)
     val batchCells = assigned.select(col("cell")).distinct()
       .collect().map(_.getLong(0))
+    if (batchCells.isEmpty) return
     val existing = spark.table(name + "_cells")
       .filter(col("cell").isin(batchCells.map(Long.box): _*))
       .select(col("cell"), col("vec_id"), col("embedding"))
@@ -2115,28 +2137,39 @@ object SimilarityOps {
         round(cosine(col("semb"), col("demb")), 6).as("sim"))
       .withColumn("rn", row_number().over(kW)).filter(col("rn") <= HnswM)
       .select(col("src"), col("dst"), col("sim"))
-    val rev = knn.select(col("dst").as("src"), col("src").as("dst"), col("sim"))
+    // forward + reverse from ONE pass over the kNN rows (r16, guide
+    // §2.4): `knn.union(knn.select(dst, src, ...))` duplicated the
+    // whole candidate-join + window subtree — Spark does not share
+    // union branches — so the batch paid the kNN twice. A row-local
+    // explode of both directions emits the identical edge multiset
+    // from a single evaluation. Same for the hub ascend/descend pair.
+    def bothDirections(pairs: DataFrame, a: String, b: String): DataFrame =
+      pairs.select(explode(array(
+          struct(col(a).as("src"), col(b).as("dst"), col("sim")),
+          struct(col(b).as("src"), col(a).as("dst"), col("sim")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.sim").as("sim"))
     val hubEdges = assigned.join(hubs, Seq("cell"))
       .filter(col("vec_id") =!= col("hub_id"))
       .select(col("vec_id"), col("hub_id"),
         round(cosine(col("embedding"), col("hub_emb")), 6).as("sim"))
-    val ascend = hubEdges
-      .select(col("vec_id").as("src"), col("hub_id").as("dst"), col("sim"))
-    val descend = hubEdges
-      .select(col("hub_id").as("src"), col("vec_id").as("dst"), col("sim"))
-    val edges = knn.union(rev).union(ascend).union(descend)
+    val edges = bothDirections(knn, "src", "dst")
+      .union(bothDirections(hubEdges, "vec_id", "hub_id"))
       .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
-      .localCheckpoint()
-    edges.write.format("parquet")
-      .bucketBy(HnswIndexBuckets, "src").sortBy("src")
-      .mode("append").saveAsTable(name)
-    assigned.select(col("vec_id"), col("embedding")).write.format("parquet")
-      .bucketBy(HnswIndexBuckets, "vec_id").sortBy("vec_id")
-      .mode("append").saveAsTable(name + "_vecs")
-    assigned.select(col("vec_id"), col("embedding"), col("cell"), col("ccos"))
-      .write.format("parquet")
-      .bucketBy(HnswIndexBuckets, "cell").sortBy("cell")
-      .mode("append").saveAsTable(name + "_cells")
+      .localCheckpoint() // edges read `_cells`, which a sibling write appends
+    // three independent appends of materialized frames — overlapped
+    // (guide §2.6); each preserves its table's bucket spec
+    Layout.inParallel(
+      () => edges.write.format("parquet")
+        .bucketBy(HnswIndexBuckets, "src").sortBy("src")
+        .mode("append").saveAsTable(name),
+      () => assigned.select(col("vec_id"), col("embedding")).write.format("parquet")
+        .bucketBy(HnswIndexBuckets, "vec_id").sortBy("vec_id")
+        .mode("append").saveAsTable(name + "_vecs"),
+      () => assigned.select(col("vec_id"), col("embedding"), col("cell"), col("ccos"))
+        .write.format("parquet")
+        .bucketBy(HnswIndexBuckets, "cell").sortBy("cell")
+        .mode("append").saveAsTable(name + "_cells"))
   }
 
   /** The beam-search loop over a built graph index — shared by
