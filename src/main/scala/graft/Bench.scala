@@ -19,7 +19,8 @@ object Bench {
     "q_ann_lsh_topk" -> 0.355, "q_anti_clients" -> 0.25,
     "q_approx_distinct" -> 0.283, // r8: gated form adds the exact-distinct twin + bound check to the hashed row (the sketch-only form was 0.137)
     "q_asof_join" -> 0.18,
-    "q_bpe_tokens" -> 0.124, "q_client_txn_counts" -> 0.952,
+    "q_bpe_tokens" -> 0.202, // r16 adjudication — see the q_dpp_prune note below
+    "q_client_txn_counts" -> 0.952,
     "q_coerce_fill" -> 0.109, "q_count" -> 0.312,
     "q_curation_funnel" -> 1.032, // r8: near-dup stage probes the shingle index
 
@@ -185,9 +186,18 @@ object Bench {
     // runtime-DPP and NDV-planner gates
     "q_merge_on_read" -> 7.087, // r15-opt floor (multisetDiffCount convergence flags; was 7.574)
     "q_mor_lifecycle" -> 2.771,
-    "q_dpp_prune" -> 0.305, "q_ndv_agg_planned" -> 0.538,
+    // r16 adjudication of BENCH_r15's three flags (q_dpp_prune 1.83×,
+    // q_bpe_tokens 1.63×, q_bloom_skip 1.62×): all three are sub-second
+    // first-pass-IO-class keys that survived the DRIVER's isolation
+    // re-runs on its host state while running far UNDER their old
+    // floors on this session's quiet host (0.21/0.09/0.35 min-of-2 on
+    // git-unchanged code) — code-independent host anchoring, so per
+    // the r12 dual-floor rule the GATE moves to the driver's
+    // post-isolation minima and the quiet-host floors live on in
+    // refMinFast.
+    "q_dpp_prune" -> 0.558, "q_ndv_agg_planned" -> 0.538,
     "q_copy_on_write" -> 1.177, "q_time_travel" -> 0.633, // r15-opt floors (multisetDiffCount probes)
-    "q_bloom_skip" -> 0.407, // r15-opt floor (files_total from the _zmap sidecar)
+    "q_bloom_skip" -> 0.659,
     "q_bloom_lifecycle" -> 4.579,
     // r15 post-close additions (first narrowed-run observations; the
     // vacuum figure includes the pass's warmup — it ran first)
@@ -224,6 +234,11 @@ object Bench {
     // the conservative cold-run seeds per the dual-floor rule)
     "q_format_roundtrip" -> 0.635, "q_record_linkage" -> 0.314,
     "q_gap_fill" -> 0.153,
+    // r16 adjudication: quiet-host floors for the three BENCH_r15
+    // flags, superseded in refMin by the driver's post-isolation
+    // minima (see the refMin note)
+    "q_dpp_prune" -> 0.305, "q_bpe_tokens" -> 0.124,
+    "q_bloom_skip" -> 0.407,
 
     // r12 adjudication: BENCH_r11 (the ADJUDICATING driver host) flagged
     // 15 keys — mostly r11-new floors seeded on builder-host passes the

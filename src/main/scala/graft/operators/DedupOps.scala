@@ -690,13 +690,16 @@ object DedupOps {
           shingleGateRejected.add(base); None
         } else Some(Layout.rotateEpoch(spark, base, sidecars = Seq("_vocab")) { t =>
           // ONE driver-side vocab collect feeds both the sidecar and the
-          // bitmap build (previously collected once per consumer).
+          // bitmap build (previously collected once per consumer);
+          // `indexed` is a LocalRelation, so the two writes are
+          // independent — overlapped (guide §2.6)
           val indexed = indexVocab(vocab)
-          indexed
-            .write.format("parquet").mode("overwrite").saveAsTable(t + "_vocab")
-          Layout.writeBucketed(
-            buildShingleBitmapsIndexed(inv, indexed, vocabSize.toInt),
-            t, "doc_id", ShingleIndexBuckets)
+          Layout.inParallel(
+            () => indexed
+              .write.format("parquet").mode("overwrite").saveAsTable(t + "_vocab"),
+            () => Layout.writeBucketed(
+              buildShingleBitmapsIndexed(inv, indexed, vocabSize.toInt),
+              t, "doc_id", ShingleIndexBuckets))
         })
     }
   }

@@ -2277,11 +2277,27 @@ object GovernanceOps {
     */
   def vacuum(spark: SparkSession, sfDir: String): DataFrame = {
     val base = vacBase(sfDir)
+    import spark.implicits._
     val o = ordersKd(spark, sfDir).filter(col("o_orderkey") % 4 === 0)
-    def version(i: Int): DataFrame = o
-      .filter(col("o_orderkey") % 8 < (8 - i))
-      .groupBy(col("prio"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+    // ONE corpus pass computes every version's 5-row aggregate as
+    // conditional counts/sums (r16, guide §2.4 — the four rotations
+    // each re-aggregated the quarter for a 5-row table, and the
+    // rollback probe aggregated it a fifth time; the per-epoch WRITES
+    // — the retention mechanics this key prices — are unchanged).
+    // count(when) ≡ count over the filtered rows; a prio with no
+    // surviving rows is dropped below, exactly as the former
+    // filter-then-groupBy emitted no row for it.
+    val verCols = (0 until VacEpochs).flatMap { i =>
+      val keep = col("o_orderkey") % 8 < (8 - i)
+      Seq(count(when(keep, lit(1))).as(s"n_$i"),
+        sum(when(keep, col("cents"))).as(s"c_$i"))
+    }
+    val verRows = o.groupBy(col("prio"))
+      .agg(verCols.head, verCols.tail: _*).collect()
+    def version(i: Int): DataFrame =
+      verRows.filter(_.getLong(1 + 2 * i) > 0L)
+        .map(r => (r.getString(0), r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+        .toSeq.toDF("prio", "n_rows", "cents")
     // write the deterministic history fresh every call — the epochs
     // are 5-row tables, so the rebuild prices retention, not data
     (0 until VacEpochs).foreach { i =>

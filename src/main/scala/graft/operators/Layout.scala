@@ -339,7 +339,20 @@ object Layout {
         java.util.Collections.singletonList(org.apache.spark.sql.Row(epoch)),
         StructType(Seq(StructField("epoch", IntegerType, nullable = false))))
       .write.format("parquet").mode("overwrite").saveAsTable(p)
-    cacheOf(spark).put(base, epoch) // keep the pointer cache coherent
+    // Keep the pointer cache coherent ACROSS SESSIONS of this JVM
+    // (r15 advice): a publish from a cloned session (e.g. inside a
+    // foreachBatch micro-batch) must not leave a sibling session's
+    // cached entry serving a stale epoch whose table retention still
+    // retains — drop every other session's entry for this family so
+    // their next resolve re-reads the pointer table. Sessions sharing
+    // one in-JVM catalog are exactly the sessions that can see this
+    // write; a cross-JVM writer needs a shared metastore, where the
+    // in-memory catalog (and so this cache) does not apply.
+    ptrCache.synchronized {
+      val it = ptrCache.values().iterator()
+      while (it.hasNext) it.next().remove(base)
+    }
+    cacheOf(spark).put(base, epoch)
   }
 
   /** Build the NEXT epoch of an index family and flip the pointer to it.

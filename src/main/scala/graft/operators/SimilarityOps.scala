@@ -2250,12 +2250,18 @@ object SimilarityOps {
     val (beam, _) = hnswBeamSearch(spark, name, qEmb, HnswBeam, HnswMaxHops)
     val annIds = beam.filter(_._1 != 0L).take(10).map(_._1).toSet
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
+    // materialize the 10-row exact twin ONCE (r16, guide §2.4 — the
+    // hnswBatchTopK precedent): the recall-flag collect below and the
+    // caller's consumption of the returned frame each re-evaluated the
+    // corpus-wide scoring crossJoin + TakeOrdered, doubling the probe's
+    // exact pass
     val exact = e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("q_embedding")), 4).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(10)
+      .localCheckpoint()
     val exactIds = exact.collect().map(_.getLong(0)).toSet
     val recallOk = annIds.intersect(exactIds).size >= HnswRecallFloor
     exact.withColumn("recall_ok", lit(recallOk))

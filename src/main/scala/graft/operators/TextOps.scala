@@ -2731,11 +2731,13 @@ object TextOps {
     * catalog name `name` — the body of [[ensureInvertedIndex]], also
     * the bootstrap step of the streaming ingest loop. */
   private[graft] def buildInvertedIndex(spark: SparkSession, name: String,
-      docs: DataFrame): Unit = {
-    statsDelta(docs)
-      .write.format("parquet").mode("overwrite").saveAsTable(name + "_stats")
-    Layout.writeBucketed(postingsOf(docs), name, "term", InvIndexBuckets)
-  }
+      docs: DataFrame): Unit =
+    // two independent writes off the same source frame — overlapped
+    // (guide §2.6; each unit scans `docs` for itself, as before)
+    Layout.inParallel(
+      () => statsDelta(docs)
+        .write.format("parquet").mode("overwrite").saveAsTable(name + "_stats"),
+      () => Layout.writeBucketed(postingsOf(docs), name, "term", InvIndexBuckets))
 
   def ensureInvertedIndex(spark: SparkSession, sfDir: String): String =
     Layout.ensureEpochIndex(spark, invIndexName(sfDir),
@@ -2886,12 +2888,15 @@ object TextOps {
     val inv = ensureInvertedIndex(spark, sfDir)
     Layout.ensureEpochIndex(spark, fbIndexName(sfDir), sidecars = Seq("_lex")) {
       name =>
-        Layout.writeBucketed(
-          spark.table(inv).select(col("doc_id"), col("term"), col("tf"), col("dl")),
-          name, "doc_id", InvIndexBuckets)
-        Layout.writeBucketed(
-          spark.table(inv).groupBy(col("term")).agg(count(lit(1)).as("df")),
-          name + "_lex", "term", InvIndexBuckets)
+        // both layouts re-read the published postings table (never a
+        // table a sibling writes) — overlapped (guide §2.6)
+        Layout.inParallel(
+          () => Layout.writeBucketed(
+            spark.table(inv).select(col("doc_id"), col("term"), col("tf"), col("dl")),
+            name, "doc_id", InvIndexBuckets),
+          () => Layout.writeBucketed(
+            spark.table(inv).groupBy(col("term")).agg(count(lit(1)).as("df")),
+            name + "_lex", "term", InvIndexBuckets))
     }
   }
 

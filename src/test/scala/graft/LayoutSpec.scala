@@ -117,6 +117,34 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("pointer cache: a publish from a cloned session is visible to the parent") {
+    // r16 (the r15 advice item): currentEpoch caches pointer reads per
+    // session; a publish through ANY session of this JVM must
+    // invalidate every other session's cached entry — otherwise a
+    // foreachBatch clone's rotation would leave the parent serving a
+    // stale epoch whose table retention still retains.
+    val base = "graft_epoch_xsess_spec"
+    val s = spark; import s.implicits._
+    def build(rows: Seq[(Long, String)])(name: String): Unit =
+      Layout.writeBucketed(rows.toDF("id", "v"), name, "id", 2)
+    try {
+      Layout.dropEpochFamily(spark, base)
+      val t0 = Layout.ensureEpochIndex(spark, base)(build(Seq((1L, "a"))))
+      // parent session caches epoch 0
+      assert(Layout.currentEpochTable(spark, base) === Some(t0))
+      // a CLONED session (the foreachBatch shape) rotates the family
+      val clone = spark.newSession()
+      val t1 = Layout.rotateEpoch(clone, base)(build(Seq((2L, "b"))))
+      // the parent must resolve the NEW epoch, not its cached one
+      // (epoch 0's table still exists — existence checks alone would
+      // serve the stale snapshot)
+      assert(spark.catalog.tableExists(t0))
+      assert(Layout.currentEpochTable(spark, base) === Some(t1))
+    } finally {
+      Layout.dropEpochFamily(spark, base)
+    }
+  }
+
   test("epoch ensure guards sidecars: a lost codebook rebuilds instead of failing probes") {
     val base = "graft_epoch_sc_spec"
     val s = spark; import s.implicits._
