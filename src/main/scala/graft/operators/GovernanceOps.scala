@@ -1822,13 +1822,22 @@ object GovernanceOps {
     * Exact, not probabilistic: no hashing, the full row is the group
     * key, null-safe like ExceptAll's own grouping. */
   private[graft] def multisetDiffCount(a: DataFrame, b: DataFrame): DataFrame = {
+    // TAGGED-UNION form (r16, guide §2.4): the r15 shape aggregated
+    // each side separately and full-outer-joined the counts — two
+    // exchanges plus a join. Tagging each side with (1,0)/(0,1)
+    // indicator columns and aggregating the UNION computes the same
+    // per-row-value (count_a, count_b) pair with ONE exchange, and the
+    // union partial-aggregates map-side before it. GROUP BY and the
+    // former null-safe join condition agree on null/NaN grouping, so
+    // the quantity is unchanged (still pinned by the GovernanceOpsSpec
+    // randomized property test against exceptAll-both-ways).
     val cols = a.columns.toSeq
-    val ca = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__na"))
-    val cb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__nb"))
-    val cond = cols.map(c => ca(c) <=> cb(c)).reduce(_ && _)
-    ca.join(cb, cond, "full_outer")
-      .agg(coalesce(sum(abs(coalesce(col("__na"), lit(0L))
-        - coalesce(col("__nb"), lit(0L)))), lit(0L)).as("n_diff"))
+    a.select(cols.map(col) :+ lit(1L).as("__a") :+ lit(0L).as("__b"): _*)
+      .unionByName(
+        b.select(cols.map(col) :+ lit(0L).as("__a") :+ lit(1L).as("__b"): _*))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("__a")).as("__na"), sum(col("__b")).as("__nb"))
+      .agg(coalesce(sum(abs(col("__na") - col("__nb"))), lit(0L)).as("n_diff"))
   }
 
   /** MERGE-ON-READ — the lakehouse DELETE/MERGE primitive executed end
@@ -2372,18 +2381,20 @@ object GovernanceOps {
     // multiplicity −__d; exactly what the two ExceptAll generates
     // re-materialized row by row before aggregating (guide §2.4).
     val cols = v1.columns.toSeq
-    val c1 = v1.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n1"))
-    val c0 = v0.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n0"))
-    val cond = cols.map(c => c1(c) <=> c0(c)).reduce(_ && _)
     // one subtree for BOTH ops: a row value's count delta has a single
     // sign, so op is a row-local CASE — a union of insert/delete
     // branches would duplicate the whole diff subtree (Spark does not
     // share DataFrame union branches), re-scanning and re-aggregating
-    // both epochs once per op
-    val d = c1.join(c0, cond, "full_outer")
-      .select(cols.map(c => coalesce(c1(c), c0(c)).as(c)) :+
-        (coalesce(col("__n1"), lit(0L))
-          - coalesce(col("__n0"), lit(0L))).as("__d"): _*)
+    // both epochs once per op. TAGGED-UNION aggregate (r16, the
+    // multisetDiffCount shape): one exchange with map-side partials
+    // instead of two aggregates + a null-safe full-outer join.
+    val d = v1.select(cols.map(col) :+ lit(1L).as("__a") :+ lit(0L).as("__b"): _*)
+      .unionByName(
+        v0.select(cols.map(col) :+ lit(0L).as("__a") :+ lit(1L).as("__b"): _*))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("__a")).as("__n1"), sum(col("__b")).as("__n0"))
+      .select(cols.map(col) :+
+        (col("__n1") - col("__n0")).as("__d"): _*)
     d.filter(col("__d") =!= 0L)
       .select(when(col("__d") > 0, lit("insert")).otherwise(lit("delete")).as("op"),
         col("prio"), abs(col("__d")).as("__m"), col("cents"))
