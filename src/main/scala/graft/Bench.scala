@@ -32,7 +32,7 @@ object Bench {
     "q_keyword_search" -> 0.548, // r8 seed: bucket-pruned postings probe (full-scan bm25 same run: 0.75)
     "q_phrase_search" -> 0.392, // r8 seed: two single-term pruned sides + positional intersect
     "q_boolean_search" -> 0.335, // r9 seed (min of 3 full passes): document-at-a-time MUST/SHOULD/NOT off one pruned postings scan
-    "q_search_lifecycle" -> 4.053, // r15-opt floor (full-pass min; replay-conf + pointer-cache wins). r9 seed 4.301: rebuild-by-design — half-corpus bulk build + streamed append of the other half + probe, EVERY call (caching would reduce the key to q_keyword_search)
+    "q_search_lifecycle" -> 3.037, // r16-opt floor (postings + stats epoch writes overlapped per rotation). r15-opt floor 4.053. r9 seed 4.301: rebuild-by-design — half-corpus bulk build + streamed append of the other half + probe, EVERY call (caching would reduce the key to q_keyword_search)
     "q_hybrid_search" -> 0.512, // r9 seed (min of 3 full passes): two index-served legs + k-row RRF fusion
     "q_canonical_docs" -> 1.066, // r11s3 adjudicated slow-host floor (hot-host 0.563 in refMinFast): shingle-index groups + row-local exact margins + one partitioned window
     "q_scd2_merge" -> 0.382, // r12 driver-host adjudicated floor (BENCH_r11 post-isolation min; builder-host floor 0.253 retained in refMinFast)
@@ -79,8 +79,8 @@ object Bench {
     "q_fk_inference" -> 2.176, // r12 driver-host adjudicated floor (BENCH_r11 post-isolation min; builder-host floor 1.209 retained in refMinFast)
     "q_zorder_layout" -> 1.061, // r11 floor (min of 2 full close passes; isolated seed was looser): bounded-domain z-histogram ranking + per-z row_number + 64-file extent agg
     "q_zonemap_prune" -> 0.343, // r13 close-pass minimum (isolated seed 0.630 on the erratic-write host was looser): steady-state = metadata-only sidecar collect + partition-pruned scan of ~5/64 files (the one-time 64-file clustered build amortizes across calls via ensureEpochIndex)
-    "q_zonemap_lifecycle" -> 3.939, // r13 close-pass minimum (isolated seed 7.376; erratic-write host swings to 20-30 s under its documented multi-second write stalls — the key is the surface's most FS-metadata-heavy): rebuild-by-design lifecycle #17 — 64-dir clustered bulk write + 2 streamed file-appends + metadata-only probe, EVERY call
-    "q_zonemap_optimize" -> 4.573, // r15-opt floor (pointer cache + replay conf; quarter-corpus landed r15-build). r13 floor 6.730: TWO epoch builds by design — clustered bulk + 2 ingest appends, then the OPTIMIZE re-cluster — plus the metadata-only probe, EVERY call
+    "q_zonemap_lifecycle" -> 3.374, // r16-opt floor (per-batch data/extent appends overlapped). r13 close-pass minimum 3.939 (isolated seed 7.376; erratic-write host swings to 20-30 s under its documented multi-second write stalls — the key is the surface's most FS-metadata-heavy): rebuild-by-design lifecycle #17 — 64-dir clustered bulk write + 2 streamed file-appends + metadata-only probe, EVERY call
+    "q_zonemap_optimize" -> 4.047, // r16-opt floor (both ingest appends overlap their data/extent writes). r15-opt floor 4.573. r13 floor 6.730: TWO epoch builds by design — clustered bulk + 2 ingest appends, then the OPTIMIZE re-cluster — plus the metadata-only probe, EVERY call
     "q_compaction_exec" -> 1.522, // r13 close-pass minimum (isolated seed 3.409, erratic-write host): rebuild-by-design — plan + one shuffle-by-bin rewrite of events + filesystem file count + two checksum scans, EVERY call
     "q_cms_join_reorder" -> 0.795, // r13 close-pass minimum (isolated seed 1.394, erratic-write host): steady state = the reassociated 3-table chain (stats sidecar fingerprint-cached across calls)
     "q_table_checksum" -> 0.394, // r11 floor (min of 2 full passes; isolated seed was looser): six full-width scans → per-row md5 → 1-row exact sums
@@ -104,8 +104,8 @@ object Bench {
     "q_high_txn_accounts" -> 0.985, "q_incremental_dedup" -> 0.436,
     "q_intersect_users" -> 0.317,
     "q_ivf_kmeans" -> 1.239, "q_ivf_persisted" -> 0.347,
-    "q_hnsw_topk" -> 2.042,
-    "q_hnsw_lifecycle" -> 9.013, // r15-opt floor (shared fixed-cost wins; flat ~100-job profile documented in OPTIMIZATION_r15.md). r12 seed 10.304: rebuild-by-design lifecycle #14 — even-half graph build + streamed odd-half appends (assign, pruned-cell kNN, 3 bucketed appends per batch) + ef=128 beam probe (the ef the near-orthogonal corpus needs, see HnswBeam scaladoc) + exact twin, EVERY call
+    "q_hnsw_topk" -> 0.948, // r16-opt floor (the gated output's 10-row exact twin is checkpointed once — the recall collect and the returned frame each re-ran the corpus crossJoin). r12 floor 2.042.
+    "q_hnsw_lifecycle" -> 5.224, // r16-opt floor (per-batch edge-subtree fusion, overlapped epoch/append writes, exact-twin checkpointed; full-pass min of 3). r15-opt floor 9.013. r12 seed 10.304: rebuild-by-design lifecycle #14 — even-half graph build + streamed odd-half appends (assign, pruned-cell kNN, 3 bucketed appends per batch) + ef=128 beam probe (the ef the near-orthogonal corpus needs, see HnswBeam scaladoc) + exact twin, EVERY call
     "q_ivf_trained" -> 0.628, "q_ivf_topk" -> 0.841, // r12 driver-host adjudicated floor (BENCH_r11 post-isolation min; builder-host floor 0.445 retained in refMinFast)
     "q_ann_lifecycle" -> 4.207, // r15-opt floor. r9 seed 4.675: rebuild-by-design — full-corpus codebook train + half-corpus bucketed build + streamed append of the other half + probe, EVERY call (the vector twin of q_search_lifecycle)
     "q_json_extract" -> 0.184, "q_knn_cosine" -> 0.185,
@@ -148,7 +148,7 @@ object Bench {
     "q_classifier_train" -> 2.613, // r15-opt floor: wide-tf-vector loop — one global aggregate per GD iteration (was 5.238 for the row-form 25-iteration loop; same weights, oracle-verified)
     "q_substring_dedup" -> 0.306, // r7 re-plan: agg+co-partitioned-join form
     "q_ivfpq_topk" -> 0.432, // r8 seed: epoch build + bucket-pruned ADC probe
-    "q_ivfpq_lifecycle" -> 5.494, // r15-opt floor. r9 seed 6.781: rebuild-by-design — heaviest of the lifecycle trilogy because the streamed half takes the full coarse-assign + residual-PQ-encode path under the epoch sidecars, EVERY call
+    "q_ivfpq_lifecycle" -> 4.701, // r16-opt floor (codebook sidecar writes overlapped per rotation). r15-opt floor 5.494. r9 seed 6.781: rebuild-by-design — heaviest of the lifecycle trilogy because the streamed half takes the full coarse-assign + residual-PQ-encode path under the epoch sidecars, EVERY call
     "q_image_neardup" -> 0.452, // r8: ANN over the persisted feature index (in-flight decode form was 0.76)
     "q_phash_neardup" -> 0.373, // r8: dHash over the persisted feature index (in-flight decode form was 0.82-0.90)
     "q_audio_fingerprint" -> 0.513, // r13 adjudicated slow-host floor (min of 2 isolated passes on the 2100 MHz host, unchanged code; the r12 verdict's 0.24→0.44 drift re-timed isolated per its ask — IO/host noise, no re-plan; hot-host r8 floor 0.380 retained in refMinFast)
@@ -184,7 +184,7 @@ object Bench {
     // r15 seeds (first full-pass observations; tighten as minima land):
     // the lakehouse additions — MOR/COW/time-travel/bloom — plus the
     // runtime-DPP and NDV-planner gates
-    "q_merge_on_read" -> 7.087, // r15-opt floor (multisetDiffCount convergence flags; was 7.574)
+    "q_merge_on_read" -> 5.101, // r16-opt floor (OPTIMIZE read-back serves sidecar + convergence post side; tagged-union diff; overlapped acts; full-pass min of 3). r15-opt floor 7.087
     "q_mor_lifecycle" -> 2.771,
     // r16 adjudication of BENCH_r15's three flags (q_dpp_prune 1.83×,
     // q_bpe_tokens 1.63×, q_bloom_skip 1.62×): all three are sub-second
@@ -196,12 +196,14 @@ object Bench {
     // post-isolation minima and the quiet-host floors live on in
     // refMinFast.
     "q_dpp_prune" -> 0.558, "q_ndv_agg_planned" -> 0.538,
-    "q_copy_on_write" -> 1.177, "q_time_travel" -> 0.633, // r15-opt floors (multisetDiffCount probes)
+    "q_copy_on_write" -> 0.839, // r16-opt floor (tagged-union diff)
+    "q_time_travel" -> 0.441, // r16-opt floor (tagged-union diff: 18->12 Exchanges, full-outer SMJs gone; SLOWEST of 3 fast-host full passes — sub-second drift headroom)
     "q_bloom_skip" -> 0.659,
-    "q_bloom_lifecycle" -> 4.579,
+    "q_bloom_lifecycle" -> 3.838, // r16-opt floor (per-batch data/extent/bloom appends overlapped). r15 seed 4.579.
     // r15 post-close additions (first narrowed-run observations; the
     // vacuum figure includes the pass's warmup — it ran first)
-    "q_vacuum" -> 1.690, "q_change_feed" -> 0.463) // r15-opt floors (one-action rollback probe; single-subtree CDF diff)
+    "q_vacuum" -> 1.231, // r16-opt floor (one conditional-sum pass computes all five version states; was five quarter aggregations)
+    "q_change_feed" -> 0.379) // r16-opt floor (tagged-union CDF diff: 12->6 Exchanges; slowest of 3 fast-host passes)
 
   /** Superseded HOT-HOST floors for keys whose [[refMin]] entry was
     * re-adjudicated upward on quiet-host evidence of UNCHANGED code
