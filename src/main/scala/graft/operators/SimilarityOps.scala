@@ -1993,9 +1993,18 @@ object SimilarityOps {
       import org.apache.spark.sql.expressions.Window
       val e = e0.select(col("vec_id"), col("embedding"))
       val cents = ivfCentroids(centSource.getOrElse(e))
+      // cache the shared frame PRE-PARTITIONED BY CELL (r16, guide
+      // §2.4 — two operations keyed the same way share one exchange):
+      // the hub window, the cell-size window, the (cell × LSH-bucket)
+      // rep window, the within-cell self-join and the ascend join all
+      // cluster on `cell` (hash-partitioning on a subset of a window/
+      // join's keys satisfies its distribution), so establishing the
+      // partitioning once in the cache removes their per-consumer
+      // exchanges of the cells frame.
       val cells = ivfRanked(e, cents).filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("cid").as("cell"),
           col("ccos"))
+        .repartition(col("cell"))
         .persist()
       // force the shared frame ONCE before the epoch's writes run
       // concurrently (r16, guide §2.6) — parallel first actions would
