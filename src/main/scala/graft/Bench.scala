@@ -32,7 +32,7 @@ object Bench {
     "q_keyword_search" -> 0.548, // r8 seed: bucket-pruned postings probe (full-scan bm25 same run: 0.75)
     "q_phrase_search" -> 0.392, // r8 seed: two single-term pruned sides + positional intersect
     "q_boolean_search" -> 0.335, // r9 seed (min of 3 full passes): document-at-a-time MUST/SHOULD/NOT off one pruned postings scan
-    "q_search_lifecycle" -> 3.037, // r16-opt floor (postings + stats epoch writes overlapped per rotation). r15-opt floor 4.053. r9 seed 4.301: rebuild-by-design — half-corpus bulk build + streamed append of the other half + probe, EVERY call (caching would reduce the key to q_keyword_search)
+    "q_search_lifecycle" -> 2.985, // r16-opt floor (postings + stats epoch writes overlapped per rotation). r15-opt floor 4.053. r9 seed 4.301: rebuild-by-design — half-corpus bulk build + streamed append of the other half + probe, EVERY call (caching would reduce the key to q_keyword_search)
     "q_hybrid_search" -> 0.512, // r9 seed (min of 3 full passes): two index-served legs + k-row RRF fusion
     "q_canonical_docs" -> 1.066, // r11s3 adjudicated slow-host floor (hot-host 0.563 in refMinFast): shingle-index groups + row-local exact margins + one partitioned window
     "q_scd2_merge" -> 0.382, // r12 driver-host adjudicated floor (BENCH_r11 post-isolation min; builder-host floor 0.253 retained in refMinFast)
@@ -104,8 +104,8 @@ object Bench {
     "q_high_txn_accounts" -> 0.985, "q_incremental_dedup" -> 0.436,
     "q_intersect_users" -> 0.317,
     "q_ivf_kmeans" -> 1.239, "q_ivf_persisted" -> 0.347,
-    "q_hnsw_topk" -> 0.948, // r16-opt floor (the gated output's 10-row exact twin is checkpointed once — the recall collect and the returned frame each re-ran the corpus crossJoin). r12 floor 2.042.
-    "q_hnsw_lifecycle" -> 5.224, // r16-opt floor (per-batch edge-subtree fusion, overlapped epoch/append writes, exact-twin checkpointed; full-pass min of 3). r15-opt floor 9.013. r12 seed 10.304: rebuild-by-design lifecycle #14 — even-half graph build + streamed odd-half appends (assign, pruned-cell kNN, 3 bucketed appends per batch) + ef=128 beam probe (the ef the near-orthogonal corpus needs, see HnswBeam scaladoc) + exact twin, EVERY call
+    "q_hnsw_topk" -> 0.938, // r16-opt floor (the gated output's 10-row exact twin is checkpointed once — the recall collect and the returned frame each re-ran the corpus crossJoin). r12 floor 2.042.
+    "q_hnsw_lifecycle" -> 4.952, // r16-opt floor (per-batch edge-subtree fusion, overlapped epoch/append writes, exact-twin checkpointed; full-pass min of 3). r15-opt floor 9.013. r12 seed 10.304: rebuild-by-design lifecycle #14 — even-half graph build + streamed odd-half appends (assign, pruned-cell kNN, 3 bucketed appends per batch) + ef=128 beam probe (the ef the near-orthogonal corpus needs, see HnswBeam scaladoc) + exact twin, EVERY call
     "q_ivf_trained" -> 0.628, "q_ivf_topk" -> 0.841, // r12 driver-host adjudicated floor (BENCH_r11 post-isolation min; builder-host floor 0.445 retained in refMinFast)
     "q_ann_lifecycle" -> 4.207, // r15-opt floor. r9 seed 4.675: rebuild-by-design — full-corpus codebook train + half-corpus bucketed build + streamed append of the other half + probe, EVERY call (the vector twin of q_search_lifecycle)
     "q_json_extract" -> 0.184, "q_knn_cosine" -> 0.185,
@@ -196,13 +196,13 @@ object Bench {
     // post-isolation minima and the quiet-host floors live on in
     // refMinFast.
     "q_dpp_prune" -> 0.558, "q_ndv_agg_planned" -> 0.538,
-    "q_copy_on_write" -> 0.839, // r16-opt floor (tagged-union diff)
+    "q_copy_on_write" -> 0.834, // r16-opt floor (tagged-union diff)
     "q_time_travel" -> 0.441, // r16-opt floor (tagged-union diff: 18->12 Exchanges, full-outer SMJs gone; SLOWEST of 3 fast-host full passes — sub-second drift headroom)
     "q_bloom_skip" -> 0.659,
     "q_bloom_lifecycle" -> 3.838, // r16-opt floor (per-batch data/extent/bloom appends overlapped). r15 seed 4.579.
     // r15 post-close additions (first narrowed-run observations; the
     // vacuum figure includes the pass's warmup — it ran first)
-    "q_vacuum" -> 1.231, // r16-opt floor (one conditional-sum pass computes all five version states; was five quarter aggregations)
+    "q_vacuum" -> 1.199, // r16-opt floor (one conditional-sum pass computes all five version states; was five quarter aggregations)
     "q_change_feed" -> 0.379) // r16-opt floor (tagged-union CDF diff: 12->6 Exchanges; slowest of 3 fast-host passes)
 
   /** Superseded HOT-HOST floors for keys whose [[refMin]] entry was
